@@ -1,0 +1,330 @@
+package graft.ops
+
+import graft.{QueryDef, Tables, Work}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational witness queries for the reference's reachable SQL surface
+  * (SURVEY.md §2.3): the reference hands users `table_env.execute_sql` /
+  * expression-string `select` (reference processor.py:44,74,97,208,258,268),
+  * i.e. arbitrary Flink SQL; the Spark engine witnesses the same surface
+  * with idiomatic DataFrame plans that Catalyst optimizes (pushdown,
+  * broadcast, partial aggregation, whole-stage codegen).
+  *
+  * Scale posture notes are in each query's scaladoc — every plan here
+  * shuffles only on its aggregation/join keys, pushes filters and column
+  * pruning into the parquet scan, and broadcasts dimension tables.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+  private val outDec = DecimalType(38, 4)
+
+  /** TPC-H Q1-style scan→filter→partial/final hash aggregate. Money math
+    * in DECIMAL so the hash is stable across aggregation orders.
+    * Scale: single shuffle on the 6-value group key; map-side combine
+    * means shuffle volume is O(groups×partitions), not O(rows).
+    */
+  val q1Agg = QueryDef(
+    "q1_agg",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(outDec).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(outDec).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(outDec).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Filter + projection; predicates and the 4-column ReadSchema reach the
+    * parquet scan (PushedFilters). No shuffle at all. Raw column output so
+    * the compare is bit-exact.
+    */
+  val q2Filter = QueryDef(
+    "q2_filter_pushdown",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 25)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 25"""))
+
+  /** 3-way join: orders⋈customer (shuffle on custkey at scale; AQE may
+    * broadcast) then ⋈nation (broadcast — 25 rows at any SF). Group by
+    * nation name.
+    */
+  val q3Join = QueryDef(
+    "q3_join_agg",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(outDec).as("total_price"))
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""))
+
+  /** Fact⋈dim with an explicit broadcast hint: part is a dimension at
+    * every SF, so the join is shuffle-free on the lineitem side.
+    */
+  val q4Broadcast = QueryDef(
+    "q4_broadcast_join",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(outDec).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT p_brand,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand"""))
+
+  /** Window function: top-2 orders per customer by price. One shuffle on
+    * the partition key; ties broken by o_orderkey so the result is a
+    * deterministic set.
+    */
+  val q5Window = QueryDef(
+    "q5_window_topn",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+      WHERE rn <= 2"""))
+
+  /** Global top-k: Spark plans order-by+limit as TakeOrderedAndProject
+    * (per-partition heaps, no full sort/shuffle). Total order via
+    * tie-break keys.
+    */
+  val q6SortLimit = QueryDef(
+    "q6_sort_limit",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100"""))
+
+  /** Grouping sets via ROLLUP; NULL grouping markers coalesced to 'ALL'
+    * on both sides so null-ordering cannot perturb the compare.
+    */
+  val q7Rollup = QueryDef(
+    "q7_rollup",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast(outDec).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** Exact distinct aggregates (expand+two-phase in Spark). At 100 TB one
+    * would reach for approx_count_distinct/HLL; exact kept here because
+    * the oracle must match bit-for-bit.
+    */
+  val q8Distinct = QueryDef(
+    "q8_distinct_agg",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(*) AS n_rows
+      FROM lineitem"""))
+
+  /** Semi + anti join (EXISTS / NOT EXISTS) as tagged counts — always
+    * non-empty regardless of SF. Spark plans left_semi/left_anti; both
+    * broadcastable when the build side's distinct key set is small.
+    */
+  val q9Anti = QueryDef(
+    "q9_semi_anti_join",
+    (s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val cond = customer("c_custkey") === orders("o_custkey")
+      val semi = customer.join(orders, cond, "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+      val anti = customer.join(orders, cond, "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("no_orders"))
+      semi.unionAll(anti).select("tag", "n")
+    },
+    Some("""
+      SELECT 'with_orders' AS tag, count(*) AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'no_orders' AS tag, count(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** Set operations: INTERSECT and EXCEPT over nation-key sets, tagged
+    * into one result.
+    */
+  val q10SetOps = QueryDef(
+    "q10_setops",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val both = c.intersect(sup).withColumn("tag", lit("both"))
+      val custOnly = c.except(sup).withColumn("tag", lit("cust_only"))
+      both.unionAll(custOnly).select("tag", "k")
+    },
+    Some("""
+      SELECT 'both' AS tag, k FROM
+        (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+      UNION ALL
+      SELECT 'cust_only' AS tag, k FROM
+        (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2"""))
+
+  /** String + date scalar functions over orders, grouped by derived keys. */
+  val q11StringDate = QueryDef(
+    "q11_string_date",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          substring(col("o_orderpriority"), 1, 1).as("prio"),
+          upper(col("o_orderstatus")).as("status"))
+        .agg(count(lit(1)).as("n"),
+          max(length(col("o_orderpriority"))).as("max_len"))
+    },
+    Some("""
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+             substring(o_orderpriority, 1, 1) AS prio,
+             upper(o_orderstatus) AS status,
+             count(*) AS n,
+             max(length(o_orderpriority)) AS max_len
+      FROM orders
+      GROUP BY 1, 2, 3"""))
+
+  /** JSON extraction from the events.props payload (the reference's
+    * format=json surface, processor.py:86,110,221), grouped.
+    */
+  val q12Json = QueryDef(
+    "q12_json_extract",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(outDec).as("sum_value"))
+    },
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+      FROM events
+      GROUP BY 1"""))
+
+  /** Array functions over tokenized text (split/size/element_at). */
+  val q13Array = QueryDef(
+    "q13_array_fns",
+    (s, dir) => {
+      val words = split(col("text"), " ")
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(words).as("n_words"),
+          element_at(words, 1).as("first_word"),
+          element_at(words, -1).as("last_word"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             string_split(text, ' ')[1] AS first_word,
+             string_split(text, ' ')[-1] AS last_word
+      FROM documents"""))
+
+  /** CSV sink + declared-schema CSV scan round-trip — the reference's
+    * filesystem connector pair (processor.py:44-58 source with
+    * csv.ignore-parse-errors → DROPMALFORMED; processor.py:261-278 sink).
+    */
+  val q0Csv = QueryDef(
+    "csv_roundtrip",
+    (s, dir) => {
+      val path = s"${Work.dir}/csv_roundtrip"
+      Work.clean(path)
+      Tables(s, dir, "nation").write.mode("overwrite").csv(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
+  val all: Seq[QueryDef] = Seq(
+    q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
+    q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json, q13Array)
+}

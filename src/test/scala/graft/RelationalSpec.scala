@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query runs on sf0.001 and returns rows") {
+    Relational.all.foreach { q =>
+      val df = q.fn(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q1_agg groups are the flag×status combinations") {
+    val rows = Relational.q1Agg.fn(spark, sf).collect()
+    assert(rows.length >= 4)
+    val flags = rows.map(_.getString(0)).toSet
+    assert(flags.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("q6_sort_limit is sorted descending by price") {
+    val prices = Relational.q6SortLimit.fn(spark, sf)
+      .collect().map(_.getDouble(2))
+    assert(prices.length == 100)
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q9_semi_anti partitions the customer table") {
+    val rows = Relational.q9Anti.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables(spark, sf, "customer").count()
+    assert(rows("with_orders") + rows("no_orders") == total)
+  }
+
+  test("csv_roundtrip preserves all nation rows") {
+    val got = Relational.q0Csv.fn(spark, sf).collect()
+    assert(got.length == Tables(spark, sf, "nation").count())
+  }
+}
