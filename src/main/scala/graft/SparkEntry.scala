@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, in registration order. */
   def allQueries: Seq[QueryDef] =
-    ops.Relational.all
+    ops.Relational.all ++ streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

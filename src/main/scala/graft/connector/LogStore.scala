@@ -1,0 +1,58 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** File-backed append-only log store — the Pravega analog (SURVEY.md §1.1).
+  * Streams are named `scope/stream` (reference README.md:89-91); rows are
+  * serialized as JSON lines (`format=json`, reference processor.py:86,110,
+  * 221) in immutable segment files, so a stream is readable either bounded
+  * (the reference's `scan.execution.type=batch`, processor.py:108,219) or
+  * as a Structured Streaming source (new segments discovered per
+  * micro-batch).
+  *
+  * Scale posture: a bounded read parallelizes across executors by
+  * file/split exactly like any text scan; appends write one segment per
+  * task, so there is no single-writer bottleneck. A production deployment
+  * swaps the directory for the real stream store behind these same four
+  * methods.
+  */
+final case class LogStore(baseDir: String) {
+
+  def path(scope: String, stream: String): String = s"$baseDir/$scope/$stream"
+
+  /** Append `df` to the stream as JSON lines — the reference's
+    * stream-store JSON sink (processor.py:67-90). */
+  def append(df: DataFrame, scope: String, stream: String): Unit =
+    encode(df).write.mode(SaveMode.Append).text(path(scope, stream))
+
+  /** Bounded scan of everything currently in the stream — the reference's
+    * batch scan of a Pravega stream (processor.py:93-114, 202-225). */
+  def readBounded(spark: SparkSession, scope: String, stream: String,
+      schema: StructType): DataFrame =
+    decode(spark.read.text(path(scope, stream)), schema)
+
+  /** Unbounded Structured Streaming scan of the stream. */
+  def readStream(spark: SparkSession, scope: String, stream: String,
+      schema: StructType): DataFrame =
+    decode(spark.readStream.text(path(scope, stream)), schema)
+
+  /** Streaming append: the writeStream twin of [[append]]. Caller
+    * configures trigger/checkpoint and starts the query. */
+  def appendStream(df: DataFrame, scope: String, stream: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    encode(df).writeStream
+      .format("text")
+      .option("path", path(scope, stream))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private def encode(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+
+  private def decode(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value"), schema).as("r")).select("r.*")
+}

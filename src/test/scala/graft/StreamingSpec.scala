@@ -1,0 +1,90 @@
+package graft
+
+import graft.connector.LogStore
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.GroupState
+
+class StreamingSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val d = s"${Work.dir}/test_$name"
+    Work.clean(d)
+    d
+  }
+
+  test("log store round-trip: append then readBounded preserves rows") {
+    val store = LogStore(freshDir("roundtrip"))
+    val events = Tables(spark, sf, "events")
+    store.append(events, "scope", "s1")
+    val back = store.readBounded(spark, "scope", "s1", StreamOps.eventSchema)
+    assert(back.count() == events.count())
+    val a = events.selectExpr("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = back.selectExpr("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "JSON round-trip must preserve doubles exactly")
+  }
+
+  test("two appends accumulate (append-only log semantics)") {
+    val store = LogStore(freshDir("append2"))
+    val ev = Tables(spark, sf, "events").limit(10)
+    store.append(ev, "scope", "s2")
+    store.append(ev, "scope", "s2")
+    assert(store.readBounded(spark, "scope", "s2", StreamOps.eventSchema)
+      .count() == 20)
+  }
+
+  test("streaming read twin equals bounded read") {
+    val base = freshDir("streamread")
+    val store = LogStore(base)
+    store.append(Tables(spark, sf, "events"), "scope", "s3")
+    val q = store.readStream(spark, "scope", "s3", StreamOps.eventSchema)
+      .writeStream.format("memory").queryName("t_streamread")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t_streamread").count() ==
+      store.readBounded(spark, "scope", "s3", StreamOps.eventSchema).count())
+  }
+
+  test("appendStream writes segments a bounded read sees") {
+    val base = freshDir("appendstream")
+    val store = LogStore(base)
+    val srcDir = s"$base/src"
+    Tables(spark, sf, "events").limit(50).write.mode("overwrite").json(srcDir)
+    val src = spark.readStream.schema(StreamOps.eventSchema).json(srcDir)
+    val q = store.appendStream(src, "scope", "s4", s"$base/ckpt").start()
+    q.awaitTermination()
+    assert(store.readBounded(spark, "scope", "s4", StreamOps.eventSchema)
+      .count() == 50)
+  }
+
+  test("streaming mapGroupsWithState sessionize equals batch sessionize") {
+    val base = freshDir("sessionize")
+    val store = LogStore(base)
+    store.append(Tables(spark, sf, "events"), "scope", "s5")
+    val sp = spark
+    import sp.implicits._
+    val streamed = store.readStream(spark, "scope", "s5", StreamOps.eventSchema)
+      .as[Ev]
+      .map(e => e.copy(ts = e.ts / 1000))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val all = state.getOption.getOrElse(Nil) ++ it.toList
+          state.update(all)
+          StreamOps.summarize(uid, all.iterator, StreamOps.sessionGapUs)
+      }
+    val q = streamed.toDF().writeStream
+      .format("memory").queryName("t_sessionize").outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_sessionize")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = StreamOps.sessionize.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+}
