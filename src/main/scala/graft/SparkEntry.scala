@@ -10,11 +10,14 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, in registration order. */
   def allQueries: Seq[QueryDef] =
-    ops.Relational.all ++ streaming.StreamOps.all
+    ops.Relational.all ++ streaming.StreamOps.all ++ ml.Knn.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's predict pipeline in miniature: distributed KNN
+    * classification of the held-out embedding vectors (SURVEY.md §7.2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    allQueries.head.fn(spark, "/root/testdata/sf0.001")
+    ml.Knn.predict.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

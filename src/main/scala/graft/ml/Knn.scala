@@ -1,0 +1,196 @@
+package graft.ml
+
+import graft.{QueryDef, Tables, Work}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** K-nearest-neighbors classifier — the reference's ML core
+  * (KNeighborsClassifier k=5, reference processor.py:128-129; UDF serving
+  * processor.py:228-258). Design per SURVEY.md §7.3: the model IS the
+  * reference set (lazy learner); prediction is top-k by L2 + majority
+  * vote, with two faces:
+  *
+  *  - [[predictBroadcastUdf]]: the parity path for small reference sets —
+  *    the reference's `mypred(sl,sw,pl,pw)` scalar UDF re-expressed as a
+  *    JVM-native UDF over a broadcast reference array (no out-of-process
+  *    row-at-a-time boundary, the reference's main perf sink).
+  *  - [[predictDistributed]]: the scale path — broadcast join + window
+  *    top-k; every step declarative so Catalyst plans it. At 100 TB the
+  *    reference set side would be pivot-pruned (REPOSE-style, PAPERS.md)
+  *    and the window replaced by a bounded-heap aggregate; the query
+  *    side streams through executors unchanged.
+  *
+  * Both faces share exact tie-break semantics so they hash-match one
+  * oracle: neighbors ranked by (dist, rid), votes by (count desc, label
+  * asc). All distance math in DOUBLE, sequential accumulation order.
+  */
+object Knn {
+
+  /** Squared L2 distance between two array<double> columns, declarative
+    * (codegen'd; no UDF). sqrt omitted: monotone, ranking-equivalent. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Distributed predict: queries (qid, qvec) × refs (rid, rvec, label)
+    * → (qid, pred_label). The smaller side (refs here) is broadcast; the
+    * only shuffle is the window's partition-by qid, which at scale is
+    * the natural partitioning of the query stream.
+    */
+  def predictDistributed(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+    val scored = queries.crossJoin(broadcast(refs))
+      .select(col("qid"), col("rid"), col("label"),
+        sqDist(col("qvec"), col("rvec")).as("dist"))
+    val byDist = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("rid").asc)
+    val votes = scored
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= k)
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("c"))
+    val byVote = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(byVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"))
+  }
+
+  /** Reference row as shipped to executors for the UDF path. */
+  final case class Ref(rid: Long, vec: Array[Double], label: Int)
+
+  /** Broadcast-UDF predict — the reference's scalar-UDF projection
+    * (`table.select("mypred(...)")`, processor.py:258) with the model
+    * broadcast once per executor (reference loads it once per operator
+    * open(), processor.py:233-242).
+    */
+  def predictBroadcastUdf(spark: SparkSession, queries: DataFrame,
+      refs: Array[Ref], k: Int): DataFrame = {
+    val bc = spark.sparkContext.broadcast(refs)
+    val predict = udf { (q: Seq[Double]) =>
+      val qa = q.toArray
+      val top = bc.value.map { r =>
+        var s = 0.0
+        var i = 0
+        while (i < r.vec.length) {
+          val d = qa(i) - r.vec(i); s += d * d; i += 1
+        }
+        (s, r.rid, r.label)
+      }.sortBy(t => (t._1, t._2)).take(k)
+      // toSeq before map: mapping a Map with a (-count, label) result
+      // would collapse equal counts into one arbitrary entry
+      top.groupBy(_._3).toSeq
+        .map { case (lab, xs) => (-xs.length, lab) }.min._2
+    }
+    queries.select(col("qid"), predict(col("qvec")).as("pred_label"))
+  }
+
+  /** Persist a trained model: reference set parquet + metadata — the
+    * reference's joblib.dump + register_model_version
+    * (processor.py:131-138), file-backed.
+    */
+  def save(refs: DataFrame, dir: String, k: Int): Unit = {
+    Work.clean(dir)
+    refs.write.mode("overwrite").parquet(s"$dir/refs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/meta.json"), s"""{"k":$k}""")
+  }
+
+  def load(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/meta.json"))
+    val k = "\"k\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+    (spark.read.parquet(s"$dir/refs"), k)
+  }
+
+  // --- embeddings-table split shared by queries and oracle ------------
+
+  /** Queries = vec_id % 5 == 0 (20%), refs = the rest — deterministic,
+    * SQL-expressible split of the embeddings table. */
+  def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+    val q = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qvec"),
+        col("label").as("true_label"))
+    val r = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("rid"), col("e").as("rvec"), col("label"))
+    (q, r)
+  }
+
+  private val oracleBase = """
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e, label AS true_label
+                 FROM embeddings WHERE vec_id % 5 = 0),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e, label
+                 FROM embeddings WHERE vec_id % 5 <> 0),
+           d AS (SELECT q.qid, q.true_label, r.rid, r.label,
+                        list_distance(q.e, r.e) AS dist
+                 FROM q CROSS JOIN r),
+           topk AS (SELECT qid, true_label, rid, label FROM
+                      (SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY dist, rid) AS rn FROM d)
+                    WHERE rn <= 5),
+           v AS (SELECT qid, true_label, label, count(*) AS c
+                 FROM topk GROUP BY qid, true_label, label),
+           pred AS (SELECT qid, true_label, label AS pred_label FROM
+                      (SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY c DESC, label) AS vr FROM v)
+                    WHERE vr = 1)"""
+
+  /** knn_train: persist the model then read it back — witnesses the
+    * persist/reload cycle (model = reference set).
+    */
+  val train = QueryDef(
+    "knn_train",
+    (s, dir) => {
+      val (_, refs) = split(s, dir)
+      val modelDir = s"${Work.dir}/knn_model"
+      save(refs, modelDir, k = 5)
+      val (loaded, k) = load(s, modelDir)
+      require(k == 5)
+      loaded.select("rid", "label")
+    },
+    Some("SELECT vec_id AS rid, label FROM embeddings WHERE vec_id % 5 <> 0"))
+
+  val predict = QueryDef(
+    "knn_predict",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      predictDistributed(q, r, k = 5)
+    },
+    Some(s"$oracleBase SELECT qid, pred_label FROM pred"))
+
+  val predictUdf = QueryDef(
+    "knn_predict_udf",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      val refs = r.collect().map(row => Ref(
+        row.getLong(0),
+        row.getSeq[Double](1).toArray,
+        row.getInt(2)))
+      predictBroadcastUdf(s, q, refs, k = 5)
+    },
+    Some(s"$oracleBase SELECT qid, pred_label FROM pred"))
+
+  /** knn_score: model accuracy as exact counts (the reference's
+    * knn.score = mean correctness, processor.py:179-182; counts instead
+    * of a float mean so the hash is exact).
+    */
+  val score = QueryDef(
+    "knn_score",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      predictDistributed(q, r, k = 5)
+        .join(q.select("qid", "true_label"), "qid")
+        .agg(
+          sum((col("pred_label") === col("true_label")).cast(LongType))
+            .as("n_correct"),
+          count(lit(1)).as("n_total"))
+    },
+    Some(s"""$oracleBase
+      SELECT sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+             count(*) AS n_total
+      FROM pred"""))
+
+  val all: Seq[QueryDef] = Seq(train, predict, predictUdf, score)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ml.Knn
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+
+  test("k=1 self-prediction: every reference vector predicts its own label") {
+    val (_, refs) = Knn.split(spark, sf)
+    val asQueries = refs.select(
+      col("rid").as("qid"), col("rvec").as("qvec"), col("label").as("true_label"))
+    val preds = Knn.predictDistributed(asQueries, refs, k = 1)
+      .join(asQueries.select("qid", "true_label"), "qid")
+    val wrong = preds.filter(col("pred_label") =!= col("true_label")).count()
+    assert(wrong == 0, s"$wrong self-predictions wrong at k=1")
+  }
+
+  test("broadcast-UDF predict agrees exactly with distributed predict") {
+    val (q, r) = Knn.split(spark, sf)
+    val refs = r.collect().map(row =>
+      Knn.Ref(row.getLong(0), row.getSeq[Double](1).toArray, row.getInt(2)))
+    val a = Knn.predictDistributed(q, r, k = 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val b = Knn.predictBroadcastUdf(spark, q, refs, k = 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("model save/load round-trips the reference set and k") {
+    val (_, refs) = Knn.split(spark, sf)
+    val dir = s"${Work.dir}/test_knn_model"
+    Knn.save(refs, dir, k = 7)
+    val (loaded, k) = Knn.load(spark, dir)
+    assert(k == 7)
+    assert(loaded.count() == refs.count())
+  }
+
+  test("knn_score counts agree with recomputed prediction correctness") {
+    val row = Knn.score.fn(spark, sf).collect().head
+    val (q, _) = Knn.split(spark, sf)
+    val preds = Knn.predict.fn(spark, sf)
+      .join(q.select("qid", "true_label"), "qid")
+    val correct = preds.filter(col("pred_label") === col("true_label")).count()
+    assert(row.getLong(0) == correct)
+    assert(row.getLong(1) == q.count())
+  }
+}
