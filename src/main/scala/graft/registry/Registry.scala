@@ -1,0 +1,159 @@
+package graft.registry
+
+import graft.workflow.{EventBus, Events}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Model version lifecycle stages — GENERATED → VALIDATED → DEPLOYED →
+  * DEPRECATED (reference processor.py:26,168-198).
+  */
+object Stage {
+  val Generated = "GENERATED"
+  val Validated = "VALIDATED"
+  val Deployed = "DEPLOYED"
+  val Deprecated = "DEPRECATED"
+}
+
+final case class DatasetMeta(name: String, format: String, uri: String)
+final case class ModelVersionMeta(model: String, version: Int, path: String,
+    stage: String)
+final case class ArtifactMeta(name: String, uri: String)
+
+/** File-backed metadata registry — the engine's replacement for the
+  * reference's AI Flow metadata/model-center gRPC services (SURVEY.md
+  * §1.1 items 4-6, §2.2 O6): datasets, models with staged versions,
+  * artifacts. State is one JSON file under `workdir`, rewritten on each
+  * mutation (metadata-scale, not data-scale); stage transitions publish
+  * events on `bus`, which is what drives the workflow's control edges.
+  */
+final class Registry(workdir: String, val bus: EventBus) {
+
+  private val datasets = mutable.LinkedHashMap.empty[String, DatasetMeta]
+  private val models = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[ModelVersionMeta]]
+  private val artifacts = mutable.LinkedHashMap.empty[String, ArtifactMeta]
+
+  private val stateFile = Paths.get(workdir, "registry.json")
+  load()
+
+  // --- datasets (af.register_dataset, workflow.py:42-44) --------------
+
+  def registerDataset(name: String, format: String, uri: String): DatasetMeta = {
+    val m = DatasetMeta(name, format, uri)
+    datasets(name) = m; persist(); m
+  }
+
+  def getDataset(name: String): Option[DatasetMeta] = datasets.get(name)
+
+  // --- models (af.register_model / register_model_version /
+  //     update_model_version, workflow.py:77-78, processor.py:138,170) --
+
+  def registerModel(name: String): Unit = {
+    models.getOrElseUpdate(name, mutable.ArrayBuffer.empty); persist()
+  }
+
+  /** New version enters at stage GENERATED and emits MODEL_GENERATED. */
+  def registerModelVersion(model: String, path: String): ModelVersionMeta = {
+    val versions = models.getOrElseUpdate(model, mutable.ArrayBuffer.empty)
+    val v = ModelVersionMeta(model, versions.size + 1, path, Stage.Generated)
+    versions += v
+    persist()
+    bus.publish(Events.ModelGenerated, model)
+    v
+  }
+
+  def updateModelVersionStage(model: String, version: Int,
+      stage: String): ModelVersionMeta = {
+    val versions = models(model)
+    val i = versions.indexWhere(_.version == version)
+    require(i >= 0, s"unknown version $version of model $model")
+    val updated = versions(i).copy(stage = stage)
+    versions(i) = updated
+    persist()
+    stage match {
+      case Stage.Validated => bus.publish(Events.ModelValidated, model)
+      case Stage.Deployed => bus.publish(Events.ModelDeployed, model)
+      case Stage.Deprecated => bus.publish(Events.ModelDeprecated, model)
+      case _ => ()
+    }
+    updated
+  }
+
+  def modelVersions(model: String): Seq[ModelVersionMeta] =
+    models.get(model).map(_.toSeq).getOrElse(Nil)
+
+  def getDeployedModelVersion(model: String): Option[ModelVersionMeta] =
+    modelVersions(model).findLast(_.stage == Stage.Deployed)
+
+  def getLatestGeneratedModelVersion(model: String): Option[ModelVersionMeta] =
+    modelVersions(model).findLast(_.stage == Stage.Generated)
+
+  // --- artifacts (af.register_artifact, workflow.py:92-93; appended to
+  //     as a plain file, processor.py:184-187) -------------------------
+
+  def registerArtifact(name: String, uri: String): ArtifactMeta = {
+    val a = ArtifactMeta(name, uri)
+    artifacts(name) = a; persist(); a
+  }
+
+  def getArtifactByName(name: String): Option[ArtifactMeta] = artifacts.get(name)
+
+  def appendToArtifact(name: String, line: String): Unit = {
+    val uri = artifacts(name).uri
+    val p = Paths.get(uri)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, line + "\n", StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND): Unit
+  }
+
+  // --- persistence ----------------------------------------------------
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def persist(): Unit = {
+    Files.createDirectories(Paths.get(workdir))
+    val ds = datasets.values.map(d =>
+      s"""{"name":${q(d.name)},"format":${q(d.format)},"uri":${q(d.uri)}}""")
+    val ms = models.map { case (name, vs) =>
+      val vj = vs.map(v =>
+        s"""{"version":${v.version},"path":${q(v.path)},"stage":${q(v.stage)}}""")
+      s"""{"name":${q(name)},"versions":[${vj.mkString(",")}]}"""
+    }
+    val as = artifacts.values.map(a =>
+      s"""{"name":${q(a.name)},"uri":${q(a.uri)}}""")
+    val json =
+      s"""{"datasets":[${ds.mkString(",")}],"models":[${ms.mkString(",")}],"artifacts":[${as.mkString(",")}]}"""
+    Files.writeString(stateFile, json, StandardCharsets.UTF_8): Unit
+  }
+
+  private def load(): Unit = if (Files.exists(stateFile)) {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(stateFile))
+    root.path("datasets").elements().asScala.foreach { d =>
+      val m = DatasetMeta(d.path("name").asText(), d.path("format").asText(),
+        d.path("uri").asText())
+      datasets(m.name) = m
+    }
+    root.path("models").elements().asScala.foreach { m =>
+      val name = m.path("name").asText()
+      val vs = mutable.ArrayBuffer.empty[ModelVersionMeta]
+      m.path("versions").elements().asScala.foreach { v =>
+        vs += ModelVersionMeta(name, v.path("version").asInt(),
+          v.path("path").asText(), v.path("stage").asText())
+      }
+      models(name) = vs
+    }
+    root.path("artifacts").elements().asScala.foreach { a =>
+      val m = ArtifactMeta(a.path("name").asText(), a.path("uri").asText())
+      artifacts(m.name) = m
+    }
+  }
+}
