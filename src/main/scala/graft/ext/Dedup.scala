@@ -1,0 +1,259 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.4):
+  * exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — designed
+  * as the standard 100 TB shapes: per-row signatures map-side, one
+  * shuffle on (band, bucket) or shingle, pairwise verification only
+  * inside buckets (never all-pairs).
+  *
+  * The synthetic documents have no natural near-dups, so the near-dup
+  * queries run on a planted corpus: every document unioned with a
+  * deterministic perturbation (last word dropped, doc_id + 10_000_000).
+  * Both engines can construct it, so exact-arithmetic oracles still
+  * apply. Jaccard thresholds are integer inequalities
+  * (3*common >= nA+nB  ⟺  J >= 0.5) — no float boundary risk.
+  */
+object Dedup {
+
+  val PlantedOffset = 10000000L
+
+  /** documents ∪ perturbed copies (drop last word). */
+  def plantedCorpus(docs: DataFrame): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + PlantedOffset).as("doc_id"),
+      array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+    docs.select("doc_id", "text").unionAll(perturbed)
+  }
+
+  private val plantedCorpusSql = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(ws[1:len(ws)-1], ' ') AS text
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents)"""
+
+  /** Exact dedup on a corpus with planted exact copies (doc_id%10==0
+    * duplicated at +20M): group by text, keep min doc_id, count copies.
+    * Scale: single hash shuffle on (a hash of) the text — at 100 TB one
+    * groups by sha2(text) so shuffle keys are 32 bytes, not documents.
+    */
+  val exact = QueryDef(
+    "dedup_exact",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      corpus.groupBy(sha2(col("text").cast(BinaryType), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 10 = 0)
+      SELECT sha256(text) AS text_hash,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM corpus GROUP BY 1"""))
+
+  /** Distinct word-3-gram shingle sets per doc: (doc_id, shs, n). */
+  def shingleSets(corpus: DataFrame, n: Int = 3): DataFrame =
+    corpus.select(col("doc_id"),
+        TextAnalysis.shingles(col("text"), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("n", size(col("shs")))
+
+  /** All near-dup pairs with shingle-Jaccard >= 0.5, via an inverted
+    * index on shingles (shuffle ∝ Σ df(shingle)², sparse for real
+    * shingle spaces — never an all-pairs crossJoin).
+    */
+  def jaccardPairs(shingled: DataFrame): DataFrame = {
+    val inv = shingled.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("sh"))
+    val a = inv.select(col("sh"), col("doc_id").as("a"), col("n").as("n_a"))
+    val b = inv.select(col("sh"), col("doc_id").as("b"), col("n").as("n_b"))
+    a.join(b, "sh").filter(col("a") < col("b"))
+      .groupBy("a", "b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
+      .select("a", "b", "n_common", "n_a", "n_b")
+  }
+
+  val ngramJaccard = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) =>
+      jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
+    Some(s"""
+      WITH corpus AS ($plantedCorpusSql),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM corpus)
+             WHERE len(ws) >= 3),
+      inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common,
+             a.n AS n_a, b.n AS n_b
+      FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 4, 5
+      HAVING count(*) * 3 >= a.n + b.n"""))
+
+  // --- MinHash + LSH --------------------------------------------------
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+
+  /** Deterministic affine permutation parameters (seeded). */
+  private val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-doc MinHash signature: 64 mins over the shingle set, computed
+    * as one aggregation (map-side partial, codegen'd; no UDF).
+    */
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
+    val base = pmod(xxhash64(col("sh")), lit(MersennePrime))
+    val hashCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(base * a + b, lit(MersennePrime))).as(s"mh_$i")
+    }
+    shingled.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+      .groupBy("doc_id", "n")
+      .agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: equal band-bucket for any of the 16 bands of 4
+    * signature rows. One shuffle on (band, bucket).
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bnd =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh_${bnd * RowsPerBand + r}"))
+      xxhash64((lit(bnd) +: cols): _*).as(s"band_$bnd")
+    }
+    val banded = sigs.select((col("doc_id") +: bandCols): _*)
+    val buckets = banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bd => col(s"band_$bd")): _*)))
+      .toDF("doc_id", "band", "bucket")
+    buckets.alias("x").join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup: signatures → banded candidates → exact
+    * Jaccard verification (so precision is 1.0; the LSH only bounds
+    * recall, P(miss | J=0.9) ≈ 4e-8 at 16×4).
+    */
+  def minhashDedup(corpus: DataFrame): DataFrame = {
+    val shingled = shingleSets(corpus)
+    val cands = lshCandidates(minhashSignatures(shingled))
+    val sets = shingled.select(col("doc_id"), col("shs"), col("n"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), "b")
+      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
+      .select("a", "b", "n_common", "n_a", "n_b")
+  }
+
+  /** Same output contract as dedup_ngram_jaccard (modulo LSH recall), so
+    * the brute-force oracle doubles as its reference; equality asserted
+    * in DedupSpec at sf0.001.
+    */
+  val minhash = QueryDef(
+    "dedup_minhash_lsh",
+    (s, dir) => minhashDedup(plantedCorpus(Tables(s, dir, "documents"))),
+    None)
+
+  // --- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash per doc from token-frequency-weighted token hashes:
+    * bit j of the signature = sign of Σ_tokens tf · (±1 per hash bit j).
+    * Pure aggregation (no UDF); one shuffle on doc_id.
+    */
+  def simhashSignatures(corpus: DataFrame): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s_$j")
+    }
+    val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val simhash = QueryDef(
+    "dedup_simhash",
+    (s, dir) => simhashSignatures(Tables(s, dir, "documents")),
+    None)
+
+  // --- embedding cosine near-dup --------------------------------------
+
+  /** Cosine of two array<double> columns — native fused-loop Catalyst
+    * expression (graft.functions.CosineSim); accumulation order matches
+    * the composed zip_with/aggregate form and DuckDB's
+    * list_cosine_similarity. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
+
+  /** The declarative composed form (kept for the equivalence test). */
+  def cosineDeclarative(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** Near-dup by embedding cosine >= 0.99 over a corpus with planted
+    * scaled copies (x1.5 — cosine-invariant, so planted pairs sit at
+    * ~1.0 and natural pairs far below; no threshold boundary risk).
+    * Brute-force all-pairs here (test scale); the 100 TB path buckets
+    * by LSH sign-signature first (Similarity.lshTopK).
+    */
+  val embeddingCosine = QueryDef(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val corpus = emb.unionAll(
+        emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("e"), x => x * 1.5).as("e")))
+      val x = corpus.select(col("vec_id").as("a"), col("e").as("ea"))
+      val y = corpus.select(col("vec_id").as("b"), col("e").as("eb"))
+      x.join(y, col("a") < col("b"))
+        .filter(cosine(col("ea"), col("eb")) >= 0.99)
+        .select("a", "b")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+        FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.e, y.e) >= 0.99"""))
+
+  val all: Seq[QueryDef] =
+    Seq(exact, ngramJaccard, minhash, simhash, embeddingCosine)
+}

@@ -1,0 +1,177 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4): exact
+  * brute-force top-k as the correctness baseline, plus two
+  * approximate scale paths — random-hyperplane LSH bucketing and an
+  * IVF-style coarse quantizer. At 100 TB the exact path's crossJoin is
+  * the thing to avoid: both ANN variants turn it into an equi-join on a
+  * bucket key (one shuffle), probing only a fraction of the reference
+  * set per query.
+  */
+object Similarity {
+
+  val K = 10
+
+  /** Query set = vec_id % 10 == 0; references = all other vectors. */
+  def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+    (emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe")),
+      emb.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("rid"), col("e").as("re")))
+  }
+
+  /** Exact top-k by cosine: broadcast crossJoin + per-query window.
+    * Ties broken by rid; ranking stable because both engines compute
+    * the same double cosine over the same double inputs.
+    */
+  def bruteForceTopK(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("rid").asc)
+    queries.crossJoin(broadcast(refs))
+      .select(col("qid"), col("rid"),
+        Dedup.cosine(col("qe"), col("re")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "rid")
+  }
+
+  val topkCosine = QueryDef(
+    "topk_cosine",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      bruteForceTopK(q, r, K)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 = 0),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 <> 0),
+           d AS (SELECT qid, rid,
+                        list_cosine_similarity(q.e, r.e) AS cos
+                 FROM q CROSS JOIN r)
+      SELECT qid, rank, rid FROM
+        (SELECT qid, rid, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, rid) AS rank FROM d)
+      WHERE rank <= $K"""))
+
+  // --- random-hyperplane LSH ANN --------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): a hash mapped to [-1, 1). No RNG at query time, so plans are
+    * reproducible and executors agree without shipping planes.
+    */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    var h = table.toLong * 1000003L + plane.toLong * 8191L + dim.toLong
+    h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  val LshTables = 8
+  val LshPlanes = 6 // 64 buckets per table
+
+  /** All sign-signature bucket ids (one per table) for a vector, as one
+    * compact UDF — an unrolled column-expression form builds a
+    * 3000-node expression tree that defeats codegen. Planes are
+    * materialized once per executor from the deterministic generator.
+    */
+  private def bucketsUdf(dim: Int) = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(LshTables, LshPlanes, dim)(planeComponent)
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      Array.tabulate(LshTables) { t =>
+        var sig = 0L
+        var p = 0
+        while (p < LshPlanes) {
+          var dot = 0.0
+          var d = 0
+          while (d < arr.length) { dot += arr(d) * planes(t)(p)(d); d += 1 }
+          if (dot >= 0) sig |= (1L << p)
+          p += 1
+        }
+        sig + t.toLong * 100
+      }
+    }
+  }
+
+  /** ANN top-k: candidates = refs sharing any of the 8 per-table sign
+    * buckets with the query; exact cosine re-rank within candidates.
+    * Scale: equi-join on (bucket), shuffle ∝ candidates not |Q|×|R|.
+    */
+  def lshTopK(queries: DataFrame, refs: DataFrame, k: Int, dim: Int): DataFrame = {
+    val buckets = bucketsUdf(dim)
+    def withBuckets(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+      df.select(col(idCol), col(vecCol),
+        explode(buckets(col(vecCol))).as("bucket"))
+    val qb = withBuckets(queries, "qe", "qid")
+    val rb = withBuckets(refs, "re", "rid")
+    val cands = qb.join(rb, "bucket")
+      .select("qid", "qe", "rid", "re").distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    cands.withColumn("cos", Dedup.cosine(col("qe"), col("re")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "rid")
+  }
+
+  val topkLsh = QueryDef(
+    "topk_cosine_lsh",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      lshTopK(q, r, K, dim = 64)
+    },
+    None) // approximate: recall asserted against brute force in tests
+
+  // --- IVF-style ANN --------------------------------------------------
+
+  val IvfProbes = 4
+
+  /** IVF: coarse centroids = every 16th reference vector (deterministic
+    * stand-in for k-means at test scale); every ref is assigned to its
+    * nearest centroid (the inverted file); a query probes its nprobe
+    * nearest centroids' lists only. Scale: the centroid set is
+    * broadcast; the probe is an equi-join on centroid id.
+    */
+  def ivfTopK(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+    val centroids = refs.filter(col("rid") % 16 === 0)
+      .select(col("rid").as("cid"), col("re").as("ce"))
+    // invert: nearest centroid per reference vector
+    val wAssign = Window.partitionBy("rid").orderBy(col("cdist").asc, col("cid").asc)
+    val assigned = refs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", graft.ml.Knn.sqDist(col("re"), col("ce")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select("cid", "rid", "re")
+    // probe: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", graft.ml.Knn.sqDist(col("qe"), col("ce")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfProbes)
+      .select("qid", "qe", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    probes.join(assigned, "cid")
+      .withColumn("cos", Dedup.cosine(col("qe"), col("re")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "rid")
+  }
+
+  val topkIvf = QueryDef(
+    "topk_cosine_ivf",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      ivfTopK(q, r, K)
+    },
+    None) // approximate: recall asserted against brute force in tests
+
+  val all: Seq[QueryDef] = Seq(topkCosine, topkLsh, topkIvf)
+}

@@ -1,0 +1,159 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2.4):
+  * token/char statistics, rule-based quality scoring, n-gram language
+  * ID, and rolling-hash fingerprinting — all over the `documents` table,
+  * all shuffle-free per-row column functions (scale = embarrassingly
+  * parallel scan).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (codegen'd split). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles (distinct), empty below n words. */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " ")))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Integer-only per-document statistics (ratios derivable downstream;
+    * integers keep the oracle hash exact).
+    */
+  val stats = QueryDef(
+    "text_stats",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_uniq_tokens"),
+        size(filter(t, w => w.isin(stopwords: _*))).as("n_stopwords"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_uniq_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS n_stopwords
+      FROM documents"""))
+
+  /** Rule-based quality gate (Gopher/C4-style length + stopword-density
+    * heuristics), pure integer logic so both engines agree exactly.
+    */
+  val quality = QueryDef(
+    "text_quality",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val nStop = size(filter(t, w => w.isin(stopwords: _*)))
+      val meanLenOk = length(col("text")) <= nTok * 15 // avg token len <= 15
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        when(nTok.between(10, 10000) && nStop * 20 >= nTok && meanLenOk,
+          lit("keep")).otherwise(lit("drop")).as("quality"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000
+                   AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 20
+                       >= len(regexp_split_to_array(trim(text), '\\s+'))
+                   AND length(text) <= len(regexp_split_to_array(trim(text), '\\s+')) * 15
+                  THEN 'keep' ELSE 'drop' END AS quality
+      FROM documents"""))
+
+  // --- language ID (n-gram heuristic; not SQL-expressible → tests) ----
+
+  /** Tiny public-knowledge marker profiles; scored by distinct-marker
+    * hits, ties broken alphabetically. CJK codepoints short-circuit zh.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "ing ", " th"),
+    "es" -> Seq("el ", "la ", "los", "ción", "de ", "que"),
+    "de" -> Seq("der", "die", "und", "sch", "ein", "ich"),
+    "fr" -> Seq("le ", "les", "des", "est", "une", "eau"))
+
+  def langIdOf(text: String): String = {
+    if (text.exists(ch => ch >= '一' && ch <= '鿿')) "zh"
+    else {
+      val lower = text.toLowerCase
+      val scored = langMarkers.toSeq.map { case (lang, ms) =>
+        (-ms.count(lower.contains), lang)
+      }
+      scored.min._2
+    }
+  }
+
+  val langId = QueryDef(
+    "lang_id",
+    (s, dir) => {
+      val f = udf(langIdOf _)
+      Tables(s, dir, "documents").select(
+        col("doc_id"), f(col("text")).as("lang_pred"))
+    },
+    None)
+
+  // --- fingerprint (rolling hash; not SQL-expressible → tests) --------
+
+  /** 64-bit polynomial rolling hash (Karp-Rabin family) over normalized
+    * tokens — order-sensitive document fingerprint.
+    */
+  def fingerprintOf(text: String): Long = {
+    val B = 1000003L
+    var h = 1469598103934665603L // FNV offset as seed
+    text.trim.split("\\s+").foreach { tok =>
+      var th = -3750763034362895579L // FNV-1a 64 offset basis (wrapped)
+      tok.foreach(ch => th = th * 1099511628211L + ch.toLong)
+      h = h * B + th
+    }
+    h
+  }
+
+  val fingerprint = QueryDef(
+    "doc_fingerprint",
+    (s, dir) => {
+      val f = udf(fingerprintOf _)
+      Tables(s, dir, "documents").select(
+        col("doc_id"), f(col("text")).as("fp"))
+    },
+    None)
+
+  /** Approximate BPE-ish token count: whitespace words plus an extra
+    * token per 4 chars of long words (public rule of thumb: ~4 chars per
+    * subword token). SQL-expressible in integers.
+    */
+  val tokenCount = QueryDef(
+    "token_count",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(t).as("n_words"),
+        aggregate(t, lit(0),
+          (acc, w) => acc + greatest(lit(1), ceil(length(w) / 4.0).cast(IntegerType)))
+          .as("n_subword_est"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+               w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT))))::INT AS n_subword_est
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(stats, quality, langId, fingerprint, tokenCount)
+}

@@ -28,9 +28,15 @@ import org.apache.spark.sql.types._
   */
 object Knn {
 
-  /** Squared L2 distance between two array<double> columns, declarative
-    * (codegen'd; no UDF). sqrt omitted: monotone, ranking-equivalent. */
+  /** Squared L2 distance between two array<double> columns — native
+    * fused-loop Catalyst expression (graft.functions.L2Squared), same
+    * sequential accumulation as the zip_with/aggregate form. sqrt
+    * omitted: monotone, ranking-equivalent. */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.l2Sq(a, b)
+
+  /** The declarative composed form (kept for the equivalence test). */
+  def sqDistDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Distributed predict: queries (qid, qvec) × refs (rid, rvec, label)

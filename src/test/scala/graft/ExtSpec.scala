@@ -1,0 +1,129 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+
+  // --- dedup ----------------------------------------------------------
+
+  test("minhash-LSH near-dup equals brute-force jaccard pairs") {
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents"))
+    val brute = Dedup.jaccardPairs(Dedup.shingleSets(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+    assert(brute.nonEmpty, "planted near-dups must be found")
+  }
+
+  test("planted perturbations are recovered as near-dup pairs") {
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents").limit(50))
+    val pairs = Dedup.jaccardPairs(Dedup.shingleSets(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs with enough words: dropping the last word keeps J >= 0.5
+    val planted = pairs.filter { case (a, b) => b == a + Dedup.PlantedOffset }
+    assert(planted.size >= 40, s"only ${planted.size} planted pairs found")
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val corpus = Dedup.plantedCorpus(docs)
+    val sigs = Dedup.simhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val planted = sigs.keys.filter(_ < Dedup.PlantedOffset)
+      .filter(id => sigs.contains(id + Dedup.PlantedOffset))
+    assert(planted.nonEmpty)
+    val dists = planted.map(id => hamming(sigs(id), sigs(id + Dedup.PlantedOffset)))
+    // perturbed copy differs by one word → signatures nearly identical
+    // (short docs shift more bits, so the bound is generous)
+    assert(dists.count(_ <= 12).toDouble / dists.size >= 0.95,
+      s"too many distant planted pairs: ${dists.toSeq.sorted.reverse.take(5)}")
+    assert(dists.sum.toDouble / dists.size < 8.0)
+  }
+
+  test("dedup_exact counts planted exact copies") {
+    val rows = Dedup.exact.fn(spark, sf).collect()
+    val withCopies = rows.count(_.getLong(2) >= 2)
+    val total = Tables(spark, sf, "documents").count()
+    assert(withCopies >= (total / 10 * 9 / 10).toInt) // ~n/10 planted dups
+  }
+
+  // --- similarity -----------------------------------------------------
+
+  private def recallVsBrute(approx: Set[(Long, Long)],
+      brute: Set[(Long, Long)]): Double =
+    approx.intersect(brute).size.toDouble / brute.size
+
+  test("LSH top-k recall vs brute force is substantial") {
+    val (q, r) = Similarity.split(spark, sf)
+    val brute = Similarity.bruteForceTopK(q, r, Similarity.K)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val approx = Similarity.lshTopK(q, r, Similarity.K, 64)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val rec = recallVsBrute(approx, brute)
+    assert(rec > 0.3, s"LSH recall $rec too low")
+  }
+
+  test("IVF top-k recall vs brute force is substantial") {
+    val (q, r) = Similarity.split(spark, sf)
+    val brute = Similarity.bruteForceTopK(q, r, Similarity.K)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val approx = Similarity.ivfTopK(q, r, Similarity.K)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val rec = recallVsBrute(approx, brute)
+    assert(rec > 0.3, s"IVF recall $rec too low")
+  }
+
+  test("brute-force top-k: rank 1 of a reference vector vs itself is itself") {
+    val (_, r) = Similarity.split(spark, sf)
+    val self = r.limit(20).select(col("rid").as("qid"), col("re").as("qe"))
+    val top1 = Similarity.bruteForceTopK(self, r, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(2))
+    assert(top1.forall { case (q, rid) => q == rid })
+  }
+
+  // --- text analysis --------------------------------------------------
+
+  test("lang_id is deterministic and total") {
+    val a = TextAnalysis.langId.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.langId.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.subsetOf(Set("en", "es", "de", "fr", "zh")))
+    assert(TextAnalysis.langIdOf("这是中文文本") == "zh")
+    assert(TextAnalysis.langIdOf("der schnelle braune fuchs und ich") == "de")
+  }
+
+  test("fingerprint: stable on same text, sensitive to word order") {
+    assert(TextAnalysis.fingerprintOf("a b c") ==
+      TextAnalysis.fingerprintOf("a b c"))
+    assert(TextAnalysis.fingerprintOf("a b c") !=
+      TextAnalysis.fingerprintOf("c b a"))
+    val fps = TextAnalysis.fingerprint.fn(spark, sf).collect()
+    assert(fps.length == Tables(spark, sf, "documents").count())
+  }
+
+  // --- multimodal -----------------------------------------------------
+
+  test("stubbed decode preserves byte counts and is deterministic") {
+    val decoded = Multimodal.decode.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(4))).toMap
+    val metas = Multimodal.meta.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(decoded == metas) // n_bytes and sha agree across both paths
+  }
+
+  test("frame sampling emits every 2nd 64-byte window") {
+    val n = Multimodal.frames.fn(spark, sf)
+      .filter(col("doc_id") === 0).count()
+    val len = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select(length(col("text")))
+      .collect().head.getInt(0)
+    val windows = (len + 63) / 64
+    assert(n == (windows + 1) / 2)
+  }
+}
