@@ -24,10 +24,13 @@ object Dedup {
 
   /** documents ∪ perturbed copies (drop last word). */
   def plantedCorpus(docs: DataFrame): DataFrame = {
-    val w = TextAnalysis.tokens(col("text"))
+    val dropLast = udf { (text: String) =>
+      val w = text.trim.split("\\s+")
+      w.take(w.length - 1).mkString(" ")
+    }
     val perturbed = docs.select(
       (col("doc_id") + PlantedOffset).as("doc_id"),
-      array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+      dropLast(col("text")).as("text"))
     docs.select("doc_id", "text").unionAll(perturbed)
   }
 
@@ -63,10 +66,13 @@ object Dedup {
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM corpus GROUP BY 1"""))
 
-  /** Distinct word-3-gram shingle sets per doc: (doc_id, shs, n). */
-  def shingleSets(corpus: DataFrame, n: Int = 3): DataFrame =
+  /** Distinct word-n-gram shingle sets per doc: (doc_id, shs, n).
+    * Default n=4: with the synthetic corpus's 31-word vocabulary, 3-gram
+    * df² explosion is 8× larger (measured 11M vs 1.4M pair rows at
+    * sf0.1) — larger shingles keep the inverted index sparse. */
+  def shingleSets(corpus: DataFrame, n: Int = 4): DataFrame =
     corpus.select(col("doc_id"),
-        TextAnalysis.shingles(col("text"), n).as("shs"))
+        TextAnalysis.shinglesUdf(n)(col("text")).as("shs"))
       .filter(size(col("shs")) > 0)
       .withColumn("n", size(col("shs")))
 
@@ -75,13 +81,21 @@ object Dedup {
     * shingle spaces — never an all-pairs crossJoin).
     */
   def jaccardPairs(shingled: DataFrame): DataFrame = {
-    val inv = shingled.select(col("doc_id"), col("n"),
-      explode(col("shs")).as("sh"))
-    val a = inv.select(col("sh"), col("doc_id").as("a"), col("n").as("n_a"))
-    val b = inv.select(col("sh"), col("doc_id").as("b"), col("n").as("n_b"))
-    a.join(b, "sh").filter(col("a") < col("b"))
-      .groupBy("a", "b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_common"))
+    // ids-only through the join+shuffle (narrow rows); per-doc sizes
+    // joined back onto the much smaller aggregated pair set. persist:
+    // the self-join would otherwise recompute the shingle pipeline twice
+    val inv = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist()
+    val pairCounts = inv.select(col("sh"), col("doc_id").as("a"))
+      .join(inv.select(col("sh"), col("doc_id").as("b")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val sizes = shingled.select(col("doc_id"), col("n"))
+    // no broadcast hint: AQE broadcasts sizes when small; at data scale
+    // both sides shuffle on the id, which is the right plan there
+    pairCounts
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
       .select("a", "b", "n_common", "n_a", "n_b")
   }
@@ -94,11 +108,11 @@ object Dedup {
       WITH corpus AS ($plantedCorpusSql),
       sh AS (SELECT doc_id,
                     list_distinct(list_transform(
-                      generate_series(1, len(ws) - 2),
-                      i -> array_to_string(ws[i:i+2], ' '))) AS shs
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
                    FROM corpus)
-             WHERE len(ws) >= 3),
+             WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common,
              a.n AS n_a, b.n AS n_b
@@ -157,7 +171,8 @@ object Dedup {
     * recall, P(miss | J=0.9) ≈ 4e-8 at 16×4).
     */
   def minhashDedup(corpus: DataFrame): DataFrame = {
-    val shingled = shingleSets(corpus)
+    // scanned three times (signatures + both verification sides)
+    val shingled = shingleSets(corpus).persist()
     val cands = lshCandidates(minhashSignatures(shingled))
     val sets = shingled.select(col("doc_id"), col("shs"), col("n"))
     cands

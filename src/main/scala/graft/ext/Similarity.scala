@@ -111,10 +111,13 @@ object Similarity {
     def withBuckets(df: DataFrame, vecCol: String, idCol: String): DataFrame =
       df.select(col(idCol), col(vecCol),
         explode(buckets(col(vecCol))).as("bucket"))
-    val qb = withBuckets(queries, "qe", "qid")
-    val rb = withBuckets(refs, "re", "rid")
+    val qb = withBuckets(queries, "qe", "qid").drop("qe")
+    val rb = withBuckets(refs, "re", "rid").drop("re")
+    // candidate ids only through join+distinct (cheap shuffle keys);
+    // vectors joined back onto the deduped pair set
     val cands = qb.join(rb, "bucket")
-      .select("qid", "qe", "rid", "re").distinct()
+      .select("qid", "rid").distinct()
+      .join(queries, "qid").join(refs, "rid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
     cands.withColumn("cos", Dedup.cosine(col("qe"), col("re")))
       .withColumn("rank", row_number().over(w))
