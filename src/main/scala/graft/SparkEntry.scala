@@ -10,9 +10,10 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, in registration order. */
   def allQueries: Seq[QueryDef] =
-    ops.Relational.all ++ streaming.StreamOps.all ++ ml.Knn.all ++
-      workflow.BatchTrainPredict.all ++ ext.TextAnalysis.all ++
-      ext.Dedup.all ++ ext.Similarity.all ++ ext.Multimodal.all
+    ops.Relational.all ++ ops.Parity.all ++ streaming.StreamOps.all ++
+      ml.Knn.all ++ workflow.BatchTrainPredict.all ++
+      ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.Similarity.all ++
+      ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's predict pipeline in miniature: distributed KNN

@@ -70,10 +70,12 @@ object Knn {
     * broadcast once per executor (reference loads it once per operator
     * open(), processor.py:233-242).
     */
-  def predictBroadcastUdf(spark: SparkSession, queries: DataFrame,
-      refs: Array[Ref], k: Int): DataFrame = {
+  /** The scalar prediction function (the body of the reference's
+    * Predict.eval, processor.py:246-250) over a broadcast reference set. */
+  def predictFn(spark: SparkSession, refs: Array[Ref],
+      k: Int): Seq[Double] => Int = {
     val bc = spark.sparkContext.broadcast(refs)
-    val predict = udf { (q: Seq[Double]) =>
+    q => {
       val qa = q.toArray
       val top = bc.value.map { r =>
         var s = 0.0
@@ -88,8 +90,21 @@ object Knn {
       top.groupBy(_._3).toSeq
         .map { case (lab, xs) => (-xs.length, lab) }.min._2
     }
+  }
+
+  def predictBroadcastUdf(spark: SparkSession, queries: DataFrame,
+      refs: Array[Ref], k: Int): DataFrame = {
+    val predict = udf(predictFn(spark, refs, k))
     queries.select(col("qid"), predict(col("qvec")).as("pred_label"))
   }
+
+  /** Register the prediction UDF under a name — the reference's
+    * register_function('mypred', …) (processor.py:253-257); callers then
+    * project with expr("mypred(...)") exactly like table.select
+    * (processor.py:258). */
+  def registerPredictUdf(spark: SparkSession, name: String,
+      refs: Array[Ref], k: Int): Unit =
+    spark.udf.register(name, udf(predictFn(spark, refs, k))): Unit
 
   /** Persist a trained model: reference set parquet + metadata — the
     * reference's joblib.dump + register_model_version
@@ -174,7 +189,10 @@ object Knn {
         row.getLong(0),
         row.getSeq[Double](1).toArray,
         row.getInt(2)))
-      predictBroadcastUdf(s, q, refs, k = 5)
+      // named registration + expression-string projection — the
+      // reference's scalar_udf_register + udf_projection pair
+      registerPredictUdf(s, "mypred", refs, k = 5)
+      q.select(col("qid"), expr("mypred(qvec)").as("pred_label"))
     },
     Some(s"$oracleBase SELECT qid, pred_label FROM pred"))
 

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{QueryDef, Tables, Work}
+import graft.connector.LogStore
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parity-named witnesses: one query key per SURVEY.md §2.1 operator
+  * row, so the inventory maps 1:1 onto `SparkEntry.queries`. Several
+  * reuse the machinery already exercised by richer queries — the point
+  * of these keys is line-by-line coverage of the reference's surface.
+  * Full mapping in OPERATORS.md.
+  */
+object Parity {
+
+  /** #1 csv_scan — declared-schema CSV source, malformed rows dropped
+    * (processor.py:44-58). Scan of a CSV copy of `nation` written once
+    * into the workdir. */
+  val csvScan = QueryDef(
+    "csv_scan",
+    (s, dir) => {
+      val path = s"${Work.dir}/csv_scan_src"
+      Work.clean(path)
+      Tables(s, dir, "nation").write.mode("overwrite").csv(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
+  /** #14 csv_sink — bounded CSV filesystem sink (processor.py:261-278):
+    * write a projection, read it back through the declared schema. */
+  val csvSink = QueryDef(
+    "csv_sink",
+    (s, dir) => {
+      val path = s"${Work.dir}/csv_sink_out"
+      Work.clean(path)
+      Tables(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").csv(path)
+      s.read.schema(StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType))))
+        .csv(path)
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier"))
+
+  /** #3 stream_sink_json — append rows to a named stream serialized as
+    * JSON (processor.py:67-90); witnessed by counting what landed. */
+  val streamSinkJson = QueryDef(
+    "stream_sink_json",
+    (s, dir) => {
+      val base = s"${Work.dir}/parity_sink"
+      Work.clean(base)
+      val store = LogStore(base)
+      store.append(Tables(s, dir, "events"), "scope", "events-stream")
+      store.readBounded(s, "scope", "events-stream", StreamOps.eventSchema)
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("SELECT count(*) AS n FROM events"))
+
+  /** #4 stream_scan_bounded — bounded scan of everything currently in a
+    * stream (scan.execution.type=batch, processor.py:93-114). */
+  val streamScanBounded = QueryDef(
+    "stream_scan_bounded",
+    (s, dir) => {
+      val base = s"${Work.dir}/parity_scan"
+      Work.clean(base)
+      val store = LogStore(base)
+      store.append(Tables(s, dir, "events"), "scope", "events-stream")
+      store.readBounded(s, "scope", "events-stream", StreamOps.eventSchema)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+    },
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events"""))
+
+  /** #5 collect_to_driver — the reference's to_pandas()
+    * (processor.py:124), isolated behind one guarded function so the
+    * 100 TB path can swap in a distributed variant (SURVEY.md §1.1.7).
+    */
+  def collectToDriver(df: DataFrame, maxRows: Long = 1000000): Array[org.apache.spark.sql.Row] = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"collect_to_driver refused: $n rows > $maxRows cap — use a distributed operator")
+    df.collect()
+  }
+
+  val collectQuery = QueryDef(
+    "collect_to_driver",
+    (s, dir) => {
+      val rows = collectToDriver(Tables(s, dir, "region"))
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        Tables(s, dir, "region").schema)
+    },
+    Some("SELECT r_regionkey, r_name FROM region"))
+
+  /** #6 label_split — project-away + project-only of the label column
+    * (train_data.pop('type'), processor.py:125-126). */
+  val labelSplit = QueryDef(
+    "label_split",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val features = emb.drop("label") // project-away
+      val labels = emb.select("vec_id", "label") // project-only
+      features.select("vec_id").join(labels, "vec_id")
+        .select("vec_id", "label")
+    },
+    Some("SELECT vec_id, label FROM embeddings"))
+
+  val all: Seq[QueryDef] = Seq(
+    csvScan, csvSink, streamSinkJson, streamScanBounded, collectQuery,
+    labelSplit)
+}
