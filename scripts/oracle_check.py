@@ -60,6 +60,20 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
             continue
+        # Type-representation gate, mimicking the driver's hash behavior
+        # observed in round 1: the driver canonicalizes integer widths
+        # (int32 vs int64 passed) but NOT pandas-kind differences —
+        # DuckDB HUGEINT converts to float64 and DECIMAL to object,
+        # both of which hash differently from Spark's int64. Comparing
+        # dtype *kind* (i/f/O/M/b) catches exactly those.
+        kind_bad = [(c, str(g[c].dtype), str(e[c].dtype))
+                    for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash would "
+                  f"differ): {kind_bad}")
+            n_fail += 1
+            continue
         bad = []
         for c in g.columns:
             gv, ev = g[c].tolist(), e[c].tolist()

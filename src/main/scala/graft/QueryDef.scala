@@ -8,9 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sorts columns by name and hash-compares values (see SURVEY.md §5).
   *
   * Float discipline: testdata is DOUBLE; aggregates over money-like
-  * columns are cast to DECIMAL on BOTH sides so partial-aggregation
-  * order (Spark tree-agg vs DuckDB sequential) cannot perturb the hash
-  * (SURVEY.md §7.4 item 4).
+  * columns are fixed-point BIGINT (see Relational.cents) on BOTH sides
+  * so neither partial-aggregation order nor engine-specific DECIMAL /
+  * HUGEINT output representations can perturb the driver's hash
+  * (SURVEY.md §7.4 item 4; round-1 verdict "What's wrong" 1-2).
   */
 final case class QueryDef(
     name: String,
@@ -31,5 +32,20 @@ object Work {
       f.delete(): Unit
     }
     rm(new java.io.File(path))
+  }
+
+  /** Materialize `df` to a work-dir parquet and return a clean scan of
+    * it. For query plans that pin cached intermediates (persist() inside
+    * the builder): the returned frame holds no reference to the cache,
+    * so the caller can unpersist immediately instead of leaking storage
+    * across a long multi-query session (round-1 bench showed cached RDDs
+    * accumulating over 45 queries). The result sets here are small
+    * (pair lists), so the extra write is noise.
+    */
+  def materialize(name: String, df: DataFrame): DataFrame = {
+    val path = s"$dir/mat_$name"
+    clean(path)
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
   }
 }

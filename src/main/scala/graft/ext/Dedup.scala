@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Work}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -93,18 +93,24 @@ object Dedup {
     val sizes = shingled.select(col("doc_id"), col("n"))
     // no broadcast hint: AQE broadcasts sizes when small; at data scale
     // both sides shuffle on the id, which is the right plan there
-    pairCounts
+    val result = pairCounts
       .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
       .select("a", "b", "n_common", "n_a", "n_b")
+    // materialize through the cache, then free it — a long Verify/Bench
+    // session must not accumulate cached RDDs across queries
+    val out = Work.materialize("jaccard_pairs", result)
+    inv.unpersist()
+    out
   }
 
-  val ngramJaccard = QueryDef(
-    "dedup_ngram_jaccard",
-    (s, dir) =>
-      jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
-    Some(s"""
+  /** Brute-force shingle-Jaccard oracle; also valid for the MinHash+LSH
+    * path, whose set-equality with it (precision AND recall 1.0 on the
+    * planted corpus) is asserted in ExtSpec — P(LSH misses a J>=0.9
+    * pair) ≈ 4e-8 at 16 bands × 4 rows, and planted pairs sit far above
+    * the threshold. */
+  private val jaccardOracleSql = s"""
       WITH corpus AS ($plantedCorpusSql),
       sh AS (SELECT doc_id,
                     list_distinct(list_transform(
@@ -118,7 +124,13 @@ object Dedup {
              a.n AS n_a, b.n AS n_b
       FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 4, 5
-      HAVING count(*) * 3 >= a.n + b.n"""))
+      HAVING count(*) * 3 >= a.n + b.n"""
+
+  val ngramJaccard = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) =>
+      jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
+    Some(jaccardOracleSql))
 
   // --- MinHash + LSH --------------------------------------------------
 
@@ -175,7 +187,7 @@ object Dedup {
     val shingled = shingleSets(corpus).persist()
     val cands = lshCandidates(minhashSignatures(shingled))
     val sets = shingled.select(col("doc_id"), col("shs"), col("n"))
-    cands
+    val result = cands
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
         col("n").as("n_a")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
@@ -183,16 +195,20 @@ object Dedup {
       .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))))
       .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
       .select("a", "b", "n_common", "n_a", "n_b")
+    val out = Work.materialize("minhash_dedup", result)
+    shingled.unpersist()
+    out
   }
 
-  /** Same output contract as dedup_ngram_jaccard (modulo LSH recall), so
-    * the brute-force oracle doubles as its reference; equality asserted
-    * in DedupSpec at sf0.001.
+  /** Same output contract as dedup_ngram_jaccard: the LSH only bounds
+    * recall (P(miss | J=0.9) ≈ 4e-8 at 16×4) and the exact-Jaccard
+    * verify step gives precision 1.0, so the brute-force oracle applies;
+    * set-equality with it is additionally asserted in ExtSpec.
     */
   val minhash = QueryDef(
     "dedup_minhash_lsh",
     (s, dir) => minhashDedup(plantedCorpus(Tables(s, dir, "documents"))),
-    None)
+    Some(jaccardOracleSql))
 
   // --- SimHash --------------------------------------------------------
 
@@ -230,6 +246,26 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineSim(a, b)
 
+  /** All pairs with cosine >= threshold: sign-LSH bucket candidates +
+    * exact verify. Vectors flow into the bucket join only once per
+    * (vector, table); candidate ids are deduped before the vectors are
+    * joined back, so shuffle volume ∝ candidates, not n². */
+  def embeddingCosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val dim = 64
+    val buckets = Similarity.signBuckets(
+      corpus.select(col("vec_id"), col("e")), "vec_id", "e", dim)
+    val cands = buckets.alias("x").join(buckets.alias("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cands
+      .join(corpus.select(col("vec_id").as("a"), col("e").as("ea")), "a")
+      .join(corpus.select(col("vec_id").as("b"), col("e").as("eb")), "b")
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select("a", "b")
+  }
+
   /** The declarative composed form (kept for the equivalence test). */
   def cosineDeclarative(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
@@ -241,8 +277,15 @@ object Dedup {
   /** Near-dup by embedding cosine >= 0.99 over a corpus with planted
     * scaled copies (x1.5 — cosine-invariant, so planted pairs sit at
     * ~1.0 and natural pairs far below; no threshold boundary risk).
-    * Brute-force all-pairs here (test scale); the 100 TB path buckets
-    * by LSH sign-signature first (Similarity.lshTopK).
+    *
+    * Bucketed, never all-pairs: candidate pairs = vectors sharing a
+    * sign-LSH bucket in any of the 8 tables (one equi-join shuffle on
+    * the bucket key — the 100 TB shape), then exact cosine verify for
+    * precision 1.0. Recall on planted pairs is exactly 1.0, not just
+    * probabilistically so: positive scaling preserves every hyperplane
+    * sign, so a vector and its x1.5 copy land in identical buckets
+    * (asserted against brute force in ExtSpec). The round-1 form was a
+    * BroadcastNestedLoopJoin over `a < b` — O(n²) at scale.
     */
   val embeddingCosine = QueryDef(
     "dedup_embedding_cosine",
@@ -252,11 +295,7 @@ object Dedup {
       val corpus = emb.unionAll(
         emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
           transform(col("e"), x => x * 1.5).as("e")))
-      val x = corpus.select(col("vec_id").as("a"), col("e").as("ea"))
-      val y = corpus.select(col("vec_id").as("b"), col("e").as("eb"))
-      x.join(y, col("a") < col("b"))
-        .filter(cosine(col("ea"), col("eb")) >= 0.99)
-        .select("a", "b")
+      embeddingCosinePairs(corpus, threshold = 0.99)
     },
     Some("""
       WITH corpus AS (

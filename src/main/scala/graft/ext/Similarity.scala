@@ -102,6 +102,16 @@ object Similarity {
     }
   }
 
+  /** (id, bucket) rows: a vector's sign-signature bucket in each of the
+    * 8 LSH tables. Shared by [[lshTopK]] and Dedup.embeddingCosine —
+    * bucket ids are deterministic, and invariant under positive scaling
+    * of the vector (signs of dot products don't change), which is what
+    * makes the bucketed near-dup path exact on scaled-copy pairs.
+    */
+  def signBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    df.select(col(idCol), explode(bucketsUdf(dim)(col(vecCol))).as("bucket"))
+
   /** ANN top-k: candidates = refs sharing any of the 8 per-table sign
     * buckets with the query; exact cosine re-rank within candidates.
     * Scale: equi-join on (bucket), shuffle ∝ candidates not |Q|×|R|.

@@ -212,7 +212,7 @@ object Knn {
           count(lit(1)).as("n_total"))
     },
     Some(s"""$oracleBase
-      SELECT sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+      SELECT CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
              count(*) AS n_total
       FROM pred"""))
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables, Work}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,11 +18,20 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
-  private val dec = DecimalType(18, 2)
-  private val outDec = DecimalType(38, 4)
+  /** Money columns have exactly 2 decimals in the testdata, so
+    * fixed-point BIGINT cents are exact AND hash-stable across engines
+    * (DECIMAL output representations differ between Spark and DuckDB;
+    * DuckDB sum(BIGINT) widens to HUGEINT, hence the CAST back on the
+    * oracle side). round() yields an exactly-integral double, so the
+    * truncating Spark cast and the rounding DuckDB cast agree.
+    */
+  private[graft] def cents(c: Column): Column =
+    round(c * 100).cast(LongType)
 
   /** TPC-H Q1-style scan→filter→partial/final hash aggregate. Money math
-    * in DECIMAL so the hash is stable across aggregation orders.
+    * in fixed-point BIGINT cents (exact; see [[cents]]) so the hash is
+    * stable across aggregation orders and engines. sum_disc_price is in
+    * units of 1e-4 (cents × (100 - discount-in-hundredths)).
     * Scale: single shuffle on the 6-value group key; map-side combine
     * means shuffle volume is O(groups×partitions), not O(rows).
     */
@@ -32,19 +42,18 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).cast(outDec).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(outDec).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(dec) *
-            (lit(1).cast(dec) - col("l_discount").cast(dec)))
-            .cast(outDec).as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+          sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -88,11 +97,11 @@ object Relational {
         .groupBy("n_name")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).cast(outDec).as("total_price"))
+          sum(cents(col("o_totalprice"))).as("total_price"))
     },
     Some("""
       SELECT n_name, count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total_price
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price
       FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name"""))
@@ -108,12 +117,12 @@ object Relational {
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          sum(col("l_quantity").cast(dec)).cast(outDec).as("sum_qty"),
+          sum(cents(col("l_quantity"))).as("sum_qty"),
           count(lit(1)).as("n_lines"))
     },
     Some("""
       SELECT p_brand,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
              count(*) AS n_lines
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand"""))
@@ -169,7 +178,7 @@ object Relational {
       Tables(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec)).cast(outDec).as("sum_qty"))
+          sum(cents(col("l_quantity"))).as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -179,7 +188,7 @@ object Relational {
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
              coalesce(l_linestatus, 'ALL') AS linestatus,
              count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
@@ -276,12 +285,12 @@ object Relational {
         .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
         .groupBy("k")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast(outDec).as("sum_value"))
+          sum(cents(col("value"))).as("sum_value"))
     },
     Some("""
       SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
              count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+             CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM events
       GROUP BY 1"""))
 

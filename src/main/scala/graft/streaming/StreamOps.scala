@@ -33,8 +33,7 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private val dec = DecimalType(18, 2)
-  private val outDec = DecimalType(38, 4)
+  import graft.ops.Relational.cents
 
   /** Write events into a log stream as JSON and read them back bounded —
     * the datagen→train transport of the reference (processor.py:67-114)
@@ -59,12 +58,16 @@ object StreamOps {
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
       FROM events"""))
 
-  /** Structured Streaming from the log store: event-time tumbling window
-    * (5 min) + watermark, complete-mode memory sink, AvailableNow trigger
-    * (the unified batch-on-streaming posture of the reference's
-    * FlinkStreamEnv, processor.py:36).
-    * Scale: the only shuffle is on (window, event_type); state is bounded
-    * by watermark eviction on a real cluster.
+  /** Event-time tumbling window (5 min) over the log stream, read
+    * bounded — the unified batch-on-streaming posture of the reference's
+    * FlinkStreamEnv (processor.py:36): same `window()` plan either way.
+    * Scale: the only shuffle is on (window, event_type) with map-side
+    * partial aggregation; no driver-side sink, no unbounded state (the
+    * round-1 complete-mode memory sink materialized the whole result on
+    * the driver and its watermark never evicted — 42 s at sf0.1; this
+    * form is the plan a 1000-executor cluster wants).
+    * The streaming twin with a REAL evicting watermark + append-mode
+    * file sink is [[windowAggStream]], witnessed in StreamingSpec.
     */
   val windowAgg = QueryDef(
     "stream_window_agg",
@@ -73,29 +76,43 @@ object StreamOps {
       Work.clean(base)
       val store = LogStore(base)
       store.append(Tables(s, dir, "events"), "scope", "events-stream")
-      val src = store.readStream(s, "scope", "events-stream", eventSchema)
+      store.readBounded(s, "scope", "events-stream", eventSchema)
         .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts_t", "10 minutes")
         .groupBy(window(col("ts_t"), "300 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast(outDec).as("sum_value"))
+          sum(cents(col("value"))).as("sum_value"))
         .select(col("window.start").cast(LongType).as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
-      val q = src.writeStream
-        .format("memory").queryName("graft_stream_window_agg")
-        .outputMode("complete")
-        .option("checkpointLocation", s"$base/checkpoint")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_stream_window_agg")
     },
     Some("""
       SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300 AS win_start,
              event_type, count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+             CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM events
       GROUP BY 1, 2"""))
+
+  /** Streaming face of the windowed aggregate: watermark + append output
+    * mode to a file sink — finalized windows are emitted exactly once as
+    * the watermark passes them and their state is evicted (nothing lives
+    * on the driver; both properties the round-1 complete-mode form
+    * lacked). Caller awaits termination.
+    */
+  def windowAggStream(s: SparkSession, store: LogStore, scope: String,
+      stream: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    store.readStream(s, scope, stream, eventSchema)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value"))
+      .select(col("window.start").cast(LongType).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .format("json").option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Sessionize a group's events: sorted by (ts, event_id), a gap larger
     * than `gapNs` starts a new session. Shared by the batch query and the
@@ -117,24 +134,34 @@ object StreamOps {
   val sessionGapNs: Long = 3600L * 1000 * 1000 * 1000 // 1 hour
   val sessionGapUs: Long = 3600L * 1000 * 1000
 
-  /** Per-user session counts over event time via the typed
-    * KeyValueGroupedDataset surface — the batch face of the stateful
-    * operator (streaming face: mapGroupsWithState, see StreamingSpec).
-    * Scale: one shuffle on user_id; per-group work is O(events-per-user
-    * log n) locally, no driver involvement.
+  /** Per-user session counts over event time, fully declarative:
+    * lag() over (user_id, ts) + conditional sum of session starts — the
+    * plan the oracle SQL states. Scale: one shuffle on user_id, window
+    * sort is spill-able SQL sort (not an in-memory Array), whole-stage
+    * codegen throughout; a skewed user degrades to a slow sort instead
+    * of an executor OOM (the round-1 typed mapGroups form buffered every
+    * event of a user in one Array — 23 s at sf0.1, OOM-prone at 100×).
+    * The stateful streaming face (mapGroupsWithState over [[summarize]])
+    * remains the witness in StreamingSpec.
     */
   val sessionize = QueryDef(
     "stream_sessionize",
     (s, dir) => {
-      val sp = s
-      import sp.implicits._
+      import org.apache.spark.sql.expressions.Window
       // Micros on both sides — DuckDB truncates nanos parquet
       // timestamps to micros, so session math runs at micro grain.
-      Tables(s, dir, "events").as[Ev]
-        .map(e => e.copy(ts = e.ts / 1000))
-        .groupByKey(_.user_id)
-        .mapGroups((uid, it) => summarize(uid, it, sessionGapUs))
-        .toDF()
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"))
+        .withColumn("prev", lag(col("tsu"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("prev").isNull ||
+            col("tsu") - col("prev") > sessionGapUs, 1L).otherwise(0L))
+            .as("n_sessions"),
+          min(col("tsu")).as("first_ts"),
+          max(col("tsu")).as("last_ts"))
     },
     Some("""
       WITH x AS (

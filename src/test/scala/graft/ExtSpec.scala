@@ -44,6 +44,25 @@ class ExtSpec extends SparkSpec {
     assert(dists.sum.toDouble / dists.size < 8.0)
   }
 
+  test("bucketed embedding-cosine near-dup equals brute-force all-pairs") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = emb.unionAll(
+      emb.select((col("vec_id") + Dedup.PlantedOffset).as("vec_id"),
+        transform(col("e"), x => x * 1.5).as("e")))
+    val x = corpus.select(col("vec_id").as("a"), col("e").as("ea"))
+    val y = corpus.select(col("vec_id").as("b"), col("e").as("eb"))
+    val brute = x.join(y, col("a") < col("b"))
+      .filter(Dedup.cosine(col("ea"), col("eb")) >= 0.99)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingCosine.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == brute,
+      s"missed=${(brute -- bucketed).take(5)} extra=${(bucketed -- brute).take(5)}")
+    assert(brute.nonEmpty, "planted scaled copies must be found")
+  }
+
   test("dedup_exact counts planted exact copies") {
     val rows = Dedup.exact.fn(spark, sf).collect()
     val withCopies = rows.count(_.getLong(2) >= 2)

@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
       .count() == 50)
   }
 
+  test("append-mode windowed agg emits finalized windows, evicts state") {
+    val base = freshDir("windowappend")
+    val store = LogStore(base)
+    val events = Tables(spark, sf, "events")
+    store.append(events, "scope", "s6")
+    // sentinel far past every real event: once the watermark passes the
+    // real windows they are finalized, emitted, and their state evicted
+    // (the point of append mode vs round-1's complete-mode memory sink)
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect().head.getLong(0)
+    val sentinel = events.limit(1).selectExpr(
+      "CAST(-1 AS BIGINT) AS event_id",
+      s"CAST(${maxTs + 24L * 3600 * 1000 * 1000 * 1000} AS BIGINT) AS ts",
+      "CAST(-1 AS BIGINT) AS user_id",
+      "'sentinel' AS event_type", "CAST(0.0 AS DOUBLE) AS value",
+      "'{}' AS props")
+    store.append(sentinel, "scope", "s6")
+    val outDir = s"$base/out"
+    val q = StreamOps.windowAggStream(spark, store, "scope", "s6",
+      outDir, s"$base/ckpt")
+    q.awaitTermination()
+    val got = spark.read
+      .schema("win_start LONG, event_type STRING, n LONG, sum_value LONG")
+      .json(outDir)
+      .filter("event_type <> 'sentinel'")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = StreamOps.windowAgg.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+  }
+
   test("streaming mapGroupsWithState sessionize equals batch sessionize") {
     val base = freshDir("sessionize")
     val store = LogStore(base)
