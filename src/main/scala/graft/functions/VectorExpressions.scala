@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  /** Mismatched lengths / null elements yield NULL (not a silent read
+    * past UnsafeArrayData bounds, which is unchecked in generated code). */
+  override def nullable: Boolean = true
+
+  protected def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -40,8 +50,10 @@ case class CosineSim(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
@@ -57,15 +69,27 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // element null-check emitted only when the schema says elements
+      // can be null, so the dense-vector hot path stays branch-free
+      val nullCheck = if (elementsNullable)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
         int $n = $x.numElements();
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = $x.getDouble($i);
-          double $yi = $y.getDouble($i);
-          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        if ($n != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            double $xi = $x.getDouble($i);
+            double $yi = $y.getDouble($i);
+            $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 
@@ -84,8 +108,10 @@ case class L2Squared(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
     }
     s
@@ -97,14 +123,22 @@ case class L2Squared(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullCheck = if (elementsNullable)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
         int $n = $x.numElements();
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = $x.getDouble($i) - $y.getDouble($i);
-          $s += $d * $d;
+        if ($n != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            double $d = $x.getDouble($i) - $y.getDouble($i);
+            $s += $d * $d;
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
-        ${ev.value} = $s;
       """
     })
 

@@ -77,18 +77,58 @@ object Knn {
     val bc = spark.sparkContext.broadcast(refs)
     q => {
       val qa = q.toArray
-      val top = bc.value.map { r =>
+      val rs = bc.value
+      // bounded k-selection: O(|R|·cmp) with a size-k worst-tracked
+      // array instead of a full O(|R| log |R|) sort per input row;
+      // ordering (dist asc, rid asc) identical to the window form
+      val kk = math.min(k, rs.length)
+      val dists = new Array[Double](kk)
+      val rids = new Array[Long](kk)
+      val labels = new Array[Int](kk)
+      var size = 0
+      var worst = 0 // index of the max (dist, rid) among the kept k
+      def less(d1: Double, r1: Long, d2: Double, r2: Long): Boolean =
+        d1 < d2 || (d1 == d2 && r1 < r2)
+      var j = 0
+      while (j < rs.length) {
+        val r = rs(j)
         var s = 0.0
         var i = 0
         while (i < r.vec.length) {
           val d = qa(i) - r.vec(i); s += d * d; i += 1
         }
-        (s, r.rid, r.label)
-      }.sortBy(t => (t._1, t._2)).take(k)
-      // toSeq before map: mapping a Map with a (-count, label) result
-      // would collapse equal counts into one arbitrary entry
-      top.groupBy(_._3).toSeq
-        .map { case (lab, xs) => (-xs.length, lab) }.min._2
+        if (size < kk) {
+          dists(size) = s; rids(size) = r.rid; labels(size) = r.label
+          size += 1
+          if (size == kk) { // establish the worst slot
+            var m = 0
+            var w = 0
+            while (m < kk) {
+              if (less(dists(w), rids(w), dists(m), rids(m))) w = m
+              m += 1
+            }
+            worst = w
+          }
+        } else if (less(s, r.rid, dists(worst), rids(worst))) {
+          dists(worst) = s; rids(worst) = r.rid; labels(worst) = r.label
+          var m = 0
+          var w = 0
+          while (m < kk) {
+            if (less(dists(w), rids(w), dists(m), rids(m))) w = m
+            m += 1
+          }
+          worst = w
+        }
+        j += 1
+      }
+      // majority vote among the kept k: (count desc, label asc)
+      val counts = scala.collection.mutable.Map.empty[Int, Int]
+      var m = 0
+      while (m < size) {
+        counts(labels(m)) = counts.getOrElse(labels(m), 0) + 1
+        m += 1
+      }
+      counts.toSeq.map { case (lab, c) => (-c, lab) }.min._2
     }
   }
 

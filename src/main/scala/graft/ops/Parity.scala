@@ -87,11 +87,13 @@ object Parity {
     * (processor.py:124), isolated behind one guarded function so the
     * 100 TB path can swap in a distributed variant (SURVEY.md §1.1.7).
     */
-  def collectToDriver(df: DataFrame, maxRows: Long = 1000000): Array[org.apache.spark.sql.Row] = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"collect_to_driver refused: $n rows > $maxRows cap — use a distributed operator")
-    df.collect()
+  def collectToDriver(df: DataFrame, maxRows: Int = 1000000): Array[org.apache.spark.sql.Row] = {
+    // one scan, not count()+collect(): probe with a limit of maxRows+1 —
+    // if the probe overflows the cap we refuse without a second pass
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"collect_to_driver refused: > $maxRows rows — use a distributed operator")
+    rows
   }
 
   val collectQuery = QueryDef(

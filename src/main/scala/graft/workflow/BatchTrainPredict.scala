@@ -2,7 +2,6 @@ package graft.workflow
 
 import graft.{QueryDef, Tables, Work}
 import graft.ml.Knn
-import graft.registry.Stage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -48,21 +47,21 @@ object BatchTrainPredict {
 
   /** (qid, qvec, true_label) from an iris-schema frame; label FLOAT in
     * the reference's schema, int for voting. */
-  private def asQueries(df: DataFrame): DataFrame =
+  private[workflow] def asQueries(df: DataFrame): DataFrame =
     df.select(
       monotonically_increasing_id().as("qid"),
       array(col("sl"), col("sw"), col("pl"), col("pw"))
         .cast(ArrayType(DoubleType)).as("qvec"),
       col("type").cast(IntegerType).as("true_label"))
 
-  private def asRefs(df: DataFrame): DataFrame =
+  private[workflow] def asRefs(df: DataFrame): DataFrame =
     df.select(
       monotonically_increasing_id().as("rid"),
       array(col("sl"), col("sw"), col("pl"), col("pw"))
         .cast(ArrayType(DoubleType)).as("rvec"),
       col("type").cast(IntegerType).as("label"))
 
-  private def accuracy(queries: DataFrame, refs: DataFrame, k: Int): Double = {
+  private[workflow] def accuracy(queries: DataFrame, refs: DataFrame, k: Int): Double = {
     val row = Knn.predictDistributed(queries, refs, k)
       .join(queries.select("qid", "true_label"), "qid")
       .agg(
@@ -72,72 +71,58 @@ object BatchTrainPredict {
     row.getLong(0).toDouble / row.getLong(1)
   }
 
-  /** Wire the four jobs and control edges onto `wf` (workflow.py:40-120). */
+  /** Wire the four jobs and control edges onto `wf` (workflow.py:40-120):
+    * every job is a [[ProcessorGraph]] of the reference's ten processor
+    * classes (Processors.scala), with sources/sinks resolving registered
+    * dataset metadata by name and sinks deferred through the job's
+    * StatementSet — the register-then-resolve + statement-set
+    * architecture of workflow.py:42-44 / processor.py:73,89,278.
+    */
   def build(wf: Workflow, cfg: Config): Unit = {
     val scope = "scope"
-    wf.registry.registerModel(cfg.modelName)
-    wf.registry.registerArtifact(cfg.artifactName,
+    val reg = wf.registry
+    reg.registerModel(cfg.modelName)
+    reg.registerArtifact(cfg.artifactName,
       s"${cfg.workdir}/${cfg.artifactName}.txt")
+    // dataset metadata (af.register_dataset, workflow.py:42-44,50-52,
+    // 66-68,86-87,107-108): name → format/uri; processors do their own
+    // I/O against the resolved uri
+    reg.registerDataset("train_csv", "csv", cfg.trainCsv)
+    reg.registerDataset("test_csv", "csv", cfg.testCsv)
+    reg.registerDataset("train_stream", "stream", s"$scope/train-stream")
+    reg.registerDataset("predict_stream", "stream", s"$scope/predict-stream")
+    reg.registerDataset("predict_sink", "csv", cfg.predictOut)
 
-    wf.job("datagen") { ctx =>
-      // each execution regenerates its streams (the reference demo
-      // creates them at deploy time, README.md:89-91) — truncate so a
-      // re-execution trains on one copy of the data, then append
-      Work.clean(ctx.store.path(scope, "train-stream"))
-      Work.clean(ctx.store.path(scope, "predict-stream"))
-      // two insert pipelines in one job (multi_sink_statement_set)
-      ctx.store.append(csvScan(ctx.spark, cfg.trainCsv), scope, "train-stream")
-      ctx.store.append(csvScan(ctx.spark, cfg.testCsv), scope, "predict-stream")
+    // datagen: two source→identity→stream-sink pipelines in ONE job,
+    // both inserts queued in one StatementSet executed at job end
+    // (multi_sink_statement_set, processor.py:73,89; workflow.py:40-71)
+    wf.processorJob("datagen") { g =>
+      val train = g.readDataset("train_csv", new Processors.CsvSource)
+      val trainOut = g.userDefineOperation(Seq(train), Processors.Identity)
+      g.writeDataset(trainOut, "train_stream",
+        new Processors.StreamSink(truncate = true))
+      val test = g.readDataset("test_csv", new Processors.CsvSource)
+      val testOut = g.userDefineOperation(Seq(test), Processors.Identity)
+      g.writeDataset(testOut, "predict_stream",
+        new Processors.StreamSink(truncate = true)): Unit
     }
 
-    wf.job("train") { ctx =>
-      val raw = ctx.store.readBounded(ctx.spark, scope, "train-stream", irisSchema)
-      val refs = asRefs(raw)
-      val version = ctx.registry.modelVersions(cfg.modelName).size + 1
-      val path = s"${cfg.workdir}/models/v$version"
-      Knn.save(refs, path, cfg.k)
-      ctx.registry.registerModelVersion(cfg.modelName, path): Unit
+    wf.processorJob("train") { g =>
+      val src = g.readDataset("train_stream", new Processors.StreamBoundedSource)
+      g.train(Seq(src), cfg.modelName,
+        new Processors.ModelTrainer(cfg.workdir, cfg.k)): Unit
     }
 
-    // Champion-challenger, exact reference semantics (processor.py:154-199)
-    wf.job("validate") { ctx =>
-      val reg = ctx.registry
-      val deployed = reg.getDeployedModelVersion(cfg.modelName)
-      val latest = reg.getLatestGeneratedModelVersion(cfg.modelName).get
-      deployed match {
-        case None =>
-          reg.updateModelVersionStage(cfg.modelName, latest.version, Stage.Validated)
-          reg.updateModelVersionStage(cfg.modelName, latest.version, Stage.Deployed)
-          ()
-        case Some(dep) =>
-          val validation = asQueries(csvScan(ctx.spark, cfg.testCsv))
-          val (newRefs, k1) = Knn.load(ctx.spark, latest.path)
-          val newScore = accuracy(validation, newRefs, k1)
-          val (depRefs, k2) = Knn.load(ctx.spark, dep.path)
-          val depScore = accuracy(validation, depRefs, k2)
-          reg.appendToArtifact(cfg.artifactName,
-            s"deployed model version: ${dep.version} scores: $depScore")
-          reg.appendToArtifact(cfg.artifactName,
-            s"generated model version: ${latest.version} scores: $newScore")
-          if (newScore >= depScore) {
-            reg.updateModelVersionStage(cfg.modelName, dep.version, Stage.Deprecated)
-            reg.updateModelVersionStage(cfg.modelName, latest.version, Stage.Validated)
-            reg.updateModelVersionStage(cfg.modelName, latest.version, Stage.Deployed)
-            ()
-          }
-      }
+    wf.processorJob("validate") { g =>
+      val v = g.readDataset("test_csv", new Processors.CsvSource)
+      g.modelValidate(Seq(v), cfg.modelName,
+        new Processors.ModelValidator(cfg.artifactName)): Unit
     }
 
-    wf.job("predict") { ctx =>
-      val dep = ctx.registry.getDeployedModelVersion(cfg.modelName).get
-      val (refsDf, k) = Knn.load(ctx.spark, dep.path)
-      val refs = refsDf.collect().map(r =>
-        Knn.Ref(r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
-      val input = ctx.store.readBounded(ctx.spark, scope, "predict-stream", irisSchema)
-      val preds = Knn.predictBroadcastUdf(ctx.spark,
-        asQueries(input).select("qid", "qvec"), refs, k)
-      preds.select(col("pred_label").cast(FloatType).as("prediction"))
-        .write.mode("overwrite").csv(cfg.predictOut)
+    wf.processorJob("predict") { g =>
+      val src = g.readDataset("predict_stream", new Processors.StreamBoundedSource)
+      val preds = g.predict(Seq(src), cfg.modelName, new Processors.Predictor)
+      g.writeDataset(preds, "predict_sink", new Processors.CsvSink): Unit
     }
 
     // Control edges (workflow.py:114-120)

@@ -33,6 +33,36 @@ class VectorExprSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("mismatched lengths and null elements yield NULL, not garbage") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val rows = df.select(
+      Dedup.cosine(col("a"), col("b")).as("cos"),
+      Knn.sqDist(col("a"), col("b")).as("l2")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "length mismatch → null")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), "null element → null")
+    assert(math.abs(rows(2).getDouble(0) - 11.0 / (math.sqrt(5) * 5)) < 1e-12)
+    assert(rows(2).getDouble(1) == 8.0)
+  }
+
+  test("bounded-heap predictFn equals full-sort semantics (distributed face)") {
+    // the UDF face's k-selection must rank (dist, rid) and vote
+    // (count desc, label asc) exactly like the window form
+    val (q, r) = Knn.split(spark, sf)
+    val udfPreds = Knn.predictBroadcastUdf(spark, q,
+      r.collect().map(x => Knn.Ref(x.getLong(0),
+        x.getSeq[Double](1).toArray, x.getInt(2))), 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val distPreds = Knn.predictDistributed(q, r, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(udfPreds == distPreds)
+  }
+
   test("expressions participate in whole-stage codegen") {
     val df = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))

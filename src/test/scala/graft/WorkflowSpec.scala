@@ -71,6 +71,34 @@ class WorkflowSpec extends SparkSpec {
     assert(wf.ranJobs.last == "predict")
   }
 
+  test("statement set defers inserts and shares a twice-inserted scan") {
+    import graft.workflow.StatementSet
+    val ss = new StatementSet
+    val df = Tables(spark, sf, "nation")
+    var order = List.empty[String]
+    ss.addInsert(df) { d => order ::= s"a:${d.count()}" }
+    ss.addInsert(df) { d =>
+      order ::= s"b:${d.count()}:cached=${d.storageLevel.useMemory}"
+    }
+    assert(order.isEmpty, "inserts must not run before execute()")
+    ss.execute()
+    assert(order.reverse == List("a:25", "b:25:cached=true"),
+      s"got $order") // shared frame persisted across the fan-out
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "shared frame must be unpersisted after execute()")
+  }
+
+  test("processors resolve dataset metadata from the registry by name") {
+    val cfg = mkFixtures(s"${Work.dir}/test_wf_ds")
+    val wf = BTP.runOnce(spark, cfg)
+    // build() registered the five datasets; sources/sinks resolved them
+    val names = Seq("train_csv", "test_csv", "train_stream",
+      "predict_stream", "predict_sink")
+    names.foreach(n => assert(wf.registry.getDataset(n).isDefined, n))
+    assert(wf.registry.getDataset("train_stream").get.uri == "scope/train-stream")
+    assert(wf.registry.getDataset("predict_sink").get.uri == cfg.predictOut)
+  }
+
   test("registry state survives reload from disk") {
     val cfg = mkFixtures(s"${Work.dir}/test_wf_reload")
     val wf = BTP.runOnce(spark, cfg)
