@@ -1,0 +1,189 @@
+package graft.connector
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector for the file-backed log store — the engine's
+  * "custom Pravega source" (SURVEY.md §7.1 LogStore v2; the reference's
+  * Pravega connector surface, processor.py:82,105,216): a stream is a
+  * directory of immutable JSON-line segment files; the connector exposes
+  * it for BATCH_READ (the reference's scan.execution.type=batch) and
+  * MICRO_BATCH_READ with real offsets.
+  *
+  * Offset model: an offset is the sorted set of fully-consumed segment
+  * file names (segments are immutable and appended whole, so file
+  * granularity IS the per-segment offset; names carry no ordering
+  * assumption). A micro-batch reads exactly the segments in
+  * `latest -- start`, one input partition per segment — so a restart
+  * from a checkpoint resumes precisely after the consumed set, and
+  * executors read segments in parallel like any file scan. At scale the
+  * consumed-set offset would be compacted (e.g. per-directory
+  * watermarks); segment counts here are test-scale.
+  *
+  * Rows are `value: STRING` JSON lines; decoding to the declared schema
+  * happens in the query via from_json (LogStore.decode), keeping the
+  * connector schema-agnostic like a real stream store.
+  */
+class LogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogSourceV2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LogTable(Option(properties.get("path")).getOrElse(
+      sys.error("graft log source requires option 'path'")))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LogSourceV2 {
+  val schema: StructType =
+    StructType(Seq(StructField("value", StringType, nullable = true)))
+
+  /** Data segment files in `dir`, sorted by name (no _SUCCESS/hidden). */
+  def listSegments(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles())
+      .map(_.toSeq
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(_.getAbsolutePath)
+        .sorted)
+      .getOrElse(Nil)
+  }
+}
+
+final class LogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graftlog(`$path`)"
+  override def schema(): StructType = LogSourceV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new LogScan(path) }
+}
+
+final class LogScan(path: String) extends Scan {
+  override def readSchema(): StructType = LogSourceV2.schema
+  override def description(): String = s"graft log scan of $path"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      LogSourceV2.listSegments(path).map(LogSegmentPartition(_): InputPartition)
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      LogSegmentReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LogMicroBatchStream(path)
+}
+
+/** Offset = sorted set of consumed segment files, as a JSON array. */
+final case class LogOffsetV2(segments: Seq[String]) extends Offset {
+  override def json(): String =
+    segments.sorted.map(LogOffsetV2.quote).mkString("[", ",", "]")
+}
+
+object LogOffsetV2 {
+  private[connector] def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def fromJson(json: String): LogOffsetV2 = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    LogOffsetV2(node.elements().asScala.map(_.asText()).toSeq)
+  }
+}
+
+final case class LogSegmentPartition(file: String) extends InputPartition
+
+/** Admission control caps each micro-batch at a bounded number of
+  * segments; SupportsTriggerAvailableNow pins the end offset at query
+  * start so Trigger.AvailableNow drains in proper batches (with
+  * between-batch watermark advancement and the trailing no-data batch
+  * that finalizes append-mode windows) instead of degrading to a single
+  * Trigger.Once-style batch.
+  */
+final class LogMicroBatchStream(path: String) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private var availableNowEnd: Option[LogOffsetV2] = None
+
+  override def initialOffset(): Offset = LogOffsetV2(Nil)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(LogOffsetV2(LogSourceV2.listSegments(path)))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(8)
+
+  private def allAvailable: LogOffsetV2 =
+    availableNowEnd.getOrElse(LogOffsetV2(LogSourceV2.listSegments(path)))
+
+  override def latestOffset(): Offset =
+    sys.error("latestOffset(start, limit) should be called (admission control)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val done = start.asInstanceOf[LogOffsetV2].segments.toSet
+    val fresh = allAvailable.segments.filterNot(done)
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    LogOffsetV2((done ++ admitted).toSeq.sorted)
+  }
+
+  override def reportLatestOffset(): Offset = allAvailable
+
+  override def deserializeOffset(json: String): Offset =
+    LogOffsetV2.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val done = start.asInstanceOf[LogOffsetV2].segments.toSet
+    end.asInstanceOf[LogOffsetV2].segments
+      .filterNot(done)
+      .map(LogSegmentPartition(_): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LogSegmentReaderFactory
+
+  /** Segments are immutable and retained; nothing to release. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+object LogSegmentReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[LogSegmentPartition].file
+    new PartitionReader[InternalRow] {
+      private val source = scala.io.Source.fromFile(file, "UTF-8")
+      private val lines = source.getLines()
+      private var current: String = _
+
+      override def next(): Boolean =
+        if (lines.hasNext) { current = lines.next(); true } else false
+
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(current))
+
+      override def close(): Unit = source.close()
+    }
+  }
+}

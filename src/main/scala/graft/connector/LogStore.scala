@@ -35,10 +35,30 @@ final case class LogStore(baseDir: String) {
       schema: StructType): DataFrame =
     decode(spark.read.text(path(scope, stream)), schema)
 
-  /** Unbounded Structured Streaming scan of the stream. */
+  /** Unbounded Structured Streaming scan of the stream through the
+    * DataSource V2 connector (LogSourceV2): real per-segment offsets,
+    * checkpoint-resumable — the engine's custom stream-store source. */
   def readStream(spark: SparkSession, scope: String, stream: String,
       schema: StructType): DataFrame =
-    decode(spark.readStream.text(path(scope, stream)), schema)
+    decode(
+      spark.readStream
+        .format(classOf[LogSourceProvider].getName)
+        .option("path", path(scope, stream))
+        .load(),
+      schema)
+
+  /** Bounded read through the same V2 connector (BATCH_READ capability)
+    * — plan-identical role to [[readBounded]], witnessing that one
+    * connector serves both the reference's scan.execution.type=batch
+    * and the streaming path. */
+  def readBoundedV2(spark: SparkSession, scope: String, stream: String,
+      schema: StructType): DataFrame =
+    decode(
+      spark.read
+        .format(classOf[LogSourceProvider].getName)
+        .option("path", path(scope, stream))
+        .load(),
+      schema)
 
   /** Streaming append: the writeStream twin of [[append]]. Caller
     * configures trigger/checkpoint and starts the query. */

@@ -28,11 +28,26 @@ object Similarity {
         .select(col("vec_id").as("rid"), col("e").as("re")))
   }
 
-  /** Exact top-k by cosine: broadcast crossJoin + per-query window.
-    * Ties broken by rid; ranking stable because both engines compute
-    * the same double cosine over the same double inputs.
+  /** Exact top-k by cosine via the bounded-heap aggregate: largest-k =
+    * smallest-k of the negated score, ties broken by rid asc — ranking
+    * identical to the window form ([[bruteForceTopKWindow]], equality
+    * asserted in ExtSpec). Map-side partials keep k entries per (qid,
+    * partition); the shuffle never carries the full |Q|×|R| score set.
     */
-  def bruteForceTopK(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, refs: DataFrame, k: Int): DataFrame =
+    queries.crossJoin(broadcast(refs))
+      .select(col("qid"), col("rid"),
+        (-Dedup.cosine(col("qe"), col("re"))).as("negcos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        col("negcos"), col("rid"), lit(0), k).as("top"))
+      .select(col("qid"), posexplode(col("top.id")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("rid"))
+
+  /** The window full-sort form (the v1 plan) — equivalence witness. */
+  def bruteForceTopKWindow(queries: DataFrame, refs: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("rid").asc)
     queries.crossJoin(broadcast(refs))

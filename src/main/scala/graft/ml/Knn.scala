@@ -40,11 +40,36 @@ object Knn {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Distributed predict: queries (qid, qvec) × refs (rid, rvec, label)
-    * → (qid, pred_label). The smaller side (refs here) is broadcast; the
-    * only shuffle is the window's partition-by qid, which at scale is
-    * the natural partitioning of the query stream.
+    * → (qid, pred_label). The smaller side (refs here) is broadcast.
+    * Top-k per query via the bounded-heap aggregate
+    * (graft.functions.TopKSmallest): partial aggregation keeps at most
+    * k neighbors per (qid, partition) map-side, so the only shuffle
+    * carries O(|Q|·k) entries — not the |Q|×|R| scored rows the
+    * window full-sort form shuffles (kept as
+    * [[predictDistributedWindow]]; bit-equality asserted in tests).
     */
   def predictDistributed(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+    val scored = queries.crossJoin(broadcast(refs))
+      .select(col("qid"), col("rid"), col("label"),
+        sqDist(col("qvec"), col("rvec")).as("dist"))
+    val votes = scored
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        col("dist"), col("rid"), col("label"), k).as("nbrs"))
+      .select(col("qid"), explode(col("nbrs.label")).as("label"))
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("c"))
+    val byVote = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(byVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"))
+  }
+
+  /** The window full-sort form (the v1 plan) — kept as the equivalence
+    * witness for the bounded-heap path. */
+  def predictDistributedWindow(queries: DataFrame, refs: DataFrame,
+      k: Int): DataFrame = {
     val scored = queries.crossJoin(broadcast(refs))
       .select(col("qid"), col("rid"), col("label"),
         sqDist(col("qvec"), col("rvec")).as("dist"))

@@ -96,6 +96,16 @@ class ExtSpec extends SparkSpec {
     assert(rec > 0.3, s"IVF recall $rec too low")
   }
 
+  test("bounded-heap top-k equals window top-k, row for row") {
+    val (q, r) = Similarity.split(spark, sf)
+    val heap = Similarity.bruteForceTopK(q, r, Similarity.K)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val window = Similarity.bruteForceTopKWindow(q, r, Similarity.K)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(heap == window)
+    assert(heap.nonEmpty)
+  }
+
   test("brute-force top-k: rank 1 of a reference vector vs itself is itself") {
     val (_, r) = Similarity.split(spark, sf)
     val self = r.limit(20).select(col("rid").as("qid"), col("re").as("qe"))

@@ -60,6 +60,41 @@ class StreamingSpec extends SparkSpec {
       .count() == 50)
   }
 
+  test("V2 connector: bounded read equals text-based bounded read") {
+    val base = freshDir("v2bounded")
+    val store = LogStore(base)
+    store.append(Tables(spark, sf, "events").limit(100), "scope", "s7")
+    val a = store.readBounded(spark, "scope", "s7", StreamOps.eventSchema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = store.readBoundedV2(spark, "scope", "s7", StreamOps.eventSchema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.size == 100)
+  }
+
+  test("V2 connector: offsets resume across restarts (no reprocessing)") {
+    val base = freshDir("v2resume")
+    val store = LogStore(base)
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/out"
+    def runOnce(): Unit = {
+      val q = store.readStream(spark, "scope", "s8", StreamOps.eventSchema)
+        .writeStream.format("json").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    store.append(Tables(spark, sf, "events").limit(60), "scope", "s8")
+    runOnce()
+    val afterFirst = spark.read.schema(StreamOps.eventSchema).json(outDir).count()
+    assert(afterFirst == 60)
+    // restart with more segments appended: only the delta is processed
+    store.append(Tables(spark, sf, "events").limit(25), "scope", "s8")
+    runOnce()
+    val afterSecond = spark.read.schema(StreamOps.eventSchema).json(outDir).count()
+    assert(afterSecond == 85, s"expected 60+25, got $afterSecond — " +
+      "either reprocessed old segments or missed new ones")
+  }
+
   test("append-mode windowed agg emits finalized windows, evicts state") {
     val base = freshDir("windowappend")
     val store = LogStore(base)

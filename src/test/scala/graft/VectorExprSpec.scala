@@ -50,6 +50,15 @@ class VectorExprSpec extends SparkSpec {
     assert(rows(2).getDouble(1) == 8.0)
   }
 
+  test("bounded-heap predictDistributed equals window form") {
+    val (q, r) = Knn.split(spark, sf)
+    val heap = Knn.predictDistributed(q, r, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val window = Knn.predictDistributedWindow(q, r, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(heap == window)
+  }
+
   test("bounded-heap predictFn equals full-sort semantics (distributed face)") {
     // the UDF face's k-selection must rank (dist, rid) and vote
     // (count desc, label asc) exactly like the window form
