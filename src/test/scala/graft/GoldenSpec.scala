@@ -1,0 +1,55 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Pinned content hashes for the query keys whose semantics SQL cannot
+  * express (hash functions, LSH bucketing, stubbed decode) — the
+  * regression net the DuckDB oracle can't provide (round-1 verdict
+  * "Next round" 10). The hash is over column-name-sorted, row-sorted,
+  * canonically formatted values, so it is insensitive to partitioning
+  * and row order but pins every value bit.
+  *
+  * If an intentional algorithm change breaks one of these, re-pin the
+  * hash in the same commit and say why in the commit message.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private def fmt(v: Any): String = v match {
+    case null => "∅"
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: Seq[_] => s.map(fmt).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(fmt).mkString("(", ",", ")")
+    case d: Double => java.lang.Double.toString(d)
+    case f: Float => java.lang.Float.toString(f)
+    case x => x.toString
+  }
+
+  private def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(col(_))
+    val lines = df.select(cols.toSeq: _*).collect()
+      .map(_.toSeq.map(fmt).mkString(""))
+      .sorted
+    val md = MessageDigest.getInstance("SHA-256")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private val golden = Map(
+    "dedup_simhash" -> "98d537d5fcbfc575",
+    "doc_fingerprint" -> "280984398f9e7c82",
+    "lang_id" -> "e2ba579ef125e687",
+    "multimodal_decode" -> "1678f255bf444335",
+    "multimodal_frames" -> "bc086fa244396efd",
+    "topk_cosine_lsh" -> "6f3730236d7d9f19",
+    "topk_cosine_ivf" -> "96f87819da27921c")
+
+  golden.toSeq.sortBy(_._1).foreach { case (name, want) =>
+    test(s"golden: $name content hash is pinned") {
+      val got = canonicalHash(SparkEntry.queries(name)(spark, sf))
+      assert(got == want, s"$name canonical hash changed: got $got")
+    }
+  }
+}
