@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{CosineSim, L2Squared, TopKSmallest}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-name registration of graft's native Catalyst expressions, so the
+  * engine's functions are first-class in `spark.sql(...)` — the same
+  * escape-hatch surface the reference exposes via execute_sql
+  * (SURVEY.md §2.3 "reachable"):
+  *
+  *   cosine_sim(a, b)                  — fused cosine over array<double>
+  *   l2_sq(a, b)                       — fused squared L2
+  *   topk_smallest(score, id, label, k) — bounded-heap top-k aggregate
+  *
+  * Two deployment paths share one registration list:
+  *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
+  *     (applied at session build — the standard library pattern)
+  *   - live session: `GraftFunctions.register(spark)` (tests, REPLs)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $e")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"), info("cosine_sim", classOf[CosineSim]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+        CosineSim(args(0), args(1))
+      }),
+    (FunctionIdentifier("l2_sq"), info("l2_sq", classOf[L2Squared]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "l2_sq(a, b) takes 2 arguments")
+        L2Squared(args(0), args(1))
+      }),
+    (FunctionIdentifier("topk_smallest"),
+      info("topk_smallest", classOf[TopKSmallest]),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "topk_smallest(score, id, label, k) takes 4 arguments")
+        TopKSmallest(args(0), args(1), args(2), intLit(args(3), "k"))
+      }))
+
+  /** Register on a live session (idempotent — replaces existing). */
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graftbridge.FunctionBridge.registry(spark)
+    all.foreach { case (ident, inf, builder) =>
+      reg.registerFunction(ident, inf, builder)
+    }
+  }
+}

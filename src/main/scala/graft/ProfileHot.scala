@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timer (dev tool): runs the named query keys once. */
+object ProfileHot {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val keys = if (args.nonEmpty) args.toSeq else Seq(
+      "dedup_embedding_cosine", "knn_predict", "dedup_minhash_lsh",
+      "workflow_e2e", "doc_fingerprint")
+    keys.foreach { k =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(k)(spark, dir).count()
+      println(f"[hot] $k%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

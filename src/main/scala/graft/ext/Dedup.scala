@@ -249,11 +249,15 @@ object Dedup {
   /** All pairs with cosine >= threshold: sign-LSH bucket candidates +
     * exact verify. Vectors flow into the bucket join only once per
     * (vector, table); candidate ids are deduped before the vectors are
-    * joined back, so shuffle volume ∝ candidates, not n². */
+    * joined back, so shuffle volume ∝ candidates, not n². 12 planes
+    * (4096 buckets/table) keep buckets sparse: P(two random vectors
+    * collide in any of 8 tables) ≈ 8·2^-12, while a 0.99-cosine pair
+    * (angle ≤ 8.1°) still shares some bucket with P ≈ 1 - 6e-5 — and
+    * planted scaled copies collide with probability exactly 1. */
   def embeddingCosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val dim = 64
     val buckets = Similarity.signBuckets(
-      corpus.select(col("vec_id"), col("e")), "vec_id", "e", dim)
+      corpus.select(col("vec_id"), col("e")), "vec_id", "e", dim, planes = 12)
     val cands = buckets.alias("x").join(buckets.alias("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -96,23 +96,26 @@ object Similarity {
     * compact UDF — an unrolled column-expression form builds a
     * 3000-node expression tree that defeats codegen. Planes are
     * materialized once per executor from the deterministic generator.
+    * Bucket id = (table << planes) | signature, so tables never share
+    * bucket ids regardless of plane count.
     */
-  private def bucketsUdf(dim: Int) = {
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(LshTables, LshPlanes, dim)(planeComponent)
+  private def bucketsUdf(dim: Int, tables: Int = LshTables,
+      planes: Int = LshPlanes) = {
+    val planeVecs: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, planes, dim)(planeComponent)
     udf { (v: Seq[Double]) =>
       val arr = v.toArray
-      Array.tabulate(LshTables) { t =>
+      Array.tabulate(tables) { t =>
         var sig = 0L
         var p = 0
-        while (p < LshPlanes) {
+        while (p < planes) {
           var dot = 0.0
           var d = 0
-          while (d < arr.length) { dot += arr(d) * planes(t)(p)(d); d += 1 }
+          while (d < arr.length) { dot += arr(d) * planeVecs(t)(p)(d); d += 1 }
           if (dot >= 0) sig |= (1L << p)
           p += 1
         }
-        sig + t.toLong * 100
+        (t.toLong << planes) | sig
       }
     }
   }
@@ -124,8 +127,10 @@ object Similarity {
     * makes the bucketed near-dup path exact on scaled-copy pairs.
     */
   def signBuckets(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int): DataFrame =
-    df.select(col(idCol), explode(bucketsUdf(dim)(col(vecCol))).as("bucket"))
+      dim: Int, tables: Int = LshTables,
+      planes: Int = LshPlanes): DataFrame =
+    df.select(col(idCol),
+      explode(bucketsUdf(dim, tables, planes)(col(vecCol))).as("bucket"))
 
   /** ANN top-k: candidates = refs sharing any of the 8 per-table sign
     * buckets with the query; exact cosine re-rank within candidates.

@@ -72,6 +72,24 @@ class VectorExprSpec extends SparkSpec {
     assert(udfPreds == distPreds)
   }
 
+  test("SQL-name registration: cosine_sim/l2_sq/topk_smallest usable in spark.sql") {
+    GraftFunctions.register(spark)
+    Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+      .createOrReplaceTempView("emb_sql")
+    val r = spark.sql("""
+      SELECT sum(CASE WHEN abs(cosine_sim(e, e) - 1.0) < 1e-12 THEN 1 ELSE 0 END) AS unit,
+             sum(CASE WHEN l2_sq(e, e) = 0.0 THEN 1 ELSE 0 END) AS zero,
+             count(*) AS n
+      FROM emb_sql""").collect().head
+    assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(2))
+    val topk = spark.sql("""
+      SELECT topk_smallest(CAST(vec_id AS DOUBLE), vec_id, 0, 3) AS t
+      FROM emb_sql""").collect().head
+    assert(topk.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) ==
+      Seq(0L, 1L, 2L))
+  }
+
   test("expressions participate in whole-stage codegen") {
     val df = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
