@@ -1,0 +1,87 @@
+package graft
+
+import graft.ml.Knn
+import graft.ops.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the scale properties the queries are
+  * designed around (scan pushdown, broadcast joins, map-side partial
+  * aggregation, heap-based global top-k, codegen) are pinned here so a
+  * refactor that silently regresses a plan shape fails the build, not
+  * the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(df: DataFrame): String = {
+    val p = planOf(df)
+    // adaptive plans print the final physical tree after execution
+    p.toString
+  }
+
+  test("q2: filters and column pruning reach the parquet scan") {
+    val s = planString(Relational.q2Filter.fn(spark, sf))
+    assert(s.contains("PushedFilters: ["), s.take(2000))
+    assert(s.contains("IsNotNull(l_shipdate)") || s.contains("GreaterThanOrEqual"),
+      "expected shipdate predicates pushed")
+    // pruned read schema: the scan must not read all 16 lineitem columns
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val nCols = readSchema.split(",").length
+    assert(nCols <= 6, s"scan reads $nCols columns, expected <= 6: $readSchema")
+  }
+
+  test("q4: dimension join is a broadcast hash join") {
+    val s = planString(Relational.q4Broadcast.fn(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial combine)") {
+    val s = planString(Relational.q1Agg.fn(spark, sf))
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "expected partial + final HashAggregate:\n" + s.take(2000))
+  }
+
+  test("q6: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val s = planString(Relational.q6SortLimit.fn(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+  }
+
+  test("knn_predict: top-k runs as partial+final object hash aggregate") {
+    val (q, r) = Knn.split(spark, sf)
+    val scored = q.crossJoin(org.apache.spark.sql.functions.broadcast(r))
+      .select(org.apache.spark.sql.functions.col("qid"),
+        org.apache.spark.sql.functions.col("rid"),
+        org.apache.spark.sql.functions.col("label"),
+        Knn.sqDist(org.apache.spark.sql.functions.col("qvec"),
+          org.apache.spark.sql.functions.col("rvec")).as("dist"))
+    val agg = scored.groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        org.apache.spark.sql.functions.col("dist"),
+        org.apache.spark.sql.functions.col("rid"),
+        org.apache.spark.sql.functions.col("label"), 5).as("nbrs"))
+    val s = planString(agg)
+    assert(s.contains("ObjectHashAggregate"), s.take(2000))
+    assert("partial_topk_smallest|partial topk_smallest|topk_smallest"
+      .r.findAllIn(s).nonEmpty, s.take(2000))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("CartesianProduct") ||
+      s.contains("BroadcastExchange"), "reference side must be broadcast")
+  }
+
+  test("native expressions stay inside whole-stage codegen spans") {
+    val df = Tables(spark, sf, "embeddings")
+      .selectExpr("CAST(embedding AS array<double>) AS e")
+      .select(graft.ext.Dedup.cosine(
+        org.apache.spark.sql.functions.col("e"),
+        org.apache.spark.sql.functions.col("e")).as("c"))
+      .filter("c > 0.5")
+    val s = planString(df)
+    assert(s.contains("*(1)"), "expected a WholeStageCodegen span:\n" + s.take(1000))
+  }
+}
