@@ -313,6 +313,22 @@ object Relational {
              string_split(text, ' ')[-1] AS last_word
       FROM documents"""))
 
+  /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
+    * partial sketches merge map-side, so shuffle volume is O(sketch ×
+    * partitions) regardless of cardinality. No DuckDB oracle (its
+    * approx_count_distinct is a different sketch); the exact q8 twin is
+    * oracle-checked and GoldenSpec pins this result's content hash.
+    */
+  val q15Approx = QueryDef(
+    "q15_approx_distinct",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_suppkey")).as("n_supps"),
+        approx_count_distinct(col("l_orderkey")).as("n_orders"))
+    },
+    None)
+
   /** CSV sink + declared-schema CSV scan round-trip — the reference's
     * filesystem connector pair (processor.py:44-58 source with
     * csv.ignore-parse-errors → DROPMALFORMED; processor.py:261-278 sink).
@@ -335,5 +351,6 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
-    q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json, q13Array)
+    q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
+    q13Array, q15Approx)
 }

@@ -175,6 +175,38 @@ object StreamOps {
              min(tsu) AS first_ts, max(tsu) AS last_ts
       FROM x GROUP BY user_id"""))
 
+  /** Spark-native session windows: `session_window(ts, gap)` merges
+    * events into gap-separated sessions declaratively — the idiomatic
+    * engine form of sessionization (also valid under Structured
+    * Streaming with a watermark, where state is evicted per closed
+    * session). Note the boundary: session_window closes at
+    * [start, last+gap), so a gap of EXACTLY 1h starts a new session —
+    * the oracle uses >= to match.
+    * Scale: one shuffle on (user_id); session merging is local to the
+    * group, no unbounded buffers.
+    */
+  val sessionWindow = QueryDef(
+    "stream_session_window",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ts_t"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, epoch_us(ts) AS tsu,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts)) AS prev
+        FROM events)
+      SELECT user_id,
+             count(CASE WHEN prev IS NULL OR tsu - prev >= 3600000000
+                        THEN 1 END) AS n_sessions,
+             count(*) AS n_events
+      FROM x GROUP BY user_id"""))
+
   /** Identity pass-through — the reference's user_define_operation that
     * returns its input unchanged (processor.py:62-64). */
   val identity = QueryDef(
@@ -182,5 +214,6 @@ object StreamOps {
     (s, dir) => Tables(s, dir, "documents").select("*"),
     Some("SELECT * FROM documents"))
 
-  val all: Seq[QueryDef] = Seq(roundtrip, windowAgg, sessionize, identity)
+  val all: Seq[QueryDef] =
+    Seq(roundtrip, windowAgg, sessionize, sessionWindow, identity)
 }

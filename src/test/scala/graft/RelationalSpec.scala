@@ -36,4 +36,24 @@ class RelationalSpec extends SparkSpec {
     val got = Relational.q0Csv.fn(spark, sf).collect()
     assert(got.length == Tables(spark, sf, "nation").count())
   }
+
+  test("salted join result equals plain join result") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ords = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val salted = ops.Skew.saltedJoin(li, ords, "l_orderkey", 8)
+      .groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = li.join(ords, "l_orderkey")
+      .groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    // the join key carries the salt: one hot key fans out over 8
+    // shuffle partitions
+    val plan = ops.Skew.saltedJoin(li, ords, "l_orderkey", 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan.take(500))
+  }
 }
