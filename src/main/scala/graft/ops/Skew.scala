@@ -50,5 +50,55 @@ object Skew {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(saltedJoinAgg)
+  val all: Seq[QueryDef] = Seq(saltedJoinAgg, Bucketing.bucketedJoinAgg)
+}
+
+/** Co-located joins via bucketing — the shuffle-elimination pattern for
+  * repeatedly-joined fact tables at 100 TB: both sides pre-hashed into
+  * the same bucket count on the join key, so the join reads bucket i
+  * against bucket i with NO exchange (asserted in PlanSpec).
+  */
+object Bucketing {
+
+  /** Write `df` as a parquet table bucketed (and sorted) on `key`.
+    * Drops any previous incarnation first — the warehouse directory
+    * outlives the in-memory catalog, so a stale location from an
+    * earlier session would otherwise block the CREATE. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    graft.Work.clean(s"$warehouse/$table")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Driver-verified witness: orders and customer bucketed 8 ways on
+    * the customer key, joined and aggregated — results identical to
+    * the plain join (the oracle), plan exchange-free (PlanSpec).
+    */
+  val bucketedJoinAgg = QueryDef(
+    "q16_bucketed_join",
+    (s, dir) => {
+      writeBucketed(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_b_orders", "o_custkey", buckets = 8)
+      writeBucketed(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        "graft_b_customer", "c_custkey", buckets = 8)
+      val o = s.table("graft_b_orders")
+      val c = s.table("graft_b_customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Relational.cents(col("o_totalprice"))).as("total_price"))
+    },
+    Some("""
+      SELECT c_nationkey, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""))
 }

@@ -74,6 +74,25 @@ class PlanSpec extends SparkSpec {
       s.contains("BroadcastExchange"), "reference side must be broadcast")
   }
 
+  test("bucketed join runs with no shuffle exchange on either side") {
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the assertion targets bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.ops.Bucketing.bucketedJoinAgg.fn(spark, sf)
+      // AQE prints Final Plan then Initial Plan; assert on the final only
+      val s = planString(df).split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(s).toSeq
+      // one exchange is legitimate: the final groupBy on c_nationkey;
+      // the JOIN itself must read co-located buckets with none
+      assert(exchanges.length <= 1,
+        s"expected at most the aggregate's exchange, got ${exchanges.length}:\n" +
+          s.take(3000))
+      assert(s.contains("SortMergeJoin"), s.take(2000))
+      assert(s.contains("Bucketed: true"), s.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     val df = Tables(spark, sf, "embeddings")
       .selectExpr("CAST(embedding AS array<double>) AS e")
