@@ -127,6 +127,46 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
   }
 
+  test("streaming session_window with watermark equals batch session counts") {
+    val base = freshDir("sessionwindow")
+    val store = LogStore(base)
+    val events = Tables(spark, sf, "events")
+    store.append(events, "scope", "s9")
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect().head.getLong(0)
+    val sentinel = events.limit(1).selectExpr(
+      "CAST(-1 AS BIGINT) AS event_id",
+      s"CAST(${maxTs + 24L * 3600 * 1000 * 1000 * 1000} AS BIGINT) AS ts",
+      "CAST(-1 AS BIGINT) AS user_id",
+      "'sentinel' AS event_type", "CAST(0.0 AS DOUBLE) AS value",
+      "'{}' AS props")
+    store.append(sentinel, "scope", "s9")
+    val outDir = s"$base/out"
+    import org.apache.spark.sql.functions._
+    val q = store.readStream(spark, "scope", "s9", StreamOps.eventSchema)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema("user_id LONG, n LONG").json(outDir)
+      .filter("user_id >= 0") // drop the sentinel's own session
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = StreamOps.sessionWindow.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("streaming mapGroupsWithState sessionize equals batch sessionize") {
     val base = freshDir("sessionize")
     val store = LogStore(base)
