@@ -13,6 +13,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup: JIT + codegen + filesystem caches, so the first
+    // timed query measures its plan, not JVM cold start.
+    spark.range(1000000).selectExpr("sum(id * 2)").collect(): Unit
+    Tables(spark, sfDir, "lineitem").limit(1000).count(): Unit
     // Failures are fatal and loud — a swallowed failure would report a
     // broken query as fast (round-1 verdict "What's wrong" 9).
     var failed = List.empty[String]

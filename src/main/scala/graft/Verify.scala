@@ -19,6 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // drop stale results of renamed/removed query keys — the compare
+    // globs result dirs, so a leftover would read as an orphan failure
+    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && !SparkEntry.queries.contains(f.getName))
+        Work.clean(f.getAbsolutePath)
+    })
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
