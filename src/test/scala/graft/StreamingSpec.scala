@@ -167,6 +167,43 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
   }
 
+  test("flatMapGroupsWithState emits one row per session; counts match batch") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // multi-row-per-group stateful output: one (user, session_start,
+    // n_events_in_session) row per gap-separated session
+    val sessions = Tables(spark, sf, "events").as[Ev]
+      .map(e => e.copy(ts = e.ts / 1000))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Int]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var start = -1L
+          var n = 0
+          var prev = Long.MinValue
+          sorted.foreach { e =>
+            if (prev == Long.MinValue || e.ts - prev > StreamOps.sessionGapUs) {
+              if (n > 0) out += ((uid, start, n))
+              start = e.ts; n = 0
+            }
+            n += 1; prev = e.ts
+          }
+          if (n > 0) out += ((uid, start, n))
+          out.iterator
+      }
+      .toDF("user_id", "session_start", "n")
+    val got = sessions.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n_events"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = StreamOps.sessionize.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("streaming mapGroupsWithState sessionize equals batch sessionize") {
     val base = freshDir("sessionize")
     val store = LogStore(base)
