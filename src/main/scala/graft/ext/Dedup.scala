@@ -237,6 +237,36 @@ object Dedup {
     (s, dir) => simhashSignatures(Tables(s, dir, "documents")),
     None)
 
+  /** SimHash near-dup pairs by pigeonhole banding: split the 64-bit
+    * signature into 4 bands of 16 bits — two signatures within hamming
+    * distance 3 agree EXACTLY on at least one band (4 bands, ≤3
+    * differing bits), so the equi-join on (band, value) has recall 1.0
+    * by construction, never all-pairs; exact hamming verify gives
+    * precision 1.0. One shuffle on the band key.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
+    val bands = (0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(bands: _*)))
+      .toDF("doc_id", "simhash", "band", "bval")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup search over the planted corpus via SimHash banding. */
+  val simhashNearDup = QueryDef(
+    "dedup_simhash_pairs",
+    (s, dir) =>
+      simhashPairs(simhashSignatures(plantedCorpus(Tables(s, dir, "documents")))),
+    None) // hash not SQL-expressible; brute-force equality in ExtSpec + golden
+
   // --- embedding cosine near-dup --------------------------------------
 
   /** Cosine of two array<double> columns — native fused-loop Catalyst
@@ -313,5 +343,5 @@ object Dedup {
       WHERE list_cosine_similarity(x.e, y.e) >= 0.99"""))
 
   val all: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhash, simhash, embeddingCosine)
+    Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup, embeddingCosine)
 }

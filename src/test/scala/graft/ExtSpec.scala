@@ -63,6 +63,22 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty, "planted scaled copies must be found")
   }
 
+  test("simhash banded near-dup equals brute-force hamming filter") {
+    val sigs = Dedup.simhashSignatures(
+      Dedup.plantedCorpus(Tables(spark, sf, "documents")))
+    val local = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- local
+      (b, sb) <- local
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "planted near-identical docs must collide")
+  }
+
   test("dedup_exact counts planted exact copies") {
     val rows = Dedup.exact.fn(spark, sf).collect()
     val withCopies = rows.count(_.getLong(2) >= 2)
