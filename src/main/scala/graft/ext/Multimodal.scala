@@ -91,5 +91,61 @@ object Multimodal {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(meta, decode, frames)
+  /** Feature extraction: payload → fixed-width Float embedding. The
+    * featurizer is the deterministic stub (real deployments plug a
+    * vision/audio model into the same mapPartitions shape); the output
+    * schema (array<float>, the `embeddings.embedding` column type) and
+    * per-partition batch iteration are the production plumbing — the
+    * extracted vectors feed directly into Similarity/Dedup operators.
+    */
+  val featurize = QueryDef(
+    "multimodal_featurize",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val dim = 16
+      payloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (id, bytes) =>
+            // STUB featurizer: 16 floats derived from the content
+            // digest, L2-normalized — deterministic, unit-length
+            val d = md.digest(bytes)
+            val raw = Array.tabulate(dim)(i =>
+              ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)).toFloat
+                / 65535.0f - 0.5f)
+            val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+            (id, raw.map(_ / norm))
+          }
+        }
+        .toDF("doc_id", "feature")
+    },
+    None) // stub featurizer → golden-pinned
+
+  /** Resize: re-dimension the decoded media (the stub scales the fake
+    * decoder's dimensions and re-samples the payload to the target
+    * byte budget — shape and schema of a real thumbnailer). */
+  val resize = QueryDef(
+    "multimodal_resize",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val (tw, th) = (8, 8)
+      payloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val dec: MediaDecoder = FakeDecoder
+          it.map { case (id, bytes) =>
+            val m = dec.decode(bytes)
+            val budget = tw * th
+            val step = math.max(1, bytes.length / budget)
+            val sampled = bytes.indices.by(step).take(budget)
+              .map(bytes(_)).toArray
+            (id, m.width, m.height, tw, th, dec.decode(sampled).sha)
+          }
+        }
+        .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "thumb_sha")
+    },
+    None) // stub resampler → golden-pinned
+
+  val all: Seq[QueryDef] = Seq(meta, decode, frames, featurize, resize)
 }

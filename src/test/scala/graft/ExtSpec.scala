@@ -162,6 +162,25 @@ class ExtSpec extends SparkSpec {
     assert(decoded == metas) // n_bytes and sha agree across both paths
   }
 
+  test("featurize emits unit-norm fixed-width vectors usable by similarity ops") {
+    val feats = Multimodal.featurize.fn(spark, sf)
+    val rows = feats.collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.take(50).foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"norm $norm")
+    }
+    // the extracted vectors flow into the standard top-k operator
+    val q = feats.limit(5).selectExpr("doc_id AS qid",
+      "CAST(feature AS array<double>) AS qe")
+    val r = feats.selectExpr("doc_id AS rid", "CAST(feature AS array<double>) AS re")
+    val top1 = Similarity.bruteForceTopK(q, r, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(2))
+    assert(top1.forall { case (a, b) => a == b }, "self is nearest")
+  }
+
   test("frame sampling emits every 2nd 64-byte window") {
     val n = Multimodal.frames.fn(spark, sf)
       .filter(col("doc_id") === 0).count()
