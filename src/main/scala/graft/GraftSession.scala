@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session configuration every graft entry point
+  * needs: UTC timestamps (oracle comparability), AQE on (runtime
+  * re-planning / skew handling), nanos-as-long (the events table is
+  * TIMESTAMP(NANOS), which Spark 4 has no timestamp type for), shuffle
+  * partitions sized to the core count (local mode; a cluster deployment
+  * overrides to ~2-3× total cores and lets AQE coalesce), and graft's
+  * SQL functions registered.
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Build (or reuse) the session and register graft's SQL functions. */
+  def get(cores: Int): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+}
