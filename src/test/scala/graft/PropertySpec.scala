@@ -1,0 +1,98 @@
+package graft
+
+import graft.connector.LogStore
+import graft.functions.TopKBuffer
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.types._
+
+/** Property tests (SURVEY.md §5): invariants that must hold for ALL
+  * inputs, not just the fixtures — JSON round-tripping through the log
+  * store (escaping, unicode, doubles), the bounded-heap top-k versus a
+  * full sort (including merge, i.e. partial-aggregation soundness),
+  * and SimHash pigeonhole banding versus brute-force hamming.
+  * Deterministic: generators are driven by fixed seeds.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("log store JSON round-trip preserves arbitrary strings and doubles") {
+    val gnarly = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.alphaNumStr,
+      Gen.oneOf("\"quotes\"", "back\\slash", "tab\there", "new\nline",
+        "null", "", "ünïcödé ∆Ω 中文", "{\"json\": [1, 2]}"))
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(gnarly,
+      Gen.oneOf(Gen.double, Gen.oneOf(0.0, -0.0, 1e-300, 1.7976931348623157e308))))
+    samples(rowsGen, 10).foreach { rows =>
+      val sp = spark
+      import sp.implicits._
+      val base = s"${Work.dir}/prop_roundtrip"
+      Work.clean(base)
+      val store = LogStore(base)
+      val indexed = rows.zipWithIndex.map { case ((s, d), i) => (i.toLong, s, d) }
+      store.append(indexed.toDF("id", "s", "d"), "scope", "p")
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("s", StringType), StructField("d", DoubleType)))
+      val back = store.readBounded(spark, "scope", "p", schema)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toList
+      def k(t: (Long, String, Double)) =
+        (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))
+      assert(back.map(k) == indexed.map(k), s"rows=$rows")
+    }
+  }
+
+  private val entryGen =
+    Gen.zip(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(0, 5))
+
+  test("bounded-heap top-k equals sort-take for arbitrary inputs") {
+    val caseGen = Gen.zip(Gen.chooseNum(1, 12), Gen.listOf(entryGen))
+    samples(caseGen, 200).foreach { case (k, xs) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, id, l) => buf.insert(s, id, l) }
+      val got = buf.sortedIndices.toSeq.map(i => (buf.scores(i), buf.ids(i)))
+      val want = xs.sortBy(t => (t._1, t._2)).take(k).map(t => (t._1, t._2))
+      assert(got == want, s"k=$k xs=${xs.take(20)}")
+    }
+  }
+
+  test("heap merge equals union then top-k (partial aggregation soundness)") {
+    val caseGen = Gen.zip(Gen.chooseNum(1, 8),
+      Gen.listOf(entryGen), Gen.listOf(entryGen))
+    samples(caseGen, 200).foreach { case (k, xs, ys) =>
+      val a = new TopKBuffer(k)
+      xs.foreach { case (s, id, l) => a.insert(s, id, l) }
+      val b = new TopKBuffer(k)
+      ys.foreach { case (s, id, l) => b.insert(s, id, l) }
+      (0 until b.size).foreach(i => a.insert(b.scores(i), b.ids(i), b.labels(i)))
+      val merged = a.sortedIndices.toSeq.map(i => (a.scores(i), a.ids(i)))
+      val direct = (xs ++ ys).sortBy(t => (t._1, t._2)).take(k)
+        .map(t => (t._1, t._2))
+      assert(merged == direct, s"k=$k")
+    }
+  }
+
+  test("simhash banding finds every pair within hamming distance 3") {
+    // signatures as bit-flip perturbations of a base so near pairs exist
+    val flips = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 63)))
+    val caseGen = Gen.zip(Gen.long, Gen.listOfN(8, flips))
+    samples(caseGen, 5).foreach { case (b, fs) =>
+      val sigs = b :: fs.map(f => f.foldLeft(b)((acc, bit) => acc ^ (1L << bit)))
+      val ids = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val sp = spark
+      import sp.implicits._
+      val got = graft.ext.Dedup.simhashPairs(ids.toDF("doc_id", "simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (i, si) <- ids; (j, sj) <- ids
+        if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+      } yield (i, j)).toSet
+      assert(got == want, s"base=$b flips=$fs")
+    }
+  }
+}
