@@ -80,12 +80,25 @@ object Dedup {
     * index on shingles (shuffle ∝ Σ df(shingle)², sparse for real
     * shingle spaces — never an all-pairs crossJoin).
     */
-  def jaccardPairs(shingled: DataFrame): DataFrame = {
+  /** @param shingleDfCap drop shingles appearing in more than this many
+    *   docs from the inverted index — the df² pair explosion is
+    *   quadratic in hot shingles, and a shingle shared by thousands of
+    *   docs carries almost no similarity signal (standard prefix/df
+    *   filtering). 0 = no cap (the oracle-checked default: exact).
+    *   At 100 TB a cap in the hundreds bounds the worst shuffle key.
+    */
+  def jaccardPairs(shingled: DataFrame, shingleDfCap: Int = 0): DataFrame = {
     // ids-only through the join+shuffle (narrow rows); per-doc sizes
     // joined back onto the much smaller aggregated pair set. persist:
     // the self-join would otherwise recompute the shingle pipeline twice
-    val inv = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .persist()
+    val invAll = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val inv = (if (shingleDfCap > 0) {
+      val hot = invAll.groupBy("sh")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > shingleDfCap)
+        .select("sh")
+      invAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else invAll).persist()
     val pairCounts = inv.select(col("sh"), col("doc_id").as("a"))
       .join(inv.select(col("sh"), col("doc_id").as("b")), "sh")
       .filter(col("a") < col("b"))

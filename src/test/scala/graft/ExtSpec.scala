@@ -63,6 +63,21 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty, "planted scaled copies must be found")
   }
 
+  test("shingle-df cap drops only hot-shingle candidates, keeps planted pairs") {
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents").limit(100))
+    val shingled = Dedup.shingleSets(corpus)
+    val uncapped = Dedup.jaccardPairs(shingled)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a generous cap keeps the planted near-dup pairs: their shared
+    // shingles are doc-specific (df ≈ 2), far below any sane cap
+    val capped = Dedup.jaccardPairs(shingled, shingleDfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = uncapped.filter { case (a, b) => b == a + Dedup.PlantedOffset }
+    assert(planted.subsetOf(capped),
+      s"cap lost planted pairs: ${(planted -- capped).take(5)}")
+    assert(capped.subsetOf(uncapped), "cap must only remove pairs")
+  }
+
   test("simhash banded near-dup equals brute-force hamming filter") {
     val sigs = Dedup.simhashSignatures(
       Dedup.plantedCorpus(Tables(spark, sf, "documents")))
