@@ -167,5 +167,74 @@ object TextAnalysis {
                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT))))::INT AS n_subword_est
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(stats, quality, langId, fingerprint, tokenCount)
+  /** Repetition signal (Gopher-style): total and top 2-gram occurrence
+    * counts per doc — a high max/total ratio marks boilerplate or
+    * degenerate repetition. Non-distinct n-grams (counts, not sets).
+    * Scale: one shuffle on (doc_id, gram) with map-side combine, then
+    * one on doc_id.
+    */
+  val repetition = QueryDef(
+    "text_repetition",
+    (s, dir) => {
+      val grams2 = udf { (text: String) =>
+        val w = text.trim.split("\\s+")
+        if (w.length < 2) Array.empty[String]
+        else w.sliding(2).map(_.mkString(" ")).toArray
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(grams2(col("text"))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_2grams"),
+          max(col("c")).as("max_2gram_count"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2),
+      c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+             max(c) AS max_2gram_count
+      FROM c GROUP BY 1"""))
+
+  /** PII scrubbing: redact email addresses (the pattern is identical in
+    * Java and RE2 regex dialects, so both engines agree byte-for-byte).
+    * The corpus plants a deterministic email on every 10th doc so the
+    * operator is non-trivially exercised. Per-row, shuffle-free.
+    */
+  val piiScrub = QueryDef(
+    "text_pii_scrub",
+    (s, dir) => {
+      val re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val withPii = Tables(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact"), col("doc_id"),
+            lit("@example.com")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(re)).as("n_emails"),
+        regexp_replace(col("text"), re, "<EMAIL>").as("redacted"))
+    },
+    Some("""
+      WITH withpii AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact' || doc_id || '@example.com'
+                    ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS redacted
+      FROM withpii"""))
+
+  val all: Seq[QueryDef] =
+    Seq(stats, quality, langId, fingerprint, tokenCount, repetition, piiScrub)
 }
