@@ -207,6 +207,32 @@ object StreamOps {
              count(*) AS n_events
       FROM x GROUP BY user_id"""))
 
+  /** Exactly-once consumption from an at-least-once log: the producer
+    * writes the events twice (duplicate delivery), the consumer
+    * deduplicates on the event key — the standard recipe for stream
+    * stores with at-least-once semantics. Streaming twin:
+    * `readStream.withWatermark(...).dropDuplicates` keeps only
+    * in-watermark keys in state (witnessed in StreamingSpec).
+    * Scale: one shuffle on the dedup key.
+    */
+  val dedupExactlyOnce = QueryDef(
+    "stream_dedup_exactly_once",
+    (s, dir) => {
+      val base = s"${Work.dir}/log_dedup"
+      Work.clean(base)
+      val store = LogStore(base)
+      val events = Tables(s, dir, "events")
+      store.append(events, "scope", "events-stream")
+      store.append(events, "scope", "events-stream") // duplicate delivery
+      store.readBounded(s, "scope", "events-stream", eventSchema)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+    },
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events"""))
+
   /** Identity pass-through — the reference's user_define_operation that
     * returns its input unchanged (processor.py:62-64). */
   val identity = QueryDef(
@@ -215,5 +241,6 @@ object StreamOps {
     Some("SELECT * FROM documents"))
 
   val all: Seq[QueryDef] =
-    Seq(roundtrip, windowAgg, sessionize, sessionWindow, identity)
+    Seq(roundtrip, windowAgg, sessionize, sessionWindow, dedupExactlyOnce,
+      identity)
 }

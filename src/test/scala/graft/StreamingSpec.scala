@@ -167,6 +167,28 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
   }
 
+  test("streaming dropDuplicates yields exactly-once from duplicate delivery") {
+    val base = freshDir("streamdedup")
+    val store = LogStore(base)
+    val events = Tables(spark, sf, "events").limit(200)
+    store.append(events, "scope", "s10")
+    store.append(events, "scope", "s10") // at-least-once producer
+    import org.apache.spark.sql.functions._
+    val q = store.readStream(spark, "scope", "s10", StreamOps.eventSchema)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .dropDuplicates("event_id")
+      .select("event_id")
+      .writeStream.format("json").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema("event_id LONG").json(s"$base/out")
+    assert(got.count() == 200, "each event exactly once")
+    assert(got.distinct().count() == 200)
+  }
+
   test("flatMapGroupsWithState emits one row per session; counts match batch") {
     val sp = spark
     import sp.implicits._
