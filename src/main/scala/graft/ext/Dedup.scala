@@ -269,15 +269,20 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: the hamming check is a per-row codegen'd
+      // expression, the distinct is a shuffle — shrink the shuffle input
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** Near-dup search over the planted corpus via SimHash banding. */
+  /** Near-dup search over the planted corpus via SimHash banding.
+    * Signatures are materialized once — the banded self-join would
+    * otherwise recompute the tf + 64-bit-sum aggregation for both
+    * sides. */
   val simhashNearDup = QueryDef(
     "dedup_simhash_pairs",
-    (s, dir) =>
-      simhashPairs(simhashSignatures(plantedCorpus(Tables(s, dir, "documents")))),
+    (s, dir) => simhashPairs(Work.materialize("simhash_sigs",
+      simhashSignatures(plantedCorpus(Tables(s, dir, "documents"))))),
     None) // hash not SQL-expressible; brute-force equality in ExtSpec + golden
 
   // --- embedding cosine near-dup --------------------------------------
