@@ -145,6 +145,74 @@ object Dedup {
       jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
     Some(jaccardOracleSql))
 
+  /** Connected components by iterative min-label propagation: each node
+    * takes the minimum cluster label among itself and its neighbors
+    * until fixpoint — the duplicate-CLUSTER resolution step real dedup
+    * pipelines run after pair generation (near-dup is not transitive;
+    * keep-one-per-cluster needs components, not pairs).
+    * Scale: each iteration is one join + one min-aggregate, both on the
+    * node id; iterations ≲ component diameter (for dedup clusters,
+    * small); each round's labels are materialized so the lineage stays
+    * flat. At extreme scale swap in large-star/small-star (alternating
+    * algorithm) behind the same signature.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    var labels = Work.materialize("cc_labels",
+      nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbor = und.join(labels, und("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      val next = Work.materialize("cc_labels_next",
+        labels.unionAll(viaNeighbor)
+          .groupBy("doc_id").agg(min(col("cluster")).as("cluster")))
+      changed = next.alias("n")
+        .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .count()
+      labels = Work.materialize("cc_labels", next)
+      i += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters over the planted near-dup pairs: every doc
+    * labeled with the min doc_id of its connected component. */
+  val clusters = QueryDef(
+    "dedup_clusters",
+    (s, dir) => {
+      val shingled = shingleSets(plantedCorpus(Tables(s, dir, "documents")))
+      val nodes = shingled.select("doc_id")
+      connectedComponents(nodes, jaccardPairs(shingled).select("a", "b"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS ($plantedCorpusSql),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM corpus)
+             WHERE len(ws) >= 4),
+      inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh),
+      edges AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        HAVING count(*) * 3 >= a.n + b.n),
+      und AS (SELECT a AS src, b AS dst FROM edges
+              UNION ALL SELECT b, a FROM edges),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM sh
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node)
+      SELECT node AS doc_id, min(label) AS cluster
+      FROM reach GROUP BY 1"""))
+
   // --- MinHash + LSH --------------------------------------------------
 
   private val MersennePrime = 2147483647L // 2^31 - 1
@@ -361,5 +429,6 @@ object Dedup {
       WHERE list_cosine_similarity(x.e, y.e) >= 0.99"""))
 
   val all: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup, embeddingCosine)
+    Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup,
+      embeddingCosine, clusters)
 }

@@ -63,6 +63,31 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty, "planted scaled copies must be found")
   }
 
+  test("connected components resolve transitive chains into one cluster") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3 (no direct 1-3 edge), pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup_clusters: planted perturbation pairs share their base cluster") {
+    val rows = Dedup.clusters.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = rows.keys.filter(id =>
+      id < Dedup.PlantedOffset && rows.contains(id + Dedup.PlantedOffset))
+    assert(planted.nonEmpty)
+    val linked = planted.count(id =>
+      rows(id + Dedup.PlantedOffset) == rows(id))
+    // most planted perturbations are near-dups of their base (short docs
+    // fall below the jaccard threshold, matching the pair operator)
+    assert(linked.toDouble / planted.size > 0.8, s"$linked/${planted.size}")
+  }
+
   test("shingle-df cap drops only hot-shingle candidates, keeps planted pairs") {
     val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents").limit(100))
     val shingled = Dedup.shingleSets(corpus)
