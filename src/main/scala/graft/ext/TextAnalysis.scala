@@ -235,6 +235,28 @@ object TextAnalysis {
                '<EMAIL>', 'g') AS redacted
       FROM withpii"""))
 
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonicalization step before exact dedup (its
+    * output is what sha2-groupBy dedup should hash). Per-row, shuffle-
+    * free; simple character classes so both regex dialects agree.
+    */
+  val normalize = QueryDef(
+    "text_normalize",
+    (s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+    },
+    Some("""
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents"""))
+
   val all: Seq[QueryDef] =
-    Seq(stats, quality, langId, fingerprint, tokenCount, repetition, piiScrub)
+    Seq(stats, quality, langId, fingerprint, tokenCount, repetition,
+      piiScrub, normalize)
 }

@@ -119,7 +119,40 @@ object Parity {
     },
     Some("SELECT vec_id, label FROM embeddings"))
 
+  /** ORC round-trip — a second columnar format behind the same
+    * source/sink surface (spark.read/write.orc, built-in). */
+  val orcRoundtrip = QueryDef(
+    "orc_roundtrip",
+    (s, dir) => {
+      val path = s"${Work.dir}/orc_roundtrip"
+      Work.clean(path)
+      Tables(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier"))
+
+  /** JSON-lines file round-trip — the filesystem JSON source/sink (the
+    * stream-store JSON codec is witnessed separately by the log store). */
+  val jsonRoundtrip = QueryDef(
+    "json_roundtrip",
+    (s, dir) => {
+      val path = s"${Work.dir}/json_roundtrip"
+      Work.clean(path)
+      Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType))))
+        .json(path)
+    },
+    Some("SELECT c_custkey, c_name, c_nationkey FROM customer"))
+
   val all: Seq[QueryDef] = Seq(
     csvScan, csvSink, streamSinkJson, streamScanBounded, collectQuery,
-    labelSplit)
+    labelSplit, orcRoundtrip, jsonRoundtrip)
 }
