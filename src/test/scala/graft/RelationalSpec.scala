@@ -56,4 +56,21 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("__salt"), plan.take(500))
   }
+
+  test("asof join: <= semantics, null before first snapshot, per-key isolation") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 100L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 200L, "z"))
+      .toDF("k", "ts", "v")
+    val got = ops.AsofJoin.asofJoin(left, right, "k", "ts", "v", "asof")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (1L, 5L) -> None,        // before first snapshot
+      (1L, 10L) -> Some("a"),  // exactly-equal ts IS visible (<=)
+      (1L, 20L) -> Some("b"),  // latest at-or-before wins
+      (2L, 100L) -> None))     // other key's snapshots invisible
+  }
 }
