@@ -73,4 +73,22 @@ class RelationalSpec extends SparkSpec {
       (1L, 20L) -> Some("b"),  // latest at-or-before wins
       (2L, 100L) -> None))     // other key's snapshots invisible
   }
+
+  test("range join equals brute-force inequality join") {
+    val sp = spark
+    import sp.implicits._
+    val pts = (0L to 100L).map(i => i * 7L).toDF("pt")
+    val ivs = Seq((0L, 50L, 1), (40L, 200L, 2), (600L, 700L, 3), (699L, 700L, 4))
+      .toDF("lo", "hi", "id")
+    val got = ops.RangeJoin.rangeJoin(pts, ivs, "pt", "lo", "hi", 64)
+      .select("id", "pt").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(ivs)
+      .filter(org.apache.spark.sql.functions.col("pt") >=
+        org.apache.spark.sql.functions.col("lo") &&
+        org.apache.spark.sql.functions.col("pt") <
+          org.apache.spark.sql.functions.col("hi"))
+      .select("id", "pt").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
 }
