@@ -11,7 +11,7 @@ object SparkEntry {
   /** Every implemented operator from SURVEY.md §2, in registration order. */
   def allQueries: Seq[QueryDef] =
     ops.Relational.all ++ ops.Parity.all ++ ops.Skew.all ++
-      ops.AsofJoin.all ++ ops.RangeJoin.all ++
+      ops.AsofJoin.all ++ ops.RangeJoin.all ++ ops.Sketches.all ++
       streaming.StreamOps.all ++
       ml.Knn.all ++ workflow.BatchTrainPredict.all ++
       ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.Similarity.all ++
