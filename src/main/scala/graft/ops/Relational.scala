@@ -313,6 +313,31 @@ object Relational {
              string_split(text, ' ')[-1] AS last_word
       FROM documents"""))
 
+  /** Running aggregate window frame (cumulative sum per customer over
+    * order dates) — the ROWS BETWEEN frame face of window functions
+    * (row_number/rank covered by q5). Deterministic frame: ties broken
+    * by o_orderkey in the ordering.
+    */
+  val q18Running = QueryDef(
+    "q18_running_sum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running_cents
+      FROM orders"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -352,5 +377,5 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
-    q13Array, q15Approx)
+    q13Array, q15Approx, q18Running)
 }

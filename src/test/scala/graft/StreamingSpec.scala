@@ -167,6 +167,59 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
   }
 
+  test("stream-static join enriches the stream with a dimension table") {
+    val base = freshDir("streamstatic")
+    val store = LogStore(base)
+    store.append(Tables(spark, sf, "events").limit(100), "scope", "s11")
+    import org.apache.spark.sql.functions._
+    // static dimension: user_id → tier
+    val dim = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("tier", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+    val q = store.readStream(spark, "scope", "s11", StreamOps.eventSchema)
+      .join(broadcast(dim), "user_id") // stream-static equi-join
+      .select("event_id", "tier")
+      .writeStream.format("json").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema("event_id LONG, tier STRING").json(s"$base/out")
+    assert(got.count() == 100)
+    assert(got.filter("tier IS NULL").count() == 0, "every event enriched")
+  }
+
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    val base = freshDir("latedata")
+    val store = LogStore(base)
+    val events = Tables(spark, sf, "events")
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect().head.getLong(0)
+    store.append(events, "scope", "s12")
+    // sentinel advances the watermark past every real window...
+    val mk = (id: Long, ts: Long, tpe: String) => events.limit(1).selectExpr(
+      s"CAST($id AS BIGINT) AS event_id", s"CAST($ts AS BIGINT) AS ts",
+      "CAST(-1 AS BIGINT) AS user_id", s"'$tpe' AS event_type",
+      "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props")
+    store.append(mk(-1L, maxTs + 24L * 3600 * 1000 * 1000 * 1000, "sentinel"),
+      "scope", "s12")
+    val outDir = s"$base/out"
+    StreamOps.windowAggStream(spark, store, "scope", "s12", outDir,
+      s"$base/ckpt").awaitTermination()
+    val afterFirst = spark.read
+      .schema("win_start LONG, event_type STRING, n LONG, sum_value LONG")
+      .json(outDir).filter("event_type = 'late'").count()
+    assert(afterFirst == 0)
+    // ...then an event with an old timestamp arrives: it is LATE
+    // relative to the checkpointed watermark and must not produce a row
+    store.append(mk(-2L, maxTs, "late"), "scope", "s12")
+    StreamOps.windowAggStream(spark, store, "scope", "s12", outDir,
+      s"$base/ckpt").awaitTermination()
+    val lateRows = spark.read
+      .schema("win_start LONG, event_type STRING, n LONG, sum_value LONG")
+      .json(outDir).filter("event_type = 'late'").count()
+    assert(lateRows == 0, "late event must be dropped by the watermark")
+  }
+
   test("streaming dropDuplicates yields exactly-once from duplicate delivery") {
     val base = freshDir("streamdedup")
     val store = LogStore(base)
