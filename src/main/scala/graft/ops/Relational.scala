@@ -338,6 +338,37 @@ object Relational {
                   AS BIGINT) AS running_cents
       FROM orders"""))
 
+  /** Map-type + math scalar functions (the §2.3 category's map face):
+    * build a map per row, look up by key, plus integer-exact math
+    * scalars. Map values surfaced as scalars so the compare is
+    * representation-independent.
+    */
+  val q19MapMath = QueryDef(
+    "q19_map_math_fns",
+    (s, dir) => {
+      val m = map(
+        lit("qty"), round(col("l_quantity")).cast(LongType),
+        lit("line"), col("l_linenumber").cast(LongType))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          element_at(m, "qty").as("qty_from_map"),
+          size(map_keys(m)).as("n_keys"),
+          abs(col("l_linenumber") - 4).as("abs_diff"),
+          greatest(col("l_linenumber"), lit(3)).as("gmax"),
+          pmod(col("l_orderkey"), lit(7)).as("pm"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity) AS BIGINT) AS qty_from_map,
+             2 AS n_keys,
+             abs(l_linenumber - 4) AS abs_diff,
+             greatest(l_linenumber, 3) AS gmax,
+             l_orderkey % 7 AS pm
+      FROM lineitem
+      WHERE l_orderkey <= 100"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -377,5 +408,5 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
-    q13Array, q15Approx, q18Running)
+    q13Array, q15Approx, q18Running, q19MapMath)
 }
