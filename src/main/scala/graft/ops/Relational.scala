@@ -369,6 +369,52 @@ object Relational {
       FROM lineitem
       WHERE l_orderkey <= 100"""))
 
+  /** PIVOT: per-user event counts spread into one column per event
+    * type. Explicit value list so the plan needs no distinct-scan;
+    * oracle uses portable CASE aggregation (identical semantics).
+    */
+  val q20Pivot = QueryDef(
+    "q20_pivot",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    Some("""
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+      FROM events
+      GROUP BY user_id"""))
+
+  /** The raw-SQL escape hatch itself (the reference's execute_sql
+    * surface, processor.py:44,74,97,208,268) with a correlated scalar
+    * subquery — Catalyst decorrelates it into a join; the oracle runs
+    * the equivalent SQL. Orders priced above their customer's average.
+    */
+  val q21Subquery = QueryDef(
+    "q21_scalar_subquery",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above
+        FROM graft_orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice)
+                              FROM graft_orders i
+                              WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey""")
+    },
+    Some("""
+      SELECT o_custkey, count(*) AS n_above
+      FROM orders o
+      WHERE o_totalprice > (SELECT avg(o_totalprice)
+                            FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -408,5 +454,5 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
-    q13Array, q15Approx, q18Running, q19MapMath)
+    q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery)
 }
