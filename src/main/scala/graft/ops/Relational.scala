@@ -192,6 +192,52 @@ object Relational {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  /** CUBE over (returnflag, linestatus) — all four grouping
+    * combinations; markers coalesced like q7. */
+  val q22Cube = QueryDef(
+    "q22_cube",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** Explicit GROUPING SETS not expressible as rollup or cube:
+    * ((returnflag), (linestatus)) — two independent marginal
+    * aggregations in one pass, via the SQL surface.
+    */
+  val q23GroupingSets = QueryDef(
+    "q23_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty
+        FROM graft_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""))
+
   /** Exact distinct aggregates (expand+two-phase in Spark). At 100 TB one
     * would reach for approx_count_distinct/HLL; exact kept here because
     * the oracle must match bit-for-bit.
@@ -454,5 +500,6 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
-    q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery)
+    q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
+    q22Cube, q23GroupingSets)
 }
