@@ -162,18 +162,23 @@ object Dedup {
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     var labels = Work.materialize("cc_labels",
       nodes.select(col("doc_id"), col("doc_id").as("cluster")))
-    var changed = 1L
+    // labels are monotonically non-increasing under min-propagation, so
+    // an unchanged label SUM means fixpoint — convergence detection is
+    // one cheap aggregate per round, not a join
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("cluster"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var converged = false
+    while (!converged && i < maxIter) {
       val viaNeighbor = und.join(labels, und("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster"))
       val next = Work.materialize("cc_labels_next",
         labels.unionAll(viaNeighbor)
           .groupBy("doc_id").agg(min(col("cluster")).as("cluster")))
-      changed = next.alias("n")
-        .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = Work.materialize("cc_labels", next)
       i += 1
     }
