@@ -237,7 +237,7 @@ object Dedup {
     */
   def minhashSignatures(shingled: DataFrame): DataFrame = {
     val base = pmod(xxhash64(col("sh")), lit(MersennePrime))
-    val hashCols = perms.zipWithIndex.map { case ((a, b), i) =>
+    val hashCols = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(base * a + b, lit(MersennePrime))).as(s"mh_$i")
     }
     shingled.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
