@@ -66,6 +66,86 @@ object Knn {
       .select(col("qid"), col("label").as("pred_label"))
   }
 
+  /** Shared vote stage: scored (qid, rid, label, dist) → (qid,
+    * pred_label) via bounded-heap top-k + majority vote, ties
+    * (count desc, label asc). */
+  private def voteTopK(scored: DataFrame, k: Int): DataFrame = {
+    val votes = scored
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        col("dist"), col("rid"), col("label"), k).as("nbrs"))
+      .select(col("qid"), explode(col("nbrs.label")).as("label"))
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("c"))
+    val byVote = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(byVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"))
+  }
+
+  /** Pivot-pruned EXACT predict (REPOSE-style reference-point pruning,
+    * SURVEY.md §7.3): the 100 TB form of the brute-force crossJoin.
+    *
+    *  1. Estimate: exact top-k against a deterministic 1/4 sample of
+    *     the reference set gives each query an upper bound d̂_k on its
+    *     true kth distance (the sample is a subset, so its kth distance
+    *     can only be larger).
+    *  2. Prune: with P broadcast pivots, the triangle inequality gives
+    *     the lower bound LB(q,r) = max_p | |q-p| - |r-p| | ≤ |q-r|;
+    *     any reference with LB² > d̂²_k cannot be in the true top-k and
+    *     is dropped BEFORE the expensive full-dimension distance.
+    *  3. Exact top-k + vote over the survivors.
+    *
+    * Survivors always contain the true top-k (LB ≤ true distance and
+    * d̂_k ≥ true kth distance), so the result is bit-identical to
+    * [[predictDistributed]] — asserted in tests. The pivot distances
+    * are P-element arrays, so the pruning predicate costs O(P) per
+    * pair instead of O(dim), and the filter sits inside codegen before
+    * the fused distance expression.
+    */
+  def predictDistributedPruned(queries: DataFrame, refs: DataFrame,
+      k: Int, nPivots: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val pivots: Array[Array[Double]] = refs.orderBy("rid").limit(nPivots)
+      .select("rvec").collect().map(_.getSeq[Double](0).toArray)
+    val bc = spark.sparkContext.broadcast(pivots)
+    val pivotDists = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      bc.value.map { p =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - p(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+    }
+    val q = queries.withColumn("qpd", pivotDists(col("qvec")))
+    val r = refs.withColumn("rpd", pivotDists(col("rvec")))
+
+    // 1. upper bound from the sample: kth smallest squared distance
+    val sample = refs.filter(col("rid") % 4 === 0)
+    val dkSq = queries.crossJoin(broadcast(sample))
+      .select(col("qid"), col("rid"),
+        sqDist(col("qvec"), col("rvec")).as("dist"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        col("dist"), col("rid"), lit(0), k).as("top"))
+      // a sample smaller than k gives no valid bound — disable pruning
+      .select(col("qid"), when(size(col("top")) >= k,
+        element_at(col("top.score"), -1))
+        .otherwise(lit(Double.MaxValue)).as("dk_sq"))
+
+    // 2+3. prune by triangle-inequality lower bound, then exact top-k
+    val lb = array_max(zip_with(col("qpd"), col("rpd"),
+      (a, b) => abs(a - b)))
+    val scored = q.join(dkSq, Seq("qid"), "left")
+      .withColumn("dk_sq", coalesce(col("dk_sq"), lit(Double.MaxValue)))
+      .crossJoin(broadcast(r))
+      .filter(lb * lb <= col("dk_sq"))
+      .select(col("qid"), col("rid"), col("label"),
+        sqDist(col("qvec"), col("rvec")).as("dist"))
+    voteTopK(scored, k)
+  }
+
   /** The window full-sort form (the v1 plan) — kept as the equivalence
     * witness for the bounded-heap path. */
   def predictDistributedWindow(queries: DataFrame, refs: DataFrame,
@@ -246,6 +326,16 @@ object Knn {
     },
     Some(s"$oracleBase SELECT qid, pred_label FROM pred"))
 
+  /** Same contract and oracle as knn_predict; the plan prunes with
+    * pivot lower bounds before the full-dimension distance. */
+  val predictPruned = QueryDef(
+    "knn_predict_pruned",
+    (s, dir) => {
+      val (q, r) = split(s, dir)
+      predictDistributedPruned(q, r, k = 5)
+    },
+    Some(s"$oracleBase SELECT qid, pred_label FROM pred"))
+
   val predictUdf = QueryDef(
     "knn_predict_udf",
     (s, dir) => {
@@ -281,5 +371,6 @@ object Knn {
              count(*) AS n_total
       FROM pred"""))
 
-  val all: Seq[QueryDef] = Seq(train, predict, predictUdf, score)
+  val all: Seq[QueryDef] =
+    Seq(train, predict, predictPruned, predictUdf, score)
 }

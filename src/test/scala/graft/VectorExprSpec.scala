@@ -59,6 +59,15 @@ class VectorExprSpec extends SparkSpec {
     assert(heap == window)
   }
 
+  test("pivot-pruned exact predict equals unpruned predict, and prunes") {
+    val (q, r) = Knn.split(spark, sf)
+    val pruned = Knn.predictDistributedPruned(q, r, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val full = Knn.predictDistributed(q, r, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(pruned == full)
+  }
+
   test("bounded-heap predictFn equals full-sort semantics (distributed face)") {
     // the UDF face's k-selection must rank (dist, rid) and vote
     // (count desc, label asc) exactly like the window form
