@@ -42,8 +42,14 @@ object Work {
     * accumulating over 45 queries). The result sets here are small
     * (pair lists), so the extra write is noise.
     */
+  private val matSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def materialize(name: String, df: DataFrame): DataFrame = {
-    val path = s"$dir/mat_$name"
+    // unique path per call: a second materialize under the same name
+    // must not clean the files a previously returned (lazy) frame still
+    // reads. Stale dirs from prior sessions are overwritten on path
+    // collision by the clean below; within a session paths never repeat.
+    val path = s"$dir/mat_${name}_${matSeq.incrementAndGet()}"
     clean(path)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)

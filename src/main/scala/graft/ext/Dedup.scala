@@ -25,7 +25,7 @@ object Dedup {
   /** documents ∪ perturbed copies (drop last word). */
   def plantedCorpus(docs: DataFrame): DataFrame = {
     val dropLast = udf { (text: String) =>
-      val w = text.trim.split("\\s+")
+      val w = Option(text).getOrElse("").trim.split("\\s+")
       w.take(w.length - 1).mkString(" ")
     }
     val perturbed = docs.select(
@@ -88,22 +88,26 @@ object Dedup {
     *   At 100 TB a cap in the hundreds bounds the worst shuffle key.
     */
   def jaccardPairs(shingled: DataFrame, shingleDfCap: Int = 0): DataFrame = {
+    // persist the SHINGLE sets (the measured hot path, one UDF pass):
+    // the inverted index probes them twice via the self-join and the
+    // sizes join reads them again — without the cache that is three
+    // full corpus+UDF recomputations
+    val sh = shingled.persist()
     // ids-only through the join+shuffle (narrow rows); per-doc sizes
-    // joined back onto the much smaller aggregated pair set. persist:
-    // the self-join would otherwise recompute the shingle pipeline twice
-    val invAll = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val inv = (if (shingleDfCap > 0) {
+    // joined back onto the much smaller aggregated pair set
+    val invAll = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val inv = if (shingleDfCap > 0) {
       val hot = invAll.groupBy("sh")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > shingleDfCap)
         .select("sh")
       invAll.join(broadcast(hot), Seq("sh"), "left_anti")
-    } else invAll).persist()
+    } else invAll
     val pairCounts = inv.select(col("sh"), col("doc_id").as("a"))
       .join(inv.select(col("sh"), col("doc_id").as("b")), "sh")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    val sizes = shingled.select(col("doc_id"), col("n"))
+    val sizes = sh.select(col("doc_id"), col("n"))
     // no broadcast hint: AQE broadcasts sizes when small; at data scale
     // both sides shuffle on the id, which is the right plan there
     val result = pairCounts
@@ -114,7 +118,7 @@ object Dedup {
     // materialize through the cache, then free it — a long Verify/Bench
     // session must not accumulate cached RDDs across queries
     val out = Work.materialize("jaccard_pairs", result)
-    inv.unpersist()
+    sh.unpersist()
     out
   }
 
@@ -166,7 +170,8 @@ object Dedup {
     // an unchanged label SUM means fixpoint — convergence detection is
     // one cheap aggregate per round, not a join
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("cluster"))).collect().head.getLong(0)
+      df.agg(coalesce(sum(col("cluster")), lit(0L)))
+        .collect().head.getLong(0) // coalesce: sum over zero rows is null
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false

@@ -33,7 +33,9 @@ object TextAnalysis {
     * than the interpreted higher-order expression chain. */
   def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val w = text.trim.split("\\s+")
+      // null text behaves like empty text (built-in split/trim would
+      // null-propagate; a raw .trim would NPE the whole job)
+      val w = Option(text).getOrElse("").trim.split("\\s+")
       if (w.length < n) Array.empty[String]
       else w.sliding(n).map(_.mkString(" ")).toArray.distinct
     }
@@ -100,7 +102,8 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "sch", "ein", "ich"),
     "fr" -> Seq("le ", "les", "des", "est", "une", "eau"))
 
-  def langIdOf(text: String): String = {
+  def langIdOf(rawText: String): String = {
+    val text = Option(rawText).getOrElse("")
     if (text.exists(ch => ch >= '一' && ch <= '鿿')) "zh"
     else {
       val lower = text.toLowerCase
@@ -128,7 +131,7 @@ object TextAnalysis {
   def fingerprintOf(text: String): Long = {
     val B = 1000003L
     var h = 1469598103934665603L // FNV offset as seed
-    text.trim.split("\\s+").foreach { tok =>
+    Option(text).getOrElse("").trim.split("\\s+").foreach { tok =>
       var th = -3750763034362895579L // FNV-1a 64 offset basis (wrapped)
       tok.foreach(ch => th = th * 1099511628211L + ch.toLong)
       h = h * B + th
@@ -177,7 +180,7 @@ object TextAnalysis {
     "text_repetition",
     (s, dir) => {
       val grams2 = udf { (text: String) =>
-        val w = text.trim.split("\\s+")
+        val w = Option(text).getOrElse("").trim.split("\\s+")
         if (w.length < 2) Array.empty[String]
         else w.sliding(2).map(_.mkString(" ")).toArray
       }

@@ -22,9 +22,16 @@ final class TopKBuffer(val k: Int) {
   val labels = new Array[Int](k)
   var size = 0
 
-  /** true if (s1, i1) orders after (s2, i2) — i.e. is worse. */
-  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 > i2)
+  /** true if (s1, i1) orders after (s2, i2) — i.e. is worse. Total
+    * order via Double.compare so NaN sorts greater than every finite
+    * score (matching Spark SQL's ordering; a primitive > here would
+    * make NaN incomparable and wedge it in the heap). -0.0 is
+    * normalized to 0.0 on insert, so compare's -0.0 < 0.0 distinction
+    * never fires. */
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
 
   private def swap(a: Int, b: Int): Unit = {
     val s = scores(a); scores(a) = scores(b); scores(b) = s
@@ -55,7 +62,8 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  def insert(score: Double, id: Long, label: Int): Unit =
+  def insert(rawScore: Double, id: Long, label: Int): Unit = {
+    val score = if (rawScore == 0.0) 0.0 else rawScore // normalize -0.0
     if (size < k) {
       scores(size) = score; ids(size) = id; labels(size) = label
       size += 1
@@ -64,12 +72,13 @@ final class TopKBuffer(val k: Int) {
       scores(0) = score; ids(0) = id; labels(0) = label
       siftDown()
     }
+  }
 
-  /** Entry indices sorted ascending by (score, id). */
+  /** Entry indices sorted ascending by (score, id) (same total order
+    * as [[worse]]). */
   def sortedIndices: Array[Int] =
-    Array.range(0, size).sortWith { (a, b) =>
-      scores(a) < scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
-    }
+    Array.range(0, size).sortWith((a, b) =>
+      worse(scores(b), ids(b), scores(a), ids(a)))
 }
 
 /** Aggregate keeping the k smallest (score, id, label) entries per

@@ -48,23 +48,12 @@ object Knn {
     * window full-sort form shuffles (kept as
     * [[predictDistributedWindow]]; bit-equality asserted in tests).
     */
-  def predictDistributed(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
-    val scored = queries.crossJoin(broadcast(refs))
-      .select(col("qid"), col("rid"), col("label"),
-        sqDist(col("qvec"), col("rvec")).as("dist"))
-    val votes = scored
-      .groupBy("qid")
-      .agg(graft.functions.TopK.smallestK(
-        col("dist"), col("rid"), col("label"), k).as("nbrs"))
-      .select(col("qid"), explode(col("nbrs.label")).as("label"))
-      .groupBy("qid", "label")
-      .agg(count(lit(1)).as("c"))
-    val byVote = Window.partitionBy("qid")
-      .orderBy(col("c").desc, col("label").asc)
-    votes.withColumn("vr", row_number().over(byVote))
-      .filter(col("vr") === 1)
-      .select(col("qid"), col("label").as("pred_label"))
-  }
+  def predictDistributed(queries: DataFrame, refs: DataFrame, k: Int): DataFrame =
+    voteTopK(
+      queries.crossJoin(broadcast(refs))
+        .select(col("qid"), col("rid"), col("label"),
+          sqDist(col("qvec"), col("rvec")).as("dist")),
+      k)
 
   /** Shared vote stage: scored (qid, rid, label, dist) → (qid,
     * pred_label) via bounded-heap top-k + majority vote, ties
@@ -179,6 +168,8 @@ object Knn {
     * Predict.eval, processor.py:246-250) over a broadcast reference set. */
   def predictFn(spark: SparkSession, refs: Array[Ref],
       k: Int): Seq[Double] => Int = {
+    require(refs.nonEmpty,
+      "KNN model has an empty reference set — nothing to predict from")
     val bc = spark.sparkContext.broadcast(refs)
     q => {
       val qa = q.toArray

@@ -36,11 +36,17 @@ object AsofJoin {
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the carried value is boxed in a struct so a right row whose VALUE
+    // is null still registers as "a snapshot exists" — last(ignoreNulls)
+    // skips only left rows, not null-valued snapshots (ASOF semantics:
+    // the latest snapshot wins even if its value is null)
     unioned
-      .withColumn(out,
-        last(when(col("__tag") === 0, col("__v")), ignoreNulls = true).over(w))
+      .withColumn("__boxed",
+        last(when(col("__tag") === 0, struct(col("__v"))),
+          ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag", "__v")
+      .withColumn(out, col("__boxed.__v"))
+      .drop("__tag", "__v", "__boxed")
   }
 
   /** Driver-verified witness: every event enriched with the value of

@@ -20,8 +20,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0)
+    // content-derived salt: deterministic under task retries (a
+    // recomputed map task must route each row to the SAME shuffle
+    // partition or reducers see duplicates/losses), and spreads a hot
+    // key's rows because non-key columns vary within the key
     val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong))
+        .cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

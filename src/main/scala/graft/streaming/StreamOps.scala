@@ -121,6 +121,9 @@ object StreamOps {
   def summarize(userId: Long, events: Iterator[Ev],
       gapNs: Long): SessionSummary = {
     val sorted = events.toArray.sortBy(e => (e.ts, e.event_id))
+    // mapGroupsWithState delivers an EMPTY iterator on state-timeout
+    // invocations — a zero summary, not sorted.head crashing the query
+    if (sorted.isEmpty) return SessionSummary(userId, 0L, 0L, 0L, 0L)
     var sessions = 0
     var prev = Long.MinValue
     sorted.foreach { e =>

@@ -68,7 +68,9 @@ object BatchTrainPredict {
         sum((col("pred_label") === col("true_label")).cast(LongType)).as("c"),
         count(lit(1)).as("n"))
       .collect().head
-    row.getLong(0).toDouble / row.getLong(1)
+    // empty validation set: sum is null and count 0 — score 0, not NPE
+    if (row.isNullAt(0) || row.getLong(1) == 0L) 0.0
+    else row.getLong(0).toDouble / row.getLong(1)
   }
 
   /** Wire the four jobs and control edges onto `wf` (workflow.py:40-120):
