@@ -95,4 +95,21 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"base=$b flips=$fs")
     }
   }
+
+  test("top-k heap treats NaN as worse than every finite score") {
+    val buf = new TopKBuffer(3)
+    buf.insert(Double.NaN, 1L, 0)
+    buf.insert(Double.NaN, 2L, 0)
+    buf.insert(5.0, 3L, 0)
+    // finite scores arriving after the heap holds NaNs must evict them
+    buf.insert(1.0, 4L, 0)
+    buf.insert(2.0, 5L, 0)
+    val got = buf.sortedIndices.toSeq.map(i => (buf.scores(i), buf.ids(i)))
+    assert(got == Seq((1.0, 4L), (2.0, 5L), (5.0, 3L)), got.toString)
+    // and -0.0 is normalized: ties resolve by id, not by signed zero
+    val b2 = new TopKBuffer(1)
+    b2.insert(0.0, 9L, 0)
+    b2.insert(-0.0, 2L, 0)
+    assert(b2.ids(0) == 2L)
+  }
 }

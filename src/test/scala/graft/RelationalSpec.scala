@@ -91,4 +91,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == brute)
     assert(brute.nonEmpty)
   }
+
+  test("asof join: a null-valued snapshot still wins over an older one") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 12L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, Option("old")), (1L, 10L, Option.empty[String]))
+      .toDF("k", "ts", "v")
+    val got = ops.AsofJoin.asofJoin(left, right, "k", "ts", "v", "asof")
+      .collect().map(r => Option(r.getString(2)))
+    // the ts=10 snapshot is the latest at-or-before 12; its value is
+    // null and must NOT be skipped in favor of the stale ts=5 value
+    assert(got.toSeq == Seq(None))
+  }
 }
