@@ -301,6 +301,47 @@ object Dedup {
     (s, dir) => minhashDedup(plantedCorpus(Tables(s, dir, "documents"))),
     Some(jaccardOracleSql))
 
+  /** Decontamination — the eval-leakage check every LLM pipeline runs:
+    * flag evaluation documents sharing at least one word n-gram with
+    * the training corpus. Inverted-index equi-join on the shingle (the
+    * same shape as near-dup candidate generation, but cross-corpus and
+    * any-overlap); output is per-test-doc with the collision count.
+    * Scale: shuffle ∝ Σ df(shingle) over the two sides, never
+    * |train|×|test|; a shingle-df cap applies as in [[jaccardPairs]].
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4): DataFrame = {
+    def inv(df: DataFrame) = shingleSets(df, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    inv(test).select(col("doc_id").as("test_doc"), col("sh"))
+      .join(inv(train).select(col("sh")), "sh")
+      .groupBy("test_doc")
+      .agg(count(lit(1)).as("n_collisions"))
+  }
+
+  /** Driver-verified witness: held-out docs (doc_id % 10 == 0) checked
+    * against the rest as training corpus. */
+  val decontam = QueryDef(
+    "decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      decontaminate(
+        train = docs.filter(col("doc_id") % 10 =!= 0),
+        test = docs.filter(col("doc_id") % 10 === 0))
+    },
+    Some("""
+      WITH sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                   FROM documents)
+             WHERE len(ws) >= 4),
+      inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh)
+      SELECT t.doc_id AS test_doc, count(*) AS n_collisions
+      FROM (SELECT * FROM inv WHERE doc_id % 10 = 0) t
+      JOIN (SELECT * FROM inv WHERE doc_id % 10 <> 0) tr ON t.sh = tr.sh
+      GROUP BY 1"""))
+
   // --- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash per doc from token-frequency-weighted token hashes:
@@ -440,5 +481,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup,
-      embeddingCosine, clusters)
+      embeddingCosine, clusters, decontam)
 }
