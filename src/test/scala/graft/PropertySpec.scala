@@ -112,4 +112,16 @@ class PropertySpec extends SparkSpec {
     b2.insert(-0.0, 2L, 0)
     assert(b2.ids(0) == 2L)
   }
+
+  test("V2 offset JSON round-trips arbitrary segment paths") {
+    import graft.connector.LogOffsetV2
+    val paths = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr.map("/seg/" + _),
+      Gen.oneOf("/a/part-0001", "/dir with space/f", "/q\"uote", "/b\\slash")))
+    samples(paths, 50).foreach { ps =>
+      val off = LogOffsetV2(ps)
+      val back = LogOffsetV2.fromJson(off.json())
+      assert(back.segments.sorted == ps.sorted, s"paths=$ps")
+    }
+  }
 }
