@@ -91,8 +91,12 @@ object Dedup {
     // persist the SHINGLE sets (the measured hot path, one UDF pass):
     // the inverted index probes them twice via the self-join and the
     // sizes join reads them again — without the cache that is three
-    // full corpus+UDF recomputations
+    // full corpus+UDF recomputations. The count() populates the cache
+    // BEFORE the self-join: both join sides otherwise race to compute
+    // the same uncached partitions concurrently (the "Block already
+    // exists" duplicate work visible in the round-1/2 bench logs).
     val sh = shingled.persist()
+    sh.count(): Unit
     // ids-only through the join+shuffle (narrow rows); per-doc sizes
     // joined back onto the much smaller aggregated pair set
     val invAll = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -164,30 +168,54 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-    var labels = Work.materialize("cc_labels",
-      nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+      .persist()
+    // only nodes touched by an edge can ever change label — iterate on
+    // that (much smaller) active set and attach the isolated nodes with
+    // their own id at the end via one anti-join. Per-round state lives
+    // in the block cache (unpersisted as soon as the next round is
+    // materialized), not in per-round parquet files: the round-2 form
+    // paid two parquet write+read cycles per iteration.
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .persist()
     // labels are monotonically non-increasing under min-propagation, so
     // an unchanged label SUM means fixpoint — convergence detection is
-    // one cheap aggregate per round, not a join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster")), lit(0L)))
-        .collect().head.getLong(0) // coalesce: sum over zero rows is null
-    var prevSum = labelSum(labels)
+    // one cheap aggregate per round, not a join. Summed as DECIMAL(38,0)
+    // so the check cannot alias under 64-bit overflow at any scale.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val v = df.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+        .collect().head.getDecimal(0)
+      if (v == null) BigDecimal(0) else BigDecimal(v) // sum of zero rows
+    }
+    var prevSum = labelSum(labels) // also populates the cache
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
       val viaNeighbor = und.join(labels, und("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster"))
-      val next = Work.materialize("cc_labels_next",
-        labels.unionAll(viaNeighbor)
-          .groupBy("doc_id").agg(min(col("cluster")).as("cluster")))
-      val nextSum = labelSum(next)
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+        .persist()
+      val nextSum = labelSum(next) // materializes `next` into the cache
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels = Work.materialize("cc_labels", next)
+      labels.unpersist()
+      labels = next
       i += 1
     }
-    labels
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged " +
+        s"after maxIter=$maxIter rounds — labels may be partial " +
+        s"(component diameter exceeds the iteration budget)")
+    val withIsolated = nodes.select(col("doc_id"), col("doc_id").as("iso"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("iso")).as("cluster"))
+    // one final materialization so callers hold no reference to the
+    // caches being freed
+    val out = Work.materialize("cc_labels", withIsolated)
+    labels.unpersist()
+    und.unpersist()
+    out
   }
 
   /** Duplicate clusters over the planted near-dup pairs: every doc
@@ -238,16 +266,21 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature: 64 mins over the shingle set, computed
-    * as one aggregation (map-side partial, codegen'd; no UDF).
+    * entirely with array expressions over the per-row shingle array —
+    * the shingle hash is materialized once per shingle, each permutation
+    * is an array_min(transform(...)), and the whole signature stage is a
+    * pure per-row projection: NO explode, NO groupBy, NO shuffle (the
+    * round-2 form exploded to one row per (doc, shingle) and shuffled a
+    * 64-column min-aggregate). Same arithmetic, bit-identical output.
     */
   def minhashSignatures(shingled: DataFrame): DataFrame = {
-    val base = pmod(xxhash64(col("sh")), lit(MersennePrime))
-    val hashCols = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(base * a + b, lit(MersennePrime))).as(s"mh_$i")
+    val hashed = shingled.withColumn("hs",
+      transform(col("shs"), sh => pmod(xxhash64(sh), lit(MersennePrime))))
+    val sigCols = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"),
+        h => pmod(h * a + b, lit(MersennePrime)))).as(s"mh_$i")
     }
-    shingled.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
-      .groupBy("doc_id", "n")
-      .agg(hashCols.head, hashCols.tail: _*)
+    hashed.select((col("doc_id") +: col("n") +: sigCols): _*)
   }
 
   /** LSH candidate pairs: equal band-bucket for any of the 16 bands of 4
@@ -274,8 +307,11 @@ object Dedup {
     * recall, P(miss | J=0.9) ≈ 4e-8 at 16×4).
     */
   def minhashDedup(corpus: DataFrame): DataFrame = {
-    // scanned three times (signatures + both verification sides)
+    // scanned three times (signatures + both verification sides);
+    // populate the cache once up front so the branches don't race to
+    // compute the same partitions concurrently
     val shingled = shingleSets(corpus).persist()
+    shingled.count(): Unit
     val cands = lshCandidates(minhashSignatures(shingled))
     val sets = shingled.select(col("doc_id"), col("shs"), col("n"))
     val result = cands
@@ -312,10 +348,16 @@ object Dedup {
   def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4): DataFrame = {
     def inv(df: DataFrame) = shingleSets(df, n)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
+    // aggregate the (huge) training side to per-shingle document
+    // frequencies BEFORE the join: map-side combine shrinks it to the
+    // distinct-shingle set, the join output is |test inv| rows instead
+    // of one row per (test shingle, train doc) match, and the final sum
+    // of dfs is value-identical to counting the matches
+    val trainDf = inv(train).groupBy("sh").agg(count(lit(1)).as("df"))
     inv(test).select(col("doc_id").as("test_doc"), col("sh"))
-      .join(inv(train).select(col("sh")), "sh")
+      .join(trainDf, "sh")
       .groupBy("test_doc")
-      .agg(count(lit(1)).as("n_collisions"))
+      .agg(sum(col("df")).as("n_collisions"))
   }
 
   /** Driver-verified witness: held-out docs (doc_id % 10 == 0) checked

@@ -98,27 +98,54 @@ object Multimodal {
     * per-partition batch iteration are the production plumbing — the
     * extracted vectors feed directly into Similarity/Dedup operators.
     */
+  /** The library face: (doc_id, feature array<float>) — the frame
+    * downstream Similarity/Dedup operators consume (tested in ExtSpec).
+    */
+  def featurizeFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val dim = 16
+    payloads(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          // STUB featurizer: 16 floats derived from the content
+          // digest, L2-normalized — deterministic, unit-length
+          val d = md.digest(bytes)
+          val raw = Array.tabulate(dim)(i =>
+            ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)).toFloat
+              / 65535.0f - 0.5f)
+          val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+          (id, raw.map(_ / norm))
+        }
+      }
+      .toDF("doc_id", "feature")
+  }
+
+  /** The query witness projects the vector to scalar columns (its
+    * width and a digest of the exact IEEE bits): the driver's compare
+    * harness sorts result columns pandas-side, where a raw array column
+    * is unhashable — the round-2 multimodal_featurize row failed in the
+    * harness, not the engine. Values stay fully pinned via the bit
+    * digest.
+    */
   val featurize = QueryDef(
     "multimodal_featurize",
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      val dim = 16
-      payloads(s, dir).as[(Long, Array[Byte])]
+      featurizeFrame(s, dir).as[(Long, Array[Float])]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
-          it.map { case (id, bytes) =>
-            // STUB featurizer: 16 floats derived from the content
-            // digest, L2-normalized — deterministic, unit-length
-            val d = md.digest(bytes)
-            val raw = Array.tabulate(dim)(i =>
-              ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)).toFloat
-                / 65535.0f - 0.5f)
-            val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
-            (id, raw.map(_ / norm))
+          it.map { case (id, vec) =>
+            val bb = java.nio.ByteBuffer.allocate(vec.length * 4)
+            vec.foreach(bb.putFloat)
+            val sha = md.digest(bb.array()).map("%02x".format(_)).mkString
+            (id, vec.length, sha)
           }
         }
-        .toDF("doc_id", "feature")
+        .toDF("doc_id", "dim", "vec_sha")
     },
     None) // stub featurizer → golden-pinned
 

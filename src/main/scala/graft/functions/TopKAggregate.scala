@@ -89,6 +89,14 @@ final class TopKBuffer(val k: Int) {
   * |Q|×|R| scored pairs carries O(|Q|·k·partitions) rows instead of
   * |Q|×|R|. Bit-equality with the window form is asserted in
   * VectorExprSpec. For largest-k, negate the score.
+  *
+  * Null handling: rows with a null score or id are skipped (they have
+  * no place in the total order). The label is a non-null-typed payload
+  * slot — a null label is coerced to 0 and the row still kept, which
+  * diverges from a window form over a nullable label column (that would
+  * carry the null through). Engine callers pass non-nullable labels
+  * (`lit(0)` or a data column with no nulls); pass a pre-coalesced
+  * label if 0 is a meaningful value in your domain.
   */
 case class TopKSmallest(
     first: Expression, second: Expression, third: Expression,

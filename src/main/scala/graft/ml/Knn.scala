@@ -176,15 +176,22 @@ object Knn {
       val rs = bc.value
       // bounded k-selection: O(|R|·cmp) with a size-k worst-tracked
       // array instead of a full O(|R| log |R|) sort per input row;
-      // ordering (dist asc, rid asc) identical to the window form
+      // ordering (dist asc, rid asc) identical to the window form.
+      // Double.compare gives a TOTAL order — NaN sorts greater than
+      // every finite distance, so a NaN admitted during the fill phase
+      // is identified as worst and evicted (a primitive < would leave
+      // it wedged: all NaN comparisons are false), matching
+      // TopKBuffer/window NaN semantics.
       val kk = math.min(k, rs.length)
       val dists = new Array[Double](kk)
       val rids = new Array[Long](kk)
       val labels = new Array[Int](kk)
       var size = 0
       var worst = 0 // index of the max (dist, rid) among the kept k
-      def less(d1: Double, r1: Long, d2: Double, r2: Long): Boolean =
-        d1 < d2 || (d1 == d2 && r1 < r2)
+      def less(d1: Double, r1: Long, d2: Double, r2: Long): Boolean = {
+        val c = java.lang.Double.compare(d1, d2)
+        c < 0 || (c == 0 && r1 < r2)
+      }
       var j = 0
       while (j < rs.length) {
         val r = rs(j)

@@ -22,10 +22,21 @@ final class StatementSet {
 
   def size: Int = inserts.size
 
-  /** Run all queued inserts; share scans of frames inserted twice. */
+  /** Run all queued inserts; share scans of frames inserted twice.
+    * Sharing is detected by reference identity (IdentityHashMap), not
+    * identityHashCode — hash codes can collide between distinct frames,
+    * which would persist the wrong one. */
   def execute(): Unit = {
-    val shared = inserts.groupBy { case (df, _) => System.identityHashCode(df) }
-      .collect { case (_, xs) if xs.size > 1 => xs.head._1 }
+    val counts = new java.util.IdentityHashMap[DataFrame, Integer]
+    inserts.foreach { case (df, _) =>
+      counts.put(df, Integer.valueOf(Option(counts.get(df)).fold(1)(_ + 1)))
+    }
+    val shared = {
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().asScala.collect {
+        case e if e.getValue > 1 => e.getKey
+      }.toSeq
+    }
     shared.foreach(_.persist())
     try inserts.foreach { case (df, write) => write(df) }
     finally {

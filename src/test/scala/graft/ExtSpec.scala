@@ -203,7 +203,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("featurize emits unit-norm fixed-width vectors usable by similarity ops") {
-    val feats = Multimodal.featurize.fn(spark, sf)
+    val feats = Multimodal.featurizeFrame(spark, sf)
     val rows = feats.collect()
     assert(rows.length == Tables(spark, sf, "documents").count())
     rows.take(50).foreach { r =>

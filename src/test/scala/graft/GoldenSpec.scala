@@ -44,7 +44,7 @@ class GoldenSpec extends SparkSpec {
     "doc_fingerprint" -> "280984398f9e7c82",
     "lang_id" -> "e2ba579ef125e687",
     "multimodal_decode" -> "1678f255bf444335",
-    "multimodal_featurize" -> "3fc42d67d5f6c339",
+    "multimodal_featurize" -> "baf9a6e7f6e21235",
     "multimodal_resize" -> "acb28d1f7a6116b6",
     "multimodal_frames" -> "bc086fa244396efd",
     "topk_cosine_lsh" -> "6f3730236d7d9f19",
