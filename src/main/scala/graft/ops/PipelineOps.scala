@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{QueryDef, Tables, Work}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-engineering operators every large-scale training pipeline needs
+  * beyond the query surface: deterministic sampling / train-eval-test
+  * splitting, and partition-pruned storage layout. Both are first-class
+  * citizens of the 100 TB posture — sampling must be reproducible across
+  * reruns and engines (no RNG), and a pruned scan is the difference
+  * between reading 100 TB and reading one partition.
+  */
+object PipelineOps {
+
+  /** Knuth multiplicative hash bucket in [0, 100) — pure 64-bit integer
+    * arithmetic, expressible identically in any engine (no RNG, no
+    * engine-specific hash function), so the oracle can reproduce the
+    * exact assignment. For key spaces where `key * 2654435761` could
+    * exceed 63 bits, pre-reduce the key (e.g. `key % 2^31`) on both
+    * sides; the testdata ids are far below that.
+    */
+  def hashBucket(key: Column): Column =
+    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(100L))
+
+  /** Deterministic sample + split assignment: every doc gets a stable
+    * bucket; buckets < 80 → train, < 90 → val, rest → test. The
+    * reference's label_split divides columns; this divides ROWS — the
+    * train/eval split step of a training-data pipeline. Per-row,
+    * shuffle-free, reproducible under retries and engine swaps.
+    */
+  val sampleSplit = QueryDef(
+    "sample_split_hash",
+    (s, dir) => {
+      val b = hashBucket(col("doc_id"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        b.as("bucket"),
+        when(b < 80, lit("train"))
+          .when(b < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    },
+    Some("""
+      SELECT doc_id,
+             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents"""))
+
+  /** Partition-pruned layout: write orders hive-partitioned by order
+    * year, then scan ONE partition back. The filter on the partition
+    * column never touches the other years' files (PartitionFilters in
+    * the scan node — asserted in PlanSpec); at 100 TB this is the
+    * standard date-partitioned fact-table layout where a year-scoped
+    * query reads only its slice.
+    */
+  val partitionedPrune = QueryDef(
+    "partitioned_prune_scan",
+    (s, dir) => {
+      val path = s"${Work.dir}/orders_by_year"
+      Work.clean(path)
+      Tables(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_year") === 1997)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997"""))
+
+  val all: Seq[QueryDef] = Seq(sampleSplit, partitionedPrune)
+}

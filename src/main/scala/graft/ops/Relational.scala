@@ -461,6 +461,29 @@ object Relational {
                             WHERE i.o_custkey = o.o_custkey)
       GROUP BY o_custkey"""))
 
+  /** NTILE bucketing — the ranking-window face beyond row_number (q5)
+    * and frames (q18): price quartiles within each order priority.
+    * Deterministic: total tie-break order, and NTILE's remainder
+    * distribution (first buckets get the extra rows) is the standard
+    * SQL definition both engines implement.
+    */
+  val q24Ntile = QueryDef(
+    "q24_ntile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("price_quartile"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey)
+               AS price_quartile
+      FROM orders"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -501,5 +524,5 @@ object Relational {
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
-    q22Cube, q23GroupingSets)
+    q22Cube, q23GroupingSets, q24Ntile)
 }

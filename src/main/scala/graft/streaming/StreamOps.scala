@@ -236,6 +236,51 @@ object StreamOps {
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
       FROM events"""))
 
+  /** Event-time interval join — click→purchase attribution: every
+    * purchase matched to the same user's clicks in the preceding hour.
+    * Batch face of a stream-stream join (the streaming twin with
+    * watermarks bounding both sides' state is witnessed in
+    * StreamingSpec over the V2 log source).
+    * Scale: equi-join keyed on user_id (one shuffle; both sides
+    * co-partition), the time predicate evaluated inside the join — the
+    * within-user pair count is bounded by the interval width, and in
+    * the streaming form the watermark evicts out-of-window state.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      windowUs: Long): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.tsu") > col("c.tsu") &&
+          col("p.tsu") <= col("c.tsu") + windowUs)
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"))
+
+  val streamIntervalJoin = QueryDef(
+    "stream_interval_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"))
+      intervalJoin(
+        clicks = ev.filter(col("event_type") === "click"),
+        purchases = ev.filter(col("event_type") === "purchase"),
+        windowUs = sessionGapUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_attributed"),
+          countDistinct(col("purchase_id")).as("n_purchases"))
+    },
+    Some("""
+      WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                 FROM events WHERE event_type = 'click'),
+           p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                 FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, count(*) AS n_attributed,
+             count(DISTINCT p.event_id) AS n_purchases
+      FROM c JOIN p ON c.user_id = p.user_id
+                   AND p.tsu > c.tsu AND p.tsu <= c.tsu + 3600000000
+      GROUP BY 1"""))
+
   /** Identity pass-through — the reference's user_define_operation that
     * returns its input unchanged (processor.py:62-64). */
   val identity = QueryDef(
@@ -245,5 +290,5 @@ object StreamOps {
 
   val all: Seq[QueryDef] =
     Seq(roundtrip, windowAgg, sessionize, sessionWindow, dedupExactlyOnce,
-      identity)
+      streamIntervalJoin, identity)
 }

@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
+  test("partitioned_prune_scan: the year filter prunes partitions at the scan") {
+    val s = planString(graft.ops.PipelineOps.partitionedPrune.fn(spark, sf))
+    assert(s.contains("PartitionFilters: ["), s.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(s).nonEmpty,
+      "expected the o_year predicate in PartitionFilters:\n" + s.take(2000))
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     val df = Tables(spark, sf, "embeddings")
       .selectExpr("CAST(embedding AS array<double>) AS e")

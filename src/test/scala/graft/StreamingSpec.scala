@@ -242,6 +242,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.distinct().count() == 200)
   }
 
+  test("stream-stream interval join with watermarks equals the batch face") {
+    val base = freshDir("streamintervaljoin")
+    val store = LogStore(base)
+    val ev = Tables(spark, sf, "events")
+    import org.apache.spark.sql.functions._
+    store.append(ev.filter(col("event_type") === "click"), "scope", "clicks")
+    store.append(ev.filter(col("event_type") === "purchase"), "scope", "buys")
+    def side(stream: String, prefix: String) =
+      store.readStream(spark, "scope", stream, StreamOps.eventSchema)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_t"))
+        .withWatermark(s"${prefix}_t", "10 minutes")
+    // inner stream-stream join: equi-key on user, event-time range
+    // bounding both sides' state (purchase within 1h after the click)
+    val joined = side("clicks", "c").join(side("buys", "p"),
+      expr("""c_user = p_user AND
+              p_t > c_t AND p_t <= c_t + INTERVAL 1 HOUR"""))
+    val q = joined.select("c_user", "c_id", "p_id")
+      .writeStream.format("json").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema("c_user LONG, c_id LONG, p_id LONG")
+      .json(s"$base/out")
+      .groupBy("c_user").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = StreamOps.streamIntervalJoin.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("flatMapGroupsWithState emits one row per session; counts match batch") {
     val sp = spark
     import sp.implicits._
