@@ -484,6 +484,56 @@ object Relational {
                AS price_quartile
       FROM orders"""))
 
+  /** Generator (UDTF) face: posexplode of the token array — one output
+    * row per (doc, position). Word frequency plus first-occurrence
+    * position witnesses both the value and the ordinal the generator
+    * emits. Scale: explode is pipelined (no shuffle of its own); the
+    * single shuffle is the word-keyed aggregate with map-side combine.
+    */
+  val q25Explode = QueryDef(
+    "q25_explode_wordcount",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"),
+          min(col("pos")).cast(LongType).as("first_pos")),
+    Some("""
+      WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+           e AS (SELECT unnest(ws) AS word,
+                        unnest(generate_series(1, len(ws))) AS pos
+                 FROM w)
+      SELECT word, count(*) AS n, min(pos) - 1 AS first_pos
+      FROM e WHERE word <> '' GROUP BY 1"""))
+
+  /** Exact interpolated percentiles (median + quartiles) per group.
+    * Inputs are integer cents and the interpolation fractions are
+    * exactly representable powers of two (.25/.5/.75), so quadrupling
+    * the result is exactly integral in both engines — hash-stable with
+    * no float boundary risk (same discipline as [[cents]]).
+    * Scale: sort-based aggregate within each of 5 groups; at 100 TB
+    * one swaps in approx_percentile (t-digest partials merge map-side)
+    * — witnessed by q15's sketch twin of q8.
+    */
+  val q26Percentile = QueryDef(
+    "q26_percentile",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(round(percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) * 4) AS BIGINT)").as("p25_x4"),
+          expr("CAST(round(percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) * 4) AS BIGINT)").as("median_x4"),
+          expr("CAST(round(percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) * 4) AS BIGINT)").as("p75_x4")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) * 4) AS BIGINT) AS p25_x4,
+             CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) * 4) AS BIGINT) AS median_x4,
+             CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) * 4) AS BIGINT) AS p75_x4
+      FROM orders GROUP BY 1"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -524,5 +574,5 @@ object Relational {
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
-    q22Cube, q23GroupingSets, q24Ntile)
+    q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile)
 }
