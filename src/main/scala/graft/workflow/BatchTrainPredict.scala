@@ -144,8 +144,13 @@ object BatchTrainPredict {
 
   /** workflow_e2e query: derive iris-shaped CSVs from the embeddings
     * table (4 leading dims, 3 labels), run the full pipeline, return the
-    * predictions the CSV sink wrote. Not SQL-expressible (registry +
-    * event edges) → rows-only check; semantics covered by WorkflowSpec.
+    * predictions the CSV sink wrote. The orchestration (registry, event
+    * edges, statement set) isn't SQL — but the VALUES it produces reduce
+    * to the KNN prediction itself, which is: the oracle replays the
+    * train/predict split and the k=5 vote in SQL. (Float CSV round-trips
+    * are exact — shortest-roundtrip formatting — and the engine's
+    * rid-based distance tie-break can only differ from the oracle's
+    * vec_id ordering on exact float distance ties, absent in this data.)
     */
   val e2e = QueryDef(
     "workflow_e2e",
@@ -168,7 +173,29 @@ object BatchTrainPredict {
       s.read.schema(StructType(Seq(StructField("prediction", FloatType))))
         .csv(cfg.predictOut)
     },
-    None)
+    Some("""
+      WITH e AS (SELECT vec_id,
+                        [CAST(CAST(embedding[1] AS FLOAT) AS DOUBLE),
+                         CAST(CAST(embedding[2] AS FLOAT) AS DOUBLE),
+                         CAST(CAST(embedding[3] AS FLOAT) AS DOUBLE),
+                         CAST(CAST(embedding[4] AS FLOAT) AS DOUBLE)] AS v,
+                        CAST(label % 3 AS INT) AS label
+                 FROM embeddings),
+           q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 5 = 0),
+           r AS (SELECT vec_id AS rid, v, label FROM e WHERE vec_id % 5 <> 0),
+           d AS (SELECT q.qid, r.rid, r.label, list_distance(q.v, r.v) AS dist
+                 FROM q CROSS JOIN r),
+           topk AS (SELECT qid, rid, label FROM
+                     (SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY dist, rid) AS rn FROM d)
+                    WHERE rn <= 5),
+           votes AS (SELECT qid, label, count(*) AS c
+                     FROM topk GROUP BY 1, 2),
+           pred AS (SELECT qid, label FROM
+                     (SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY c DESC, label) AS vr FROM votes)
+                    WHERE vr = 1)
+      SELECT CAST(label AS FLOAT) AS prediction FROM pred"""))
 
   val all: Seq[QueryDef] = Seq(e2e)
 }
