@@ -521,7 +521,84 @@ object Dedup {
       FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
       WHERE list_cosine_similarity(x.e, y.e) >= 0.99"""))
 
+  // --- end-to-end curation --------------------------------------------
+
+  /** The composed curation pipeline — what a training-data engine
+    * actually ships: quality gate → exact dedup (keep min doc_id per
+    * identical text) → near-dup clustering → keep one canonical doc
+    * per cluster. Input is the worst-case corpus: planted near-dups
+    * (+10M perturbed) AND planted exact copies (+20M on every 10th
+    * doc). Output = the curated doc_ids.
+    *
+    * Every stage is the scale shape already verified in isolation:
+    * per-row quality predicate (no shuffle), one groupBy for exact
+    * dedup (at 100 TB group on sha2(text), not the text itself — as
+    * [[exact]] does; here the text is the join payload so the oracle
+    * can replay it), inverted-index near-dup pairs, iterative
+    * min-label components. A doc with no shingles (< 4 words) is its
+    * own cluster and survives — [[connectedComponents]] attaches
+    * isolated nodes.
+    */
+  val curate = QueryDef(
+    "corpus_curate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = plantedCorpus(docs).unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      val t = TextAnalysis.tokens(col("text"))
+      val nTok = size(t)
+      val nStop = size(filter(t, w => w.isin(TextAnalysis.stopwords: _*)))
+      val good = corpus.filter(
+        nTok.between(10, 10000) && nStop * 20 >= nTok &&
+          length(col("text")) <= nTok * 15)
+      val exactKeep = good.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+      val labels = connectedComponents(
+        exactKeep.select("doc_id"),
+        jaccardPairs(shingleSets(exactKeep)).select("a", "b"))
+      // min-label propagation labels every cluster with its min doc_id,
+      // so the canonical survivors are exactly the fixed points
+      labels.filter(col("doc_id") === col("cluster")).select("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        $plantedCorpusSql
+        UNION ALL
+        SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 10 = 0),
+      good AS (
+        SELECT doc_id, text FROM corpus
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000
+          AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              w -> w IN (${TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")}))) * 20
+              >= len(regexp_split_to_array(trim(text), '\\s+'))
+          AND length(text) <= len(regexp_split_to_array(trim(text), '\\s+')) * 15),
+      ek AS (SELECT min(doc_id) AS doc_id, text FROM good GROUP BY text),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM ek)
+             WHERE len(ws) >= 4),
+      inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh),
+      edges AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        HAVING count(*) * 3 >= a.n + b.n),
+      und AS (SELECT a AS src, b AS dst FROM edges
+              UNION ALL SELECT b, a FROM edges),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM ek
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node),
+      lab AS (SELECT node AS doc_id, min(label) AS cluster
+              FROM reach GROUP BY 1)
+      SELECT doc_id FROM lab WHERE doc_id = cluster"""))
+
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup,
-      embeddingCosine, clusters, decontam)
+      embeddingCosine, clusters, decontam, curate)
 }
