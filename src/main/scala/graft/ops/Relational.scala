@@ -534,6 +534,54 @@ object Relational {
              CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) * 4) AS BIGINT) AS p75_x4
       FROM orders GROUP BY 1"""))
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE) through the raw-SQL escape
+    * hatch the reference exposes: a month-level date spine from min to
+    * max order date, LEFT JOINed to per-month order counts — the
+    * calendar-spine pattern that reports gaps as explicit zero rows.
+    * The max bound is threaded through the recursion as a column so the
+    * recursive term needs no subquery; depth = months spanned (~84),
+    * within Spark's default recursion limit. Scale: the spine is tiny
+    * at any SF; the only real work is one month-keyed aggregate.
+    */
+  val q27DateSpine = QueryDef(
+    "q27_date_spine",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_orders_rec")
+      s.sql("""
+        WITH RECURSIVE months(m, mx) AS (
+          SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE),
+                 CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
+          FROM graft_orders_rec
+          UNION ALL
+          SELECT add_months(m, 1), mx FROM months WHERE m < mx),
+        per_order AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS om,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM graft_orders_rec)
+        SELECT date_format(m.m, 'yyyy-MM') AS month,
+               count(per_order.om) AS n_orders,
+               coalesce(sum(per_order.cents), 0L) AS total_cents
+        FROM months m LEFT JOIN per_order ON per_order.om = m.m
+        GROUP BY 1""")
+    },
+    Some("""
+      WITH RECURSIVE months(m, mx) AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx
+        FROM months WHERE m < mx),
+      per_order AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT strftime(m.m, '%Y-%m') AS month,
+             count(per_order.om) AS n_orders,
+             CAST(coalesce(sum(per_order.cents), 0) AS BIGINT) AS total_cents
+      FROM months m LEFT JOIN per_order ON per_order.om = m.m
+      GROUP BY 1"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -574,5 +622,6 @@ object Relational {
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
-    q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile)
+    q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
+    q27DateSpine)
 }
