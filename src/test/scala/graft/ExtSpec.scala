@@ -230,4 +230,53 @@ class ExtSpec extends SparkSpec {
     val windows = (len + 63) / 64
     assert(n == (windows + 1) / 2)
   }
+
+  // --- embedding preprocessing + curation -----------------------------
+
+  test("int8 quantization bounds per-component error by half a step") {
+    import org.apache.spark.sql.types._
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val joined = emb
+      .join(SparkEntry.queries("embedding_quantize_int8")(spark, sf), "vec_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val scale = r.getLong(2) / 1e6
+      val qs = r.getString(3).split(",").map(_.toLong)
+      assert(qs.length == e.length)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      e.zip(qs).foreach { case (x, v) =>
+        assert(math.abs(v * scale / 127 - x) <= scale / 127 / 2 + 1e-6,
+          s"vec ${r.getLong(0)}: $x quantized to $v at scale $scale")
+      }
+    }
+  }
+
+  test("normalized embeddings are unit length at the pinned resolution") {
+    val rows = SparkEntry.queries("embedding_normalize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getString(1).split(",").map(_.toLong / 1e6)
+      val n = math.sqrt(u.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"vec ${r.getLong(0)} norm $n")
+    }
+  }
+
+  test("corpus_curate output is exact- and near-dup free, nonempty") {
+    val docs = Tables(spark, sf, "documents")
+    val corpus = Dedup.plantedCorpus(docs).unionAll(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+    val kept = SparkEntry.queries("corpus_curate")(spark, sf)
+    val keptDocs = corpus.join(kept, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0)
+    // every exact-copy group collapsed: texts are unique
+    assert(keptDocs.select("text").distinct().count() == nKept)
+    // pairwise near-dup free at the curation threshold: components keep
+    // one doc each, and cross-component pairs have no edge by definition
+    assert(Dedup.jaccardPairs(Dedup.shingleSets(keptDocs)).count() == 0)
+  }
 }
