@@ -35,6 +35,35 @@ class StreamingSpec extends SparkSpec {
       .count() == 20)
   }
 
+  test("foreachBatch fans one micro-batch out to two sinks (streaming statement set)") {
+    val base = freshDir("foreachbatch")
+    val store = LogStore(base)
+    import org.apache.spark.sql.functions._
+    store.append(Tables(spark, sf, "events"), "scope", "s_fb")
+    // the streaming twin of the reference's multi-sink StatementSet
+    // (processor.py:73,89,278): one persisted batch frame, two inserts —
+    // the source micro-batch is scanned once, not once per sink
+    val q = store.readStream(spark, "scope", "s_fb", StreamOps.eventSchema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(col("event_type") === "click")
+            .write.mode("append").json(s"$base/clicks")
+          b.filter(col("event_type") =!= "click")
+            .write.mode("append").json(s"$base/rest")
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val total = Tables(spark, sf, "events").count()
+    val clicks = spark.read.schema(StreamOps.eventSchema).json(s"$base/clicks").count()
+    val rest = spark.read.schema(StreamOps.eventSchema).json(s"$base/rest").count()
+    assert(clicks > 0 && rest > 0 && clicks + rest == total,
+      s"clicks=$clicks rest=$rest total=$total")
+  }
+
   test("streaming read twin equals bounded read") {
     val base = freshDir("streamread")
     val store = LogStore(base)
