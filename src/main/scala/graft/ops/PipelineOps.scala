@@ -73,5 +73,60 @@ object PipelineOps {
       FROM orders
       WHERE EXTRACT(YEAR FROM o_orderdate) = 1997"""))
 
-  val all: Seq[QueryDef] = Seq(sampleSplit, partitionedPrune)
+  /** Stratified sampling: per-class keep rates (10% / 50% / 100% by
+    * label residue) applied through the same deterministic hash bucket —
+    * downsample over-represented classes, keep rare ones whole. Per-row
+    * and shuffle-free like [[sampleSplit]]; rates are data-independent
+    * so the sample composition is stable under retries and engine swaps.
+    */
+  val sampleStratified = QueryDef(
+    "sample_stratified",
+    (s, dir) => {
+      val rate = when(col("label") % 3 === 0, 10)
+        .when(col("label") % 3 === 1, 50)
+        .otherwise(100)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .filter(hashBucket(col("vec_id")) < rate)
+    },
+    Some("""
+      SELECT vec_id, label FROM embeddings
+      WHERE ((vec_id * 2654435761) % 4294967296) % 100 <
+            CASE WHEN label % 3 = 0 THEN 10
+                 WHEN label % 3 = 1 THEN 50
+                 ELSE 100 END"""))
+
+  /** Class-cap rebalancing: keep at most N rows per label, chosen by a
+    * deterministic pseudo-random order (the hash bucket, then id) — the
+    * "cap each class at N examples" step of dataset balancing, with a
+    * selection that is reproducible and engine-portable (no RNG, no
+    * first-N-encountered nondeterminism).
+    * Scale: one shuffle on label; for extreme-cardinality classes the
+    * row_number window becomes the bounded-heap top-k aggregate
+    * (functions/TopKAggregate.scala) — same contract, no full sort.
+    */
+  val sampleClassCap = QueryDef(
+    "sample_class_cap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 20
+      val w = Window.partitionBy("label")
+        .orderBy(hashBucket(col("vec_id")).asc, col("vec_id").asc)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .select("vec_id", "label")
+    },
+    Some("""
+      SELECT vec_id, label FROM
+        (SELECT vec_id, label,
+                row_number() OVER (PARTITION BY label
+                  ORDER BY ((vec_id * 2654435761) % 4294967296) % 100,
+                           vec_id) AS rn
+         FROM embeddings)
+      WHERE rn <= 20"""))
+
+  val all: Seq[QueryDef] =
+    Seq(sampleSplit, sampleStratified, sampleClassCap, partitionedPrune)
 }
