@@ -147,6 +147,7 @@ final class Workflow(val spark: SparkSession, workdir: String) {
 
   private val jobs = mutable.LinkedHashMap.empty[String, ExecutionContext => Unit]
   private val jobRuns = mutable.ArrayBuffer.empty[String]
+  @volatile private var stopped = false
 
   def job(name: String, config: Map[String, String] = Map.empty)(
       body: ExecutionContext => Unit): Unit =
@@ -165,10 +166,21 @@ final class Workflow(val spark: SparkSession, workdir: String) {
 
   private def ctx0 = ExecutionContext(spark, registry, bus, store, Map.empty)
 
-  private def runJob(name: String): Unit = {
+  private def runJob(name: String): Unit = if (!stopped) {
     jobRuns += name
     jobs(name)(ctx0)
     bus.publish(Events.JobFinished, name)
+  }
+
+  /** Stop this workflow's executions — the reference's
+    * stop_all_workflow_executions (workflow.py:122): pending control
+    * edges no longer fire (events drain without starting jobs) and any
+    * streaming queries on the session are stopped. A subsequent
+    * [[run]] re-arms the workflow (submit → start_new, workflow.py:124-126).
+    */
+  def stopAll(): Unit = {
+    stopped = true
+    spark.streams.active.foreach(_.stop())
   }
 
   /** Start `job` when `upstream` reaches FINISHED (workflow.py:114). */
@@ -185,6 +197,7 @@ final class Workflow(val spark: SparkSession, workdir: String) {
     * rest synchronously through the bus.
     */
   def run(entryJobs: Seq[String]): Seq[String] = {
+    stopped = false
     entryJobs.foreach(runJob)
     jobRuns.toSeq
   }

@@ -108,4 +108,17 @@ class WorkflowSpec extends SparkSpec {
     assert(fresh.getArtifactByName(cfg.artifactName).isDefined)
     assert(fresh.getDataset("nonexistent").isEmpty)
   }
+
+  test("stopAll halts control-edge cascading; run() re-arms (stop_all analog)") {
+    val cfg = mkFixtures(s"${Work.dir}/test_wf_stop")
+    val wf = new graft.workflow.Workflow(spark, cfg.workdir)
+    BTP.build(wf, cfg)
+    wf.stopAll()
+    // a stopped workflow ignores event-driven starts
+    wf.bus.publish(graft.workflow.Events.JobFinished, "datagen")
+    assert(wf.ranJobs.isEmpty, "control edge fired on a stopped workflow")
+    // a new execution re-arms and the full cascade runs
+    wf.run(Seq("datagen"))
+    assert(wf.ranJobs == Seq("datagen", "train", "validate", "predict"))
+  }
 }
