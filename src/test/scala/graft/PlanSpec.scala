@@ -100,6 +100,24 @@ class PlanSpec extends SparkSpec {
       "expected the o_year predicate in PartitionFilters:\n" + s.take(2000))
   }
 
+  test("hash-split sampling and embedding preprocessing plan shuffle-free") {
+    Seq(graft.ops.PipelineOps.sampleSplit,
+        graft.ext.Embeddings.normalize,
+        graft.ext.Embeddings.quantizeInt8).foreach { q =>
+      val s = planString(q.fn(spark, sf))
+      assert(!s.contains("Exchange"),
+        s"${q.name} must be a pure per-row projection, found a shuffle:\n" +
+          s.take(1500))
+    }
+  }
+
+  test("q25: generator aggregate is two-phase with map-side combine") {
+    val s = planString(Relational.q25Explode.fn(spark, sf))
+    assert(s.contains("Generate"), "expected a Generate (posexplode) node")
+    // partial + final aggregation around the single word-key shuffle
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(1500))
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     val df = Tables(spark, sf, "embeddings")
       .selectExpr("CAST(embedding AS array<double>) AS e")
