@@ -582,6 +582,56 @@ object Relational {
       FROM months m LEFT JOIN per_order ON per_order.om = m.m
       GROUP BY 1"""))
 
+  /** Single-pass table profiling — the data-quality monitoring face of
+    * a pipeline: row count, domain cardinality, value ranges, null
+    * counts, date span, in ONE scan (all aggregates share the pass;
+    * map-side partials make shuffle volume O(partitions)).
+    */
+  val q28Profile = QueryDef(
+    "q28_profile",
+    (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        min(cents(col("l_extendedprice"))).as("min_price_cents"),
+        max(cents(col("l_extendedprice"))).as("max_price_cents"),
+        sum(col("l_quantity").isNull.cast(LongType)).as("n_null_qty"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship")),
+    Some("""
+      SELECT count(*) AS n_rows,
+             count(DISTINCT l_returnflag) AS n_flags,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
+             max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
+             strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+             strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+      FROM lineitem"""))
+
+  /** UNPIVOT (melt) — the inverse of q20's PIVOT: a wide
+    * per-status-column frame back to (priority, status, total) long
+    * form. Null cells (absent combinations) are dropped on both sides,
+    * so the oracle is simply the plain two-key aggregate.
+    */
+  val q29Unpivot = QueryDef(
+    "q29_unpivot",
+    (s, dir) => {
+      val wide = Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(cents(col("o_totalprice"))))
+      wide.unpivot(
+        ids = Array(col("o_orderpriority")),
+        values = Array(col("O"), col("F"), col("P")),
+        variableColumnName = "status",
+        valueColumnName = "total_cents")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus AS status,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      GROUP BY 1, 2"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -623,5 +673,5 @@ object Relational {
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
-    q27DateSpine)
+    q27DateSpine, q28Profile, q29Unpivot)
 }
