@@ -384,6 +384,43 @@ object Dedup {
       JOIN (SELECT * FROM inv WHERE doc_id % 10 <> 0) tr ON t.sh = tr.sh
       GROUP BY 1"""))
 
+  /** Line-level dedup signal (the C4/RefinedWeb "line dedup" step at
+    * sentence granularity): per doc, how many of its sentences also
+    * appear in ANOTHER doc. Pipelines drop or trim docs dominated by
+    * shared boilerplate. Runs on the planted corpus so sharing is
+    * non-trivial (a perturbed copy shares every sentence but the last).
+    * Scale: one shuffle on the sentence (at 100 TB: on sha2(sentence) —
+    * 32-byte keys), one on doc_id; both with map-side combine.
+    */
+  val lineDedup = QueryDef(
+    "dedup_lines",
+    (s, dir) => {
+      val sent = plantedCorpus(Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+        .filter(length(trim(col("sent"))) > 0)
+        // a sentence repeated WITHIN a doc counts once toward sharing
+        .distinct()
+      val df_ = sent.groupBy("sent")
+        .agg(count(lit(1)).as("df")) // post-distinct: count = distinct docs
+      sent.join(df_, "sent")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sents"),
+          sum((col("df") > 1).cast(LongType)).as("n_shared_sents"))
+    },
+    Some(s"""
+      WITH corpus AS ($plantedCorpusSql),
+      sent AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(text, '\\. ')) AS s
+          FROM corpus)
+        WHERE length(trim(s)) > 0),
+      dfs AS (SELECT s, count(*) AS df FROM sent GROUP BY 1)
+      SELECT doc_id, count(*) AS n_sents,
+             CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_sents
+      FROM sent JOIN dfs USING (s)
+      GROUP BY 1"""))
+
   // --- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash per doc from token-frequency-weighted token hashes:
@@ -600,5 +637,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup,
-      embeddingCosine, clusters, decontam, curate)
+      embeddingCosine, clusters, decontam, curate, lineDedup)
 }
