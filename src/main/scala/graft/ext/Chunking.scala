@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Chunking and packing — the two steps between a curated corpus and a
+  * training/embedding batch:
+  *
+  *  - [[chunk]]: split each document into overlapping fixed-size token
+  *    windows (the chunking step before embedding or retrieval
+  *    indexing). Per-row generate: pipelined, no shuffle.
+  *  - [[pack]]: assign documents to fixed-token-budget context bins by
+  *    a running token count (pretraining concatenate-and-split
+  *    packing). Packing is inherently sequential, so it runs PER SHARD:
+  *    one window partition per shard = parallel across shards, exact
+  *    within a shard — the shape real pipelines use (pack within
+  *    worker shard, never a global order).
+  */
+object Chunking {
+
+  val ChunkTokens = 32
+  val ChunkStride = 24 // 8-token overlap
+  val ContextTokens = 512
+  val Shards = 8
+
+  /** One row per (doc, chunk): overlapping token windows; a doc at or
+    * under the window size yields exactly one chunk. Chunk k covers
+    * tokens [k·stride, k·stride + size); the last chunk may be short
+    * but always reaches the document's end.
+    */
+  val chunk = QueryDef(
+    "chunk_documents",
+    (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") > 0)
+        .withColumn("n_chunks",
+          when(col("n") <= ChunkTokens, lit(1L))
+            .otherwise(ceil((col("n") - lit(ChunkTokens)) / lit(ChunkStride.toDouble))
+              .cast(LongType) + 1L))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("ws"),
+            (col("chunk_idx") * ChunkStride + 1).cast(IntegerType),
+            lit(ChunkTokens)), " ").as("chunk_text"),
+          least(col("n") - col("chunk_idx") * ChunkStride,
+            lit(ChunkTokens.toLong)).as("n_chunk_tokens"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS ws,
+                        len(regexp_split_to_array(trim(text), '\\s+')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, ws, n,
+                   CASE WHEN n <= $ChunkTokens THEN 1
+                        ELSE CAST(ceil((n - $ChunkTokens) / ${ChunkStride.toDouble}) AS BIGINT) + 1
+                   END AS n_chunks
+            FROM d WHERE n > 0),
+      e AS (SELECT doc_id, ws, n,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+            FROM c)
+      SELECT doc_id, chunk_idx,
+             array_to_string(
+               ws[CAST(chunk_idx * $ChunkStride + 1 AS BIGINT)
+                  : CAST(chunk_idx * $ChunkStride + $ChunkTokens AS BIGINT)],
+               ' ') AS chunk_text,
+             least(n - chunk_idx * $ChunkStride,
+                   $ChunkTokens) AS n_chunk_tokens
+      FROM e"""))
+
+  /** Concatenate-and-split packing per shard: each doc lands at a
+    * running token offset within its shard; the context bin is
+    * offset div budget (docs may straddle bin boundaries — exactly the
+    * pretraining concatenation semantics). Deterministic: shard and
+    * order are functions of doc_id alone.
+    */
+  val pack = QueryDef(
+    "pack_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextAnalysis.tokens(col("text"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % Shards).as("shard"),
+          size(toks).cast(LongType).as("n_tokens"))
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          (col("end_off") - col("n_tokens")).as("start_off"),
+          // floor-div on both sides: a raw double division CAST would
+          // truncate here but ROUND in DuckDB
+          floor((col("end_off") - col("n_tokens")) / ContextTokens)
+            .cast(LongType).as("bin"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, doc_id % $Shards AS shard,
+                        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                          AS n_tokens
+                 FROM documents),
+      o AS (SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS BIGINT) AS start_off
+            FROM d)
+      SELECT doc_id, shard, n_tokens, start_off,
+             CAST(floor(start_off / ${ContextTokens.toDouble}) AS BIGINT) AS bin
+      FROM o"""))
+
+  val all: Seq[QueryDef] = Seq(chunk, pack)
+}

@@ -279,4 +279,27 @@ class ExtSpec extends SparkSpec {
     // one doc each, and cross-component pairs have no edge by definition
     assert(Dedup.jaccardPairs(Dedup.shingleSets(keptDocs)).count() == 0)
   }
+
+  test("chunking covers every document end-to-end with stride overlap") {
+    import graft.ext.Chunking.{ChunkStride, ChunkTokens}
+    val chunks = SparkEntry.queries("chunk_documents")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1)
+    val nTokens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      // chunk k starts at k*stride; the furthest end must hit n exactly
+      assert(cs.map { case (_, k, len) => k * ChunkStride + len }.max == n,
+        s"doc $doc: chunks do not reach token $n")
+      assert(cs.forall(_._3 >= 1))
+      // consecutive chunks overlap by size - stride
+      val idxs = cs.map(_._2).sorted
+      assert(idxs.head == 0 && idxs.last == idxs.length - 1,
+        s"doc $doc: chunk indices not contiguous")
+      if (idxs.length > 1) assert(ChunkTokens > ChunkStride)
+    }
+  }
 }
