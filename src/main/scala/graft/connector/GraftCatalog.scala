@@ -1,0 +1,93 @@
+package graft.connector
+
+import java.util
+
+import graft.registry.Registry
+import graft.workflow.EventBus
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark `TableCatalog` over the metadata registry — the catalog face
+  * of the reference's register-then-resolve dataset pattern
+  * (af.register_dataset, workflow.py:42-44; SURVEY.md §1.1 item 4):
+  * a dataset registered with format `stream` resolves BY SQL NAME to
+  * the DataSource V2 log table, so
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graftcat.workdir", workdir)
+  *   spark.sql("SELECT * FROM graftcat.train_stream")       // bounded
+  *   spark.readStream.table("graftcat.train_stream")        // streaming
+  * }}}
+  *
+  * both plan through the same connector (BATCH_READ /
+  * MICRO_BATCH_READ). DDL is metadata-only, exactly like the
+  * reference's registry: CREATE TABLE registers a dataset (uri/format
+  * from table properties), DROP TABLE unregisters it; neither touches
+  * stream data. File-format datasets (csv/parquet) keep the DataFrame
+  * API path — this catalog exposes the stream store.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var registry: Registry = _
+  private var workdir: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    workdir = Option(options.get("workdir")).getOrElse(
+      sys.error(s"catalog $name requires option 'workdir' " +
+        s"(spark.sql.catalog.$name.workdir)"))
+    registry = new Registry(workdir, new EventBus)
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    registry.listDatasets
+      .map(d => Identifier.of(namespace, d.name)).toArray
+
+  override def loadTable(ident: Identifier): Table =
+    registry.getDataset(ident.name()) match {
+      case Some(meta) if meta.format == "stream" =>
+        new LogTable(s"$workdir/streams/${meta.uri}")
+      case Some(meta) =>
+        throw new UnsupportedOperationException(
+          s"dataset '${ident.name()}' has format '${meta.format}'; the " +
+            "catalog resolves stream datasets — read file datasets via " +
+            s"spark.read.format(\"${meta.format}\").load(\"${meta.uri}\")")
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (registry.getDataset(ident.name()).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val uri = Option(properties.get("uri")).getOrElse(
+      sys.error("CREATE TABLE requires TBLPROPERTIES('uri'='scope/stream')"))
+    val format = Option(properties.get("format")).getOrElse("stream")
+    registry.registerDataset(ident.name(), format, uri)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft datasets are immutable metadata; drop and re-create")
+
+  override def dropTable(ident: Identifier): Boolean =
+    registry.removeDataset(ident.name())
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val meta = registry.getDataset(oldIdent.name())
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    if (registry.getDataset(newIdent.name()).isDefined)
+      throw new TableAlreadyExistsException(newIdent)
+    registry.registerDataset(newIdent.name(), meta.format, meta.uri)
+    registry.removeDataset(oldIdent.name()): Unit
+  }
+}

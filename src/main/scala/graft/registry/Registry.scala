@@ -47,6 +47,14 @@ final class Registry(workdir: String, val bus: EventBus) {
 
   def getDataset(name: String): Option[DatasetMeta] = datasets.get(name)
 
+  def listDatasets: Seq[DatasetMeta] = datasets.values.toSeq
+
+  def removeDataset(name: String): Boolean = {
+    val existed = datasets.remove(name).isDefined
+    if (existed) persist()
+    existed
+  }
+
   // --- models (af.register_model / register_model_version /
   //     update_model_version, workflow.py:77-78, processor.py:138,170) --
 

@@ -1,0 +1,69 @@
+package graft
+
+import graft.connector.{GraftCatalog, LogStore}
+import graft.registry.Registry
+import graft.streaming.StreamOps
+import graft.workflow.EventBus
+import org.apache.spark.sql.streaming.Trigger
+
+/** The catalog face of register-then-resolve: datasets registered in
+  * the metadata registry resolve by SQL name through GraftCatalog to
+  * the DataSource V2 log table — bounded SQL, streaming reads, and
+  * metadata-only DDL.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private lazy val wd: String = {
+    val d = s"${Work.dir}/test_catalog"
+    Work.clean(d)
+    val reg = new Registry(d, new EventBus)
+    val store = LogStore(s"$d/streams")
+    store.append(Tables(spark, sf, "events").limit(100), "scope", "ev")
+    reg.registerDataset("ev_stream", "stream", "scope/ev")
+    reg.registerDataset("plain_csv", "csv", "/tmp/nonexistent.csv")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.workdir", d)
+    d
+  }
+
+  test("registered stream dataset resolves by SQL name (bounded)") {
+    wd: Unit
+    assert(spark.sql("SELECT count(*) FROM graftcat.ev_stream")
+      .collect().head.getLong(0) == 100)
+  }
+
+  test("the same catalog name serves a streaming read") {
+    val ckpt = s"$wd/ckpt_cat"
+    val q = spark.readStream.table("graftcat.ev_stream")
+      .writeStream.format("memory").queryName("t_cat_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t_cat_stream").count() == 100)
+  }
+
+  test("DDL is metadata-only: CREATE registers, DROP unregisters") {
+    wd: Unit
+    spark.sql("CREATE TABLE graftcat.ev_alias (value STRING) " +
+      "TBLPROPERTIES('format'='stream','uri'='scope/ev')")
+    assert(spark.sql("SELECT count(*) FROM graftcat.ev_alias")
+      .collect().head.getLong(0) == 100)
+    // the registration is durable: a fresh registry instance sees it
+    val fresh = new Registry(wd, new EventBus)
+    assert(fresh.getDataset("ev_alias").exists(_.uri == "scope/ev"))
+    spark.sql("DROP TABLE graftcat.ev_alias")
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graftcat.ev_alias").collect())
+      .getMessage.toLowerCase.contains("table"))
+    // stream data untouched by the metadata DDL
+    assert(spark.sql("SELECT count(*) FROM graftcat.ev_stream")
+      .collect().head.getLong(0) == 100)
+  }
+
+  test("file-format datasets point users at the DataFrame API") {
+    wd: Unit
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graftcat.plain_csv").collect())
+    assert(e.getMessage.contains("spark.read.format"))
+  }
+}
