@@ -3,10 +3,11 @@ package graft.connector
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,13 +64,92 @@ object LogSourceV2 {
   }
 }
 
-final class LogTable(path: String) extends Table with SupportsRead {
+final class LogTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlog(`$path`)"
   override def schema(): StructType = LogSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder { override def build(): Scan = new LogScan(path) }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new LogBatchWrite(path, info.queryId())
+      }
+    }
+}
+
+/** V2 batch append with a two-phase commit: tasks write dot-prefixed
+  * temp files (invisible to [[LogSourceV2.listSegments]]), the driver's
+  * commit renames the committed tasks' files into visible segments —
+  * readers never observe a partial write, task retries/speculation
+  * leave only the one committed attempt, and abort deletes the temps.
+  * This is the `INSERT INTO` face of the log store; the DataFrame
+  * `append` keeps the built-in text sink (same commit discipline via
+  * Spark's file commit protocol).
+  */
+final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    LogWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LogCommitMessage(tmp, fin) if tmp.nonEmpty =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(fin),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      case _ => ()
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LogCommitMessage(tmp, _) if tmp.nonEmpty =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)): Unit
+      case _ => ()
+    }
+}
+
+final case class LogCommitMessage(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+final case class LogWriterFactory(path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      // lazily created: an empty partition commits no segment
+      private var out: java.io.Writer = _
+      private var tmp: java.nio.file.Path = _
+      private val fin = java.nio.file.Paths.get(path,
+        s"segment-$queryId-$partitionId-$taskId.json")
+
+      override def write(record: InternalRow): Unit = {
+        if (out == null) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+          tmp = java.nio.file.Paths.get(path,
+            s".tmp-$queryId-$partitionId-$taskId")
+          out = java.nio.file.Files.newBufferedWriter(tmp,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        out.write(record.getUTF8String(0).toString)
+        out.write('\n')
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out == null) LogCommitMessage("", "")
+        else { out.close(); LogCommitMessage(tmp.toString, fin.toString) }
+      }
+
+      override def abort(): Unit = if (out != null) {
+        out.close()
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 final class LogScan(path: String) extends Scan {

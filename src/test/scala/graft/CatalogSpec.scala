@@ -60,6 +60,27 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 100)
   }
 
+  test("INSERT INTO appends through the V2 two-phase-commit write") {
+    wd: Unit
+    spark.sql("CREATE TABLE graftcat.ev_sink (value STRING) " +
+      "TBLPROPERTIES('format'='stream','uri'='scope/ev_sink')")
+    spark.sql("""INSERT INTO graftcat.ev_sink
+                 SELECT value FROM graftcat.ev_stream""")
+    assert(spark.sql("SELECT count(*) FROM graftcat.ev_sink")
+      .collect().head.getLong(0) == 100)
+    // appends accumulate (append-only log semantics)
+    spark.sql("INSERT INTO graftcat.ev_sink VALUES ('{\"event_id\":-1}')")
+    assert(spark.sql("SELECT count(*) FROM graftcat.ev_sink")
+      .collect().head.getLong(0) == 101)
+    // no temp files linger after commit
+    val dir = new java.io.File(s"$wd/streams/scope/ev_sink")
+    assert(dir.listFiles().forall(!_.getName.startsWith(".tmp-")))
+    // the engine's own bounded reader sees the inserted rows
+    val store = LogStore(s"$wd/streams")
+    assert(store.readBounded(spark, "scope", "ev_sink",
+      StreamOps.eventSchema).count() == 101)
+  }
+
   test("file-format datasets point users at the DataFrame API") {
     wd: Unit
     val e = intercept[Exception](
