@@ -127,6 +127,38 @@ object PipelineOps {
          FROM embeddings)
       WHERE rn <= 20"""))
 
+  /** Schema evolution: two parquet batches with drifted schemas (a
+    * column dropped, two added) under one partitioned root, read back
+    * with mergeSchema — the unified view a long-lived ingestion table
+    * needs as producers evolve. Absent columns surface as NULLs; the
+    * partition column tags provenance. Scale: merge happens at footer/
+    * planning time (schemas, not data); the scan stays parallel.
+    */
+  val schemaEvolution = QueryDef(
+    "schema_evolution",
+    (s, dir) => {
+      val base = s"${Work.dir}/schema_evo"
+      Work.clean(base)
+      val nation = Tables(s, dir, "nation")
+      nation.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$base/batch=1")
+      nation.select(col("n_nationkey"), col("n_regionkey"),
+          lit("ingest-v2").as("source"))
+        .write.mode("overwrite").parquet(s"$base/batch=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .select("n_nationkey", "n_name", "n_regionkey", "source", "batch")
+    },
+    Some("""
+      SELECT n_nationkey, n_name,
+             CAST(NULL AS INT) AS n_regionkey,
+             CAST(NULL AS VARCHAR) AS source, 1 AS batch
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey,
+             'ingest-v2', 2
+      FROM nation"""))
+
   val all: Seq[QueryDef] =
-    Seq(sampleSplit, sampleStratified, sampleClassCap, partitionedPrune)
+    Seq(sampleSplit, sampleStratified, sampleClassCap, partitionedPrune,
+      schemaEvolution)
 }
