@@ -96,6 +96,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("inverted-index jaccard pairs equal brute force on random corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val doc = Gen.chooseNum(2, 10).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 15).flatMap(n => Gen.listOfN(n, doc))
+    samples(corpusGen, 5).foreach { docs =>
+      val sp = spark
+      import sp.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Dedup.jaccardPairs(graft.ext.Dedup.shingleSets(df))
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 4) Set.empty
+        else w.sliding(4).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map(shingles)
+      val want = (for {
+        i <- docs.indices; j <- docs.indices
+        if i < j && sh(i).nonEmpty && sh(j).nonEmpty &&
+          3 * (sh(i) & sh(j)).size >= sh(i).size + sh(j).size
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
   test("top-k heap treats NaN as worse than every finite score") {
     val buf = new TopKBuffer(3)
     buf.insert(Double.NaN, 1L, 0)
