@@ -1,0 +1,89 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import scala.jdk.CollectionConverters._
+
+/** One completed action's execution profile, read from the physical
+  * plan's own metrics. */
+final case class QueryMetric(
+    action: String,
+    durationMs: Long,
+    scanRows: Long,
+    shuffleBytes: Long,
+    failed: Boolean)
+
+/** Pipeline observability: a QueryExecutionListener that profiles every
+  * completed action from the executed plan's metrics — rows scanned at
+  * the sources and bytes through shuffle exchanges, the two numbers a
+  * 100 TB operator actually watches (is pruning working? which stage
+  * moves the data?). Passive: reads the metrics Spark already
+  * maintains, adds no instrumentation to the hot path.
+  *
+  * {{{
+  *   val m = GraftMetrics.install(spark)
+  *   // ... run pipeline ...
+  *   m.snapshot.foreach(println)   // or m.clear() between stages
+  * }}}
+  */
+final class GraftMetrics private () extends QueryExecutionListener {
+
+  private val buf = new ConcurrentLinkedQueue[QueryMetric]
+
+  /** The final physical tree: AQE hides the live plan behind
+    * AdaptiveSparkPlanExec; unwrap it (and any nested adaptive
+    * subtrees) so metric collection sees the executed operators. */
+  private def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+    // materialized AQE stages are leaves wrapping their real subtree
+    case q: QueryStageExec => q +: unwrap(q.plan)
+    case r: ReusedExchangeExec => r +: unwrap(r.child)
+    case other => other +: other.children.flatMap(unwrap)
+  }
+
+  private def metricSum(plans: Seq[SparkPlan], nodeContains: String,
+      metricKeys: Set[String]): Long =
+    plans.filter(_.nodeName.contains(nodeContains))
+      .flatMap(_.metrics.collect {
+        case (k, m) if metricKeys(k) => math.max(0L, m.value)
+      })
+      .sum
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit = {
+    val plans = unwrap(qe.executedPlan)
+    buf.add(QueryMetric(
+      action = funcName,
+      durationMs = durationNs / 1000000L,
+      scanRows = metricSum(plans, "Scan", Set("numOutputRows")),
+      shuffleBytes = metricSum(plans, "Exchange",
+        Set("dataSize", "shuffleBytesWritten")),
+      failed = false)): Unit
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit =
+    buf.add(QueryMetric(funcName, 0L, 0L, 0L, failed = true)): Unit
+
+  def snapshot: Seq[QueryMetric] = buf.iterator().asScala.toSeq
+
+  def clear(): Unit = buf.clear()
+}
+
+object GraftMetrics {
+  /** Install a fresh listener on the session and return it. */
+  def install(spark: SparkSession): GraftMetrics = {
+    val m = new GraftMetrics
+    spark.listenerManager.register(m)
+    m
+  }
+
+  def uninstall(spark: SparkSession, m: GraftMetrics): Unit =
+    spark.listenerManager.unregister(m)
+}

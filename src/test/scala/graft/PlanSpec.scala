@@ -118,6 +118,24 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(1500))
   }
 
+  test("metrics listener profiles scans and shuffles of a completed action") {
+    val gm = graft.ops.GraftMetrics.install(spark)
+    try {
+      val n = Tables(spark, sf, "orders")
+        .groupBy("o_orderpriority").count().collect().length
+      assert(n > 0)
+      // listener callbacks are async; poll until the bus delivers
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (gm.snapshot.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val metrics = gm.snapshot.filter(!_.failed)
+      assert(metrics.nonEmpty, "no metrics captured")
+      val last = metrics.last
+      assert(last.scanRows > 0, s"scanRows=${last.scanRows}")
+      assert(last.shuffleBytes > 0, s"shuffleBytes=${last.shuffleBytes}")
+    } finally graft.ops.GraftMetrics.uninstall(spark, gm)
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     val df = Tables(spark, sf, "embeddings")
       .selectExpr("CAST(embedding AS array<double>) AS e")
