@@ -632,6 +632,65 @@ object Relational {
       FROM orders
       GROUP BY 1, 2"""))
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics dimension
+    * a plain equi-join silently drops. Keys made nullable via nullif
+    * (residue 5 → NULL) so the case is actually exercised.
+    */
+  val q30NullSafeJoin = QueryDef(
+    "q30_null_safe_join",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(nullif(col("o_custkey") % 10, lit(5)).as("bucket"),
+          col("o_totalprice"))
+      val dim = o.select(col("bucket")).distinct()
+        .withColumn("bucket_name",
+          coalesce(col("bucket").cast(StringType), lit("unknown")))
+      o.join(dim, o("bucket") <=> dim("bucket"))
+        .groupBy("bucket_name")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+    },
+    Some("""
+      WITH o AS (SELECT nullif(o_custkey % 10, 5) AS bucket, o_totalprice
+                 FROM orders),
+           dim AS (SELECT bucket,
+                          coalesce(CAST(bucket AS VARCHAR), 'unknown')
+                            AS bucket_name
+                   FROM (SELECT DISTINCT bucket FROM o))
+      SELECT bucket_name, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM o JOIN dim ON o.bucket IS NOT DISTINCT FROM dim.bucket
+      GROUP BY 1"""))
+
+  /** RANGE window frame: the running sum includes all PEERS of the
+    * current order date (every row with the same date), unlike q18's
+    * ROWS frame which cuts between peers — the frame-semantics pair
+    * every SQL engine must distinguish.
+    */
+  val q31RangeFrame = QueryDef(
+    "q31_range_frame",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority").orderBy("od")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast(DateType).as("od"),
+          cents(col("o_totalprice")).as("c"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          sum(col("c")).over(w).as("running_cents"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority
+                     ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
+      FROM orders"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -673,5 +732,5 @@ object Relational {
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
-    q27DateSpine, q28Profile, q29Unpivot)
+    q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame)
 }
