@@ -158,7 +158,56 @@ object PipelineOps {
              'ingest-v2', 2
       FROM nation"""))
 
+  /** 16-bit × 16-bit Morton (Z-order) interleave: bit i of x lands at
+    * position 2i, bit i of y at 2i+1 — pure integer arithmetic, so the
+    * oracle reproduces it exactly. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zValueSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order layout: cluster rows along a Morton curve over two key
+    * dimensions, then range-partition + sort by the z-value at write.
+    * Each output file then covers a small rectangle in (x, y) space, so
+    * min/max file skipping prunes on EITHER dimension — the multi-
+    * dimensional generalization of [[partitionedPrune]]'s single-column
+    * layout (what table formats call OPTIMIZE ZORDER). The clustering
+    * effect (per-file spans ≪ global span on both dims) is asserted in
+    * PlanSpec. The query output is the z-values themselves, oracle-
+    * checked as exact integer arithmetic.
+    */
+  val zorderLayout = QueryDef(
+    "zorder_layout",
+    (s, dir) => {
+      val path = s"${Work.dir}/orders_zorder"
+      Work.clean(path)
+      // equal 7-bit widths on both dims (fully populated at every SF): z-order clusters only when the
+      // interleaved dimensions have comparable bit widths (a wider dim's
+      // high bits would otherwise own the top of every z-range)
+      val keyed = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_custkey") % 128).as("x"),
+        (col("o_orderkey") % 128).as("y"))
+        .withColumn("z", zValue(col("x"), col("y")))
+      keyed.repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).select("o_orderkey", "x", "y", "z")
+    },
+    Some(s"""
+      SELECT o_orderkey,
+             o_custkey % 128 AS x,
+             o_orderkey % 128 AS y,
+             ${zValueSql("(o_custkey % 128)", "(o_orderkey % 128)")} AS z
+      FROM orders"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, sampleClassCap, partitionedPrune,
-      schemaEvolution)
+      schemaEvolution, zorderLayout)
 }

@@ -118,6 +118,30 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(1500))
   }
 
+  test("z-order layout clusters both dimensions into tight per-file ranges") {
+    import org.apache.spark.sql.functions._
+    graft.ops.PipelineOps.zorderLayout.fn(spark, sf).collect() // write files
+    val files = spark.read.parquet(s"${Work.dir}/orders_zorder")
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xspan"),
+        (max(col("y")) - min(col("y"))).as("yspan"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 10) // span is meaningless for near-empty files
+      .collect()
+    assert(files.length > 1, "expected multiple z-sorted files")
+    val global = spark.read.parquet(s"${Work.dir}/orders_zorder")
+      .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+      .collect().head
+    val (gx, gy) = (global.getLong(0), global.getLong(1))
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.length
+    // a z-sorted file covers a small rectangle: average span well under
+    // the global span on BOTH dims (an x-only sort would leave y wide)
+    assert(avg(files.map(_.getLong(1)).toSeq) < gx * 0.7,
+      s"x spans not clustered: ${files.map(_.getLong(1)).mkString(",")} vs $gx")
+    assert(avg(files.map(_.getLong(2)).toSeq) < gy * 0.7,
+      s"y spans not clustered: ${files.map(_.getLong(2)).mkString(",")} vs $gy")
+  }
+
   test("metrics listener profiles scans and shuffles of a completed action") {
     val gm = graft.ops.GraftMetrics.install(spark)
     try {
