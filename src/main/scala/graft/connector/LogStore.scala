@@ -70,6 +70,41 @@ final case class LogStore(baseDir: String) {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Compact a stream's segments into `target` merged segments — the
+    * small-files maintenance every log/stream store needs (thousands of
+    * tiny appends → scan overhead dominated by file metadata). Contents
+    * are byte-identical lines, only the file layout changes: merged
+    * segments are written to a hidden scratch dir (invisible to
+    * readers), the old segments removed, the merged ones renamed in.
+    * NOT concurrency-safe with a live streaming reader whose offsets
+    * name the old segment files — run in a maintenance window, like any
+    * log-store compaction.
+    */
+  def compact(spark: SparkSession, scope: String, stream: String,
+      target: Int = 1): Unit = {
+    require(target > 0)
+    val dir = path(scope, stream)
+    val segs = LogSourceV2.listSegments(dir)
+    if (segs.size <= target) return
+    val tmp = s"$dir/.compact-tmp"
+    // the write action fully materializes the read before anything is
+    // deleted; dot-prefixed scratch is invisible to Spark file listings
+    spark.read.text(dir).coalesce(target)
+      .write.mode(SaveMode.Overwrite).text(tmp)
+    val merged = LogSourceV2.listSegments(tmp)
+    segs.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    merged.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(f),
+        java.nio.file.Paths.get(dir, s"compacted-$i-${merged.size}")): Unit
+    }
+    // clear scratch (now only _SUCCESS markers and empty dirs)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+  }
+
   private def encode(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
 

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
       s"clicks=$clicks rest=$rest total=$total")
   }
 
+  test("compaction merges segments; contents and counts are unchanged") {
+    val store = LogStore(freshDir("compact"))
+    val ev = Tables(spark, sf, "events").limit(60)
+    store.append(ev, "scope", "c1")
+    store.append(ev, "scope", "c1")
+    store.append(ev, "scope", "c1")
+    val dir = store.path("scope", "c1")
+    val before = graft.connector.LogSourceV2.listSegments(dir)
+    assert(before.size > 2, s"expected many segments, got ${before.size}")
+    val rowsBefore = store.readBounded(spark, "scope", "c1", StreamOps.eventSchema)
+      .groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    store.compact(spark, "scope", "c1", target = 2)
+    val after = graft.connector.LogSourceV2.listSegments(dir)
+    assert(after.size == 2, s"expected 2 segments, got ${after.size}")
+    val rowsAfter = store.readBounded(spark, "scope", "c1", StreamOps.eventSchema)
+      .groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowsAfter == rowsBefore)
+    // idempotent at the target size
+    store.compact(spark, "scope", "c1", target = 2)
+    assert(graft.connector.LogSourceV2.listSegments(dir).size == 2)
+  }
+
   test("streaming read twin equals bounded read") {
     val base = freshDir("streamread")
     val store = LogStore(base)
