@@ -576,28 +576,35 @@ object Dedup {
     * own cluster and survives — [[connectedComponents]] attaches
     * isolated nodes.
     */
+  /** Library face of the curation pipeline: (doc_id, text) corpus in,
+    * curated doc_ids out. Stages: per-row quality gate → exact dedup
+    * (keep min doc_id per identical text) → near-dup clustering →
+    * fixed-point filter (min-label propagation labels every cluster
+    * with its min doc_id, so the canonical survivors are exactly the
+    * rows whose label is themselves). */
+  def curateCorpus(corpus: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val nTok = size(t)
+    val nStop = size(filter(t, w => w.isin(TextAnalysis.stopwords: _*)))
+    val good = corpus.filter(
+      nTok.between(10, 10000) && nStop * 20 >= nTok &&
+        length(col("text")) <= nTok * 15)
+    val exactKeep = good.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    val labels = connectedComponents(
+      exactKeep.select("doc_id"),
+      jaccardPairs(shingleSets(exactKeep)).select("a", "b"))
+    labels.filter(col("doc_id") === col("cluster")).select("doc_id")
+  }
+
   val curate = QueryDef(
     "corpus_curate",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val corpus = plantedCorpus(docs).unionAll(
+      curateCorpus(plantedCorpus(docs).unionAll(
         docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
-      val t = TextAnalysis.tokens(col("text"))
-      val nTok = size(t)
-      val nStop = size(filter(t, w => w.isin(TextAnalysis.stopwords: _*)))
-      val good = corpus.filter(
-        nTok.between(10, 10000) && nStop * 20 >= nTok &&
-          length(col("text")) <= nTok * 15)
-      val exactKeep = good.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id", "text")
-      val labels = connectedComponents(
-        exactKeep.select("doc_id"),
-        jaccardPairs(shingleSets(exactKeep)).select("a", "b"))
-      // min-label propagation labels every cluster with its min doc_id,
-      // so the canonical survivors are exactly the fixed points
-      labels.filter(col("doc_id") === col("cluster")).select("doc_id")
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))))
     },
     Some(s"""
       WITH RECURSIVE corpus AS (

@@ -44,4 +44,22 @@ class KnnSpec extends SparkSpec {
     assert(row.getLong(0) == correct)
     assert(row.getLong(1) == q.count())
   }
+
+  test("spark.ml Pipeline face agrees with predictDistributed bit-for-bit") {
+    import org.apache.spark.ml.Pipeline
+    import graft.ml.KnnClassifier
+    val (q, r) = Knn.split(spark, sf)
+    val train = r.select(col("rid").as("id"), col("rvec").as("features"),
+      col("label"))
+    val test = q.select(col("qid").as("id"), col("qvec").as("features"))
+    val pipeline = new Pipeline().setStages(Array(
+      new KnnClassifier().setK(5)))
+    val fitted = pipeline.fit(train)
+    val got = fitted.transform(test)
+      .select(col("id"), col("prediction"))
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    val want = Knn.predictDistributed(q, r, 5)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(got == want)
+  }
 }
