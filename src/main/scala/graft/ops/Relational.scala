@@ -691,6 +691,43 @@ object Relational {
                AS BIGINT) AS running_cents
       FROM orders"""))
 
+  /** FULL OUTER join — the last join flavor in the matrix (inner q3/q4,
+    * semi/anti q9, left q27, null-safe q30, interval/asof/range
+    * elsewhere): two deliberately mismatched key sets, summarized by
+    * side presence. Scale: same single hash shuffle as an inner join;
+    * unmatched rows stream through with nulls.
+    */
+  val q32FullOuter = QueryDef(
+    "q32_full_outer",
+    (s, dir) => {
+      val a = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k")).distinct()
+      val b = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 3 === 0)
+        .select(col("o_custkey").as("k2")).distinct()
+      a.join(b, col("k") === col("k2"), "full_outer")
+        .agg(
+          sum((col("k").isNotNull && col("k2").isNotNull).cast(LongType))
+            .as("n_both"),
+          sum((col("k").isNotNull && col("k2").isNull).cast(LongType))
+            .as("n_left_only"),
+          sum((col("k").isNull && col("k2").isNotNull).cast(LongType))
+            .as("n_right_only"))
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer
+                 WHERE c_custkey % 2 = 0),
+           b AS (SELECT DISTINCT o_custkey AS k2 FROM orders
+                 WHERE o_custkey % 3 = 0)
+      SELECT CAST(sum(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN k IS NOT NULL AND k2 IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+             CAST(sum(CASE WHEN k IS NULL AND k2 IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+      FROM a FULL OUTER JOIN b ON a.k = b.k2"""))
+
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
     * partitions) regardless of cardinality. No DuckDB oracle (its
@@ -732,5 +769,6 @@ object Relational {
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
-    q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame)
+    q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
+    q32FullOuter)
 }
