@@ -87,3 +87,56 @@ object GraftMetrics {
   def uninstall(spark: SparkSession, m: GraftMetrics): Unit =
     spark.listenerManager.unregister(m)
 }
+
+/** One micro-batch's progress snapshot. */
+final case class BatchProgress(
+    queryName: String,
+    batchId: Long,
+    inputRows: Long,
+    processedRowsPerSecond: Double,
+    stateRows: Long,
+    watermark: String)
+
+/** Streaming twin of [[GraftMetrics]]: per-micro-batch progress —
+  * input volume, throughput, stateful-operator state size, and the
+  * event-time watermark. State size is the number to alarm on in a
+  * long-running streaming pipeline (a watermark that stops advancing
+  * shows up here as monotonically growing stateRows).
+  */
+final class GraftStreamingMetrics private ()
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  private val buf = new ConcurrentLinkedQueue[BatchProgress]
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    buf.add(BatchProgress(
+      queryName = Option(p.name).getOrElse(p.id.toString),
+      batchId = p.batchId,
+      inputRows = p.numInputRows,
+      processedRowsPerSecond = p.processedRowsPerSecond,
+      stateRows = p.stateOperators.map(_.numRowsTotal).sum,
+      watermark = Option(p.eventTime.get("watermark")).getOrElse(""))): Unit
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  def snapshot: Seq[BatchProgress] = buf.iterator().asScala.toSeq
+
+  def clear(): Unit = buf.clear()
+}
+
+object GraftStreamingMetrics {
+  def install(spark: SparkSession): GraftStreamingMetrics = {
+    val m = new GraftStreamingMetrics
+    spark.streams.addListener(m)
+    m
+  }
+
+  def uninstall(spark: SparkSession, m: GraftStreamingMetrics): Unit =
+    spark.streams.removeListener(m)
+}

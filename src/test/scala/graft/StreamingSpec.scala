@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSpec {
     assert(graft.connector.LogSourceV2.listSegments(dir).size == 2)
   }
 
+  test("streaming metrics listener records batch progress and state size") {
+    val base = freshDir("streammetrics")
+    val store = LogStore(base)
+    import org.apache.spark.sql.functions._
+    val gm = graft.ops.GraftStreamingMetrics.install(spark)
+    try {
+      store.append(Tables(spark, sf, "events"), "scope", "sm")
+      val q = StreamOps.windowAggStream(spark, store, "scope", "sm",
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (gm.snapshot.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val progress = gm.snapshot
+      assert(progress.nonEmpty, "no batch progress captured")
+      val total = Tables(spark, sf, "events").count()
+      assert(progress.map(_.inputRows).sum == total,
+        s"progress rows ${progress.map(_.inputRows).sum} != $total")
+      // the windowed aggregate is stateful: some batch must report state
+      assert(progress.exists(_.stateRows > 0),
+        s"no state rows in ${progress.take(5)}")
+    } finally graft.ops.GraftStreamingMetrics.uninstall(spark, gm)
+  }
+
   test("streaming read twin equals bounded read") {
     val base = freshDir("streamread")
     val store = LogStore(base)
