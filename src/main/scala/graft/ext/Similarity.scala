@@ -206,5 +206,53 @@ object Similarity {
     },
     None) // approximate: recall asserted against brute force in tests
 
-  val all: Seq[QueryDef] = Seq(topkCosine, topkLsh, topkIvf)
+  /** Hard-negative mining — contrastive-training data prep: for each
+    * query, the k most-similar references with a DIFFERENT label (the
+    * confusable impostors a contrastive or reranker objective trains
+    * against). Same bounded-heap shape as [[bruteForceTopK]] with the
+    * label-mismatch predicate inside the join; at 100 TB the candidate
+    * stage swaps to the LSH/IVF bucketed paths unchanged.
+    */
+  def hardNegatives(queries: DataFrame, refs: DataFrame, k: Int): DataFrame =
+    queries.crossJoin(broadcast(refs))
+      .filter(col("qlabel") =!= col("rlabel"))
+      .select(col("qid"), col("rid"),
+        (-Dedup.cosine(col("qe"), col("re"))).as("negcos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        col("negcos"), col("rid"), lit(0), k).as("top"))
+      .select(col("qid"), posexplode(col("top.id")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("neg_rid"))
+
+  val mineHardNegatives = QueryDef(
+    "mine_hard_negatives",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("label").as("qlabel"))
+      val r = emb.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("rid"), col("e").as("re"),
+          col("label").as("rlabel"))
+      hardNegatives(q, r, k = 3)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e,
+                        label AS qlabel
+                 FROM embeddings WHERE vec_id % 10 = 0),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e,
+                        label AS rlabel
+                 FROM embeddings WHERE vec_id % 10 <> 0),
+           d AS (SELECT qid, rid,
+                        list_cosine_similarity(q.e, r.e) AS cos
+                 FROM q CROSS JOIN r WHERE qlabel <> rlabel)
+      SELECT qid, rank, rid AS neg_rid FROM
+        (SELECT qid, rid, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, rid) AS rank FROM d)
+      WHERE rank <= 3"""))
+
+  val all: Seq[QueryDef] =
+    Seq(topkCosine, topkLsh, topkIvf, mineHardNegatives)
 }
