@@ -142,6 +142,13 @@ class PlanSpec extends SparkSpec {
       s"y spans not clustered: ${files.map(_.getLong(2)).mkString(",")} vs $gy")
   }
 
+  test("full outer join plans as an equi-join, never a nested loop") {
+    val s = planString(Relational.q32FullOuter.fn(spark, sf))
+    assert(s.contains("FullOuter"), s.take(1500))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "full outer must hash/merge on the key:\n" + s.take(1500))
+  }
+
   test("metrics listener profiles scans and shuffles of a completed action") {
     val gm = graft.ops.GraftMetrics.install(spark)
     try {
