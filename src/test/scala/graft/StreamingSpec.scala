@@ -320,6 +320,82 @@ class StreamingSpec extends SparkSpec {
     assert(got.distinct().count() == 200)
   }
 
+  test("dropDuplicatesWithinWatermark dedups with bounded key state") {
+    val base = freshDir("streamdedupww")
+    val store = LogStore(base)
+    val events = Tables(spark, sf, "events").limit(200)
+    store.append(events, "scope", "s11")
+    store.append(events, "scope", "s11")
+    import org.apache.spark.sql.functions._
+    // the 3.5+ API: state for a key is dropped once the watermark passes
+    // it, so duplicate delivery is only guarded within the lateness
+    // bound — the semantics a real at-least-once producer needs, with
+    // state that cannot grow beyond the watermark window
+    val q = store.readStream(spark, "scope", "s11", StreamOps.eventSchema)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+      .writeStream.format("json").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema("event_id LONG").json(s"$base/out")
+    assert(got.count() == 200, "each event exactly once within the bound")
+    assert(got.distinct().count() == 200)
+  }
+
+  test("left-outer stream-stream join emits unmatched rows after the watermark") {
+    val base = freshDir("streamleftouter")
+    val store = LogStore(base)
+    val ev = Tables(spark, sf, "events")
+    import org.apache.spark.sql.functions._
+    store.append(ev.filter(col("event_type") === "click"), "scope", "lclicks")
+    store.append(ev.filter(col("event_type") === "purchase"), "scope", "lbuys")
+    def side(stream: String, prefix: String) =
+      store.readStream(spark, "scope", stream, StreamOps.eventSchema)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_t"))
+        .withWatermark(s"${prefix}_t", "10 minutes")
+    val joined = side("lclicks", "c").join(side("lbuys", "p"),
+      expr("""c_user = p_user AND
+              p_t > c_t AND p_t <= c_t + INTERVAL 1 HOUR"""),
+      "left_outer")
+    val q = joined.select("c_id", "p_id")
+      .writeStream.format("json").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema("c_id LONG, p_id LONG").json(s"$base/out")
+    // expected output, derived from the batch face: matched pairs are
+    // emitted as they join; an unmatched click flushes with NULL only
+    // once the GLOBAL watermark (min over both inputs, minus the 10 min
+    // bound) passes the end of its match window — clicks near the end
+    // of the timeline legitimately stay in state at query end
+    val evu = ev.select(col("event_id"), col("user_id"),
+      col("event_type"), expr("ts div 1000").as("tsu"))
+    val clicks = evu.filter(col("event_type") === "click")
+    val buys = evu.filter(col("event_type") === "purchase")
+    val pairs = clicks.alias("c").join(buys.alias("p"),
+      col("c.user_id") === col("p.user_id") &&
+        col("p.tsu") > col("c.tsu") &&
+        col("p.tsu") <= col("c.tsu") + StreamOps.sessionGapUs)
+    val matchedIds = pairs.select(col("c.event_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gwm = math.min(
+      clicks.agg(max("tsu")).collect().head.getLong(0),
+      buys.agg(max("tsu")).collect().head.getLong(0)) - 600000000L
+    val flushedUnmatched = clicks
+      .filter(!col("event_id").isInCollection(matchedIds.toSeq) &&
+        col("tsu") + StreamOps.sessionGapUs < gwm)
+      .count()
+    assert(got.filter(col("p_id").isNotNull).count() == pairs.count())
+    assert(got.filter(col("p_id").isNull).count() == flushedUnmatched)
+    assert(flushedUnmatched > 0, "expected some flushed unmatched clicks")
+  }
+
   test("stream-stream interval join with watermarks equals the batch face") {
     val base = freshDir("streamintervaljoin")
     val store = LogStore(base)
