@@ -167,15 +167,67 @@ object Similarity {
 
   val IvfProbes = 4
 
-  /** IVF: coarse centroids = every 16th reference vector (deterministic
-    * stand-in for k-means at test scale); every ref is assigned to its
-    * nearest centroid (the inverted file); a query probes its nprobe
-    * nearest centroids' lists only. Scale: the centroid set is
-    * broadcast; the probe is an equi-join on centroid id.
+  /** Lloyd-iteration k-means over the reference set — the real coarse
+    * quantizer for IVF (replacing the every-16th stand-in when cluster
+    * quality matters). Deterministic: init = first k refs in rid order,
+    * ties keep the lowest centroid id. Per iteration: one broadcast
+    * assignment pass + one (cid, dim)-keyed mean — both scale shapes
+    * (the centroid set is k×dim, always driver/broadcast-sized).
+    * Bit-level reproducibility across partitionings is NOT claimed
+    * (float mean order varies); centroids only steer candidate
+    * generation — exactness lives in the verify/re-rank stage.
     */
-  def ivfTopK(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
-    val centroids = refs.filter(col("rid") % 16 === 0)
-      .select(col("rid").as("cid"), col("re").as("ce"))
+  def kmeansCentroids(refs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val spark = refs.sparkSession
+    var cents: Array[Array[Double]] = refs.orderBy("rid").limit(k)
+      .select("re").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val nearest = udf { (v: Seq[Double]) =>
+        val a = v.toArray
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < bc.value.length) {
+          val c = bc.value(ci)
+          var s = 0.0
+          var i = 0
+          while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+          if (s < bestD) { best = ci; bestD = s } // ties keep lowest ci
+          ci += 1
+        }
+        best
+      }
+      val moved = refs.select(nearest(col("re")).as("cid"),
+          posexplode(col("re")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m")).as("ce"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .toMap
+      // a centroid that lost every member keeps its position
+      cents = cents.indices.map(i => moved.getOrElse(i, cents(i))).toArray
+    }
+    val sp = spark
+    import sp.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("cid", "ce")
+  }
+
+  /** IVF: coarse centroids (every 16th reference vector as the
+    * deterministic default; pass [[kmeansCentroids]] output for the
+    * trained quantizer); every ref is assigned to its nearest centroid
+    * (the inverted file); a query probes its nprobe nearest centroids'
+    * lists only. Scale: the centroid set is broadcast; the probe is an
+    * equi-join on centroid id.
+    */
+  def ivfTopK(queries: DataFrame, refs: DataFrame, k: Int,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      refs.filter(col("rid") % 16 === 0)
+        .select(col("rid").as("cid"), col("re").as("ce")))
     // invert: nearest centroid per reference vector
     val wAssign = Window.partitionBy("rid").orderBy(col("cdist").asc, col("cid").asc)
     val assigned = refs.crossJoin(broadcast(centroids))

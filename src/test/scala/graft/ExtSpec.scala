@@ -150,6 +150,14 @@ class ExtSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
     val rec = recallVsBrute(approx, brute)
     assert(rec > 0.3, s"IVF recall $rec too low")
+    // trained coarse quantizer: Lloyd k-means centroids must do at
+    // least as well as the naive every-16th stand-in (same probe count
+    // over better-shaped cells)
+    val trained = Similarity.kmeansCentroids(r, k = 24, iters = 3)
+    val approxKm = Similarity.ivfTopK(q, r, Similarity.K, Some(trained))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val recKm = recallVsBrute(approxKm, brute)
+    assert(recKm >= rec - 0.05, s"k-means IVF recall $recKm worse than naive $rec")
   }
 
   test("bounded-heap top-k equals window top-k, row for row") {
