@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -152,9 +152,21 @@ final case class LogWriterFactory(path: String, queryId: String)
     }
 }
 
-final class LogScan(path: String) extends Scan {
+final class LogScan(path: String) extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = LogSourceV2.schema
   override def description(): String = s"graft log scan of $path"
+
+  /** Size statistics from segment file lengths — lets the planner make
+    * broadcast decisions for small streams read through the V2 path
+    * (a stats-less V2 table defaults to "huge", never broadcast). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = LogSourceV2.listSegments(path)
+      .map(f => new java.io.File(f).length()).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =

@@ -4,6 +4,7 @@ import graft.connector.{GraftCatalog, LogStore}
 import graft.registry.Registry
 import graft.streaming.StreamOps
 import graft.workflow.EventBus
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** The catalog face of register-then-resolve: datasets registered in
@@ -79,6 +80,20 @@ class CatalogSpec extends SparkSpec {
     val store = LogStore(s"$wd/streams")
     assert(store.readBounded(spark, "scope", "ev_sink",
       StreamOps.eventSchema).count() == 101)
+  }
+
+  test("V2 scan reports size statistics; a small stream auto-broadcasts") {
+    wd: Unit
+    val big = Tables(spark, sf, "events")
+      .select(col("event_id").cast("string").as("value"))
+    val joined = big.join(spark.table("graftcat.ev_stream"), Seq("value"),
+      "left_semi")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "expected the 100-row V2 stream table on the broadcast side:\n" +
+        plan.take(1500))
   }
 
   test("file-format datasets point users at the DataFrame API") {
