@@ -33,7 +33,6 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
-  private var registry: Registry = _
   private var workdir: String = _
 
   override def initialize(name: String,
@@ -42,8 +41,15 @@ class GraftCatalog extends TableCatalog {
     workdir = Option(options.get("workdir")).getOrElse(
       sys.error(s"catalog $name requires option 'workdir' " +
         s"(spark.sql.catalog.$name.workdir)"))
-    registry = new Registry(workdir, new EventBus)
   }
+
+  /** A fresh view of registry.json per operation: registrations made
+    * by other Registry instances (e.g. a running workflow) are visible
+    * immediately, and catalog DDL persists on top of the CURRENT file
+    * state instead of an initialize-time snapshot (which would silently
+    * erase concurrent registrations). Metadata-scale I/O — one small
+    * JSON file. */
+  private def registry: Registry = new Registry(workdir, new EventBus)
 
   override def name(): String = catalogName
 
@@ -66,12 +72,20 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (registry.getDataset(ident.name()).isDefined)
+    val reg = registry
+    if (reg.getDataset(ident.name()).isDefined)
       throw new TableAlreadyExistsException(ident)
     val uri = Option(properties.get("uri")).getOrElse(
       sys.error("CREATE TABLE requires TBLPROPERTIES('uri'='scope/stream')"))
     val format = Option(properties.get("format")).getOrElse("stream")
-    registry.registerDataset(ident.name(), format, uri)
+    // validate BEFORE registering — a failed CREATE must not leave a
+    // durable registry entry behind
+    if (format != "stream")
+      throw new UnsupportedOperationException(
+        s"the catalog creates stream datasets; '$format' datasets are " +
+          "registered via Registry.registerDataset and read with the " +
+          "DataFrame API")
+    reg.registerDataset(ident.name(), format, uri)
     loadTable(ident)
   }
 
@@ -83,11 +97,12 @@ class GraftCatalog extends TableCatalog {
     registry.removeDataset(ident.name())
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val meta = registry.getDataset(oldIdent.name())
+    val reg = registry
+    val meta = reg.getDataset(oldIdent.name())
       .getOrElse(throw new NoSuchTableException(oldIdent))
-    if (registry.getDataset(newIdent.name()).isDefined)
+    if (reg.getDataset(newIdent.name()).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    registry.registerDataset(newIdent.name(), meta.format, meta.uri)
-    registry.removeDataset(oldIdent.name()): Unit
+    reg.registerDataset(newIdent.name(), meta.format, meta.uri)
+    reg.removeDataset(oldIdent.name()): Unit
   }
 }

@@ -134,7 +134,11 @@ final case class LogWriterFactory(path: String, queryId: String)
           out = java.nio.file.Files.newBufferedWriter(tmp,
             java.nio.charset.StandardCharsets.UTF_8)
         }
-        out.write(record.getUTF8String(0).toString)
+        // the schema's value column is nullable: a NULL payload round-
+        // trips as the JSON literal `null` (from_json decodes it to a
+        // null struct), never an NPE
+        val v = record.getUTF8String(0)
+        out.write(if (v == null) "null" else v.toString)
         out.write('\n')
       }
 

@@ -92,11 +92,17 @@ final case class LogStore(baseDir: String) {
     spark.read.text(dir).coalesce(target)
       .write.mode(SaveMode.Overwrite).text(tmp)
     val merged = LogSourceV2.listSegments(tmp)
-    segs.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    // rename the merged segments IN before deleting the olds: a crash
+    // in between leaves transient duplication (at-least-once, the log
+    // contract), never data loss — the delete-first order would strand
+    // the only copy in the hidden scratch dir. Nanotime-suffixed names
+    // cannot collide with prior compactions' survivors.
+    val stamp = System.nanoTime()
     merged.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(java.nio.file.Paths.get(f),
-        java.nio.file.Paths.get(dir, s"compacted-$i-${merged.size}")): Unit
+        java.nio.file.Paths.get(dir, s"compacted-$stamp-$i")): Unit
     }
+    segs.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
     // clear scratch (now only _SUCCESS markers and empty dirs)
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles()).foreach(_.foreach(rm))

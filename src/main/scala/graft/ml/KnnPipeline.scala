@@ -76,8 +76,10 @@ final class KnnClassifierModel private[ml] (
       col($(featuresCol)).cast(ArrayType(DoubleType)).as("qvec"))
     val preds = Knn.predictDistributed(queries, refs, $(k))
       .withColumnRenamed("pred_label", "prediction")
+    // left join: a transform must preserve its input rows — a row that
+    // gets no prediction keeps a null, it does not silently vanish
     dataset.toDF().join(preds,
-      dataset($(idCol)).cast(LongType) === preds("qid"))
+      dataset($(idCol)).cast(LongType) === preds("qid"), "left")
       .drop("qid")
   }
 

@@ -43,7 +43,9 @@ final class GraftMetrics private () extends QueryExecutionListener {
     case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
     // materialized AQE stages are leaves wrapping their real subtree
     case q: QueryStageExec => q +: unwrap(q.plan)
-    case r: ReusedExchangeExec => r +: unwrap(r.child)
+    // a reused exchange POINTS at a subtree that executed once and
+    // shares its metric objects — descending would double-count it
+    case r: ReusedExchangeExec => Seq(r)
     case other => other +: other.children.flatMap(unwrap)
   }
 
@@ -62,8 +64,12 @@ final class GraftMetrics private () extends QueryExecutionListener {
       action = funcName,
       durationMs = durationNs / 1000000L,
       scanRows = metricSum(plans, "Scan", Set("numOutputRows")),
+      // shuffleBytesWritten alone: it exists only on shuffle exchanges
+      // (broadcast exchanges carry dataSize, which is not shuffle
+      // volume), and summing dataSize too would count each shuffle
+      // roughly twice
       shuffleBytes = metricSum(plans, "Exchange",
-        Set("dataSize", "shuffleBytesWritten")),
+        Set("shuffleBytesWritten")),
       failed = false)): Unit
   }
 

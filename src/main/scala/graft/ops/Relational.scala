@@ -610,8 +610,9 @@ object Relational {
 
   /** UNPIVOT (melt) — the inverse of q20's PIVOT: a wide
     * per-status-column frame back to (priority, status, total) long
-    * form. Null cells (absent combinations) are dropped on both sides,
-    * so the oracle is simply the plain two-key aggregate.
+    * form. Spark's unpivot KEEPS null cells (absent combinations), so
+    * they are filtered explicitly — the oracle's plain two-key
+    * aggregate never produces them.
     */
   val q29Unpivot = QueryDef(
     "q29_unpivot",
@@ -625,6 +626,7 @@ object Relational {
         values = Array(col("O"), col("F"), col("P")),
         variableColumnName = "status",
         valueColumnName = "total_cents")
+        .filter(col("total_cents").isNotNull)
     },
     Some("""
       SELECT o_orderpriority, o_orderstatus AS status,

@@ -174,14 +174,15 @@ final class Workflow(val spark: SparkSession, workdir: String) {
 
   /** Stop this workflow's executions — the reference's
     * stop_all_workflow_executions (workflow.py:122): pending control
-    * edges no longer fire (events drain without starting jobs) and any
-    * streaming queries on the session are stopped. A subsequent
-    * [[run]] re-arms the workflow (submit → start_new, workflow.py:124-126).
+    * edges no longer fire (events drain without starting jobs). A
+    * subsequent [[run]] re-arms the workflow (submit → start_new,
+    * workflow.py:124-126). Scope is THIS workflow only — streaming
+    * queries on the (possibly shared) session belong to whoever
+    * started them; this workflow's own jobs are synchronous, so
+    * suppressing the control edges is a complete stop.
     */
-  def stopAll(): Unit = {
+  def stopAll(): Unit =
     stopped = true
-    spark.streams.active.foreach(_.stop())
-  }
 
   /** Start `job` when `upstream` reaches FINISHED (workflow.py:114). */
   def actionOnJobStatus(job: String, upstream: String): Unit =
