@@ -45,10 +45,12 @@ class GraftCatalog extends TableCatalog {
 
   /** A fresh view of registry.json per operation: registrations made
     * by other Registry instances (e.g. a running workflow) are visible
-    * immediately, and catalog DDL persists on top of the CURRENT file
-    * state instead of an initialize-time snapshot (which would silently
-    * erase concurrent registrations). Metadata-scale I/O — one small
-    * JSON file. */
+    * to catalog READS immediately. DDL is still an unlocked
+    * read-modify-write of the file — a registration landing between a
+    * DDL op's load and its persist is lost (last-writer-wins), so DDL
+    * assumes a single metadata writer at a time, exactly like the
+    * file-backed Registry itself. Metadata-scale I/O — one small JSON
+    * file per op. */
   private def registry: Registry = new Registry(workdir, new EventBus)
 
   override def name(): String = catalogName
@@ -72,6 +74,16 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // the log table's schema is fixed (value STRING) and unpartitioned;
+    // a DDL declaring anything else must fail here, loudly — not on a
+    // later SELECT of a column that never existed
+    if (schema.nonEmpty && schema != LogSourceV2.schema)
+      throw new UnsupportedOperationException(
+        "graft stream tables have the fixed schema (value STRING); " +
+          s"declared ${schema.simpleString} cannot be honored")
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft stream tables are unpartitioned")
     val reg = registry
     if (reg.getDataset(ident.name()).isDefined)
       throw new TableAlreadyExistsException(ident)

@@ -30,10 +30,19 @@ final case class LogStore(baseDir: String) {
     encode(df).write.mode(SaveMode.Append).text(path(scope, stream))
 
   /** Bounded scan of everything currently in the stream — the reference's
-    * batch scan of a Pravega stream (processor.py:93-114, 202-225). */
+    * batch scan of a Pravega stream (processor.py:93-114, 202-225).
+    * Reads the explicit segment list (same visibility rule as the V2
+    * reader): a directory-path read would resolve a `_spark_metadata`
+    * commit log left by [[appendStream]]'s file sink and silently skip
+    * segments written by batch [[append]] into the same stream. */
   def readBounded(spark: SparkSession, scope: String, stream: String,
-      schema: StructType): DataFrame =
-    decode(spark.read.text(path(scope, stream)), schema)
+      schema: StructType): DataFrame = {
+    val dir = path(scope, stream)
+    val files = LogSourceV2.listSegments(dir)
+    val raw = if (files.isEmpty) spark.read.text(dir) // not-found/empty-dir behavior
+              else spark.read.text(files: _*)
+    decode(raw, schema)
+  }
 
   /** Unbounded Structured Streaming scan of the stream through the
     * DataSource V2 connector (LogSourceV2): real per-segment offsets,
@@ -87,9 +96,12 @@ final case class LogStore(baseDir: String) {
     val segs = LogSourceV2.listSegments(dir)
     if (segs.size <= target) return
     val tmp = s"$dir/.compact-tmp"
+    // read the EXPLICIT segment list (a directory read would honor a
+    // streaming sink's _spark_metadata log and miss batch-appended
+    // segments — merging a subset while deleting all would lose data);
     // the write action fully materializes the read before anything is
     // deleted; dot-prefixed scratch is invisible to Spark file listings
-    spark.read.text(dir).coalesce(target)
+    spark.read.text(segs: _*).coalesce(target)
       .write.mode(SaveMode.Overwrite).text(tmp)
     val merged = LogSourceV2.listSegments(tmp)
     // rename the merged segments IN before deleting the olds: a crash
@@ -103,12 +115,18 @@ final case class LogStore(baseDir: String) {
         java.nio.file.Paths.get(dir, s"compacted-$stamp-$i")): Unit
     }
     segs.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
-    // clear scratch (now only _SUCCESS markers and empty dirs)
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles()).foreach(_.foreach(rm))
       p.delete(): Unit
     }
+    // clear scratch (now only _SUCCESS markers and empty dirs), and any
+    // streaming-sink commit log: it names only the deleted pre-compaction
+    // files, so leaving it would shadow the compacted segments from
+    // directory-path readers. Re-attaching an OLD appendStream checkpoint
+    // to a compacted stream is unsupported (its sink log is gone) — start
+    // streaming appends to a compacted stream with a fresh checkpoint.
     rm(new java.io.File(tmp))
+    rm(new java.io.File(s"$dir/_spark_metadata"))
   }
 
   private def encode(df: DataFrame): DataFrame =

@@ -42,7 +42,9 @@ object Embeddings {
            n AS (SELECT vec_id, e,
                         sqrt(list_reduce(list_transform(e, v -> v * v),
                                          (a, b) -> a + b)) AS norm
-                 FROM x)
+                 -- guard BEFORE list_reduce: it errors on an empty
+                 -- list where the Spark fold returns 0.0
+                 FROM x WHERE len(e) > 0)
       SELECT vec_id,
              array_to_string(list_transform(e,
                v -> CAST(round(v / norm * 1000000) AS BIGINT)), ',')

@@ -209,6 +209,9 @@ object Similarity {
         .toMap
       // a centroid that lost every member keeps its position
       cents = cents.indices.map(i => moved.getOrElse(i, cents(i))).toArray
+      // the assignment pass is fully materialized by the collect above;
+      // free the broadcast instead of accumulating one per iteration
+      bc.destroy()
     }
     val sp = spark
     import sp.implicits._

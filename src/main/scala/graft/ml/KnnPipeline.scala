@@ -40,10 +40,15 @@ final class KnnClassifier(override val uid: String)
   def setIdCol(value: String): this.type = set(idCol, value)
 
   override def fit(dataset: Dataset[_]): KnnClassifierModel = {
+    // materialize the reference set AT FIT TIME: a lazy plan would
+    // re-execute the training lineage on every transform() and read
+    // whatever the source contains THEN, not the fitted snapshot
     val refs = dataset.select(
       col($(idCol)).cast(LongType).as("rid"),
       col($(featuresCol)).cast(ArrayType(DoubleType)).as("rvec"),
       col($(labelCol)).cast(IntegerType).as("label"))
+      .persist()
+    refs.count(): Unit
     val m = new KnnClassifierModel(uid, refs)
     copyValues(m)
   }

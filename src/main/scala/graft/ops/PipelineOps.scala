@@ -16,9 +16,11 @@ object PipelineOps {
   /** Knuth multiplicative hash bucket in [0, 100) — pure 64-bit integer
     * arithmetic, expressible identically in any engine (no RNG, no
     * engine-specific hash function), so the oracle can reproduce the
-    * exact assignment. For key spaces where `key * 2654435761` could
-    * exceed 63 bits, pre-reduce the key (e.g. `key % 2^31`) on both
-    * sides; the testdata ids are far below that.
+    * exact assignment. PRECONDITIONS (callers pass row ids, which meet
+    * both): keys must be NON-NEGATIVE — Spark's pmod and SQL's `%`
+    * agree only there (a negative key diverges between engines) — and
+    * small enough that `key * 2654435761` stays within 63 bits
+    * (pre-reduce with `key % 2^31` on both sides otherwise).
     */
   def hashBucket(key: Column): Column =
     pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(100L))
