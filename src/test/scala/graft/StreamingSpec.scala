@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
       s"clicks=$clicks rest=$rest total=$total")
   }
 
+  test("batch and streaming appends to one stream are all visible (and compactable)") {
+    val base = freshDir("mixedappend")
+    val store = LogStore(base)
+    val ev = Tables(spark, sf, "events").limit(50)
+    // streaming append first: its file-sink _spark_metadata log must
+    // not shadow later batch-appended segments from bounded reads
+    val srcDir = s"$base/src"
+    ev.limit(20).write.mode("overwrite").json(srcDir)
+    val src = spark.readStream.schema(StreamOps.eventSchema).json(srcDir)
+    store.appendStream(src, "scope", "mx", s"$base/ckpt").start()
+      .awaitTermination()
+    store.append(ev.filter(org.apache.spark.sql.functions.col("event_id") >= 20),
+      "scope", "mx")
+    def count() = store.readBounded(spark, "scope", "mx",
+      StreamOps.eventSchema).count()
+    assert(count() == 50, s"expected both write paths' rows, got ${count()}")
+    store.compact(spark, "scope", "mx", target = 1)
+    assert(count() == 50, s"compaction changed the row count: ${count()}")
+  }
+
   test("compaction merges segments; contents and counts are unchanged") {
     val store = LogStore(freshDir("compact"))
     val ev = Tables(spark, sf, "events").limit(60)
