@@ -110,11 +110,12 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val reg = registry
-    val meta = reg.getDataset(oldIdent.name())
-      .getOrElse(throw new NoSuchTableException(oldIdent))
+    if (reg.getDataset(oldIdent.name()).isEmpty)
+      throw new NoSuchTableException(oldIdent)
     if (reg.getDataset(newIdent.name()).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    reg.registerDataset(newIdent.name(), meta.format, meta.uri)
-    reg.removeDataset(oldIdent.name()): Unit
+    // single load-modify-persist cycle: no failure point between the
+    // add and the remove can leave both identifiers registered
+    reg.renameDataset(oldIdent.name(), newIdent.name()): Unit
   }
 }

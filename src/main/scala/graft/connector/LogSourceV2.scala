@@ -51,6 +51,26 @@ object LogSourceV2 {
   val schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = true)))
 
+  /** Marker left by [[LogStore.compact]] recording the last compaction
+    * stamp. Underscore-prefixed, so invisible to segment listings; its
+    * presence lets readers/appenders distinguish "stream was compacted
+    * under me" from ordinary corruption and fail with an actionable
+    * message instead of FileNotFound or silent re-reads.
+    */
+  val CompactionMarker = "_graft_compaction"
+
+  /** Stamp of the last compaction of `dir`, 0 if never compacted. */
+  def compactionStamp(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, CompactionMarker)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else 0L
+  }
+
+  private[connector] def writeCompactionStamp(dir: String, stamp: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, CompactionMarker), stamp.toString): Unit
+
   /** Data segment files in `dir`, sorted by name (no _SUCCESS/hidden). */
   def listSegments(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
@@ -233,8 +253,32 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
   override def latestOffset(): Offset =
     sys.error("latestOffset(start, limit) should be called (admission control)")
 
+  /** Refuse to continue from an offset naming segments that no longer
+    * exist: after a compaction the consumed set's file names are gone,
+    * so every compacted segment would look "fresh" and the query would
+    * silently RE-READ all previously consumed data (or crash with
+    * FileNotFound if the plan races the delete). Failing here turns
+    * both into one deterministic, actionable error.
+    */
+  private def guardCompaction(start: LogOffsetV2): Unit = {
+    val missing = start.segments.filterNot(f => new java.io.File(f).exists())
+    if (missing.nonEmpty) {
+      val stamp = LogSourceV2.compactionStamp(path)
+      val cause =
+        if (stamp > 0) s"the stream was compacted (marker stamp $stamp)"
+        else "the segment files were removed outside the store"
+      throw new IllegalStateException(
+        s"graft log stream at $path: checkpoint offset references " +
+          s"${missing.size} segment(s) that no longer exist ($cause). " +
+          "Resuming would duplicate consumed data — restart the query " +
+          "with a fresh checkpoint.")
+    }
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val done = start.asInstanceOf[LogOffsetV2].segments.toSet
+    val startOff = start.asInstanceOf[LogOffsetV2]
+    guardCompaction(startOff)
+    val done = startOff.segments.toSet
     val fresh = allAvailable.segments.filterNot(done)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
@@ -249,6 +293,7 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
     LogOffsetV2.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    guardCompaction(start.asInstanceOf[LogOffsetV2])
     val done = start.asInstanceOf[LogOffsetV2].segments.toSet
     end.asInstanceOf[LogOffsetV2].segments
       .filterNot(done)

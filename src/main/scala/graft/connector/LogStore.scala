@@ -70,14 +70,43 @@ final case class LogStore(baseDir: String) {
       schema)
 
   /** Streaming append: the writeStream twin of [[append]]. Caller
-    * configures trigger/checkpoint and starts the query. */
+    * configures trigger/checkpoint and starts the query.
+    *
+    * Compaction guard: a compaction deletes the file sink's
+    * `_spark_metadata` commit log, so RESUMING a checkpoint created
+    * before the compaction would rewrite its last batch (duplication).
+    * Each checkpoint records the stream's compaction stamp when first
+    * attached; re-attaching after a newer compaction throws instead of
+    * silently duplicating.
+    */
   def appendStream(df: DataFrame, scope: String, stream: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String): DataStreamWriter[Row] = {
+    val marker = LogSourceV2.compactionStamp(path(scope, stream))
+    val stampFile = java.nio.file.Paths.get(checkpoint, "graft-compaction-stamp")
+    if (java.nio.file.Files.exists(stampFile)) {
+      val recorded = java.nio.file.Files.readString(stampFile).trim.toLong
+      if (marker > recorded)
+        throw new IllegalStateException(
+          s"graft log stream $scope/$stream was compacted (stamp $marker) " +
+            s"after checkpoint $checkpoint last appended (stamp $recorded); " +
+            "its sink commit log is gone and resuming would duplicate the " +
+            "last batch — start streaming appends with a fresh checkpoint.")
+    } else {
+      if (new java.io.File(checkpoint).exists() && marker > 0)
+        throw new IllegalStateException(
+          s"graft log stream $scope/$stream has been compacted but " +
+            s"pre-existing checkpoint $checkpoint carries no compaction " +
+            "stamp (created before the stream was compacted) — resuming " +
+            "would duplicate its last batch; use a fresh checkpoint.")
+      java.nio.file.Files.createDirectories(stampFile.getParent): Unit
+      java.nio.file.Files.writeString(stampFile, marker.toString): Unit
+    }
     encode(df).writeStream
       .format("text")
       .option("path", path(scope, stream))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+  }
 
   /** Compact a stream's segments into `target` merged segments — the
     * small-files maintenance every log/stream store needs (thousands of
@@ -127,6 +156,10 @@ final case class LogStore(baseDir: String) {
     // streaming appends to a compacted stream with a fresh checkpoint.
     rm(new java.io.File(tmp))
     rm(new java.io.File(s"$dir/_spark_metadata"))
+    // marker LAST: readers and appendStream checkpoints compare their
+    // recorded state against it and refuse to resume over the rewrite
+    // (instead of silently re-reading / re-writing — round-3 advice)
+    LogSourceV2.writeCompactionStamp(dir, stamp)
   }
 
   private def encode(df: DataFrame): DataFrame =

@@ -153,31 +153,38 @@ object Dedup {
       jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
     Some(jaccardOracleSql))
 
-  /** Connected components by iterative min-label propagation: each node
-    * takes the minimum cluster label among itself and its neighbors
-    * until fixpoint — the duplicate-CLUSTER resolution step real dedup
-    * pipelines run after pair generation (near-dup is not transitive;
-    * keep-one-per-cluster needs components, not pairs).
-    * Scale: each iteration is one join + one min-aggregate, both on the
-    * node id; iterations ≲ component diameter (for dedup clusters,
-    * small); each round's labels are materialized so the lineage stays
-    * flat. At extreme scale swap in large-star/small-star (alternating
-    * algorithm) behind the same signature.
+  /** Connected components by min-label propagation WITH pointer
+    * jumping: each round every node takes the min label among itself,
+    * its neighbors' labels, and its label's label (path halving) —
+    * reach doubles per round, so `maxIter` rounds cover component
+    * diameters up to ~2^maxIter (the large-star/small-star family's
+    * convergence bound). This is the duplicate-CLUSTER resolution step
+    * real dedup pipelines run after pair generation (near-dup is not
+    * transitive; keep-one-per-cluster needs components, not pairs).
+    * Scale: each iteration is two joins + one min-aggregate, all on the
+    * node id; each round's labels are materialized so the lineage stays
+    * flat. Non-convergence within maxIter throws (partial labels would
+    * silently keep wrong canonical docs downstream) unless
+    * `strict = false`.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, strict: Boolean = true): DataFrame = {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
     // only nodes touched by an edge can ever change label — iterate on
     // that (much smaller) active set and attach the isolated nodes with
-    // their own id at the end via one anti-join. Per-round state lives
-    // in the block cache (unpersisted as soon as the next round is
-    // materialized), not in per-round parquet files: the round-2 form
-    // paid two parquet write+read cycles per iteration.
+    // their own id at the end via one anti-join. Per-round state is
+    // localCheckpoint'd: eager (one compute per round), cached in the
+    // block store, and — critically for an iterative algorithm whose
+    // round N plan references round N-1 THREE times — lineage-TRUNCATED,
+    // so the logical plan stays one round deep instead of growing 3^N
+    // (an un-truncated run OOM'd building a 2 GB plan string). Old
+    // rounds' blocks are reclaimed by the ContextCleaner once their
+    // frames go out of scope.
     var labels = und.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
-      .persist()
+      .localCheckpoint()
     // labels are monotonically non-increasing under min-propagation, so
     // an unchanged label SUM means fixpoint — convergence detection is
     // one cheap aggregate per round, not a join. Summed as DECIMAL(38,0)
@@ -187,33 +194,43 @@ object Dedup {
         .collect().head.getDecimal(0)
       if (v == null) BigDecimal(0) else BigDecimal(v) // sum of zero rows
     }
-    var prevSum = labelSum(labels) // also populates the cache
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
       val viaNeighbor = und.join(labels, und("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster"))
-      val next = labels.unionAll(viaNeighbor)
+      // pointer jumping: doc -> label(label(doc)). label(x) is always a
+      // node in x's component, so composing labels stays within the
+      // component while doubling how far a min label reaches per round.
+      val viaPointer = labels.alias("l")
+        .join(labels.alias("m"), col("l.cluster") === col("m.doc_id"))
+        .select(col("l.doc_id").as("doc_id"), col("m.cluster").as("cluster"))
+      val next = labels.unionAll(viaNeighbor).unionAll(viaPointer)
         .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-        .persist()
-      val nextSum = labelSum(next) // materializes `next` into the cache
+        .localCheckpoint() // eager compute + lineage truncation
+      val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       i += 1
     }
-    if (!converged)
-      System.err.println(s"[graft] connectedComponents: NOT converged " +
-        s"after maxIter=$maxIter rounds — labels may be partial " +
-        s"(component diameter exceeds the iteration budget)")
+    if (!converged) {
+      val msg = s"connectedComponents: not converged after maxIter=" +
+        s"$maxIter rounds — labels would be partial (component diameter" +
+        s" exceeds ~2^$maxIter, or the label sum is oscillating)"
+      if (strict) {
+        und.unpersist()
+        throw new IllegalStateException(msg)
+      }
+      System.err.println(s"[graft] WARNING $msg")
+    }
     val withIsolated = nodes.select(col("doc_id"), col("doc_id").as("iso"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("iso")).as("cluster"))
     // one final materialization so callers hold no reference to the
     // caches being freed
     val out = Work.materialize("cc_labels", withIsolated)
-    labels.unpersist()
     und.unpersist()
     out
   }

@@ -88,6 +88,14 @@ final class KnnClassifierModel private[ml] (
       .drop("qid")
   }
 
+  /** Free the cached reference set. fit() persists it (the model IS the
+    * data — every transform scans it), so a model that is done serving
+    * must release its blocks or repeated fit() calls accumulate cache
+    * for the lifetime of the session. Idempotent; transform() after
+    * release still works (recomputes from lineage, just uncached).
+    */
+  def release(): Unit = refs.unpersist(): Unit
+
   override def copy(extra: ParamMap): KnnClassifierModel =
     copyValues(new KnnClassifierModel(uid, refs), extra)
 

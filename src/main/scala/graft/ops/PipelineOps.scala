@@ -16,14 +16,16 @@ object PipelineOps {
   /** Knuth multiplicative hash bucket in [0, 100) — pure 64-bit integer
     * arithmetic, expressible identically in any engine (no RNG, no
     * engine-specific hash function), so the oracle can reproduce the
-    * exact assignment. PRECONDITIONS (callers pass row ids, which meet
-    * both): keys must be NON-NEGATIVE — Spark's pmod and SQL's `%`
-    * agree only there (a negative key diverges between engines) — and
-    * small enough that `key * 2654435761` stays within 63 bits
-    * (pre-reduce with `key % 2^31` on both sides otherwise).
+    * exact assignment. The key is pre-reduced mod 2^31 so the multiply
+    * stays within 63 bits for ANY long key: without it, ids >= ~3.47e9
+    * overflow — which Spark wraps silently (non-ANSI) while DuckDB
+    * errors on, i.e. split assignments would silently diverge. Keys
+    * must still be NON-NEGATIVE (Spark's pmod and SQL's `%` agree only
+    * there); callers pass row ids, which are.
     */
   def hashBucket(key: Column): Column =
-    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(100L))
+    pmod(pmod(pmod(key, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)), lit(100L))
 
   /** Deterministic sample + split assignment: every doc gets a stable
     * bucket; buckets < 80 → train, < 90 → val, rest → test. The
@@ -44,9 +46,9 @@ object PipelineOps {
     },
     Some("""
       SELECT doc_id,
-             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
-             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-                  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket,
+             CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                  WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents"""))
 
@@ -93,7 +95,7 @@ object PipelineOps {
     },
     Some("""
       SELECT vec_id, label FROM embeddings
-      WHERE ((vec_id * 2654435761) % 4294967296) % 100 <
+      WHERE (((vec_id % 2147483648) * 2654435761) % 4294967296) % 100 <
             CASE WHEN label % 3 = 0 THEN 10
                  WHEN label % 3 = 1 THEN 50
                  ELSE 100 END"""))
@@ -124,7 +126,7 @@ object PipelineOps {
       SELECT vec_id, label FROM
         (SELECT vec_id, label,
                 row_number() OVER (PARTITION BY label
-                  ORDER BY ((vec_id * 2654435761) % 4294967296) % 100,
+                  ORDER BY (((vec_id % 2147483648) * 2654435761) % 4294967296) % 100,
                            vec_id) AS rn
          FROM embeddings)
       WHERE rn <= 20"""))

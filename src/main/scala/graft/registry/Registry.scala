@@ -55,6 +55,23 @@ final class Registry(workdir: String, val bus: EventBus) {
     existed
   }
 
+  /** Atomic rename: both the remove and the add land in ONE persist, so
+    * no failure point leaves both identifiers registered (the two-call
+    * register-then-remove sequence did — round-3 advice). Preserves the
+    * dataset's position semantics of LinkedHashMap insertion order only
+    * for the new name (it re-enters at the tail, like any re-register).
+    */
+  def renameDataset(oldName: String, newName: String): DatasetMeta = {
+    val meta = datasets.getOrElse(oldName,
+      throw new NoSuchElementException(s"unknown dataset $oldName"))
+    require(!datasets.contains(newName), s"dataset $newName already exists")
+    datasets.remove(oldName): Unit
+    val renamed = meta.copy(name = newName)
+    datasets(newName) = renamed
+    persist()
+    renamed
+  }
+
   // --- models (af.register_model / register_model_version /
   //     update_model_version, workflow.py:77-78, processor.py:138,170) --
 

@@ -75,6 +75,19 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("pointer jumping converges on a chain far longer than maxIter") {
+    val sp = spark
+    import sp.implicits._
+    // a 64-node path has diameter 63: plain min-propagation needs 63
+    // rounds, pointer jumping covers it in <= 8 (reach doubles/round)
+    val n = 64
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+  }
+
   test("dedup_clusters: planted perturbation pairs share their base cluster") {
     val rows = Dedup.clusters.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

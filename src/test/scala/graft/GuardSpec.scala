@@ -46,6 +46,54 @@ class GuardSpec extends SparkSpec {
     assert(e.getMessage.contains("workdir"))
   }
 
+  test("connectedComponents throws on non-convergence instead of partial labels") {
+    val sp = spark
+    import sp.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      graft.ext.Dedup.connectedComponents(nodes, edges, maxIter = 1))
+    assert(e.getMessage.contains("not converged"))
+    // non-strict downgrades to the old warn-and-return behavior
+    graft.ext.Dedup.connectedComponents(nodes, edges, maxIter = 1,
+      strict = false).collect()
+    ()
+  }
+
+  test("hashBucket stays engine-portable for keys past the 63-bit overflow line") {
+    val sp = spark
+    import sp.implicits._
+    // 5e9 * 2654435761 overflows a signed 64-bit long; the pre-reduce
+    // mod 2^31 keeps the multiply in range so Spark's (non-ANSI,
+    // silently wrapping) result cannot diverge from an engine that
+    // errors or computes exactly (round-3 advice)
+    val keys = Seq(0L, 97L, 5000000000L, Long.MaxValue)
+    val got = keys.toDF("k")
+      .select(graft.ops.PipelineOps.hashBucket(org.apache.spark.sql.functions.col("k")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = keys.map { k =>
+      ((BigInt(k % 2147483648L) * 2654435761L) % 4294967296L % 100).toLong
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("registry rename is atomic: old gone, new present, uri preserved") {
+    val wd = s"${Work.dir}/test_guard_rename"
+    Work.clean(wd)
+    val reg = new graft.registry.Registry(wd, new graft.workflow.EventBus)
+    reg.registerDataset("a", "csv", "/data/a.csv")
+    reg.registerDataset("b", "csv", "/data/b.csv")
+    intercept[IllegalArgumentException](reg.renameDataset("a", "b"))
+    intercept[NoSuchElementException](reg.renameDataset("zz", "c"))
+    reg.renameDataset("a", "c")
+    assert(reg.getDataset("a").isEmpty)
+    assert(reg.getDataset("c").map(_.uri).contains("/data/a.csv"))
+    // the rename survives a reload (one persisted state, not two)
+    val reloaded = new graft.registry.Registry(wd, new graft.workflow.EventBus)
+    assert(reloaded.getDataset("a").isEmpty &&
+      reloaded.getDataset("c").isDefined)
+  }
+
   test("parameter validation: range-join cell width, simhash band cover") {
     val df = Tables(spark, sf, "events").limit(1)
       .select(col("event_id"), expr("ts div 1000").as("tsu"))

@@ -84,6 +84,51 @@ class StreamingSpec extends SparkSpec {
     assert(count() == 50, s"compaction changed the row count: ${count()}")
   }
 
+  test("appendStream refuses to resume a checkpoint over a compaction") {
+    val base = freshDir("compactguardw")
+    val store = LogStore(base)
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    Tables(spark, sf, "events").limit(20).write.mode("overwrite").json(srcDir)
+    def src = spark.readStream.schema(StreamOps.eventSchema).json(srcDir)
+    store.appendStream(src, "scope", "cg", ckpt).start().awaitTermination()
+    // one more batch segment so compaction has >1 file to merge
+    store.append(Tables(spark, sf, "events").limit(5), "scope", "cg")
+    store.compact(spark, "scope", "cg", target = 1)
+    val e = intercept[IllegalStateException](
+      store.appendStream(src, "scope", "cg", ckpt))
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+    // a FRESH checkpoint on the compacted stream is fine
+    store.appendStream(src, "scope", "cg", s"$base/ckpt2").start()
+      .awaitTermination()
+    assert(store.readBounded(spark, "scope", "cg", StreamOps.eventSchema)
+      .count() == 45)
+  }
+
+  test("streaming reader refuses to resume offsets over a compaction") {
+    val base = freshDir("compactguardr")
+    val store = LogStore(base)
+    val ckpt = s"$base/ckpt"
+    def runOnce(): Unit = {
+      val q = store.readStream(spark, "scope", "cgr", StreamOps.eventSchema)
+        .writeStream.format("json").option("path", s"$base/out")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    store.append(Tables(spark, sf, "events").limit(30), "scope", "cgr")
+    runOnce()
+    store.append(Tables(spark, sf, "events").limit(10), "scope", "cgr")
+    store.compact(spark, "scope", "cgr", target = 1)
+    // the consumed set's segment names are gone: resuming must fail
+    // with the actionable compaction error, not re-read everything
+    val e = intercept[Exception](runOnce())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("compacted"))), s"unexpected failure: $e")
+  }
+
   test("compaction merges segments; contents and counts are unchanged") {
     val store = LogStore(freshDir("compact"))
     val ev = Tables(spark, sf, "events").limit(60)
