@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-stress dev tool: replicate the corpus N× with per-replica
+  * salting that keeps replicas DISSIMILAR (disjoint shingle vocabularies
+  * / rotated embeddings), then run the flagship LLM-pipeline operators
+  * at 1× and N× and print both wall times. The point is the GROWTH
+  * CURVE, not the absolute numbers: a bucketed/inverted-index shape
+  * grows ~linearly in corpus size, an accidentally-quadratic one
+  * explodes — this catches the cliff the small-SF correctness runs
+  * can't see (same check the round-1 verdict ran manually against the
+  * all-pairs cosine join).
+  *
+  * Salting matters: naive replication makes every doc an exact dup of
+  * its N-1 copies, which inflates the PAIR OUTPUT quadratically in N
+  * regardless of engine shape — that would measure the data, not the
+  * plan. Suffixing every word with the replica id keeps per-replica
+  * planted structure intact while making cross-replica Jaccard 0;
+  * rotating embeddings by the replica index does the same for cosine.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STRESS_MULT=8 \
+  *   sbt -batch "runMain graft.StressMain"
+  */
+object StressMain {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "8").toInt
+    val spark = GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    def t(name: String)(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name%-34s $sec%8.2f s  rows=$n")
+      sec
+    }
+
+    // replica r: every word suffixed with "~r" (disjoint shingle space
+    // across replicas), ids offset into disjoint ranges
+    def repDocs(docs: DataFrame, n: Int): DataFrame =
+      (0 until n).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"~$r"))), " ").as("text"))
+      }.reduce(_ unionAll _)
+
+    // replica r: embedding rotated by r positions (cosine between a
+    // vector and a non-trivial rotation of itself is ~0 for these)
+    def repEmb(emb: DataFrame, n: Int): DataFrame =
+      (0 until n).map { r =>
+        val rot = if (r == 0) col("e")
+          else concat(slice(col("e"), r + 1, 64 - r), slice(col("e"), 1, r))
+        emb.select((col("vec_id") + lit(r * 100000000L)).as("vec_id"),
+          rot.as("e"))
+      }.reduce(_ unionAll _)
+
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def pair(name: String)(run: DataFrame => Long, mk: Int => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
+      val base = t(s"$name 1x")(run(mk(1)))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val big = t(s"$name ${mult}x")(run(mk(mult)))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      results(name) = (base, big)
+    }
+
+    pair("minhash_lsh")(
+      c => Dedup.minhashDedup(Dedup.plantedCorpus(c)).count(),
+      n => repDocs(docs, n))
+    pair("ngram_jaccard")(
+      c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
+      n => repDocs(docs, n))
+    pair("clusters_cc")(
+      { c =>
+        val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
+        Dedup.connectedComponents(sh.select("doc_id"),
+          Dedup.jaccardPairs(sh).select("a", "b")).count()
+      },
+      n => repDocs(docs, n))
+    pair("decontaminate")(
+      c => Dedup.decontaminate(
+        c.filter(col("doc_id") % 10 =!= 0),
+        c.filter(col("doc_id") % 10 === 0)).count(),
+      n => repDocs(docs, n))
+    pair("embedding_cosine")(
+      c => Dedup.embeddingCosinePairs(c.unionAll(
+        c.select((col("vec_id") + Dedup.PlantedOffset).as("vec_id"),
+          transform(col("e"), x => x * 1.5).as("e"))), 0.99).count(),
+      n => repEmb(emb, n))
+    pair("topk_cosine_lsh")(
+      c => Similarity.lshTopK(
+        c.limit(200).select(col("vec_id").as("qid"), col("e").as("qe")),
+        c.select(col("vec_id").as("rid"), col("e").as("re")),
+        k = 5, dim = 64).count(),
+      n => repEmb(emb, n))
+
+    println(f"[stress] ${"operator"}%-20s ${"1x"}%8s ${mult + "x"}%8s ${"ratio"}%7s  (linear => ratio ~ " + mult + ")")
+    results.foreach { case (name, (a, b)) =>
+      println(f"[stress] $name%-20s $a%8.2f $b%8.2f ${b / a}%7.2f")
+    }
+    spark.stop()
+  }
+}

@@ -47,7 +47,7 @@ class GoldenSpec extends SparkSpec {
     "multimodal_featurize" -> "baf9a6e7f6e21235",
     "multimodal_resize" -> "acb28d1f7a6116b6",
     "multimodal_frames" -> "bc086fa244396efd",
-    "topk_cosine_lsh" -> "6f3730236d7d9f19",
+    "topk_cosine_lsh" -> "30ef687c029fca67",
     "topk_cosine_ivf" -> "96f87819da27921c")
 
   golden.toSeq.sortBy(_._1).foreach { case (name, want) =>
