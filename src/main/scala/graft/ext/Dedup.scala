@@ -297,21 +297,32 @@ object Dedup {
       array_min(transform(col("hs"),
         h => pmod(h * a + b, lit(MersennePrime)))).as(s"mh_$i")
     }
-    hashed.select((col("doc_id") +: col("n") +: sigCols): _*)
+    // shs rides along for consumers that verify inside the same plan
+    // (the streaming incremental dedup); batch consumers never select
+    // it, so Catalyst prunes it before any shuffle
+    hashed.select((col("doc_id") +: col("n") +: col("shs") +: sigCols): _*)
+  }
+
+  /** (doc_id [, extras...], band, bucket) rows: each doc in each of its
+    * 16 LSH band buckets — the shared banding stage of the batch
+    * candidate join and the streaming incremental dedup. */
+  def bandBuckets(sigs: DataFrame, extras: Seq[String] = Nil): DataFrame = {
+    val bandCols = (0 until Bands).map { bnd =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh_${bnd * RowsPerBand + r}"))
+      xxhash64((lit(bnd) +: cols): _*).as(s"band_$bnd")
+    }
+    val banded = sigs.select(
+      (col("doc_id") +: extras.map(col)) ++ bandCols: _*)
+    banded.select(col("doc_id") +: extras.map(col) :+
+        posexplode(array((0 until Bands).map(bd => col(s"band_$bd")): _*)): _*)
+      .toDF(("doc_id" +: extras) ++ Seq("band", "bucket"): _*)
   }
 
   /** LSH candidate pairs: equal band-bucket for any of the 16 bands of 4
     * signature rows. One shuffle on (band, bucket).
     */
   def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { bnd =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh_${bnd * RowsPerBand + r}"))
-      xxhash64((lit(bnd) +: cols): _*).as(s"band_$bnd")
-    }
-    val banded = sigs.select((col("doc_id") +: bandCols): _*)
-    val buckets = banded.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(bd => col(s"band_$bd")): _*)))
-      .toDF("doc_id", "band", "bucket")
+    val buckets = bandBuckets(sigs)
     buckets.alias("x").join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One doc in one LSH band bucket, with its shingle set for in-state
+  * verification. */
+final case class BandedDoc(band: Int, bucket: Long, doc_id: Long,
+    shs: Seq[String])
+
+/** A verified near-dup pair (same contract as Dedup.jaccardPairs). */
+final case class NearDupPair(a: Long, b: Long, n_common: Int,
+    n_a: Int, n_b: Int)
+
+/** Incremental near-dup dedup over an UNBOUNDED document stream — the
+  * streaming twin of [[graft.ext.Dedup.minhashDedup]]: as documents
+  * arrive, each is checked against everything previously seen and the
+  * verified near-dup pairs are emitted immediately. This is the shape
+  * of a continuous ingestion pipeline ("is this crawl batch a dup of
+  * anything in the corpus?") where re-running batch dedup from scratch
+  * per batch would be quadratic in corpus lifetime.
+  *
+  * Shape: the stateless stages are identical to the batch path (shingle
+  * UDF → MinHash signatures as pure projections → band explode), then
+  * `flatMapGroupsWithState` keyed on (band, bucket) holds the bucket's
+  * previously-seen docs as state. A new doc is verified (exact shingle
+  * Jaccard, same integer threshold as batch) against its bucket peers
+  * only — candidates ∝ bucket sizes, never all-pairs, exactly like the
+  * batch join.
+  *
+  * Semantics/caveats (all shared with any LSH dedup):
+  * - A pair sharing several buckets is emitted once PER shared bucket —
+  *   at-least-once pair delivery; consumers dedupe on (a, b) (the
+  *   batch path's `.distinct()`; the spec collects to a set).
+  * - State grows with the corpus — that is the operator's contract
+  *   ("dedup against everything seen"). Production deployments bound
+  *   it with a retention policy: swap NoTimeout for event-time timeout
+  *   so buckets idle past the retention watermark are evicted ("dedup
+  *   within N days" — the C4/CCNet regime).
+  * - Pairs are ordered (min, max) so emission order never affects the
+  *   pair identity.
+  */
+object StreamingDedup {
+
+  /** docs: streaming DataFrame with (doc_id LONG, text STRING). Returns
+    * a streaming Dataset of verified pairs (append mode). */
+  def nearDupPairsStream(docs: DataFrame): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(Dedup.shingleSets(docs))
+    val banded = Dedup.bandBuckets(sigs, extras = Seq("shs"))
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"), col("shs"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(verifyAgainstState)
+  }
+
+  /** Verify each newly arrived doc against the bucket's seen docs (and
+    * the earlier arrivals of the same batch), emit passing pairs, fold
+    * the arrivals into state. Deterministic: arrivals processed in
+    * doc_id order. */
+  private[streaming] def verifyAgainstState(
+      key: (Int, Long), rows: Iterator[BandedDoc],
+      state: GroupState[Seq[BandedDoc]]): Iterator[NearDupPair] = {
+    // state-timeout invocations deliver an empty iterator; with
+    // NoTimeout this is just a safe no-op
+    val fresh = rows.toArray.sortBy(_.doc_id)
+    if (fresh.isEmpty) return Iterator.empty
+    var seen = state.getOption.getOrElse(Seq.empty).toVector
+    val out = Vector.newBuilder[NearDupPair]
+    fresh.foreach { d =>
+      val dSet = d.shs.toSet
+      seen.foreach { s =>
+        if (s.doc_id != d.doc_id) {
+          val common = s.shs.count(dSet.contains)
+          // integer threshold: 3*common >= nA+nB  ⟺  J >= 0.5 — the
+          // exact predicate of the batch verify join
+          if (common * 3 >= d.shs.size + s.shs.size) {
+            // (a, b) ordered by id; n_a/n_b follow the same order
+            out += (if (s.doc_id < d.doc_id)
+              NearDupPair(s.doc_id, d.doc_id, common, s.shs.size, d.shs.size)
+            else
+              NearDupPair(d.doc_id, s.doc_id, common, d.shs.size, s.shs.size))
+          }
+        }
+      }
+      seen = seen :+ d
+    }
+    state.update(seen)
+    out.result().iterator
+  }
+}

@@ -149,6 +149,20 @@ class PlanSpec extends SparkSpec {
       "full outer must hash/merge on the key:\n" + s.take(1500))
   }
 
+  test("embedding-cosine dedup candidates are an equi-join on the bucket") {
+    // the round-1 form was a BroadcastNestedLoopJoin over a<b (all
+    // pairs); the bucketed form must join candidates on the LSH bucket
+    // key — pin it so it cannot silently regress
+    val emb = Tables(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("e"))
+    val s = planString(graft.ext.Dedup.embeddingCosinePairs(emb, 0.99))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "bucketed cosine dedup must never plan a nested loop:\n" + s.take(1500))
+    assert(s.contains("bucket"), s.take(1500))
+  }
+
   test("metrics listener profiles scans and shuffles of a completed action") {
     val gm = graft.ops.GraftMetrics.install(spark)
     try {

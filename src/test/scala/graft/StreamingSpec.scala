@@ -238,6 +238,43 @@ class StreamingSpec extends SparkSpec {
       "either reprocessed old segments or missed new ones")
   }
 
+  test("incremental streaming near-dup equals batch MinHash-LSH pairs") {
+    val base = freshDir("streamdedup")
+    val store = LogStore(base)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val corpus = graft.ext.Dedup.plantedCorpus(
+      Tables(spark, sf, "documents").limit(300))
+    // two appends: originals first, perturbed copies second — the pair
+    // MUST be found across micro-batch boundaries (new batch vs state)
+    store.append(corpus.filter(org.apache.spark.sql.functions
+      .col("doc_id") < graft.ext.Dedup.PlantedOffset), "scope", "sd")
+    store.append(corpus.filter(org.apache.spark.sql.functions
+      .col("doc_id") >= graft.ext.Dedup.PlantedOffset), "scope", "sd")
+    val stream = store.readStream(spark, "scope", "sd", docSchema)
+    val q = graft.streaming.StreamingDedup.nearDupPairsStream(stream)
+      .writeStream.format("memory").queryName("t_streamdedup")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // at-least-once per shared bucket: dedupe to the pair set
+    val got = spark.table("t_streamdedup")
+      .select("a", "b", "n_common", "n_a", "n_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    val want = graft.ext.Dedup.minhashDedup(corpus)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "planted near-dups must be found")
+  }
+
   test("append-mode windowed agg emits finalized windows, evicts state") {
     val base = freshDir("windowappend")
     val store = LogStore(base)
