@@ -20,24 +20,22 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Drop anything a query persisted and didn't free: leaked cache
-      // blocks accumulate old-gen pressure across a 90+-query session
-      // and inflated the round-3 tail (trivial queries at 5-10 s, one
-      // at 50 s, purely from GC thrash — BENCH_r02 vs r03 deltas).
-      // Each query is measured cold-cache, like an isolated run.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // measured cold-cache, like an isolated run (round-3 tail skew)
+      GraftSession.dropAllCaches(spark)
       name -> sec
     }
     // 3-decimal timings keep the JSON line short enough to survive the
     // driver's bounded tail-capture buffer (rounds 1-3: "parsed": null
-    // because the line START was cut off mid-buffer).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // because the line START was cut off mid-buffer). Locale.ROOT: a
+    // comma-decimal default locale would render invalid JSON.
+    def n3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${n3(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$fs}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$fs}"""
     println(line)
     // stdout is wrapped in sbt's [info] decoration, so also write the
     // bare JSON to a file the driver can parse directly.

@@ -31,4 +31,15 @@ object GraftSession {
     GraftFunctions.register(s)
     s
   }
+
+  /** Drop everything any query cached and didn't free — SQL cache and
+    * persistent RDDs (incl. localCheckpoint blocks). Multi-query
+    * sessions (Bench/Verify/StressMain) call this between queries so
+    * leaked blocks cannot accumulate GC pressure across the session
+    * (the round-3 bench tail inflated up to 30× from exactly that).
+    */
+  def dropAllCaches(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }

@@ -70,11 +70,9 @@ object StressMain {
     def pair(name: String)(run: DataFrame => Long, mk: Int => DataFrame): Unit = {
       if (only.nonEmpty && !only.contains(name)) return
       val base = t(s"$name 1x")(run(mk(1)))
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.dropAllCaches(spark)
       val big = t(s"$name ${mult}x")(run(mk(mult)))
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.dropAllCaches(spark)
       results(name) = (base, big)
     }
 

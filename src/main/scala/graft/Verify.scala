@@ -23,8 +23,7 @@ object Verify {
       }
       // same hygiene as Bench: anything a query cached and didn't free
       // must not accumulate across the 90+-query session
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.dropAllCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

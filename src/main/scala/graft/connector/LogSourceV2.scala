@@ -253,31 +253,32 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
   override def latestOffset(): Offset =
     sys.error("latestOffset(start, limit) should be called (admission control)")
 
-  /** Refuse to continue from an offset naming segments that no longer
-    * exist: after a compaction the consumed set's file names are gone,
-    * so every compacted segment would look "fresh" and the query would
-    * silently RE-READ all previously consumed data (or crash with
-    * FileNotFound if the plan races the delete). Failing here turns
-    * both into one deterministic, actionable error.
+  /** Refuse to continue when checkpointed offsets name segments that no
+    * longer exist: after a compaction the consumed set's file names are
+    * gone, so every compacted segment would look "fresh" and the query
+    * would silently RE-READ all previously consumed data; a WAL-replayed
+    * batch whose END offset names deleted segments would crash mid-task
+    * with a raw FileNotFound. Failing here turns both into one
+    * deterministic, actionable error.
     */
-  private def guardCompaction(start: LogOffsetV2): Unit = {
-    val missing = start.segments.filterNot(f => new java.io.File(f).exists())
+  private def requireSegmentsExist(segs: Seq[String], role: String): Unit = {
+    val missing = segs.filterNot(f => new java.io.File(f).exists())
     if (missing.nonEmpty) {
       val stamp = LogSourceV2.compactionStamp(path)
       val cause =
         if (stamp > 0) s"the stream was compacted (marker stamp $stamp)"
         else "the segment files were removed outside the store"
       throw new IllegalStateException(
-        s"graft log stream at $path: checkpoint offset references " +
+        s"graft log stream at $path: $role offset references " +
           s"${missing.size} segment(s) that no longer exist ($cause). " +
-          "Resuming would duplicate consumed data — restart the query " +
-          "with a fresh checkpoint.")
+          "Resuming would duplicate or lose consumed data — restart " +
+          "the query with a fresh checkpoint.")
     }
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[LogOffsetV2]
-    guardCompaction(startOff)
+    requireSegmentsExist(startOff.segments, "checkpoint (consumed-set)")
     val done = startOff.segments.toSet
     val fresh = allAvailable.segments.filterNot(done)
     val admitted = limit match {
@@ -293,12 +294,14 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
     LogOffsetV2.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    guardCompaction(start.asInstanceOf[LogOffsetV2])
     val done = start.asInstanceOf[LogOffsetV2].segments.toSet
-    end.asInstanceOf[LogOffsetV2].segments
-      .filterNot(done)
-      .map(LogSegmentPartition(_): InputPartition)
-      .toArray
+    val planned = end.asInstanceOf[LogOffsetV2].segments.filterNot(done)
+    // the END offset too: a WAL-replayed first batch (end written,
+    // commit missing, stream compacted while down) plans segments that
+    // are gone — fail actionably, not FileNotFound inside a task
+    requireSegmentsExist(done.toSeq, "checkpoint (consumed-set)")
+    requireSegmentsExist(planned, "replayed-batch")
+    planned.map(LogSegmentPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -136,9 +136,15 @@ final case class LogStore(baseDir: String) {
     // rename the merged segments IN before deleting the olds: a crash
     // in between leaves transient duplication (at-least-once, the log
     // contract), never data loss — the delete-first order would strand
-    // the only copy in the hidden scratch dir. Nanotime-suffixed names
-    // cannot collide with prior compactions' survivors.
-    val stamp = System.nanoTime()
+    // the only copy in the hidden scratch dir. The stamp is STRICTLY
+    // MONOTONIC over the previous marker (not nanoTime, whose origin
+    // resets per JVM/boot — a reboot-then-compact would mint a SMALLER
+    // stamp, silently disarming the appendStream guard's `marker >
+    // recorded` check and re-allowing the duplication it prevents);
+    // monotonicity also keeps compacted segment names collision-free
+    // across compactions.
+    val stamp = math.max(LogSourceV2.compactionStamp(dir) + 1,
+      System.currentTimeMillis())
     merged.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(java.nio.file.Paths.get(f),
         java.nio.file.Paths.get(dir, s"compacted-$stamp-$i")): Unit

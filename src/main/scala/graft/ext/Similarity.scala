@@ -79,12 +79,9 @@ object Similarity {
 
   // --- random-hyperplane LSH ANN --------------------------------------
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): a hash mapped to [-1, 1). No RNG at query time, so plans are
-    * reproducible and executors agree without shipping planes.
-    */
-  /** Deterministic pseudo-random plane component in [-1, 1) — a
-    * splitmix64-style finalizer (full avalanche: three multiply/xor-shift
+  /** Deterministic pseudo-random plane component in [-1, 1) — no RNG,
+    * so plans are reproducible and executors agree without shipping
+    * planes. A splitmix64-style finalizer (full avalanche: three multiply/xor-shift
     * rounds) over the (table, plane, dim) coordinates. The mixing
     * quality is load-bearing: the previous single-multiply mix left
     * consecutive dims on a near-linear ramp, making every "random"

@@ -5,10 +5,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One doc in one LSH band bucket, with its shingle set for in-state
-  * verification. */
+/** One doc in one LSH band bucket, with its hashed shingle set for
+  * in-state verification. Hashes (64-bit xxhash64), not shingle
+  * strings: state is replicated across the 16 bands a doc lands in,
+  * so the per-element footprint is the multiplier on state-store and
+  * checkpoint size — 8 bytes beats a shingle string. The Jaccard
+  * count over hashes equals the count over strings except under a
+  * cross-doc 64-bit collision (~m_a·m_b/2^64 per pair — negligible).
+  */
 final case class BandedDoc(band: Int, bucket: Long, doc_id: Long,
-    shs: Seq[String])
+    shl: Seq[Long])
 
 /** A verified near-dup pair (same contract as Dedup.jaccardPairs). */
 final case class NearDupPair(a: Long, b: Long, n_common: Int,
@@ -50,9 +56,10 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = Dedup.minhashSignatures(Dedup.shingleSets(docs))
-    val banded = Dedup.bandBuckets(sigs, extras = Seq("shs"))
+      .withColumn("shl", transform(col("shs"), sh => xxhash64(sh)))
+    val banded = Dedup.bandBuckets(sigs, extras = Seq("shl"))
       .select(col("band").cast("int").as("band"), col("bucket"),
-        col("doc_id"), col("shs"))
+        col("doc_id"), col("shl"))
       .as[BandedDoc]
     banded
       .groupByKey(d => (d.band, d.bucket))
@@ -74,18 +81,18 @@ object StreamingDedup {
     var seen = state.getOption.getOrElse(Seq.empty).toVector
     val out = Vector.newBuilder[NearDupPair]
     fresh.foreach { d =>
-      val dSet = d.shs.toSet
+      val dSet = d.shl.toSet
       seen.foreach { s =>
         if (s.doc_id != d.doc_id) {
-          val common = s.shs.count(dSet.contains)
+          val common = s.shl.count(dSet.contains)
           // integer threshold: 3*common >= nA+nB  ⟺  J >= 0.5 — the
           // exact predicate of the batch verify join
-          if (common * 3 >= d.shs.size + s.shs.size) {
+          if (common * 3 >= d.shl.size + s.shl.size) {
             // (a, b) ordered by id; n_a/n_b follow the same order
             out += (if (s.doc_id < d.doc_id)
-              NearDupPair(s.doc_id, d.doc_id, common, s.shs.size, d.shs.size)
+              NearDupPair(s.doc_id, d.doc_id, common, s.shl.size, d.shl.size)
             else
-              NearDupPair(d.doc_id, s.doc_id, common, d.shs.size, s.shs.size))
+              NearDupPair(d.doc_id, s.doc_id, common, d.shl.size, s.shl.size))
           }
         }
       }
