@@ -71,8 +71,8 @@ object Dedup {
     * df² explosion is 8× larger (measured 11M vs 1.4M pair rows at
     * sf0.1) — larger shingles keep the inverted index sparse. */
   def shingleSets(corpus: DataFrame, n: Int = 4): DataFrame =
-    corpus.select(col("doc_id"),
-        TextAnalysis.shinglesUdf(n)(col("text")).as("shs"))
+    corpus.withColumn("shs", TextAnalysis.shinglesUdf(n)(col("text")))
+      .drop("text")
       .filter(size(col("shs")) > 0)
       .withColumn("n", size(col("shs")))
 
@@ -297,10 +297,10 @@ object Dedup {
       array_min(transform(col("hs"),
         h => pmod(h * a + b, lit(MersennePrime)))).as(s"mh_$i")
     }
-    // shs rides along for consumers that verify inside the same plan
-    // (the streaming incremental dedup); batch consumers never select
-    // it, so Catalyst prunes it before any shuffle
-    hashed.select((col("doc_id") +: col("n") +: col("shs") +: sigCols): _*)
+    // input columns (shs, n, any event-time the streaming dedup
+    // carries) ride along; batch consumers never select them, so
+    // Catalyst prunes them before any shuffle
+    hashed.select((col("*") +: sigCols): _*).drop("hs")
   }
 
   /** (doc_id [, extras...], band, bucket) rows: each doc in each of its

@@ -16,6 +16,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class BandedDoc(band: Int, bucket: Long, doc_id: Long,
     shl: Seq[Long])
 
+/** [[BandedDoc]] plus the doc's event time — the retention-bounded
+  * variant's clock. The TIMESTAMP column itself rides through to the
+  * stateful operator (not a precomputed epoch), because Spark requires
+  * the watermarked attribute in the stateful operator's child output
+  * to allow event-time timeouts. */
+final case class BandedDocTs(band: Int, bucket: Long, doc_id: Long,
+    shl: Seq[Long], ts_t: java.sql.Timestamp) {
+  def tsMs: Long = ts_t.getTime
+}
+
 /** A verified near-dup pair (same contract as Dedup.jaccardPairs). */
 final case class NearDupPair(a: Long, b: Long, n_common: Int,
     n_a: Int, n_b: Int)
@@ -55,16 +65,98 @@ object StreamingDedup {
   def nearDupPairsStream(docs: DataFrame): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = Dedup.minhashSignatures(Dedup.shingleSets(docs))
-      .withColumn("shl", transform(col("shs"), sh => xxhash64(sh)))
-    val banded = Dedup.bandBuckets(sigs, extras = Seq("shl"))
+    banded(docs, extras = Seq("shl"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id"), col("shl"))
       .as[BandedDoc]
-    banded
       .groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(verifyAgainstState)
+  }
+
+  /** Retention-bounded variant — "dedup within the last N days", the
+    * C4/CCNet regime that keeps state finite on an infinite stream:
+    * docs carry an event-time column (already watermarked by the
+    * caller), each bucket's state is kept alive `retentionMs` past its
+    * newest doc's event time, and buckets idle longer are EVICTED by
+    * the engine when the watermark passes (a doc arriving later simply
+    * starts the bucket fresh — near-dups of evicted docs are no longer
+    * reported, by design). State is bounded by stream rate × retention
+    * instead of corpus lifetime.
+    *
+    * docs: streaming DataFrame with (doc_id LONG, text STRING,
+    * <tsCol> TIMESTAMP) and `withWatermark(tsCol, ...)` applied.
+    */
+  def nearDupPairsStreamWithRetention(docs: DataFrame, tsCol: String,
+      retentionMs: Long): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs.withColumn("ts_t", col(tsCol)),
+        extras = Seq("shl", "ts_t"))
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"), col("shl"), col("ts_t"))
+      .as[BandedDocTs]
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        verifyWithRetention(retentionMs))
+  }
+
+  /** Retention verify: a pair is reported iff the two docs' event
+    * times are within `retentionMs` of each other — enforced in the
+    * PREDICATE, not via state timeout, because timeouts only fire for
+    * groups receiving NO data in a batch: a bucket whose expired state
+    * meets a new arrival in the same batch would otherwise resurrect
+    * pairs past retention (batch-boundary-dependent results). The
+    * event-time timeout is only garbage collection for idle buckets;
+    * storage is additionally pruned to the newest arrival's retention
+    * window on every invocation.
+    */
+  private[streaming] def verifyWithRetention(retentionMs: Long)(
+      key: (Int, Long), rows: Iterator[BandedDocTs],
+      state: GroupState[Seq[BandedDocTs]]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val fresh = rows.toArray.sortBy(_.doc_id)
+    if (fresh.isEmpty) return Iterator.empty
+    val newest = fresh.map(_.tsMs).max
+    var seen = state.getOption.getOrElse(Seq.empty).toVector
+      .filter(_.tsMs >= newest - retentionMs)
+    val out = Vector.newBuilder[NearDupPair]
+    fresh.foreach { d =>
+      val dSet = d.shl.toSet
+      seen.foreach { s =>
+        if (s.doc_id != d.doc_id &&
+            math.abs(d.tsMs - s.tsMs) <= retentionMs) {
+          val common = s.shl.count(dSet.contains)
+          if (common * 3 >= d.shl.size + s.shl.size) {
+            out += (if (s.doc_id < d.doc_id)
+              NearDupPair(s.doc_id, d.doc_id, common, s.shl.size, d.shl.size)
+            else
+              NearDupPair(d.doc_id, s.doc_id, common, d.shl.size, s.shl.size))
+          }
+        }
+      }
+      seen = seen :+ d
+    }
+    state.update(seen)
+    // idle-bucket GC: evict once the watermark passes the newest doc's
+    // retention window (must stay ahead of the current watermark or
+    // Spark rejects the timestamp)
+    state.setTimeoutTimestamp(
+      math.max(newest + retentionMs, state.getCurrentWatermarkMs() + 1))
+    out.result().iterator
+  }
+
+  /** Shared stateless prefix: shingles → MinHash signatures → 64-bit
+    * shingle hashes → band explode. `extras` columns ride through to
+    * the banded rows. */
+  private def banded(docs: DataFrame, extras: Seq[String]): DataFrame = {
+    val sigs = Dedup.minhashSignatures(Dedup.shingleSets(docs))
+      .withColumn("shl", transform(col("shs"), sh => xxhash64(sh)))
+    Dedup.bandBuckets(sigs, extras = extras)
   }
 
   /** Verify each newly arrived doc against the bucket's seen docs (and

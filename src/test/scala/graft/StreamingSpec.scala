@@ -275,6 +275,67 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "planted near-dups must be found")
   }
 
+  test("retention-bounded streaming dedup evicts buckets past the watermark") {
+    val base = freshDir("streamdedupret")
+    val store = LogStore(base)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType)))
+    val corpus = graft.ext.Dedup.plantedCorpus(
+      Tables(spark, sf, "documents").limit(200))
+    import org.apache.spark.sql.functions.{col, lit}
+    val origs = corpus.filter(col("doc_id") < graft.ext.Dedup.PlantedOffset)
+    val dups = corpus.filter(col("doc_id") >= graft.ext.Dedup.PlantedOffset)
+    // batch 1: originals at day 0; batch 2: a watermark-advancing doc
+    // at day 10; batch 3: the perturbed copies at day 10 — by then the
+    // day-0 buckets are past the 1-day retention and evicted, so NO
+    // cross-batch pairs may be reported
+    store.append(origs.withColumn("ts", lit("2026-01-01 00:00:00")),
+      "scope", "sr")
+    store.append(dups.limit(1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .withColumn("ts", lit("2026-01-11 00:00:00")), "scope", "sr")
+    store.append(dups.withColumn("ts", lit("2026-01-11 00:01:00")),
+      "scope", "sr")
+    val stream = store.readStream(spark, "scope", "sr", docSchema)
+      .withColumn("ts_t", col("ts").cast("timestamp"))
+      .withWatermark("ts_t", "0 seconds")
+    val q = graft.streaming.StreamingDedup
+      .nearDupPairsStreamWithRetention(stream, "ts_t",
+        retentionMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("t_streamdedupret")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = spark.table("t_streamdedupret")
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // day-0 originals were evicted before the day-10 copies arrived:
+    // no (orig, copy) pair may survive retention
+    val crossRetention = pairs.filter { case (a, b) =>
+      a < graft.ext.Dedup.PlantedOffset && b >= graft.ext.Dedup.PlantedOffset }
+    assert(crossRetention.isEmpty,
+      s"evicted-state pairs leaked: ${crossRetention.take(5)}")
+    // sanity: the unbounded twin DOES find those pairs on the same data
+    val unbounded = graft.streaming.StreamingDedup.nearDupPairsStream(
+      store.readStream(spark, "scope", "sr", docSchema).drop("ts"))
+    val q2 = unbounded.writeStream.format("memory")
+      .queryName("t_streamdedupret2")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val allPairs = spark.table("t_streamdedupret2")
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allPairs.exists { case (a, b) =>
+      a < graft.ext.Dedup.PlantedOffset && b >= graft.ext.Dedup.PlantedOffset },
+      "unbounded twin must find the cross-batch pairs retention dropped")
+  }
+
   test("append-mode windowed agg emits finalized windows, evicts state") {
     val base = freshDir("windowappend")
     val store = LogStore(base)
