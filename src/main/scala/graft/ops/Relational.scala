@@ -766,11 +766,44 @@ object Relational {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
 
+  /** Correlated LATERAL subquery — the other half of the decorrelation
+    * surface beyond q21's scalar subquery: a per-row dependent subquery
+    * with ORDER BY + LIMIT (top order per customer), which Catalyst
+    * rewrites into a join + per-group limit; customers without orders
+    * drop out (inner lateral). Deterministic via the total tie-break.
+    * Scale: decorrelated plan shuffles once on the correlation key —
+    * never a per-row subquery execution.
+    */
+  val q33Lateral = QueryDef(
+    "q33_lateral_topk",
+    (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        FROM graft_customer c,
+        LATERAL (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                 FROM graft_orders_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 1) t""")
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.price_cents
+      FROM customer c,
+      LATERAL (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+               FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 1) t"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
-    q32FullOuter)
+    q32FullOuter, q33Lateral)
 }
