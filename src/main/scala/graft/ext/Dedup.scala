@@ -501,6 +501,64 @@ object Dedup {
       .distinct()
   }
 
+  /** 128-bit SimHash — the documented scale path past the 64-bit
+    * variant's candidate bound: pigeonhole banding for hamming ≤ 3
+    * over 128 bits uses 4 bands of 32 bits, so CHANCE collisions of
+    * dissimilar docs drop from n²/2^16 to n²/2^32 per band — the
+    * difference between quadratic-with-visible-constant at ~10^6 docs
+    * and negligible at ~10^9. Two 64-bit words (`sh_0` low bits 0-63,
+    * `sh_1` bits 64-127); word 1's per-token hash is salted so the two
+    * words are independent. Same tf-weighted sign aggregation, one
+    * shuffle on doc_id.
+    */
+  def simhashSignatures128(corpus: DataFrame): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("h1", xxhash64(concat(lit("g2:"), col("tok"))))
+    def word(h: String, w: Int): Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col(h), j).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s_${w}_$j")
+    }
+    val bitSums = word("h0", 0) ++ word("h1", 1)
+    val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    def sig(w: Int): Column = (0 until 64).map { j =>
+      when(col(s"s_${w}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("doc_id"), sig(0).as("sh_0"), sig(1).as("sh_1"))
+  }
+
+  /** Banded near-dup pairs over 128-bit signatures: 4 bands of 32 bits
+    * (pigeonhole covers hamming ≤ 3), exact 128-bit hamming verify.
+    * One shuffle on the band key; chance candidates ∝ n²/2^32.
+    */
+  def simhashPairs128(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
+    val bands = Seq(
+      col("sh_0").bitwiseAND(lit(0xFFFFFFFFL)),
+      shiftrightunsigned(col("sh_0"), 32),
+      col("sh_1").bitwiseAND(lit(0xFFFFFFFFL)),
+      shiftrightunsigned(col("sh_1"), 32))
+    val banded = sigs.select(col("doc_id"), col("sh_0"), col("sh_1"),
+      posexplode(array(bands: _*)))
+      .toDF("doc_id", "sh_0", "sh_1", "band", "bval")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (bit_count(col("x.sh_0").bitwiseXOR(col("y.sh_0"))) +
+          bit_count(col("x.sh_1").bitwiseXOR(col("y.sh_1")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  val simhashWideNearDup = QueryDef(
+    "dedup_simhash128_pairs",
+    (s, dir) => simhashPairs128(Work.materialize("simhash128_sigs",
+      simhashSignatures128(plantedCorpus(Tables(s, dir, "documents"))))),
+    None) // hash not SQL-expressible; brute-force equality in ExtSpec + golden
+
   /** Near-dup search over the planted corpus via SimHash banding.
     * Signatures are materialized once — the banded self-join would
     * otherwise recompute the tf + 64-bit-sum aggregation for both
@@ -672,5 +730,6 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup,
-      embeddingCosine, clusters, decontam, curate, lineDedup)
+      simhashWideNearDup, embeddingCosine, clusters, decontam, curate,
+      lineDedup)
 }

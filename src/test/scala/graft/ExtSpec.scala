@@ -132,6 +132,24 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty, "planted near-identical docs must collide")
   }
 
+  test("simhash128 banded near-dup equals brute-force hamming filter") {
+    val sigs = Dedup.simhashSignatures128(
+      Dedup.plantedCorpus(Tables(spark, sf, "documents")))
+    val local = sigs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, a0, a1) <- local
+      (b, b0, b1) <- local
+      if a < b && java.lang.Long.bitCount(a0 ^ b0) +
+        java.lang.Long.bitCount(a1 ^ b1) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashPairs128(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "planted perturbations must land within hamming 3")
+  }
+
   test("dedup_exact counts planted exact copies") {
     val rows = Dedup.exact.fn(spark, sf).collect()
     val withCopies = rows.count(_.getLong(2) >= 2)

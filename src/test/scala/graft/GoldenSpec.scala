@@ -41,6 +41,7 @@ class GoldenSpec extends SparkSpec {
     "q15_approx_distinct" -> "3d368928f9c9b6f2",
     "dedup_simhash" -> "98d537d5fcbfc575",
     "dedup_simhash_pairs" -> "cd02ef642e0cad49",
+    "dedup_simhash128_pairs" -> "e639582ba31e8026",
     "doc_fingerprint" -> "280984398f9e7c82",
     "lang_id" -> "e2ba579ef125e687",
     "multimodal_decode" -> "1678f255bf444335",
