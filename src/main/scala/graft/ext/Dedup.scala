@@ -451,25 +451,39 @@ object Dedup {
 
   // --- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash per doc from token-frequency-weighted token hashes:
-    * bit j of the signature = sign of Σ_tokens tf · (±1 per hash bit j).
-    * Pure aggregation (no UDF); one shuffle on doc_id.
+  /** Shared SimHash core: one 64-bit signature word per token-hash
+    * expression — bit j of word w = sign of Σ_tokens tf · (±1 per bit
+    * j of hash w). Pure aggregation (no UDF); one shuffle on doc_id.
+    * Both widths (64/128) are this one implementation, so the sign
+    * convention, tokenizer, and tie handling (sum == 0 → bit 0) cannot
+    * diverge between them.
     */
-  def simhashSignatures(corpus: DataFrame): DataFrame = {
-    val tf = corpus
+  private def signSignatures(corpus: DataFrame,
+      tokenHashes: Seq[Column => Column], names: Seq[String]): DataFrame = {
+    val tf0 = corpus
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s_$j")
+    val tf = tokenHashes.zipWithIndex.foldLeft(tf0) { case (df, (h, w)) =>
+      df.withColumn(s"h_$w", h(col("tok")))
+    }
+    val bitSums = tokenHashes.indices.flatMap { w =>
+      (0 until 64).map { j =>
+        sum(when(shiftright(col(s"h_$w"), j).bitwiseAND(1) === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"s_${w}_$j")
+      }
     }
     val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    sums.select(col("doc_id"), sig.as("simhash"))
+    val sigCols = tokenHashes.indices.map { w =>
+      (0 until 64).map { j =>
+        when(col(s"s_${w}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y)).as(names(w))
+    }
+    sums.select(col("doc_id") +: sigCols: _*)
   }
+
+  /** 64-bit SimHash per doc from token-frequency-weighted token hashes. */
+  def simhashSignatures(corpus: DataFrame): DataFrame =
+    signSignatures(corpus, Seq(t => xxhash64(t)), Seq("simhash"))
 
   val simhash = QueryDef(
     "dedup_simhash",
@@ -485,20 +499,10 @@ object Dedup {
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
-    val bands = (0 until 4).map(b =>
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array(bands: _*)))
-      .toDF("doc_id", "simhash", "band", "bval")
-    banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      // verify BEFORE distinct: the hamming check is a per-row codegen'd
-      // expression, the distinct is a shuffle — shrink the shuffle input
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    bandedHammingPairs(sigs, Seq("simhash"),
+      (0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))),
+      maxHamming)
   }
 
   /** 128-bit SimHash — the documented scale path past the 64-bit
@@ -511,23 +515,10 @@ object Dedup {
     * words are independent. Same tf-weighted sign aggregation, one
     * shuffle on doc_id.
     */
-  def simhashSignatures128(corpus: DataFrame): DataFrame = {
-    val tf = corpus
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h0", xxhash64(col("tok")))
-      .withColumn("h1", xxhash64(concat(lit("g2:"), col("tok"))))
-    def word(h: String, w: Int): Seq[Column] = (0 until 64).map { j =>
-      sum(when(shiftright(col(h), j).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s_${w}_$j")
-    }
-    val bitSums = word("h0", 0) ++ word("h1", 1)
-    val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    def sig(w: Int): Column = (0 until 64).map { j =>
-      when(col(s"s_${w}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    sums.select(col("doc_id"), sig(0).as("sh_0"), sig(1).as("sh_1"))
-  }
+  def simhashSignatures128(corpus: DataFrame): DataFrame =
+    signSignatures(corpus,
+      Seq(t => xxhash64(t), t => xxhash64(concat(lit("g2:"), t))),
+      Seq("sh_0", "sh_1"))
 
   /** Banded near-dup pairs over 128-bit signatures: 4 bands of 32 bits
     * (pigeonhole covers hamming ≤ 3), exact 128-bit hamming verify.
@@ -535,20 +526,30 @@ object Dedup {
     */
   def simhashPairs128(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
-    val bands = Seq(
+    bandedHammingPairs(sigs, Seq("sh_0", "sh_1"), Seq(
       col("sh_0").bitwiseAND(lit(0xFFFFFFFFL)),
       shiftrightunsigned(col("sh_0"), 32),
       col("sh_1").bitwiseAND(lit(0xFFFFFFFFL)),
-      shiftrightunsigned(col("sh_1"), 32))
-    val banded = sigs.select(col("doc_id"), col("sh_0"), col("sh_1"),
-      posexplode(array(bands: _*)))
-      .toDF("doc_id", "sh_0", "sh_1", "band", "bval")
+      shiftrightunsigned(col("sh_1"), 32)), maxHamming)
+  }
+
+  /** Shared banded-join core of both SimHash widths: explode the band
+    * values, equi-join on (band, value), verify exact hamming (summed
+    * bit_count XOR over the signature words) BEFORE the distinct —
+    * the hamming check is a per-row codegen'd expression, the distinct
+    * a shuffle, so shrink the shuffle input. */
+  private def bandedHammingPairs(sigs: DataFrame, sigCols: Seq[String],
+      bands: Seq[Column], maxHamming: Int): DataFrame = {
+    val banded = sigs.select(
+      (col("doc_id") +: sigCols.map(col)) :+ posexplode(array(bands: _*)): _*)
+      .toDF(("doc_id" +: sigCols) ++ Seq("band", "bval"): _*)
+    val hamming = sigCols.map(c =>
+      bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c")))).reduce(_ + _)
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        (bit_count(col("x.sh_0").bitwiseXOR(col("y.sh_0"))) +
-          bit_count(col("x.sh_1").bitwiseXOR(col("y.sh_1")))).as("hamming"))
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -91,7 +91,10 @@ object StreamingDedup {
       retentionMs: Long): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    banded(docs.withColumn("ts_t", col(tsCol)),
+    // null event times cannot participate in retention math (and the
+    // watermark ignores rather than filters them) — drop them at the
+    // plan level before the stateful operator
+    banded(docs.filter(col(tsCol).isNotNull).withColumn("ts_t", col(tsCol)),
         extras = Seq("shl", "ts_t"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id"), col("shl"), col("ts_t"))
@@ -108,9 +111,11 @@ object StreamingDedup {
     * groups receiving NO data in a batch: a bucket whose expired state
     * meets a new arrival in the same batch would otherwise resurrect
     * pairs past retention (batch-boundary-dependent results). The
-    * event-time timeout is only garbage collection for idle buckets;
-    * storage is additionally pruned to the newest arrival's retention
-    * window on every invocation.
+    * event-time timeout is only garbage collection for idle buckets.
+    * Storage is pruned against the WATERMARK's retention window (not
+    * this batch's max event time — a late-but-valid future arrival can
+    * be older than the batch max, and pruning to the batch max would
+    * silently lose its in-retention pairs).
     */
   private[streaming] def verifyWithRetention(retentionMs: Long)(
       key: (Int, Long), rows: Iterator[BandedDocTs],
@@ -119,35 +124,27 @@ object StreamingDedup {
       state.remove()
       return Iterator.empty
     }
-    val fresh = rows.toArray.sortBy(_.doc_id)
+    // defensive double of the plan-level null filter: a null event
+    // time must never NPE the whole query from inside state code
+    val fresh = rows.filter(_.ts_t != null).toArray.sortBy(_.doc_id)
     if (fresh.isEmpty) return Iterator.empty
-    val newest = fresh.map(_.tsMs).max
-    var seen = state.getOption.getOrElse(Seq.empty).toVector
-      .filter(_.tsMs >= newest - retentionMs)
-    val out = Vector.newBuilder[NearDupPair]
-    fresh.foreach { d =>
-      val dSet = d.shl.toSet
-      seen.foreach { s =>
-        if (s.doc_id != d.doc_id &&
-            math.abs(d.tsMs - s.tsMs) <= retentionMs) {
-          val common = s.shl.count(dSet.contains)
-          if (common * 3 >= d.shl.size + s.shl.size) {
-            out += (if (s.doc_id < d.doc_id)
-              NearDupPair(s.doc_id, d.doc_id, common, s.shl.size, d.shl.size)
-            else
-              NearDupPair(d.doc_id, s.doc_id, common, d.shl.size, s.shl.size))
-          }
-        }
-      }
-      seen = seen :+ d
-    }
+    val wm = state.getCurrentWatermarkMs()
+    // no future row can carry ts < watermark, so only state older than
+    // wm - retention can never pair again — the safe prune bound
+    val seen0 = state.getOption.getOrElse(Seq.empty).toVector
+      .filter(_.tsMs >= wm - retentionMs)
+    val (seen, out) = verifyFold[BandedDocTs](fresh, seen0,
+      _.doc_id, _.shl,
+      pairOk = (s, d) => math.abs(d.tsMs - s.tsMs) <= retentionMs)
     state.update(seen)
-    // idle-bucket GC: evict once the watermark passes the newest doc's
-    // retention window (must stay ahead of the current watermark or
-    // Spark rejects the timestamp)
+    // GC armed from the max event time across RETAINED state — arming
+    // from this batch alone would let a late-only batch regress the
+    // timeout and evict a doc still within retention of future valid
+    // arrivals (must also stay ahead of the current watermark or Spark
+    // rejects the timestamp)
     state.setTimeoutTimestamp(
-      math.max(newest + retentionMs, state.getCurrentWatermarkMs() + 1))
-    out.result().iterator
+      math.max(seen.map(_.tsMs).max + retentionMs, wm + 1))
+    out
   }
 
   /** Shared stateless prefix: shingles → MinHash signatures → 64-bit
@@ -170,27 +167,41 @@ object StreamingDedup {
     // NoTimeout this is just a safe no-op
     val fresh = rows.toArray.sortBy(_.doc_id)
     if (fresh.isEmpty) return Iterator.empty
-    var seen = state.getOption.getOrElse(Seq.empty).toVector
+    val (seen, out) = verifyFold[BandedDoc](fresh,
+      state.getOption.getOrElse(Seq.empty).toVector,
+      _.doc_id, _.shl, pairOk = (_, _) => true)
+    state.update(seen)
+    out
+  }
+
+  /** Shared verify-and-fold core of both stateful variants: arrivals
+    * (pre-sorted by doc_id) are compared against the folded set under
+    * `pairOk` with the batch verify join's exact integer threshold
+    * (3*common >= nA+nB  ⟺  J >= 0.5); (a, b) ordered by id with
+    * n_a/n_b following the same order. One implementation so a
+    * threshold or tie-break change cannot silently diverge the
+    * retention twin from the batch-equivalence-tested unbounded one.
+    */
+  private def verifyFold[T](fresh: Array[T], seen0: Vector[T],
+      id: T => Long, shl: T => Seq[Long],
+      pairOk: (T, T) => Boolean): (Vector[T], Iterator[NearDupPair]) = {
+    var seen = seen0
     val out = Vector.newBuilder[NearDupPair]
     fresh.foreach { d =>
-      val dSet = d.shl.toSet
+      val dSet = shl(d).toSet
       seen.foreach { s =>
-        if (s.doc_id != d.doc_id) {
-          val common = s.shl.count(dSet.contains)
-          // integer threshold: 3*common >= nA+nB  ⟺  J >= 0.5 — the
-          // exact predicate of the batch verify join
-          if (common * 3 >= d.shl.size + s.shl.size) {
-            // (a, b) ordered by id; n_a/n_b follow the same order
-            out += (if (s.doc_id < d.doc_id)
-              NearDupPair(s.doc_id, d.doc_id, common, s.shl.size, d.shl.size)
+        if (id(s) != id(d) && pairOk(s, d)) {
+          val common = shl(s).count(dSet.contains)
+          if (common * 3 >= shl(d).size + shl(s).size) {
+            out += (if (id(s) < id(d))
+              NearDupPair(id(s), id(d), common, shl(s).size, shl(d).size)
             else
-              NearDupPair(d.doc_id, s.doc_id, common, d.shl.size, s.shl.size))
+              NearDupPair(id(d), id(s), common, shl(d).size, shl(s).size))
           }
         }
       }
       seen = seen :+ d
     }
-    state.update(seen)
-    out.result().iterator
+    (seen, out.result().iterator)
   }
 }
