@@ -16,7 +16,8 @@ object SparkEntry {
       streaming.StreamOps.all ++
       ml.Knn.all ++ workflow.BatchTrainPredict.all ++
       ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.Similarity.all ++
-      ext.Embeddings.all ++ ext.Chunking.all ++ ext.Multimodal.all
+      ext.Embeddings.all ++ ext.Chunking.all ++ ext.Corpus.all ++
+      ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's predict pipeline in miniature: distributed KNN

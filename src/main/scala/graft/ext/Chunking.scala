@@ -110,5 +110,75 @@ object Chunking {
              CAST(floor(start_off / ${ContextTokens.toDouble}) AS BIGINT) AS bin
       FROM o"""))
 
-  val all: Seq[QueryDef] = Seq(chunk, pack)
+  /** Materialize the packed training sequences themselves: docs are
+    * concatenated per shard in doc_id order and cut into fixed
+    * [[ContextTokens]]-token bins, with documents straddling bin
+    * boundaries (the GPT-style concatenate-and-split text, not just the
+    * [[pack]] bin assignment). Each doc emits one fragment per bin it
+    * overlaps; bins reassemble fragments in offset order.
+    *
+    * Scale: offsets via a per-shard running-sum window (parallel across
+    * shards), the fragment explode is per-row, and reassembly is one
+    * shuffle on (shard, bin) whose groups are bounded by the token
+    * budget — no global order, no unbounded group.
+    */
+  val packChunkText = QueryDef(
+    "pack_chunk_text",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextAnalysis.tokens(col("text"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fragStart = greatest(col("bin") * ContextTokens, col("start_off"))
+      val fragEnd = least((col("bin") + 1) * ContextTokens, col("end_off"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % Shards).as("shard"),
+          toks.as("ws"), size(toks).cast(LongType).as("n"))
+        .filter(col("n") > 0)
+        .withColumn("end_off", sum(col("n")).over(w))
+        .withColumn("start_off", col("end_off") - col("n"))
+        // bins this doc overlaps: floor(start/CT) .. floor((end-1)/CT)
+        .select(col("shard"), col("ws"), col("start_off"), col("end_off"),
+          explode(sequence(expr(s"start_off div $ContextTokens"),
+            expr(s"(end_off - 1) div $ContextTokens"))).as("bin"))
+        .select(col("shard"), col("bin"), col("start_off"),
+          slice(col("ws"), (fragStart - col("start_off") + 1).cast(IntegerType),
+            (fragEnd - fragStart).cast(IntegerType)).as("frag"))
+        .groupBy("shard", "bin")
+        .agg(
+          sum(size(col("frag"))).cast(LongType).as("n_seq_tokens"),
+          array_join(
+            flatten(transform(
+              sort_array(collect_list(struct(col("start_off"), col("frag")))),
+              t => t.getField("frag"))), " ").as("seq_text"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, doc_id % $Shards AS shard,
+                        regexp_split_to_array(trim(text), '\\s+') AS ws,
+                        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                          AS n
+                 FROM documents
+                 WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0),
+      o AS (SELECT doc_id, shard, ws, n,
+                   CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS end_off
+            FROM d),
+      e AS (SELECT shard, ws, end_off - n AS start_off, end_off,
+                   unnest(generate_series((end_off - n) // $ContextTokens,
+                                          (end_off - 1) // $ContextTokens)) AS bin
+            FROM o),
+      f AS (SELECT shard, bin, start_off,
+                   ws[CAST(greatest(bin * $ContextTokens, start_off) - start_off + 1 AS BIGINT)
+                      : CAST(least((bin + 1) * $ContextTokens, end_off) - start_off AS BIGINT)]
+                     AS frag
+            FROM e)
+      SELECT shard, bin,
+             CAST(sum(len(frag)) AS BIGINT) AS n_seq_tokens,
+             array_to_string(flatten(list(frag ORDER BY start_off)), ' ')
+               AS seq_text
+      FROM f
+      GROUP BY shard, bin"""))
+
+  val all: Seq[QueryDef] = Seq(chunk, pack, packChunkText)
 }

@@ -13,19 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
-  /** Knuth multiplicative hash bucket in [0, 100) — pure 64-bit integer
+  /** Knuth multiplicative hash to [0, 2^32) — pure 64-bit integer
     * arithmetic, expressible identically in any engine (no RNG, no
     * engine-specific hash function), so the oracle can reproduce the
-    * exact assignment. The key is pre-reduced mod 2^31 so the multiply
+    * exact value. The key is pre-reduced mod 2^31 so the multiply
     * stays within 63 bits for ANY long key: without it, ids >= ~3.47e9
     * overflow — which Spark wraps silently (non-ANSI) while DuckDB
-    * errors on, i.e. split assignments would silently diverge. Keys
-    * must still be NON-NEGATIVE (Spark's pmod and SQL's `%` agree only
+    * errors on, i.e. assignments would silently diverge. Keys must
+    * still be NON-NEGATIVE (Spark's pmod and SQL's `%` agree only
     * there); callers pass row ids, which are.
     */
-  def hashBucket(key: Column): Column =
-    pmod(pmod(pmod(key, lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L)), lit(100L))
+  def hash32(key: Column): Column =
+    pmod(pmod(key, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  /** [[hash32]] folded to a percentage bucket in [0, 100) — the
+    * train/val/test and sampling-rate assignment primitive. */
+  def hashBucket(key: Column): Column = pmod(hash32(key), lit(100L))
 
   /** Deterministic sample + split assignment: every doc gets a stable
     * bucket; buckets < 80 → train, < 90 → val, rest → test. The

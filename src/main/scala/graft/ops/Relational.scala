@@ -799,11 +799,93 @@ object Relational {
                ORDER BY o_totalprice DESC, o_orderkey
                LIMIT 1) t"""))
 
+  /** CDC log compaction: the latest row per key from an append-only
+    * change stream — `events` as the changelog, key (user_id,
+    * event_type), recency by (ts, event_id). The standard "upsert view
+    * of a log" every CDC-ingesting table maintains. ts surfaces at
+    * microsecond granularity (integer `div`; nanos-as-long discipline,
+    * see stream_sink_json).
+    * Scale: one shuffle on the key; at extreme per-key churn the window
+    * becomes a max_by aggregation (same single-shuffle shape, map-side
+    * partial) — both never hold more than a partition's sort spill.
+    */
+  val q34LatestByKey = QueryDef(
+    "q34_latest_by_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), cents(col("value")).as("value_cents"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1"""))
+
+  /** MERGE/upsert snapshot: apply a deterministic change feed (updates,
+    * planted inserts and deletes derived from orders) to the customer
+    * base table and emit the merged snapshot — the batch MERGE INTO a
+    * lakehouse table runs per ingestion cycle, expressed as the
+    * full-outer-join + case plan Spark compiles MERGE to.
+    * Changes: per customer, delta = sum of order cents; custkey % 10 = 7
+    * → delete, custkey % 50 = 0 → re-keyed +10M (an insert of a key the
+    * base lacks); everything else updates the account balance.
+    * Scale: one shuffle join on the merge key (sort-merge at fact scale,
+    * AQE-broadcast when the feed is small); deletes/updates/inserts are
+    * per-row case logic, no second pass.
+    */
+  val q35MergeUpsert = QueryDef(
+    "q35_merge_upsert",
+    (s, dir) => {
+      val changes = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("delta_cents"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("m_key"),
+          when(col("o_custkey") % 10 === 7, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("delta_cents"))
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      base.join(changes, col("c_custkey") === col("m_key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(col("c_custkey"), col("m_key")).as("cust_key"),
+          coalesce(col("c_name"), lit("NEW")).as("name"),
+          (coalesce(col("bal_cents"), lit(0L)) +
+            coalesce(col("delta_cents"), lit(0L))).as("bal_cents"))
+    },
+    Some("""
+      WITH changes AS (
+        SELECT CASE WHEN o_custkey % 50 = 0 THEN o_custkey + 10000000
+                    ELSE o_custkey END AS m_key,
+               CASE WHEN o_custkey % 10 = 7 THEN 'D' ELSE 'U' END AS op,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS delta_cents
+        FROM orders GROUP BY o_custkey),
+      base AS (SELECT c_custkey, c_name,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+               FROM customer)
+      SELECT coalesce(c_custkey, m_key) AS cust_key,
+             coalesce(c_name, 'NEW') AS name,
+             coalesce(bal_cents, 0) + coalesce(delta_cents, 0) AS bal_cents
+      FROM base FULL OUTER JOIN changes ON c_custkey = m_key
+      WHERE op IS NULL OR op <> 'D'"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
-    q32FullOuter, q33Lateral)
+    q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert)
 }
