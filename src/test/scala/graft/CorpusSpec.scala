@@ -1,0 +1,134 @@
+package graft
+
+import graft.ext.{Chunking, Corpus}
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the corpus-ordering/packing and CDC/MERGE
+  * operators — the oracle gate checks exact equality with DuckDB; these
+  * pin the semantic properties a refactor must not break.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("build_vocab: bounded size, counts non-increasing, tokens nonempty") {
+    val rows = Corpus.buildVocab.fn(spark, sf).collect()
+    assert(rows.length <= Corpus.VocabSize && rows.nonEmpty)
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "vocab must arrive count-descending")
+    assert(rows.forall(_.getString(0).nonEmpty))
+  }
+
+  test("tfidf_topterms: per-doc ranks are 1..k and follow (tf desc, df asc)") {
+    val rows = Corpus.tfidfTopTerms.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, ts) =>
+      val byRank = ts.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to ts.length),
+        s"doc $doc ranks not contiguous: ${byRank.map(_._5).toSeq}")
+      assert(ts.length <= Corpus.TfIdfTopK)
+      // ranking key is (tf desc, df asc, term asc)
+      val keys = byRank.map(t => (-t._3, t._4, t._2)).toSeq
+      assert(keys == keys.sorted, s"doc $doc out of TF-IDF order: $keys")
+    }
+  }
+
+  test("shuffle_deterministic: a bijection with contiguous per-shard ranks") {
+    val docs = Tables(spark, sf, "documents").count()
+    val rows = Corpus.shuffleDeterministic.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length.toLong == docs)
+    assert(rows.map(_._1).distinct.length == rows.length, "each doc exactly once")
+    rows.groupBy(_._2).foreach { case (shard, ss) =>
+      assert(ss.map(_._3).sorted.toSeq == (1 to ss.length),
+        s"shard $shard positions not contiguous")
+    }
+    // shard follows the portable hash, so reruns and engines agree
+    val h = rows.map { case (id, shard, _) =>
+      (((id % 2147483648L) * 2654435761L) % 4294967296L) % Corpus.ShuffleShards == shard
+    }
+    assert(h.forall(identity))
+  }
+
+  test("pack_chunk_text: bins are exactly full except each shard's last") {
+    val out = Chunking.packChunkText.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (shard, bins) =>
+      val byBin = bins.sortBy(_._2)
+      assert(byBin.map(_._2).toSeq == (0L until byBin.length).toSeq,
+        s"shard $shard bins not contiguous from 0")
+      byBin.dropRight(1).foreach { case (_, bin, n, _) =>
+        assert(n == Chunking.ContextTokens,
+          s"shard $shard bin $bin has $n tokens, want ${Chunking.ContextTokens}")
+      }
+      // the bin text really carries that many whitespace tokens
+      byBin.foreach { case (_, bin, n, text) =>
+        val toks = text.split(" ", -1).length
+        assert(toks.toLong == n, s"shard $shard bin $bin text has $toks != $n")
+      }
+    }
+  }
+
+  test("pack_chunk_text: concatenating a shard's bins replays its docs in order") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), (col("doc_id") % Chunking.Shards).as("shard"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = docs.filter(_._2 == 0L).sortBy(_._1)
+      .flatMap(_._3.trim.split("\\s+")).toSeq
+    val got = Chunking.packChunkText.fn(spark, sf)
+      .filter(col("shard") === 0)
+      .collect().sortBy(_.getLong(1))
+      .flatMap(_.getString(3).split(" ", -1)).toSeq
+    assert(got == expected)
+  }
+
+  test("q35_merge_upsert: planted deletes drop, inserts appear, others update") {
+    val out = Relational.q35MergeUpsert.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byKey = out.map(t => t._1 -> t).toMap
+    assert(out.length == byKey.size, "merge output must be unique per key")
+    val orderedCust = Tables(spark, sf, "orders")
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // deletes: customers with orders and custkey % 10 == 7 are gone
+    val deleted = orderedCust.filter(k => k % 10 == 7 && k % 50 != 0)
+    assert(deleted.nonEmpty && deleted.forall(k => !byKey.contains(k)))
+    // inserts: re-keyed +10M rows appear with the NEW marker name
+    val inserted = orderedCust.filter(_ % 50 == 0).map(_ + 10000000L)
+    assert(inserted.nonEmpty &&
+      inserted.forall(k => byKey.get(k).exists(_._2 == "NEW")))
+    // updated customers: balance = base + their order delta (checks the
+    // arithmetic path; at this SF every customer has orders, so there is
+    // no untouched row to check)
+    val updated = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (k, _) =>
+        orderedCust.contains(k) && k % 10 != 7 && k % 50 != 0 }
+    val deltas = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(updated.nonEmpty && updated.forall { case (k, bal) =>
+      byKey.get(k).exists(_._3 == bal + deltas(k)) })
+  }
+
+  test("q34_latest_by_key: keeps exactly the most recent event per key") {
+    val events = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(t => (t._1, t._2)).map { case (_, es) =>
+      es.maxBy(e => (e._4, e._3))._3
+    }.toSet
+    val got = Relational.q34LatestByKey.fn(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+}

@@ -163,6 +163,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("bucket"), s.take(1500))
   }
 
+  test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
+    val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"),
+      "vocab top-N must use per-partition heaps, not a global sort:\n" +
+        s.take(2000))
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "token counting must partial-aggregate map-side:\n" + s.take(2000))
+  }
+
+  test("q35 merge: the upsert join is an equi-join, never a nested loop") {
+    val s = planString(Relational.q35MergeUpsert.fn(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "MERGE must join on the key:\n" + s.take(1500))
+    assert(s.contains("FullOuter"), s.take(1500))
+  }
+
   test("metrics listener profiles scans and shuffles of a completed action") {
     val gm = graft.ops.GraftMetrics.install(spark)
     try {
