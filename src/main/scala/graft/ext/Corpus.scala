@@ -121,6 +121,63 @@ object Corpus {
                                 ORDER BY h, doc_id) AS pos
       FROM h"""))
 
+  /** Corpus composition report: docs / tokens / chars per (source, lang)
+    * with ROLLUP subtotals — the "what is in my corpus" mixture report
+    * every training-data audit starts from. NULL grouping markers are
+    * coalesced to 'ALL' on both sides (q7_rollup discipline) so null
+    * ordering cannot perturb the compare.
+    * Scale: one shuffle on the tiny (source, lang) key space with
+    * map-side combine; the rollup adds grouping-set rows, not passes.
+    */
+  val statsBySource = QueryDef(
+    "corpus_stats_by_source",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("n_chars"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("n_tokens"), col("n_chars"))
+    },
+    Some("""
+      SELECT coalesce(source, 'ALL') AS source,
+             coalesce(lang, 'ALL') AS lang,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents
+      GROUP BY ROLLUP (source, lang)"""))
+
+  /** Mixture rebalancing: per-language deterministic keep rates (keep
+    * all of the rare languages, downsample the dominant one) through the
+    * engine-portable hash bucket — the "hit the target data mixture"
+    * sampling step, keyed on corpus metadata rather than a numeric
+    * label (sample_stratified's axis). Per-row, shuffle-free,
+    * reproducible under retries and engine swaps.
+    */
+  val mixSample = QueryDef(
+    "corpus_mix_sample",
+    (s, dir) => {
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 100)
+        .otherwise(25)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .filter(graft.ops.PipelineOps.hashBucket(col("doc_id")) < rate)
+    },
+    Some("""
+      SELECT doc_id, source, lang FROM documents
+      WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 <
+            CASE WHEN lang = 'en' THEN 50
+                 WHEN lang = 'zh' THEN 100
+                 ELSE 25 END"""))
+
   val all: Seq[QueryDef] =
-    Seq(buildVocab, tfidfTopTerms, shuffleDeterministic)
+    Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
+      mixSample)
 }

@@ -89,6 +89,39 @@ class CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("corpus_stats_by_source: rollup subtotals are consistent") {
+    val rows = Corpus.statsBySource.fn(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val grand = rows(("ALL", "ALL"))
+    assert(grand._1 == Tables(spark, sf, "documents").count())
+    val leaves = rows.filterKeys { case (s, l) => s != "ALL" && l != "ALL" }
+    assert(leaves.values.map(_._1).sum == grand._1, "doc counts must roll up")
+    assert(leaves.values.map(_._2).sum == grand._2, "token sums must roll up")
+    // per-source subtotal rows equal the sum of their language leaves
+    leaves.keys.map(_._1).foreach { src =>
+      val sub = rows((src, "ALL"))
+      val leafSum = leaves.filterKeys(_._1 == src).values.map(_._3).sum
+      assert(sub._3 == leafSum, s"$src char subtotal mismatch")
+    }
+  }
+
+  test("corpus_mix_sample: keeps exactly the hash-selected mixture") {
+    val kept = Corpus.mixSample.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 100
+    docs.foreach { case (id, lang) =>
+      val rate = lang match { case "en" => 50; case "zh" => 100; case _ => 25 }
+      assert(kept.contains(id) == (bucket(id) < rate),
+        s"doc $id lang $lang bucket ${bucket(id)} wrong keep decision")
+    }
+    assert(docs.count(_._2 == "zh") == kept.count(_._2 == "zh"),
+      "rare language must be kept whole")
+  }
+
   test("q35_merge_upsert: planted deletes drop, inserts appear, others update") {
     val out = Relational.q35MergeUpsert.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
