@@ -19,8 +19,12 @@ object ProfileHot {
       "workflow_e2e", "doc_fingerprint")
     keys.foreach { k =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(k)(spark, dir).count()
+      val df = SparkEntry.queries(k)(spark, dir)
+      val n = df.count()
       println(f"[hot] $k%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        println(s"[hot] $k plan:\n" +
+          df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
   }

@@ -177,7 +177,78 @@ object Corpus {
                  WHEN lang = 'zh' THEN 100
                  ELSE 25 END"""))
 
+  val PostingMinDf = 5
+
+  /** Inverted index: term → sorted posting list of doc_ids, for terms
+    * appearing in at least [[PostingMinDf]] docs — the retrieval-index
+    * build step (BM25/keyword search over the corpus). Posting lists are
+    * sorted arrays so both engines produce identical values.
+    * Scale: distinct (term, doc) pairs then one shuffle on term; the
+    * df floor is computed in the same aggregation (no second pass). At
+    * 100 TB posting lists of stop-like terms get long — the df floor
+    * caps the explode upstream, and a production variant shards a hot
+    * term's postings by doc-range (same groupBy with a composite key).
+    */
+  val invertedIndex = QueryDef(
+    "inverted_index",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term")
+        // posting list serialized to one string: the compare gate sorts
+        // and hashes column values, which raw array cells break
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .as("postings"))
+        .filter(col("df") >= PostingMinDf)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+                        unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+                 FROM documents)
+      SELECT term, count(*) AS df,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
+      FROM t WHERE length(term) > 0
+      GROUP BY term
+      HAVING count(*) >= $PostingMinDf"""))
+
+  val BpePairTopN = 100
+
+  /** Tokenizer-training step: corpus-wide counts of adjacent character
+    * pairs inside words (the statistic a BPE trainer maximizes per merge
+    * round), top-N by (count desc, pair asc). One explode per character
+    * position, then the same bounded top-N shape as [[buildVocab]].
+    * Scale: the pair space is tiny (alphabet²), so map-side combine
+    * collapses the shuffle to O(pairs × partitions); iterating merge
+    * rounds re-runs this count on the re-segmented corpus.
+    */
+  val bpePairCounts = QueryDef(
+    "bpe_pair_counts",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(BpePairTopN)
+    },
+    Some(s"""
+      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                 FROM documents),
+      p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                     i -> word[i : i + 1])) AS pair
+            FROM w WHERE length(word) >= 2)
+      SELECT pair, count(*) AS cnt
+      FROM p GROUP BY pair
+      ORDER BY cnt DESC, pair
+      LIMIT $BpePairTopN"""))
+
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
-      mixSample)
+      mixSample, invertedIndex, bpePairCounts)
 }

@@ -89,6 +89,33 @@ class CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("inverted_index: postings are sorted, df-consistent, and correct") {
+    val rows = Corpus.invertedIndex.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length.toLong == df, s"$term: df=$df but ${ids.length} postings")
+      assert(ids.sorted.sameElements(ids), s"$term postings unsorted")
+      assert(df >= Corpus.PostingMinDf)
+    }
+    // spot-check: a term's postings are exactly the docs containing it
+    val (term, _, postings) = rows.minBy(_._2)
+    val expected = Tables(spark, sf, "documents")
+      .filter(array_contains(split(trim(col("text")), "\\s+"), term))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(postings == expected.mkString(","), s"term '$term' postings wrong")
+  }
+
+  test("bpe_pair_counts: bounded top-N of 2-char pairs, count-descending") {
+    val rows = Corpus.bpePairCounts.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= Corpus.BpePairTopN)
+    assert(rows.forall(_._1.length == 2), rows.filter(_._1.length != 2).take(3).toSeq)
+    val cnts = rows.map(_._2)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("corpus_stats_by_source: rollup subtotals are consistent") {
     val rows = Corpus.statsBySource.fn(spark, sf)
       .collect().map(r => ((r.getString(0), r.getString(1)),
