@@ -105,6 +105,18 @@ object StressMain {
         c.select(col("vec_id").as("rid"), col("e").as("re")),
         k = 5, dim = 64).count(),
       n => repEmb(emb, n))
+    pair("inverted_index")(
+      c => ext.Corpus.invertedIndexOf(c).count(),
+      n => repDocs(docs, n))
+    pair("tfidf_topterms")(
+      c => ext.Corpus.tfidfOf(c).count(),
+      n => repDocs(docs, n))
+    pair("pack_chunk_text")(
+      c => ext.Chunking.packChunkTextOf(c).count(),
+      n => repDocs(docs, n))
+    pair("shuffle_det")(
+      c => ext.Corpus.shuffleOf(c).count(),
+      n => repDocs(docs, n))
 
     println(f"[stress] ${"operator"}%-20s ${"1x"}%8s ${mult + "x"}%8s ${"ratio"}%7s  (linear => ratio ~ " + mult + ")")
     results.foreach { case (name, (a, b)) =>

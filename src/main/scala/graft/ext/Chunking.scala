@@ -122,36 +122,39 @@ object Chunking {
     * shuffle on (shard, bin) whose groups are bounded by the token
     * budget — no global order, no unbounded group.
     */
+  /** df-in/df-out core over any (doc_id, text) frame. */
+  def packChunkTextOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fragStart = greatest(col("bin") * ContextTokens, col("start_off"))
+    val fragEnd = least((col("bin") + 1) * ContextTokens, col("end_off"))
+    docs
+      .select(col("doc_id"), (col("doc_id") % Shards).as("shard"),
+        toks.as("ws"), size(toks).cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("end_off", sum(col("n")).over(w))
+      .withColumn("start_off", col("end_off") - col("n"))
+      // bins this doc overlaps: floor(start/CT) .. floor((end-1)/CT)
+      .select(col("shard"), col("ws"), col("start_off"), col("end_off"),
+        explode(sequence(expr(s"start_off div $ContextTokens"),
+          expr(s"(end_off - 1) div $ContextTokens"))).as("bin"))
+      .select(col("shard"), col("bin"), col("start_off"),
+        slice(col("ws"), (fragStart - col("start_off") + 1).cast(IntegerType),
+          (fragEnd - fragStart).cast(IntegerType)).as("frag"))
+      .groupBy("shard", "bin")
+      .agg(
+        sum(size(col("frag"))).cast(LongType).as("n_seq_tokens"),
+        array_join(
+          flatten(transform(
+            sort_array(collect_list(struct(col("start_off"), col("frag")))),
+            t => t.getField("frag"))), " ").as("seq_text"))
+  }
+
   val packChunkText = QueryDef(
     "pack_chunk_text",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = TextAnalysis.tokens(col("text"))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fragStart = greatest(col("bin") * ContextTokens, col("start_off"))
-      val fragEnd = least((col("bin") + 1) * ContextTokens, col("end_off"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), (col("doc_id") % Shards).as("shard"),
-          toks.as("ws"), size(toks).cast(LongType).as("n"))
-        .filter(col("n") > 0)
-        .withColumn("end_off", sum(col("n")).over(w))
-        .withColumn("start_off", col("end_off") - col("n"))
-        // bins this doc overlaps: floor(start/CT) .. floor((end-1)/CT)
-        .select(col("shard"), col("ws"), col("start_off"), col("end_off"),
-          explode(sequence(expr(s"start_off div $ContextTokens"),
-            expr(s"(end_off - 1) div $ContextTokens"))).as("bin"))
-        .select(col("shard"), col("bin"), col("start_off"),
-          slice(col("ws"), (fragStart - col("start_off") + 1).cast(IntegerType),
-            (fragEnd - fragStart).cast(IntegerType)).as("frag"))
-        .groupBy("shard", "bin")
-        .agg(
-          sum(size(col("frag"))).cast(LongType).as("n_seq_tokens"),
-          array_join(
-            flatten(transform(
-              sort_array(collect_list(struct(col("start_off"), col("frag")))),
-              t => t.getField("frag"))), " ").as("seq_text"))
-    },
+    (s, dir) => packChunkTextOf(Tables(s, dir, "documents")),
     Some(s"""
       WITH d AS (SELECT doc_id, doc_id % $Shards AS shard,
                         regexp_split_to_array(trim(text), '\\s+') AS ws,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,16 +29,19 @@ object Corpus {
     * no global sort). The tie-break on the unique token string makes
     * the LIMIT boundary deterministic.
     */
+  /** df-in/df-out core over any (…, text) frame — the library API; the
+    * QueryDef binds it to the test `documents` table. */
+  def vocabOf(docs: DataFrame, topN: Int = VocabSize): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+
   val buildVocab = QueryDef(
     "build_vocab",
-    (s, dir) => {
-      Tables(s, dir, "documents")
-        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token").asc)
-        .limit(VocabSize)
-    },
+    (s, dir) => vocabOf(Tables(s, dir, "documents")),
     Some(s"""
       SELECT token, count(*) AS cnt
       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
@@ -57,22 +61,25 @@ object Corpus {
     * vocabulary is small); the per-doc rank windows partition by doc_id
     * — all partitioned, nothing global.
     */
+  /** df-in/df-out core over any (doc_id, text) frame. */
+  def tfidfOf(docs: DataFrame, k: Int = TfIdfTopK): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfc, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "rnk")
+  }
+
   val tfidfTopTerms = QueryDef(
     "tfidf_topterms",
-    (s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .filter(length(col("term")) > 0)
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      tf.join(dfc, "term")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TfIdfTopK)
-        .select("doc_id", "term", "tf", "df", "rnk")
-    },
+    (s, dir) => tfidfOf(Tables(s, dir, "documents")),
     Some(s"""
       WITH t AS (SELECT doc_id,
                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
@@ -100,18 +107,21 @@ object Corpus {
     * shard's ranking fits an executor's sort spill budget (raise N with
     * the data; shard count = output file count).
     */
+  /** df-in/df-out core over any frame with a non-negative doc_id. */
+  def shuffleOf(docs: DataFrame, shards: Int = ShuffleShards): DataFrame = {
+    val h = graft.ops.PipelineOps.hash32(col("doc_id"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), h.as("h"),
+        pmod(h, lit(shards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+  }
+
   val shuffleDeterministic = QueryDef(
     "shuffle_deterministic",
-    (s, dir) => {
-      val h = graft.ops.PipelineOps.hash32(col("doc_id"))
-      val w = Window.partitionBy("shard")
-        .orderBy(col("h").asc, col("doc_id").asc)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), h.as("h"),
-          pmod(h, lit(ShuffleShards.toLong)).as("shard"))
-        .withColumn("pos", row_number().over(w))
-        .select("doc_id", "shard", "pos")
-    },
+    (s, dir) => shuffleOf(Tables(s, dir, "documents")),
     Some(s"""
       WITH h AS (SELECT doc_id,
                         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -189,21 +199,23 @@ object Corpus {
     * caps the explode upstream, and a production variant shards a hot
     * term's postings by doc-range (same groupBy with a composite key).
     */
+  /** df-in/df-out core over any (doc_id, text) frame. */
+  def invertedIndexOf(docs: DataFrame, minDf: Int = PostingMinDf): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      // posting list serialized to one string: the compare gate sorts
+      // and hashes column values, which raw array cells break
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+      .filter(col("df") >= minDf)
+
   val invertedIndex = QueryDef(
     "inverted_index",
-    (s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy("term")
-        // posting list serialized to one string: the compare gate sorts
-        // and hashes column values, which raw array cells break
-        .agg(count(lit(1)).as("df"),
-          concat_ws(",", sort_array(collect_list(col("doc_id"))))
-            .as("postings"))
-        .filter(col("df") >= PostingMinDf)
-    },
+    (s, dir) => invertedIndexOf(Tables(s, dir, "documents")),
     Some(s"""
       WITH t AS (SELECT doc_id,
                         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term

@@ -881,11 +881,40 @@ object Relational {
       FROM base FULL OUTER JOIN changes ON c_custkey = m_key
       WHERE op IS NULL OR op <> 'D'"""))
 
+  /** Rank-family windows over genuine ties: rank (gaps after ties) and
+    * dense_rank (no gaps) of line items by quantity within an order —
+    * integer quantities tie constantly, which is exactly what separates
+    * the three ranking functions (row_number is witnessed in q5).
+    * Tied rows get equal ranks on both engines, so the output is
+    * deterministic without a total order.
+    * Scale: windows partition by order key — parallel, bounded groups.
+    */
+  val q36RankFamily = QueryDef(
+    "q36_rank_family",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_quantity").desc)
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(LongType).as("qty"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+             rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+               AS rnk,
+             dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+               AS drnk
+      FROM lineitem"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
     q13Array, q15Approx, q18Running, q19MapMath, q20Pivot, q21Subquery,
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
-    q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert)
+    q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
+    q36RankFamily)
 }
