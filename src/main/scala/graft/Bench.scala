@@ -24,25 +24,41 @@ object Bench {
       GraftSession.dropAllCaches(spark)
       name -> sec
     }
-    // 3-decimal timings keep the JSON line short enough to survive the
-    // driver's bounded tail-capture buffer (rounds 1-3: "parsed": null
-    // because the line START was cut off mid-buffer). Locale.ROOT: a
-    // comma-decimal default locale would render invalid JSON.
+    // The driver captures only a 2000-char stdout TAIL (measured from
+    // BENCH_r03.json) and parses the JSON line out of it; rounds 1-3
+    // recorded "parsed": null because the all-queries map pushed the
+    // line start past the buffer. So: `value` totals ALL queries, but
+    // the stdout `queries` map carries only the headline subset (the
+    // relational q-series plus the flagship ext/streaming/ML keys) to
+    // keep the line well under the window. The FULL map still goes to
+    // the bench-out file. Locale.ROOT: a comma-decimal default locale
+    // would render invalid JSON.
     def n3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${n3(v)}""" }
-      .mkString("{", ",", "}")
+    val headline: Set[String] = Set(
+      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_clusters", "dedup_embedding_cosine", "corpus_curate",
+      "decontaminate", "topk_cosine", "topk_cosine_lsh", "topk_cosine_ivf",
+      "knn_train", "knn_score", "knn_predict", "workflow_e2e",
+      "stream_window_agg", "stream_sessionize", "stream_interval_join",
+      "stream_dedup_exactly_once", "build_vocab", "inverted_index",
+      "pack_chunk_text", "text_stats", "token_count")
+    def mapJson(rs: scala.collection.Map[String, Double]): String =
+      rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
+    val shown = results.filter { case (k, _) =>
+      k.startsWith("q") || headline(k) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$fs}"""
-    println(line)
-    // stdout is wrapped in sbt's [info] decoration, so also write the
-    // bare JSON to a file the driver can parse directly.
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs}"""
+    println(line(mapJson(shown)))
+    // full per-query map to a file the driver/devs can parse directly
+    // (stdout is wrapped in sbt's [info] decoration and tail-truncated)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench.json")
     new java.io.File(out).getParentFile.mkdirs()
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      line(mapJson(results)) + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
