@@ -114,6 +114,72 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC upsert deltas: latest event per (user_id, event_type)
+    * maintained as keyed state; each micro-batch emits one row per key
+    * it touched (the delta stream a MERGE sink consumes). Batch face:
+    * q34_latest_by_key. State is one event per key — O(distinct keys),
+    * not O(events).
+    */
+  def latestPerKeyUpdates(events: org.apache.spark.sql.Dataset[Ev])
+      : org.apache.spark.sql.Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[Ev, Ev](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          val newest = (batch ++ state.getOption.iterator)
+            .maxBy(e => (e.ts, e.event_id))
+          state.update(newest)
+          newest
+      }
+  }
+
+  /** Merge a delta batch into the parquet snapshot of the upsert view:
+    * union old snapshot + deltas, keep the newest row per key, swap the
+    * snapshot directory. The write-new-then-swap dance is what MERGE
+    * INTO does transactionally in a lakehouse table format; per-batch
+    * work is bounded by the key space, not the event history.
+    */
+  def mergeLatestSnapshot(updates: DataFrame, snapshotDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val s = updates.sparkSession
+    val dir = new java.io.File(snapshotDir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merged =
+      if (dir.exists())
+        s.read.parquet(snapshotDir).unionByName(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      else updates
+    val tmp = new java.io.File(snapshotDir + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    Work.clean(snapshotDir)
+    if (!tmp.renameTo(dir))
+      throw new java.io.IOException(s"snapshot swap failed: $tmp -> $dir")
+  }
+
+  /** The materialized streaming upsert view: log stream → keyed latest
+    * state → per-batch MERGE into a parquet snapshot. Checkpointed and
+    * resumable: re-running with the same checkpoint picks up only new
+    * segments and re-merges only touched keys (StreamingSpec witnesses
+    * cross-run state recovery).
+    */
+  def latestSnapshotStream(s: SparkSession, store: LogStore, scope: String,
+      stream: String, snapshotDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import s.implicits._
+    latestPerKeyUpdates(store.readStream(s, scope, stream, eventSchema).as[Ev])
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (updates: org.apache.spark.sql.Dataset[Ev], _: Long) =>
+        mergeLatestSnapshot(updates.toDF(), snapshotDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sessionize a group's events: sorted by (ts, event_id), a gap larger
     * than `gapNs` starts a new session. Shared by the batch query and the
     * streaming mapGroupsWithState twin (StreamingSpec).

@@ -656,4 +656,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
   }
+
+  test("streaming latest-by-key upsert view equals batch CDC compaction across runs") {
+    import org.apache.spark.sql.functions._
+    val base = freshDir("cdcview")
+    val store = LogStore(base)
+    val snap = s"$base/snapshot"
+    val ckpt = s"$base/ckpt"
+    val ev = Tables(spark, sf, "events")
+    // two ingestion cycles; the second run must RESUME state from the
+    // checkpoint, not recompute from scratch — keys whose latest event
+    // arrived in cycle 1 and were untouched in cycle 2 stay correct
+    store.append(ev.filter(col("event_id") % 2 === 0), "scope", "cdc")
+    StreamOps.latestSnapshotStream(spark, store, "scope", "cdc", snap, ckpt)
+      .awaitTermination()
+    store.append(ev.filter(col("event_id") % 2 =!= 0), "scope", "cdc")
+    StreamOps.latestSnapshotStream(spark, store, "scope", "cdc", snap, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(snap)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // expected: q34's semantics over the full event set
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // snapshot is an upsert view: exactly one row per key
+    val dup = spark.read.parquet(snap)
+      .groupBy("user_id", "event_type").count().filter(col("count") > 1)
+    assert(dup.isEmpty, "snapshot must hold one row per key")
+  }
 }
