@@ -17,12 +17,15 @@ object ProfileHot {
     val keys = if (args.nonEmpty) args.toSeq else Seq(
       "dedup_embedding_cosine", "knn_predict", "dedup_minhash_lsh",
       "workflow_e2e", "doc_fingerprint")
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(k)(spark, dir)
-      val n = df.count()
+      // when explaining, execute df ITSELF (count() derives a different
+      // plan) so AQE finalizes and the printed tree is the one that ran
+      val n = if (explain) df.collect().length.toLong else df.count()
       println(f"[hot] $k%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      if (explain)
         println(s"[hot] $k plan:\n" +
           df.queryExecution.executedPlan.toString.take(4000))
     }

@@ -131,9 +131,12 @@ object Chunking {
     val fragStart = greatest(col("bin") * ContextTokens, col("start_off"))
     val fragEnd = least((col("bin") + 1) * ContextTokens, col("end_off"))
     docs
+      // a real guard: split(trim(''), '\s+') is [""] (size 1, never 0),
+      // so filtering on n > 0 alone would let empty docs inject a
+      // phantom empty-string token into the packed sequences
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), (col("doc_id") % Shards).as("shard"),
         toks.as("ws"), size(toks).cast(LongType).as("n"))
-      .filter(col("n") > 0)
       .withColumn("end_off", sum(col("n")).over(w))
       .withColumn("start_off", col("end_off") - col("n"))
       // bins this doc overlaps: floor(start/CT) .. floor((end-1)/CT)
@@ -161,7 +164,7 @@ object Chunking {
                         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                           AS n
                  FROM documents
-                 WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0),
+                 WHERE trim(text) <> ''),
       o AS (SELECT doc_id, shard, ws, n,
                    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

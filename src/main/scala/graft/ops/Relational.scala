@@ -809,15 +809,25 @@ object Relational {
     * becomes a max_by aggregation (same single-shuffle shape, map-side
     * partial) — both never hold more than a partition's sort spill.
     */
+  /** Newest row per (user_id, event_type) by (ts desc, event_id desc) —
+    * THE recency rule for the events changelog, shared by the batch
+    * witness below and the streaming snapshot merge
+    * (streaming/StreamOps.mergeLatestSnapshot) so the two faces cannot
+    * silently diverge on the tie-break.
+    */
+  def latestByKey(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   val q34LatestByKey = QueryDef(
     "q34_latest_by_key",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      latestByKey(Tables(s, dir, "events"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           expr("ts div 1000").as("ts_us"), cents(col("value")).as("value_cents"))
     },
@@ -897,12 +907,15 @@ object Relational {
         .orderBy(col("l_quantity").desc)
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(LongType).as("qty"),
+          // round() first: raw cast truncates in Spark but rounds in
+          // DuckDB (see cents()); quantities are integral so this is
+          // belt-and-suspenders, not a value change
+          round(col("l_quantity")).cast(LongType).as("qty"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"))
     },
     Some("""
-      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+      SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty,
              rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
                AS rnk,
              dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC)

@@ -135,28 +135,46 @@ object StreamOps {
   }
 
   /** Merge a delta batch into the parquet snapshot of the upsert view:
-    * union old snapshot + deltas, keep the newest row per key, swap the
+    * union old snapshot + deltas, keep the newest row per key (the ONE
+    * shared recency rule, graft.ops.Relational.latestByKey), swap the
     * snapshot directory. The write-new-then-swap dance is what MERGE
     * INTO does transactionally in a lakehouse table format; per-batch
     * work is bounded by the key space, not the event history.
+    *
+    * Crash-safe against foreachBatch REPLAY: the previous snapshot is
+    * renamed aside (.old) before the new one lands and only deleted
+    * after the swap. If the process dies between the two renames, the
+    * replayed batch finds .old and merges from it — a naive
+    * delete-then-rename would make the replay see "no snapshot" and
+    * silently shrink the view to just that batch's keys.
     */
   def mergeLatestSnapshot(updates: DataFrame, snapshotDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val s = updates.sparkSession
     val dir = new java.io.File(snapshotDir)
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val merged =
-      if (dir.exists())
-        s.read.parquet(snapshotDir).unionByName(updates)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-      else updates
+    val old = new java.io.File(snapshotDir + ".old")
     val tmp = new java.io.File(snapshotDir + ".tmp")
+    // prior-run crash between the renames: current is gone, .old is
+    // the surviving truth — recover from it
+    val base =
+      if (dir.exists()) Some(snapshotDir)
+      else if (old.exists()) Some(old.getPath)
+      else None
+    val merged = base match {
+      case Some(p) =>
+        graft.ops.Relational.latestByKey(
+          s.read.parquet(p).unionByName(updates))
+      case None => updates
+    }
+    Work.clean(tmp.getPath)
     merged.write.mode("overwrite").parquet(tmp.getPath)
-    Work.clean(snapshotDir)
+    if (dir.exists()) {
+      Work.clean(old.getPath)
+      if (!dir.renameTo(old))
+        throw new java.io.IOException(s"snapshot retire failed: $dir -> $old")
+    }
     if (!tmp.renameTo(dir))
       throw new java.io.IOException(s"snapshot swap failed: $tmp -> $dir")
+    Work.clean(old.getPath)
   }
 
   /** The materialized streaming upsert view: log stream → keyed latest

@@ -80,7 +80,8 @@ class CorpusSpec extends SparkSpec {
       .select(col("doc_id"), (col("doc_id") % Chunking.Shards).as("shard"),
         col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val expected = docs.filter(_._2 == 0L).sortBy(_._1)
+    val expected = docs.filter(d => d._2 == 0L && d._3.trim.nonEmpty)
+      .sortBy(_._1)
       .flatMap(_._3.trim.split("\\s+")).toSeq
     val got = Chunking.packChunkText.fn(spark, sf)
       .filter(col("shard") === 0)

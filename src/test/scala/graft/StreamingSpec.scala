@@ -688,4 +688,31 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id", "event_type").count().filter(col("count") > 1)
     assert(dup.isEmpty, "snapshot must hold one row per key")
   }
+
+  test("snapshot merge recovers from a crash between the swap renames") {
+    import org.apache.spark.sql.functions._
+    val base = freshDir("cdccrash")
+    val snap = s"$base/snapshot"
+    val ev = Tables(spark, sf, "events")
+    val first = ev.filter(col("user_id") % 2 === 0)
+    val second = ev.filter(col("user_id") % 2 =!= 0)
+    StreamOps.mergeLatestSnapshot(first, snap)
+    val keysAfterFirst = spark.read.parquet(snap)
+      .select("user_id", "event_type").distinct().count()
+    // simulate dying after the old snapshot was renamed aside but
+    // before the new one landed: current dir gone, .old is the truth
+    assert(new java.io.File(snap).renameTo(new java.io.File(snap + ".old")))
+    // the replayed batch must merge with .old, not start from scratch
+    StreamOps.mergeLatestSnapshot(second, snap)
+    val out = spark.read.parquet(snap)
+    assert(out.select("user_id", "event_type").distinct().count() >
+      keysAfterFirst, "first cycle's keys must survive the crash")
+    assert(!new java.io.File(snap + ".old").exists(),
+      "recovered merge must clean the retired snapshot")
+    // and the content equals the batch compaction over both halves
+    val want = graft.ops.Relational.latestByKey(first.unionByName(second))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val got = out.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
 }
