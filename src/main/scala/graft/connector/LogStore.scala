@@ -108,6 +108,70 @@ final case class LogStore(baseDir: String) {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Pravega-style stream-cut: the stream's current segment boundary.
+    * Capture it now, read exactly this prefix later with
+    * [[readBoundedCut]] even after further appends — bounded
+    * reprocessing pinned to a moment, the log-store form of time travel
+    * (an append-only log's history IS its segment set).
+    */
+  def streamCut(scope: String, stream: String): Seq[String] =
+    LogSourceV2.listSegments(path(scope, stream))
+
+  /** Bounded read of exactly the segments in a captured [[streamCut]].
+    * Fails with an actionable error when the cut references segments a
+    * later [[vacuum]]/[[compact]] removed — never a partial silent read.
+    */
+  def readBoundedCut(spark: SparkSession, scope: String, stream: String,
+      schema: StructType, cut: Seq[String]): DataFrame = {
+    val missing = cut.filterNot(f => new java.io.File(f).exists())
+    if (missing.nonEmpty) {
+      val stamp = LogSourceV2.compactionStamp(path(scope, stream))
+      throw new IllegalStateException(
+        s"graft log stream $scope/$stream: stream-cut references " +
+          s"${missing.size} segment(s) removed by " +
+          (if (stamp > 0) s"compaction/vacuum (stamp $stamp)"
+           else "an external deletion") +
+          " — the historical version is no longer retained.")
+    }
+    if (cut.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else decode(spark.read.text(cut: _*), schema)
+  }
+
+  /** Retention vacuum: delete the oldest segments, keeping the newest
+    * `keepSegments` by modification time (name tie-break) — the
+    * retention trim every log store runs (Kafka retention, Pravega
+    * stream-cut truncation). Bumps the compaction stamp so checkpointed
+    * readers/appenders whose state names a vacuumed segment fail with
+    * the actionable resume error instead of silently re-reading or
+    * crashing on FileNotFound. Returns the deleted segment paths.
+    */
+  def vacuum(scope: String, stream: String, keepSegments: Int): Seq[String] = {
+    require(keepSegments >= 0, "keepSegments must be >= 0")
+    val dir = path(scope, stream)
+    val segs = LogSourceV2.listSegments(dir)
+      .map(f => new java.io.File(f))
+      .sortBy(f => (f.lastModified(), f.getName))
+    if (segs.size <= keepSegments) return Nil
+    val drop = segs.dropRight(keepSegments)
+    // stamp discipline identical to compact(): strictly monotonic so
+    // the appendStream/reader guards cannot be disarmed by clock resets
+    val stamp = math.max(LogSourceV2.compactionStamp(dir) + 1,
+      System.currentTimeMillis())
+    drop.foreach(f => java.nio.file.Files.delete(f.toPath))
+    // a streaming sink's commit log names deleted files — remove it so
+    // directory-path readers can't resolve a stale view (same rule as
+    // compact(); old appendStream checkpoints are refused via the stamp)
+    def rmAll(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmAll))
+      p.delete(): Unit
+    }
+    rmAll(new java.io.File(s"$dir/_spark_metadata"))
+    LogSourceV2.writeCompactionStamp(dir, stamp)
+    drop.map(_.getAbsolutePath)
+  }
+
   /** Compact a stream's segments into `target` merged segments — the
     * small-files maintenance every log/stream store needs (thousands of
     * tiny appends → scan overhead dominated by file metadata). Contents

@@ -689,6 +689,53 @@ class StreamingSpec extends SparkSpec {
     assert(dup.isEmpty, "snapshot must hold one row per key")
   }
 
+  test("stream-cut time travel: a captured cut reads the historical prefix") {
+    import org.apache.spark.sql.functions._
+    val store = LogStore(freshDir("streamcut"))
+    val ev = Tables(spark, sf, "events")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    store.append(a, "scope", "tt")
+    val cut = store.streamCut("scope", "tt")
+    store.append(b, "scope", "tt")
+    // the live stream sees both appends; the cut still reads only A
+    assert(store.readBounded(spark, "scope", "tt", StreamOps.eventSchema)
+      .count() == ev.count())
+    val atCut = store.readBoundedCut(spark, "scope", "tt",
+      StreamOps.eventSchema, cut)
+    assert(atCut.count() == a.count())
+    assert(atCut.select("event_id").collect().map(_.getLong(0)).toSet ==
+      a.select("event_id").collect().map(_.getLong(0)).toSet)
+    // empty cut = the stream's beginning
+    assert(store.readBoundedCut(spark, "scope", "tt",
+      StreamOps.eventSchema, Nil).count() == 0)
+  }
+
+  test("vacuum trims oldest segments and retires stale cuts actionably") {
+    import org.apache.spark.sql.functions._
+    val store = LogStore(freshDir("vacuum"))
+    val ev = Tables(spark, sf, "events")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    store.append(a, "scope", "vac")
+    val cutA = store.streamCut("scope", "vac")
+    store.append(b, "scope", "vac")
+    val allSegs = store.streamCut("scope", "vac")
+    val deleted = store.vacuum("scope", "vac", allSegs.size - cutA.size)
+    assert(deleted.toSet == cutA.toSet,
+      "vacuum must drop exactly the oldest (first-append) segments")
+    // the live stream now holds only B
+    assert(store.readBounded(spark, "scope", "vac", StreamOps.eventSchema)
+      .select("event_id").collect().map(_.getLong(0)).toSet ==
+      b.select("event_id").collect().map(_.getLong(0)).toSet)
+    // a pre-vacuum cut must fail with the retention error, not read less
+    val e = intercept[IllegalStateException](
+      store.readBoundedCut(spark, "scope", "vac", StreamOps.eventSchema, cutA))
+    assert(e.getMessage.contains("no longer retained"), e.getMessage)
+    // vacuum under keep-threshold is a no-op
+    assert(store.vacuum("scope", "vac", 1000).isEmpty)
+  }
+
   test("snapshot merge recovers from a crash between the swap renames") {
     import org.apache.spark.sql.functions._
     val base = freshDir("cdccrash")
