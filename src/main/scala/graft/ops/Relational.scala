@@ -922,6 +922,48 @@ object Relational {
                AS drnk
       FROM lineitem"""))
 
+  /** ANSI three-valued-logic witness: NOT IN against a subquery that
+    * contains a NULL yields UNKNOWN for every row (count 0), while NOT
+    * EXISTS with the equivalent predicate anti-joins normally — the
+    * classic NOT IN/NOT EXISTS divergence every SQL engine must honor
+    * and every migration guide warns about. Both engines must agree on
+    * both counts for the hash to match.
+    * Scale: both variants plan as aggregations over (broadcast) anti
+    * joins — one shuffle-free pass each at dimension size.
+    */
+  val q37NotInNulls = QueryDef(
+    "q37_not_in_nulls",
+    (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_cust_nin")
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_ord_nin")
+      s.sql("""
+        SELECT 'not_in' AS variant, count(*) AS n
+        FROM graft_cust_nin
+        WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE o_custkey END
+           FROM graft_ord_nin)
+        UNION ALL
+        SELECT 'not_exists', count(*)
+        FROM graft_cust_nin c
+        WHERE NOT EXISTS
+          (SELECT 1 FROM graft_ord_nin o
+           WHERE CASE WHEN o.o_custkey % 100 = 0 THEN NULL
+                      ELSE o.o_custkey END = c.c_custkey)""")
+    },
+    Some("""
+      SELECT 'not_in' AS variant, count(*) AS n
+      FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE o_custkey END
+         FROM orders)
+      UNION ALL
+      SELECT 'not_exists', count(*)
+      FROM customer c
+      WHERE NOT EXISTS
+        (SELECT 1 FROM orders o
+         WHERE CASE WHEN o.o_custkey % 100 = 0 THEN NULL
+                    ELSE o.o_custkey END = c.c_custkey)"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -929,5 +971,5 @@ object Relational {
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
-    q36RankFamily)
+    q36RankFamily, q37NotInNulls)
 }
