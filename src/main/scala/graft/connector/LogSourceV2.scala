@@ -71,6 +71,27 @@ object LogSourceV2 {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, CompactionMarker), stamp.toString): Unit
 
+  /** Tombstone of retention-deleted segment paths (one per line).
+    * Distinguishes "consumed then retention-trimmed" (safe for a
+    * checkpointed reader to resume over — the data was already read and
+    * no rewrite exists) from "compacted" (the data was REWRITTEN into
+    * new segments, so resuming would re-read it — must refuse). */
+  val VacuumTombstone = "_graft_vacuumed"
+
+  def vacuumedSegments(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(dir, VacuumTombstone)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
+    else Set.empty
+  }
+
+  private[connector] def recordVacuumed(dir: String, segs: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, VacuumTombstone),
+      segs.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+
   /** Data segment files in `dir`, sorted by name (no _SUCCESS/hidden). */
   def listSegments(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
@@ -261,12 +282,22 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
     * with a raw FileNotFound. Failing here turns both into one
     * deterministic, actionable error.
     */
-  private def requireSegmentsExist(segs: Seq[String], role: String): Unit = {
-    val missing = segs.filterNot(f => new java.io.File(f).exists())
+  private def requireSegmentsExist(segs: Seq[String], role: String,
+      tolerateVacuumed: Boolean = false): Unit = {
+    var missing = segs.filterNot(f => new java.io.File(f).exists())
+    // a CONSUMED segment deleted by retention vacuum is safe to resume
+    // over: it was fully read and no rewritten copy exists to re-read.
+    // Only exactly-tombstoned paths qualify — compaction-deleted
+    // segments are not tombstoned, so that unsafe case still refuses.
+    if (tolerateVacuumed && missing.nonEmpty) {
+      val vacuumed = LogSourceV2.vacuumedSegments(path)
+      missing = missing.filterNot(vacuumed)
+    }
     if (missing.nonEmpty) {
       val stamp = LogSourceV2.compactionStamp(path)
       val cause =
-        if (stamp > 0) s"the stream was compacted (marker stamp $stamp)"
+        if (stamp > 0)
+          s"the stream was compacted or vacuumed (marker stamp $stamp)"
         else "the segment files were removed outside the store"
       throw new IllegalStateException(
         s"graft log stream at $path: $role offset references " +
@@ -278,7 +309,8 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[LogOffsetV2]
-    requireSegmentsExist(startOff.segments, "checkpoint (consumed-set)")
+    requireSegmentsExist(startOff.segments, "checkpoint (consumed-set)",
+      tolerateVacuumed = true)
     val done = startOff.segments.toSet
     val fresh = allAvailable.segments.filterNot(done)
     val admitted = limit match {
@@ -299,7 +331,10 @@ final class LogMicroBatchStream(path: String) extends MicroBatchStream
     // the END offset too: a WAL-replayed first batch (end written,
     // commit missing, stream compacted while down) plans segments that
     // are gone — fail actionably, not FileNotFound inside a task
-    requireSegmentsExist(done.toSeq, "checkpoint (consumed-set)")
+    requireSegmentsExist(done.toSeq, "checkpoint (consumed-set)",
+      tolerateVacuumed = true)
+    // a replayed batch NEEDS its planned segments' data: vacuumed or
+    // compacted, gone is gone — never tolerated here
     requireSegmentsExist(planned, "replayed-batch")
     planned.map(LogSegmentPartition(_): InputPartition).toArray
   }

@@ -136,16 +136,70 @@ final case class LogStore(baseDir: String) {
     if (cut.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    else decode(spark.read.text(cut: _*), schema)
+    else
+      // ignoreMissingFiles=false pinned per-read: if a vacuum races
+      // between the existence check above and the action that executes
+      // this plan, the read fails LOUDLY in the task instead of
+      // silently returning the surviving subset under a session-level
+      // ignoreMissingFiles=true
+      decode(spark.read.option("ignoreMissingFiles", "false")
+        .text(cut: _*), schema)
+  }
+
+  /** Strictly monotonic over the previous marker (not bare clock time,
+    * whose origin can step backwards across reboots/NTP) — shared stamp
+    * discipline of [[compact]], [[truncate]] and [[vacuum]]. */
+  private def nextStamp(dir: String): Long =
+    math.max(LogSourceV2.compactionStamp(dir) + 1,
+      System.currentTimeMillis())
+
+  private def deleteRecursively(p: java.io.File): Unit = {
+    Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
+    p.delete(): Unit
+  }
+
+  /** Truncate at a [[streamCut]]: delete exactly the cut's segments —
+    * Pravega's truncate-at-StreamCut, the deterministic retention
+    * primitive ([[vacuum]] is the count-based convenience on top).
+    * Already-deleted entries are skipped (idempotent re-runs).
+    *
+    * Consumer interaction: deleted segments are tombstoned, so a
+    * checkpointed streaming reader that already CONSUMED them resumes
+    * cleanly (nothing to re-read, no forced fresh checkpoint — the
+    * duplication that restart would cause is exactly what retention
+    * must not trigger); a reader that still NEEDED them fails with the
+    * actionable retention error.
+    *
+    * Fail-safe crash ordering: tombstone, then stamp, then the
+    * deletes — a crash mid-way leaves the guards ARMED with no data
+    * removed (spurious refusal at worst), never removed data with
+    * disarmed guards (the silent last-batch duplication an unstamped
+    * `_spark_metadata` loss would let an appendStream checkpoint
+    * commit).
+    */
+  def truncate(scope: String, stream: String, cut: Seq[String])
+      : Seq[String] = {
+    val dir = path(scope, stream)
+    val existing = LogSourceV2.listSegments(dir).toSet
+    val targets = cut.filter(existing)
+    if (targets.isEmpty) return Nil
+    LogSourceV2.recordVacuumed(dir, targets)
+    LogSourceV2.writeCompactionStamp(dir, nextStamp(dir))
+    targets.foreach(f => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(f)))
+    // a streaming sink's commit log names deleted files — remove it so
+    // directory-path readers can't resolve a stale view (same rule as
+    // compact(); old appendStream checkpoints are refused via the stamp)
+    deleteRecursively(new java.io.File(s"$dir/_spark_metadata"))
+    targets
   }
 
   /** Retention vacuum: delete the oldest segments, keeping the newest
-    * `keepSegments` by modification time (name tie-break) — the
-    * retention trim every log store runs (Kafka retention, Pravega
-    * stream-cut truncation). Bumps the compaction stamp so checkpointed
-    * readers/appenders whose state names a vacuumed segment fail with
-    * the actionable resume error instead of silently re-reading or
-    * crashing on FileNotFound. Returns the deleted segment paths.
+    * `keepSegments` — the count-based retention trim (Kafka-style).
+    * "Oldest" is by file modification time with a name tie-break, which
+    * is approximate on coarse-mtime filesystems; when exactness matters
+    * (tests, replays), capture a [[streamCut]] before appending newer
+    * data and [[truncate]] at it instead. Returns the deleted paths.
     */
   def vacuum(scope: String, stream: String, keepSegments: Int): Seq[String] = {
     require(keepSegments >= 0, "keepSegments must be >= 0")
@@ -154,22 +208,7 @@ final case class LogStore(baseDir: String) {
       .map(f => new java.io.File(f))
       .sortBy(f => (f.lastModified(), f.getName))
     if (segs.size <= keepSegments) return Nil
-    val drop = segs.dropRight(keepSegments)
-    // stamp discipline identical to compact(): strictly monotonic so
-    // the appendStream/reader guards cannot be disarmed by clock resets
-    val stamp = math.max(LogSourceV2.compactionStamp(dir) + 1,
-      System.currentTimeMillis())
-    drop.foreach(f => java.nio.file.Files.delete(f.toPath))
-    // a streaming sink's commit log names deleted files — remove it so
-    // directory-path readers can't resolve a stale view (same rule as
-    // compact(); old appendStream checkpoints are refused via the stamp)
-    def rmAll(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmAll))
-      p.delete(): Unit
-    }
-    rmAll(new java.io.File(s"$dir/_spark_metadata"))
-    LogSourceV2.writeCompactionStamp(dir, stamp)
-    drop.map(_.getAbsolutePath)
+    truncate(scope, stream, segs.dropRight(keepSegments).map(_.getAbsolutePath))
   }
 
   /** Compact a stream's segments into `target` merged segments — the
@@ -197,39 +236,34 @@ final case class LogStore(baseDir: String) {
     spark.read.text(segs: _*).coalesce(target)
       .write.mode(SaveMode.Overwrite).text(tmp)
     val merged = LogSourceV2.listSegments(tmp)
+    // stamp BEFORE the destructive phase (fail-safe, same rule as
+    // truncate): a crash after the stamp but before the rewrite leaves
+    // the stream intact with the guards armed — a spurious refusal at
+    // worst. The former stamp-LAST order had a window (rewrite done,
+    // stamp missing) in which an appendStream checkpoint's `marker >
+    // recorded` guard stayed disarmed and would silently rewrite its
+    // last batch. Strict monotonicity over the previous marker (see
+    // nextStamp) also keeps compacted segment names collision-free
+    // across compactions.
+    val stamp = nextStamp(dir)
+    LogSourceV2.writeCompactionStamp(dir, stamp)
     // rename the merged segments IN before deleting the olds: a crash
     // in between leaves transient duplication (at-least-once, the log
     // contract), never data loss — the delete-first order would strand
-    // the only copy in the hidden scratch dir. The stamp is STRICTLY
-    // MONOTONIC over the previous marker (not nanoTime, whose origin
-    // resets per JVM/boot — a reboot-then-compact would mint a SMALLER
-    // stamp, silently disarming the appendStream guard's `marker >
-    // recorded` check and re-allowing the duplication it prevents);
-    // monotonicity also keeps compacted segment names collision-free
-    // across compactions.
-    val stamp = math.max(LogSourceV2.compactionStamp(dir) + 1,
-      System.currentTimeMillis())
+    // the only copy in the hidden scratch dir.
     merged.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(java.nio.file.Paths.get(f),
         java.nio.file.Paths.get(dir, s"compacted-$stamp-$i")): Unit
     }
     segs.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
-    def rm(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rm))
-      p.delete(): Unit
-    }
     // clear scratch (now only _SUCCESS markers and empty dirs), and any
     // streaming-sink commit log: it names only the deleted pre-compaction
     // files, so leaving it would shadow the compacted segments from
     // directory-path readers. Re-attaching an OLD appendStream checkpoint
     // to a compacted stream is unsupported (its sink log is gone) — start
     // streaming appends to a compacted stream with a fresh checkpoint.
-    rm(new java.io.File(tmp))
-    rm(new java.io.File(s"$dir/_spark_metadata"))
-    // marker LAST: readers and appendStream checkpoints compare their
-    // recorded state against it and refuse to resume over the rewrite
-    // (instead of silently re-reading / re-writing — round-3 advice)
-    LogSourceV2.writeCompactionStamp(dir, stamp)
+    deleteRecursively(new java.io.File(tmp))
+    deleteRecursively(new java.io.File(s"$dir/_spark_metadata"))
   }
 
   private def encode(df: DataFrame): DataFrame =
