@@ -964,6 +964,39 @@ object Relational {
          WHERE CASE WHEN o.o_custkey % 100 = 0 THEN NULL
                     ELSE o.o_custkey END = c.c_custkey)"""))
 
+  /** Conditional-aggregate surface: the SQL FILTER clause (per-
+    * aggregate predicates without CASE contortions) and ordered
+    * LISTAGG ... WITHIN GROUP (Spark 4) — DuckDB mirrors listagg with a
+    * sorted DISTINCT list join, value-identical. A filtered sum over an
+    * empty set is NULL in both engines (witnessed when a group has no
+    * qualifying rows).
+    * Scale: single hash aggregate with map-side combine; the listagg
+    * group payload is the distinct event-type set (bounded, tiny).
+    */
+  val q38FilterListagg = QueryDef(
+    "q38_agg_filter_listagg",
+    (s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_ev_fl")
+      s.sql("""
+        SELECT user_id % 10 AS ug,
+               count(*) FILTER (WHERE value > 50) AS n_big,
+               sum(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE value > 90) AS big_cents,
+               listagg(DISTINCT event_type, ',')
+                 WITHIN GROUP (ORDER BY event_type) AS types
+        FROM graft_ev_fl
+        GROUP BY user_id % 10""")
+    },
+    Some("""
+      SELECT user_id % 10 AS ug,
+             count(*) FILTER (WHERE value > 50) AS n_big,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE value > 90) AS BIGINT) AS big_cents,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS types
+      FROM events
+      GROUP BY user_id % 10"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -971,5 +1004,5 @@ object Relational {
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
-    q36RankFamily, q37NotInNulls)
+    q36RankFamily, q37NotInNulls, q38FilterListagg)
 }
