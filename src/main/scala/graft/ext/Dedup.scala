@@ -169,50 +169,97 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+    val spark = nodes.sparkSession
+    // Cluster deployments set spark.graft.cc.reliableCheckpoint=true
+    // (plus sc.setCheckpointDir on reliable storage): per-round state
+    // then goes through checkpoint(), surviving executor loss after
+    // lineage truncation. The local default keeps rounds in the block
+    // store — cheaper, and recoverable by lineage recompute.
+    val reliable = spark.conf
+      .getOption("spark.graft.cc.reliableCheckpoint").exists(_.toBoolean)
+    val debug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
     // only nodes touched by an edge can ever change label — iterate on
     // that (much smaller) active set and attach the isolated nodes with
-    // their own id at the end via one anti-join. Per-round state is
-    // localCheckpoint'd: eager (one compute per round), cached in the
-    // block store, and — critically for an iterative algorithm whose
-    // round N plan references round N-1 THREE times — lineage-TRUNCATED,
-    // so the logical plan stays one round deep instead of growing 3^N
-    // (an un-truncated run OOM'd building a 2 GB plan string). Old
-    // rounds' blocks are reclaimed by the ContextCleaner once their
-    // frames go out of scope.
-    var labels = und.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
-    // labels are monotonically non-increasing under min-propagation, so
-    // an unchanged label SUM means fixpoint — convergence detection is
-    // one cheap aggregate per round, not a join. Summed as DECIMAL(38,0)
-    // so the check cannot alias under 64-bit overflow at any scale.
-    def labelSum(df: DataFrame): BigDecimal = {
-      val v = df.agg(sum(col("cluster").cast(DecimalType(38, 0))))
-        .collect().head.getDecimal(0)
-      if (v == null) BigDecimal(0) else BigDecimal(v) // sum of zero rows
+    // their own id at the end via one anti-join. Per-round state must be
+    // (a) materialized once and (b) re-rooted on a LEAF plan — an
+    // iterative plan whose round N references round N-1 THREE times
+    // grows 3^N un-truncated (an early run OOM'd building a 2 GB plan
+    // string). The convergence signal (count of changed labels) is
+    // computed IN the same single action that materializes the round:
+    // persist → one filter-count job that both populates the cache and
+    // returns the changed count → wrap the computed RDD as a LogicalRDD
+    // leaf for the next round. One Spark job per round total (the
+    // earlier localCheckpoint + separate label-sum shape paid two).
+    var persisted: Option[DataFrame] = None
+    def materializeLeaf(df: DataFrame): (DataFrame, Long) = {
+      if (reliable) {
+        val cp = df.checkpoint() // eager write to reliable storage
+        val n =
+          if (cp.columns.contains("changed")) cp.filter(col("changed")).count()
+          else 0L
+        (cp, n)
+      } else {
+        df.persist()
+        // the action scans every partition (count over the cached-plan
+        // scan), so the cache is fully populated before the previous
+        // round is released below
+        val n =
+          if (df.columns.contains("changed")) df.filter(col("changed")).count()
+          else df.count()
+        val leaf = org.apache.spark.sql.graftbridge.DataFrameBridge
+          .fromInternalRows(spark, df.queryExecution.toRdd, df.schema)
+        persisted.foreach(_.unpersist())
+        persisted = Some(df)
+        (leaf, n)
+      }
     }
-    var prevSum = labelSum(labels)
-    var i = 0
-    var converged = false
+    // Round 1 fused with initialization: under identity labels the
+    // general round (self ∪ neighbor-labels ∪ pointer) reduces to
+    // min(src, min(dst)) per src — ONE shuffle instead of a distinct
+    // materialization plus two joins. `changed` falls out as
+    // cluster != doc_id.
+    val t0r1 = System.nanoTime()
+    val round1 = und.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("min_dst"))
+      .select(col("doc_id"),
+        least(col("min_dst"), col("doc_id")).as("cluster"))
+      .withColumn("changed", col("cluster") =!= col("doc_id"))
+    val (r1Leaf, r1Changed) = materializeLeaf(round1)
+    if (debug) System.err.println(
+      f"[cc] round 1 (fused init): changed=$r1Changed%d ${(System.nanoTime() - t0r1) / 1e9}%.2f s")
+    var labels = r1Leaf.select("doc_id", "cluster")
+    val clusterType = labels.schema("cluster").dataType
+    var i = 1
+    var converged = r1Changed == 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
+      // self rows carry the pre-round label so the aggregate can emit a
+      // per-doc `changed` flag for free: each doc_id appears exactly
+      // once in `labels`, so min(old) below IS the old label
+      val selfRows = labels.select(
+        col("doc_id"), col("cluster"), col("cluster").as("old"))
       val viaNeighbor = und.join(labels, und("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster"))
+        .select(col("src").as("doc_id"), col("cluster"),
+          lit(null).cast(clusterType).as("old"))
       // pointer jumping: doc -> label(label(doc)). label(x) is always a
       // node in x's component, so composing labels stays within the
       // component while doubling how far a min label reaches per round.
       val viaPointer = labels.alias("l")
         .join(labels.alias("m"), col("l.cluster") === col("m.doc_id"))
-        .select(col("l.doc_id").as("doc_id"), col("m.cluster").as("cluster"))
-      val next = labels.unionAll(viaNeighbor).unionAll(viaPointer)
-        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint() // eager compute + lineage truncation
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
+        .select(col("l.doc_id").as("doc_id"), col("m.cluster").as("cluster"),
+          lit(null).cast(clusterType).as("old"))
+      val next = selfRows.unionAll(viaNeighbor).unionAll(viaPointer)
+        .groupBy("doc_id")
+        .agg(min(col("cluster")).as("cluster"), min(col("old")).as("old"))
+        .withColumn("changed", !(col("cluster") <=> col("old")))
+      val (nextLeaf, nChanged) = materializeLeaf(next)
+      if (debug) System.err.println(
+        f"[cc] round ${i + 1}: changed=$nChanged%d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      converged = nChanged == 0
+      labels = nextLeaf.select("doc_id", "cluster")
       i += 1
     }
     if (!converged) {
@@ -220,6 +267,7 @@ object Dedup {
         s"$maxIter rounds — labels would be partial (component diameter" +
         s" exceeds ~2^$maxIter, or the label sum is oscillating)"
       if (strict) {
+        persisted.foreach(_.unpersist())
         und.unpersist()
         throw new IllegalStateException(msg)
       }
@@ -231,6 +279,7 @@ object Dedup {
     // one final materialization so callers hold no reference to the
     // caches being freed
     val out = Work.materialize("cc_labels", withIsolated)
+    persisted.foreach(_.unpersist())
     und.unpersist()
     out
   }
@@ -240,9 +289,16 @@ object Dedup {
   val clusters = QueryDef(
     "dedup_clusters",
     (s, dir) => {
-      val shingled = shingleSets(plantedCorpus(Tables(s, dir, "documents")))
-      val nodes = shingled.select("doc_id")
-      connectedComponents(nodes, jaccardPairs(shingled).select("a", "b"))
+      val corpus = plantedCorpus(Tables(s, dir, "documents"))
+      // nodes = docs with >= 1 shingle (>= 4 words) — computed with the
+      // cheap codegen'd split instead of re-running the shingle UDF pass
+      // for the isolated-node attach (jaccardPairs frees the shared
+      // shingle cache before connectedComponents evaluates `nodes`)
+      val nodes = corpus
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
+        .select("doc_id")
+      connectedComponents(nodes,
+        jaccardPairs(shingleSets(corpus)).select("a", "b"))
     },
     Some(s"""
       WITH RECURSIVE corpus AS ($plantedCorpusSql),
@@ -676,12 +732,18 @@ object Dedup {
     val good = corpus.filter(
       nTok.between(10, 10000) && nStop * 20 >= nTok &&
         length(col("text")) <= nTok * 15)
+    // cached: referenced by BOTH the near-dup pair generation and the
+    // isolated-node attach inside connectedComponents — uncached, the
+    // quality gate + exact-dedup shuffle would run twice. Safe to free
+    // once connectedComponents returns (its labels are materialized).
     val exactKeep = good.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
+      .persist()
     val labels = connectedComponents(
       exactKeep.select("doc_id"),
       jaccardPairs(shingleSets(exactKeep)).select("a", "b"))
+    exactKeep.unpersist()
     labels.filter(col("doc_id") === col("cluster")).select("doc_id")
   }
 

@@ -75,6 +75,27 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("reliable-checkpoint mode produces identical components") {
+    val sp = spark
+    import sp.implicits._
+    val cpDir = s"${Work.dir}/test_cc_checkpoint"
+    Work.clean(cpDir)
+    sp.sparkContext.setCheckpointDir(cpDir)
+    sp.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val got = Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+      // per-round state actually went through reliable checkpoint files
+      val files = new java.io.File(cpDir).listFiles()
+      assert(files != null && files.nonEmpty,
+        "reliable mode must write checkpoint state")
+    } finally sp.conf.unset("spark.graft.cc.reliableCheckpoint")
+  }
+
   test("pointer jumping converges on a chain far longer than maxIter") {
     val sp = spark
     import sp.implicits._
