@@ -1,0 +1,131 @@
+package graft.ext
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Pure-JVM image codec on javax.imageio — the real decode step behind
+  * the multimodal operators (no native image libraries required). PNG
+  * is the canonical interchange format here: lossless, so
+  * decode(encode(x)) is bit-exact and goldens can pin pixel digests.
+  * JPEG decodes through the same entry point (dimension/channel
+  * invariants asserted in ExtSpec; pixels are lossy by nature and never
+  * pinned). Resize is an explicit nearest-neighbor kernel over the ARGB
+  * grid — unlike Graphics2D scaling, its output is deterministic across
+  * JVMs, which a content-addressed 100 TB pipeline needs (same input
+  * must dedup to the same thumbnail digest on every executor).
+  */
+object ImageCodec {
+
+  /** Decoded raster: ARGB ints row-major, plus the color-model channel
+    * count (3 for RGB PNG/JPEG, 4 with alpha). */
+  final case class DecodedImage(
+      width: Int, height: Int, channels: Int, argb: Array[Int])
+
+  def decode(bytes: Array[Byte]): DecodedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    DecodedImage(w, h, img.getColorModel.getNumComponents,
+      img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  def encodePng(d: DecodedImage): Array[Byte] = {
+    val img = new BufferedImage(d.width, d.height, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, d.width, d.height, d.argb, 0, d.width)
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", out), "no PNG writer available")
+    out.toByteArray
+  }
+
+  /** SHA-256 over the big-endian ARGB pixel stream — the pinned content
+    * identity of a decoded image (independent of the encoded container
+    * bytes, which codecs may legally vary). */
+  def pixelSha(d: DecodedImage): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(d.argb.length * 4)
+    d.argb.foreach(bb.putInt)
+    md.digest(bb.array()).map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic nearest-neighbor resize (floor sampling). */
+  def resizeNearest(d: DecodedImage, tw: Int, th: Int): DecodedImage = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * d.height / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = d.argb(sy * d.width + x * d.width / tw)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(tw, th, d.channels, out)
+  }
+
+  /** Grid-mean features: per cell of a `grid`×`grid` partition, mean
+    * R, G, B and luma in [0,1], L2-normalized — dim = grid²·4. Integer
+    * accumulation then one double division per cell keeps the result
+    * independent of pixel iteration order. */
+  def featurize(d: DecodedImage, grid: Int = 2): Array[Float] = {
+    val sums = Array.ofDim[Long](grid * grid, 3)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < d.height) {
+      val cy = math.min(y * grid / d.height, grid - 1)
+      var x = 0
+      while (x < d.width) {
+        val cell = cy * grid + math.min(x * grid / d.width, grid - 1)
+        val p = d.argb(y * d.width + x)
+        sums(cell)(0) += (p >> 16) & 0xFF
+        sums(cell)(1) += (p >> 8) & 0xFF
+        sums(cell)(2) += p & 0xFF
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val raw = new Array[Float](grid * grid * 4)
+    var c = 0
+    while (c < grid * grid) {
+      val n = math.max(counts(c), 1L) * 255.0
+      val r = sums(c)(0) / n
+      val g = sums(c)(1) / n
+      val b = sums(c)(2) / n
+      raw(c * 4) = r.toFloat
+      raw(c * 4 + 1) = g.toFloat
+      raw(c * 4 + 2) = b.toFloat
+      raw(c * 4 + 3) = (0.299 * r + 0.587 * g + 0.114 * b).toFloat
+      c += 1
+    }
+    val norm = math.sqrt(raw.map(v => v.toDouble * v).sum)
+    if (norm == 0.0) { raw(0) = 1.0f; raw }
+    else raw.map(v => (v / norm).toFloat)
+  }
+
+  /** Deterministic synthetic image for a document: dimensions from the
+    * doc id, pixels from a splitmix-style stream seeded by the id and
+    * the content bytes — the repeatable stand-in for a crawl's real
+    * media files (the container ships no image corpus), encoded as REAL
+    * PNG bytes so the decode path exercises the actual codec. */
+  def renderPng(id: Long, content: Array[Byte]): Array[Byte] = {
+    val w = 16 + (Math.floorMod(id, 17L)).toInt
+    val h = 16 + (Math.floorMod(id / 17, 13L)).toInt
+    var seed = id * 0x9E3779B97F4A7C15L
+    content.foreach(b => seed = (seed ^ b) * 0xFF51AFD7ED558CCDL)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      seed += 0x9E3779B97F4A7C15L
+      var z = seed
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      px(i) = ((z ^ (z >>> 31)) & 0xFFFFFF).toInt
+      i += 1
+    }
+    encodePng(DecodedImage(w, h, 3, px))
+  }
+}

@@ -5,41 +5,43 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns (SURVEY.md §2.4): media carried as opaque BINARY
-  * columns with typed metadata alongside. The decode step is STUBBED
-  * with a deterministic fake (no image/audio codecs in this container —
-  * a real deployment plugs a codec into [[MediaDecoder]]); everything
-  * Spark-side — binary schema, per-partition batch iteration, frame
-  * explosion, partitioning — is real and tested.
+  * columns with typed metadata alongside. Image decode, resize, and
+  * featurize run the REAL pure-JVM codec ([[ImageCodec]], javax.imageio
+  * PNG/JPEG) over real encoded PNG payloads rendered deterministically
+  * from the testdata (the container ships no media corpus, so payloads
+  * are synthesized — but the bytes ARE genuine PNG and the decode is a
+  * genuine codec). Only the VIDEO frame sampler keeps a stub "decoder"
+  * (fixed-byte windows standing in for demuxed frames — no pure-JVM
+  * video demuxer exists).
   *
   * Scale: decode runs inside mapPartitions (the JVM analog of
   * mapInPandas batches), so media bytes never leave the executor that
-  * scanned them, and per-partition decoder init is amortized across the
-  * partition's rows.
+  * scanned them, and per-partition decoder/digest init is amortized
+  * across the partition's rows.
   */
 object Multimodal {
-
-  final case class MediaMeta(n_bytes: Int, sha: String, width: Int, height: Int)
-
-  trait MediaDecoder extends Serializable {
-    def decode(bytes: Array[Byte]): MediaMeta
-  }
-
-  /** STUB: deterministic fake decoder — "dimensions" derived from the
-    * content hash so tests are reproducible. */
-  object FakeDecoder extends MediaDecoder {
-    def decode(bytes: Array[Byte]): MediaMeta = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val digest = md.digest(bytes)
-      val sha = digest.map("%02x".format(_)).mkString
-      val h = java.util.Arrays.hashCode(digest)
-      MediaMeta(bytes.length, sha, 16 + math.abs(h % 64), 16 + math.abs((h / 64) % 64))
-    }
-  }
 
   /** Binary payload per document (text bytes standing in for media). */
   private def payloads(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+
+  /** Real PNG payload per document, rendered deterministically from the
+    * doc id + content ([[ImageCodec.renderPng]]). One mapPartitions
+    * stage; downstream decode/resize/featurize chain onto it without a
+    * shuffle — payload bytes stay on the scanning executor. */
+  def imagePayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, ImageCodec.renderPng(id,
+          Option(text).getOrElse("").getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+  }
 
   /** Declarative metadata over the binary column — stays in codegen. */
   val meta = QueryDef(
@@ -53,28 +55,29 @@ object Multimodal {
              sha256(text) AS sha
       FROM documents"""))
 
-  /** Stubbed decode via per-partition batches: schema and iteration are
-    * the real production shape; only FakeDecoder.decode is a stand-in.
-    */
+  /** Real image decode via per-partition batches: PNG payload →
+    * javax.imageio raster → (dims, channels, pixel digest). The pixel
+    * digest, not the container bytes, is the content identity — codecs
+    * may legally vary the encoded stream. */
   val decode = QueryDef(
     "multimodal_decode",
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      payloads(s, dir).as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val dec: MediaDecoder = FakeDecoder // per-partition init
-          it.map { case (id, bytes) =>
-            val m = dec.decode(bytes)
-            (id, m.n_bytes, m.width, m.height, m.sha)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "width", "height", "sha")
+      imagePayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          (id, bytes.length, d.width, d.height, d.channels,
+            ImageCodec.pixelSha(d))
+        })
+        .toDF("doc_id", "n_bytes", "width", "height", "channels", "pixel_sha")
     },
-    None) // decode is stubbed → rows-only; plumbing asserted in tests
+    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
   /** Frame sampling for "video" payloads: fixed 64-byte windows, every
-    * 2nd window sampled, one output row per frame (posexplode).
+    * 2nd window sampled, one output row per frame (the stub "demuxer" —
+    * video decode has no pure-JVM codec; the windowing, per-frame
+    * digest, and one-row-per-frame explosion are the real shape).
     */
   val frames = QueryDef(
     "multimodal_frames",
@@ -83,43 +86,37 @@ object Multimodal {
       import sp.implicits._
       payloads(s, dir).as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
           bytes.grouped(64).zipWithIndex
             .filter(_._2 % 2 == 0)
-            .map { case (win, idx) => (id, idx, FakeDecoder.decode(win).sha) }
+            .map { case (win, idx) =>
+              (id, idx, md.digest(win).map("%02x".format(_)).mkString)
+            }
         }
         .toDF("doc_id", "frame_idx", "frame_sha")
     },
-    None)
+    // byte-window "frames" ARE SQL-expressible: the testdata text is
+    // pure ASCII (asserted by the meta oracle's sha agreement), so
+    // DuckDB's VARCHAR substring slices the same 64-byte windows
+    Some("""
+      WITH w AS (
+        SELECT doc_id, text AS b, (length(text) + 63) // 64 AS nw
+        FROM documents)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             sha256(substring(b, CAST(i * 64 + 1 AS INT), 64)) AS frame_sha
+      FROM (SELECT doc_id, b, unnest(range(0, nw, 2)) AS i FROM w)"""))
 
-  /** Feature extraction: payload → fixed-width Float embedding. The
-    * featurizer is the deterministic stub (real deployments plug a
-    * vision/audio model into the same mapPartitions shape); the output
-    * schema (array<float>, the `embeddings.embedding` column type) and
-    * per-partition batch iteration are the production plumbing — the
-    * extracted vectors feed directly into Similarity/Dedup operators.
-    */
-  /** The library face: (doc_id, feature array<float>) — the frame
-    * downstream Similarity/Dedup operators consume (tested in ExtSpec).
-    */
+  /** The library face: (doc_id, feature array<float>) — real grid-mean
+    * image features from the decoded raster, unit-norm, feeding the
+    * Similarity/Dedup operators downstream (tested in ExtSpec). */
   def featurizeFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sp = s
     import sp.implicits._
-    val dim = 16
-    payloads(s, dir).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        it.map { case (id, bytes) =>
-          // STUB featurizer: 16 floats derived from the content
-          // digest, L2-normalized — deterministic, unit-length
-          val d = md.digest(bytes)
-          val raw = Array.tabulate(dim)(i =>
-            ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)).toFloat
-              / 65535.0f - 0.5f)
-          val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
-          (id, raw.map(_ / norm))
-        }
-      }
+    imagePayloads(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageCodec.featurize(ImageCodec.decode(bytes), grid = 2))
+      })
       .toDF("doc_id", "feature")
   }
 
@@ -147,32 +144,25 @@ object Multimodal {
         }
         .toDF("doc_id", "dim", "vec_sha")
     },
-    None) // stub featurizer → golden-pinned
+    None) // real features, but not SQL-expressible → golden-pinned
 
-  /** Resize: re-dimension the decoded media (the stub scales the fake
-    * decoder's dimensions and re-samples the payload to the target
-    * byte budget — shape and schema of a real thumbnailer). */
+  /** Resize: decode the real PNG, deterministic nearest-neighbor
+    * thumbnail, digest the resized raster — a genuine thumbnailer. */
   val resize = QueryDef(
     "multimodal_resize",
     (s, dir) => {
       val sp = s
       import sp.implicits._
       val (tw, th) = (8, 8)
-      payloads(s, dir).as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val dec: MediaDecoder = FakeDecoder
-          it.map { case (id, bytes) =>
-            val m = dec.decode(bytes)
-            val budget = tw * th
-            val step = math.max(1, bytes.length / budget)
-            val sampled = bytes.indices.by(step).take(budget)
-              .map(bytes(_)).toArray
-            (id, m.width, m.height, tw, th, dec.decode(sampled).sha)
-          }
-        }
+      imagePayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          val thumb = ImageCodec.resizeNearest(d, tw, th)
+          (id, d.width, d.height, tw, th, ImageCodec.pixelSha(thumb))
+        })
         .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "thumb_sha")
     },
-    None) // stub resampler → golden-pinned
+    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
   val all: Seq[QueryDef] = Seq(meta, decode, frames, featurize, resize)
 }

@@ -732,19 +732,41 @@ object Relational {
 
   /** Sketch-based distinct counting — the 100 TB form of q8: HLL++
     * partial sketches merge map-side, so shuffle volume is O(sketch ×
-    * partitions) regardless of cardinality. No DuckDB oracle (its
-    * approx_count_distinct is a different sketch); the exact q8 twin is
-    * oracle-checked and GoldenSpec pins this result's content hash.
+    * partitions) regardless of cardinality. DuckDB's
+    * approx_count_distinct is a different sketch, so the estimates
+    * themselves can't be oracled value-for-value; instead the result
+    * carries the EXACT counts (oracled) plus estimate-within-10%
+    * booleans the oracle asserts TRUE — the driver's hash gate thereby
+    * bound-checks the HLL estimates every round (Spark's HLL is
+    * deterministic, so the booleans are stable). The exact columns are
+    * the witness only: at 100 TB one ships the HLL estimate alone and
+    * this query's exact twin is q8.
     */
   val q15Approx = QueryDef(
     "q15_approx_distinct",
     (s, dir) => {
+      def ok(est: Column, exact: Column): Column =
+        abs(est - exact) <= exact * 0.1
       Tables(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("n_parts"),
-        approx_count_distinct(col("l_suppkey")).as("n_supps"),
-        approx_count_distinct(col("l_orderkey")).as("n_orders"))
+        approx_count_distinct(col("l_partkey")).as("est_parts"),
+        approx_count_distinct(col("l_suppkey")).as("est_supps"),
+        approx_count_distinct(col("l_orderkey")).as("est_orders"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_suppkey")).as("n_supps_exact"),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"))
+      .select(
+        col("n_parts_exact"), col("n_supps_exact"), col("n_orders_exact"),
+        ok(col("est_parts"), col("n_parts_exact")).as("parts_est_ok"),
+        ok(col("est_supps"), col("n_supps_exact")).as("supps_est_ok"),
+        ok(col("est_orders"), col("n_orders_exact")).as("orders_est_ok"))
     },
-    None)
+    Some("""
+      SELECT count(DISTINCT l_partkey) AS n_parts_exact,
+             count(DISTINCT l_suppkey) AS n_supps_exact,
+             count(DISTINCT l_orderkey) AS n_orders_exact,
+             TRUE AS parts_est_ok, TRUE AS supps_est_ok,
+             TRUE AS orders_est_ok
+      FROM lineitem"""))
 
   /** CSV sink + declared-schema CSV scan round-trip — the reference's
     * filesystem connector pair (processor.py:44-58 source with

@@ -38,15 +38,18 @@ class GoldenSpec extends SparkSpec {
   }
 
   private val golden = Map(
-    "q15_approx_distinct" -> "3d368928f9c9b6f2",
+    // q15_approx_distinct moved to the DuckDB oracle (exact counts +
+    // estimate-bound booleans), so it no longer needs a golden
     "dedup_simhash" -> "98d537d5fcbfc575",
     "dedup_simhash_pairs" -> "cd02ef642e0cad49",
     "dedup_simhash128_pairs" -> "e639582ba31e8026",
     "doc_fingerprint" -> "280984398f9e7c82",
     "lang_id" -> "e2ba579ef125e687",
-    "multimodal_decode" -> "1678f255bf444335",
-    "multimodal_featurize" -> "baf9a6e7f6e21235",
-    "multimodal_resize" -> "acb28d1f7a6116b6",
+    // re-pinned when the stub decoder was replaced by the real
+    // javax.imageio codec over rendered PNG payloads
+    "multimodal_decode" -> "0732eb1a085d97b4",
+    "multimodal_featurize" -> "a15358b8453b75b9",
+    "multimodal_resize" -> "fa487e369932845a",
     "multimodal_frames" -> "bc086fa244396efd",
     "topk_cosine_lsh" -> "30ef687c029fca67",
     "topk_cosine_ivf" -> "96f87819da27921c")
