@@ -23,7 +23,10 @@ object ProfileHot {
       val df = SparkEntry.queries(k)(spark, dir)
       // when explaining, execute df ITSELF (count() derives a different
       // plan) so AQE finalizes and the printed tree is the one that ran
-      val n = if (explain) df.collect().length.toLong else df.count()
+      // — an action on df's own toRdd, NOT collect(): materializing the
+      // full operator output on the driver is an OOM at profile scale
+      // (round-4 advice), while the InternalRow count ships nothing
+      val n = if (explain) df.queryExecution.toRdd.count() else df.count()
       println(f"[hot] $k%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       if (explain)
         println(s"[hot] $k plan:\n" +

@@ -40,20 +40,56 @@ object Knn {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Distributed predict: queries (qid, qvec) × refs (rid, rvec, label)
-    * → (qid, pred_label). The smaller side (refs here) is broadcast.
-    * Top-k per query via the bounded-heap aggregate
+    * → (qid, pred_label). Top-k per query via the bounded-heap aggregate
     * (graft.functions.TopKSmallest): partial aggregation keeps at most
     * k neighbors per (qid, partition) map-side, so the only shuffle
     * carries O(|Q|·k) entries — not the |Q|×|R| scored rows the
     * window full-sort form shuffles (kept as
     * [[predictDistributedWindow]]; bit-equality asserted in tests).
+    *
+    * The reference side is broadcast only while it fits
+    * (spark.graft.knn.maxBroadcastRows, default 2M rows — vector width
+    * is application-known, so the cap is row-based); past the cap the
+    * EXACT path degrades to the block-nested shuffle join
+    * ([[predictShuffled]]) instead of OOMing the executors on an
+    * oversized broadcast.
     */
-  def predictDistributed(queries: DataFrame, refs: DataFrame, k: Int): DataFrame =
-    voteTopK(
+  def predictDistributed(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+    val maxBc = queries.sparkSession.conf
+      .getOption("spark.graft.knn.maxBroadcastRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (refs.count() > maxBc) predictShuffled(queries, refs, k)
+    else voteTopK(
       queries.crossJoin(broadcast(refs))
         .select(col("qid"), col("rid"), col("label"),
           sqDist(col("qvec"), col("rvec")).as("dist")),
       k)
+  }
+
+  /** EXACT non-broadcast predict — the block-nested join as a shuffle:
+    * refs hash into `blocks` disjoint blocks (one shuffle, each ref
+    * lands once), queries replicate across the block ids, and the
+    * equi-join on the block id runs as a shuffled hash join — no
+    * broadcast of either side, so reference sets far past executor
+    * memory stream through. Scoring is the same fused L2 expression
+    * and the vote shuffle still carries only O(|Q|·blocks·k) heap
+    * entries thanks to partial aggregation. Bit-identical to the
+    * broadcast path (asserted in KnnSpec): the block partition covers
+    * every (query, ref) pair exactly once.
+    */
+  def predictShuffled(queries: DataFrame, refs: DataFrame, k: Int,
+      blocks: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val b = if (blocks > 0) blocks
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val refB = refs.withColumn("blk", pmod(hash(col("rid")), lit(b)))
+    val qB = queries.select(col("qid"), col("qvec"),
+      explode(array((0 until b).map(lit(_)): _*)).as("blk"))
+    val scored = qB.join(refB.hint("shuffle_hash"), "blk")
+      .select(col("qid"), col("rid"), col("label"),
+        sqDist(col("qvec"), col("rvec")).as("dist"))
+    voteTopK(scored, k)
+  }
 
   /** Shared vote stage: scored (qid, rid, label, dist) → (qid,
     * pred_label) via bounded-heap top-k + majority vote, ties

@@ -840,8 +840,15 @@ object Relational {
   def latestByKey(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // recency at MICROsecond granularity on both engines: Spark sees
+    // the raw nanos long, DuckDB the micros-truncated parquet
+    // timestamp — ordering by raw nanos could pick a different winner
+    // than the oracle for two same-key events within one microsecond
+    // whose event_id order differs from their nano order (round-4
+    // advice). ts div 1000 matches the epoch_us the oracle orders by;
+    // event_id breaks the remaining ties identically on both sides.
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
     events.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
@@ -857,7 +864,7 @@ object Relational {
       SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
              CAST(round(value * 100) AS BIGINT) AS value_cents
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                        ORDER BY ts DESC, event_id DESC) AS rn
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
             FROM events)
       WHERE rn = 1"""))
 
@@ -867,8 +874,9 @@ object Relational {
     * lakehouse table runs per ingestion cycle, expressed as the
     * full-outer-join + case plan Spark compiles MERGE to.
     * Changes: per customer, delta = sum of order cents; custkey % 10 = 7
-    * → delete, custkey % 50 = 0 → re-keyed +10M (an insert of a key the
-    * base lacks); everything else updates the account balance.
+    * → delete, custkey % 50 = 0 → re-keyed negative (an insert of a key
+    * the base lacks at ANY scale factor); everything else updates the
+    * account balance.
     * Scale: one shuffle join on the merge key (sort-merge at fact scale,
     * AQE-broadcast when the feed is small); deletes/updates/inserts are
     * per-row case logic, no second pass.
@@ -880,7 +888,12 @@ object Relational {
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("delta_cents"))
         .select(
-          when(col("o_custkey") % 50 === 0, col("o_custkey") + 10000000L)
+          // planted INSERT keys live outside the base key domain by
+          // construction: custkeys are positive at every SF, so the
+          // negated key can never collide with a real customer (the
+          // round-4 +10M offset silently became an update once custkeys
+          // passed 10M, i.e. TPC-H SF ~67)
+          when(col("o_custkey") % 50 === 0, -(col("o_custkey") + 1L))
             .otherwise(col("o_custkey")).as("m_key"),
           when(col("o_custkey") % 10 === 7, lit("D")).otherwise(lit("U"))
             .as("op"),
@@ -898,7 +911,7 @@ object Relational {
     },
     Some("""
       WITH changes AS (
-        SELECT CASE WHEN o_custkey % 50 = 0 THEN o_custkey + 10000000
+        SELECT CASE WHEN o_custkey % 50 = 0 THEN -(o_custkey + 1)
                     ELSE o_custkey END AS m_key,
                CASE WHEN o_custkey % 10 = 7 THEN 'D' ELSE 'U' END AS op,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -26,6 +26,30 @@ class KnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("shuffled exact path is bit-identical and engages past the broadcast cap") {
+    val (q, r) = Knn.split(spark, sf)
+    val want = Knn.predictDistributed(q, r, k = 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // direct call: block-nested shuffle join, no broadcast of refs
+    val direct = Knn.predictShuffled(q, r, k = 5)
+    assert(direct.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap == want)
+    // the executed plan must not broadcast the reference side
+    direct.collect()
+    val plan = direct.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "shuffled KNN path must not broadcast")
+    // threshold routing: a forced 1-row cap sends predictDistributed
+    // through the shuffle path with the same oracle-checked result
+    spark.conf.set("spark.graft.knn.maxBroadcastRows", "1")
+    try {
+      val routed = Knn.predictDistributed(q, r, k = 5)
+      assert(routed.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap == want)
+      routed.collect()
+      assert(!routed.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+    } finally spark.conf.unset("spark.graft.knn.maxBroadcastRows")
+  }
+
   test("model save/load round-trips the reference set and k") {
     val (_, refs) = Knn.split(spark, sf)
     val dir = s"${Work.dir}/test_knn_model"
