@@ -21,15 +21,19 @@ import scala.jdk.CollectionConverters._
   * it for BATCH_READ (the reference's scan.execution.type=batch) and
   * MICRO_BATCH_READ with real offsets.
   *
-  * Offset model: an offset is the sorted set of fully-consumed segment
-  * file names (segments are immutable and appended whole, so file
-  * granularity IS the per-segment offset; names carry no ordering
-  * assumption). A micro-batch reads exactly the segments in
-  * `latest -- start`, one input partition per segment — so a restart
-  * from a checkpoint resumes precisely after the consumed set, and
-  * executors read segments in parallel like any file scan. At scale the
-  * consumed-set offset would be compacted (e.g. per-directory
-  * watermarks); segment counts here are test-scale.
+  * Offset model: an offset is the set of fully-consumed segment files
+  * (segments are immutable and appended whole, so file granularity IS
+  * the per-segment offset), serialized COMPACTLY: stamped segment names
+  * sort in append order, so the consumed prefix folds into a single
+  * watermark name plus a lag-bounded exception list (see LogOffsetV2) —
+  * the serialized offset stays bounded as the stream grows instead of
+  * enumerating every consumed name. A micro-batch reads exactly the
+  * segments in `latest -- start`, one input partition per segment — so
+  * a restart from a checkpoint resumes precisely after the consumed
+  * set, and executors read segments in parallel like any file scan.
+  * Retention interacts through stamped tombstones: vacuuming data a
+  * lagging checkpoint had not yet consumed fails the query
+  * (failOnDataLoss=false downgrades to a warning, Kafka-style).
   *
   * Rows are `value: STRING` JSON lines; decoding to the declared schema
   * happens in the query via from_json (LogStore.decode), keeping the
@@ -71,24 +75,46 @@ object LogSourceV2 {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, CompactionMarker), stamp.toString): Unit
 
-  /** Tombstone of retention-deleted segment paths (one per line).
+  /** Tombstone of retention-deleted segment paths (one per line, the
+    * vacuum stamp tab-prefixed; legacy lines are bare paths = stamp 0).
     * Distinguishes "consumed then retention-trimmed" (safe for a
     * checkpointed reader to resume over — the data was already read and
     * no rewrite exists) from "compacted" (the data was REWRITTEN into
-    * new segments, so resuming would re-read it — must refuse). */
+    * new segments, so resuming would re-read it — must refuse). The
+    * stamp lets a resuming reader separate vacuums it already accounted
+    * for (stamp <= its offset's vacuum horizon) from vacuums that
+    * removed data it had NOT yet consumed — the failOnDataLoss check.
+    * [[graft.connector.LogStore.compact]] prunes the file: compaction
+    * invalidates every checkpoint anyway (stamp guard), so no reader
+    * can still reference the entries. */
   val VacuumTombstone = "_graft_vacuumed"
 
-  def vacuumedSegments(dir: String): Set[String] = {
+  def vacuumedSegments(dir: String): Set[String] =
+    vacuumedStamped(dir).map(_._1).toSet
+
+  /** (path, vacuum stamp) pairs from the tombstone file. */
+  def vacuumedStamped(dir: String): Seq[(String, Long)] = {
     val p = java.nio.file.Paths.get(dir, VacuumTombstone)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
-    else Set.empty
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readAllLines(p).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        line.split("\t", 2) match {
+          case Array(st, path) if st.forall(_.isDigit) && st.nonEmpty =>
+            (path, st.toLong)
+          case _ => (line, 0L) // legacy bare-path line
+        }
+      }
   }
 
-  private[connector] def recordVacuumed(dir: String, segs: Seq[String]): Unit =
+  def maxVacuumStamp(dir: String): Long =
+    vacuumedStamped(dir).map(_._2).maxOption.getOrElse(0L)
+
+  private[connector] def recordVacuumed(dir: String, segs: Seq[String],
+      stamp: Long): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, VacuumTombstone),
-      segs.mkString("", "\n", "\n"),
+      segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND): Unit
 
@@ -103,6 +129,43 @@ object LogSourceV2 {
         .sorted)
       .getOrElse(Nil)
   }
+
+  // --- stamped segment names ------------------------------------------
+
+  /** Segment names written by the store's commit paths carry a
+    * zero-padded, per-directory strictly-increasing stamp:
+    * `segment-<stamp 20 digits>-....json`. Stamped names therefore sort
+    * in append order, which is what lets the streaming offset fold its
+    * consumed set into a watermark instead of enumerating every name
+    * (the round-4 offset grew with the segment count). Names from other
+    * writers (streaming file sink part files, legacy segments) are
+    * simply not watermark-eligible and ride in the offset's explicit
+    * list. */
+  private val StampedName = """segment-(\d{20})-.*""".r
+
+  def isStamped(path: String): Boolean =
+    new java.io.File(path).getName match {
+      case StampedName(_) => true
+      case _ => false
+    }
+
+  def stampOf(path: String): Long =
+    new java.io.File(path).getName match {
+      case StampedName(d) => d.toLong
+      case _ => -1L
+    }
+
+  /** Next segment stamp for `dir`: strictly above every stamped segment
+    * already visible (and the wall clock, so stamps stay meaningful
+    * across streams). Driver-side callers only — concurrent appenders
+    * in separate JVMs could still race to the same stamp within one
+    * listing window, which the per-append unique suffix keeps
+    * collision-free (same-stamp siblings are handled by the offset's
+    * boundary-stamp rule). */
+  private[connector] def nextSegmentStamp(dir: String): Long = {
+    val maxSeen = listSegments(dir).map(stampOf).maxOption.getOrElse(-1L)
+    math.max(maxSeen + 1, System.currentTimeMillis())
+  }
 }
 
 final class LogTable(path: String) extends Table
@@ -113,7 +176,10 @@ final class LogTable(path: String) extends Table
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new LogScan(path) }
+    new ScanBuilder {
+      override def build(): Scan =
+        new LogScan(path, options.getBoolean("failOnDataLoss", true))
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -136,24 +202,31 @@ final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
       info: PhysicalWriteInfo): DataWriterFactory =
     LogWriterFactory(path, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case LogCommitMessage(tmp, fin) if tmp.nonEmpty =>
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // driver-side rename into STAMPED names (see LogSourceV2.isStamped):
+    // one stamp per commit, strictly above everything visible, so the
+    // streaming offset can watermark over them; the queryId suffix keeps
+    // same-stamp names from racing appenders collision-free
+    val stamp = LogSourceV2.nextSegmentStamp(path)
+    messages.zipWithIndex.foreach {
+      case (LogCommitMessage(tmp), i) if tmp.nonEmpty =>
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(fin),
+          java.nio.file.Paths.get(path,
+            f"segment-$stamp%020d-$i%05d-${queryId.take(8)}.json"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
       case _ => ()
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LogCommitMessage(tmp, _) if tmp.nonEmpty =>
+      case LogCommitMessage(tmp) if tmp.nonEmpty =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)): Unit
       case _ => ()
     }
 }
 
-final case class LogCommitMessage(tmpPath: String, finalPath: String)
+final case class LogCommitMessage(tmpPath: String)
     extends WriterCommitMessage
 
 final case class LogWriterFactory(path: String, queryId: String)
@@ -161,11 +234,10 @@ final case class LogWriterFactory(path: String, queryId: String)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // lazily created: an empty partition commits no segment
+      // lazily created: an empty partition commits no segment; the
+      // FINAL (stamped) name is assigned by the driver-side commit
       private var out: java.io.Writer = _
       private var tmp: java.nio.file.Path = _
-      private val fin = java.nio.file.Paths.get(path,
-        s"segment-$queryId-$partitionId-$taskId.json")
 
       override def write(record: InternalRow): Unit = {
         if (out == null) {
@@ -184,8 +256,8 @@ final case class LogWriterFactory(path: String, queryId: String)
       }
 
       override def commit(): WriterCommitMessage = {
-        if (out == null) LogCommitMessage("", "")
-        else { out.close(); LogCommitMessage(tmp.toString, fin.toString) }
+        if (out == null) LogCommitMessage("")
+        else { out.close(); LogCommitMessage(tmp.toString) }
       }
 
       override def abort(): Unit = if (out != null) {
@@ -197,7 +269,8 @@ final case class LogWriterFactory(path: String, queryId: String)
     }
 }
 
-final class LogScan(path: String) extends Scan with SupportsReportStatistics {
+final class LogScan(path: String, failOnDataLoss: Boolean = true)
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = LogSourceV2.schema
   override def description(): String = s"graft log scan of $path"
 
@@ -222,28 +295,82 @@ final class LogScan(path: String) extends Scan with SupportsReportStatistics {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LogMicroBatchStream(path)
+    new LogMicroBatchStream(path, failOnDataLoss)
 }
 
-/** Offset = sorted set of consumed segment files, as a JSON array. */
-final case class LogOffsetV2(segments: Seq[String]) extends Offset {
-  override def json(): String =
-    segments.sorted.map(LogOffsetV2.quote).mkString("[", ",", "]")
+/** Offset = the consumed segment set, encoded compactly:
+  *
+  *  - `watermark` ("" = none): every STAMPED segment name <= watermark
+  *    is consumed unless listed in `holes` — the per-directory
+  *    watermark that keeps the serialized offset bounded as the stream
+  *    grows (the raw consumed set grew with total segment count).
+  *  - `holes`: stamped names <= watermark NOT consumed (the admission
+  *    cap can skip ahead; bounded by reader lag, not stream length).
+  *  - `extra`: explicitly-consumed names outside the watermark —
+  *    unstamped writers (streaming file-sink part files, legacy names)
+  *    and the newest stamp group. The watermark only ever advances to
+  *    names STRICTLY BELOW the newest consumed stamp, so a same-stamp
+  *    sibling segment committed by a racing appender can never sort
+  *    under it and be silently treated as consumed.
+  *  - `vacuumHorizon`: newest vacuum stamp this reader has observed;
+  *    a tombstone above it naming an unconsumed segment is data loss
+  *    (failOnDataLoss semantics, round-4 advice).
+  *
+  * Legacy offsets (plain JSON array of consumed names) deserialize
+  * with everything in `extra` and horizon 0.
+  */
+final case class LogOffsetV2(watermark: String, holes: Set[String],
+    extra: Set[String], vacuumHorizon: Long) extends Offset {
+
+  def isConsumed(path: String): Boolean =
+    extra.contains(path) ||
+      (watermark.nonEmpty && LogSourceV2.isStamped(path) &&
+        path <= watermark && !holes.contains(path))
+
+  /** The names whose liveness proves the checkpoint still matches the
+    * stream: every explicit entry plus the watermark segment itself
+    * (compaction deletes it; vacuum tombstones it). */
+  def livenessWitnesses: Seq[String] =
+    (if (watermark.nonEmpty) extra + watermark else extra).toSeq
+
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("v", 2): Unit
+    root.put("w", watermark): Unit
+    val h = root.putArray("h")
+    holes.toSeq.sorted.foreach(h.add(_): Unit)
+    val x = root.putArray("x")
+    extra.toSeq.sorted.foreach(x.add(_): Unit)
+    root.put("vs", vacuumHorizon): Unit
+    mapper.writeValueAsString(root)
+  }
 }
 
 object LogOffsetV2 {
-  private[connector] def quote(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  /** Consumed-nothing offset with a vacuum horizon of `vs` (a fresh
+    * reader accounts all vacuums that predate it — retention before
+    * subscription is not data loss, matching Kafka semantics). */
+  def initial(vs: Long): LogOffsetV2 = LogOffsetV2("", Set.empty, Set.empty, vs)
+
+  /** Exact-set offset (no watermark) — legacy shape and tests. */
+  def ofSegments(segments: Seq[String]): LogOffsetV2 =
+    LogOffsetV2("", Set.empty, segments.toSet, 0L)
 
   def fromJson(json: String): LogOffsetV2 = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
-    LogOffsetV2(node.elements().asScala.map(_.asText()).toSeq)
+    if (node.isArray)
+      ofSegments(node.elements().asScala.map(_.asText()).toSeq)
+    else {
+      require(node.isObject && node.has("w"),
+        s"unrecognized graft log offset JSON: $json")
+      LogOffsetV2(
+        node.get("w").asText(),
+        node.get("h").elements().asScala.map(_.asText()).toSet,
+        node.get("x").elements().asScala.map(_.asText()).toSet,
+        node.get("vs").asLong())
+    }
   }
 }
 
@@ -256,86 +383,151 @@ final case class LogSegmentPartition(file: String) extends InputPartition
   * that finalizes append-mode windows) instead of degrading to a single
   * Trigger.Once-style batch.
   */
-final class LogMicroBatchStream(path: String) extends MicroBatchStream
+final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true)
+    extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private var availableNowEnd: Option[LogOffsetV2] = None
+  private var availableNowEnd: Option[Seq[String]] = None
 
-  override def initialOffset(): Offset = LogOffsetV2(Nil)
+  override def initialOffset(): Offset =
+    LogOffsetV2.initial(LogSourceV2.maxVacuumStamp(path))
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(LogOffsetV2(LogSourceV2.listSegments(path)))
+    availableNowEnd = Some(LogSourceV2.listSegments(path))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(8)
 
-  private def allAvailable: LogOffsetV2 =
-    availableNowEnd.getOrElse(LogOffsetV2(LogSourceV2.listSegments(path)))
+  private def allAvailable: Seq[String] =
+    availableNowEnd.getOrElse(LogSourceV2.listSegments(path))
 
   override def latestOffset(): Offset =
     sys.error("latestOffset(start, limit) should be called (admission control)")
 
-  /** Refuse to continue when checkpointed offsets name segments that no
+  /** Refuse to continue when a checkpointed offset's witness segments no
     * longer exist: after a compaction the consumed set's file names are
     * gone, so every compacted segment would look "fresh" and the query
-    * would silently RE-READ all previously consumed data; a WAL-replayed
-    * batch whose END offset names deleted segments would crash mid-task
-    * with a raw FileNotFound. Failing here turns both into one
-    * deterministic, actionable error.
+    * would silently RE-READ all previously consumed data. A CONSUMED
+    * segment deleted by retention vacuum is tombstoned and safe to
+    * resume over (fully read, no rewritten copy); compaction-deleted
+    * segments are not tombstoned, so that unsafe case still refuses.
     */
-  private def requireSegmentsExist(segs: Seq[String], role: String,
-      tolerateVacuumed: Boolean = false): Unit = {
-    var missing = segs.filterNot(f => new java.io.File(f).exists())
-    // a CONSUMED segment deleted by retention vacuum is safe to resume
-    // over: it was fully read and no rewritten copy exists to re-read.
-    // Only exactly-tombstoned paths qualify — compaction-deleted
-    // segments are not tombstoned, so that unsafe case still refuses.
-    if (tolerateVacuumed && missing.nonEmpty) {
-      val vacuumed = LogSourceV2.vacuumedSegments(path)
-      missing = missing.filterNot(vacuumed)
+  private def requireConsumedIntact(off: LogOffsetV2): Unit = {
+    var missing = off.livenessWitnesses
+      .filterNot(f => new java.io.File(f).exists())
+    if (missing.nonEmpty)
+      missing = missing.filterNot(LogSourceV2.vacuumedSegments(path))
+    if (missing.nonEmpty) fail("checkpoint (consumed-set)", missing)
+  }
+
+  private def fail(role: String, missing: Seq[String]): Nothing = {
+    val stamp = LogSourceV2.compactionStamp(path)
+    val cause =
+      if (stamp > 0)
+        s"the stream was compacted or vacuumed (marker stamp $stamp)"
+      else "the segment files were removed outside the store"
+    throw new IllegalStateException(
+      s"graft log stream at $path: $role offset references " +
+        s"${missing.size} segment(s) that no longer exist ($cause). " +
+        "Resuming would duplicate or lose consumed data — restart " +
+        "the query with a fresh checkpoint.")
+  }
+
+  /** The failOnDataLoss guard (round-4 advice): a tombstone with a
+    * vacuum stamp ABOVE the checkpoint's horizon naming a segment this
+    * checkpoint never consumed means retention destroyed data the
+    * reader still needed — the lagging-reader case the liveness check
+    * cannot see (the checkpoint never referenced the segment). Fails
+    * hard unless the source was opened with failOnDataLoss=false, which
+    * downgrades to a loud warning (Kafka-source semantics). Returns the
+    * new horizon. */
+  private def checkDataLoss(startOff: LogOffsetV2): Long = {
+    val tombs = LogSourceV2.vacuumedStamped(path)
+    val lost = tombs.filter { case (p, st) =>
+      st > startOff.vacuumHorizon && !startOff.isConsumed(p)
     }
-    if (missing.nonEmpty) {
-      val stamp = LogSourceV2.compactionStamp(path)
-      val cause =
-        if (stamp > 0)
-          s"the stream was compacted or vacuumed (marker stamp $stamp)"
-        else "the segment files were removed outside the store"
-      throw new IllegalStateException(
-        s"graft log stream at $path: $role offset references " +
-          s"${missing.size} segment(s) that no longer exist ($cause). " +
-          "Resuming would duplicate or lose consumed data — restart " +
-          "the query with a fresh checkpoint.")
+    if (lost.nonEmpty) {
+      val msg =
+        s"graft log stream at $path: ${lost.size} segment(s) were " +
+          s"vacuumed before this checkpoint consumed them (e.g. " +
+          s"${lost.head._1}) — data the reader still needed is gone."
+      if (failOnDataLoss) throw new IllegalStateException(
+        msg + " Restart from a fresh checkpoint, or set the source " +
+          "option failOnDataLoss=false to continue with data loss.")
+      System.err.println(s"[graft] WARNING $msg Continuing " +
+        "(failOnDataLoss=false).")
     }
+    math.max(startOff.vacuumHorizon,
+      tombs.map(_._2).maxOption.getOrElse(0L))
+  }
+
+  /** Build the end offset: fold the post-batch consumed set into
+    * watermark + holes + extra against the current listing. */
+  private def encodeEnd(startOff: LogOffsetV2, avail: Seq[String],
+      admitted: Set[String], vs: Long): LogOffsetV2 = {
+    def consumed(s: String) = startOff.isConsumed(s) || admitted(s)
+    val consumedVisible = avail.filter(consumed)
+    val stamped = consumedVisible.filter(LogSourceV2.isStamped)
+    val w0 =
+      if (stamped.isEmpty) ""
+      else {
+        // strictly below the newest consumed stamp: a same-stamp
+        // sibling from a racing appender can never sort under it
+        val maxStamp = stamped.map(LogSourceV2.stampOf).max
+        val below = stamped.filter(LogSourceV2.stampOf(_) < maxStamp)
+        if (below.isEmpty) "" else below.max
+      }
+    val w = if (w0 > startOff.watermark) w0 else startOff.watermark
+    val tombNames = LogSourceV2.vacuumedSegments(path)
+    val holes =
+      if (w.isEmpty) Set.empty[String]
+      else (avail ++ tombNames).filter(s =>
+        LogSourceV2.isStamped(s) && s <= w && !consumed(s)).toSet
+    // carry consumed names the listing no longer shows (needed to
+    // detect compaction on resume), but prune tombstoned ones: their
+    // vacuum stamp is at or below the new horizon, so dropping them
+    // neither re-reads data (files are gone) nor trips the loss check
+    val extra = consumedVisible
+      .filterNot(s => LogSourceV2.isStamped(s) && w.nonEmpty && s <= w)
+      .toSet ++
+      startOff.extra.filterNot(avail.contains).filterNot(tombNames)
+    LogOffsetV2(w, holes, extra, vs)
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[LogOffsetV2]
-    requireSegmentsExist(startOff.segments, "checkpoint (consumed-set)",
-      tolerateVacuumed = true)
-    val done = startOff.segments.toSet
-    val fresh = allAvailable.segments.filterNot(done)
+    requireConsumedIntact(startOff)
+    val vs = checkDataLoss(startOff)
+    val avail = allAvailable
+    val fresh = avail.filterNot(startOff.isConsumed)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    LogOffsetV2((done ++ admitted).toSeq.sorted)
+    encodeEnd(startOff, avail, admitted.toSet, vs)
   }
 
-  override def reportLatestOffset(): Offset = allAvailable
+  override def reportLatestOffset(): Offset =
+    LogOffsetV2("", Set.empty, allAvailable.toSet,
+      LogSourceV2.maxVacuumStamp(path))
 
   override def deserializeOffset(json: String): Offset =
     LogOffsetV2.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val done = start.asInstanceOf[LogOffsetV2].segments.toSet
-    val planned = end.asInstanceOf[LogOffsetV2].segments.filterNot(done)
-    // the END offset too: a WAL-replayed first batch (end written,
-    // commit missing, stream compacted while down) plans segments that
-    // are gone — fail actionably, not FileNotFound inside a task
-    requireSegmentsExist(done.toSeq, "checkpoint (consumed-set)",
-      tolerateVacuumed = true)
-    // a replayed batch NEEDS its planned segments' data: vacuumed or
-    // compacted, gone is gone — never tolerated here
-    requireSegmentsExist(planned, "replayed-batch")
+    val startOff = start.asInstanceOf[LogOffsetV2]
+    val endOff = end.asInstanceOf[LogOffsetV2]
+    requireConsumedIntact(startOff)
+    requireConsumedIntact(endOff)
+    val avail = LogSourceV2.listSegments(path)
+    val planned = avail.filter(s =>
+      endOff.isConsumed(s) && !startOff.isConsumed(s))
+    // a WAL-replayed batch NEEDS its planned segments' data: a
+    // tombstoned segment inside (end -- start) was part of the batch
+    // and is gone — vacuumed or compacted, never tolerated here
+    val gone = LogSourceV2.vacuumedSegments(path).toSeq.filter(t =>
+      endOff.isConsumed(t) && !startOff.isConsumed(t) &&
+        !new java.io.File(t).exists())
+    if (gone.nonEmpty) fail("replayed-batch", gone)
     planned.map(LogSegmentPartition(_): InputPartition).toArray
   }
 

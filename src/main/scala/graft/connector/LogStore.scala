@@ -25,9 +25,26 @@ final case class LogStore(baseDir: String) {
   def path(scope: String, stream: String): String = s"$baseDir/$scope/$stream"
 
   /** Append `df` to the stream as JSON lines — the reference's
-    * stream-store JSON sink (processor.py:67-90). */
-  def append(df: DataFrame, scope: String, stream: String): Unit =
-    encode(df).write.mode(SaveMode.Append).text(path(scope, stream))
+    * stream-store JSON sink (processor.py:67-90). Tasks write through
+    * the text sink into a hidden scratch dir (one file per task, no
+    * single-writer bottleneck); the driver then renames the files into
+    * STAMPED segment names (LogSourceV2.isStamped) — a per-commit
+    * metadata-only loop, the same shape as any file-commit protocol —
+    * so streaming offsets can watermark over them instead of
+    * enumerating every consumed name. */
+  def append(df: DataFrame, scope: String, stream: String): Unit = {
+    val dir = path(scope, stream)
+    val tmp = s"$dir/.append-${java.util.UUID.randomUUID().toString.take(8)}"
+    encode(df).write.mode(SaveMode.Overwrite).text(tmp)
+    val parts = LogSourceV2.listSegments(tmp)
+    val stamp = LogSourceV2.nextSegmentStamp(dir)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(f),
+        java.nio.file.Paths.get(dir, f"segment-$stamp%020d-$i%05d.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    deleteRecursively(new java.io.File(tmp))
+  }
 
   /** Bounded scan of everything currently in the stream — the reference's
     * batch scan of a Pravega stream (processor.py:93-114, 202-225).
@@ -48,11 +65,12 @@ final case class LogStore(baseDir: String) {
     * DataSource V2 connector (LogSourceV2): real per-segment offsets,
     * checkpoint-resumable — the engine's custom stream-store source. */
   def readStream(spark: SparkSession, scope: String, stream: String,
-      schema: StructType): DataFrame =
+      schema: StructType, failOnDataLoss: Boolean = true): DataFrame =
     decode(
       spark.readStream
         .format(classOf[LogSourceProvider].getName)
         .option("path", path(scope, stream))
+        .option("failOnDataLoss", failOnDataLoss.toString)
         .load(),
       schema)
 
@@ -183,8 +201,9 @@ final case class LogStore(baseDir: String) {
     val existing = LogSourceV2.listSegments(dir).toSet
     val targets = cut.filter(existing)
     if (targets.isEmpty) return Nil
-    LogSourceV2.recordVacuumed(dir, targets)
-    LogSourceV2.writeCompactionStamp(dir, nextStamp(dir))
+    val stamp = nextStamp(dir)
+    LogSourceV2.recordVacuumed(dir, targets, stamp)
+    LogSourceV2.writeCompactionStamp(dir, stamp)
     targets.foreach(f => java.nio.file.Files.delete(
       java.nio.file.Paths.get(f)))
     // a streaming sink's commit log names deleted files — remove it so
@@ -264,6 +283,11 @@ final case class LogStore(baseDir: String) {
     // streaming appends to a compacted stream with a fresh checkpoint.
     deleteRecursively(new java.io.File(tmp))
     deleteRecursively(new java.io.File(s"$dir/_spark_metadata"))
+    // prune the vacuum tombstones (round-4 advice: the file grew without
+    // bound): compaction already invalidates every checkpoint via the
+    // stamp guard, so no surviving reader can reference the entries
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, LogSourceV2.VacuumTombstone)): Unit
   }
 
   private def encode(df: DataFrame): DataFrame =

@@ -161,8 +161,9 @@ class CorpusSpec extends SparkSpec {
     // deletes: customers with orders and custkey % 10 == 7 are gone
     val deleted = orderedCust.filter(k => k % 10 == 7 && k % 50 != 0)
     assert(deleted.nonEmpty && deleted.forall(k => !byKey.contains(k)))
-    // inserts: re-keyed +10M rows appear with the NEW marker name
-    val inserted = orderedCust.filter(_ % 50 == 0).map(_ + 10000000L)
+    // inserts: re-keyed NEGATED rows (outside the positive custkey
+    // domain at any SF) appear with the NEW marker name
+    val inserted = orderedCust.filter(_ % 50 == 0).map(k => -(k + 1L))
     assert(inserted.nonEmpty &&
       inserted.forall(k => byKey.get(k).exists(_._2 == "NEW")))
     // updated customers: balance = base + their order delta (checks the

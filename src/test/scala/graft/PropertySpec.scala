@@ -148,9 +148,15 @@ class PropertySpec extends SparkSpec {
       Gen.asciiPrintableStr.map("/seg/" + _),
       Gen.oneOf("/a/part-0001", "/dir with space/f", "/q\"uote", "/b\\slash")))
     samples(paths, 50).foreach { ps =>
-      val off = LogOffsetV2(ps)
+      val off = LogOffsetV2("/seg/segment-00000000000000000099-x.json",
+        Set("/seg/segment-00000000000000000007-h.json"), ps.toSet, 42L)
       val back = LogOffsetV2.fromJson(off.json())
-      assert(back.segments.sorted == ps.sorted, s"paths=$ps")
+      assert(back == off, s"paths=$ps")
+      // legacy array offsets still deserialize (old checkpoints)
+      val legacy = LogOffsetV2.fromJson(
+        ps.map(p => com.fasterxml.jackson.databind.node.TextNode.valueOf(p)
+          .toString).mkString("[", ",", "]"))
+      assert(legacy.extra == ps.toSet && legacy.watermark.isEmpty)
     }
   }
 }

@@ -238,6 +238,71 @@ class StreamingSpec extends SparkSpec {
       "either reprocessed old segments or missed new ones")
   }
 
+  test("V2 offset stays bounded after 1000 segments (watermark folding)") {
+    import graft.connector.{LogMicroBatchStream, LogOffsetV2, LogSourceV2}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val base = freshDir("v2offsetsize")
+    val dir = s"$base/scope/big"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    (0 until 1000).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, f"segment-$i%020d-t.json"),
+        s"""{"event_id":$i}""" + "\n"): Unit
+    }
+    val stream = new LogMicroBatchStream(dir)
+    var off = stream.initialOffset().asInstanceOf[LogOffsetV2]
+    var batches = 0
+    while (LogSourceV2.listSegments(dir).exists(s => !off.isConsumed(s))) {
+      off = stream.latestOffset(off, ReadLimit.maxFiles(100))
+        .asInstanceOf[LogOffsetV2]
+      batches += 1
+      assert(batches <= 10, "admission control must cap each batch")
+    }
+    assert(batches == 10)
+    // all 1000 consumed, yet the serialized offset is a handful of
+    // names (watermark + newest stamp group), not the full set
+    val json = off.json()
+    assert(json.length < 1500, s"offset not compacted: ${json.length} chars")
+    val back = LogOffsetV2.fromJson(json)
+    assert(LogSourceV2.listSegments(dir).forall(back.isConsumed))
+    // and a restart plans NOTHING from the fully-consumed offset
+    assert(stream.planInputPartitions(back, back).isEmpty)
+  }
+
+  test("vacuum of unconsumed segments fails a lagging reader (failOnDataLoss)") {
+    import graft.connector.{LogMicroBatchStream, LogOffsetV2}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val base = freshDir("v2dataloss")
+    val store = LogStore(base)
+    val ev = Tables(spark, sf, "events").limit(10).coalesce(1)
+    store.append(ev, "scope", "dl")
+    store.append(ev, "scope", "dl")
+    store.append(ev, "scope", "dl")
+    val dir = store.path("scope", "dl")
+    val stream = new LogMicroBatchStream(dir)
+    val off0 = stream.initialOffset().asInstanceOf[LogOffsetV2]
+    // lagging reader: consumed only the oldest segment
+    val off1 = stream.latestOffset(off0, ReadLimit.maxFiles(1))
+      .asInstanceOf[LogOffsetV2]
+    // retention keeps only the newest segment: the middle (UNCONSUMED)
+    // segment is destroyed — data the reader still needed
+    store.vacuum("scope", "dl", keepSegments = 1)
+    val e = intercept[IllegalStateException](
+      stream.latestOffset(off1, ReadLimit.maxFiles(10)))
+    assert(e.getMessage.contains("vacuumed before this checkpoint consumed"),
+      e.getMessage)
+    // failOnDataLoss=false downgrades to a warning and reads what's left
+    val lax = new LogMicroBatchStream(dir, failOnDataLoss = false)
+    val off2 = lax.latestOffset(off1, ReadLimit.maxFiles(10))
+      .asInstanceOf[LogOffsetV2]
+    val survivors = graft.connector.LogSourceV2.listSegments(dir)
+    assert(survivors.nonEmpty && survivors.forall(off2.isConsumed))
+    // the new horizon absorbs the vacuum: no repeat failure on the
+    // next batch of the lax reader
+    lax.latestOffset(off2, ReadLimit.maxFiles(10))
+    ()
+  }
+
   test("incremental streaming near-dup equals batch MinHash-LSH pairs") {
     val base = freshDir("streamdedup")
     val store = LogStore(base)
