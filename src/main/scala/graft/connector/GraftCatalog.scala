@@ -27,8 +27,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * MICRO_BATCH_READ). DDL is metadata-only, exactly like the
   * reference's registry: CREATE TABLE registers a dataset (uri/format
   * from table properties), DROP TABLE unregisters it; neither touches
-  * stream data. File-format datasets (csv/parquet) keep the DataFrame
-  * API path — this catalog exposes the stream store.
+  * stream data. File-format datasets (csv/json/parquet/orc) resolve to
+  * Spark's own FileTable implementations, so
+  * `SELECT * FROM graftcat.my_csv` plans the standard file scan
+  * (pushdown, pruning, and schema inference included) — every
+  * registered dataset is SQL-addressable, stream or file.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -63,11 +66,13 @@ class GraftCatalog extends TableCatalog {
     registry.getDataset(ident.name()) match {
       case Some(meta) if meta.format == "stream" =>
         new LogTable(s"$workdir/streams/${meta.uri}")
+      case Some(meta) if GraftCatalog.FileFormats.contains(meta.format) =>
+        GraftCatalog.fileTable(ident.name(), meta.format, meta.uri)
       case Some(meta) =>
         throw new UnsupportedOperationException(
-          s"dataset '${ident.name()}' has format '${meta.format}'; the " +
-            "catalog resolves stream datasets — read file datasets via " +
-            s"spark.read.format(\"${meta.format}\").load(\"${meta.uri}\")")
+          s"dataset '${ident.name()}' has unresolvable format " +
+            s"'${meta.format}' (supported: stream, " +
+            s"${GraftCatalog.FileFormats.mkString(", ")})")
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -117,5 +122,47 @@ class GraftCatalog extends TableCatalog {
     // single load-modify-persist cycle: no failure point between the
     // add and the remove can leave both identifiers registered
     reg.renameDataset(oldIdent.name(), newIdent.name()): Unit
+  }
+}
+
+object GraftCatalog {
+  /** Registry formats that resolve to Spark's own FileTable
+    * implementations — the standard file scan with pushdown, column
+    * pruning, and schema inference. */
+  val FileFormats: Set[String] = Set("csv", "json", "parquet", "orc")
+
+  private[connector] def fileTable(name: String, format: String,
+      uri: String): Table = {
+    import org.apache.spark.sql.execution.datasources.{FileFormat => DSFileFormat}
+    val spark = org.apache.spark.sql.SparkSession.active
+    def opts(kv: (String, String)*): CaseInsensitiveStringMap =
+      new CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(kv.toMap).asJava)
+    format match {
+      case "csv" =>
+        // header + inference: a registered CSV dataset reads like a
+        // table, not a blob of _c0 strings (declared-schema reads keep
+        // the DataFrame API, same as the reference's CsvSource node)
+        org.apache.spark.sql.execution.datasources.v2.csv.CSVTable(
+          name, spark, opts("header" -> "true", "inferSchema" -> "true"),
+          Seq(uri), None,
+          classOf[org.apache.spark.sql.execution.datasources.csv.CSVFileFormat]
+            .asInstanceOf[Class[_ <: DSFileFormat]])
+      case "json" =>
+        org.apache.spark.sql.execution.datasources.v2.json.JsonTable(
+          name, spark, opts(), Seq(uri), None,
+          classOf[org.apache.spark.sql.execution.datasources.json.JsonFileFormat]
+            .asInstanceOf[Class[_ <: DSFileFormat]])
+      case "parquet" =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          name, spark, opts(), Seq(uri), None,
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]
+            .asInstanceOf[Class[_ <: DSFileFormat]])
+      case "orc" =>
+        org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
+          name, spark, opts(), Seq(uri), None,
+          classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat]
+            .asInstanceOf[Class[_ <: DSFileFormat]])
+    }
   }
 }

@@ -21,7 +21,7 @@ class CatalogSpec extends SparkSpec {
     val store = LogStore(s"$d/streams")
     store.append(Tables(spark, sf, "events").limit(100), "scope", "ev")
     reg.registerDataset("ev_stream", "stream", "scope/ev")
-    reg.registerDataset("plain_csv", "csv", "/tmp/nonexistent.csv")
+    reg.registerDataset("plain_xyz", "xyz", "/tmp/nonexistent.xyz")
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graftcat.workdir", d)
     d
@@ -96,10 +96,28 @@ class CatalogSpec extends SparkSpec {
         plan.take(1500))
   }
 
-  test("file-format datasets point users at the DataFrame API") {
+  test("registered csv and parquet datasets resolve as SQL tables") {
     wd: Unit
+    val reg = new Registry(wd, new EventBus)
+    // csv with header: resolves through Spark's CSVTable with inference
+    val csvDir = s"$wd/files/nation_csv"
+    Tables(spark, sf, "nation")
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    reg.registerDataset("nation_csv", "csv", csvDir)
+    val rows = spark.sql(
+      "SELECT n_nationkey, n_name FROM graftcat.nation_csv").collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getString(1)).toSet.contains("NATION_0"))
+    // parquet: full pushdown-capable scan by SQL name
+    val pqDir = s"$wd/files/region_pq"
+    Tables(spark, sf, "region").write.mode("overwrite").parquet(pqDir)
+    reg.registerDataset("region_pq", "parquet", pqDir)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.region_pq WHERE r_regionkey >= 0")
+      .collect().head.getLong(0) == 5)
+    // an unresolvable format still fails with a pointed error
     val e = intercept[Exception](
-      spark.sql("SELECT * FROM graftcat.plain_csv").collect())
-    assert(e.getMessage.contains("spark.read.format"))
+      spark.sql("SELECT * FROM graftcat.plain_xyz").collect())
+    assert(e.getMessage.contains("unresolvable format"))
   }
 }
