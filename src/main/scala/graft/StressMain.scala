@@ -82,6 +82,26 @@ object StressMain {
     pair("ngram_jaccard")(
       c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
       n => repDocs(docs, n))
+    pair("ngram_jaccard_prefix")(
+      c => Dedup.jaccardPairsPrefix(
+        Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
+      n => repDocs(docs, n))
+    // candidate VOLUME, not wall time: the pair rows entering
+    // verification — the quantity prefix filtering exists to cut
+    pair("jac_cands_full")(
+      { c =>
+        val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
+        val inv = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+        inv.select(col("sh"), col("doc_id").as("a"))
+          .join(inv.select(col("sh"), col("doc_id").as("b")), "sh")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct().count()
+      },
+      n => repDocs(docs, n))
+    pair("jac_cands_prefix")(
+      c => Dedup.prefixCandidates(
+        Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
+      n => repDocs(docs, n))
     pair("clusters_cc")(
       { c =>
         val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))

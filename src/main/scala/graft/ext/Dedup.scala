@@ -153,6 +153,69 @@ object Dedup {
       jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
     Some(jaccardOracleSql))
 
+  /** Prefix index for J >= 0.5 candidate generation (SSJoin/PPJoin
+    * family): each doc's shingles are ranked by global document
+    * frequency ascending (rarest first, ties by shingle — a total,
+    * corpus-deterministic order) and only the first ⌊n/2⌋+1 are
+    * indexed. Exactness: a qualifying pair has 3c >= n_a+n_b with
+    * n_b >= c, so c >= ⌈n_a/2⌉; the smallest common shingle then sits
+    * within the first n_a−c+1 <= ⌊n_a/2⌋+1 of BOTH docs' orders, so
+    * every qualifying pair shares a prefix entry. Rare-first ordering
+    * is what makes the filter bite: hot shingles (the df² explosion)
+    * land in suffixes and never generate candidates. */
+  private[graft] def prefixIndex(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val dfs = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    inv.join(dfs, "sh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(col("n") / 2) + 1)
+      .select("doc_id", "sh")
+  }
+
+  /** Candidate pairs from the prefix index — ids-only equi-join on the
+    * prefix shingle, exactly the shape of [[jaccardPairs]]' candidate
+    * stage but over the halved (and rare-first) index. */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    val pre = prefixIndex(sh)
+    pre.select(col("sh"), col("doc_id").as("a"))
+      .join(pre.select(col("sh"), col("doc_id").as("b")), "sh")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Prefix-filtered near-dup pairs — same output contract and ORACLE
+    * as [[jaccardPairs]]: candidates from the ⌊n/2⌋+1 rare-first
+    * prefix (provably no qualifying pair lost, see [[prefixIndex]]),
+    * then exact verification on the FULL shingle sets. The 100 TB
+    * lever the df-cap approximates: candidate volume drops from
+    * Σ df(shingle)² over all shingles to Σ df² over prefix entries,
+    * and a shingle shared by thousands of docs stops being a shuffle
+    * hot key unless it is RARE within its docs' vocabularies. */
+  def jaccardPairsPrefix(shingled: DataFrame): DataFrame = {
+    val sh = shingled.persist()
+    sh.count(): Unit
+    val sets = sh.select(col("doc_id"), col("shs"), col("n"))
+    val result = prefixCandidates(sh)
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), "b")
+      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
+      .select("a", "b", "n_common", "n_a", "n_b")
+    val out = Work.materialize("jaccard_pairs_prefix", result)
+    sh.unpersist()
+    out
+  }
+
+  val ngramJaccardPrefix = QueryDef(
+    "dedup_ngram_jaccard_prefix",
+    (s, dir) => jaccardPairsPrefix(
+      shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
+    Some(jaccardOracleSql))
+
   /** Connected components by min-label propagation WITH pointer
     * jumping: each round every node takes the min label among itself,
     * its neighbors' labels, and its label's label (path halving) —
@@ -792,7 +855,7 @@ object Dedup {
       SELECT doc_id FROM lab WHERE doc_id = cluster"""))
 
   val all: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhash, simhash, simhashNearDup,
-      simhashWideNearDup, embeddingCosine, clusters, decontam, curate,
-      lineDedup)
+    Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
+      simhashNearDup, simhashWideNearDup, embeddingCosine, clusters,
+      decontam, curate, lineDedup)
 }

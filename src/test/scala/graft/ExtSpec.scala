@@ -122,6 +122,18 @@ class ExtSpec extends SparkSpec {
     assert(linked.toDouble / planted.size > 0.8, s"$linked/${planted.size}")
   }
 
+  test("prefix-filtered jaccard pairs equal the full inverted-index pairs") {
+    val sh = Dedup.shingleSets(Dedup.plantedCorpus(
+      Tables(spark, sf, "documents")))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.jaccardPairs(sh))
+    val pref = pairSet(Dedup.jaccardPairsPrefix(sh))
+    assert(pref == full,
+      s"missing=${(full -- pref).take(5)} extra=${(pref -- full).take(5)}")
+    assert(full.nonEmpty)
+  }
+
   test("shingle-df cap drops only hot-shingle candidates, keeps planted pairs") {
     val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents").limit(100))
     val shingled = Dedup.shingleSets(corpus)
