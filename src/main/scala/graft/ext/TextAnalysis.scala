@@ -121,9 +121,31 @@ object TextAnalysis {
       Tables(s, dir, "documents").select(
         col("doc_id"), f(col("text")).as("lang_pred"))
     },
-    None)
+    // the marker heuristic IS SQL: per-language count of contained
+    // markers, max count wins, ties resolved in ascending language
+    // order (the CASE chain mirrors Scala's (-count, lang) min). The
+    // testdata is ASCII, so lower() agrees across engines.
+    Some("""
+      WITH s AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+      c AS (SELECT doc_id, text,
+        contains(t,'the')::INT + contains(t,'and')::INT + contains(t,'of')::INT +
+        contains(t,'is')::INT + contains(t,'ing ')::INT + contains(t,' th')::INT AS cen,
+        contains(t,'el ')::INT + contains(t,'la ')::INT + contains(t,'los')::INT +
+        contains(t,'ción')::INT + contains(t,'de ')::INT + contains(t,'que')::INT AS ces,
+        contains(t,'der')::INT + contains(t,'die')::INT + contains(t,'und')::INT +
+        contains(t,'sch')::INT + contains(t,'ein')::INT + contains(t,'ich')::INT AS cde,
+        contains(t,'le ')::INT + contains(t,'les')::INT + contains(t,'des')::INT +
+        contains(t,'est')::INT + contains(t,'une')::INT + contains(t,'eau')::INT AS cfr
+        FROM s)
+      SELECT doc_id,
+        CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
+             WHEN cen >= ces AND cen >= cfr THEN 'en'
+             WHEN ces >= cfr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM c"""))
 
-  // --- fingerprint (rolling hash; not SQL-expressible → tests) --------
+  // --- fingerprint (rolling hash; oracled via HUGEINT mod 2^64) ------
 
   /** 64-bit polynomial rolling hash (Karp-Rabin family) over normalized
     * tokens — order-sensitive document fingerprint.
@@ -146,7 +168,35 @@ object TextAnalysis {
       Tables(s, dir, "documents").select(
         col("doc_id"), f(col("text")).as("fp"))
     },
-    None)
+    // Scala's wrapping Long arithmetic replayed exactly: fold in
+    // UBIGINT with every step taken mod 2^64 through HUGEINT (DuckDB
+    // integer ops error on overflow rather than wrap), then the final
+    // unsigned value re-interpreted as signed 64-bit. list_reduce in
+    // DuckDB v1.0 has no init parameter, so the seed is prepended as
+    // the first list element.
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents),
+      th AS (
+        SELECT doc_id, list_transform(ws, tok ->
+          list_reduce(
+            [CAST(14695981039346656037 AS UBIGINT)] ||
+              list_transform(list_filter(string_split(tok,''), c -> c <> ''),
+                             c -> CAST(unicode(c) AS UBIGINT)),
+            (acc, ch) -> CAST((acc::HUGEINT * 1099511628211 + ch)
+                              % 18446744073709551616 AS UBIGINT))) AS ths
+        FROM toks)
+      SELECT doc_id,
+        CAST(CASE WHEN r >= 9223372036854775808
+                  THEN r::HUGEINT - 18446744073709551616
+                  ELSE r::HUGEINT END AS BIGINT) AS fp
+      FROM (
+        SELECT doc_id,
+          list_reduce([CAST(1469598103934665603 AS UBIGINT)] || ths,
+            (acc, t) -> CAST((acc::HUGEINT * 1000003 + t)
+                             % 18446744073709551616 AS UBIGINT)) AS r
+        FROM th)"""))
 
   /** Approximate BPE-ish token count: whitespace words plus an extra
     * token per 4 chars of long words (public rule of thumb: ~4 chars per

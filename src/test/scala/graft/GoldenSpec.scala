@@ -43,8 +43,8 @@ class GoldenSpec extends SparkSpec {
     "dedup_simhash" -> "98d537d5fcbfc575",
     "dedup_simhash_pairs" -> "cd02ef642e0cad49",
     "dedup_simhash128_pairs" -> "e639582ba31e8026",
-    "doc_fingerprint" -> "280984398f9e7c82",
-    "lang_id" -> "e2ba579ef125e687",
+    // doc_fingerprint and lang_id moved to DuckDB oracles (HUGEINT
+    // mod-2^64 replay / marker-count CASE), goldens retired
     // re-pinned when the stub decoder was replaced by the real
     // javax.imageio codec over rendered PNG payloads
     "multimodal_decode" -> "0732eb1a085d97b4",
