@@ -106,6 +106,78 @@ object ImageCodec {
     else raw.map(v => (v / norm).toFloat)
   }
 
+  // --- multi-frame ("video") face: animated GIF ----------------------
+
+  /** Demux a multi-frame container (animated GIF through javax.imageio)
+    * into per-frame rasters — a REAL demuxer: the frame count comes
+    * from the stream, each frame is decoded by the actual codec. */
+  def decodeFrames(bytes: Array[Byte]): Seq[DecodedImage] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"no codec for payload (${bytes.length} bytes)")
+    val r = readers.next()
+    r.setInput(iis)
+    try (0 until r.getNumImages(true)).map { i =>
+      val img = r.read(i)
+      DecodedImage(img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents,
+        img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+    } finally r.dispose()
+  }
+
+  /** Encode frames as an animated GIF. Frames should be
+    * palette-representable (see [[renderGifFrames]]) so the indexed
+    * encoding round-trips pixels losslessly. */
+  def encodeGif(frames: Seq[DecodedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "cannot encode an empty frame sequence")
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      val img = new BufferedImage(f.width, f.height,
+        BufferedImage.TYPE_BYTE_INDEXED)
+      img.setRGB(0, 0, f.width, f.height, f.argb, 0, f.width)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Deterministic multi-frame rasters for a document: frame count and
+    * dimensions from the doc id, pixels from the seeded stream,
+    * PRE-QUANTIZED to the standard 256-color indexed palette (by
+    * rendering into a TYPE_BYTE_INDEXED image) so encodeGif →
+    * decodeFrames round-trips every pixel bit-exactly. */
+  def renderGifFrames(id: Long, content: Array[Byte]): Seq[DecodedImage] = {
+    val w = 16 + Math.floorMod(id, 9L).toInt
+    val h = 16 + Math.floorMod(id / 9, 7L).toInt
+    val nFrames = 2 + Math.floorMod(id, 4L).toInt
+    var seed = id * 0x9E3779B97F4A7C15L
+    content.foreach(b => seed = (seed ^ b) * 0xFF51AFD7ED558CCDL)
+    (0 until nFrames).map { _ =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+      var i = 0
+      while (i < w * h) {
+        seed += 0x9E3779B97F4A7C15L
+        var z = seed
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        img.setRGB(i % w, i / w, ((z ^ (z >>> 31)) & 0xFFFFFF).toInt)
+        i += 1
+      }
+      // read back through the indexed color model: these are the
+      // palette-exact pixels the GIF round-trip preserves
+      DecodedImage(w, h, 3, img.getRGB(0, 0, w, h, null, 0, w))
+    }
+  }
+
+  def renderGif(id: Long, content: Array[Byte]): Array[Byte] =
+    encodeGif(renderGifFrames(id, content))
+
   /** Deterministic synthetic image for a document: dimensions from the
     * doc id, pixels from a splitmix-style stream seeded by the id and
     * the content bytes — the repeatable stand-in for a crawl's real

@@ -106,6 +106,31 @@ object Multimodal {
              sha256(substring(b, CAST(i * 64 + 1 AS INT), 64)) AS frame_sha
       FROM (SELECT doc_id, b, unnest(range(0, nw, 2)) AS i FROM w)"""))
 
+  /** REAL multi-frame demux: animated-GIF payloads (rendered
+    * deterministically per doc, genuine container bytes) demuxed by
+    * the actual javax.imageio codec — frame count from the stream, one
+    * output row per frame with dimensions and the pixel digest. This
+    * is the "video" face the byte-window sampler ([[frames]]) stubs;
+    * both ship because the window sampler is SQL-oracle-able while the
+    * codec output is golden-pinned. */
+  val videoFrames = QueryDef(
+    "multimodal_video_frames",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val gif = ImageCodec.renderGif(id,
+            Option(text).getOrElse("").getBytes("UTF-8"))
+          ImageCodec.decodeFrames(gif).zipWithIndex.map { case (f, i) =>
+            (id, i, f.width, f.height, ImageCodec.pixelSha(f))
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "frame_sha")
+    },
+    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+
   /** The library face: (doc_id, feature array<float>) — real grid-mean
     * image features from the decoded raster, unit-norm, feeding the
     * Similarity/Dedup operators downstream (tested in ExtSpec). */
@@ -164,5 +189,6 @@ object Multimodal {
     },
     None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
-  val all: Seq[QueryDef] = Seq(meta, decode, frames, featurize, resize)
+  val all: Seq[QueryDef] =
+    Seq(meta, decode, frames, videoFrames, featurize, resize)
 }

@@ -291,6 +291,27 @@ class ExtSpec extends SparkSpec {
     ()
   }
 
+  test("GIF demux round-trips every frame bit-exactly") {
+    val frames = ImageCodec.renderGifFrames(13L, "planted".getBytes)
+    val gif = ImageCodec.encodeGif(frames)
+    val back = ImageCodec.decodeFrames(gif)
+    assert(back.length == frames.length && frames.length >= 2)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height)
+      // indexed-palette pre-quantization makes the GIF lossless: the
+      // demuxed rasters match the rendered ones bit for bit
+      assert(b.argb.map(_ & 0xFFFFFF).toSeq == a.argb.map(_ & 0xFFFFFF).toSeq)
+    }
+    // the query face: one row per demuxed frame, count from the stream
+    val rows = Multimodal.videoFrames.fn(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet.size == Tables(spark, sf, "documents").count())
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == 2 + Math.floorMod(id, 4L).toInt,
+        s"doc $id expected ${2 + Math.floorMod(id, 4L)} frames, got ${fs.length}")
+    }
+  }
+
   test("decode query runs the real codec over real PNG payloads") {
     val rows = Multimodal.decode.fn(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())

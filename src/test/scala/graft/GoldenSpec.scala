@@ -50,6 +50,7 @@ class GoldenSpec extends SparkSpec {
     "multimodal_decode" -> "0732eb1a085d97b4",
     "multimodal_featurize" -> "a15358b8453b75b9",
     "multimodal_resize" -> "fa487e369932845a",
+    "multimodal_video_frames" -> "95ae9c8785c61c0f",
     "multimodal_frames" -> "bc086fa244396efd",
     "topk_cosine_lsh" -> "30ef687c029fca67",
     "topk_cosine_ivf" -> "96f87819da27921c")
