@@ -67,7 +67,15 @@ class GraftCatalog extends TableCatalog {
       case Some(meta) if meta.format == "stream" =>
         new LogTable(s"$workdir/streams/${meta.uri}")
       case Some(meta) if GraftCatalog.FileFormats.contains(meta.format) =>
-        GraftCatalog.fileTable(ident.name(), meta.format, meta.uri)
+        // cached per (name, format, uri): CSV/JSON resolution infers
+        // the schema by reading data files — uncached, EVERY query
+        // would pay that planning-time scan again. A re-registered
+        // dataset under a different uri/format misses the cache; same
+        // uri with rewritten file contents follows Spark's own
+        // relation-cache semantics (refresh by re-create).
+        GraftCatalog.tableCache.computeIfAbsent(
+          (ident.name(), meta.format, meta.uri),
+          _ => GraftCatalog.fileTable(ident.name(), meta.format, meta.uri))
       case Some(meta) =>
         throw new UnsupportedOperationException(
           s"dataset '${ident.name()}' has unresolvable format " +
@@ -130,6 +138,9 @@ object GraftCatalog {
     * implementations — the standard file scan with pushdown, column
     * pruning, and schema inference. */
   val FileFormats: Set[String] = Set("csv", "json", "parquet", "orc")
+
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Table]
 
   private[connector] def fileTable(name: String, format: String,
       uri: String): Table = {

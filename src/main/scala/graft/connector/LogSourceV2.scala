@@ -143,17 +143,24 @@ object LogSourceV2 {
     * list. */
   private val StampedName = """segment-(\d{20})-.*""".r
 
-  def isStamped(path: String): Boolean =
-    new java.io.File(path).getName match {
-      case StampedName(_) => true
-      case _ => false
-    }
+  def isStamped(path: String): Boolean = stampOf(path) >= 0L
 
   def stampOf(path: String): Long =
     new java.io.File(path).getName match {
-      case StampedName(d) => d.toLong
+      // 20 digits can exceed Long.MaxValue — a foreign writer's name
+      // must degrade to "unstamped" (explicit-list routing), not crash
+      // every listing-driven path with a NumberFormatException
+      case StampedName(d) =>
+        try d.toLong catch { case _: NumberFormatException => -1L }
       case _ => -1L
     }
+
+  /** Grace window for watermark advancement: only stamped names older
+    * than this fold under the watermark, so a commit whose rename lands
+    * up to a minute after its stamp was computed cannot sort under an
+    * already-advanced watermark and be silently treated as consumed.
+    * Names inside the window ride in the offset's explicit list. */
+  val WatermarkGraceMs: Long = 60000L
 
   /** Next segment stamp for `dir`: strictly above every stamped segment
     * already visible (and the wall clock, so stamps stay meaningful
@@ -440,8 +447,8 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true)
     * hard unless the source was opened with failOnDataLoss=false, which
     * downgrades to a loud warning (Kafka-source semantics). Returns the
     * new horizon. */
-  private def checkDataLoss(startOff: LogOffsetV2): Long = {
-    val tombs = LogSourceV2.vacuumedStamped(path)
+  private def checkDataLoss(startOff: LogOffsetV2,
+      tombs: Seq[(String, Long)]): Long = {
     val lost = tombs.filter { case (p, st) =>
       st > startOff.vacuumHorizon && !startOff.isConsumed(p)
     }
@@ -461,49 +468,67 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true)
   }
 
   /** Build the end offset: fold the post-batch consumed set into
-    * watermark + holes + extra against the current listing. */
+    * watermark + holes + extra against the current listing. `tombs` is
+    * the SAME tombstone read the loss check used — a vacuum landing
+    * between two reads could otherwise prune an extra whose stamp is
+    * above the horizon being written, tripping a spurious loss failure
+    * on the next batch. */
   private def encodeEnd(startOff: LogOffsetV2, avail: Seq[String],
-      admitted: Set[String], vs: Long): LogOffsetV2 = {
+      admitted: Set[String], vs: Long,
+      tombs: Seq[(String, Long)]): LogOffsetV2 = {
     def consumed(s: String) = startOff.isConsumed(s) || admitted(s)
     val consumedVisible = avail.filter(consumed)
     val stamped = consumedVisible.filter(LogSourceV2.isStamped)
     val w0 =
       if (stamped.isEmpty) ""
       else {
-        // strictly below the newest consumed stamp: a same-stamp
-        // sibling from a racing appender can never sort under it
+        // two guards against a racing appender's segment sorting under
+        // an already-advanced watermark (which would silently mark it
+        // consumed): (1) strictly below the newest consumed stamp, so
+        // a SAME-stamp sibling can never fold under it; (2) a grace
+        // window — stamps are wall-clock-scale, and a writer computes
+        // its stamp before the (driver-side) rename lands, so only
+        // names older than the grace period are watermark-eligible;
+        // a commit delayed longer than the grace is outside the
+        // store's single-coordinator contract.
+        val cutoff = System.currentTimeMillis() - LogSourceV2.WatermarkGraceMs
         val maxStamp = stamped.map(LogSourceV2.stampOf).max
-        val below = stamped.filter(LogSourceV2.stampOf(_) < maxStamp)
+        val below = stamped.filter(s => {
+          val st = LogSourceV2.stampOf(s)
+          st < maxStamp && st < cutoff
+        })
         if (below.isEmpty) "" else below.max
       }
     val w = if (w0 > startOff.watermark) w0 else startOff.watermark
-    val tombNames = LogSourceV2.vacuumedSegments(path)
+    val tombNames = tombs.map(_._1).toSet
     val holes =
       if (w.isEmpty) Set.empty[String]
       else (avail ++ tombNames).filter(s =>
         LogSourceV2.isStamped(s) && s <= w && !consumed(s)).toSet
     // carry consumed names the listing no longer shows (needed to
-    // detect compaction on resume), but prune tombstoned ones: their
-    // vacuum stamp is at or below the new horizon, so dropping them
-    // neither re-reads data (files are gone) nor trips the loss check
+    // detect compaction on resume), but prune ones tombstoned at or
+    // below the horizon being written: their files are gone (no
+    // re-read) and their stamps can no longer trip the loss check
+    val prunable = tombs.filter(_._2 <= vs).map(_._1).toSet
     val extra = consumedVisible
       .filterNot(s => LogSourceV2.isStamped(s) && w.nonEmpty && s <= w)
       .toSet ++
-      startOff.extra.filterNot(avail.contains).filterNot(tombNames)
+      startOff.extra.filterNot(avail.contains).filterNot(prunable)
     LogOffsetV2(w, holes, extra, vs)
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[LogOffsetV2]
     requireConsumedIntact(startOff)
-    val vs = checkDataLoss(startOff)
+    val tombs = LogSourceV2.vacuumedStamped(path)
+    val vs = checkDataLoss(startOff, tombs)
     val avail = allAvailable
     val fresh = avail.filterNot(startOff.isConsumed)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    encodeEnd(startOff, avail, admitted.toSet, vs)
+    encodeEnd(startOff, avail, admitted.toSet, vs, tombs)
   }
 
   override def reportLatestOffset(): Offset =
@@ -521,12 +546,20 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true)
     val avail = LogSourceV2.listSegments(path)
     val planned = avail.filter(s =>
       endOff.isConsumed(s) && !startOff.isConsumed(s))
-    // a WAL-replayed batch NEEDS its planned segments' data: a
-    // tombstoned segment inside (end -- start) was part of the batch
-    // and is gone — vacuumed or compacted, never tolerated here
-    val gone = LogSourceV2.vacuumedSegments(path).toSeq.filter(t =>
+    // a WAL-replayed batch NEEDS its planned segments' data — gone is
+    // gone, never tolerated here. Enumerable loss witnesses: (a) any
+    // TOMBSTONED name inside (end -- start); (b) any start-offset HOLE
+    // the end offset considers consumed but the listing lacks (a
+    // sub-watermark name deleted outside the store). A sub-watermark
+    // segment that was never a hole and was deleted untombstoned is
+    // not enumerable from a compacted offset — external unlogged
+    // deletion is outside the store's contract (the maintenance ops
+    // always tombstone or bump the compaction stamp).
+    val tombNames = LogSourceV2.vacuumedSegments(path)
+    val availSet = avail.toSet
+    val gone = (tombNames ++ startOff.holes).toSeq.distinct.filter(t =>
       endOff.isConsumed(t) && !startOff.isConsumed(t) &&
-        !new java.io.File(t).exists())
+        !availSet.contains(t))
     if (gone.nonEmpty) fail("replayed-batch", gone)
     planned.map(LogSegmentPartition(_): InputPartition).toArray
   }

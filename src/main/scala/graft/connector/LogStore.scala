@@ -38,9 +38,14 @@ final case class LogStore(baseDir: String) {
     encode(df).write.mode(SaveMode.Overwrite).text(tmp)
     val parts = LogSourceV2.listSegments(tmp)
     val stamp = LogSourceV2.nextSegmentStamp(dir)
+    // unique per-append suffix: two appenders racing to the same stamp
+    // produce sibling names instead of ATOMIC_MOVE-replacing each
+    // other's segments (same-stamp siblings are what the offset's
+    // boundary-stamp rule exists for)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
     parts.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(java.nio.file.Paths.get(f),
-        java.nio.file.Paths.get(dir, f"segment-$stamp%020d-$i%05d.json"),
+        java.nio.file.Paths.get(dir, f"segment-$stamp%020d-$i%05d-$tag.json"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
     deleteRecursively(new java.io.File(tmp))

@@ -58,7 +58,12 @@ object Knn {
     val maxBc = queries.sparkSession.conf
       .getOption("spark.graft.knn.maxBroadcastRows")
       .map(_.toLong).getOrElse(2000000L)
-    if (refs.count() > maxBc) predictShuffled(queries, refs, k)
+    // cap probe, not a full count: limit(cap+1) short-circuits each
+    // task once the cap is exceeded instead of scanning the whole
+    // reference set just to pick a join strategy
+    val capProbe = math.min(maxBc, Int.MaxValue - 1L).toInt
+    val overCap = refs.limit(capProbe + 1).count() > maxBc
+    if (overCap) predictShuffled(queries, refs, k)
     else voteTopK(
       queries.crossJoin(broadcast(refs))
         .select(col("qid"), col("rid"), col("label"),
