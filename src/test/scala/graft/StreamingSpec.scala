@@ -269,6 +269,40 @@ class StreamingSpec extends SparkSpec {
     assert(stream.planInputPartitions(back, back).isEmpty)
   }
 
+  test("watermark grace window: recent stamps ride the explicit list") {
+    import graft.connector.{LogMicroBatchStream, LogOffsetV2, LogSourceV2}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val base = freshDir("v2grace")
+    val dir = s"$base/scope/g"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def seg(stamp: Long): String = {
+      val n = f"segment-$stamp%020d-t.json"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, n), "{\"event_id\":1}\n")
+      s"$dir/$n"
+    }
+    // two old segments (outside the grace window) + two recent ones
+    val now = System.currentTimeMillis()
+    Seq(1000L, 2000L, now - 1000, now).foreach(seg(_): Unit)
+    val stream = new LogMicroBatchStream(dir)
+    val off = stream.latestOffset(
+        stream.initialOffset(), ReadLimit.maxFiles(10))
+      .asInstanceOf[LogOffsetV2]
+    // all four consumed…
+    assert(LogSourceV2.listSegments(dir).forall(off.isConsumed))
+    // …but only stamps older than the grace window may sit under the
+    // watermark; the recent two must be explicitly listed, so a racing
+    // appender's same-era name can never silently fold as consumed
+    assert(off.watermark.isEmpty || LogSourceV2.stampOf(off.watermark) < now -
+      LogSourceV2.WatermarkGraceMs + 1)
+    Seq(now - 1000, now).foreach { st =>
+      val n = f"$dir/segment-$st%020d-t.json"
+      assert(off.extra.contains(n), s"recent stamp $st must be explicit")
+    }
+    // round-trips through JSON
+    assert(LogOffsetV2.fromJson(off.json()) == off)
+  }
+
   test("vacuum of unconsumed segments fails a lagging reader (failOnDataLoss)") {
     import graft.connector.{LogMicroBatchStream, LogOffsetV2}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
