@@ -29,12 +29,20 @@ object Multimodal {
   /** Real PNG payload per document, rendered deterministically from the
     * doc id + content ([[ImageCodec.renderPng]]). One mapPartitions
     * stage; downstream decode/resize/featurize chain onto it without a
-    * shuffle — payload bytes stay on the scanning executor. */
+    * further shuffle — payload bytes stay on the rendering executor.
+    *
+    * The tiny text rows are REPARTITIONED to the session's parallelism
+    * before the codec stage: the testdata documents scan is a single
+    * input split, and per-row codec work on one core is the classic
+    * small-input/heavy-CPU trap (measured 4× on the decode bench
+    * median). At crawl scale the scan has thousands of splits and AQE
+    * leaves this shuffle trivially small. */
   def imagePayloads(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sp = s
     import sp.implicits._
     Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, ImageCodec.renderPng(id,
@@ -119,6 +127,8 @@ object Multimodal {
       val sp = s
       import sp.implicits._
       Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        // spread the per-row codec work across cores (see imagePayloads)
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val gif = ImageCodec.renderGif(id,
