@@ -141,6 +141,33 @@ object Multimodal {
     },
     None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
+  /** REAL audio decode: WAV payloads (genuine RIFF/WAVE bytes rendered
+    * deterministically per doc) decoded by javax.sound.sampled — format
+    * fields from the container, integer waveform statistics from the
+    * PCM samples. Rounds out the media tier: image (PNG/JPEG), video
+    * (multi-frame GIF), audio (WAV). */
+  val audio = QueryDef(
+    "multimodal_audio",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        // spread the per-row codec work across cores (see imagePayloads)
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val wav = AudioCodec.renderWav(id,
+            Option(text).getOrElse("").getBytes("UTF-8"))
+          val d = AudioCodec.decodeWav(wav)
+          val (peak, rms, zc) = AudioCodec.stats(d)
+          (id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
+            peak, rms, zc)
+        })
+        .toDF("doc_id", "sample_rate", "channels", "n_frames",
+          "duration_ms", "peak", "rms", "zero_crossings")
+    },
+    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+
   /** The library face: (doc_id, feature array<float>) — real grid-mean
     * image features from the decoded raster, unit-norm, feeding the
     * Similarity/Dedup operators downstream (tested in ExtSpec). */
@@ -200,5 +227,5 @@ object Multimodal {
     None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
   val all: Seq[QueryDef] =
-    Seq(meta, decode, frames, videoFrames, featurize, resize)
+    Seq(meta, decode, frames, videoFrames, audio, featurize, resize)
 }

@@ -312,6 +312,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec round-trips PCM16 samples bit-exactly") {
+    import graft.ext.AudioCodec
+    val samples = Array.tabulate(777)(i =>
+      ((i * 131) % 30000 - 15000).toShort)
+    val wav = AudioCodec.encodeWav(samples)
+    val back = AudioCodec.decodeWav(wav)
+    assert(back.sampleRate == 8000 && back.channels == 1 &&
+      back.sampleBits == 16)
+    assert(back.samples.toSeq == samples.toSeq, "WAV PCM must be lossless")
+    // the query face: one row per doc, format + waveform stats
+    val rows = Multimodal.audio.fn(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1)
+      val id = r.getLong(0)
+      assert(r.getLong(3) == 400 + Math.floorMod(id, 400L)) // n_frames
+      assert(r.getInt(5) > 0 && r.getLong(6) > 0) // peak, rms
+    }
+  }
+
   test("decode query runs the real codec over real PNG payloads") {
     val rows = Multimodal.decode.fn(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())

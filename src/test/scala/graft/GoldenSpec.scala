@@ -51,6 +51,7 @@ class GoldenSpec extends SparkSpec {
     "multimodal_featurize" -> "a15358b8453b75b9",
     "multimodal_resize" -> "fa487e369932845a",
     "multimodal_video_frames" -> "95ae9c8785c61c0f",
+    "multimodal_audio" -> "bc225d3899ddfd03",
     "multimodal_frames" -> "bc086fa244396efd",
     "topk_cosine_lsh" -> "30ef687c029fca67",
     "topk_cosine_ivf" -> "96f87819da27921c")

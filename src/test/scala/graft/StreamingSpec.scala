@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "planted near-dups must be found")
   }
 
+  test("streaming decontamination equals the batch collision counts") {
+    val base = freshDir("streamdecontam")
+    val store = LogStore(base)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val docs = Tables(spark, sf, "documents")
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0).persist()
+    // eval docs arrive as a stream, split across TWO appends so the
+    // collision counts must come out right across micro-batches
+    val test = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    store.append(test.filter(org.apache.spark.sql.functions.col("doc_id") < 2500), "scope", "dc")
+    store.append(test.filter(org.apache.spark.sql.functions.col("doc_id") >= 2500), "scope", "dc")
+    val stream = store.readStream(spark, "scope", "dc", docSchema)
+    val q = graft.streaming.StreamingDedup
+      .decontaminateStream(stream, train)
+      .writeStream.format("memory").queryName("t_streamdecontam")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_streamdecontam")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ext.Dedup.decontaminate(train, test)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    train.unpersist()
+    assert(got == want, s"diff=${(want.toSet -- got.toSet).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("retention-bounded streaming dedup evicts buckets past the watermark") {
     val base = freshDir("streamdedupret")
     val store = LogStore(base)
