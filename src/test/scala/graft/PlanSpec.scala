@@ -53,6 +53,16 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s.take(2000))
   }
 
+  test("prefix candidate generation plans as equi-joins, never all-pairs") {
+    import graft.ext.Dedup
+    val sh = Dedup.shingleSets(Dedup.plantedCorpus(
+      Tables(spark, sf, "documents")))
+    val s = planString(Dedup.prefixCandidates(sh))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "prefix candidates must join on the shingle key:\n" + s.take(2000))
+  }
+
   test("knn_predict: top-k runs as partial+final object hash aggregate") {
     val (q, r) = Knn.split(spark, sf)
     val scored = q.crossJoin(org.apache.spark.sql.functions.broadcast(r))
