@@ -185,7 +185,8 @@ final class LogTable(path: String) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new LogScan(path, options.getBoolean("failOnDataLoss", true))
+        new LogScan(path, options.getBoolean("failOnDataLoss", true),
+          options.getInt("maxFilesPerTrigger", 8))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -276,7 +277,8 @@ final case class LogWriterFactory(path: String, queryId: String)
     }
 }
 
-final class LogScan(path: String, failOnDataLoss: Boolean = true)
+final class LogScan(path: String, failOnDataLoss: Boolean = true,
+    maxFilesPerTrigger: Int = 8)
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = LogSourceV2.schema
   override def description(): String = s"graft log scan of $path"
@@ -302,7 +304,7 @@ final class LogScan(path: String, failOnDataLoss: Boolean = true)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LogMicroBatchStream(path, failOnDataLoss)
+    new LogMicroBatchStream(path, failOnDataLoss, maxFilesPerTrigger)
 }
 
 /** Offset = the consumed segment set, encoded compactly:
@@ -390,7 +392,8 @@ final case class LogSegmentPartition(file: String) extends InputPartition
   * that finalizes append-mode windows) instead of degrading to a single
   * Trigger.Once-style batch.
   */
-final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true)
+final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
+    maxFilesPerTrigger: Int = 8)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -402,7 +405,8 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(LogSourceV2.listSegments(path))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(8)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxFilesPerTrigger)
 
   private def allAvailable: Seq[String] =
     availableNowEnd.getOrElse(LogSourceV2.listSegments(path))

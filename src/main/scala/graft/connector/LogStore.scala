@@ -70,12 +70,14 @@ final case class LogStore(baseDir: String) {
     * DataSource V2 connector (LogSourceV2): real per-segment offsets,
     * checkpoint-resumable — the engine's custom stream-store source. */
   def readStream(spark: SparkSession, scope: String, stream: String,
-      schema: StructType, failOnDataLoss: Boolean = true): DataFrame =
+      schema: StructType, failOnDataLoss: Boolean = true,
+      maxFilesPerTrigger: Int = 8): DataFrame =
     decode(
       spark.readStream
         .format(classOf[LogSourceProvider].getName)
         .option("path", path(scope, stream))
         .option("failOnDataLoss", failOnDataLoss.toString)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
         .load(),
       schema)
 

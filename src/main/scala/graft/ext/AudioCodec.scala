@@ -100,7 +100,10 @@ object AudioCodec {
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       val noise = ((z ^ (z >>> 31)) % 4096L).toInt
-      val tone = (math.sin(2 * math.Pi * freq * i / Rate) * 12000).toInt
+      // StrictMath: Math.sin is only within-1-ulp and varies across
+      // architectures; a 1-ulp flip on a .toInt boundary would change
+      // a sample and break the pinned golden digest on another JVM
+      val tone = (StrictMath.sin(2 * math.Pi * freq * i / Rate) * 12000).toInt
       samples(i) = math.max(Short.MinValue.toInt,
         math.min(Short.MaxValue.toInt, tone + noise)).toShort
       i += 1

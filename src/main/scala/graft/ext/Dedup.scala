@@ -492,20 +492,30 @@ object Dedup {
     * Scale: shuffle ∝ Σ df(shingle) over the two sides, never
     * |train|×|test|; a shingle-df cap applies as in [[jaccardPairs]].
     */
-  def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4): DataFrame = {
-    def inv(df: DataFrame) = shingleSets(df, n)
+  def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4): DataFrame =
+    decontaminateAgainst(test, shingleDf(train, n), n)
+
+  /** Per-shingle document frequencies of a corpus — the pre-aggregated
+    * training side of [[decontaminate]]: map-side combine shrinks the
+    * (huge) corpus to its distinct-shingle set BEFORE any join, and a
+    * long-lived consumer (the streaming decontamination) persists THIS
+    * frame so the shingling pass is not re-run per micro-batch. */
+  def shingleDf(corpus: DataFrame, n: Int = 4): DataFrame =
+    shingleSets(corpus, n)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-    // aggregate the (huge) training side to per-shingle document
-    // frequencies BEFORE the join: map-side combine shrinks it to the
-    // distinct-shingle set, the join output is |test inv| rows instead
-    // of one row per (test shingle, train doc) match, and the final sum
-    // of dfs is value-identical to counting the matches
-    val trainDf = inv(train).groupBy("sh").agg(count(lit(1)).as("df"))
-    inv(test).select(col("doc_id").as("test_doc"), col("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
+  /** Collision counts of `test` docs against a pre-aggregated
+    * (sh, df) training frame: the join output is |test inv| rows
+    * instead of one row per (test shingle, train doc) match, and the
+    * final sum of dfs is value-identical to counting the matches. */
+  def decontaminateAgainst(test: DataFrame, trainDf: DataFrame,
+      n: Int = 4): DataFrame =
+    shingleSets(test, n)
+      .select(col("doc_id").as("test_doc"), explode(col("shs")).as("sh"))
       .join(trainDf, "sh")
       .groupBy("test_doc")
       .agg(sum(col("df")).as("n_collisions"))
-  }
 
   /** Driver-verified witness: held-out docs (doc_id % 10 == 0) checked
     * against the rest as training corpus. */

@@ -26,24 +26,30 @@ object Multimodal {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
 
-  /** Real PNG payload per document, rendered deterministically from the
-    * doc id + content ([[ImageCodec.renderPng]]). One mapPartitions
-    * stage; downstream decode/resize/featurize chain onto it without a
-    * further shuffle — payload bytes stay on the rendering executor.
-    *
-    * The tiny text rows are REPARTITIONED to the session's parallelism
-    * before the codec stage: the testdata documents scan is a single
-    * input split, and per-row codec work on one core is the classic
-    * small-input/heavy-CPU trap (measured 4× on the decode bench
-    * median). At crawl scale the scan has thousands of splits and AQE
-    * leaves this shuffle trivially small. */
-  def imagePayloads(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  /** (doc_id, text) rows repartitioned to the session's parallelism —
+    * the shared prelude of every codec stage: the testdata documents
+    * scan is a single input split, and per-row codec work on one core
+    * is the classic small-input/heavy-CPU trap (measured 4× on the
+    * decode bench median). At crawl scale the scan has thousands of
+    * splits and this shuffle stays trivially small. */
+  private def docRows(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[(Long, String)] = {
     val sp = s
     import sp.implicits._
     Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
+  }
+
+  /** Real PNG payload per document, rendered deterministically from the
+    * doc id + content ([[ImageCodec.renderPng]]). One mapPartitions
+    * stage; downstream decode/resize/featurize chain onto it without a
+    * further shuffle — payload bytes stay on the rendering executor. */
+  def imagePayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    docRows(s, dir)
       .mapPartitions(_.map { case (id, text) =>
         (id, ImageCodec.renderPng(id,
           Option(text).getOrElse("").getBytes("UTF-8")))
@@ -126,10 +132,7 @@ object Multimodal {
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-        // spread the per-row codec work across cores (see imagePayloads)
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, String)]
+      docRows(s, dir)
         .mapPartitions(_.flatMap { case (id, text) =>
           val gif = ImageCodec.renderGif(id,
             Option(text).getOrElse("").getBytes("UTF-8"))
@@ -151,10 +154,7 @@ object Multimodal {
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-        // spread the per-row codec work across cores (see imagePayloads)
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, String)]
+      docRows(s, dir)
         .mapPartitions(_.map { case (id, text) =>
           val wav = AudioCodec.renderWav(id,
             Option(text).getOrElse("").getBytes("UTF-8"))

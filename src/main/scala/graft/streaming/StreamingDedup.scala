@@ -207,27 +207,21 @@ object StreamingDedup {
 
   /** Streaming decontamination — the eval-leakage check as documents
     * ARRIVE: incoming (doc_id, text) rows are shingled and joined
-    * stream-static against the per-shingle document frequencies of a
-    * fixed training corpus, then aggregated per test doc. Same
-    * collision count as the batch [[graft.ext.Dedup.decontaminate]]
-    * (equality asserted in StreamingSpec).
+    * stream-static against a PRE-AGGREGATED (sh, df) training frame
+    * ([[graft.ext.Dedup.shingleDf]]), then aggregated per test doc.
+    * Same collision count as the batch decontaminate (equality
+    * asserted in StreamingSpec); ONE implementation — this delegates
+    * to [[graft.ext.Dedup.decontaminateAgainst]], so the two faces
+    * cannot drift.
     *
-    * Scale: the static side is pre-aggregated to the distinct-shingle
-    * df set (pass it PERSISTED — Spark re-evaluates the static side
-    * every micro-batch); the stream side shuffles only its own
-    * exploded shingles per batch. Aggregation is keyed by test doc, so
-    * run in update/complete mode, or add a watermark on an event-time
-    * column for append-mode emission.
+    * Scale: Spark re-evaluates the static side every micro-batch —
+    * persist `trainDf` (the shingling pass over the training corpus
+    * then runs once, not once per batch); the stream side shuffles
+    * only its own exploded shingles per batch. Aggregation is keyed by
+    * test doc, so run in update/complete mode, or add a watermark on
+    * an event-time column for append-mode emission.
     */
-  def decontaminateStream(testDocs: DataFrame, train: DataFrame,
-      n: Int = 4): DataFrame = {
-    val trainDf = graft.ext.Dedup.shingleSets(train, n)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-    graft.ext.Dedup.shingleSets(testDocs, n)
-      .select(col("doc_id").as("test_doc"), explode(col("shs")).as("sh"))
-      .join(trainDf, "sh")
-      .groupBy("test_doc")
-      .agg(sum(col("df")).as("n_collisions"))
-  }
+  def decontaminateStream(testDocs: DataFrame, trainDf: DataFrame,
+      n: Int = 4): DataFrame =
+    graft.ext.Dedup.decontaminateAgainst(testDocs, trainDf, n)
 }

@@ -383,25 +383,34 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
     val docs = Tables(spark, sf, "documents")
-    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0).persist()
-    // eval docs arrive as a stream, split across TWO appends so the
-    // collision counts must come out right across micro-batches
-    val test = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
-    store.append(test.filter(org.apache.spark.sql.functions.col("doc_id") < 2500), "scope", "dc")
-    store.append(test.filter(org.apache.spark.sql.functions.col("doc_id") >= 2500), "scope", "dc")
-    val stream = store.readStream(spark, "scope", "dc", docSchema)
+    val fns = org.apache.spark.sql.functions
+    val train = docs.filter(fns.col("doc_id") % 10 =!= 0)
+    // persist the PRE-AGGREGATED (sh, df) frame — the static side is
+    // re-evaluated every micro-batch, so this is what a long-running
+    // stream must cache (the shingling pass then runs once)
+    val trainDf = graft.ext.Dedup.shingleDf(train).persist()
+    // eval docs arrive as a stream in TWO segments, and the source is
+    // capped at ONE file per trigger, so the collision counts must
+    // come out right across genuinely separate micro-batches
+    val test = docs.filter(fns.col("doc_id") % 10 === 0)
+    store.append(test.filter(fns.col("doc_id") < 250), "scope", "dc")
+    store.append(test.filter(fns.col("doc_id") >= 250), "scope", "dc")
+    val stream = store.readStream(spark, "scope", "dc", docSchema,
+      maxFilesPerTrigger = 1)
     val q = graft.streaming.StreamingDedup
-      .decontaminateStream(stream, train)
+      .decontaminateStream(stream, trainDf)
       .writeStream.format("memory").queryName("t_streamdecontam")
       .outputMode("complete")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the two segments must arrive in separate micro-batches")
     val got = spark.table("t_streamdecontam")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = graft.ext.Dedup.decontaminate(train, test)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    train.unpersist()
+    trainDf.unpersist()
     assert(got == want, s"diff=${(want.toSet -- got.toSet).take(3)}")
     assert(want.nonEmpty)
   }
