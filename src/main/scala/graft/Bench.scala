@@ -51,12 +51,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val headline: Set[String] = Set(
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-      "dedup_clusters", "dedup_embedding_cosine", "corpus_curate",
+      "dedup_ngram_jaccard_prefix", "dedup_clusters",
+      "dedup_embedding_cosine", "corpus_curate",
       "decontaminate", "topk_cosine", "topk_cosine_lsh", "topk_cosine_ivf",
       "knn_train", "knn_score", "knn_predict", "workflow_e2e",
       "stream_window_agg", "stream_sessionize", "stream_interval_join",
       "stream_dedup_exactly_once", "build_vocab", "inverted_index",
-      "pack_chunk_text", "text_stats", "token_count")
+      "pack_chunk_text", "text_stats", "token_count",
+      "multimodal_video_frames", "multimodal_audio")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
     val shown = results.filter { case (k, _) =>
