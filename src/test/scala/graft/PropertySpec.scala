@@ -142,6 +142,57 @@ class PropertySpec extends SparkSpec {
     assert(b2.ids(0) == 2L)
   }
 
+  test("prefix filtering equals the full inverted index on random corpora") {
+    import graft.ext.Dedup
+    val sp = spark
+    import sp.implicits._
+    // tiny vocabulary forces heavy shingle sharing — the adversarial
+    // regime for candidate pruning (hot shingles everywhere, docs of
+    // wildly different lengths, sub-4-word docs with no shingles)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(40, doc)
+    samples(corpusGen, 4).foreach { texts =>
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = Dedup.shingleSets(corpus)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val full = pairs(Dedup.jaccardPairs(sh))
+      val pref = pairs(Dedup.jaccardPairsPrefix(sh))
+      assert(pref == full,
+        s"corpus=$texts missing=${(full -- pref).take(3)} " +
+          s"extra=${(pref -- full).take(3)}")
+    }
+  }
+
+  test("connected components equal driver-side union-find on random graphs") {
+    import graft.ext.Dedup
+    val sp = spark
+    import sp.implicits._
+    val n = 30
+    val edgeGen = Gen.listOfN(25, Gen.zip(
+      Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgeGen, 4).foreach { edges =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val got = Dedup.connectedComponents(nodes, edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find with min-label normalization
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"edges=$edges diff=${
+        (want.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("V2 offset JSON round-trips arbitrary segment paths") {
     import graft.connector.LogOffsetV2
     val paths = Gen.listOf(Gen.oneOf(
