@@ -260,7 +260,58 @@ object Corpus {
       ORDER BY cnt DESC, pair
       LIMIT $BpePairTopN"""))
 
+  /** Non-distinct word bigrams of a text column — occurrence list, not
+    * a set (an LM statistic counts every occurrence). */
+  private def bigrams(text: org.apache.spark.sql.Column) = {
+    val t = TextAnalysis.tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Bigram language-model quality signal — the KenLM-style fluency
+    * filter in integer arithmetic: per doc, its bigram occurrence
+    * count, the sum of corpus-wide frequencies of those bigrams (high
+    * = the doc is made of common constructions), and its hapax count
+    * (bigrams occurring nowhere else in the corpus — a high hapax
+    * ratio flags gibberish/boilerplate-mangled text). Integer-only so
+    * the oracle replays it exactly; a real pipeline thresholds on
+    * sum_df/n_bigrams.
+    *
+    * Scale: one explode + one shuffle on the bigram with map-side
+    * combine for the frequency table, one shuffle back on doc_id —
+    * the decontamination/vocab shape, never per-doc LM inference.
+    */
+  val bigramLm = QueryDef(
+    "text_bigram_lm",
+    (s, dir) => {
+      val inv = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+      val freq = inv.groupBy("bg").agg(count(lit(1)).as("c"))
+      inv.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c")).as("sum_df"),
+          sum((col("c") === 1).cast("long")).as("n_hapax"))
+    },
+    Some("""
+      WITH inv AS (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2),
+      freq AS (SELECT bg, count(*) AS c FROM inv GROUP BY bg)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(c) AS BIGINT) AS sum_df,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM inv JOIN freq USING (bg)
+      GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
-      mixSample, invertedIndex, bpePairCounts)
+      mixSample, invertedIndex, bpePairCounts, bigramLm)
 }
