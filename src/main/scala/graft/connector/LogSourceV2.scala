@@ -324,12 +324,20 @@ final class LogScan(path: String, failOnDataLoss: Boolean = true,
   *  - `vacuumHorizon`: newest vacuum stamp this reader has observed;
   *    a tombstone above it naming an unconsumed segment is data loss
   *    (failOnDataLoss semantics, round-4 advice).
+  *  - `consumedCount`: cumulative number of segments ever consumed —
+  *    the integrity cross-check that turns an externally-deleted,
+  *    untombstoned planned segment (invisible to the compact encoding)
+  *    into a loud replay failure instead of silent loss: a replayed
+  *    batch must find exactly end.count - start.count segments.
+  *    -1 = unknown (offsets written before the field existed), which
+  *    disables the check.
   *
   * Legacy offsets (plain JSON array of consumed names) deserialize
   * with everything in `extra` and horizon 0.
   */
 final case class LogOffsetV2(watermark: String, holes: Set[String],
-    extra: Set[String], vacuumHorizon: Long) extends Offset {
+    extra: Set[String], vacuumHorizon: Long,
+    consumedCount: Long = -1L) extends Offset {
 
   def isConsumed(path: String): Boolean =
     extra.contains(path) ||
@@ -352,6 +360,7 @@ final case class LogOffsetV2(watermark: String, holes: Set[String],
     val x = root.putArray("x")
     extra.toSeq.sorted.foreach(x.add(_): Unit)
     root.put("vs", vacuumHorizon): Unit
+    root.put("n", consumedCount): Unit
     mapper.writeValueAsString(root)
   }
 }
@@ -360,11 +369,13 @@ object LogOffsetV2 {
   /** Consumed-nothing offset with a vacuum horizon of `vs` (a fresh
     * reader accounts all vacuums that predate it — retention before
     * subscription is not data loss, matching Kafka semantics). */
-  def initial(vs: Long): LogOffsetV2 = LogOffsetV2("", Set.empty, Set.empty, vs)
+  def initial(vs: Long): LogOffsetV2 =
+    LogOffsetV2("", Set.empty, Set.empty, vs, 0L)
 
-  /** Exact-set offset (no watermark) — legacy shape and tests. */
+  /** Exact-set offset (no watermark) — legacy shape and tests; the
+    * enumeration is exact, so the count is too. */
   def ofSegments(segments: Seq[String]): LogOffsetV2 =
-    LogOffsetV2("", Set.empty, segments.toSet, 0L)
+    LogOffsetV2("", Set.empty, segments.toSet, 0L, segments.size.toLong)
 
   def fromJson(json: String): LogOffsetV2 = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -378,7 +389,8 @@ object LogOffsetV2 {
         node.get("w").asText(),
         node.get("h").elements().asScala.map(_.asText()).toSet,
         node.get("x").elements().asScala.map(_.asText()).toSet,
-        node.get("vs").asLong())
+        node.get("vs").asLong(),
+        if (node.has("n")) node.get("n").asLong() else -1L)
     }
   }
 }
@@ -518,7 +530,12 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
       .filterNot(s => LogSourceV2.isStamped(s) && w.nonEmpty && s <= w)
       .toSet ++
       startOff.extra.filterNot(avail.contains).filterNot(prunable)
-    LogOffsetV2(w, holes, extra, vs)
+    // admitted segments were never consumed before, so the cumulative
+    // count advances by exactly the admission size; an unknown start
+    // count stays unknown (pre-field checkpoints)
+    val n = if (startOff.consumedCount < 0) -1L
+      else startOff.consumedCount + admitted.size
+    LogOffsetV2(w, holes, extra, vs, n)
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -535,9 +552,11 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
     encodeEnd(startOff, avail, admitted.toSet, vs, tombs)
   }
 
-  override def reportLatestOffset(): Offset =
-    LogOffsetV2("", Set.empty, allAvailable.toSet,
-      LogSourceV2.maxVacuumStamp(path))
+  override def reportLatestOffset(): Offset = {
+    val avail = allAvailable
+    LogOffsetV2("", Set.empty, avail.toSet,
+      LogSourceV2.maxVacuumStamp(path), avail.size.toLong)
+  }
 
   override def deserializeOffset(json: String): Offset =
     LogOffsetV2.fromJson(json)
@@ -565,6 +584,20 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
       endOff.isConsumed(t) && !startOff.isConsumed(t) &&
         !availSet.contains(t))
     if (gone.nonEmpty) fail("replayed-batch", gone)
+    // cumulative-count integrity: fewer planned segments than the
+    // offsets' count delta means a planned segment vanished WITHOUT a
+    // tombstone (external deletion the compact encoding cannot name) —
+    // fail rather than silently commit a partial batch. More planned
+    // than the delta (a late stamped arrival folding under the end
+    // watermark) self-corrects: the extra segment is simply read now.
+    if (startOff.consumedCount >= 0 && endOff.consumedCount >= 0 &&
+        planned.size < endOff.consumedCount - startOff.consumedCount)
+      throw new IllegalStateException(
+        s"graft log stream at $path: replayed batch expected " +
+          s"${endOff.consumedCount - startOff.consumedCount} segment(s) " +
+          s"but only ${planned.size} still exist and none are " +
+          "tombstoned — segment files were removed outside the store. " +
+          "Restart the query with a fresh checkpoint.")
     planned.map(LogSegmentPartition(_): InputPartition).toArray
   }
 

@@ -303,6 +303,34 @@ class StreamingSpec extends SparkSpec {
     assert(LogOffsetV2.fromJson(off.json()) == off)
   }
 
+  test("replay with an untombstoned missing sub-watermark segment fails the count check") {
+    import graft.connector.{LogMicroBatchStream, LogOffsetV2}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val base = freshDir("v2countcheck")
+    val dir = s"$base/scope/cc"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Seq(1000L, 2000L, 3000L).foreach { st =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, f"segment-$st%020d-t.json"),
+        "{\"event_id\":1}\n"): Unit
+    }
+    val stream = new LogMicroBatchStream(dir)
+    val start = stream.initialOffset().asInstanceOf[LogOffsetV2]
+    val end = stream.latestOffset(start, ReadLimit.maxFiles(3))
+      .asInstanceOf[LogOffsetV2]
+    assert(end.consumedCount == 3)
+    // the grace-aged stamps folded under a watermark: the oldest
+    // segment is NOT a liveness witness, so deleting it untombstoned
+    // is invisible to the witness check — the cumulative-count cross-
+    // check is what must catch it on WAL replay
+    assert(end.watermark.nonEmpty)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, f"segment-${1000L}%020d-t.json"))
+    val e = intercept[IllegalStateException](
+      stream.planInputPartitions(start, end))
+    assert(e.getMessage.contains("removed outside the store"), e.getMessage)
+  }
+
   test("vacuum of unconsumed segments fails a lagging reader (failOnDataLoss)") {
     import graft.connector.{LogMicroBatchStream, LogOffsetV2}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
