@@ -119,5 +119,9 @@ class CatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graftcat.plain_xyz").collect())
     assert(e.getMessage.contains("unresolvable format"))
+    // INSERT INTO flows through Spark's FileTable write path
+    spark.sql("INSERT INTO graftcat.region_pq VALUES (99, 'REGION_X')")
+    assert(spark.sql("SELECT count(*) FROM graftcat.region_pq")
+      .collect().head.getLong(0) == 6)
   }
 }
