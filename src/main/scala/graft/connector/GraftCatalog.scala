@@ -118,8 +118,13 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft datasets are immutable metadata; drop and re-create")
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    // invalidate cached file-table resolutions for the name: a
+    // drop + re-register under the same uri must not serve the old
+    // table's (possibly stale) file index
+    GraftCatalog.tableCache.keySet.removeIf(_._1 == ident.name()): Unit
     registry.removeDataset(ident.name())
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val reg = registry
