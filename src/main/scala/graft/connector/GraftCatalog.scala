@@ -134,6 +134,7 @@ class GraftCatalog extends TableCatalog {
       throw new TableAlreadyExistsException(newIdent)
     // single load-modify-persist cycle: no failure point between the
     // add and the remove can leave both identifiers registered
+    GraftCatalog.tableCache.keySet.removeIf(_._1 == oldIdent.name()): Unit
     reg.renameDataset(oldIdent.name(), newIdent.name()): Unit
   }
 }
