@@ -261,14 +261,18 @@ object Corpus {
       LIMIT $BpePairTopN"""))
 
   /** Non-distinct word bigrams of a text column — occurrence list, not
-    * a set (an LM statistic counts every occurrence). */
-  private def bigrams(text: org.apache.spark.sql.Column) = {
-    val t = TextAnalysis.tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * a set (an LM statistic counts every occurrence). A compact UDF:
+    * the chained higher-order array expressions are interpreted
+    * per-element (~1 ms/doc, the measured trap TextAnalysis.shingles
+    * documents), ~100× slower than this sliding window. */
+  private val bigramsUdf =
+    udf { (text: String) =>
+      val w = Option(text).getOrElse("").trim.split("\\s+")
+      if (w.length < 2) Array.empty[String]
+      else w.sliding(2).map(_.mkString(" ")).toArray
+    }
+
+  private def bigrams(text: org.apache.spark.sql.Column) = bigramsUdf(text)
 
   /** Bigram language-model quality signal — the KenLM-style fluency
     * filter in integer arithmetic: per doc, its bigram occurrence
