@@ -94,6 +94,18 @@ class GuardSpec extends SparkSpec {
       reloaded.getDataset("c").isDefined)
   }
 
+  test("media codecs fail loudly on undecodable payloads") {
+    intercept[IllegalArgumentException](
+      graft.ext.ImageCodec.decode(Array[Byte](9, 9, 9)))
+    intercept[IllegalArgumentException](
+      graft.ext.ImageCodec.decodeFrames(Array[Byte](9, 9, 9)))
+    intercept[Exception](
+      graft.ext.AudioCodec.decodeWav(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      graft.ext.ImageCodec.encodeGif(Seq.empty))
+    ()
+  }
+
   test("parameter validation: range-join cell width, simhash band cover") {
     val df = Tables(spark, sf, "events").limit(1)
       .select(col("event_id"), expr("ts div 1000").as("tsu"))
