@@ -16,7 +16,17 @@ object Bench {
     // noisy outlier no longer masquerades as a cross-round regression.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a query that fails EVERY run is excluded from the total and the
+    // per-query map (not reported as 0.0 — a broken query must not
+    // shrink the headline total); the `failed` list carries it and the
+    // non-zero exit code flags the run
+    // dev-only filter: bench a comma-separated subset under the exact
+    // gate conditions (warmup, cold-cache medians) — driver runs unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -33,10 +43,8 @@ object Bench {
         GraftSession.dropAllCaches(spark)
         if (ok) Some(sec) else None
       }
-      val median =
-        if (times.isEmpty) 0.0
-        else times.sorted.apply((times.size - 1) / 2)
-      name -> median
+      if (times.isEmpty) None
+      else Some(name -> times.sorted.apply((times.size - 1) / 2))
     }
     // The driver captures only a 2000-char stdout TAIL (measured from
     // BENCH_r03.json) and parses the JSON line out of it; rounds 1-3

@@ -109,6 +109,40 @@ object StressMain {
           Dedup.jaccardPairs(sh).select("a", "b")).count()
       },
       n => repDocs(docs, n))
+    // same CC, per-round state through reliable checkpoint() files —
+    // the cluster fault-tolerance mode; the delta vs clusters_cc is the
+    // price of surviving executor loss (round-5 verdict ask #6)
+    pair("clusters_cc_reliable")(
+      { c =>
+        spark.sparkContext.setCheckpointDir(Work.dir + "/cc_checkpoint")
+        spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+        try {
+          val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
+          Dedup.connectedComponents(sh.select("doc_id"),
+            Dedup.jaccardPairs(sh).select("a", "b")).count()
+        } finally spark.conf.set("spark.graft.cc.reliableCheckpoint", "false")
+      },
+      n => repDocs(docs, n))
+    // exact-KNN join strategies at the same (queries, refs): the
+    // broadcast path vs the block-nested shuffle fallback — the 1x/Nx
+    // pair locates the crossover where shipping the reference set to
+    // every executor stops paying (round-5 verdict ask #7)
+    def knnSides(c: DataFrame) = (
+      c.limit(200).select(col("vec_id").as("qid"), col("e").as("qvec")),
+      c.select(col("vec_id").as("rid"), col("e").as("rvec"),
+        pmod(col("vec_id"), lit(7L)).as("label")))
+    pair("knn_bcast")(
+      { c =>
+        val (q, r) = knnSides(c)
+        ml.Knn.predictDistributed(q, r, k = 5).count()
+      },
+      n => repEmb(emb, n))
+    pair("knn_shuffled")(
+      { c =>
+        val (q, r) = knnSides(c)
+        ml.Knn.predictShuffled(q, r, k = 5).count()
+      },
+      n => repEmb(emb, n))
     pair("decontaminate")(
       c => Dedup.decontaminate(
         c.filter(col("doc_id") % 10 =!= 0),

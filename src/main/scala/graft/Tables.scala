@@ -10,6 +10,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, dir, name): every spark.read.parquet builds a
+  // fresh InMemoryFileIndex + reads footers for schema inference — a
+  // fixed-cost Spark job per call that a 112-query Bench/Verify session
+  // pays hundreds of times (the sub-second queries are dominated by it).
+  // The testdata tables are immutable, so reusing the resolved relation
+  // is safe; keyed by session so parallel test sessions don't cross.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 }

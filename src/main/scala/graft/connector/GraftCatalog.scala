@@ -74,7 +74,8 @@ class GraftCatalog extends TableCatalog {
         // uri with rewritten file contents follows Spark's own
         // relation-cache semantics (refresh by re-create).
         GraftCatalog.tableCache.computeIfAbsent(
-          (ident.name(), meta.format, meta.uri),
+          (org.apache.spark.sql.SparkSession.active,
+            ident.name(), meta.format, meta.uri),
           _ => GraftCatalog.fileTable(ident.name(), meta.format, meta.uri))
       case Some(meta) =>
         throw new UnsupportedOperationException(
@@ -122,7 +123,7 @@ class GraftCatalog extends TableCatalog {
     // invalidate cached file-table resolutions for the name: a
     // drop + re-register under the same uri must not serve the old
     // table's (possibly stale) file index
-    GraftCatalog.tableCache.keySet.removeIf(_._1 == ident.name()): Unit
+    GraftCatalog.tableCache.keySet.removeIf(_._2 == ident.name()): Unit
     registry.removeDataset(ident.name())
   }
 
@@ -134,7 +135,7 @@ class GraftCatalog extends TableCatalog {
       throw new TableAlreadyExistsException(newIdent)
     // single load-modify-persist cycle: no failure point between the
     // add and the remove can leave both identifiers registered
-    GraftCatalog.tableCache.keySet.removeIf(_._1 == oldIdent.name()): Unit
+    GraftCatalog.tableCache.keySet.removeIf(_._2 == oldIdent.name()): Unit
     reg.renameDataset(oldIdent.name(), newIdent.name()): Unit
   }
 }
@@ -145,8 +146,14 @@ object GraftCatalog {
     * pruning, and schema inference. */
   val FileFormats: Set[String] = Set("csv", "json", "parquet", "orc")
 
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Table]
+  // keyed by the resolving SparkSession as well as (name, format, uri):
+  // FileTable instances are session-bound (file index, inferred
+  // schema), so a table resolved under one session must not be served
+  // to another — a stale session reference outlives clearCache and a
+  // re-created session would silently read a stale file listing
+  // (round-5 advice)
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String, String), Table]
 
   private[connector] def fileTable(name: String, format: String,
       uri: String): Table = {

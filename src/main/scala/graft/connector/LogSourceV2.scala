@@ -159,8 +159,14 @@ object LogSourceV2 {
     * than this fold under the watermark, so a commit whose rename lands
     * up to a minute after its stamp was computed cannot sort under an
     * already-advanced watermark and be silently treated as consumed.
-    * Names inside the window ride in the offset's explicit list. */
-  val WatermarkGraceMs: Long = 60000L
+    * Names inside the window ride in the offset's explicit list.
+    * Deployments whose rename path can stall longer (slow object store,
+    * long GC pauses) raise it via -Dgraft.log.watermarkGraceMs=...;
+    * a commit landing later than the grace is additionally detected at
+    * its first listing appearance (loud warning in latestOffset). */
+  def WatermarkGraceMs: Long =
+    sys.props.get("graft.log.watermarkGraceMs").map(_.toLong)
+      .getOrElse(60000L)
 
   /** Next segment stamp for `dir`: strictly above every stamped segment
     * already visible (and the wall clock, so stamps stay meaningful
@@ -216,11 +222,17 @@ final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
     // streaming offset can watermark over them; the queryId suffix keeps
     // same-stamp names from racing appenders collision-free
     val stamp = LogSourceV2.nextSegmentStamp(path)
+    // fresh random tag per COMMIT (not a queryId prefix): two
+    // concurrent batch writes that list before either renames get the
+    // same stamp, and ATOMIC_MOVE on POSIX silently REPLACES an
+    // existing target — a tag collision would be silent data loss, so
+    // it must be practically impossible, same as LogStore.append
+    val tag = java.util.UUID.randomUUID().toString.take(8)
     messages.zipWithIndex.foreach {
       case (LogCommitMessage(tmp), i) if tmp.nonEmpty =>
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(path,
-            f"segment-$stamp%020d-$i%05d-${queryId.take(8)}.json"),
+            f"segment-$stamp%020d-$i%05d-$tag%s.json"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
       case _ => ()
     }
@@ -538,12 +550,34 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
     LogOffsetV2(w, holes, extra, vs, n)
   }
 
+  // every name seen in a previous listing of this stream instance: a
+  // stamped segment whose FIRST appearance is already under the start
+  // watermark was renamed later than the grace window allows — it
+  // would be silently treated as consumed without ever being read.
+  // That case is distinguishable exactly once (the listing diff), so
+  // it is reported loudly here (round-5 advice); recovery is manual
+  // (the single-coordinator contract was broken).
+  private var seenListing: Option[Set[String]] = None
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[LogOffsetV2]
     requireConsumedIntact(startOff)
     val tombs = LogSourceV2.vacuumedStamped(path)
     val vs = checkDataLoss(startOff, tombs)
     val avail = allAvailable
+    seenListing.foreach { prev =>
+      val late = avail.filter(s => !prev.contains(s) &&
+        LogSourceV2.isStamped(s) && !startOff.extra.contains(s) &&
+        startOff.isConsumed(s))
+      if (late.nonEmpty)
+        System.err.println(s"[graft] WARNING log stream $path: segment(s) " +
+          late.mkString(", ") + " first appeared ALREADY UNDER the " +
+          "consumed watermark — their commit landed after the " +
+          s"${LogSourceV2.WatermarkGraceMs} ms grace window and they " +
+          "will NOT be read; raise -Dgraft.log.watermarkGraceMs or fix " +
+          "the appender's commit latency")
+    }
+    seenListing = Some(seenListing.getOrElse(Set.empty[String]) ++ avail)
     val fresh = avail.filterNot(startOff.isConsumed)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())

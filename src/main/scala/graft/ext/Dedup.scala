@@ -257,26 +257,36 @@ object Dedup {
     // leaf for the next round. One Spark job per round total (the
     // earlier localCheckpoint + separate label-sum shape paid two).
     var persisted: Option[DataFrame] = None
-    def materializeLeaf(df: DataFrame): (DataFrame, Long) = {
+    // one aggregate job per round returning (total rows, changed rows):
+    // the row count is free in the same action and drives the
+    // broadcast-vs-shuffle choice for the next round's label joins
+    def rowsChanged(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(when(col("changed"), 1L).otherwise(0L))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def materializeLeaf(df: DataFrame): (DataFrame, Long, Long) = {
       if (reliable) {
         val cp = df.checkpoint() // eager write to reliable storage
-        val n =
-          if (cp.columns.contains("changed")) cp.filter(col("changed")).count()
-          else 0L
-        (cp, n)
+        val (rows, n) = rowsChanged(cp)
+        (cp, rows, n)
       } else {
         df.persist()
-        // the action scans every partition (count over the cached-plan
+        // the action scans every partition (agg over the cached-plan
         // scan), so the cache is fully populated before the previous
         // round is released below
-        val n =
-          if (df.columns.contains("changed")) df.filter(col("changed")).count()
-          else df.count()
+        val (rows, n) = rowsChanged(df)
+        // rows are COPIED out of the columnar cache scan: the scan
+        // reuses one mutable UnsafeRow per partition, and relying on
+        // every downstream operator to copy buffered rows is fragile
+        // across plan shapes (Dataset.localCheckpoint does the same
+        // .copy() for the same reason)
         val leaf = org.apache.spark.sql.graftbridge.DataFrameBridge
-          .fromInternalRows(spark, df.queryExecution.toRdd, df.schema)
+          .fromInternalRows(spark, df.queryExecution.toRdd.map(_.copy()),
+            df.schema)
         persisted.foreach(_.unpersist())
         persisted = Some(df)
-        (leaf, n)
+        (leaf, rows, n)
       }
     }
     // Round 1 fused with initialization: under identity labels the
@@ -290,39 +300,51 @@ object Dedup {
       .select(col("doc_id"),
         least(col("min_dst"), col("doc_id")).as("cluster"))
       .withColumn("changed", col("cluster") =!= col("doc_id"))
-    val (r1Leaf, r1Changed) = materializeLeaf(round1)
+    val (r1Leaf, r1Rows, r1Changed) = materializeLeaf(round1)
     if (debug) System.err.println(
       f"[cc] round 1 (fused init): changed=$r1Changed%d ${(System.nanoTime() - t0r1) / 1e9}%.2f s")
+    // Below this row count the label side of the per-round joins is
+    // broadcast (a LogicalRDD leaf has no stats, so AQE would otherwise
+    // plan shuffle joins for a frame of a few thousand rows — measured
+    // as most of the per-round wall time locally). Label rows are two
+    // longs; the 4M default is ~64 MB broadcast-side, and at data scale
+    // the count crosses the threshold and the joins shuffle as before.
+    val bcastRows = spark.conf
+      .getOption("spark.graft.cc.broadcastLabelRows").map(_.toLong)
+      .getOrElse(4000000L)
     var labels = r1Leaf.select("doc_id", "cluster")
+    var labelRows = r1Rows
     val clusterType = labels.schema("cluster").dataType
     var i = 1
     var converged = r1Changed == 0
     while (!converged && i < maxIter) {
       val t0 = System.nanoTime()
+      val lab = if (labelRows <= bcastRows) broadcast(labels) else labels
       // self rows carry the pre-round label so the aggregate can emit a
       // per-doc `changed` flag for free: each doc_id appears exactly
       // once in `labels`, so min(old) below IS the old label
       val selfRows = labels.select(
         col("doc_id"), col("cluster"), col("cluster").as("old"))
-      val viaNeighbor = und.join(labels, und("dst") === labels("doc_id"))
+      val viaNeighbor = und.join(lab, und("dst") === lab("doc_id"))
         .select(col("src").as("doc_id"), col("cluster"),
           lit(null).cast(clusterType).as("old"))
       // pointer jumping: doc -> label(label(doc)). label(x) is always a
       // node in x's component, so composing labels stays within the
       // component while doubling how far a min label reaches per round.
       val viaPointer = labels.alias("l")
-        .join(labels.alias("m"), col("l.cluster") === col("m.doc_id"))
+        .join(lab.alias("m"), col("l.cluster") === col("m.doc_id"))
         .select(col("l.doc_id").as("doc_id"), col("m.cluster").as("cluster"),
           lit(null).cast(clusterType).as("old"))
       val next = selfRows.unionAll(viaNeighbor).unionAll(viaPointer)
         .groupBy("doc_id")
         .agg(min(col("cluster")).as("cluster"), min(col("old")).as("old"))
         .withColumn("changed", !(col("cluster") <=> col("old")))
-      val (nextLeaf, nChanged) = materializeLeaf(next)
+      val (nextLeaf, nRows, nChanged) = materializeLeaf(next)
       if (debug) System.err.println(
         f"[cc] round ${i + 1}: changed=$nChanged%d ${(System.nanoTime() - t0) / 1e9}%.2f s")
       converged = nChanged == 0
       labels = nextLeaf.select("doc_id", "cluster")
+      labelRows = nRows
       i += 1
     }
     if (!converged) {
@@ -337,7 +359,8 @@ object Dedup {
       System.err.println(s"[graft] WARNING $msg")
     }
     val withIsolated = nodes.select(col("doc_id"), col("doc_id").as("iso"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(if (labelRows <= bcastRows) broadcast(labels) else labels,
+        Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("iso")).as("cluster"))
     // one final materialization so callers hold no reference to the
     // caches being freed
@@ -495,6 +518,7 @@ object Dedup {
   def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4): DataFrame =
     decontaminateAgainst(test, shingleDf(train, n), n)
 
+
   /** Per-shingle document frequencies of a corpus — the pre-aggregated
     * training side of [[decontaminate]]: map-side combine shrinks the
     * (huge) corpus to its distinct-shingle set BEFORE any join, and a
@@ -521,6 +545,10 @@ object Dedup {
     * against the rest as training corpus. */
   val decontam = QueryDef(
     "decontaminate",
+    // NOTE the two shingleSets passes are NOT duplicated work: the
+    // train/test predicates are disjoint, so the UDF runs once per doc
+    // total. A shared-pass persist()+materialize form was measured at
+    // MORE jobs and equal-or-worse wall time (round 6).
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       decontaminate(
@@ -610,14 +638,82 @@ object Dedup {
     sums.select(col("doc_id") +: sigCols: _*)
   }
 
+  /** Portable token hash as a column fn — [[TextAnalysis.tokenHash]]
+    * (NOT xxhash64: the engine-specific hash made the three simhash
+    * keys un-oracle-able; the multiply-add fold replays in DuckDB). */
+  private val tokenHashUdf =
+    udf((tok: String) => TextAnalysis.tokenHash(Option(tok).getOrElse("")))
+
   /** 64-bit SimHash per doc from token-frequency-weighted token hashes. */
   def simhashSignatures(corpus: DataFrame): DataFrame =
-    signSignatures(corpus, Seq(t => xxhash64(t)), Seq("simhash"))
+    signSignatures(corpus, Seq(t => tokenHashUdf(t)), Seq("simhash"))
+
+  /** DuckDB replay of [[signSignatures]]: per-(doc,token) tf, the
+    * portable token hash per signature word, 64 sign-sums per word, and
+    * the word reassembled as UBIGINT (reinterpreted signed only when the
+    * signature itself is emitted). `words` = (name, token sql expr). */
+  private def simhashSumsSql(corpusSql: String,
+      words: Seq[(String, String)]): String = {
+    val hashes = words.map { case (nm, tokExpr) =>
+      s"${TextAnalysis.tokenHashSql(tokExpr)} AS h_$nm" }.mkString(",\n        ")
+    val sums = words.flatMap { case (nm, _) =>
+      (0 until 64).map(j =>
+        s"sum(CASE WHEN (h_$nm >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s_${nm}_$j")
+    }.mkString(",\n        ")
+    val usig = words.map { case (nm, _) =>
+      (0 until 64).map(j =>
+        s"CASE WHEN s_${nm}_$j > 0 THEN CAST(${java.lang.Long.toUnsignedString(1L << j)} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
+        .mkString("(", " + ", s") AS u_$nm")
+    }.mkString(",\n        ")
+    s"""
+      WITH corpus AS ($corpusSql),
+      tf AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM corpus)
+        GROUP BY 1, 2),
+      th AS (
+        SELECT doc_id, tf,
+        $hashes
+        FROM tf),
+      sums AS (
+        SELECT doc_id,
+        $sums
+        FROM th GROUP BY 1),
+      usig AS (
+        SELECT doc_id,
+        $usig
+        FROM sums)"""
+  }
+
+  /** UBIGINT → signed BIGINT reinterpretation (DuckDB CAST errors on
+    * out-of-range instead of wrapping). */
+  private def signedSql(u: String): String =
+    s"""CAST(CASE WHEN $u >= 9223372036854775808
+             THEN $u::HUGEINT - 18446744073709551616
+             ELSE $u::HUGEINT END AS BIGINT)"""
+
+  /** Brute-force hamming-pairs tail over a `usig` CTE: recall of the
+    * banded join is 1.0 by pigeonhole, so the all-pairs filter is the
+    * exact same result set (fine at oracle scale; the engine never runs
+    * this plan). */
+  private def simhashPairsSql(corpusSql: String,
+      words: Seq[(String, String)], maxHamming: Int): String = {
+    val ham = words.map { case (nm, _) =>
+      s"bit_count(xor(x.u_$nm, y.u_$nm))" }.mkString(" + ")
+    simhashSumsSql(corpusSql, words) + s"""
+      SELECT x.doc_id AS a, y.doc_id AS b, CAST($ham AS INT) AS hamming
+      FROM usig x JOIN usig y ON x.doc_id < y.doc_id
+      WHERE $ham <= $maxHamming"""
+  }
 
   val simhash = QueryDef(
     "dedup_simhash",
     (s, dir) => simhashSignatures(Tables(s, dir, "documents")),
-    None)
+    Some(simhashSumsSql("SELECT doc_id, text FROM documents",
+      Seq("simhash" -> "tok")) + s"""
+      SELECT doc_id, ${signedSql("u_simhash")} AS simhash FROM usig"""))
 
   /** SimHash near-dup pairs by pigeonhole banding: split the 64-bit
     * signature into 4 bands of 16 bits — two signatures within hamming
@@ -646,7 +742,7 @@ object Dedup {
     */
   def simhashSignatures128(corpus: DataFrame): DataFrame =
     signSignatures(corpus,
-      Seq(t => xxhash64(t), t => xxhash64(concat(lit("g2:"), t))),
+      Seq(t => tokenHashUdf(t), t => tokenHashUdf(concat(lit("g2:"), t))),
       Seq("sh_0", "sh_1"))
 
   /** Banded near-dup pairs over 128-bit signatures: 4 bands of 32 bits
@@ -687,7 +783,8 @@ object Dedup {
     "dedup_simhash128_pairs",
     (s, dir) => simhashPairs128(Work.materialize("simhash128_sigs",
       simhashSignatures128(plantedCorpus(Tables(s, dir, "documents"))))),
-    None) // hash not SQL-expressible; brute-force equality in ExtSpec + golden
+    Some(simhashPairsSql(plantedCorpusSql,
+      Seq("sh_0" -> "tok", "sh_1" -> "'g2:' || tok"), maxHamming = 3)))
 
   /** Near-dup search over the planted corpus via SimHash banding.
     * Signatures are materialized once — the banded self-join would
@@ -697,7 +794,8 @@ object Dedup {
     "dedup_simhash_pairs",
     (s, dir) => simhashPairs(Work.materialize("simhash_sigs",
       simhashSignatures(plantedCorpus(Tables(s, dir, "documents"))))),
-    None) // hash not SQL-expressible; brute-force equality in ExtSpec + golden
+    Some(simhashPairsSql(plantedCorpusSql,
+      Seq("simhash" -> "tok"), maxHamming = 3)))
 
   // --- embedding cosine near-dup --------------------------------------
 

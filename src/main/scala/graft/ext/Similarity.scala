@@ -166,13 +166,48 @@ object Similarity {
       .select("qid", "rank", "rid")
   }
 
+  /** DuckDB replay of [[bucketsUdf]]'s bucket ids for a DOUBLE[] column:
+    * the deterministic plane components are embedded as list literals
+    * (shortest round-trip repr — parses back to the identical double),
+    * and list_dot_product folds in the same index order as the UDF's
+    * loop, so the SIGN of every projection agrees bit-for-bit. ~130 KB
+    * of SQL, all mechanical literals. */
+  private def bucketSqlExprs(vecCol: String, dim: Int): Seq[String] =
+    (0 until LshTables).map { t =>
+      val bits = (0 until LshPlanes).map { p =>
+        val plane = (0 until dim)
+          .map(d => planeComponent(t, p, d).toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($vecCol, $plane) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(CAST(${t.toLong << LshPlanes} AS BIGINT) + $bits)"
+    }
+
   val topkLsh = QueryDef(
     "topk_cosine_lsh",
     (s, dir) => {
       val (q, r) = split(s, dir)
       lshTopK(q, r, K, dim = 64)
     },
-    None) // approximate: recall asserted against brute force in tests
+    // Fully replayable: candidate generation is deterministic sign-LSH
+    // (planes embedded as literals, signs agree exactly) and the
+    // re-rank cosine is the same arithmetic as the green topk_cosine
+    // oracle. The LSH is "approximate" only w.r.t. BRUTE FORCE — the
+    // plan itself is a pure function of the input.
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 = 0),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 <> 0),
+           qb AS (SELECT qid, unnest([${bucketSqlExprs("e", 64).mkString(",\n             ")}]) AS bucket FROM q),
+           rb AS (SELECT rid, unnest([${bucketSqlExprs("e", 64).mkString(",\n             ")}]) AS bucket FROM r),
+           cands AS (SELECT DISTINCT qid, rid FROM qb JOIN rb USING (bucket))
+      SELECT qid, rank, rid FROM (
+        SELECT c.qid, c.rid,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY list_cosine_similarity(q.e, r.e) DESC, c.rid)
+                 AS rank
+        FROM cands c JOIN q USING (qid) JOIN r USING (rid))
+      WHERE rank <= $K"""))
 
   // --- IVF-style ANN --------------------------------------------------
 
@@ -270,7 +305,38 @@ object Similarity {
       val (q, r) = split(s, dir)
       ivfTopK(q, r, K)
     },
-    None) // approximate: recall asserted against brute force in tests
+    // The IVF plan is fully replayable in SQL: the default quantizer is
+    // deterministic (every-16th ref), assignment/probe argmins order by
+    // (L2, cid) — list_distance is monotone with sqDist so the argmin
+    // agrees — and the re-rank cosine is the same arithmetic the green
+    // topk_cosine oracle already replays via list_cosine_similarity.
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 = 0),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 <> 0),
+           c AS (SELECT rid AS cid, e AS ce FROM r WHERE rid % 16 = 0),
+           assigned AS (
+             SELECT cid, rid, e FROM (
+               SELECT c.cid, r.rid, r.e,
+                      row_number() OVER (PARTITION BY r.rid
+                        ORDER BY list_distance(r.e, c.ce), c.cid) AS arn
+               FROM r CROSS JOIN c)
+             WHERE arn = 1),
+           probes AS (
+             SELECT qid, qe, cid FROM (
+               SELECT q.qid, q.e AS qe, c.cid,
+                      row_number() OVER (PARTITION BY q.qid
+                        ORDER BY list_distance(q.e, c.ce), c.cid) AS prn
+               FROM q CROSS JOIN c)
+             WHERE prn <= $IvfProbes)
+      SELECT qid, rank, rid FROM (
+        SELECT p.qid, a.rid,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY list_cosine_similarity(p.qe, a.e) DESC, a.rid)
+                 AS rank
+        FROM probes p JOIN assigned a USING (cid))
+      WHERE rank <= $K"""))
 
   /** Hard-negative mining — contrastive-training data prep: for each
     * query, the k most-similar references with a DIFFERENT label (the

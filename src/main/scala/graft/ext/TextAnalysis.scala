@@ -93,22 +93,67 @@ object TextAnalysis {
 
   // --- language ID (n-gram heuristic; not SQL-expressible → tests) ----
 
-  /** Tiny public-knowledge marker profiles; scored by distinct-marker
-    * hits, ties broken alphabetically. CJK codepoints short-circuit zh.
+  /** Embedded per-language training snippets (sentences of common
+    * words, public linguistic knowledge) — the tiny corpus the char
+    * trigram profiles are trained on at class load. A real deployment
+    * swaps these for a larger sample table; the MODEL (truncated
+    * ranked trigram profile, Cavnar–Trenkle family) is the real one.
     */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "is", "ing ", " th"),
-    "es" -> Seq("el ", "la ", "los", "ción", "de ", "que"),
-    "de" -> Seq("der", "die", "und", "sch", "ein", "ich"),
-    "fr" -> Seq("le ", "les", "des", "est", "une", "eau"))
+  val langSamples: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then it was " +
+      "running through the woods with all of the other animals that they " +
+      "had seen in this story which is one of the best known sentences " +
+      "in the english language for testing and it should have enough " +
+      "of the most common words that the profile is representative"),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso y " +
+      "luego la ciudad estaba llena de gente que quería ver los colores " +
+      "de la mañana con una canción que todos conocían porque es parte " +
+      "de la historia y de la lengua española con muchas palabras " +
+      "comunes para que el perfil sea representativo de este idioma"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und " +
+      "dann war die stadt voller menschen die das licht des morgens " +
+      "sehen wollten mit einem lied das ich schon kannte weil es ein " +
+      "teil der deutschen geschichte ist und genug häufige wörter " +
+      "enthält damit das profil dieser sprache repräsentativ wird"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux " +
+      "et puis la ville était pleine de gens qui voulaient voir les " +
+      "couleurs du matin avec une chanson que tout le monde connaissait " +
+      "parce que c'est une partie de l'histoire et de la langue " +
+      "française avec assez de mots communs pour que le profil soit " +
+      "représentatif de cette langue"))
 
+  /** Profile depth: the classic truncated-profile size; weight of a
+    * profile trigram = ProfileN − rank (rank by count desc, trigram
+    * asc — total and deterministic). */
+  val LangProfileN = 64
+
+  private def charTrigrams(t: String): Iterator[String] =
+    if (t.length < 3) Iterator.empty
+    else (0 to t.length - 3).iterator.map(i => t.substring(i, i + 3))
+
+  /** lang -> (trigram -> weight): trained once from [[langSamples]]. */
+  lazy val langProfiles: Map[String, Map[String, Int]] =
+    langSamples.map { case (lang, sample) =>
+      val counts = charTrigrams(sample.toLowerCase)
+        .toSeq.groupBy(identity).view.mapValues(_.size).toSeq
+      val top = counts.sortBy { case (tri, c) => (-c, tri) }
+        .take(LangProfileN)
+      lang -> top.zipWithIndex
+        .map { case ((tri, _), r) => tri -> (LangProfileN - r) }.toMap
+    }
+
+  /** n-gram-profile language ID: score = Σ over the doc's char-trigram
+    * OCCURRENCES of the language profile's weight; argmax wins, ties
+    * (including the all-zero doc) resolve in ascending language order.
+    * CJK codepoints short-circuit zh (no trigram profile needed).
+    */
   def langIdOf(rawText: String): String = {
     val text = Option(rawText).getOrElse("")
     if (text.exists(ch => ch >= '一' && ch <= '鿿')) "zh"
     else {
       val lower = text.toLowerCase
-      val scored = langMarkers.toSeq.map { case (lang, ms) =>
-        (-ms.count(lower.contains), lang)
+      val scored = langProfiles.toSeq.map { case (lang, prof) =>
+        (-charTrigrams(lower).map(prof.getOrElse(_, 0)).sum, lang)
       }
       scored.min._2
     }
@@ -121,31 +166,70 @@ object TextAnalysis {
       Tables(s, dir, "documents").select(
         col("doc_id"), f(col("text")).as("lang_pred"))
     },
-    // the marker heuristic IS SQL: per-language count of contained
-    // markers, max count wins, ties resolved in ascending language
-    // order (the CASE chain mirrors Scala's (-count, lang) min). The
-    // testdata is ASCII, so lower() agrees across engines.
-    Some("""
+    // the trained profile replays in SQL: the trigram weight table is
+    // embedded as VALUES (it is a deterministic function of the
+    // embedded samples), per-doc per-lang scores are integer sums over
+    // trigram occurrences, and the CASE chain mirrors Scala's
+    // (-score, lang) min tie-break. The testdata is ASCII, so lower()
+    // and char slicing agree across engines.
+    Some {
+      def q(str: String) = "'" + str.replace("'", "''") + "'"
+      val values = langProfiles.toSeq.sortBy(_._1).flatMap {
+        case (lang, prof) => prof.toSeq.sorted.map {
+          case (tri, wt) => s"(${q(tri)}, ${q(lang)}, $wt)" }
+      }.mkString(",\n        ")
+      s"""
       WITH s AS (SELECT doc_id, text, lower(text) AS t FROM documents),
-      c AS (SELECT doc_id, text,
-        contains(t,'the')::INT + contains(t,'and')::INT + contains(t,'of')::INT +
-        contains(t,'is')::INT + contains(t,'ing ')::INT + contains(t,' th')::INT AS cen,
-        contains(t,'el ')::INT + contains(t,'la ')::INT + contains(t,'los')::INT +
-        contains(t,'ción')::INT + contains(t,'de ')::INT + contains(t,'que')::INT AS ces,
-        contains(t,'der')::INT + contains(t,'die')::INT + contains(t,'und')::INT +
-        contains(t,'sch')::INT + contains(t,'ein')::INT + contains(t,'ich')::INT AS cde,
-        contains(t,'le ')::INT + contains(t,'les')::INT + contains(t,'des')::INT +
-        contains(t,'est')::INT + contains(t,'une')::INT + contains(t,'eau')::INT AS cfr
-        FROM s)
-      SELECT doc_id,
-        CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-             WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
-             WHEN cen >= ces AND cen >= cfr THEN 'en'
-             WHEN ces >= cfr THEN 'es'
+      g AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                                         i -> t[i:i+2])) AS tri
+            FROM s),
+      w(tri, lang, wt) AS (VALUES
+        $values),
+      sc AS (SELECT doc_id, lang, sum(wt) AS score
+             FROM g JOIN w USING (tri) GROUP BY 1, 2),
+      p AS (SELECT doc_id,
+                   coalesce(max(CASE WHEN lang = 'de' THEN score END), 0) AS sde,
+                   coalesce(max(CASE WHEN lang = 'en' THEN score END), 0) AS sen,
+                   coalesce(max(CASE WHEN lang = 'es' THEN score END), 0) AS ses,
+                   coalesce(max(CASE WHEN lang = 'fr' THEN score END), 0) AS sfr
+            FROM sc GROUP BY 1)
+      SELECT s.doc_id,
+        CASE WHEN regexp_matches(s.text, '[一-鿿]') THEN 'zh'
+             WHEN coalesce(sde, 0) >= coalesce(sen, 0)
+              AND coalesce(sde, 0) >= coalesce(ses, 0)
+              AND coalesce(sde, 0) >= coalesce(sfr, 0) THEN 'de'
+             WHEN coalesce(sen, 0) >= coalesce(ses, 0)
+              AND coalesce(sen, 0) >= coalesce(sfr, 0) THEN 'en'
+             WHEN coalesce(ses, 0) >= coalesce(sfr, 0) THEN 'es'
              ELSE 'fr' END AS lang_pred
-      FROM c"""))
+      FROM s LEFT JOIN p USING (doc_id)"""
+    })
 
   // --- fingerprint (rolling hash; oracled via HUGEINT mod 2^64) ------
+
+  /** Portable 64-bit token hash: multiply-add fold over UTF-16 units
+    * (FNV offset/prime constants), wrapping mod 2^64 — replayable
+    * exactly in DuckDB via HUGEINT-mod-2^64 list_reduce (see the
+    * [[fingerprint]] oracle). Shared by the fingerprint and the SimHash
+    * signatures so every hash-bearing key stays oracle-able.
+    */
+  def tokenHash(tok: String): Long = {
+    var th = -3750763034362895579L // FNV-1a 64 offset basis (wrapped)
+    tok.foreach(ch => th = th * 1099511628211L + ch.toLong)
+    th
+  }
+
+  /** DuckDB replay of [[tokenHash]] for a VARCHAR sql expression:
+    * char-fold in UBIGINT with each step mod 2^64 through HUGEINT
+    * (DuckDB integer ops error on overflow rather than wrap). */
+  def tokenHashSql(tok: String): String =
+    s"""list_reduce(
+            [CAST(14695981039346656037 AS UBIGINT)] ||
+              list_transform(list_filter(string_split($tok,''), c -> c <> ''),
+                             c -> CAST(unicode(c) AS UBIGINT)),
+            (acc, ch) -> CAST((acc::HUGEINT * 1099511628211 + ch)
+                              % 18446744073709551616 AS UBIGINT))"""
 
   /** 64-bit polynomial rolling hash (Karp-Rabin family) over normalized
     * tokens — order-sensitive document fingerprint.
@@ -154,9 +238,7 @@ object TextAnalysis {
     val B = 1000003L
     var h = 1469598103934665603L // FNV offset as seed
     Option(text).getOrElse("").trim.split("\\s+").foreach { tok =>
-      var th = -3750763034362895579L // FNV-1a 64 offset basis (wrapped)
-      tok.foreach(ch => th = th * 1099511628211L + ch.toLong)
-      h = h * B + th
+      h = h * B + tokenHash(tok)
     }
     h
   }

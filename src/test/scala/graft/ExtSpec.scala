@@ -255,6 +255,29 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.langIdOf("der schnelle braune fuchs und ich") == "de")
   }
 
+  test("lang_id trigram profile: accuracy floor on held-out sentences") {
+    // none of these sentences appear in TextAnalysis.langSamples — the
+    // profile has to generalize from trigram statistics, not memorize
+    val planted = Seq(
+      "the weather report said that it would rain for most of the week" -> "en",
+      "she was reading another book about the history of modern science" -> "en",
+      "what do you think about the results of the latest experiments" -> "en",
+      "la casa estaba cerca de la playa y tenía una vista preciosa del mar" -> "es",
+      "los niños jugaban en el parque mientras sus padres hablaban" -> "es",
+      "necesito comprar algunas cosas para la cena de esta noche" -> "es",
+      "die kinder spielten im garten während ihre eltern in der küche waren" -> "de",
+      "ich möchte nächste woche mit dem zug nach berlin fahren" -> "de",
+      "das wetter war heute schön und wir sind lange spazieren gegangen" -> "de",
+      "les enfants jouaient dans le jardin pendant que leurs parents parlaient" -> "fr",
+      "je voudrais acheter quelque chose pour le dîner de ce soir" -> "fr",
+      "il faisait très beau aujourd'hui et nous avons marché longtemps" -> "fr",
+      "今天的天气很好我们去公园散步了" -> "zh")
+    val correct = planted.count { case (text, want) =>
+      TextAnalysis.langIdOf(text) == want }
+    assert(correct >= planted.size - 1,
+      s"lang_id got only $correct/${planted.size} held-out sentences right")
+  }
+
   test("fingerprint: stable on same text, sensitive to word order") {
     assert(TextAnalysis.fingerprintOf("a b c") ==
       TextAnalysis.fingerprintOf("a b c"))

@@ -39,12 +39,12 @@ class GoldenSpec extends SparkSpec {
 
   private val golden = Map(
     // q15_approx_distinct moved to the DuckDB oracle (exact counts +
-    // estimate-bound booleans), so it no longer needs a golden
-    "dedup_simhash" -> "98d537d5fcbfc575",
-    "dedup_simhash_pairs" -> "cd02ef642e0cad49",
-    "dedup_simhash128_pairs" -> "e639582ba31e8026",
-    // doc_fingerprint and lang_id moved to DuckDB oracles (HUGEINT
-    // mod-2^64 replay / marker-count CASE), goldens retired
+    // estimate-bound booleans), so it no longer needs a golden.
+    // Round 6: the three simhash keys (rebuilt on the portable token
+    // hash), topk_cosine_lsh (plane literals + sign replay) and
+    // topk_cosine_ivf (deterministic quantizer + L2-argmin replay)
+    // all moved to full DuckDB oracles — goldens retired like
+    // doc_fingerprint and lang_id before them.
     // re-pinned when the stub decoder was replaced by the real
     // javax.imageio codec over rendered PNG payloads
     "multimodal_decode" -> "0732eb1a085d97b4",
@@ -52,9 +52,7 @@ class GoldenSpec extends SparkSpec {
     "multimodal_resize" -> "fa487e369932845a",
     "multimodal_video_frames" -> "95ae9c8785c61c0f",
     "multimodal_audio" -> "bc225d3899ddfd03",
-    "multimodal_frames" -> "bc086fa244396efd",
-    "topk_cosine_lsh" -> "30ef687c029fca67",
-    "topk_cosine_ivf" -> "96f87819da27921c")
+    "multimodal_frames" -> "bc086fa244396efd")
 
   golden.toSeq.sortBy(_._1).foreach { case (name, want) =>
     test(s"golden: $name content hash is pinned") {
