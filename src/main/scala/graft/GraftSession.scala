@@ -22,6 +22,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // dev A/B knob: with parallelismFirst=false AQE coalesces tiny
+      // shuffles by size instead of keeping >= defaultParallelism
+      // partitions (fewer tasks for the many small intermediate
+      // shuffles of a local bench; Spark's own docs recommend false
+      // for production)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Build (or reuse) the session and register graft's SQL functions. */

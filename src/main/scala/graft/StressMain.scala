@@ -130,7 +130,7 @@ object StressMain {
     def knnSides(c: DataFrame) = (
       c.limit(200).select(col("vec_id").as("qid"), col("e").as("qvec")),
       c.select(col("vec_id").as("rid"), col("e").as("rvec"),
-        pmod(col("vec_id"), lit(7L)).as("label")))
+        pmod(col("vec_id"), lit(7L)).cast("int").as("label")))
     pair("knn_bcast")(
       { c =>
         val (q, r) = knnSides(c)
