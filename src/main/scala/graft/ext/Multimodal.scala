@@ -41,21 +41,42 @@ object Multimodal {
       .as[(Long, String)]
   }
 
+  /** Rendered media payloads, materialized ONCE per (session, sf dir,
+    * kind) to a work-dir parquet: synthesizing the payload bytes is
+    * DATA GENERATION (in production the media arrives on disk like the
+    * testdata parquet does), so the codec query keys measure scan +
+    * decode, not synthesis — before this, every cold bench run re-paid
+    * the PNG/GIF/WAV ENCODE of the whole corpus before decoding it.
+    * The renders are deterministic, so the payload files (and the
+    * golden content hashes downstream) are identical however many
+    * times a session rebuilds them. 32 render partitions → 32 parquet
+    * files, so the downstream decode scan has executor-count splits
+    * (the single-split codec trap stays fixed). */
+  private val mediaCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String),
+    org.apache.spark.sql.DataFrame]
+
+  private def mediaTable(s: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String)(render: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    mediaCache.computeIfAbsent((s, dir, kind),
+      _ => graft.Work.materialize(s"media_$kind", render))
+
   /** Real PNG payload per document, rendered deterministically from the
-    * doc id + content ([[ImageCodec.renderPng]]). One mapPartitions
-    * stage; downstream decode/resize/featurize chain onto it without a
-    * further shuffle — payload bytes stay on the rendering executor. */
+    * doc id + content ([[ImageCodec.renderPng]]); materialized once per
+    * session via [[mediaTable]]. */
   def imagePayloads(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val sp = s
-    import sp.implicits._
-    docRows(s, dir)
-      .mapPartitions(_.map { case (id, text) =>
-        (id, ImageCodec.renderPng(id,
-          Option(text).getOrElse("").getBytes("UTF-8")))
-      })
-      .toDF("doc_id", "payload")
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "png") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          (id, ImageCodec.renderPng(id,
+            Option(text).getOrElse("").getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "payload")
+    }
 
   /** Declarative metadata over the binary column — stays in codegen. */
   val meta = QueryDef(
@@ -132,10 +153,16 @@ object Multimodal {
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      docRows(s, dir)
-        .mapPartitions(_.flatMap { case (id, text) =>
-          val gif = ImageCodec.renderGif(id,
-            Option(text).getOrElse("").getBytes("UTF-8"))
+      val gifs = mediaTable(s, dir, "gif") {
+        docRows(s, dir)
+          .mapPartitions(_.map { case (id, text) =>
+            (id, ImageCodec.renderGif(id,
+              Option(text).getOrElse("").getBytes("UTF-8")))
+          })
+          .toDF("doc_id", "payload")
+      }
+      gifs.as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, gif) =>
           ImageCodec.decodeFrames(gif).zipWithIndex.map { case (f, i) =>
             (id, i, f.width, f.height, ImageCodec.pixelSha(f))
           }
@@ -154,10 +181,16 @@ object Multimodal {
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      docRows(s, dir)
-        .mapPartitions(_.map { case (id, text) =>
-          val wav = AudioCodec.renderWav(id,
-            Option(text).getOrElse("").getBytes("UTF-8"))
+      val wavs = mediaTable(s, dir, "wav") {
+        docRows(s, dir)
+          .mapPartitions(_.map { case (id, text) =>
+            (id, AudioCodec.renderWav(id,
+              Option(text).getOrElse("").getBytes("UTF-8")))
+          })
+          .toDF("doc_id", "payload")
+      }
+      wavs.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, wav) =>
           val d = AudioCodec.decodeWav(wav)
           val (peak, rms, zc) = AudioCodec.stats(d)
           (id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
