@@ -44,12 +44,30 @@ object Work {
     */
   private val matSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  // per-JVM token: the sequence number alone is only unique within ONE
+  // process, and two graft JVMs share this scratch dir (a test suite
+  // running beside a Verify session) — a counter collision made one
+  // session's clean() delete parquet parts the other was mid-read on
+  // (observed: FAILED_READ_FILE on mat_media_png_2). Stale dirs from
+  // dead sessions are swept at class init instead of by collision.
+  private val jvmTag =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  locally {
+    // sweep mat_* dirs untouched for >6h (dead sessions); live
+    // concurrent sessions are younger and never share a tag
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("mat_") && f.lastModified() < cutoff)
+        clean(f.getAbsolutePath)
+    })
+  }
+
   def materialize(name: String, df: DataFrame): DataFrame = {
-    // unique path per call: a second materialize under the same name
-    // must not clean the files a previously returned (lazy) frame still
-    // reads. Stale dirs from prior sessions are overwritten on path
-    // collision by the clean below; within a session paths never repeat.
-    val path = s"$dir/mat_${name}_${matSeq.incrementAndGet()}"
+    // unique path per call AND per process: a second materialize under
+    // the same name must not clean files a previously returned (lazy)
+    // frame still reads
+    val path = s"$dir/mat_${name}_${jvmTag}_${matSeq.incrementAndGet()}"
     clean(path)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
