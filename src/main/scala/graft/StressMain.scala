@@ -153,6 +153,18 @@ object StressMain {
         c.select((col("vec_id") + Dedup.PlantedOffset).as("vec_id"),
           transform(col("e"), x => x * 1.5).as("e"))), 0.99).count(),
       n => repEmb(emb, n))
+    // same op with the documented scale lever applied: planes grow
+    // with log2(N), holding chance-candidate volume ~linear (recall on
+    // planted scaled copies is exactly 1 at any plane count)
+    pair("embedding_cosine_logplanes")(
+      c => Dedup.embeddingCosinePairs(c.unionAll(
+        c.select((col("vec_id") + Dedup.PlantedOffset).as("vec_id"),
+          transform(col("e"), x => x * 1.5).as("e"))), 0.99).count(),
+      n => {
+        spark.conf.set("spark.graft.lsh.nearDupPlanes",
+          (12 + (math.log(n.toDouble) / math.log(2)).round).toString)
+        repEmb(emb, n)
+      })
     pair("topk_cosine_lsh")(
       c => Similarity.lshTopK(
         c.limit(200).select(col("vec_id").as("qid"), col("e").as("qe")),

@@ -816,8 +816,19 @@ object Dedup {
     * planted scaled copies collide with probability exactly 1. */
   def embeddingCosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val dim = 64
+    // CHANCE collisions of dissimilar vectors grow ∝ n²/2^planes, so
+    // the plane count must grow with log2(n) to hold the candidate
+    // volume linear (StressMain: ratio 6.2× at 8× data with fixed 12
+    // planes, ~linear with 12+log2(N)). Deliberately a config, not an
+    // inferred count: recall on scaled-copy near-dups is EXACTLY 1 at
+    // any plane count (positive scaling preserves every sign), so
+    // raising it never costs planted-pair recall — the oracle holds at
+    // every setting.
+    val planes = corpus.sparkSession.conf
+      .getOption("spark.graft.lsh.nearDupPlanes").map(_.toInt).getOrElse(12)
     val buckets = Similarity.signBuckets(
-      corpus.select(col("vec_id"), col("e")), "vec_id", "e", dim, planes = 12)
+      corpus.select(col("vec_id"), col("e")), "vec_id", "e", dim,
+      planes = planes)
     val cands = buckets.alias("x").join(buckets.alias("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
