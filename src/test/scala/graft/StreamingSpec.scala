@@ -303,6 +303,39 @@ class StreamingSpec extends SparkSpec {
     assert(LogOffsetV2.fromJson(off.json()) == off)
   }
 
+  test("segment first appearing under the watermark is loudly reported") {
+    import graft.connector.{LogMicroBatchStream, LogOffsetV2, LogSourceV2}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val base = freshDir("v2late")
+    val dir = s"$base/scope/late"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def seg(stamp: Long): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, f"segment-$stamp%020d-t.json"),
+        "{\"event_id\":1}\n"): Unit
+    // old stamps fold under the watermark; one fresh stamp keeps the
+    // max above them
+    Seq(1000L, 2000L, System.currentTimeMillis()).foreach(seg)
+    val stream = new LogMicroBatchStream(dir)
+    val off1 = stream.latestOffset(
+        stream.initialOffset(), ReadLimit.maxFiles(10))
+      .asInstanceOf[LogOffsetV2]
+    assert(off1.watermark.nonEmpty) // 1000/2000 are under it
+    // a commit whose rename landed AFTER the grace window: its stamp
+    // sorts under the already-advanced watermark — it is silently
+    // "consumed" (the documented single-coordinator breach), and its
+    // FIRST listing appearance must be reported loudly
+    seg(1500L)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try stream.latestOffset(off1, ReadLimit.maxFiles(10)): Unit
+    finally System.setErr(realErr)
+    val err = errBuf.toString
+    assert(err.contains("ALREADY UNDER"), s"expected loud warning, got: $err")
+    assert(err.contains(f"segment-${1500L}%020d-t.json"))
+  }
+
   test("replay with an untombstoned missing sub-watermark segment fails the count check") {
     import graft.connector.{LogMicroBatchStream, LogOffsetV2}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
