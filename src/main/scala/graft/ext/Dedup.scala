@@ -423,26 +423,48 @@ object Dedup {
     Array.fill(NumHashes)(
       (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
+  private val permA: Array[Long] = perms.map(_._1)
+  private val permB: Array[Long] = perms.map(_._2)
 
   /** Per-doc MinHash signature: 64 mins over the shingle set, computed
-    * entirely with array expressions over the per-row shingle array —
-    * the shingle hash is materialized once per shingle, each permutation
-    * is an array_min(transform(...)), and the whole signature stage is a
-    * pure per-row projection: NO explode, NO groupBy, NO shuffle (the
-    * round-2 form exploded to one row per (doc, shingle) and shuffled a
-    * 64-column min-aggregate). Same arithmetic, bit-identical output.
+    * in ONE pass over the per-row shingle array by a compact UDF: NO
+    * explode, NO groupBy, NO shuffle. The earlier all-column-expression
+    * form (64 × array_min(transform(...))) re-traversed the array 65
+    * times through INTERPRETED higher-order functions — the same
+    * measured ~100× trap as text_bigram_lm/shinglesUdf; the UDF costs
+    * one traversal with the 64 running mins in a local array. The base
+    * shingle hash is the repo's portable multiply-add fold (the
+    * signature values are internal — candidate pairs are exactly
+    * verified and the oracle is brute-force Jaccard, so ANY well-mixed
+    * base hash preserves the LSH recall guarantee).
     */
-  def minhashSignatures(shingled: DataFrame): DataFrame = {
-    val hashed = shingled.withColumn("hs",
-      transform(col("shs"), sh => pmod(xxhash64(sh), lit(MersennePrime))))
-    val sigCols = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"),
-        h => pmod(h * a + b, lit(MersennePrime)))).as(s"mh_$i")
+  private val minhashSigUdf = udf { (shs: Seq[String]) =>
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    shs.foreach { sh =>
+      // mix the portable token hash into [0, p): the fold's low bits
+      // alone are not uniform enough for affine permutations
+      var h = TextAnalysis.tokenHash(sh)
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      val h0 = java.lang.Math.floorMod(h, MersennePrime)
+      var i = 0
+      while (i < NumHashes) {
+        // h0, permA < 2^31 so h0 * a + b stays well inside Long
+        val p = java.lang.Math.floorMod(h0 * permA(i) + permB(i),
+          MersennePrime)
+        if (p < mins(i)) mins(i) = p
+        i += 1
+      }
     }
+    mins
+  }
+
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
     // input columns (shs, n, any event-time the streaming dedup
     // carries) ride along; batch consumers never select them, so
     // Catalyst prunes them before any shuffle
-    hashed.select((col("*") +: sigCols): _*).drop("hs")
+    val sig = shingled.withColumn("mhsig", minhashSigUdf(col("shs")))
+    val sigCols = (0 until NumHashes).map(i => col("mhsig")(i).as(s"mh_$i"))
+    sig.select((col("*") +: sigCols): _*).drop("mhsig")
   }
 
   /** (doc_id [, extras...], band, bucket) rows: each doc in each of its
