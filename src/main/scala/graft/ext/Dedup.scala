@@ -97,6 +97,22 @@ object Dedup {
     // exists" duplicate work visible in the round-1/2 bench logs).
     val sh = shingled.persist()
     sh.count(): Unit
+    // materialize through the cache, then free it — a long Verify/Bench
+    // session must not accumulate cached RDDs across queries
+    val out = Work.materialize("jaccard_pairs", jaccardPairsOn(sh, shingleDfCap))
+    sh.unpersist()
+    out
+  }
+
+  /** The pair pipeline over an ALREADY-CACHED shingle frame — the
+    * composition face of [[jaccardPairs]]: no persist, no
+    * materialization. The caller owns the cache lifetime (keep `sh`
+    * cached until every consuming action has run); a consumer that
+    * references the result twice (e.g. the undirected-edge union in
+    * connectedComponents) deduplicates the identical exchanges via
+    * ReuseExchange instead of paying a pairs-parquet round trip. */
+  private[graft] def jaccardPairsOn(sh: DataFrame,
+      shingleDfCap: Int = 0): DataFrame = {
     // ids-only through the join+shuffle (narrow rows); per-doc sizes
     // joined back onto the much smaller aggregated pair set
     val invAll = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -114,16 +130,11 @@ object Dedup {
     val sizes = sh.select(col("doc_id"), col("n"))
     // no broadcast hint: AQE broadcasts sizes when small; at data scale
     // both sides shuffle on the id, which is the right plan there
-    val result = pairCounts
+    pairCounts
       .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
       .select("a", "b", "n_common", "n_a", "n_b")
-    // materialize through the cache, then free it — a long Verify/Bench
-    // session must not accumulate cached RDDs across queries
-    val out = Work.materialize("jaccard_pairs", result)
-    sh.unpersist()
-    out
   }
 
   /** Brute-force shingle-Jaccard oracle; also valid for the MinHash+LSH
@@ -383,6 +394,11 @@ object Dedup {
       val nodes = corpus
         .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
         .select("doc_id")
+      // NOTE: the materializing jaccardPairs is deliberate — feeding
+      // the un-materialized pair plan (jaccardPairsOn) into CC's
+      // undirected-edge union was measured SLOWER (the two union
+      // branches re-run the post-exchange aggregation+joins; only the
+      // shuffle files dedup via ReuseExchange), round 6
       connectedComponents(nodes,
         jaccardPairs(shingleSets(corpus)).select("a", "b"))
     },
