@@ -66,7 +66,8 @@ object Bench {
       "stream_window_agg", "stream_sessionize", "stream_interval_join",
       "stream_dedup_exactly_once", "build_vocab", "inverted_index",
       "pack_chunk_text", "text_stats", "token_count",
-      "multimodal_video_frames", "multimodal_audio")
+      "multimodal_video_frames", "multimodal_avi_frames",
+      "multimodal_audio")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
     val shown = results.filter { case (k, _) =>

@@ -171,6 +171,35 @@ object Multimodal {
     },
     None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
+  /** REAL video container demux: uncompressed-DIB AVI payloads walked
+    * chunk-by-chunk by [[VideoCodec]] (RIFF/LIST, BITMAPINFOHEADER,
+    * '00db' frames, idx1) — raw-frame video round-trips bit-exactly,
+    * so unlike the GIF path there is not even palette quantization
+    * between render and demux. Compressed codecs (h264) remain the
+    * honest pure-JVM boundary; the CONTAINER walk no longer is. */
+  val aviFrames = QueryDef(
+    "multimodal_avi_frames",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val avis = mediaTable(s, dir, "avi") {
+        docRows(s, dir)
+          .mapPartitions(_.map { case (id, text) =>
+            (id, VideoCodec.renderAvi(id,
+              Option(text).getOrElse("").getBytes("UTF-8")))
+          })
+          .toDF("doc_id", "payload")
+      }
+      avis.as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, avi) =>
+          VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
+            (id, i, f.width, f.height, ImageCodec.pixelSha(f))
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "frame_sha")
+    },
+    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+
   /** REAL audio decode: WAV payloads (genuine RIFF/WAVE bytes rendered
     * deterministically per doc) decoded by javax.sound.sampled — format
     * fields from the container, integer waveform statistics from the
@@ -260,5 +289,6 @@ object Multimodal {
     None) // codec output not SQL-expressible → golden-pinned + ExtSpec
 
   val all: Seq[QueryDef] =
-    Seq(meta, decode, frames, videoFrames, audio, featurize, resize)
+    Seq(meta, decode, frames, videoFrames, aviFrames, audio, featurize,
+      resize)
 }

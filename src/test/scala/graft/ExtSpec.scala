@@ -335,6 +335,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("AVI demux round-trips every frame bit-exactly") {
+    import graft.ext.VideoCodec
+    val frames = VideoCodec.renderAviFrames(29L, "planted".getBytes)
+    val avi = VideoCodec.encodeAvi(frames)
+    // genuine RIFF/AVI container bytes
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val back = VideoCodec.decodeAviFrames(avi)
+    assert(back.length == frames.length && frames.length >= 2)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height)
+      // uncompressed DIB: no quantization anywhere — full 24-bit
+      // rasters match bit for bit
+      assert(b.argb.toSeq == a.argb.toSeq)
+    }
+    // the query face: one row per demuxed frame, count from the stream
+    val rows = Multimodal.aviFrames.fn(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet.size == Tables(spark, sf, "documents").count())
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == 2 + Math.floorMod(id, 3L).toInt,
+        s"doc $id expected ${2 + Math.floorMod(id, 3L)} frames, got ${fs.length}")
+    }
+  }
+
   test("WAV codec round-trips PCM16 samples bit-exactly") {
     import graft.ext.AudioCodec
     val samples = Array.tabulate(777)(i =>

@@ -52,7 +52,9 @@ class GoldenSpec extends SparkSpec {
     "multimodal_resize" -> "fa487e369932845a",
     "multimodal_video_frames" -> "95ae9c8785c61c0f",
     "multimodal_audio" -> "bc225d3899ddfd03",
-    "multimodal_frames" -> "bc086fa244396efd")
+    "multimodal_frames" -> "bc086fa244396efd",
+    // round 6: real uncompressed-DIB AVI container demux
+    "multimodal_avi_frames" -> "c772dc896d36ddcb")
 
   golden.toSeq.sortBy(_._1).foreach { case (name, want) =>
     test(s"golden: $name content hash is pinned") {
