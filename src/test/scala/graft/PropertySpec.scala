@@ -210,4 +210,32 @@ class PropertySpec extends SparkSpec {
       assert(legacy.extra == ps.toSet && legacy.watermark.isEmpty)
     }
   }
+
+  test("AVI mux/demux round-trips arbitrary raster streams bit-exactly") {
+    import graft.ext.{ImageCodec, VideoCodec}
+    // arbitrary dims (incl. widths whose 3-byte rows need 1-3 pad
+    // bytes — the stride-alignment edge), arbitrary frame counts and
+    // arbitrary 24-bit pixels
+    val caseGen = for {
+      w <- Gen.chooseNum(1, 37)
+      h <- Gen.chooseNum(1, 23)
+      n <- Gen.chooseNum(1, 5)
+      seed <- Gen.long
+    } yield (w, h, n, seed)
+    samples(caseGen, 40).foreach { case (w, h, n, seed) =>
+      var z = seed
+      def next(): Int = {
+        z = z * 6364136223846793005L + 1442695040888963407L
+        (((z >>> 33) & 0xFFFFFF) | 0xFF000000L).toInt
+      }
+      val frames = (0 until n).map(_ =>
+        ImageCodec.DecodedImage(w, h, 3, Array.fill(w * h)(next())))
+      val back = VideoCodec.decodeAviFrames(VideoCodec.encodeAvi(frames))
+      assert(back.length == n, s"w=$w h=$h n=$n")
+      frames.zip(back).foreach { case (a, b) =>
+        assert(b.width == w && b.height == h)
+        assert(b.argb.toSeq == a.argb.toSeq, s"w=$w h=$h n=$n seed=$seed")
+      }
+    }
+  }
 }
