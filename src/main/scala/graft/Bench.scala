@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,10 +26,42 @@ object Bench {
     // gate conditions (warmup, cold-cache medians) — driver runs unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    // Per-run observability (round-6 verdict #1: the 26 s gate median
+    // for dedup_ngram_jaccard was unexplainable from a medians-only
+    // artifact). Each run records wall seconds, exact Spark job/stage/
+    // task counts (listener bus drained before reading — see
+    // ListenerBridge), cumulative JVM GC ms during the run, and the
+    // run's start offset from bench start, so one stuck run, GC decay
+    // with session age, or a job-count blowup are distinguishable in
+    // the committed artifact.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+          stages.addAndGet(j.stageInfos.size): Unit
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum): Unit
+        }
+      })
+    def gcMs(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    final case class Run(sec: Double, jobs: Int, stages: Int, tasks: Int,
+        gcMs: Long, atSec: Double)
+    val benchT0 = System.nanoTime()
+    val details = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Int, Seq[Run])]
+    val results = SparkEntry.queries.zipWithIndex
+      .filter { case ((name, _), _) => only.forall(_.contains(name)) }
+      .flatMap { case ((name, fn), idx) =>
+      val runRecs = (1 to runs).flatMap { _ =>
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .drain(spark.sparkContext)
+        val (j0, s0, k0, g0) = (jobs.get(), stages.get(), tasks.get(), gcMs())
+        val at = (System.nanoTime() - benchT0) / 1e9
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true } catch {
@@ -41,11 +75,19 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         // each run measured cold-cache, like an isolated run
         GraftSession.dropAllCaches(spark)
-        if (ok) Some(sec) else None
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .drain(spark.sparkContext)
+        if (ok) Some(Run(sec, jobs.get - j0, stages.get - s0,
+          tasks.get - k0, gcMs() - g0, at))
+        else None
       }
-      if (times.isEmpty) None
-      else Some(name -> times.sorted.apply((times.size - 1) / 2))
-    }
+      if (runRecs.isEmpty) None
+      else {
+        details(name) = (idx, runRecs)
+        val ts = runRecs.map(_.sec)
+        Some(name -> ts.sorted.apply((ts.size - 1) / 2))
+      }
+    }.toMap
     // The driver captures only a 2000-char stdout TAIL (measured from
     // BENCH_r03.json) and parses the JSON line out of it; rounds 1-3
     // recorded "parsed": null because the all-queries map pushed the
@@ -77,13 +119,34 @@ object Bench {
     def line(qs: String): String =
       s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs}"""
     println(line(mapJson(shown)))
-    // full per-query map to a file the driver/devs can parse directly
-    // (stdout is wrapped in sbt's [info] decoration and tail-truncated)
+    // full artifact to a file the driver/devs can parse directly (stdout
+    // is wrapped in sbt's [info] decoration and tail-truncated):
+    //   line 1 — the same schema as stdout but with ALL per-query
+    //            medians (cross-round comparison must not depend on the
+    //            tail lottery; round-6 verdict #2)
+    //   line 2 — per-run detail: {"metric":"detail","queries":{name:
+    //            {"median":s,"idx":i,"runs":[{"sec","jobs","stages",
+    //            "tasks","gc_ms","at"}…]}}} — `idx` is the session
+    //            execution order, `at` the run's start offset (sec)
+    //            from bench start, `gc_ms` the JVM GC time during the
+    //            run. This is the artifact that makes a 26 s outlier
+    //            diagnosable: one slow run vs three, with or without a
+    //            job-count/GC anomaly, early vs late in the session.
+    def runJson(r: Run): String =
+      s"""{"sec":${n3(r.sec)},"jobs":${r.jobs},"stages":${r.stages},""" +
+        s""""tasks":${r.tasks},"gc_ms":${r.gcMs},"at":${n3(r.atSec)}}"""
+    val detailJson = details.map { case (name, (idx, rs)) =>
+      val med = results(name)
+      s""""$name":{"median":${n3(med)},"idx":$idx,"runs":[""" +
+        rs.map(runJson).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench.json")
     new java.io.File(out).getParentFile.mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      line(mapJson(results)) + "\n")
+      line(mapJson(results)) + "\n" +
+        s"""{"metric":"detail","runs":$runs,"sf":"$sfDir","queries":$detailJson}""" +
+        "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
