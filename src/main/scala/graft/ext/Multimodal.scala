@@ -78,6 +78,88 @@ object Multimodal {
         .toDF("doc_id", "payload")
     }
 
+  // --- decoded-raster tables for the DuckDB oracle --------------------
+  //
+  // The decode step itself is intrinsically un-oracle-able (DuckDB
+  // cannot run a PNG/AVI/WAV codec), but everything AFTER decode is
+  // plain integer arithmetic. Each codec key therefore materializes its
+  // decoder's output ONCE per (session, sf dir) to a parquet at a FIXED
+  // path both engines read: the Spark query re-decodes fresh every run
+  // (the bench keys keep measuring the codec, not a parquet scan) and
+  // emits arithmetic over the decoded values, while the oracle SQL
+  // replays the identical arithmetic from the materialized rasters.
+  // Decode correctness stays pinned by the GoldenSpec digests + the
+  // ExtSpec round-trip tests; the oracle proves the post-decode math.
+  // Pixels are stored masked to their 24 RGB bits (the alpha byte would
+  // read as a negative INT32 in SQL, and the RGB bits are the content
+  // identity the round-trip tests already use).
+
+  /** Fixed per-sf-dir path under the work dir — deterministic so the
+    * oracle SQL string can embed it. Contents are deterministic too
+    * (decode of deterministic renders), so a session-level rebuild
+    * overwrites with identical bytes. */
+  private def rasterPath(dir: String, kind: String): String =
+    s"${graft.Work.dir}/raster_${kind}_${new java.io.File(dir).getName}"
+
+  /** The same path as a static oracle-SQL fragment: the sf-dir basename
+    * is unknown until Verify runs, so the SQL carries the `@SF@` token,
+    * which Verify substitutes when dumping oracle_sql.json. */
+  private def rasterSqlPath(kind: String): String =
+    s"${graft.Work.dir}/raster_${kind}_@SF@"
+
+  private val rasterDone = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), String]
+
+  private def ensureRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String, kind: String)(
+      build: => org.apache.spark.sql.DataFrame): String =
+    rasterDone.computeIfAbsent((s, dir, kind), { _ =>
+      val path = rasterPath(dir, kind)
+      build.write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private def rgbSum(p: Int): Long =
+    (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+
+  /** Decoded PNG rasters: (doc_id, width, height, channels, px) with
+    * px the row-major 24-bit RGB pixels. */
+  private def pngRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "png") {
+      val sp = s
+      import sp.implicits._
+      imagePayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          (id, d.width, d.height, d.channels, d.argb.map(_ & 0xFFFFFF))
+        })
+        .toDF("doc_id", "width", "height", "channels", "px")
+    }
+
+  // the arithmetic both engines compute over a raster: plain and
+  // position-weighted RGB sums — the weighted sum pins pixel ORDER
+  // (a permuted raster matches the plain sum but not this one)
+  private def pxSums(px: Array[Int]): (Long, Long) = {
+    var s0 = 0L; var s1 = 0L; var i = 0
+    while (i < px.length) {
+      val v = rgbSum(px(i))
+      s0 += v; s1 += (i + 1) * v
+      i += 1
+    }
+    (s0, s1)
+  }
+
+  // DuckDB replay of pxSums over a LIST(INTEGER) column: channel
+  // extraction via integer div/mod (shift semantics on signed values
+  // differ across engines; div/mod on the masked non-negative pixels
+  // do not), totals cast to BIGINT (DuckDB sums to HUGEINT, which the
+  // driver's pandas hash sees as float64)
+  private def sqlPxSum(px: String): String =
+    s"CAST(list_sum(list_transform($px, p -> (p // 65536) + ((p // 256) % 256) + (p % 256))) AS BIGINT)"
+  private def sqlPxWsum(px: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($px) + 1), i -> i * (($px[i] // 65536) + (($px[i] // 256) % 256) + ($px[i] % 256)))) AS BIGINT)"
+
   /** Declarative metadata over the binary column — stays in codegen. */
   val meta = QueryDef(
     "multimodal_meta",
@@ -90,24 +172,49 @@ object Multimodal {
              sha256(text) AS sha
       FROM documents"""))
 
-  /** Real image decode via per-partition batches: PNG payload →
-    * javax.imageio raster → (dims, channels, pixel digest). The pixel
-    * digest, not the container bytes, is the content identity — codecs
-    * may legally vary the encoded stream. */
+  /** The pinned digest face of decode: PNG payload → javax.imageio
+    * raster → (dims, channels, pixel digest). The pixel digest, not the
+    * container bytes, is the content identity — codecs may legally vary
+    * the encoded stream. GoldenSpec pins this frame's full content
+    * hash; the query key ([[decode]]) emits the DuckDB-replayable
+    * arithmetic face instead. */
+  def decodeDigest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    imagePayloads(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = ImageCodec.decode(bytes)
+        (id, bytes.length, d.width, d.height, d.channels,
+          ImageCodec.pixelSha(d))
+      })
+      .toDF("doc_id", "n_bytes", "width", "height", "channels", "pixel_sha")
+  }
+
+  /** Real image decode via per-partition batches, witnessed by integer
+    * raster arithmetic the oracle replays from the materialized decoded
+    * rasters ([[pngRaster]]): plain + position-weighted RGB sums pin
+    * every pixel value AND its position. The decode runs fresh in the
+    * query (the key benches the codec); only the oracle's copy of the
+    * rasters is read from parquet. */
   val decode = QueryDef(
     "multimodal_decode",
     (s, dir) => {
       val sp = s
       import sp.implicits._
+      pngRaster(s, dir): Unit
       imagePayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           val d = ImageCodec.decode(bytes)
-          (id, bytes.length, d.width, d.height, d.channels,
-            ImageCodec.pixelSha(d))
+          val (ps, pw) = pxSums(d.argb.map(_ & 0xFFFFFF))
+          (id, d.width, d.height, d.channels, ps, pw)
         })
-        .toDF("doc_id", "n_bytes", "width", "height", "channels", "pixel_sha")
+        .toDF("doc_id", "width", "height", "channels", "px_sum", "px_wsum")
     },
-    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+    Some(s"""
+      SELECT doc_id, width, height, channels,
+             ${sqlPxSum("px")} AS px_sum, ${sqlPxWsum("px")} AS px_wsum
+      FROM read_parquet('${rasterSqlPath("png")}/*.parquet')"""))
 
   /** Frame sampling for "video" payloads: fixed 64-byte windows, every
     * 2nd window sampled, one output row per frame (the stub "demuxer" —
@@ -141,84 +248,189 @@ object Multimodal {
              sha256(substring(b, CAST(i * 64 + 1 AS INT), 64)) AS frame_sha
       FROM (SELECT doc_id, b, unnest(range(0, nw, 2)) AS i FROM w)"""))
 
+  /** GIF payloads per doc, materialized once per session. */
+  private def gifPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "gif") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          (id, ImageCodec.renderGif(id,
+            Option(text).getOrElse("").getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** Pinned digest face of the GIF demux (GoldenSpec). */
+  def videoFramesDigest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    gifPayloads(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, gif) =>
+        ImageCodec.decodeFrames(gif).zipWithIndex.map { case (f, i) =>
+          (id, i, f.width, f.height, ImageCodec.pixelSha(f))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "frame_sha")
+  }
+
+  /** Per-frame rasters of the GIF demux, for the oracle. */
+  private def gifRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "gif") {
+      val sp = s
+      import sp.implicits._
+      gifPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, gif) =>
+          ImageCodec.decodeFrames(gif).zipWithIndex.map { case (f, i) =>
+            (id, i, f.width, f.height, f.argb.map(_ & 0xFFFFFF))
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "px")
+    }
+
   /** REAL multi-frame demux: animated-GIF payloads (rendered
     * deterministically per doc, genuine container bytes) demuxed by
     * the actual javax.imageio codec — frame count from the stream, one
-    * output row per frame with dimensions and the pixel digest. This
-    * is the "video" face the byte-window sampler ([[frames]]) stubs;
-    * both ship because the window sampler is SQL-oracle-able while the
-    * codec output is golden-pinned. */
+    * output row per frame with dimensions and position-weighted pixel
+    * sums the oracle replays from the materialized per-frame rasters.
+    * This is the "video" face the byte-window sampler ([[frames]])
+    * stubs; pixel digests stay pinned via [[videoFramesDigest]]. */
   val videoFrames = QueryDef(
     "multimodal_video_frames",
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      val gifs = mediaTable(s, dir, "gif") {
-        docRows(s, dir)
-          .mapPartitions(_.map { case (id, text) =>
-            (id, ImageCodec.renderGif(id,
-              Option(text).getOrElse("").getBytes("UTF-8")))
-          })
-          .toDF("doc_id", "payload")
-      }
-      gifs.as[(Long, Array[Byte])]
+      gifRaster(s, dir): Unit
+      gifPayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, gif) =>
           ImageCodec.decodeFrames(gif).zipWithIndex.map { case (f, i) =>
-            (id, i, f.width, f.height, ImageCodec.pixelSha(f))
+            val (ps, pw) = pxSums(f.argb.map(_ & 0xFFFFFF))
+            (id, i, f.width, f.height, ps, pw)
           }
         })
-        .toDF("doc_id", "frame_idx", "width", "height", "frame_sha")
+        .toDF("doc_id", "frame_idx", "width", "height", "px_sum", "px_wsum")
     },
-    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+    Some(s"""
+      SELECT doc_id, frame_idx, width, height,
+             ${sqlPxSum("px")} AS px_sum, ${sqlPxWsum("px")} AS px_wsum
+      FROM read_parquet('${rasterSqlPath("gif")}/*.parquet')"""))
+
+  /** AVI payloads per doc, materialized once per session. */
+  private def aviPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "avi") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          (id, VideoCodec.renderAvi(id,
+            Option(text).getOrElse("").getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** Pinned digest face of the AVI demux (GoldenSpec). */
+  def aviFramesDigest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    aviPayloads(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, avi) =>
+        VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
+          (id, i, f.width, f.height, ImageCodec.pixelSha(f))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "frame_sha")
+  }
+
+  /** Per-frame rasters of the AVI demux, for the oracle. */
+  private def aviRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "avi") {
+      val sp = s
+      import sp.implicits._
+      aviPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, avi) =>
+          VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
+            (id, i, f.width, f.height, f.argb.map(_ & 0xFFFFFF))
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "px")
+    }
 
   /** REAL video container demux: uncompressed-DIB AVI payloads walked
     * chunk-by-chunk by [[VideoCodec]] (RIFF/LIST, BITMAPINFOHEADER,
     * '00db' frames, idx1) — raw-frame video round-trips bit-exactly,
     * so unlike the GIF path there is not even palette quantization
     * between render and demux. Compressed codecs (h264) remain the
-    * honest pure-JVM boundary; the CONTAINER walk no longer is. */
+    * honest pure-JVM boundary; the CONTAINER walk no longer is.
+    * Witnessed by per-frame pixel arithmetic the oracle replays from
+    * the materialized rasters; digests pinned via [[aviFramesDigest]]. */
   val aviFrames = QueryDef(
     "multimodal_avi_frames",
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      val avis = mediaTable(s, dir, "avi") {
-        docRows(s, dir)
-          .mapPartitions(_.map { case (id, text) =>
-            (id, VideoCodec.renderAvi(id,
-              Option(text).getOrElse("").getBytes("UTF-8")))
-          })
-          .toDF("doc_id", "payload")
-      }
-      avis.as[(Long, Array[Byte])]
+      aviRaster(s, dir): Unit
+      aviPayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, avi) =>
           VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
-            (id, i, f.width, f.height, ImageCodec.pixelSha(f))
+            val (ps, pw) = pxSums(f.argb.map(_ & 0xFFFFFF))
+            (id, i, f.width, f.height, ps, pw)
           }
         })
-        .toDF("doc_id", "frame_idx", "width", "height", "frame_sha")
+        .toDF("doc_id", "frame_idx", "width", "height", "px_sum", "px_wsum")
     },
-    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+    Some(s"""
+      SELECT doc_id, frame_idx, width, height,
+             ${sqlPxSum("px")} AS px_sum, ${sqlPxWsum("px")} AS px_wsum
+      FROM read_parquet('${rasterSqlPath("avi")}/*.parquet')"""))
 
   /** REAL audio decode: WAV payloads (genuine RIFF/WAVE bytes rendered
     * deterministically per doc) decoded by javax.sound.sampled — format
     * fields from the container, integer waveform statistics from the
     * PCM samples. Rounds out the media tier: image (PNG/JPEG), video
     * (multi-frame GIF), audio (WAV). */
+  /** WAV payloads per doc, materialized once per session. */
+  private def wavPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "wav") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          (id, AudioCodec.renderWav(id,
+            Option(text).getOrElse("").getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** Decoded PCM streams for the oracle: (doc_id, sample_rate,
+    * channels, samples) — samples widened to INT32 (parquet has no
+    * INT16 list DuckDB and Spark agree on more simply). */
+  private def pcmRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "wav") {
+      val sp = s
+      import sp.implicits._
+      wavPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, wav) =>
+          val d = AudioCodec.decodeWav(wav)
+          (id, d.sampleRate, d.channels, d.samples.map(_.toInt))
+        })
+        .toDF("doc_id", "sample_rate", "channels", "samples")
+    }
+
   val audio = QueryDef(
     "multimodal_audio",
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      val wavs = mediaTable(s, dir, "wav") {
-        docRows(s, dir)
-          .mapPartitions(_.map { case (id, text) =>
-            (id, AudioCodec.renderWav(id,
-              Option(text).getOrElse("").getBytes("UTF-8")))
-          })
-          .toDF("doc_id", "payload")
-      }
-      wavs.as[(Long, Array[Byte])]
+      pcmRaster(s, dir): Unit
+      wavPayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, wav) =>
           val d = AudioCodec.decodeWav(wav)
           val (peak, rms, zc) = AudioCodec.stats(d)
@@ -228,7 +440,26 @@ object Multimodal {
         .toDF("doc_id", "sample_rate", "channels", "n_frames",
           "duration_ms", "peak", "rms", "zero_crossings")
     },
-    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+    // format fields and waveform statistics replayed over the decoded
+    // PCM parquet: integer peak/zero-crossings exactly; RMS via
+    // int64→double division and sqrt, both exactly rounded in IEEE 754,
+    // then floored — bit-identical to AudioCodec.stats. Mono PCM16:
+    // n_frames = len(samples) / channels (channels is 1 in the data,
+    // division kept for the general shape).
+    Some(s"""
+      SELECT doc_id, sample_rate, channels,
+             CAST(len(samples) // channels AS BIGINT) AS n_frames,
+             CAST(len(samples) // channels * 1000 // sample_rate AS BIGINT)
+               AS duration_ms,
+             CAST(list_max(list_transform(samples, v -> abs(v))) AS INT)
+               AS peak,
+             CAST(floor(sqrt(
+               CAST(list_sum(list_transform(samples, v -> CAST(v AS BIGINT) * v)) AS DOUBLE)
+               / len(samples))) AS BIGINT) AS rms,
+             CAST(list_sum(list_transform(range(2, len(samples) + 1),
+               i -> CASE WHEN (samples[i-1] < 0) != (samples[i] < 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+      FROM read_parquet('${rasterSqlPath("wav")}/*.parquet')"""))
 
   /** The library face: (doc_id, feature array<float>) — real grid-mean
     * image features from the decoded raster, unit-norm, feeding the
@@ -244,49 +475,140 @@ object Multimodal {
       .toDF("doc_id", "feature")
   }
 
-  /** The query witness projects the vector to scalar columns (its
-    * width and a digest of the exact IEEE bits): the driver's compare
-    * harness sorts result columns pandas-side, where a raw array column
-    * is unhashable — the round-2 multimodal_featurize row failed in the
-    * harness, not the engine. Values stay fully pinned via the bit
-    * digest.
-    */
+  /** Pinned digest face of featurize (GoldenSpec): vector width plus a
+    * digest of the exact IEEE bits — the float pipeline's regression
+    * net (the driver's pandas harness can't hash a raw array column;
+    * round-2 finding). */
+  def featurizeDigest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    featurizeFrame(s, dir).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, vec) =>
+          val bb = java.nio.ByteBuffer.allocate(vec.length * 4)
+          vec.foreach(bb.putFloat)
+          val sha = md.digest(bb.array()).map("%02x".format(_)).mkString
+          (id, vec.length, sha)
+        }
+      }
+      .toDF("doc_id", "dim", "vec_sha")
+  }
+
+  /** The query witness emits the feature extractor's integer core — per
+    * grid cell: channel sums and pixel count, exactly the accumulators
+    * [[ImageCodec.featurize]] folds before its one division per cell —
+    * which the oracle replays from the materialized rasters (the float
+    * normalization after the division is pinned by [[featurizeDigest]]'s
+    * bit digest; a float column itself would hash fragilely across
+    * engines). One exploded row per (doc, cell): grid=2 → 4 rows/doc. */
   val featurize = QueryDef(
     "multimodal_featurize",
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      featurizeFrame(s, dir).as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          it.map { case (id, vec) =>
-            val bb = java.nio.ByteBuffer.allocate(vec.length * 4)
-            vec.foreach(bb.putFloat)
-            val sha = md.digest(bb.array()).map("%02x".format(_)).mkString
-            (id, vec.length, sha)
+      pngRaster(s, dir): Unit
+      imagePayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          val grid = 2
+          val sums = Array.ofDim[Long](grid * grid, 3)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < d.height) {
+            val cy = math.min(y * grid / d.height, grid - 1)
+            var x = 0
+            while (x < d.width) {
+              val cell = cy * grid + math.min(x * grid / d.width, grid - 1)
+              val p = d.argb(y * d.width + x)
+              sums(cell)(0) += (p >> 16) & 0xFF
+              sums(cell)(1) += (p >> 8) & 0xFF
+              sums(cell)(2) += p & 0xFF
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
           }
-        }
-        .toDF("doc_id", "dim", "vec_sha")
+          (0 until grid * grid).map(c =>
+            (id, c, sums(c)(0), sums(c)(1), sums(c)(2), counts(c)))
+        })
+        .toDF("doc_id", "cell", "r_sum", "g_sum", "b_sum", "n_px")
     },
-    None) // real features, but not SQL-expressible → golden-pinned
+    // replay: pixel i at (y = i // w, x = i % w) lands in cell
+    // min(y*2 // h, 1) * 2 + min(x*2 // w, 1); channel extraction by
+    // div/mod over the masked 24-bit pixels
+    Some(s"""
+      WITH e AS (
+        SELECT doc_id, width AS w, height AS h, px,
+               unnest(range(0, width * height)) AS i
+        FROM read_parquet('${rasterSqlPath("png")}/*.parquet'))
+      SELECT doc_id,
+             CAST(least((i // w) * 2 // h, 1) * 2
+                  + least((i % w) * 2 // w, 1) AS INT) AS cell,
+             CAST(sum(px[CAST(i + 1 AS INT)] // 65536) AS BIGINT) AS r_sum,
+             CAST(sum((px[CAST(i + 1 AS INT)] // 256) % 256) AS BIGINT) AS g_sum,
+             CAST(sum(px[CAST(i + 1 AS INT)] % 256) AS BIGINT) AS b_sum,
+             CAST(count(*) AS BIGINT) AS n_px
+      FROM e
+      GROUP BY 1, 2"""))
+
+  /** Pinned digest face of resize (GoldenSpec). */
+  def resizeDigest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val (tw, th) = (8, 8)
+    imagePayloads(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = ImageCodec.decode(bytes)
+        val thumb = ImageCodec.resizeNearest(d, tw, th)
+        (id, d.width, d.height, tw, th, ImageCodec.pixelSha(thumb))
+      })
+      .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "thumb_sha")
+  }
 
   /** Resize: decode the real PNG, deterministic nearest-neighbor
-    * thumbnail, digest the resized raster — a genuine thumbnailer. */
+    * thumbnail — witnessed by the thumbnail's plain + position-weighted
+    * RGB sums, which the oracle replays from the materialized source
+    * rasters by re-deriving each thumb pixel's source index (floor
+    * sampling: thumb (y,x) reads source (y*h//8, x*w//8)). The thumb
+    * digest stays pinned via [[resizeDigest]]. */
   val resize = QueryDef(
     "multimodal_resize",
     (s, dir) => {
       val sp = s
       import sp.implicits._
       val (tw, th) = (8, 8)
+      pngRaster(s, dir): Unit
       imagePayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           val d = ImageCodec.decode(bytes)
           val thumb = ImageCodec.resizeNearest(d, tw, th)
-          (id, d.width, d.height, tw, th, ImageCodec.pixelSha(thumb))
+          val (ts, tw2) = pxSums(thumb.argb.map(_ & 0xFFFFFF))
+          (id, d.width, d.height, tw, th, ts, tw2)
         })
-        .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "thumb_sha")
+        .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h",
+          "thumb_sum", "thumb_wsum")
     },
-    None) // codec output not SQL-expressible → golden-pinned + ExtSpec
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, width AS w, height AS h, px,
+               unnest(range(0, 64)) AS i
+        FROM read_parquet('${rasterSqlPath("png")}/*.parquet')),
+      p AS (
+        SELECT doc_id, w, h, i,
+               px[CAST((i // 8) * h // 8 * w + (i % 8) * w // 8 + 1 AS INT)]
+                 AS v
+        FROM t)
+      SELECT doc_id, w AS src_w, h AS src_h,
+             CAST(8 AS INT) AS dst_w, CAST(8 AS INT) AS dst_h,
+             CAST(sum((v // 65536) + ((v // 256) % 256) + (v % 256))
+               AS BIGINT) AS thumb_sum,
+             CAST(sum((i + 1) * ((v // 65536) + ((v // 256) % 256) + (v % 256)))
+               AS BIGINT) AS thumb_wsum
+      FROM p
+      GROUP BY doc_id, w, h"""))
 
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, audio, featurize,

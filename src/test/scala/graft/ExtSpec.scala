@@ -384,16 +384,24 @@ class ExtSpec extends SparkSpec {
     val rows = Multimodal.decode.fn(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())
     rows.foreach { r =>
-      val (w, h, ch) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      val (w, h, ch) = (r.getInt(1), r.getInt(2), r.getInt(3))
       // renderPng dims: w in [16, 32], h in [16, 28]; PNG decodes RGB
       assert(w >= 16 && w <= 32 && h >= 16 && h <= 28 && ch == 3)
+      // position-weighted sum dominates the plain sum for any
+      // non-empty raster (weights are 1..n)
+      assert(r.getLong(4) > 0 && r.getLong(5) >= r.getLong(4))
+    }
+    // the digest face still carries payload sizes + full pixel digests
+    val digs = Multimodal.decodeDigest(spark, sf).collect()
+    assert(digs.length == rows.length)
+    digs.foreach { r =>
       assert(r.getInt(1) > 0) // real encoded payload bytes
       assert(r.getString(5).length == 64) // full sha-256 pixel digest
     }
-    // resize reports the same source dims and a 64-hex thumb digest
+    // resize reports the same source dims as decode
     val rs = Multimodal.resize.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    val dec = rows.map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val dec = rows.map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     assert(rs == dec)
     // nearest-neighbor resize is deterministic and dimension-exact
     val d = ImageCodec.decode(ImageCodec.renderPng(7L, "x".getBytes))
