@@ -155,9 +155,16 @@ object VideoCodec {
       while (pos + 8 <= to) {
         val id = b.getInt(pos)
         val size = b.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= to,
+        // bound check in Long: a hostile size near Int.MaxValue would
+        // overflow Int arithmetic to negative, slip past the guard, and
+        // die later in an allocation instead of failing loudly here
+        require(size >= 0 && pos + 8 + size.toLong <= to,
           s"corrupt AVI chunk at $pos: size $size exceeds container")
         if (id == LIST) {
+          // a LIST body starts with its 4-byte type word; a smaller
+          // size would invert the child range [pos+12, pos+8+size) and
+          // silently walk nothing
+          require(size >= 4, s"corrupt AVI LIST at $pos: size $size < 4")
           walk(pos + 12, pos + 8 + size) // skip the list-type word
         } else if (id == STRF) {
           require(size >= 40, s"BITMAPINFOHEADER too short: $size")

@@ -112,6 +112,76 @@ class GuardSpec extends SparkSpec {
     ()
   }
 
+  test("AVI demuxer fails loudly on hostile containers") {
+    import graft.ext.VideoCodec
+    val frames = VideoCodec.renderAviFrames(7L, "hostile".getBytes)
+    val good = VideoCodec.encodeAvi(frames)
+
+    // locate a fourcc in the stream (n-th occurrence, 0-based)
+    def find(hay: Array[Byte], cc: String, nth: Int = 0): Int = {
+      val pat = cc.getBytes("US-ASCII")
+      var seen = 0
+      var i = 0
+      while (i <= hay.length - 4) {
+        if (hay(i) == pat(0) && hay(i + 1) == pat(1) &&
+            hay(i + 2) == pat(2) && hay(i + 3) == pat(3)) {
+          if (seen == nth) return i
+          seen += 1
+        }
+        i += 1
+      }
+      fail(s"fourcc $cc #$nth not found")
+    }
+    def putInt(a: Array[Byte], pos: Int, v: Int): Array[Byte] = {
+      val out = a.clone()
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(pos, v)
+      out
+    }
+
+    // 1. chunk size near Int.MaxValue: pos + 8 + size overflows Int —
+    //    the Long-arithmetic guard must reject it loudly instead of
+    //    attempting a ~2 GB allocation (round-6 advice)
+    val frame0 = find(good, "00db")
+    val oversized = putInt(good, frame0 + 4, Int.MaxValue - 4)
+    val e1 = intercept[IllegalArgumentException](
+      VideoCodec.decodeAviFrames(oversized))
+    assert(e1.getMessage.contains("exceeds container"))
+
+    // 2. truncated movi: a container cut mid-frame must not yield a
+    //    silent partial frame list
+    intercept[IllegalArgumentException](
+      VideoCodec.decodeAviFrames(good.take(good.length - 20)))
+
+    // 3. header/stride lie: strf claims a larger biWidth than the
+    //    frames were packed with, so stride*height exceeds every
+    //    chunk body — each frame must be rejected, not misread
+    val strf = find(good, "strf")
+    val strideLie = putInt(good, strf + 8 + 4, 100) // biWidth 16+ -> 100
+    val e3 = intercept[IllegalArgumentException](
+      VideoCodec.decodeAviFrames(strideLie))
+    assert(e3.getMessage.contains("frame chunk too short"))
+
+    // 4. inverted LIST range: a LIST whose size < 4 cannot hold its
+    //    type word — must fail loudly, not silently walk nothing
+    val moviList = find(good, "movi") - 8 // back up to the LIST header
+    val invertedList = putInt(good, moviList + 4, 2)
+    val e4 = intercept[IllegalArgumentException](
+      VideoCodec.decodeAviFrames(invertedList))
+    assert(e4.getMessage.contains("< 4"))
+
+    // 5. lying idx1 offsets: the demuxer walks chunks directly, so a
+    //    hostile index must not redirect it — output stays bit-exact
+    val idx1 = find(good, "idx1")
+    val lyingIdx = putInt(good, idx1 + 8 + 8, 0x7FFFFFF0)
+    val back = VideoCodec.decodeAviFrames(lyingIdx)
+    assert(back.length == frames.length)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(b.argb.toSeq == a.argb.toSeq)
+    }
+    ()
+  }
+
   test("parameter validation: range-join cell width, simhash band cover") {
     val df = Tables(spark, sf, "events").limit(1)
       .select(col("event_id"), expr("ts div 1000").as("tsu"))
