@@ -58,11 +58,23 @@ object Knn {
     val maxBc = queries.sparkSession.conf
       .getOption("spark.graft.knn.maxBroadcastRows")
       .map(_.toLong).getOrElse(2000000L)
-    // cap probe, not a full count: limit(cap+1) short-circuits each
-    // task once the cap is exceeded instead of scanning the whole
-    // reference set just to pick a join strategy
-    val capProbe = math.min(maxBc, Int.MaxValue - 1L).toInt
-    val overCap = refs.limit(capProbe + 1).count() > maxBc
+    // strategy pick, cheapest evidence first: Catalyst's own stats are
+    // driver-side and free. rowCount (CBO) compares against the cap
+    // directly; otherwise sizeInBytes / 8 is a row-count upper bound
+    // (a row carrying an 8-byte id + a double vector cannot sit below
+    // 8 bytes even compressed, short of a degenerate constant-vector
+    // corpus), so an estimate within the cap broadcasts without paying
+    // a probe job. Only an estimated-large set runs the probe, and
+    // limit(cap+1) short-circuits that count once the cap is exceeded
+    // instead of scanning the whole reference set.
+    val stats = refs.queryExecution.optimizedPlan.stats
+    val overCap =
+      if (stats.rowCount.exists(_ <= maxBc)) false
+      else if (stats.sizeInBytes / 8 <= maxBc) false
+      else {
+        val capProbe = math.min(maxBc, Int.MaxValue - 1L).toInt
+        refs.limit(capProbe + 1).count() > maxBc
+      }
     if (overCap) predictShuffled(queries, refs, k)
     else voteTopK(
       queries.crossJoin(broadcast(refs))
@@ -98,21 +110,25 @@ object Knn {
 
   /** Shared vote stage: scored (qid, rid, label, dist) → (qid,
     * pred_label) via bounded-heap top-k + majority vote, ties
-    * (count desc, label asc). */
-  private def voteTopK(scored: DataFrame, k: Int): DataFrame = {
-    val votes = scored
+    * (count desc, label asc). The vote happens INSIDE the aggregated
+    * row: the heap already delivered the k neighbor labels as one
+    * array, so electing the majority is an O(k²) array expression per
+    * query — the former explode → re-groupBy → window form paid two
+    * extra shuffles and a per-query sort to recount an array this
+    * stage already held whole. One shuffle total (the top-k partial
+    * aggregation), at any scale. */
+  private def voteTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("qid")
       .agg(graft.functions.TopK.smallestK(
         col("dist"), col("rid"), col("label"), k).as("nbrs"))
-      .select(col("qid"), explode(col("nbrs.label")).as("label"))
-      .groupBy("qid", "label")
-      .agg(count(lit(1)).as("c"))
-    val byVote = Window.partitionBy("qid")
-      .orderBy(col("c").desc, col("label").asc)
-    votes.withColumn("vr", row_number().over(byVote))
-      .filter(col("vr") === 1)
-      .select(col("qid"), col("label").as("pred_label"))
-  }
+      // max over (count, -label) structs = (count desc, label asc)
+      .select(col("qid"),
+        (-array_max(transform(array_distinct(col("nbrs.label")),
+          l => struct(
+            size(filter(col("nbrs.label"), x => x === l)).as("c"),
+            (-l).as("nl"))))
+          .getField("nl")).as("pred_label"))
 
   /** Pivot-pruned EXACT predict (REPOSE-style reference-point pruning,
     * SURVEY.md §7.3): the 100 TB form of the brute-force crossJoin.
