@@ -123,6 +123,30 @@ object StressMain {
         } finally spark.conf.set("spark.graft.cc.reliableCheckpoint", "false")
       },
       n => repDocs(docs, n))
+    // the composed flagship pipeline end-to-end (round-6 verdict #6):
+    // quality gate → exact dedup → near-dup pairs → CC → fixed-point
+    // filter, measured as one unit the way its stages are measured
+    // individually above — a composition can regress (persist
+    // lifetimes, repeated subtrees) even when every stage is linear.
+    // Salting here must PRESERVE stopwords or the quality gate (which
+    // requires a stopword ratio) rejects every replica and the
+    // pipeline measures an empty corpus; non-stopwords still get the
+    // per-replica suffix, so content shingles stay replica-disjoint
+    // (an all-stopword trigram can collide across replicas, but such
+    // pairs never reach the Jaccard threshold).
+    def repDocsKeepStop(n: Int): DataFrame = {
+      val stop = ext.TextAnalysis.stopwords
+      (0 until n).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => when(w.isin(stop: _*), w)
+              .otherwise(concat(w, lit(s"~$r")))), " ").as("text"))
+      }.reduce(_ unionAll _)
+    }
+    pair("corpus_curate")(
+      c => Dedup.curateCorpus(Dedup.plantedCorpus(c)).count(),
+      n => repDocsKeepStop(n))
     // exact-KNN join strategies at the same (queries, refs): the
     // broadcast path vs the block-nested shuffle fallback — the 1x/Nx
     // pair locates the crossover where shipping the reference set to
