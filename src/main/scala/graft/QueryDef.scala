@@ -55,12 +55,28 @@ object Work {
 
   locally {
     // sweep mat_* dirs untouched for >6h (dead sessions); live
-    // concurrent sessions are younger and never share a tag
+    // concurrent sessions are younger and never share a tag. "Live"
+    // includes sessions OLDER than 6h: the heartbeat thread below
+    // refreshes this JVM's own mat_ dirs' mtimes every 30 min, so a
+    // long-running session's materializations (e.g. the once-per-
+    // session media tables a later codec query re-reads) never age
+    // into a second JVM's sweep window (round-6 advice).
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
       if (f.getName.startsWith("mat_") && f.lastModified() < cutoff)
         clean(f.getAbsolutePath)
     })
+    val heartbeat = new Thread(() => {
+      while (true) {
+        Thread.sleep(30L * 60 * 1000)
+        Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+          if (f.getName.startsWith("mat_") && f.getName.contains(jvmTag))
+            f.setLastModified(System.currentTimeMillis()): Unit
+        })
+      }
+    }, "graft-mat-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
   }
 
   def materialize(name: String, df: DataFrame): DataFrame = {

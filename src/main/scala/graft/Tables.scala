@@ -16,10 +16,14 @@ object Tables {
   // pays hundreds of times (the sub-second queries are dominated by it).
   // The testdata tables are immutable, so reusing the resolved relation
   // is safe; keyed by session so parallel test sessions don't cross.
+  // Stopped sessions are evicted on access (SessionCaches) so restarts
+  // don't accumulate dead plans for the JVM's life.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    SessionCaches.evictStopped(cache)(_._1)
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 }

@@ -73,6 +73,7 @@ class GraftCatalog extends TableCatalog {
         // dataset under a different uri/format misses the cache; same
         // uri with rewritten file contents follows Spark's own
         // relation-cache semantics (refresh by re-create).
+        graft.SessionCaches.evictStopped(GraftCatalog.tableCache)(_._1)
         GraftCatalog.tableCache.computeIfAbsent(
           (org.apache.spark.sql.SparkSession.active,
             ident.name(), meta.format, meta.uri),

@@ -577,7 +577,15 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
           "will NOT be read; raise -Dgraft.log.watermarkGraceMs or fix " +
           "the appender's commit latency")
     }
-    seenListing = Some(seenListing.getOrElse(Set.empty[String]) ++ avail)
+    // prune vacuumed names while accumulating: a stamped segment name
+    // is unique and its vacuum permanently retires it, so it can never
+    // "first appear" again — without the prune this set grows with the
+    // stream's FULL history under compaction/vacuum churn (unbounded
+    // driver memory on a long-running query; round-6 advice), with it
+    // the set is bounded by the live listing plus recent tombstones
+    seenListing = Some(
+      (seenListing.getOrElse(Set.empty[String]) ++ avail)
+        -- tombs.map(_._1))
     val fresh = avail.filterNot(startOff.isConsumed)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())

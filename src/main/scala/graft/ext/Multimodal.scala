@@ -58,9 +58,11 @@ object Multimodal {
 
   private def mediaTable(s: org.apache.spark.sql.SparkSession, dir: String,
       kind: String)(render: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    graft.SessionCaches.evictStopped(mediaCache)(_._1)
     mediaCache.computeIfAbsent((s, dir, kind),
       _ => graft.Work.materialize(s"media_$kind", render))
+  }
 
   /** Real PNG payload per document, rendered deterministically from the
     * doc id + content ([[ImageCodec.renderPng]]); materialized once per
@@ -112,12 +114,14 @@ object Multimodal {
 
   private def ensureRaster(s: org.apache.spark.sql.SparkSession,
       dir: String, kind: String)(
-      build: => org.apache.spark.sql.DataFrame): String =
+      build: => org.apache.spark.sql.DataFrame): String = {
+    graft.SessionCaches.evictStopped(rasterDone)(_._1)
     rasterDone.computeIfAbsent((s, dir, kind), { _ =>
       val path = rasterPath(dir, kind)
       build.write.mode("overwrite").parquet(path)
       path
     })
+  }
 
   private def rgbSum(p: Int): Long =
     (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong

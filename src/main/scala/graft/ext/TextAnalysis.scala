@@ -222,12 +222,21 @@ object TextAnalysis {
 
   /** DuckDB replay of [[tokenHash]] for a VARCHAR sql expression:
     * char-fold in UBIGINT with each step mod 2^64 through HUGEINT
-    * (DuckDB integer ops error on overflow rather than wrap). */
+    * (DuckDB integer ops error on overflow rather than wrap). The JVM
+    * side folds UTF-16 CODE UNITS while DuckDB's string_split yields
+    * codepoints, so supplementary-plane characters (emoji, rare CJK)
+    * are re-encoded as their surrogate pair here — the fold matches
+    * [[tokenHash]] on ALL inputs, not just the BMP (round-6 advice;
+    * verified against the JVM fold for emoji/astral CJK). */
   def tokenHashSql(tok: String): String =
     s"""list_reduce(
             [CAST(14695981039346656037 AS UBIGINT)] ||
-              list_transform(list_filter(string_split($tok,''), c -> c <> ''),
-                             c -> CAST(unicode(c) AS UBIGINT)),
+              flatten(list_transform(
+                list_filter(string_split($tok,''), c -> c <> ''),
+                c -> CASE WHEN unicode(c) > 65535 THEN
+                       [CAST(55296 + (unicode(c) - 65536) // 1024 AS UBIGINT),
+                        CAST(56320 + (unicode(c) - 65536) % 1024 AS UBIGINT)]
+                     ELSE [CAST(unicode(c) AS UBIGINT)] END)),
             (acc, ch) -> CAST((acc::HUGEINT * 1099511628211 + ch)
                               % 18446744073709551616 AS UBIGINT))"""
 

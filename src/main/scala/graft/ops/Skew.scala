@@ -95,6 +95,7 @@ object Bucketing {
   val bucketedJoinAgg = QueryDef(
     "q16_bucketed_join",
     (s, dir) => {
+      graft.SessionCaches.evictStopped(bucketedOnce)(_._1)
       bucketedOnce.computeIfAbsent((s, dir), _ => {
         writeBucketed(Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
