@@ -84,6 +84,25 @@ class PlanSpec extends SparkSpec {
       s.contains("BroadcastExchange"), "reference side must be broadcast")
   }
 
+  test("knn_predict: one shuffle total, no window, no probe/window jobs") {
+    // round-7 shape: the majority vote happens inside the aggregated
+    // row (array expression over the heap's label array), so the whole
+    // prediction is crossJoin-broadcast → one hash-partitioned top-k
+    // aggregate → project. A second Exchange or a Window node means
+    // the explode → re-groupBy → window vote crept back in.
+    val (q, r) = Knn.split(spark, sf)
+    // the adaptive plan string repeats the tree under "== Initial
+    // Plan ==" — count exchanges in the executed (final) section only
+    val s = planString(Knn.predictDistributed(q, r, k = 5))
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" +
+      s.take(2000))
+    assert(!s.contains("Window"), "vote must not plan a Window:\n" + s.take(2000))
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastExchange"), "reference side must be broadcast")
+  }
+
   test("bucketed join runs with no shuffle exchange on either side") {
     val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
