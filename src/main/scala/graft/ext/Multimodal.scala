@@ -123,6 +123,11 @@ object Multimodal {
     })
   }
 
+  // channel extraction masks to 8 bits, so raw ARGB ints (alpha set)
+  // and 24-bit-masked pixels sum identically — the query paths pass
+  // argb directly (no per-frame masked copy); only the raster WRITES
+  // mask, because the parquet the oracle reads must be non-negative
+  // for the SQL div/mod channel extraction
   private def rgbSum(p: Int): Long =
     (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
 
@@ -210,7 +215,7 @@ object Multimodal {
       imagePayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           val d = ImageCodec.decode(bytes)
-          val (ps, pw) = pxSums(d.argb.map(_ & 0xFFFFFF))
+          val (ps, pw) = pxSums(d.argb)
           (id, d.width, d.height, d.channels, ps, pw)
         })
         .toDF("doc_id", "width", "height", "channels", "px_sum", "px_wsum")
@@ -311,7 +316,7 @@ object Multimodal {
       gifPayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, gif) =>
           ImageCodec.decodeFrames(gif).zipWithIndex.map { case (f, i) =>
-            val (ps, pw) = pxSums(f.argb.map(_ & 0xFFFFFF))
+            val (ps, pw) = pxSums(f.argb)
             (id, i, f.width, f.height, ps, pw)
           }
         })
@@ -382,7 +387,7 @@ object Multimodal {
       aviPayloads(s, dir).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, avi) =>
           VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
-            val (ps, pw) = pxSums(f.argb.map(_ & 0xFFFFFF))
+            val (ps, pw) = pxSums(f.argb)
             (id, i, f.width, f.height, ps, pw)
           }
         })
@@ -589,7 +594,7 @@ object Multimodal {
         .mapPartitions(_.map { case (id, bytes) =>
           val d = ImageCodec.decode(bytes)
           val thumb = ImageCodec.resizeNearest(d, tw, th)
-          val (ts, tw2) = pxSums(thumb.argb.map(_ & 0xFFFFFF))
+          val (ts, tw2) = pxSums(thumb.argb)
           (id, d.width, d.height, tw, th, ts, tw2)
         })
         .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h",
