@@ -178,6 +178,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
     val dfs = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    // NOTE: the windowless alternative (groupBy doc_id +
+    // collect_list(struct(df, sh)) + in-row array_sort + slice) was
+    // built and MEASURED WORSE at sf0.1 (3.8 vs 2.9 s; the per-doc
+    // struct-array allocation costs more than the window's spillable
+    // partition sort) — same shuffle count either way, so the window
+    // form is kept (round 7)
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     inv.join(dfs, "sh")
       .withColumn("rn", row_number().over(w))
