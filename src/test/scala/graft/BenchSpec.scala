@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Harness tests for the bench's stall-robustness machinery (round-7
+  * verdict #5): suspect detection against committed local medians, and
+  * the reference-medians parser that arms it. Pure JVM — no Spark
+  * session, so this suite stays millisecond-cheap apart from the one
+  * deliberate >5 s synthetic stall.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("suspect rule: threshold is max(5x local median, 5s)") {
+    // sub-second keys never flag on noise: 5 s floor
+    assert(!Bench.isSuspect(4.9, Some(0.1)))
+    assert(Bench.isSuspect(5.1, Some(0.1)))
+    // slow keys flag at 5x their own median, not the floor
+    assert(!Bench.isSuspect(14.0, Some(3.0)))
+    assert(Bench.isSuspect(15.1, Some(3.0)))
+    // no committed reference -> never suspect (new key, unknown cost)
+    assert(!Bench.isSuspect(100.0, None))
+  }
+
+  test("synthetic stall: a sleeping run trips the suspect flag") {
+    // Exercise the rule through a real timed stall, the way Bench.main
+    // times a run — a 5.2 s sleep against a 0.2 s committed median must
+    // flag (threshold max(1.0, 5.0) = 5 s), and a fast run must not.
+    val t0 = System.nanoTime()
+    Thread.sleep(5200)
+    val stalled = (System.nanoTime() - t0) / 1e9
+    assert(Bench.isSuspect(stalled, Some(0.2)))
+    val f0 = System.nanoTime()
+    Thread.sleep(10)
+    val fast = (System.nanoTime() - f0) / 1e9
+    assert(!Bench.isSuspect(fast, Some(0.2)))
+  }
+
+  test("refMedians parses line 1 of a committed bench artifact") {
+    val p = java.nio.file.Files.createTempFile("bench_ref", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","value":9.000,"unit":"sec","runs":3,""" +
+        """"n_queries":2,"queries":{"q1_agg":0.194,"dedup_exact":1.250},""" +
+        """"sf":"/root/testdata/sf0.1","failed":[]}""" + "\n" +
+        """{"metric":"detail","queries":{}}""" + "\n")
+    val ref = Bench.refMedians(p.toString)
+    assert(ref === Map("q1_agg" -> 0.194, "dedup_exact" -> 1.25))
+    java.nio.file.Files.delete(p)
+    // value field outside the queries map must not leak in
+    assert(!ref.contains("value"))
+  }
+
+  test("refMedians disarms (empty) on a missing or malformed file") {
+    assert(Bench.refMedians("/nonexistent/path/bench.json").isEmpty)
+    val p = java.nio.file.Files.createTempFile("bench_bad", ".json")
+    java.nio.file.Files.writeString(p, "not a bench artifact\n")
+    assert(Bench.refMedians(p.toString).isEmpty)
+    java.nio.file.Files.delete(p)
+  }
+}
