@@ -50,7 +50,7 @@ object Work {
   // session's clean() delete parquet parts the other was mid-read on
   // (observed: FAILED_READ_FILE on mat_media_png_2). Stale dirs from
   // dead sessions are swept at class init instead of by collision.
-  private val jvmTag =
+  val jvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
   locally {
@@ -67,12 +67,24 @@ object Work {
         clean(f.getAbsolutePath)
     })
     val heartbeat = new Thread(() => {
-      while (true) {
-        Thread.sleep(30L * 60 * 1000)
-        Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-          if (f.getName.startsWith("mat_") && f.getName.contains(jvmTag))
-            f.setLastModified(System.currentTimeMillis()): Unit
-        })
+      // the loop must outlive transient FS hiccups: one IOException
+      // from listFiles/setLastModified would otherwise kill the daemon
+      // silently, and a >6h session's live materializations would age
+      // back into a second JVM's sweep window — the exact failure this
+      // thread exists to prevent (round-7 advice). Only interruption
+      // exits.
+      var run = true
+      while (run) {
+        try {
+          Thread.sleep(30L * 60 * 1000)
+          Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+            if (f.getName.startsWith("mat_") && f.getName.contains(jvmTag))
+              f.setLastModified(System.currentTimeMillis()): Unit
+          })
+        } catch {
+          case _: InterruptedException => run = false
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
     }, "graft-mat-heartbeat")
     heartbeat.setDaemon(true)

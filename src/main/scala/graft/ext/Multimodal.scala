@@ -117,8 +117,39 @@ object Multimodal {
       build: => org.apache.spark.sql.DataFrame): String = {
     graft.SessionCaches.evictStopped(rasterDone)(_._1)
     rasterDone.computeIfAbsent((s, dir, kind), { _ =>
+      // The path is FIXED (the oracle SQL embeds it), so two JVMs
+      // sharing the work dir (test suite beside Verify — the scenario
+      // behind Work.jvmTag) must not write it concurrently or rewrite
+      // it while the other JVM / the driver's DuckDB is mid-read.
+      // Contents are deterministic (decode of deterministic renders),
+      // so a completed raster (_SUCCESS present) is always valid —
+      // skip the rebuild. Otherwise build into a jvm-tagged temp dir
+      // and rename into place: the losing racer finds _SUCCESS and
+      // drops its temp instead of colliding on _temporary/ (round-7
+      // advice, medium). Contract: "existing raster is valid" holds
+      // only while decode semantics are frozen — a decoder change must
+      // bump the `kind` token (new path) or the skip serves stale
+      // rasters to the oracle.
       val path = rasterPath(dir, kind)
-      build.write.mode("overwrite").parquet(path)
+      val target = new java.io.File(path)
+      def done = new java.io.File(target, "_SUCCESS").exists()
+      if (!done) {
+        val tmp = s"${path}__${graft.Work.jvmTag}"
+        graft.Work.clean(tmp)
+        build.write.mode("overwrite").parquet(tmp)
+        if (!new java.io.File(tmp).renameTo(target)) {
+          if (!done) {
+            // stale partial dir (crashed writer) blocks the rename:
+            // replace it; losing this second race still means a
+            // completed raster exists, which is all the caller needs
+            graft.Work.clean(path)
+            new java.io.File(tmp).renameTo(target): Unit
+          }
+          if (!done)
+            sys.error(s"raster publish failed: $path (kind=$kind)")
+          graft.Work.clean(tmp)
+        }
+      }
       path
     })
   }
@@ -460,14 +491,15 @@ object Multimodal {
              CAST(len(samples) // channels AS BIGINT) AS n_frames,
              CAST(len(samples) // channels * 1000 // sample_rate AS BIGINT)
                AS duration_ms,
-             CAST(list_max(list_transform(samples, v -> abs(v))) AS INT)
+             CAST(COALESCE(
+               list_max(list_transform(samples, v -> abs(v))), 0) AS INT)
                AS peak,
-             CAST(floor(sqrt(
+             CAST(COALESCE(floor(sqrt(
                CAST(list_sum(list_transform(samples, v -> CAST(v AS BIGINT) * v)) AS DOUBLE)
-               / len(samples))) AS BIGINT) AS rms,
-             CAST(list_sum(list_transform(range(2, len(samples) + 1),
+               / len(samples))), 0) AS BIGINT) AS rms,
+             CAST(COALESCE(list_sum(list_transform(range(2, len(samples) + 1),
                i -> CASE WHEN (samples[i-1] < 0) != (samples[i] < 0)
-                         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
       FROM read_parquet('${rasterSqlPath("wav")}/*.parquet')"""))
 
   /** The library face: (doc_id, feature array<float>) — real grid-mean

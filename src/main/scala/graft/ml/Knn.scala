@@ -59,22 +59,28 @@ object Knn {
       .getOption("spark.graft.knn.maxBroadcastRows")
       .map(_.toLong).getOrElse(2000000L)
     // strategy pick, cheapest evidence first: Catalyst's own stats are
-    // driver-side and free. rowCount (CBO) compares against the cap
-    // directly; otherwise sizeInBytes / 8 is a row-count upper bound
-    // (a row carrying an 8-byte id + a double vector cannot sit below
-    // 8 bytes even compressed, short of a degenerate constant-vector
-    // corpus), so an estimate within the cap broadcasts without paying
+    // driver-side and free. When CBO knows rowCount it is the SOLE
+    // verdict — exact on both sides of the cap (a known-large set must
+    // not fall through to a size estimate that could talk it back under
+    // the cap; round-7 advice). Without rowCount, sizeInBytes is the
+    // evidence — but for a parquet scan that is the COMPRESSED file
+    // size, and dictionary/RLE-encoded repetitive vectors can compress
+    // below 8 bytes/row, so the 8-bytes/row floor only bounds rows
+    // after a conservative 8x decompression allowance: an estimate
+    // within the cap even at 8x compression broadcasts without paying
     // a probe job. Only an estimated-large set runs the probe, and
     // limit(cap+1) short-circuits that count once the cap is exceeded
     // instead of scanning the whole reference set.
     val stats = refs.queryExecution.optimizedPlan.stats
-    val overCap =
-      if (stats.rowCount.exists(_ <= maxBc)) false
-      else if (stats.sizeInBytes / 8 <= maxBc) false
-      else {
-        val capProbe = math.min(maxBc, Int.MaxValue - 1L).toInt
-        refs.limit(capProbe + 1).count() > maxBc
-      }
+    val overCap = stats.rowCount match {
+      case Some(n) => n > maxBc
+      case None =>
+        if (stats.sizeInBytes <= maxBc) false // = 8x-compressed 8B rows
+        else {
+          val capProbe = math.min(maxBc, Int.MaxValue - 1L).toInt
+          refs.limit(capProbe + 1).count() > maxBc
+        }
+    }
     if (overCap) predictShuffled(queries, refs, k)
     else voteTopK(
       queries.crossJoin(broadcast(refs))
