@@ -31,11 +31,26 @@ object StressMain {
     val spark = GraftSession.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
+    // job counter: growth rows report (rows, jobs, wall) — a jobs
+    // blowup with flat wall is the local[32] tell of a plan that
+    // re-executes at cluster scale (round-7 verdict #4)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet(): Unit
+      })
     def t(name: String)(body: => Long): Double = {
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
       val n = body
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $name%-34s $sec%8.2f s  rows=$n")
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
+      println(f"[stress] $name%-34s $sec%8.2f s  rows=$n jobs=${jobCount.get() - j0}")
       sec
     }
 
@@ -204,6 +219,44 @@ object StressMain {
     pair("pack_chunk_text")(
       c => ext.Chunking.packChunkTextOf(c).count(),
       n => repDocs(docs, n))
+    // stream_window_agg growth: events replicated into disjoint days
+    // (ts offset per replica => disjoint windows) with per-replica
+    // event types, so the GROUP space grows with the data — the shape
+    // a 100 TB event log has. The log-store append is setup, not the
+    // measured operator: the timed plan is the bounded read + the one
+    // (window, event_type) shuffle, the same plan the bench key runs.
+    locally {
+      val name = "stream_window_agg"
+      if (only.isEmpty || only.contains(name)) {
+        val events = Tables(spark, dir, "events")
+        def repEvents(n: Int): DataFrame =
+          (0 until n).map { r =>
+            events.select(
+              (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+              (col("ts") + lit(r * 86400L * 1000000000L)).as("ts"),
+              col("user_id"),
+              concat(col("event_type"), lit(s"~$r")).as("event_type"),
+              col("value"), col("props"))
+          }.reduce(_ unionAll _)
+        def run(n: Int, tag: String): Double = {
+          val base = s"${Work.dir}/log_window_stress"
+          Work.clean(base)
+          val store = graft.connector.LogStore(base)
+          store.append(repEvents(n), "scope", "events-stream")
+          GraftSession.dropAllCaches(spark)
+          val sec = t(s"$name $tag")(
+            streaming.StreamOps.windowAggOf(
+              store.readBounded(spark, "scope", "events-stream",
+                streaming.StreamOps.eventSchema)).count())
+          GraftSession.dropAllCaches(spark)
+          sec
+        }
+        val base = run(1, "1x")
+        val big = run(mult, s"${mult}x")
+        Work.clean(s"${Work.dir}/log_window_stress")
+        results(name) = (base, big)
+      }
+    }
     pair("shuffle_det")(
       c => ext.Corpus.shuffleOf(c).count(),
       n => repDocs(docs, n))

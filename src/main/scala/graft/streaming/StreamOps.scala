@@ -69,6 +69,18 @@ object StreamOps {
     * The streaming twin with a REAL evicting watermark + append-mode
     * file sink is [[windowAggStream]], witnessed in StreamingSpec.
     */
+  /** The windowed-aggregate plan shared by the QueryDef and the
+    * StressMain growth row: one shuffle on (window, event_type) with
+    * map-side partial aggregation. */
+  def windowAggOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_t"), "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value"))
+      .select(col("window.start").cast(LongType).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   val windowAgg = QueryDef(
     "stream_window_agg",
     (s, dir) => {
@@ -76,13 +88,8 @@ object StreamOps {
       Work.clean(base)
       val store = LogStore(base)
       store.append(Tables(s, dir, "events"), "scope", "events-stream")
-      store.readBounded(s, "scope", "events-stream", eventSchema)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-        .groupBy(window(col("ts_t"), "300 seconds"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(cents(col("value"))).as("sum_value"))
-        .select(col("window.start").cast(LongType).as("win_start"),
-          col("event_type"), col("n"), col("sum_value"))
+      windowAggOf(
+        store.readBounded(s, "scope", "events-stream", eventSchema))
     },
     Some("""
       SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300 AS win_start,
