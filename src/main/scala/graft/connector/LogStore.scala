@@ -63,7 +63,7 @@ final case class LogStore(baseDir: String) {
     val files = LogSourceV2.listSegments(dir)
     val raw = if (files.isEmpty) spark.read.text(dir) // not-found/empty-dir behavior
               else spark.read.text(files: _*)
-    decode(raw, schema)
+    decode(raw, schema, s"$scope/$stream")
   }
 
   /** Unbounded Structured Streaming scan of the stream through the
@@ -79,7 +79,7 @@ final case class LogStore(baseDir: String) {
         .option("failOnDataLoss", failOnDataLoss.toString)
         .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
         .load(),
-      schema)
+      schema, s"$scope/$stream")
 
   /** Bounded read through the same V2 connector (BATCH_READ capability)
     * — plan-identical role to [[readBounded]], witnessing that one
@@ -92,7 +92,7 @@ final case class LogStore(baseDir: String) {
         .format(classOf[LogSourceProvider].getName)
         .option("path", path(scope, stream))
         .load(),
-      schema)
+      schema, s"$scope/$stream")
 
   /** Streaming append: the writeStream twin of [[append]]. Caller
     * configures trigger/checkpoint and starts the query.
@@ -168,7 +168,7 @@ final case class LogStore(baseDir: String) {
       // silently returning the surviving subset under a session-level
       // ignoreMissingFiles=true
       decode(spark.read.option("ignoreMissingFiles", "false")
-        .text(cut: _*), schema)
+        .text(cut: _*), schema, s"$scope/$stream")
   }
 
   /** Strictly monotonic over the previous marker (not bare clock time,
@@ -300,6 +300,30 @@ final case class LogStore(baseDir: String) {
   private def encode(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
 
-  private def decode(raw: DataFrame, schema: StructType): DataFrame =
-    raw.select(from_json(col("value"), schema).as("r")).select("r.*")
+  /** JSON-line decode with a LOUD malformed-line guard: a truncated
+    * segment tail or a non-JSON line must fail naming the stream, not
+    * parse to an all-null row (permissive from_json's default — silent
+    * wrong results, the failure mode that actually costs at 100 TB;
+    * round-7 verdict #6). A valid JSON object MISSING fields still
+    * null-fills (schema evolution stays tolerant); only unparseable
+    * text trips the corrupt-record column. The guard lives in a FILTER
+    * so ColumnPruning cannot drop the check, and raise_error keeps the
+    * whole decode inside codegen.
+    */
+  private def decode(raw: DataFrame, schema: StructType,
+      label: String): DataFrame = {
+    val corrupt = "_graft_corrupt"
+    val wide = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    raw
+      .select(from_json(col("value"), wide,
+        Map("columnNameOfCorruptRecord" -> corrupt)).as("r"))
+      .filter(
+        when(col(s"r.$corrupt").isNotNull,
+          raise_error(concat(
+            lit(s"graft log stream $label: malformed JSON segment line " +
+              "(truncated write or foreign file in the stream dir): "),
+            substring(col(s"r.$corrupt"), 1, 120))).cast("boolean"))
+          .otherwise(lit(true)))
+      .select("r.*").drop(corrupt)
+  }
 }

@@ -182,6 +182,81 @@ class GuardSpec extends SparkSpec {
     ()
   }
 
+  // --- V2 log-table read-path guards (round-7 verdict #6): segment
+  // corruption and retention races must fail naming the stream, never
+  // parse to null rows or silently read a subset -------------------
+
+  private def causeChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+
+  private def freshLog(name: String): graft.connector.LogStore = {
+    val d = s"${Work.dir}/test_guard_$name"
+    Work.clean(d)
+    graft.connector.LogStore(d)
+  }
+
+  test("log read fails loudly on a truncated segment tail, naming the stream") {
+    val store = freshLog("trunc")
+    store.append(Tables(spark, sf, "events").limit(50), "scope", "trunc")
+    val seg = graft.connector.LogSourceV2
+      .listSegments(store.path("scope", "trunc")).head
+    val p = java.nio.file.Paths.get(seg)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    assert(bytes.length > 5)
+    // cut into the final JSON line — a crashed writer's partial flush
+    java.nio.file.Files.write(p,
+      java.util.Arrays.copyOf(bytes, bytes.length - 5))
+    val e = intercept[Exception](
+      store.readBounded(spark, "scope", "trunc",
+        graft.streaming.StreamOps.eventSchema).count())
+    val msg = causeChain(e)
+    assert(msg.contains("graft log stream scope/trunc"), msg)
+    assert(msg.contains("malformed JSON"), msg)
+  }
+
+  test("log read fails loudly on a non-JSON line, through both read paths") {
+    val store = freshLog("foreign")
+    store.append(Tables(spark, sf, "events").limit(10), "scope", "fj")
+    val seg = graft.connector.LogSourceV2
+      .listSegments(store.path("scope", "fj")).head
+    java.nio.file.Files.write(java.nio.file.Paths.get(seg),
+      "this is not json\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val e1 = intercept[Exception](
+      store.readBounded(spark, "scope", "fj",
+        graft.streaming.StreamOps.eventSchema).count())
+    assert(causeChain(e1).contains("graft log stream scope/fj"),
+      causeChain(e1))
+    val e2 = intercept[Exception](
+      store.readBoundedV2(spark, "scope", "fj",
+        graft.streaming.StreamOps.eventSchema).count())
+    assert(causeChain(e2).contains("graft log stream scope/fj"),
+      causeChain(e2))
+    // a valid object MISSING fields must still null-fill, not throw
+    // (schema evolution tolerance is load-bearing for old segments)
+    val store2 = freshLog("sparse")
+    store2.append(Tables(spark, sf, "events").limit(5)
+      .select(col("event_id")), "scope", "sp")
+    assert(store2.readBounded(spark, "scope", "sp",
+      graft.streaming.StreamOps.eventSchema).count() == 5)
+  }
+
+  test("stream-cut read after vacuum fails with retention error, naming the stream") {
+    val store = freshLog("vaccut")
+    val ev = Tables(spark, sf, "events")
+    store.append(ev.limit(20), "scope", "vc")
+    val cut = store.streamCut("scope", "vc")
+    store.append(ev.limit(20), "scope", "vc")
+    val dropped = store.vacuum("scope", "vc", keepSegments = 1)
+    assert(dropped.nonEmpty, "vacuum must have trimmed the cut's segment")
+    val e = intercept[IllegalStateException](
+      store.readBoundedCut(spark, "scope", "vc",
+        graft.streaming.StreamOps.eventSchema, cut))
+    assert(e.getMessage.contains("graft log stream scope/vc"), e.getMessage)
+    assert(e.getMessage.contains("no longer retained"), e.getMessage)
+  }
+
   test("parameter validation: range-join cell width, simhash band cover") {
     val df = Tables(spark, sf, "events").limit(1)
       .select(col("event_id"), expr("ts div 1000").as("tsu"))
