@@ -30,6 +30,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The default whole-stage-codegen class cache holds 100 entries —
+      // a 113-query interleaved bench pass thrashes it, so every run of
+      // every key RE-COMPILES its generated code (~0.3-2 s/key, measured
+      // uniform inflation when the r8 bench went pass-interleaved).
+      // Sized for the whole suite's stages; class metadata is a few MB,
+      // noise against the JVM heap. A production session with a bounded
+      // query set wants the same.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
 
   /** Build (or reuse) the session and register graft's SQL functions. */
   def get(cores: Int): SparkSession = {
