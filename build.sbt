@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with shuffle-heavy dedup/ANN queries wants headroom: the
   // container has 128 GiB; 16g keeps GC pressure off the bench numbers.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // headroom for the thousands of generated classes a 113-key
+  // interleaved bench session JIT-compiles (the retained codegen cache
+  // keeps their compiled stubs live); the JDK 17 default is 240 MB.
+  // (A measured late-session image-decode degradation initially blamed
+  // on code-cache exhaustion turned out to be ImageIO's disk-backed
+  // stream cache — fixed at ImageCodec.setUseCache(false).)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

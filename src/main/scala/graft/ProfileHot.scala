@@ -40,12 +40,17 @@ object ProfileHot {
         val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(k)(spark, dir)
-        // when explaining, execute df ITSELF (count() derives a different
-        // plan) so AQE finalizes and the printed tree is the one that ran
-        // — an action on df's own toRdd, NOT collect(): materializing the
-        // full operator output on the driver is an OOM at profile scale
-        // (round-4 advice), while the InternalRow count ships nothing
-        val n = if (explain) df.queryExecution.toRdd.count() else df.count()
+        // when explaining, execute df ITSELF (a derived action changes
+        // the plan) so AQE finalizes and the printed tree is the one
+        // that ran — an action on df's own toRdd, NOT collect():
+        // materializing the full operator output on the driver is an
+        // OOM at profile scale (round-4 advice), while the InternalRow
+        // count ships nothing. Otherwise time the same noop-sink write
+        // Bench times (count() lets Catalyst prune terminal projections
+        // and unused aggregate expressions — round-7 verdict #3).
+        val n = if (explain) df.queryExecution.toRdd.count() else {
+          df.write.format("noop").mode("overwrite").save(); -1L
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         if (reps > 1) GraftSession.dropAllCaches(spark)
         println(f"[hot] $k%-28s $sec%8.2f s  rows=$n  jobs=${jobs.get - j0}" +

@@ -17,6 +17,16 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to DISK-backed stream caching: every decode/encode
+  // of an in-memory byte payload writes a temp file under java.io.tmpdir
+  // (FileCacheImageInputStream). At 32 concurrent decode tasks that is
+  // thousands of temp-file create/write/delete cycles per query — erratic
+  // multi-second latency under any disk contention (measured: the three
+  // image bench keys swinging 0.4 -> 3.5 s run-to-run), and exactly the
+  // per-record executor-local disk IO a 100 TB scan must not do. The
+  // payloads are already in memory; cache in memory.
+  ImageIO.setUseCache(false)
+
   /** Decoded raster: ARGB ints row-major, plus the color-model channel
     * count (3 for RGB PNG/JPEG, 4 with alpha). */
   final case class DecodedImage(

@@ -747,14 +747,27 @@ object Relational {
     (s, dir) => {
       def ok(est: Column, exact: Column): Column =
         abs(est - exact) <= exact * 0.1
-      Tables(s, dir, "lineitem").agg(
+      val li = Tables(s, dir, "lineitem")
+      // The HLLs and the exact distincts MUST stay in separate
+      // aggregates: combined, Spark routes the algebraic sketch aggs
+      // through the multi-distinct Expand and keys PARTIAL HLL SKETCHES
+      // by the expanded distinct tuples — ~150 sketch longs (1.2 KB)
+      // per distinct (value, gid) group through the shuffle, measured
+      // 2.6 s vs 1.1 s split at sf0.1 (and ruinous at 100 TB, where
+      // that shuffle is sketch-bytes × distinct values instead of
+      // sketch-bytes × partitions). Split, the sketch agg shuffles one
+      // sketch set per partition and the exact agg's Expand shuffles
+      // bare (value, gid) pairs after map-side dedup; the two 1-row
+      // results recombine in a trivial nested-loop join.
+      val ests = li.agg(
         approx_count_distinct(col("l_partkey")).as("est_parts"),
         approx_count_distinct(col("l_suppkey")).as("est_supps"),
-        approx_count_distinct(col("l_orderkey")).as("est_orders"),
+        approx_count_distinct(col("l_orderkey")).as("est_orders"))
+      val exacts = li.agg(
         countDistinct(col("l_partkey")).as("n_parts_exact"),
         countDistinct(col("l_suppkey")).as("n_supps_exact"),
         countDistinct(col("l_orderkey")).as("n_orders_exact"))
-      .select(
+      exacts.crossJoin(ests).select(
         col("n_parts_exact"), col("n_supps_exact"), col("n_orders_exact"),
         ok(col("est_parts"), col("n_parts_exact")).as("parts_est_ok"),
         ok(col("est_supps"), col("n_supps_exact")).as("supps_est_ok"),
