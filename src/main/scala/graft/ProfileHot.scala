@@ -6,14 +6,11 @@ import org.apache.spark.sql.SparkSession
 object ProfileHot {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the EXACT session Bench uses (codegen-cache sizing included) —
+    // a bare builder here measured ~2x Bench on codegen-heavy keys,
+    // profiling the session config instead of the plan
+    val spark = GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val keys = if (args.nonEmpty) args.toSeq else Seq(
       "dedup_embedding_cosine", "knn_predict", "dedup_minhash_lsh",
       "workflow_e2e", "doc_fingerprint")

@@ -103,6 +103,33 @@ class PlanSpec extends SparkSpec {
       s.contains("BroadcastExchange"), "reference side must be broadcast")
   }
 
+  test("q15: HLL sketches never ride the multi-distinct Expand") {
+    // round-8 pathology pin: one combined agg routed partial HLL
+    // sketches through the distinct-rewrite Expand, keying ~1.2 KB of
+    // sketch per expanded distinct tuple through the shuffle
+    // (sketch-bytes × distinct-values at scale; measured 2.6 → 1.0 s
+    // split at sf0.1). The split form must keep every HLL aggregate
+    // Expand-free and recombine through a join of 1-row results.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Join}
+    val plan = graft.ops.Relational.q15Approx.fn(spark, sf)
+      .queryExecution.optimizedPlan
+    val hllAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.find(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .aggregate.HyperLogLogPlusPlus]).isDefined) => a
+    }
+    assert(hllAggs.nonEmpty, "q15 must still compute HLL estimates")
+    hllAggs.foreach { a =>
+      assert(a.find(_.isInstanceOf[Expand]).isEmpty,
+        "HLL aggregate planned over the multi-distinct Expand — " +
+          "sketch-per-distinct-tuple shuffle is back:\n" + a.treeString)
+    }
+    assert(plan.find(_.isInstanceOf[Expand]).isDefined,
+      "exact multi-column distinct should still plan its Expand")
+    assert(plan.find(_.isInstanceOf[Join]).isDefined,
+      "split form recombines through a join of 1-row aggregates")
+  }
+
   test("bucketed join runs with no shuffle exchange on either side") {
     val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
