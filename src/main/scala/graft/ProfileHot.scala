@@ -54,7 +54,8 @@ object ProfileHot {
           f" stages=${stages.get - s0} tasks=${tasks.get - t0c} rep=$rep")
         if (explain && rep == reps)
           println(s"[hot] $k plan:\n" +
-            df.queryExecution.executedPlan.toString.take(4000))
+            df.queryExecution.executedPlan.toString.take(
+              sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_CHARS", "4000").toInt))
       }
     }
     spark.stop()

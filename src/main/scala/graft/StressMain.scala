@@ -219,6 +219,12 @@ object StressMain {
     pair("pack_chunk_text")(
       c => ext.Chunking.packChunkTextOf(c).count(),
       n => repDocs(docs, n))
+    // planted per replica (same salt space), so every replica carries
+    // its own duplicated spans: output and dup-join volume grow
+    // linearly, never across replicas
+    pair("repeated_spans")(
+      c => Dedup.repeatedSpans(Dedup.plantedCorpus(c)).count(),
+      n => repDocs(docs, n))
     // stream_window_agg growth: events replicated into disjoint days
     // (ts offset per replica => disjoint windows) with per-replica
     // event types, so the GROUP space grows with the data — the shape

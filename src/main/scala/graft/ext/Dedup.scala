@@ -1017,8 +1017,122 @@ object Dedup {
               FROM reach GROUP BY 1)
       SELECT doc_id FROM lab WHERE doc_id = cluster"""))
 
+  // --- repeated spans (exact substring dedup) -------------------------
+
+  /** Cross-document repeated-span detection — the exact-substring dedup
+    * of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL 2022) re-expressed relationally: the paper builds
+    * a suffix array over the concatenated corpus; a suffix array does
+    * not shard, but its output — maximal spans whose every word lies in
+    * some k-gram occurring in ≥2 documents — is reproducible with three
+    * bounded shuffles:
+    *
+    *   1. positional k-gram shingles (doc_id, pos, sha2(gram)) — a
+    *      projection, no shuffle;
+    *   2. grams shared by ≥2 DISTINCT docs: groupBy(hash) with a
+    *      count-distinct partial — shuffle keys are 64-hex digests, one
+    *      row per distinct gram out, hot grams (boilerplate) collapse
+    *      map-side;
+    *   3. join occurrences back on the hash (shuffle on hash), then a
+    *      per-doc gaps-and-islands merge: duplicated positions ≤ k-1
+    *      apart cover an unbroken duplicated word range, so lag + one
+    *      running-sum window (shuffle on doc_id, shard-local at scale)
+    *      produces maximal spans [min_pos, max_pos + k - 1].
+    *
+    * Within-doc-only repeats are excluded (distinct-doc df; the
+    * text_repetition key scores those); spans shorter than
+    * `minSpanWords` are noise and dropped (the paper's 50-char floor,
+    * in words). Output: (doc_id, span_start, span_words), 1-based word
+    * positions — the cut-list a span-removal pass consumes.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 8,
+      minSpanWords: Int = 12): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    require(minSpanWords >= k,
+      s"minSpanWords ($minSpanWords) below the gram width ($k) selects nothing extra")
+    val words = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= k)
+    // gram identity = xxhash64 of the sliced word array: no gram string
+    // is ever materialized and the df/join shuffles carry 8-byte keys
+    // (measured 4.2 -> 2.4 s at sf0.1 vs sha2-of-string grams). The
+    // oracle needs no matching values — it groups on the raw gram text.
+    // 64-bit ids are collision-safe to ~1e8 grams (p ≈ n²/2⁶⁵); a
+    // 100 TB corpus (~1e12 grams) pairs this with the 128-bit form
+    // (two seeds), same plan.
+    val sh = words
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"p -> xxhash64(slice(ws, p, $k)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("h"))
+    // "≥ 2 distinct docs" needs no count-distinct rewrite (Expand +
+    // double shuffle): min(doc_id) ≠ max(doc_id) is the same predicate
+    // as one algebraic pass with map-side partials
+    val shared = sh.groupBy("h")
+      .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
+      .select("h")
+    // shuffle-hash, shared as build side: Catalyst's size estimate for
+    // sh predates the ~word-count× explode (a few MB of parquet), so
+    // left alone AQE BROADCASTS the full occurrence set and streams the
+    // gram ids — backwards at any scale (measured 2.9 → 1.6 s pinned;
+    // shared boilerplate grams can be huge too, so no broadcast hint on
+    // `shared` either). The gram explode deliberately computes twice
+    // (agg pass prunes pos, probe pass carries it — cheaper than
+    // forcing one fat reusable exchange); a 100 TB run that wants it
+    // once materializes sh as a table first.
+    val dup = sh.join(shared.hint("shuffle_hash"), "h")
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k - 1, 0L).otherwise(1L))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + lit(k.toLong)).as("span_words"))
+      .filter(col("span_words") >= minSpanWords)
+      .select("doc_id", "span_start", "span_words")
+  }
+
+  val repeatedSpansQ = QueryDef(
+    "dedup_repeated_spans",
+    (s, dir) => repeatedSpans(
+      plantedCorpus(Tables(s, dir, "documents")), k = 8, minSpanWords = 12),
+    Some(s"""
+      WITH corpus AS ($plantedCorpusSql),
+      words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws) - 7)) AS pos,
+               unnest(list_transform(generate_series(1, len(ws) - 7),
+                 p -> array_to_string(ws[p:p+7], ' '))) AS h
+        FROM words WHERE len(ws) >= 8),
+      shared AS (
+        SELECT h FROM sh
+        GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      dup AS (SELECT doc_id, pos FROM sh JOIN shared USING (h)),
+      g AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) <= 7
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup),
+      gg AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM g)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_words
+      FROM gg GROUP BY doc_id, grp
+      HAVING max(pos) - min(pos) + 8 >= 12"""))
+
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
       simhashNearDup, simhashWideNearDup, embeddingCosine, clusters,
-      decontam, curate, lineDedup)
+      decontam, curate, lineDedup, repeatedSpansQ)
 }

@@ -27,6 +27,47 @@ class ExtSpec extends SparkSpec {
     assert(planted.size >= 40, s"only ${planted.size} planted pairs found")
   }
 
+  test("repeated spans: a planted shared word range is recovered exactly") {
+    val sp = spark
+    import sp.implicits._
+    // Unique vocabulary everywhere except a 16-word run planted at
+    // word 5 (1-based) of doc 1 and word 10 of doc 2; doc 3 unrelated.
+    val shared = (0 until 16).map(i => s"dup$i")
+    val d1 = ((0 until 4).map(i => s"a$i") ++ shared ++
+      (0 until 20).map(i => s"b$i")).mkString(" ")
+    val d2 = ((0 until 9).map(i => s"c$i") ++ shared ++
+      (0 until 12).map(i => s"d$i")).mkString(" ")
+    val d3 = (0 until 40).map(i => s"e$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 8, minSpanWords = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // duplicated 8-gram start positions cover exactly the shared run,
+    // so the merged span is the run itself: 16 words at 5 resp. 10
+    assert(spans == Set((1L, 5L, 16L), (2L, 10L, 16L)), spans.toString)
+    // below the floor: a 10-word shared run (< minSpanWords) is noise
+    val s2 = (0 until 10).map(i => s"f$i")
+    val e1 = ((0 until 8).map(i => s"g$i") ++ s2 ++
+      (0 until 8).map(i => s"h$i")).mkString(" ")
+    val e2 = ((0 until 8).map(i => s"i$i") ++ s2 ++
+      (0 until 8).map(i => s"j$i")).mkString(" ")
+    val none = Dedup.repeatedSpans(
+      Seq((1L, e1), (2L, e2)).toDF("doc_id", "text"),
+      k = 8, minSpanWords = 12)
+    assert(none.count() == 0, "sub-floor spans must be dropped")
+    // two shared runs separated by >= k unique words stay two spans
+    val m1 = ((0 until 4).map(i => s"k$i") ++ shared ++
+      (0 until 9).map(i => s"m$i") ++ shared.map(_ + "x") ++
+      (0 until 4).map(i => s"n$i")).mkString(" ")
+    val m2 = (shared ++ (0 until 30).map(i => s"p$i") ++
+      shared.map(_ + "x")).mkString(" ")
+    val two = Dedup.repeatedSpans(
+      Seq((1L, m1), (2L, m2)).toDF("doc_id", "text"),
+      k = 8, minSpanWords = 12)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(two == Set((5L, 16L), (30L, 16L)), two.toString)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val docs = Tables(spark, sf, "documents").limit(100)
     val corpus = Dedup.plantedCorpus(docs)

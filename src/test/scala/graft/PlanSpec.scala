@@ -84,6 +84,19 @@ class PlanSpec extends SparkSpec {
       s.contains("BroadcastExchange"), "reference side must be broadcast")
   }
 
+  test("repeated spans: gram join is shuffled, occurrence set never broadcast") {
+    // Catalyst's pre-explode size estimate would broadcast the FULL
+    // positional-gram occurrence set (word-count× the scan size) and
+    // stream the shared-gram ids — backwards at any scale. The join is
+    // pinned shuffle-hash with the gram ids as build side.
+    val s = planString(graft.ext.Dedup.repeatedSpansQ.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(s.contains("ShuffledHashJoin"), s.take(2000))
+    assert(!s.contains("BroadcastHashJoin"),
+      "occurrence-set broadcast crept back:\n" + s.take(2000))
+    assert(s.contains("Window"), "gaps-and-islands merge must plan windows")
+  }
+
   test("knn_predict: one shuffle total, no window, no probe/window jobs") {
     // round-7 shape: the majority vote happens inside the aggregated
     // row (array expression over the heap's label array), so the whole
