@@ -225,6 +225,12 @@ object StressMain {
     pair("repeated_spans")(
       c => Dedup.repeatedSpans(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))
+    pair("remove_spans")(
+      c => {
+        val p = Dedup.plantedCorpus(c)
+        Dedup.removeSpans(p, Dedup.repeatedSpans(p)).count()
+      },
+      n => repDocs(docs, n))
     // stream_window_agg growth: events replicated into disjoint days
     // (ts offset per replica => disjoint windows) with per-replica
     // event types, so the GROUP space grows with the data — the shape

@@ -1131,8 +1131,97 @@ object Dedup {
       FROM gg GROUP BY doc_id, grp
       HAVING max(pos) - min(pos) + 8 >= 12"""))
 
+  /** Span removal — the consuming half of the exact-substring dedup:
+    * rewrite each document with the cut-list's word ranges excised
+    * (Lee et al. 2022 drop the duplicated bytes from the corpus; here
+    * every listed occurrence is removed — a keep-one-copy policy is a
+    * filter on the cut-list, not a different operator).
+    *
+    * Shape: spans collapse to one row per affected doc (shuffle on
+    * doc_id, only docs WITH duplicates survive), then a doc_id
+    * equi-join back to the corpus — AQE broadcasts the cut-list when
+    * duplication is sparse, shuffles when it is not — and the rewrite
+    * itself is a per-row higher-order filter over the word array
+    * (codegen'd, no window, no explode): a word is kept unless its
+    * 1-based position falls inside any cut. repeatedSpans emits
+    * disjoint per-doc spans, so no overlap handling is needed.
+    * Docs without spans (including those under the gram width) pass
+    * through with whitespace normalized, `removed_words` 0.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val cuts = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_words")))
+        .as("cuts"))
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """CASE WHEN cuts IS NULL THEN ws
+                ELSE filter(ws, (w, i) ->
+                  NOT exists(cuts, c -> i + 1 >= c.span_start
+                    AND i + 1 < c.span_start + c.span_words)) END"""))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("ws")) - size(col("kept"))).cast(LongType)
+          .as("removed_words"))
+  }
+
+  val removeSpansQ = QueryDef(
+    "dedup_remove_spans",
+    (s, dir) => {
+      val corpus = plantedCorpus(Tables(s, dir, "documents"))
+      removeSpans(corpus, repeatedSpans(corpus, k = 8, minSpanWords = 12))
+    },
+    Some(s"""
+      WITH corpus AS ($plantedCorpusSql),
+      words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws) - 7)) AS pos,
+               unnest(list_transform(generate_series(1, len(ws) - 7),
+                 p -> array_to_string(ws[p:p+7], ' '))) AS h
+        FROM words WHERE len(ws) >= 8),
+      shared AS (
+        SELECT h FROM sh
+        GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      dup AS (SELECT doc_id, pos FROM sh JOIN shared USING (h)),
+      g AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) <= 7
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup),
+      gg AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM g),
+      spans AS (
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) - min(pos) + 8 AS span_words
+        FROM gg GROUP BY doc_id, grp
+        HAVING max(pos) - min(pos) + 8 >= 12),
+      cutpos AS (
+        SELECT doc_id, span_start + unnest(range(span_words)) AS pos
+        FROM spans),
+      wordpos AS (
+        SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+               unnest(ws) AS w
+        FROM words),
+      kept AS (
+        SELECT wp.doc_id, wp.pos, wp.w
+        FROM wordpos wp
+        WHERE NOT EXISTS (SELECT 1 FROM cutpos c
+                          WHERE c.doc_id = wp.doc_id AND c.pos = wp.pos))
+      SELECT w.doc_id,
+             coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text,
+             CAST(len(w.ws) - count(k.w) AS BIGINT) AS removed_words
+      FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id
+      GROUP BY w.doc_id, len(w.ws)"""))
+
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
       simhashNearDup, simhashWideNearDup, embeddingCosine, clusters,
-      decontam, curate, lineDedup, repeatedSpansQ)
+      decontam, curate, lineDedup, repeatedSpansQ, removeSpansQ)
 }

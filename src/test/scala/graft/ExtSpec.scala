@@ -68,6 +68,28 @@ class ExtSpec extends SparkSpec {
     assert(two == Set((5L, 16L), (30L, 16L)), two.toString)
   }
 
+  test("span removal: cut-list ranges are excised, untouched docs pass through") {
+    val sp = spark
+    import sp.implicits._
+    val shared = (0 until 16).map(i => s"dup$i")
+    val pre1 = (0 until 4).map(i => s"a$i")
+    val post1 = (0 until 20).map(i => s"b$i")
+    val pre2 = (0 until 9).map(i => s"c$i")
+    val post2 = (0 until 12).map(i => s"d$i")
+    val lone = (0 until 40).map(i => s"e$i")
+    val docs = Seq(
+      (1L, (pre1 ++ shared ++ post1).mkString(" ")),
+      (2L, (pre2 ++ shared ++ post2).mkString(" ")),
+      (3L, lone.mkString(" ")),
+      (4L, "tiny doc under gram width")).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(docs, Dedup.repeatedSpans(docs, k = 8, minSpanWords = 12))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((pre1 ++ post1).mkString(" "), 16L), out(1L).toString)
+    assert(out(2L) == ((pre2 ++ post2).mkString(" "), 16L), out(2L).toString)
+    assert(out(3L) == (lone.mkString(" "), 0L))
+    assert(out(4L) == ("tiny doc under gram width", 0L))
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val docs = Tables(spark, sf, "documents").limit(100)
     val corpus = Dedup.plantedCorpus(docs)
