@@ -9,13 +9,22 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.get(cpus)
     new java.io.File(outDir).mkdirs()
+    // dev-only filter: dump a comma-separated subset for a quick local
+    // oracle check on one key (driver runs unset → full dump; stale-dir
+    // cleanup is skipped under the filter so a partial dump can't eat a
+    // full one)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // drop stale results of renamed/removed query keys — the compare
     // globs result dirs, so a leftover would read as an orphan failure
-    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
-      if (f.isDirectory && !SparkEntry.queries.contains(f.getName))
-        Work.clean(f.getAbsolutePath)
-    })
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (only.isEmpty)
+      Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory && !SparkEntry.queries.contains(f.getName))
+          Work.clean(f.getAbsolutePath)
+      })
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

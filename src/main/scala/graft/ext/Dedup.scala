@@ -927,6 +927,114 @@ object Dedup {
       FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
       WHERE list_cosine_similarity(x.e, y.e) >= 0.99"""))
 
+  // --- semantic dedup (SemDeDup) --------------------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embedding space, then prune
+    * near-duplicates only WITHIN clusters — the global pair matrix is
+    * never formed. Differs from [[embeddingCosinePairs]] in contract:
+    * LSH buckets approximate the >=threshold pair set itself, while
+    * SemDeDup partitions the corpus once and accepts that cross-cluster
+    * pairs are by definition not duplicates (the paper's trade: recall
+    * bounded by the quantizer, cost bounded by Σ|cluster|²).
+    *
+    * Assignment is by COSINE argmax (ties → lowest cid), not L2:
+    * cosine is invariant under positive scaling, so a vector and its
+    * scaled copy share a cluster with probability exactly 1 — which
+    * both makes the planted-copy oracle deterministic and mirrors the
+    * paper (they dedup on normalized embeddings).
+    *
+    * 100 TB shape: centroids broadcast (the quantizer is tiny — grow
+    * count ∝ n to hold |cluster| constant, so Σ|cluster|² stays
+    * linear); assignment is PURE MAP WORK — the quantizer is collapsed
+    * to a single array-of-structs row, broadcast, and each vector folds
+    * over it with an `aggregate` higher-order argmax, so no scored
+    * (vector × centroid) row ever exists to shuffle or sort. (A
+    * window-rank or max_by formulation was measured first: both sort
+    * the n×k scored rows — max_by's array-valued ordering buffer
+    * forces SortAggregate — 2.7 s / 10.6 s vs 1.3 s for this form at
+    * sf0.1.) The intra-cluster compare is one equi-join shuffle on
+    * cid. A hot cluster is the skew lever: re-split it recursively
+    * with a finer quantizer (same function, filtered input) the way
+    * the shingle df-cap bounds hot shingles in [[ngramJaccardPairs]].
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    // one-row quantizer: sort_array orders by the unique cid (struct
+    // ordering is field-lexicographic), so the fold visits centroids in
+    // ascending cid and strict `>` keeps the LOWEST cid on cosine ties
+    // — a planted scaled copy scores a bit-identical cosine, so tie
+    // policy is load-bearing for determinism, not a corner case
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val assigned = corpus.crossJoin(broadcast(centArr))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(-2.0).as("ccos"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val cc = cosine(col("e"), c.getField("ce"))
+          when(cc > acc.getField("ccos"),
+            struct(cc.as("ccos"), c.getField("cid").as("cid")))
+            .otherwise(acc)
+        }))
+      .select(col("best.cid").as("cid"), col("vec_id"), col("e"))
+    // a row is pruned iff a SMALLER-id vector in its cluster is within
+    // threshold — keep-lowest-id, the same canonical-representative
+    // policy as exact dedup
+    val dups = assigned.alias("x").join(assigned.alias("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(cosine(col("x.e"), col("y.e")) >= threshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("kept"))
+  }
+
+  /** Semantic dedup over the scaled-copy planted corpus: every-16th
+    * base vector is a centroid (the deterministic quantizer the IVF key
+    * established — swap in Similarity.kmeansCentroids for the trained
+    * one), cosine assignment, within-cluster prune at 0.99. Planted
+    * ×1.5 copies share their original's cluster deterministically
+    * (scale-invariant assignment) and sit at cosine ~1.0, so exactly
+    * the 500 copies drop and every base vector survives.
+    */
+  val semantic = QueryDef(
+    "dedup_semantic",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val corpus = emb.unionAll(
+        emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("e"), x => x * 1.5).as("e")))
+      val centroids = emb.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("cid"), col("e").as("ce"))
+      semanticDedup(corpus, centroids, threshold = 0.99)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 16 = 0),
+      assigned AS (
+        SELECT cid, vec_id, e FROM (
+          SELECT c.cid, x.vec_id, x.e,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY list_cosine_similarity(x.e, c.ce) DESC, c.cid)
+                   AS arn
+          FROM corpus x CROSS JOIN c)
+        WHERE arn = 1),
+      dups AS (
+        SELECT DISTINCT y.vec_id
+        FROM assigned x JOIN assigned y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.e, y.e) >= 0.99)
+      SELECT a.vec_id, a.cid, d.vec_id IS NULL AS kept
+      FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id"""))
+
   // --- end-to-end curation --------------------------------------------
 
   /** The composed curation pipeline — what a training-data engine
@@ -1222,6 +1330,6 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
-      simhashNearDup, simhashWideNearDup, embeddingCosine, clusters,
-      decontam, curate, lineDedup, repeatedSpansQ, removeSpansQ)
+      simhashNearDup, simhashWideNearDup, embeddingCosine, semantic,
+      clusters, decontam, curate, lineDedup, repeatedSpansQ, removeSpansQ)
 }

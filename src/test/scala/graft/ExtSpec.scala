@@ -126,6 +126,26 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty, "planted scaled copies must be found")
   }
 
+  test("semantic dedup drops exactly the planted scaled copies") {
+    val out = Dedup.semantic.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val base = Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.length == 2 * base.size, "one output row per corpus row")
+    // cosine assignment is scale-invariant: a planted ×1.5 copy lands in
+    // its original's cluster with probability exactly 1
+    val cid = out.map(t => t._1 -> t._2).toMap
+    base.foreach { id =>
+      assert(cid(id) == cid(id + Dedup.PlantedOffset),
+        s"copy of $id assigned to ${cid(id + Dedup.PlantedOffset)} != ${cid(id)}")
+    }
+    // planted pairs sit at cosine ~1.0, natural pairs far below 0.99 →
+    // keep-lowest-id prunes exactly the planted half
+    val dropped = out.filter(!_._3).map(_._1).toSet
+    assert(dropped == base.map(_ + Dedup.PlantedOffset),
+      s"unexpected prune set diff: ${(dropped -- base.map(_ + Dedup.PlantedOffset)).take(5)}")
+  }
+
   test("connected components resolve transitive chains into one cluster") {
     val sp = spark
     import sp.implicits._
