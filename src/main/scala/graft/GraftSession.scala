@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** One place for the session configuration every graft entry point
   * needs: UTC timestamps (oracle comparability), AQE on (runtime
-  * re-planning / skew handling), nanos-as-long (the events table is
-  * TIMESTAMP(NANOS), which Spark 4 has no timestamp type for), shuffle
+  * re-planning / skew handling), nanos-as-long (legacy testdata stored
+  * events.ts as TIMESTAMP(NANOS), which Spark 4 has no timestamp type
+  * for and reads as long; current testdata is timestamp[us] and
+  * Tables.normalize re-derives the canonical long-nanos column), shuffle
   * partitions sized to the core count (local mode; a cluster deployment
   * overrides to ~2-3× total cores and lets AQE coalesce), and graft's
   * SQL functions registered.

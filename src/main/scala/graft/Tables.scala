@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver's synthetic parquet tables (TESTDATA.md).
   * All engine queries take `sfDir` and read only these inputs.
@@ -24,6 +26,26 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     SessionCaches.evictStopped(cache)(_._1)
     cache.computeIfAbsent((spark, sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+      _ => normalize(name, spark.read.parquet(s"$sfDir/$name.parquet")))
   }
+
+  /** The engine's canonical `events.ts` representation is LONG epoch-nanos:
+    * the original testdata stored parquet TIMESTAMP(NANOS), which Spark 4
+    * has no timestamp type for and reads as long, and every consumer
+    * (`ts div 1000` → micros) and DuckDB oracle (`epoch_us(ts)` /
+    * `epoch_ns(ts)`) was built on that pairing. Regenerated testdata
+    * (round 8+) stores `timestamp[us]` instead — Spark reads TIMESTAMP_NTZ
+    * — so re-derive nanos here, the one place the parquet and the engine
+    * meet. The session timezone is pinned UTC (GraftSession), so the
+    * NTZ→LTZ cast is wall-clock exact; micros × 1000 restores the nanos
+    * unit (low three digits zero, which DuckDB's micros-truncating read
+    * never saw anyway). Note for the 100 TB path: a predicate on `ts`
+    * should be phrased against the native timestamp column BEFORE this
+    * projection to keep parquet min/max pushdown; none of the engine's
+    * events queries filter on raw ts today.
+    */
+  private def normalize(name: String, df: DataFrame): DataFrame =
+    if (name != "events" || df.schema("ts").dataType == LongType) df
+    else df.withColumn(
+      "ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
 }

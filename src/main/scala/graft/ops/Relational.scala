@@ -1045,6 +1045,44 @@ object Relational {
       FROM events
       GROUP BY user_id % 10"""))
 
+  /** Event-time bucketing on the NATIVE timestamp column. Every other
+    * events consumer goes through Tables' canonical long-nanos view;
+    * this key reads the parquet's own timestamp[us] type so the
+    * event-time RANGE predicate pushes into the scan as parquet
+    * row-group min/max pruning — on a month-partitioned 100 TB event
+    * log, that pushdown (pinned in PlanSpec) is the difference between
+    * scanning a week and scanning a year. Hourly date_trunc buckets +
+    * per-type counts/cents; bucket exposed as epoch-micros (the
+    * engine-portable representation every other ts key uses).
+    * Legacy TIMESTAMP(NANOS) testdata (read as long under
+    * nanosAsLong) gets the timestamp re-derived — semantics identical,
+    * pushdown sacrificed on a vintage that no longer ships.
+    */
+  val q39EventTime = QueryDef(
+    "q39_event_time_bucket",
+    (s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev =
+        if (raw.schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      ev.filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-17 00:00:00"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_micros(col("h").cast(TimestampType)).as("hour_us"),
+          col("event_type"), col("n"), col("sum_cents"))
+    },
+    Some("""
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-17 00:00:00'
+      GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -1052,5 +1090,5 @@ object Relational {
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
-    q36RankFamily, q37NotInNulls, q38FilterListagg)
+    q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime)
 }

@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
   */
 class GuardSpec extends SparkSpec {
 
+  test("events.ts loads as canonical long epoch-nanos for both testdata vintages") {
+    import org.apache.spark.sql.types.LongType
+    // The driver has shipped events.ts as parquet TIMESTAMP(NANOS)
+    // (Spark reads long — the engine's native shape) and, since round 8,
+    // as timestamp[us] (Spark reads TIMESTAMP_NTZ). Tables.normalize must
+    // present long nanos either way: every consumer does `ts div 1000` to
+    // meet the oracle's `epoch_us(ts)`, and round 8 lost 11 keys when the
+    // vintage flipped. Real testdata first:
+    val df = Tables(spark, sf, "events")
+    assert(df.schema("ts").dataType == LongType)
+    // micros-precision source → nanos are an exact ×1000 of epoch-micros
+    val row = df.selectExpr("min(ts)", "min(ts) div 1000").head
+    assert(row.getLong(0) == row.getLong(1) * 1000L)
+    // and a synthetic timestamp-typed events.parquet normalizes to the
+    // same representation with exact micros preserved
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    spark.sql("SELECT TIMESTAMP_NTZ'2024-01-02 03:04:05.678901' AS ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val norm = Tables(spark, tmp, "events")
+    assert(norm.schema("ts").dataType == LongType)
+    assert(norm.head.getLong(0) == 1704164645678901000L)
+  }
+
   test("collect_to_driver refuses over-cap results without a second scan") {
     val big = Tables(spark, sf, "documents")
     val e = intercept[IllegalArgumentException](

@@ -36,6 +36,20 @@ class PlanSpec extends SparkSpec {
     assert(nCols <= 6, s"scan reads $nCols columns, expected <= 6: $readSchema")
   }
 
+  test("q39: event-time range predicate pushes to the native timestamp scan") {
+    val s = planString(Relational.q39EventTime.fn(spark, sf))
+    assert(s.contains("PushedFilters: ["), s.take(2000))
+    // both range bounds must reach the scan — row-group min/max pruning
+    // on event time is the query's reason to exist
+    assert(s.contains("GreaterThanOrEqual(ts") && s.contains("LessThan(ts"),
+      "expected both ts range bounds pushed: " + s.take(2000))
+    // pruned read schema: ts, event_type, value only
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 3,
+      s"scan should read 3 columns, got: $readSchema")
+  }
+
   test("q4: dimension join is a broadcast hash join") {
     val s = planString(Relational.q4Broadcast.fn(spark, sf))
     assert(s.contains("BroadcastHashJoin"), s.take(2000))
