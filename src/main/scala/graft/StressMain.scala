@@ -222,6 +222,47 @@ object StressMain {
     // planted per replica (same salt space), so every replica carries
     // its own duplicated spans: output and dup-join volume grow
     // linearly, never across replicas
+    // SemDeDup growth with the scale lever APPLIED: centroids = every
+    // 16th corpus vector, so k grows ∝ n and |cluster| holds constant —
+    // the within-cluster join stays linear by construction. The flat/
+    // hier pair then isolates ASSIGNMENT cost: flat folds every vector
+    // over all k centroids (n·k FLOPs — quadratic once k ∝ n), hier
+    // routes through ⌈√k⌉ reps (n·2√k). Rotation replicas are
+    // cosine-orthogonal, so each replica's planted ×1.5 copies stay the
+    // only near-dups and output grows exactly linearly.
+    def semCorpus(c: DataFrame) = c.unionAll(
+      c.select((col("vec_id") + Dedup.PlantedOffset).as("vec_id"),
+        transform(col("e"), x => x * 1.5).as("e")))
+    def semCents(c: DataFrame) = c.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    pair("semantic_flat")(
+      c => Dedup.semanticDedup(semCorpus(c), semCents(c), 0.99)
+        .filter(!col("kept")).count(),
+      n => repEmb(emb, n))
+    pair("semantic_hier")(
+      c => Dedup.semanticDedupHier(semCorpus(c), semCents(c), 0.99)
+        .filter(!col("kept")).count(),
+      n => repEmb(emb, n))
+    // assignment-strategy crossover (Dedup.assignHier scaladoc): FIXED
+    // 16× corpus, quantizer density swept — flat folds n·k (linear in
+    // k), two-level n·2√k (≈flat wall across the sweep). Noop sink,
+    // not count(): under a count Catalyst prunes the argmax projection
+    // and the row measures the scan (the round-7 bench trap).
+    if (only.isEmpty || only.contains("semantic_ksweep")) {
+      val corpus16 = semCorpus(repEmb(emb, 16))
+      for (m <- Seq(16, 4, 2, 1)) {
+        val cs = repEmb(emb, 16).filter(col("vec_id") % m === 0)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val k = cs.count()
+        def noop(df: DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        t(s"assign_flat k=$k")(noop(Dedup.assignFlat(corpus16, cs)))
+        GraftSession.dropAllCaches(spark)
+        t(s"assign_hier k=$k")(noop(Dedup.assignHier(corpus16, cs)))
+        GraftSession.dropAllCaches(spark)
+      }
+    }
     pair("repeated_spans")(
       c => Dedup.repeatedSpans(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))

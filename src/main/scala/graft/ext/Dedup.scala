@@ -947,40 +947,143 @@ object Dedup {
     * 100 TB shape: centroids broadcast (the quantizer is tiny — grow
     * count ∝ n to hold |cluster| constant, so Σ|cluster|² stays
     * linear); assignment is PURE MAP WORK — the quantizer is collapsed
-    * to a single array-of-structs row, broadcast, and each vector folds
-    * over it with an `aggregate` higher-order argmax, so no scored
+    * to a single array-of-structs row, broadcast, and each vector runs
+    * the native codegen'd [[argmaxCosine]] over it, so no scored
     * (vector × centroid) row ever exists to shuffle or sort. (A
     * window-rank or max_by formulation was measured first: both sort
     * the n×k scored rows — max_by's array-valued ordering buffer
-    * forces SortAggregate — 2.7 s / 10.6 s vs 1.3 s for this form at
-    * sf0.1.) The intra-cluster compare is one equi-join shuffle on
+    * forces SortAggregate — 2.7 s / 10.6 s vs 1.3 s for the fold form
+    * at sf0.1; the native expression then replaced the fold — see
+    * [[assignHier]] for the sweep.) The intra-cluster compare is one
+    * equi-join shuffle on
     * cid. A hot cluster is the skew lever: re-split it recursively
     * with a finer quantizer (same function, filtered input) the way
     * the shingle df-cap bounds hot shingles in [[ngramJaccardPairs]].
+    * When k itself grows with n (the lever above), flat assignment's
+    * n·k FLOPs turn quadratic — [[semanticDedupHier]] is the two-level
+    * O(n·2√k) route for that regime.
     */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
-      threshold: Double): DataFrame = {
-    // one-row quantizer: sort_array orders by the unique cid (struct
-    // ordering is field-lexicographic), so the fold visits centroids in
-    // ascending cid and strict `>` keeps the LOWEST cid on cosine ties
-    // — a planted scaled copy scores a bit-identical cosine, so tie
-    // policy is load-bearing for determinism, not a corner case
-    val centArr = centroids
+      threshold: Double): DataFrame =
+    pruneWithinClusters(assignFlat(corpus, centroids), threshold)
+
+  /** Cosine argmax over a one-row broadcast quantizer array — the
+    * native codegen'd expression (graft.functions.CosineArgmax): one
+    * fused nested loop per row, no per-element lambda dispatch. The
+    * quantizer is sorted ascending by cid (sort_array; struct ordering
+    * is field-lexicographic) and strict `>` keeps the LOWEST cid on
+    * cosine ties — a planted scaled copy scores a bit-identical cosine,
+    * so tie policy is load-bearing for determinism, not a corner case.
+    * Returns the winning cid (long). */
+  private def argmaxCosine(e: Column, cents: Column): Column =
+    graft.functions.VectorFunctions.cosineArgmax(e, cents)
+
+  /** The composed HOF form (kept for the equivalence test — it is the
+    * semantics the native expression must reproduce, tie policy
+    * included; ArrayAggregate is CodegenFallback, so the native form
+    * replaced it on the n·k assignment hot path). */
+  private[graft] def argmaxCosineDeclarative(e: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(-2.0).as("ccos"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cc = cosine(e, c.getField("ce"))
+        when(cc > acc.getField("ccos"),
+          struct(cc.as("ccos"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  /** One-row broadcastable quantizer: (cid, ce) rows collapsed to a
+    * single sorted array-of-structs — no scored (vector × centroid) row
+    * ever exists to shuffle or sort. */
+  private def quantizer(centroids: DataFrame): DataFrame =
+    centroids
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
-    val assigned = corpus.crossJoin(broadcast(centArr))
-      .withColumn("best", aggregate(
-        col("cents"),
-        struct(lit(-2.0).as("ccos"), lit(-1L).as("cid")),
-        (acc, c) => {
-          val cc = cosine(col("e"), c.getField("ce"))
-          when(cc > acc.getField("ccos"),
-            struct(cc.as("ccos"), c.getField("cid").as("cid")))
-            .otherwise(acc)
-        }))
-      .select(col("best.cid").as("cid"), col("vec_id"), col("e"))
-    // a row is pruned iff a SMALLER-id vector in its cluster is within
-    // threshold — keep-lowest-id, the same canonical-representative
-    // policy as exact dedup
+
+  /** Flat assignment: every vector folds over the FULL quantizer —
+    * O(n·k) map FLOPs, zero shuffle. Right while k is bounded. */
+  private[graft] def assignFlat(corpus: DataFrame,
+      centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(quantizer(centroids)))
+      .select(argmaxCosine(col("e"), col("cents")).as("cid"),
+        col("vec_id"), col("e"))
+
+  /** Two-level (IVF-style) assignment — the 100 TB path. SemDeDup's
+    * scale lever grows the centroid count ∝ n to hold |cluster|
+    * constant, which silently turns flat assignment's n·k map work
+    * into n²/|cluster|: linear join volume bought with quadratic
+    * FLOPs. Coarsening the quantizer restores balance: every
+    * ⌈√k⌉-th centroid (cid order — deterministic, no training pass)
+    * becomes a level-1 representative, each centroid joins its nearest
+    * representative's cell, and a vector folds over the ~√k reps then
+    * the ~√k members of the chosen cell — O(n·2√k) total, so k can
+    * track n up to n ≈ cluster_size·(FLOP budget)² before assignment
+    * dominates again (then recurse: three levels, ∛k). Both levels
+    * stay broadcast joins; assignment still never shuffles the corpus.
+    * The trade is the standard IVF one — a vector near a cell boundary
+    * may miss its true nearest centroid — but scale-invariance
+    * survives: a ×scale copy follows its original through BOTH argmax
+    * levels, so planted-copy recall stays exactly 1 and the prune set
+    * is deterministic (witnessed in ExtSpec, oracled end-to-end).
+    *
+    * Measured (StressMain semantic_ksweep: 64k-vector corpus, noop
+    * sink, native argmax): flat 5.5 / 7.4 / 12.2 / 20.0 s at
+    * k = 2000 / 8000 / 16000 / 32000 — linear in k as modeled — vs
+    * two-level ≈3 s flat across the sweep; crossover ≈ k 4000, 6× at
+    * k 32000 and widening as √k. With the interpreted fold instead of
+    * the native expression the same sweep read 140 s / 173 s at
+    * k=32000 — the per-element lambda dispatch, not the FLOPs, was
+    * the bound, which is why [[argmaxCosine]] is a codegen'd
+    * Expression and not an `aggregate` HOF.
+    */
+  private[graft] def assignHier(corpus: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rep stride s = ⌈√k⌉ derived IN the plan (one-row aggregate,
+    // broadcast) — no driver-side count action at build time. The
+    // global row_number window runs over the k centroid rows only:
+    // single-partition is exactly right for a quantizer build.
+    val ranked = centroids.withColumn("rn",
+      row_number().over(Window.orderBy("cid")))
+    val stride = centroids
+      .agg(ceil(sqrt(count(lit(1)))).cast("long").as("s"))
+    val reps = ranked.crossJoin(broadcast(stride))
+      .filter(pmod(col("rn") - 1, col("s")) === 0)
+      .select(col("cid").as("rcid"), col("ce").as("rce"))
+    val repArr = quantizer(
+      reps.select(col("rcid").as("cid"), col("rce").as("ce")))
+    // level-1: each centroid joins its nearest rep's cell
+    val centCell = centroids.crossJoin(broadcast(repArr))
+      .select(argmaxCosine(col("ce"), col("cents")).as("cell"),
+        col("cid"), col("ce"))
+    // per-cell sub-quantizers collapsed to ONE cell→members map row —
+    // the same single-broadcast-row shape as the flat quantizer. (A
+    // broadcast equi-join on cell was measured first: every joined
+    // output row MATERIALIZES its cell's member array — ~|cell|·dim·8
+    // bytes copied per corpus row — and at 16× growth that copy
+    // traffic made the two-level route SLOWER than flat. The one-row
+    // map + element_at lookup keeps the members by reference.)
+    val cellMap = centCell.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("cents"))))
+        .as("cellmap"))
+    // vectors: nearest rep, then argmax within that cell's members only
+    corpus.crossJoin(broadcast(repArr))
+      .withColumn("cell", argmaxCosine(col("e"), col("cents")))
+      .drop("cents")
+      .crossJoin(broadcast(cellMap))
+      .select(
+        argmaxCosine(col("e"), element_at(col("cellmap"), col("cell")))
+          .as("cid"),
+        col("vec_id"), col("e"))
+  }
+
+  /** Within-cluster prune shared by both assignment strategies: a row
+    * is pruned iff a SMALLER-id vector in its cluster is within
+    * threshold — keep-lowest-id, the same canonical-representative
+    * policy as exact dedup. One equi-join shuffle on cid. */
+  private def pruneWithinClusters(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val dups = assigned.alias("x").join(assigned.alias("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .filter(cosine(col("x.e"), col("y.e")) >= threshold)
@@ -989,6 +1092,11 @@ object Dedup {
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("kept"))
   }
+
+  /** SemDeDup with the two-level quantizer — see [[assignHier]]. */
+  def semanticDedupHier(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame =
+    pruneWithinClusters(assignHier(corpus, centroids), threshold)
 
   /** Semantic dedup over the scaled-copy planted corpus: every-16th
     * base vector is a centroid (the deterministic quantizer the IVF key
@@ -1027,6 +1135,70 @@ object Dedup {
                    AS arn
           FROM corpus x CROSS JOIN c)
         WHERE arn = 1),
+      dups AS (
+        SELECT DISTINCT y.vec_id
+        FROM assigned x JOIN assigned y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.e, y.e) >= 0.99)
+      SELECT a.vec_id, a.cid, d.vec_id IS NULL AS kept
+      FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id"""))
+
+  /** The two-level-quantizer face of [[semantic]]: same planted corpus,
+    * same every-16th-vector centroids, same 0.99 within-cluster prune —
+    * assignment routed through ⌈√k⌉ level-1 representatives
+    * ([[assignHier]]). The oracle replays BOTH argmax levels (rep
+    * choice, then cell-constrained centroid choice) with the same
+    * lowest-id tie rule, so the full hierarchical route — not just the
+    * prune — is hash-checked against DuckDB. Scaled ×1.5 copies follow
+    * their originals through both levels (cosine scale-invariance), so
+    * exactly the 500 planted copies drop here too. */
+  val semanticHier = QueryDef(
+    "dedup_semantic_hier",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val corpus = emb.unionAll(
+        emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("e"), x => x * 1.5).as("e")))
+      val centroids = emb.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("cid"), col("e").as("ce"))
+      semanticDedupHier(corpus, centroids, threshold = 0.99)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id % 16 = 0),
+      stride AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM c),
+      ranked AS (SELECT cid, ce, row_number() OVER (ORDER BY cid) AS rn
+                 FROM c),
+      reps AS (SELECT cid AS rcid, ce AS rce FROM ranked, stride
+               WHERE (rn - 1) % s = 0),
+      centcell AS (
+        SELECT cell, cid, ce FROM (
+          SELECT r.rcid AS cell, c.cid, c.ce,
+                 row_number() OVER (PARTITION BY c.cid
+                   ORDER BY list_cosine_similarity(c.ce, r.rce) DESC, r.rcid)
+                   AS arn
+          FROM c CROSS JOIN reps r) WHERE arn = 1),
+      veccell AS (
+        SELECT cell, vec_id, e FROM (
+          SELECT r.rcid AS cell, x.vec_id, x.e,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY list_cosine_similarity(x.e, r.rce) DESC, r.rcid)
+                   AS arn
+          FROM corpus x CROSS JOIN reps r) WHERE arn = 1),
+      assigned AS (
+        SELECT cid, vec_id, e FROM (
+          SELECT m.cid, v.vec_id, v.e,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, m.ce) DESC, m.cid)
+                   AS arn
+          FROM veccell v JOIN centcell m ON v.cell = m.cell) WHERE arn = 1),
       dups AS (
         SELECT DISTINCT y.vec_id
         FROM assigned x JOIN assigned y
@@ -1331,5 +1503,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
       simhashNearDup, simhashWideNearDup, embeddingCosine, semantic,
-      clusters, decontam, curate, lineDedup, repeatedSpansQ, removeSpansQ)
+      semanticHier, clusters, decontam, curate, lineDedup, repeatedSpansQ,
+      removeSpansQ)
 }

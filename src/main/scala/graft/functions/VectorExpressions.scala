@@ -147,6 +147,132 @@ case class L2Squared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmax_cosine(e, cents): the centroid id whose vector has the
+  * highest cosine with `e`, lowest id on exact ties. `cents` is the
+  * collapsed one-row quantizer — array<struct<cid: long, ce:
+  * array<double>>> sorted ascending by cid — so visiting in array
+  * order with strict `>` reproduces the declarative fold's tie policy
+  * bit-for-bit (Dedup.argmaxCosineDeclarative, kept as the
+  * equivalence-test twin). One fused nested loop in generated code;
+  * the interpreted ArrayAggregate fold this replaces paid per-element
+  * lambda dispatch on every (vector × centroid) — the semantic-dedup
+  * assignment hot path (n·k evals flat, n·2√k two-level).
+  *
+  * A centroid whose vector is NULL, length-mismatched, or has null
+  * elements is SKIPPED (the fold's null-propagating `>` did the same);
+  * an empty or all-skipped quantizer yields cid -1 (the fold's init),
+  * never null — assignment must stay total or the downstream
+  * cluster-join silently drops rows.
+  */
+case class CosineArgmax(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "cosine_argmax"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(s: StructType, _)) if s.length == 2 =>
+        s(0).dataType == LongType &&
+          (s(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<struct<bigint, array<double>>>)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val dim = e.numElements()
+    var best = -2.0
+    var bestCid = -1L
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val st = cents.getStruct(c, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          val ce = st.getArray(1)
+          if (ce.numElements() == dim) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            var skip = false
+            while (i < dim && !skip) {
+              if (e.isNullAt(i) || ce.isNullAt(i)) skip = true
+              else {
+                val xi = e.getDouble(i); val yi = ce.getDouble(i)
+                dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+              }
+            }
+            if (!skip) {
+              val cc = dot / (math.sqrt(na) * math.sqrt(nb))
+              if (cc > best) { best = cc; bestCid = st.getLong(0) }
+            }
+          }
+        }
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, cents) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val st = ctx.freshName("st")
+      val ce = ctx.freshName("ce")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val cc = ctx.freshName("cc")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val skip = ctx.freshName("skip")
+      s"""
+        int $dim = $e.numElements();
+        double $best = -2.0;
+        long $bestCid = -1L;
+        int $k = $cents.numElements();
+        for (int $c = 0; $c < $k; $c++) {
+          if ($cents.isNullAt($c)) continue;
+          InternalRow $st = $cents.getStruct($c, 2);
+          if ($st.isNullAt(0) || $st.isNullAt(1)) continue;
+          ArrayData $ce = $st.getArray(1);
+          if ($ce.numElements() != $dim) continue;
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          boolean $skip = false;
+          for (int $i = 0; $i < $dim; $i++) {
+            if ($e.isNullAt($i) || $ce.isNullAt($i)) { $skip = true; break; }
+            double $xi = $e.getDouble($i);
+            double $yi = $ce.getDouble($i);
+            $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+          }
+          if ($skip) continue;
+          double $cc = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          if ($cc > $best) { $best = $cc; $bestCid = $st.getLong(0); }
+        }
+        ${ev.value} = $bestCid;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -155,4 +281,6 @@ object VectorFunctions {
     column(CosineSim(expression(a), expression(b)))
   def l2Sq(a: Column, b: Column): Column =
     column(L2Squared(expression(a), expression(b)))
+  def cosineArgmax(e: Column, cents: Column): Column =
+    column(CosineArgmax(expression(e), expression(cents)))
 }

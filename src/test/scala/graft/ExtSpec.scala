@@ -146,6 +146,30 @@ class ExtSpec extends SparkSpec {
       s"unexpected prune set diff: ${(dropped -- base.map(_ + Dedup.PlantedOffset)).take(5)}")
   }
 
+  test("hierarchical semantic dedup preserves planted-copy recall through both levels") {
+    val out = Dedup.semanticHier.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val base = Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.length == 2 * base.size, "one output row per corpus row")
+    // scale-invariance holds through BOTH argmax levels: a ×1.5 copy
+    // picks the same rep, then the same centroid, as its original
+    val cid = out.map(t => t._1 -> t._2).toMap
+    base.foreach { id =>
+      assert(cid(id) == cid(id + Dedup.PlantedOffset),
+        s"copy of $id routed to ${cid(id + Dedup.PlantedOffset)} != ${cid(id)}")
+    }
+    // so the prune set is exactly the planted half, same as the flat key
+    val dropped = out.filter(!_._3).map(_._1).toSet
+    assert(dropped == base.map(_ + Dedup.PlantedOffset))
+    // the hierarchy is real: a vector's cell can differ from flat
+    // assignment's global argmax (IVF trade) but cluster membership
+    // keys the SAME centroid id space — every assigned cid is a centroid
+    val cents = base.filter(_ % 16 == 0)
+    assert(out.map(_._2).toSet.subsetOf(cents),
+      "assigned cid outside the centroid set")
+  }
+
   test("connected components resolve transitive chains into one cluster") {
     val sp = spark
     import sp.implicits._

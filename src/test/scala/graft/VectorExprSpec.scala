@@ -33,6 +33,33 @@ class VectorExprSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native cosine argmax == declarative fold, tie policy included") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // quantizer with a GUARANTEED tie per probe vector: each centroid
+    // appears once under its own cid and once scaled ×2 under cid+1000
+    // (cosine-identical) — strict-> must keep the lower cid both natively
+    // and in the fold
+    val cents = emb.limit(16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val tied = cents.unionAll(cents.select((col("cid") + 1000).as("cid"),
+      transform(col("ce"), x => x * 2.0).as("ce")))
+    val qt = tied.agg(
+      sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val diff = emb.crossJoin(broadcast(qt))
+      .select(
+        graft.functions.VectorFunctions.cosineArgmax(col("e"), col("cents")).as("x"),
+        Dedup.argmaxCosineDeclarative(col("e"), col("cents")).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff == 0)
+    // ties resolved to the LOWER cid: no winner from the +1000 shadow set
+    val winners = emb.crossJoin(broadcast(qt))
+      .select(graft.functions.VectorFunctions
+        .cosineArgmax(col("e"), col("cents")).as("cid"))
+      .filter(col("cid") >= 1000).count()
+    assert(winners == 0, "a scaled shadow centroid won an argmax tie")
+  }
+
   test("mismatched lengths and null elements yield NULL, not garbage") {
     val sp = spark
     import sp.implicits._
