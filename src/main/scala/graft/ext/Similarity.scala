@@ -277,14 +277,46 @@ object Similarity {
     val centroids = centroidsOpt.getOrElse(
       refs.filter(col("rid") % 16 === 0)
         .select(col("rid").as("cid"), col("re").as("ce")))
-    // invert: nearest centroid per reference vector
+    // one-row broadcast quantizer; assignment and probe are then pure
+    // map work — native argmin expressions over the array, one output
+    // row per input row. The crossJoin + per-key row_number windows
+    // this replaced materialized and SHUFFLED n·k scored rows twice
+    // (once per side) before the real work started — the dominant cost
+    // at scale, and measurable even at sf0.1 ([[ivfTopKWindow]], the
+    // equivalence twin, pinned equal in SimilaritySpec).
+    val qt = centroids
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val assigned = refs.crossJoin(broadcast(qt))
+      .select(graft.functions.VectorFunctions
+          .l2Argmin(col("re"), col("cents")).as("cid"),
+        col("rid"), col("re"))
+    val probes = queries.crossJoin(broadcast(qt))
+      .select(col("qid"), col("qe"),
+        explode(graft.functions.VectorFunctions
+          .l2ArgminTopK(col("qe"), col("cents"), IvfProbes)).as("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    probes.join(assigned, "cid")
+      .withColumn("cos", Dedup.cosine(col("qe"), col("re")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "rid")
+  }
+
+  /** The window-rank IVF formulation, kept as the equivalence twin the
+    * native-argmin plan must reproduce row-for-row: same (distance,
+    * cid) tie order at both the assignment argmin and the ≤nprobe
+    * probe rank. */
+  def ivfTopKWindow(queries: DataFrame, refs: DataFrame, k: Int,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      refs.filter(col("rid") % 16 === 0)
+        .select(col("rid").as("cid"), col("re").as("ce")))
     val wAssign = Window.partitionBy("rid").orderBy(col("cdist").asc, col("cid").asc)
     val assigned = refs.crossJoin(broadcast(centroids))
       .withColumn("cdist", graft.ml.Knn.sqDist(col("re"), col("ce")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select("cid", "rid", "re")
-    // probe: nprobe nearest centroids per query
     val wProbe = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cid").asc)
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("cdist", graft.ml.Knn.sqDist(col("qe"), col("ce")))

@@ -273,6 +273,228 @@ case class CosineArgmax(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2_argmin(e, cents): the centroid id at minimum squared-L2 from `e`,
+  * lowest id on exact ties (cents sorted ascending by cid, strict `<`).
+  * The map-side replacement for the crossJoin + per-key row_number
+  * window IVF assignment: the window form materializes and SHUFFLES
+  * n·k scored rows to sort each key's k candidates; this visits the
+  * one-row broadcast quantizer in a fused loop and emits one row per
+  * input. Same skip semantics as [[CosineArgmax]]; empty/all-skipped
+  * quantizer → -1.
+  */
+case class L2Argmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "l2_argmin"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CosineArgmax(left, right).checkInputDataTypes() match {
+      case org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, array<struct<bigint, array<double>>>)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val dim = e.numElements()
+    var best = Double.PositiveInfinity
+    var bestCid = -1L
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val st = cents.getStruct(c, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          val ce = st.getArray(1)
+          if (ce.numElements() == dim) {
+            var s = 0.0; var i = 0
+            var skip = false
+            while (i < dim && !skip) {
+              if (e.isNullAt(i) || ce.isNullAt(i)) skip = true
+              else { val d = e.getDouble(i) - ce.getDouble(i); s += d * d; i += 1 }
+            }
+            if (!skip && s < best) { best = s; bestCid = st.getLong(0) }
+          }
+        }
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, cents) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val st = ctx.freshName("st")
+      val ce = ctx.freshName("ce")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val skip = ctx.freshName("skip")
+      s"""
+        int $dim = $e.numElements();
+        double $best = Double.POSITIVE_INFINITY;
+        long $bestCid = -1L;
+        int $k = $cents.numElements();
+        for (int $c = 0; $c < $k; $c++) {
+          if ($cents.isNullAt($c)) continue;
+          InternalRow $st = $cents.getStruct($c, 2);
+          if ($st.isNullAt(0) || $st.isNullAt(1)) continue;
+          ArrayData $ce = $st.getArray(1);
+          if ($ce.numElements() != $dim) continue;
+          double $s = 0.0;
+          boolean $skip = false;
+          for (int $i = 0; $i < $dim; $i++) {
+            if ($e.isNullAt($i) || $ce.isNullAt($i)) { $skip = true; break; }
+            double $d = $e.getDouble($i) - $ce.getDouble($i);
+            $s += $d * $d;
+          }
+          if ($skip) continue;
+          if ($s < $best) { $best = $s; $bestCid = $st.getLong(0); }
+        }
+        ${ev.value} = $bestCid;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** l2_argmin_topk(e, cents, p): the p centroid ids nearest to `e` by
+  * squared L2, ordered (distance asc, cid asc) — the probe side of IVF
+  * as one map-side expression (explode the result) instead of a
+  * crossJoin + row_number ≤ p window over n·k scored rows. The
+  * insertion order is exactly the window's (dist, cid) lexicographic
+  * rank, so results are engine-portable for the oracle. Returns fewer
+  * than p ids only when fewer than p centroids qualify.
+  */
+case class L2ArgminTopK(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression {
+
+  require(p >= 1 && p <= 1024, s"l2_argmin_topk probe count $p out of [1,1024]")
+
+  override def prettyName: String = "l2_argmin_topk"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    L2Argmin(left, right).checkInputDataTypes()
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val dim = e.numElements()
+    val dists = Array.fill(p)(Double.PositiveInfinity)
+    val cids = new Array[Long](p)
+    var filled = 0
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val st = cents.getStruct(c, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          val ce = st.getArray(1)
+          if (ce.numElements() == dim) {
+            var s = 0.0; var i = 0
+            var skip = false
+            while (i < dim && !skip) {
+              if (e.isNullAt(i) || ce.isNullAt(i)) skip = true
+              else { val d = e.getDouble(i) - ce.getDouble(i); s += d * d; i += 1 }
+            }
+            if (!skip) {
+              val cid = st.getLong(0)
+              // ascending-cid visit order: a tie on distance never
+              // displaces an earlier (lower) cid — strict < suffices
+              if (filled < p || s < dists(p - 1)) {
+                var pos = math.min(filled, p - 1)
+                while (pos > 0 && s < dists(pos - 1)) {
+                  dists(pos) = dists(pos - 1); cids(pos) = cids(pos - 1)
+                  pos -= 1
+                }
+                dists(pos) = s; cids(pos) = cid
+                if (filled < p) filled += 1
+              }
+            }
+          }
+        }
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(cids, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, cents) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val st = ctx.freshName("st")
+      val ce = ctx.freshName("ce")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val dists = ctx.freshName("dists")
+      val cids = ctx.freshName("cids")
+      val filled = ctx.freshName("filled")
+      val pos = ctx.freshName("pos")
+      val cid = ctx.freshName("cid")
+      val skip = ctx.freshName("skip")
+      s"""
+        int $dim = $e.numElements();
+        double[] $dists = new double[$p];
+        long[] $cids = new long[$p];
+        java.util.Arrays.fill($dists, Double.POSITIVE_INFINITY);
+        int $filled = 0;
+        int $k = $cents.numElements();
+        for (int $c = 0; $c < $k; $c++) {
+          if ($cents.isNullAt($c)) continue;
+          InternalRow $st = $cents.getStruct($c, 2);
+          if ($st.isNullAt(0) || $st.isNullAt(1)) continue;
+          ArrayData $ce = $st.getArray(1);
+          if ($ce.numElements() != $dim) continue;
+          double $s = 0.0;
+          boolean $skip = false;
+          for (int $i = 0; $i < $dim; $i++) {
+            if ($e.isNullAt($i) || $ce.isNullAt($i)) { $skip = true; break; }
+            double $d = $e.getDouble($i) - $ce.getDouble($i);
+            $s += $d * $d;
+          }
+          if ($skip) continue;
+          long $cid = $st.getLong(0);
+          if ($filled < $p || $s < $dists[$p - 1]) {
+            int $pos = java.lang.Math.min($filled, $p - 1);
+            while ($pos > 0 && $s < $dists[$pos - 1]) {
+              $dists[$pos] = $dists[$pos - 1]; $cids[$pos] = $cids[$pos - 1];
+              $pos--;
+            }
+            $dists[$pos] = $s; $cids[$pos] = $cid;
+            if ($filled < $p) $filled++;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($cids, $filled));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -283,4 +505,8 @@ object VectorFunctions {
     column(L2Squared(expression(a), expression(b)))
   def cosineArgmax(e: Column, cents: Column): Column =
     column(CosineArgmax(expression(e), expression(cents)))
+  def l2Argmin(e: Column, cents: Column): Column =
+    column(L2Argmin(expression(e), expression(cents)))
+  def l2ArgminTopK(e: Column, cents: Column, p: Int): Column =
+    column(L2ArgminTopK(expression(e), expression(cents), p))
 }

@@ -331,6 +331,25 @@ class ExtSpec extends SparkSpec {
     assert(recKm >= rec - 0.05, s"k-means IVF recall $recKm worse than naive $rec")
   }
 
+  test("native-argmin IVF equals window-rank IVF, row for row") {
+    // assignment argmin AND the ≤nprobe probe rank must reproduce the
+    // window's (distance, cid) tie order exactly — both with the
+    // default every-16th quantizer and a trained one
+    val (q, r) = Similarity.split(spark, sf)
+    val native = Similarity.ivfTopK(q, r, Similarity.K)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val window = Similarity.ivfTopKWindow(q, r, Similarity.K)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+    val trained = Similarity.kmeansCentroids(r, k = 24, iters = 2)
+    val nativeKm = Similarity.ivfTopK(q, r, Similarity.K, Some(trained))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val windowKm = Similarity.ivfTopKWindow(q, r, Similarity.K, Some(trained))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(nativeKm == windowKm)
+  }
+
   test("bounded-heap top-k equals window top-k, row for row") {
     val (q, r) = Similarity.split(spark, sf)
     val heap = Similarity.bruteForceTopK(q, r, Similarity.K)

@@ -36,6 +36,21 @@ class PlanSpec extends SparkSpec {
     assert(nCols <= 6, s"scan reads $nCols columns, expected <= 6: $readSchema")
   }
 
+  test("IVF assignment and probe are map-side: one window in the whole plan") {
+    // the native-argmin rewrite leaves exactly ONE row_number window
+    // (the final per-query rank); the old form shuffled n·k scored rows
+    // through two more windows before the candidate join
+    // final adaptive plan only — the AQE toString repeats every node
+    // in its "== Initial Plan ==" section
+    val s = planString(graft.ext.Similarity.topkIvf.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    // count Window OPERATOR nodes ("Window [" — excludes the
+    // WindowGroupLimit rank-pushdown helpers and spec references)
+    val windows = "Window \\[".r.findAllIn(s).size
+    assert(windows == 1, s"expected 1 Window node, found $windows")
+    assert(s.contains("l2_argmin"), "native argmin missing from plan")
+  }
+
   test("q39: event-time range predicate pushes to the native timestamp scan") {
     val s = planString(Relational.q39EventTime.fn(spark, sf))
     assert(s.contains("PushedFilters: ["), s.take(2000))
