@@ -975,7 +975,7 @@ object Dedup {
     * cosine ties — a planted scaled copy scores a bit-identical cosine,
     * so tie policy is load-bearing for determinism, not a corner case.
     * Returns the winning cid (long). */
-  private def argmaxCosine(e: Column, cents: Column): Column =
+  private[graft] def argmaxCosine(e: Column, cents: Column): Column =
     graft.functions.VectorFunctions.cosineArgmax(e, cents)
 
   /** The composed HOF form (kept for the equivalence test — it is the
@@ -996,7 +996,7 @@ object Dedup {
   /** One-row broadcastable quantizer: (cid, ce) rows collapsed to a
     * single sorted array-of-structs — no scored (vector × centroid) row
     * ever exists to shuffle or sort. */
-  private def quantizer(centroids: DataFrame): DataFrame =
+  private[graft] def quantizer(centroids: DataFrame): DataFrame =
     centroids
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 

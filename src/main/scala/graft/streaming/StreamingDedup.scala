@@ -30,6 +30,17 @@ final case class BandedDocTs(band: Int, bucket: Long, doc_id: Long,
 final case class NearDupPair(a: Long, b: Long, n_common: Int,
     n_a: Int, n_b: Int)
 
+/** One cluster-assigned vector flowing into the semantic-dedup
+  * stateful prune. */
+final case class ClusterVec(cid: Long, vec_id: Long, e: Seq[Double])
+
+/** A kept (surviving) vector in a cluster's state. */
+final case class KeptVec(vec_id: Long, e: Array[Double])
+
+/** The streaming SemDeDup verdict for one vector (same columns as the
+  * batch face's output). */
+final case class SemanticDecision(vec_id: Long, cid: Long, kept: Boolean)
+
 /** Incremental near-dup dedup over an UNBOUNDED document stream — the
   * streaming twin of [[graft.ext.Dedup.minhashDedup]]: as documents
   * arrive, each is checked against everything previously seen and the
@@ -224,4 +235,71 @@ object StreamingDedup {
   def decontaminateStream(testDocs: DataFrame, trainDf: DataFrame,
       n: Int = 4): DataFrame =
     graft.ext.Dedup.decontaminateAgainst(testDocs, trainDf, n)
+
+  /** Streaming twin of [[graft.ext.Dedup.semanticDedup]] — continuous
+    * SemDeDup over an unbounded embedding stream ("is this vector a
+    * semantic dup of anything the corpus already kept?"). Assignment
+    * is the IDENTICAL map-side plan as batch: stream-static crossJoin
+    * with the one-row broadcast quantizer + the native codegen'd
+    * cosine-argmax, so a vector's cluster id is the same whichever
+    * face computes it. The within-cluster prune becomes keyed state:
+    * `flatMapGroupsWithState` on cid holds the cluster's KEPT vectors;
+    * an arrival within `threshold` of any kept one is pruned, else
+    * kept and added to state.
+    *
+    * Semantics note (deliberate, documented): the stream prunes
+    * against the SURVIVING set — greedy first-wins, the SemDeDup
+    * paper's own semantics — while the batch face prunes any row with
+    * a smaller-id in-threshold neighbor, kept or not. The two agree
+    * whenever near-dup relations don't chain (a≈b, b≈c, a≉c), which
+    * the 0.99-threshold planted corpus guarantees and the spec
+    * asserts; within a micro-batch, arrivals are processed in vec_id
+    * order so a single-batch stream reproduces batch keep-lowest-id.
+    * State = the deduped corpus itself, the operator's contract;
+    * bound it with event-time retention exactly like
+    * [[nearDupPairsStreamWithRetention]] ("dedup within N days").
+    * Cluster-level state also keys the skew lever: a hot cid's state
+    * is one group, so re-split hot clusters with a finer quantizer
+    * upstream (same recursion as batch).
+    */
+  def semanticDedupStream(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double): Dataset[SemanticDecision] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.crossJoin(broadcast(Dedup.quantizer(centroids)))
+      .select(Dedup.argmaxCosine(col("e"), col("cents")).as("cid"),
+        col("vec_id"), col("e"))
+      .as[ClusterVec]
+      .groupByKey(_.cid)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(pruneAgainstKept(threshold))
+  }
+
+  private[streaming] def pruneAgainstKept(threshold: Double)(
+      cid: Long, batch: Iterator[ClusterVec],
+      state: GroupState[Vector[KeptVec]]): Iterator[SemanticDecision] = {
+    var kept = state.getOption.getOrElse(Vector.empty)
+    val out = batch.toArray.sortBy(_.vec_id).map { v =>
+      val e = v.e.toArray
+      val dup = kept.exists(k => cosineJvm(e, k.e) >= threshold)
+      if (!dup) kept = kept :+ KeptVec(v.vec_id, e)
+      SemanticDecision(v.vec_id, cid, !dup)
+    }
+    state.update(kept)
+    out.iterator
+  }
+
+  /** Same accumulation order as the CosineSim expression (and DuckDB's
+    * list_cosine_similarity), so stream and batch threshold decisions
+    * cannot diverge on arithmetic. Length mismatch → -2 (never a dup),
+    * mirroring the expression's null → not-≥-threshold. */
+  private def cosineJvm(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length) return -2.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

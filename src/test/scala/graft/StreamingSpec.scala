@@ -435,6 +435,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "planted near-dups must be found")
   }
 
+  test("streaming semantic dedup equals the batch prune across micro-batches") {
+    val fns = org.apache.spark.sql.functions
+    val emb = Tables(spark, sf, "embeddings")
+      .select(fns.col("vec_id"),
+        fns.col("embedding").cast("array<double>").as("e"))
+    // same arithmetic as the batch key's planted corpus: ×1.5 per
+    // element in IEEE double, so cluster routing and cosine agree
+    val base = emb.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val copies = base.map { case (id, e) =>
+      (id + graft.ext.Dedup.PlantedOffset, e.map(_ * 1.5)) }
+    val centroids = emb.filter(fns.col("vec_id") % 16 === 0)
+      .select(fns.col("vec_id").as("cid"), fns.col("e").as("ce"))
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val stream = ms.toDF().toDF("vec_id", "e")
+    val q = graft.streaming.StreamingDedup
+      .semanticDedupStream(stream, centroids, 0.99)
+      .writeStream.format("memory").queryName("t_semstream")
+      .option("checkpointLocation", s"${freshDir("semstream")}/ckpt")
+      .start()
+    // originals and planted copies in SEPARATE micro-batches: every
+    // prune decision in batch 2 is made against checkpointed state
+    ms.addData(base.toSeq)
+    q.processAllAvailable()
+    ms.addData(copies.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_semstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = graft.ext.Dedup.semantic.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.exists(!_._3) && got.exists(_._3),
+      "both kept and pruned verdicts must occur")
+  }
+
   test("streaming decontamination equals the batch collision counts") {
     val base = freshDir("streamdecontam")
     val store = LogStore(base)
