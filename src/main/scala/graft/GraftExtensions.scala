@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, L2Squared, TopKSmallest}
+import graft.functions.{CosineArgmax, CosineSim, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -14,6 +14,9 @@ import org.apache.spark.sql.types.IntegerType
   *   cosine_sim(a, b)                  — fused cosine over array<double>
   *   l2_sq(a, b)                       — fused squared L2
   *   topk_smallest(score, id, label, k) — bounded-heap top-k aggregate
+  *   cosine_argmax(e, cents)           — nearest centroid id by cosine
+  *   l2_argmin(e, cents)               — nearest centroid id by L2
+  *   l2_argmin_topk(e, cents, p)       — p nearest centroid ids by L2
   *
   * Two deployment paths share one registration list:
   *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -53,6 +56,25 @@ object GraftFunctions {
         require(args.length == 4,
           "topk_smallest(score, id, label, k) takes 4 arguments")
         TopKSmallest(args(0), args(1), args(2), intLit(args(3), "k"))
+      }),
+    (FunctionIdentifier("cosine_argmax"),
+      info("cosine_argmax", classOf[CosineArgmax]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_argmax(e, cents) takes 2 arguments")
+        CosineArgmax(args(0), args(1))
+      }),
+    (FunctionIdentifier("l2_argmin"),
+      info("l2_argmin", classOf[L2Argmin]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "l2_argmin(e, cents) takes 2 arguments")
+        L2Argmin(args(0), args(1))
+      }),
+    (FunctionIdentifier("l2_argmin_topk"),
+      info("l2_argmin_topk", classOf[L2ArgminTopK]),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "l2_argmin_topk(e, cents, p) takes 3 arguments")
+        L2ArgminTopK(args(0), args(1), intLit(args(2), "p"))
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

@@ -124,6 +124,23 @@ class VectorExprSpec extends SparkSpec {
       FROM emb_sql""").collect().head
     assert(topk.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) ==
       Seq(0L, 1L, 2L))
+    // argmax/argmin family: each vector's nearest centroid (itself, if
+    // it IS a centroid) and its p-nearest list's head agree
+    val am = spark.sql("""
+      WITH q AS (SELECT sort_array(collect_list(struct(vec_id AS cid, e AS ce)))
+                   AS cents
+                 FROM emb_sql WHERE vec_id % 16 = 0)
+      SELECT sum(CASE WHEN cosine_argmax(e, cents) = vec_id
+                      THEN 1 ELSE 0 END) AS self_cos,
+             sum(CASE WHEN l2_argmin(e, cents) = vec_id
+                      THEN 1 ELSE 0 END) AS self_l2,
+             sum(CASE WHEN l2_argmin_topk(e, cents, 3)[0] = l2_argmin(e, cents)
+                      THEN 1 ELSE 0 END) AS head_eq,
+             count(*) AS n
+      FROM emb_sql CROSS JOIN q WHERE vec_id % 16 = 0""").collect().head
+    assert(am.getLong(0) == am.getLong(3), "a centroid's cosine argmax is itself")
+    assert(am.getLong(1) == am.getLong(3), "a centroid's L2 argmin is itself")
+    assert(am.getLong(2) == am.getLong(3), "topk head must equal the argmin")
   }
 
   test("expressions participate in whole-stage codegen") {
