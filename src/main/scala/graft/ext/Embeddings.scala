@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,5 +77,163 @@ object Embeddings {
                v -> CAST(round(v * 127 / maxabs) AS BIGINT)), ',') AS q
       FROM m WHERE maxabs > 0"""))
 
-  val all: Seq[QueryDef] = Seq(normalize, quantizeInt8)
+  // --- product quantization (PQ) --------------------------------------
+
+  /** PQ geometry: 64-dim vectors cut into M=8 subspaces of D=8 dims,
+    * each encoded as the index of its nearest codeword in a K=16-entry
+    * per-subspace codebook — 64 doubles (512 B) become 8 small ints
+    * (8 B with nbits=4 packing): the 64× vector-storage lever behind
+    * IVF-PQ indexes at 10⁹–10¹² vectors (Jégou et al., PAMI 2011),
+    * complementing [[quantizeInt8]]'s 8×.
+    *
+    * Determinism discipline: vectors are integer-scaled
+    * (round(x·1000)) BEFORE codebook extraction, encoding, and ADC
+    * scoring, so every distance in the pipeline is EXACT integer
+    * arithmetic — no float accumulation-order or tie risk anywhere,
+    * and the whole pipeline (codebooks → codes → ADC top-k) replays
+    * verbatim in the DuckDB oracle. Codebooks are the first K vectors
+    * by id (deterministic, SQL-replayable; swap in per-subspace Lloyd
+    * for trained codebooks — same shapes, [[graft.ext.Similarity.kmeansCentroids]]
+    * precedent).
+    */
+  val PqM = 8
+  val PqD = 8
+  val PqK = 16
+
+  private def intScale(e: Column): Column =
+    transform(e, x => round(x * 1000))
+
+  /** One-row broadcastable codebook map: s → sorted array<struct<cid,
+    * ce>> of that subspace's K codewords (cid = codeword index). The
+    * same single-broadcast-row quantizer shape as semantic dedup / IVF
+    * — training data never shuffles, encoding is pure map work. */
+  private def pqCodebook(scaled: DataFrame, idCol: String): DataFrame =
+    scaled.orderBy(idCol).limit(PqK)
+      .withColumn("j", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(idCol)) - 1)
+      .select(explode(sequence(lit(0), lit(PqM - 1))).as("s"), col("j"),
+        col("sc"))
+      .select(col("s"), struct(col("j").cast(LongType).as("cid"),
+        slice(col("sc"), col("s") * PqD + 1, lit(PqD)).as("ce")).as("cw"))
+      .groupBy("s").agg(sort_array(collect_list(col("cw"))).as("cws"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("s"), col("cws"))))).as("cb"))
+
+  /** codes[s] = argmin_j L2(subvector_s, codebook[s][j]), lowest j on
+    * ties — the native L2Argmin per subspace (the outer per-subspace
+    * loop is a tiny HOF; the K·D hot loop inside is codegen'd). */
+  private def pqEncode(sc: Column, cb: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), s =>
+      graft.functions.VectorFunctions.l2Argmin(
+        slice(sc, s * PqD + 1, lit(PqD)), element_at(cb, s)))
+
+  /** Asymmetric-distance (ADC) score: the query stays full-precision
+    * (integer-scaled), the reference is its 8 codes — distance is the
+    * sum over subspaces of exact integer L2 to the looked-up codeword. */
+  private def adcDist(qs: Column, codes: Column, cb: Column): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(PqM - 1)), (c, s) =>
+        graft.functions.VectorFunctions.l2Sq(
+          slice(qs, s * PqD + 1, lit(PqD)),
+          element_at(element_at(cb, s), (c + 1).cast(IntegerType))
+            .getField("ce"))),
+      lit(0.0), _ + _)
+
+  /** PQ encoding of the corpus: (vec_id, comma-joined codes). */
+  val pqCodes = QueryDef(
+    "embedding_pq_codes",
+    (s, dir) => {
+      val scaled = asVec(s, dir)
+        .select(col("vec_id"), intScale(col("e")).as("sc"))
+      scaled.crossJoin(broadcast(pqCodebook(scaled, "vec_id")))
+        .select(col("vec_id"),
+          array_join(pqEncode(col("sc"), col("cb")), ",").as("codes"))
+    },
+    Some("""
+      WITH x AS (SELECT vec_id,
+                        list_transform(CAST(embedding AS DOUBLE[]),
+                                       v -> round(v * 1000)) AS sc
+                 FROM embeddings),
+      t AS (SELECT sc, row_number() OVER (ORDER BY vec_id) - 1 AS j
+            FROM x ORDER BY vec_id LIMIT 16),
+      cw AS (SELECT s, j, list_slice(sc, s * 8 + 1, s * 8 + 8) AS ce
+             FROM t CROSS JOIN (SELECT unnest(range(8)) AS s)),
+      sub AS (SELECT vec_id, s, list_slice(sc, s * 8 + 1, s * 8 + 8) AS sq
+              FROM x CROSS JOIN (SELECT unnest(range(8)) AS s)),
+      enc AS (
+        SELECT vec_id, s, j FROM (
+          SELECT sub.vec_id, sub.s, cw.j,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_sum(list_transform(range(1, 9),
+                     i -> (sub.sq[i] - cw.ce[i]) * (sub.sq[i] - cw.ce[i]))),
+                   cw.j) AS rn
+          FROM sub JOIN cw ON sub.s = cw.s) WHERE rn = 1)
+      SELECT vec_id,
+             array_to_string(list(j ORDER BY s), ',') AS codes
+      FROM enc GROUP BY vec_id"""))
+
+  /** PQ ADC top-k search: queries stay full-precision, references are
+    * searched AS CODES — the memory-bound regime where the corpus no
+    * longer fits as raw vectors. One broadcast of (codebook, queries),
+    * one bounded-heap aggregate; ranks are exact over the integer
+    * distances, ties (identical codes — e.g. duplicate vectors) break
+    * by rid like every top-k in the library. */
+  val pqTopK = QueryDef(
+    "topk_pq_adc",
+    (s, dir) => {
+      val (q, r) = Similarity.split(s, dir)
+      val rs = r.select(col("rid"), intScale(col("re")).as("sc"))
+      val qs = q.select(col("qid"), intScale(col("qe")).as("qs"))
+      val cb = pqCodebook(rs, "rid")
+      val enc = rs.crossJoin(broadcast(cb))
+        .select(col("rid"), pqEncode(col("sc"), col("cb")).as("codes"))
+      enc.crossJoin(broadcast(qs)).crossJoin(broadcast(cb))
+        .select(col("qid"),
+          adcDist(col("qs"), col("codes"), col("cb")).as("dist"), col("rid"))
+        .groupBy("qid")
+        .agg(graft.functions.TopK.smallestK(
+          col("dist"), col("rid"), lit(0), Similarity.K).as("top"))
+        .select(col("qid"), posexplode(col("top.id")))
+        .select(col("qid"), (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("col").as("rid"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS qid,
+                        list_transform(CAST(embedding AS DOUBLE[]),
+                                       v -> round(v * 1000)) AS qsc
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      r AS (SELECT vec_id AS rid,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  v -> round(v * 1000)) AS sc
+            FROM embeddings WHERE vec_id % 10 <> 0),
+      t AS (SELECT sc, row_number() OVER (ORDER BY rid) - 1 AS j
+            FROM r ORDER BY rid LIMIT 16),
+      cw AS (SELECT s, j, list_slice(sc, s * 8 + 1, s * 8 + 8) AS ce
+             FROM t CROSS JOIN (SELECT unnest(range(8)) AS s)),
+      sub AS (SELECT rid, s, list_slice(sc, s * 8 + 1, s * 8 + 8) AS sq
+              FROM r CROSS JOIN (SELECT unnest(range(8)) AS s)),
+      enc AS (
+        SELECT rid, s, j FROM (
+          SELECT sub.rid, sub.s, cw.j,
+                 row_number() OVER (PARTITION BY sub.rid, sub.s
+                   ORDER BY list_sum(list_transform(range(1, 9),
+                     i -> (sub.sq[i] - cw.ce[i]) * (sub.sq[i] - cw.ce[i]))),
+                   cw.j) AS rn
+          FROM sub JOIN cw ON sub.s = cw.s) WHERE rn = 1),
+      dists AS (
+        SELECT q.qid, enc.rid,
+               sum(list_sum(list_transform(range(1, 9), i ->
+                 (list_slice(q.qsc, enc.s * 8 + 1, enc.s * 8 + 8)[i]
+                    - cw.ce[i])
+                 * (list_slice(q.qsc, enc.s * 8 + 1, enc.s * 8 + 8)[i]
+                    - cw.ce[i])))) AS dist
+        FROM q CROSS JOIN enc JOIN cw ON enc.s = cw.s AND enc.j = cw.j
+        GROUP BY q.qid, enc.rid)
+      SELECT qid, rank, rid FROM (
+        SELECT qid, rid, row_number() OVER (PARTITION BY qid
+                 ORDER BY dist, rid) AS rank
+        FROM dists)
+      WHERE rank <= 10"""))
+
+  val all: Seq[QueryDef] = Seq(normalize, quantizeInt8, pqCodes, pqTopK)
 }

@@ -350,6 +350,42 @@ class ExtSpec extends SparkSpec {
     assert(nativeKm == windowKm)
   }
 
+  test("PQ codes are valid 4-bit words and ADC search ranks genuine L2 neighbors") {
+    val fns = org.apache.spark.sql.functions
+    val codes = graft.ext.Embeddings.pqCodes.fn(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(codes.length == n, "one code row per vector")
+    // 8 codes per vector, each a valid index into a 16-entry book —
+    // 64 doubles (512 B) reduced to 8 nibbles
+    codes.foreach { r =>
+      val cs = r.getString(1).split(",")
+      assert(cs.length == graft.ext.Embeddings.PqM)
+      cs.foreach { c =>
+        assert(c.toLong >= 0 && c.toLong < graft.ext.Embeddings.PqK, c)
+      }
+    }
+    // recall floor vs EXACT L2 top-k. Untrained first-K codebooks over
+    // near-random synthetic vectors are PQ's worst case (no cluster
+    // structure to exploit — measured ~0.19 here; real embedding
+    // corpora do far better, and per-subspace Lloyd via
+    // kmeansCentroids is the trained path), so the floor pins
+    // "genuinely better than chance" (chance ≈ k/n ≈ 0.02), not
+    // production recall.
+    val (q, r) = Similarity.split(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(fns.col("d").asc, fns.col("rid").asc)
+    val exact = q.crossJoin(r)
+      .withColumn("d", graft.ml.Knn.sqDist(fns.col("qe"), fns.col("re")))
+      .withColumn("rk", fns.row_number().over(w))
+      .filter(fns.col("rk") <= Similarity.K)
+      .select("qid", "rid")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toSet
+    val adc = graft.ext.Embeddings.pqTopK.fn(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val rec = exact.intersect(adc).size.toDouble / exact.size
+    assert(rec > 0.10, s"ADC recall $rec vs exact L2 not above floor")
+  }
+
   test("bounded-heap top-k equals window top-k, row for row") {
     val (q, r) = Similarity.split(spark, sf)
     val heap = Similarity.bruteForceTopK(q, r, Similarity.K)
