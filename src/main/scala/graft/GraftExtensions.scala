@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineArgmax, CosineSim, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
+import graft.functions.{AdcLookup, CosineArgmax, CosineSim, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.IntegerType
   *   cosine_argmax(e, cents)           — nearest centroid id by cosine
   *   l2_argmin(e, cents)               — nearest centroid id by L2
   *   l2_argmin_topk(e, cents, p)       — p nearest centroid ids by L2
+  *   adc_lookup(tbl, codes)            — PQ asymmetric-distance score
   *
   * Two deployment paths share one registration list:
   *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -75,6 +76,12 @@ object GraftFunctions {
         require(args.length == 3,
           "l2_argmin_topk(e, cents, p) takes 3 arguments")
         L2ArgminTopK(args(0), args(1), intLit(args(2), "p"))
+      }),
+    (FunctionIdentifier("adc_lookup"),
+      info("adc_lookup", classOf[AdcLookup]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "adc_lookup(tbl, codes) takes 2 arguments")
+        AdcLookup(args(0), args(1))
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

@@ -100,14 +100,14 @@ object Embeddings {
   val PqD = 8
   val PqK = 16
 
-  private def intScale(e: Column): Column =
+  private[graft] def intScale(e: Column): Column =
     transform(e, x => round(x * 1000))
 
   /** One-row broadcastable codebook map: s → sorted array<struct<cid,
     * ce>> of that subspace's K codewords (cid = codeword index). The
     * same single-broadcast-row quantizer shape as semantic dedup / IVF
     * — training data never shuffles, encoding is pure map work. */
-  private def pqCodebook(scaled: DataFrame, idCol: String): DataFrame =
+  private[graft] def pqCodebook(scaled: DataFrame, idCol: String): DataFrame =
     scaled.orderBy(idCol).limit(PqK)
       .withColumn("j", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(idCol)) - 1)
@@ -122,7 +122,7 @@ object Embeddings {
   /** codes[s] = argmin_j L2(subvector_s, codebook[s][j]), lowest j on
     * ties — the native L2Argmin per subspace (the outer per-subspace
     * loop is a tiny HOF; the K·D hot loop inside is codegen'd). */
-  private def pqEncode(sc: Column, cb: Column): Column =
+  private[graft] def pqEncode(sc: Column, cb: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)), s =>
       graft.functions.VectorFunctions.l2Argmin(
         slice(sc, s * PqD + 1, lit(PqD)), element_at(cb, s)))
@@ -130,7 +130,7 @@ object Embeddings {
   /** Asymmetric-distance (ADC) score: the query stays full-precision
     * (integer-scaled), the reference is its 8 codes — distance is the
     * sum over subspaces of exact integer L2 to the looked-up codeword. */
-  private def adcDist(qs: Column, codes: Column, cb: Column): Column =
+  private[graft] def adcDist(qs: Column, codes: Column, cb: Column): Column =
     aggregate(
       zip_with(codes, sequence(lit(0), lit(PqM - 1)), (c, s) =>
         graft.functions.VectorFunctions.l2Sq(
@@ -138,6 +138,37 @@ object Embeddings {
           element_at(element_at(cb, s), (c + 1).cast(IntegerType))
             .getField("ce"))),
       lit(0.0), _ + _)
+
+  /** Trained codebooks: per-subspace Lloyd k-means over the subvector
+    * space ([[Similarity.kmeansCentroids]], init = the untrained
+    * first-K books), same one-row broadcast shape as [[pqCodebook]].
+    * Lloyd never increases distortion from its init, so reconstruction
+    * error is <= the untrained books' by construction — pinned in
+    * ExtSpec via [[pqReconstructionError]]. Trained books are floats
+    * (means), so the exact-integer oracle discipline doesn't apply —
+    * they serve the quality path, the oracled keys keep the
+    * deterministic books. */
+  private[graft] def pqCodebookTrained(scaled: DataFrame, idCol: String,
+      iters: Int = 3): DataFrame =
+    (0 until PqM).map { s =>
+      val sub = scaled.select(col(idCol).as("rid"),
+        slice(col("sc"), s * PqD + 1, PqD).as("re"))
+      Similarity.kmeansCentroids(sub, PqK, iters)
+        .select(lit(s).as("s"), struct(col("cid"), col("ce")).as("cw"))
+    }.reduce(_ unionAll _)
+      .groupBy("s").agg(sort_array(collect_list(col("cw"))).as("cws"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("s"), col("cws"))))).as("cb"))
+
+  /** Total squared reconstruction error of a corpus against a codebook
+    * — the distortion Lloyd minimizes (a vector's error is its ADC
+    * distance to its own codes). */
+  private[graft] def pqReconstructionError(scaled: DataFrame,
+      cb: DataFrame): Double =
+    scaled.crossJoin(broadcast(cb))
+      .select(adcDist(col("sc"),
+        pqEncode(col("sc"), col("cb")), col("cb")).as("err"))
+      .agg(sum("err")).head.getDouble(0)
 
   /** PQ encoding of the corpus: (vec_id, comma-joined codes). */
   val pqCodes = QueryDef(
@@ -187,9 +218,26 @@ object Embeddings {
       val cb = pqCodebook(rs, "rid")
       val enc = rs.crossJoin(broadcast(cb))
         .select(col("rid"), pqEncode(col("sc"), col("cb")).as("codes"))
-      enc.crossJoin(broadcast(qs)).crossJoin(broadcast(cb))
+      // the classic ADC structure: per QUERY, one m×K table of exact
+      // subspace distances to every codeword (tiny — computed once per
+      // query, HOF cost immaterial at |Q| rows), then the pair scan is
+      // m table lookups per (query, reference) via the native
+      // codegen'd adc_lookup — identical sums in identical order to
+      // folding l2_sq per pair ([[adcDist]], the equivalence twin the
+      // reconstruction-error path still uses), so the oracle is
+      // untouched
+      val qtab = qs.crossJoin(broadcast(cb))
         .select(col("qid"),
-          adcDist(col("qs"), col("codes"), col("cb")).as("dist"), col("rid"))
+          transform(sequence(lit(0), lit(PqM - 1)), sb =>
+            transform(element_at(col("cb"), sb), cw =>
+              graft.functions.VectorFunctions.l2Sq(
+                slice(col("qs"), sb * PqD + 1, lit(PqD)),
+                cw.getField("ce")))).as("tbl"))
+      enc.crossJoin(broadcast(qtab))
+        .select(col("qid"),
+          graft.functions.VectorFunctions
+            .adcLookup(col("tbl"), col("codes")).as("dist"),
+          col("rid"))
         .groupBy("qid")
         .agg(graft.functions.TopK.smallestK(
           col("dist"), col("rid"), lit(0), Similarity.K).as("top"))

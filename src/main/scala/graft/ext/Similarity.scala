@@ -228,23 +228,20 @@ object Similarity {
     var cents: Array[Array[Double]] = refs.orderBy("rid").limit(k)
       .select("re").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val nearest = udf { (v: Seq[Double]) =>
-        val a = v.toArray
-        var best = 0
-        var bestD = Double.MaxValue
-        var ci = 0
-        while (ci < bc.value.length) {
-          val c = bc.value(ci)
-          var s = 0.0
-          var i = 0
-          while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
-          if (s < bestD) { best = ci; bestD = s } // ties keep lowest ci
-          ci += 1
-        }
-        best
-      }
-      val moved = refs.select(nearest(col("re")).as("cid"),
+      // assignment via the native codegen'd L2Argmin over the iteration's
+      // centroids as a one-row broadcast quantizer — same tie rule as the
+      // Scala-UDF loop this replaced (lowest index wins via strict <,
+      // ascending visit), no per-iteration broadcast-variable churn and
+      // no Seq boxing per row
+      import spark.implicits._
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("cid", "ce")
+      val qt = centDf
+        .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      val moved = refs.crossJoin(broadcast(qt))
+        .select(graft.functions.VectorFunctions
+            .l2Argmin(col("re"), col("cents")).cast("int").as("cid"),
           posexplode(col("re")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
         .groupBy("cid")
@@ -255,9 +252,6 @@ object Similarity {
         .toMap
       // a centroid that lost every member keeps its position
       cents = cents.indices.map(i => moved.getOrElse(i, cents(i))).toArray
-      // the assignment pass is fully materialized by the collect above;
-      // free the broadcast instead of accumulating one per iteration
-      bc.destroy()
     }
     val sp = spark
     import sp.implicits._

@@ -495,6 +495,89 @@ case class L2ArgminTopK(left: Expression, right: Expression, p: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** adc_lookup(tbl, codes): Σ_s tbl[s][codes[s]] — the PQ asymmetric-
+  * distance scorer over a per-query distance table (array<array
+  * <double>>, subspace-major) and a reference's code array. This is
+  * the pair-scan hot path of ADC search: one fused loop of m lookups
+  * and adds per (query, reference) pair, whole-stage codegen'd — the
+  * zip_with+aggregate HOF form it replaced paid interpreted dispatch
+  * per subspace per pair (6.5 s → sub-second for the sf0.1 scan).
+  * NULL on malformed input (table/codes length mismatch, code out of
+  * bounds, null elements) — a wrong-shape code must be loud, not a
+  * silently-partial distance.
+  */
+case class AdcLookup(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "adc_lookup"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.LongType
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(LongType, _)) =>
+        true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<array<double>>, array<bigint>)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val tbl = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = tbl.numElements()
+    if (codes.numElements() != m) return null
+    var s = 0
+    var acc = 0.0
+    while (s < m) {
+      if (tbl.isNullAt(s) || codes.isNullAt(s)) return null
+      val row = tbl.getArray(s)
+      val c = codes.getLong(s)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c.toInt)) return null
+      acc += row.getDouble(c.toInt)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tbl, codes) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $m = $tbl.numElements();
+        if ($codes.numElements() != $m) { ${ev.isNull} = true; }
+        else {
+          double $acc = 0.0;
+          for (int $s = 0; $s < $m; $s++) {
+            if ($tbl.isNullAt($s) || $codes.isNullAt($s)) {
+              ${ev.isNull} = true; break;
+            }
+            ArrayData $row = $tbl.getArray($s);
+            long $c = $codes.getLong($s);
+            if ($c < 0 || $c >= $row.numElements()
+                || $row.isNullAt((int) $c)) {
+              ${ev.isNull} = true; break;
+            }
+            $acc += $row.getDouble((int) $c);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -509,4 +592,6 @@ object VectorFunctions {
     column(L2Argmin(expression(e), expression(cents)))
   def l2ArgminTopK(e: Column, cents: Column, p: Int): Column =
     column(L2ArgminTopK(expression(e), expression(cents), p))
+  def adcLookup(tbl: Column, codes: Column): Column =
+    column(AdcLookup(expression(tbl), expression(codes)))
 }

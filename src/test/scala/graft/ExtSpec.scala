@@ -386,6 +386,21 @@ class ExtSpec extends SparkSpec {
     assert(rec > 0.10, s"ADC recall $rec vs exact L2 not above floor")
   }
 
+  test("trained PQ codebooks strictly reduce reconstruction error") {
+    val fns = org.apache.spark.sql.functions
+    val scaled = Tables(spark, sf, "embeddings")
+      .select(fns.col("vec_id"), graft.ext.Embeddings.intScale(
+        fns.col("embedding").cast("array<double>")).as("sc"))
+    val untrained = graft.ext.Embeddings.pqCodebook(scaled, "vec_id")
+    val trained = graft.ext.Embeddings.pqCodebookTrained(scaled, "vec_id")
+    val errU = graft.ext.Embeddings.pqReconstructionError(scaled, untrained)
+    val errT = graft.ext.Embeddings.pqReconstructionError(scaled, trained)
+    // Lloyd inits FROM the untrained books and never increases
+    // distortion, so <= is a theorem; < is the data saying the means
+    // actually moved
+    assert(errT < errU, s"trained $errT !< untrained $errU")
+  }
+
   test("bounded-heap top-k equals window top-k, row for row") {
     val (q, r) = Similarity.split(spark, sf)
     val heap = Similarity.bruteForceTopK(q, r, Similarity.K)
