@@ -53,8 +53,26 @@ object Work {
   val jvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Per-JVM scratch subdir for a query's intermediate files (CSV/log
+    * sinks the query itself re-reads). Tagged with [[jvmTag]] so two
+    * concurrent graft JVMs sharing this work dir (driver Verify beside
+    * Bench or a test suite) can never `clean()` each other's files
+    * between one JVM's write and its read-back — the exact collision
+    * class already closed for `mat_` dirs above, which round 8's gate
+    * hit on the UNtagged paths: `stream_scan_bounded`/`stream_roundtrip`
+    * read 0 rows and seven sibling keys died on FAILED_READ_FILE when a
+    * concurrent session cleaned the fixed-name dir mid-query. Stale
+    * tagged dirs from dead sessions age into the same >6h sweep as
+    * `mat_`. NOT for the multimodal raster tables — those are shared
+    * cross-JVM by design (the DuckDB oracle reads them by fixed path).
+    */
+  def scratch(name: String): String = s"$dir/scr_${jvmTag}_$name"
+
+  private def sweepable(n: String): Boolean =
+    n.startsWith("mat_") || n.startsWith("scr_")
+
   locally {
-    // sweep mat_* dirs untouched for >6h (dead sessions); live
+    // sweep mat_*/scr_* dirs untouched for >6h (dead sessions); live
     // concurrent sessions are younger and never share a tag. "Live"
     // includes sessions OLDER than 6h: the heartbeat thread below
     // refreshes this JVM's own mat_ dirs' mtimes every 30 min, so a
@@ -63,7 +81,7 @@ object Work {
     // into a second JVM's sweep window (round-6 advice).
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("mat_") && f.lastModified() < cutoff)
+      if (sweepable(f.getName) && f.lastModified() < cutoff)
         clean(f.getAbsolutePath)
     })
     val heartbeat = new Thread(() => {
@@ -78,7 +96,7 @@ object Work {
         try {
           Thread.sleep(30L * 60 * 1000)
           Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-            if (f.getName.startsWith("mat_") && f.getName.contains(jvmTag))
+            if (sweepable(f.getName) && f.getName.contains(jvmTag))
               f.setLastModified(System.currentTimeMillis()): Unit
           })
         } catch {

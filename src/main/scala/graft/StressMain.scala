@@ -129,7 +129,7 @@ object StressMain {
     // price of surviving executor loss (round-5 verdict ask #6)
     pair("clusters_cc_reliable")(
       { c =>
-        spark.sparkContext.setCheckpointDir(Work.dir + "/cc_checkpoint")
+        spark.sparkContext.setCheckpointDir(Work.scratch("cc_checkpoint"))
         spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
         try {
           val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
@@ -292,7 +292,7 @@ object StressMain {
               col("value"), col("props"))
           }.reduce(_ unionAll _)
         def run(n: Int, tag: String): Double = {
-          val base = s"${Work.dir}/log_window_stress"
+          val base = Work.scratch("log_window_stress")
           Work.clean(base)
           val store = graft.connector.LogStore(base)
           store.append(repEvents(n), "scope", "events-stream")
@@ -306,7 +306,7 @@ object StressMain {
         }
         val base = run(1, "1x")
         val big = run(mult, s"${mult}x")
-        Work.clean(s"${Work.dir}/log_window_stress")
+        Work.clean(Work.scratch("log_window_stress"))
         results(name) = (base, big)
       }
     }

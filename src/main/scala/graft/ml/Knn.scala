@@ -371,7 +371,7 @@ object Knn {
     "knn_train",
     (s, dir) => {
       val (_, refs) = split(s, dir)
-      val modelDir = s"${Work.dir}/knn_model"
+      val modelDir = Work.scratch("knn_model")
       save(refs, modelDir, k = 5)
       val (loaded, k) = load(s, modelDir)
       require(k == 5)

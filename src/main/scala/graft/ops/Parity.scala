@@ -21,7 +21,7 @@ object Parity {
   val csvScan = QueryDef(
     "csv_scan",
     (s, dir) => {
-      val path = s"${Work.dir}/csv_scan_src"
+      val path = Work.scratch("csv_scan_src")
       Work.clean(path)
       Tables(s, dir, "nation").write.mode("overwrite").csv(path)
       s.read
@@ -39,7 +39,7 @@ object Parity {
   val csvSink = QueryDef(
     "csv_sink",
     (s, dir) => {
-      val path = s"${Work.dir}/csv_sink_out"
+      val path = Work.scratch("csv_sink_out")
       Work.clean(path)
       Tables(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey")
@@ -57,7 +57,7 @@ object Parity {
   val streamSinkJson = QueryDef(
     "stream_sink_json",
     (s, dir) => {
-      val base = s"${Work.dir}/parity_sink"
+      val base = Work.scratch("parity_sink")
       Work.clean(base)
       val store = LogStore(base)
       store.append(Tables(s, dir, "events"), "scope", "events-stream")
@@ -71,7 +71,7 @@ object Parity {
   val streamScanBounded = QueryDef(
     "stream_scan_bounded",
     (s, dir) => {
-      val base = s"${Work.dir}/parity_scan"
+      val base = Work.scratch("parity_scan")
       Work.clean(base)
       val store = LogStore(base)
       store.append(Tables(s, dir, "events"), "scope", "events-stream")
@@ -124,7 +124,7 @@ object Parity {
   val orcRoundtrip = QueryDef(
     "orc_roundtrip",
     (s, dir) => {
-      val path = s"${Work.dir}/orc_roundtrip"
+      val path = Work.scratch("orc_roundtrip")
       Work.clean(path)
       Tables(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey")
@@ -138,7 +138,7 @@ object Parity {
   val jsonRoundtrip = QueryDef(
     "json_roundtrip",
     (s, dir) => {
-      val path = s"${Work.dir}/json_roundtrip"
+      val path = Work.scratch("json_roundtrip")
       Work.clean(path)
       Tables(s, dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey")

@@ -65,7 +65,7 @@ object PipelineOps {
   val partitionedPrune = QueryDef(
     "partitioned_prune_scan",
     (s, dir) => {
-      val path = s"${Work.dir}/orders_by_year"
+      val path = Work.scratch("orders_by_year")
       Work.clean(path)
       Tables(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -144,7 +144,7 @@ object PipelineOps {
   val schemaEvolution = QueryDef(
     "schema_evolution",
     (s, dir) => {
-      val base = s"${Work.dir}/schema_evo"
+      val base = Work.scratch("schema_evo")
       Work.clean(base)
       val nation = Tables(s, dir, "nation")
       nation.select(col("n_nationkey"), col("n_name"))
@@ -192,7 +192,7 @@ object PipelineOps {
   val zorderLayout = QueryDef(
     "zorder_layout",
     (s, dir) => {
-      val path = s"${Work.dir}/orders_zorder"
+      val path = Work.scratch("orders_zorder")
       Work.clean(path)
       // equal 7-bit widths on both dims (fully populated at every SF): z-order clusters only when the
       // interleaved dimensions have comparable bit widths (a wider dim's

@@ -788,7 +788,7 @@ object Relational {
   val q0Csv = QueryDef(
     "csv_roundtrip",
     (s, dir) => {
-      val path = s"${Work.dir}/csv_roundtrip"
+      val path = Work.scratch("csv_roundtrip")
       Work.clean(path)
       Tables(s, dir, "nation").write.mode("overwrite").csv(path)
       s.read

@@ -42,7 +42,7 @@ object StreamOps {
   val roundtrip = QueryDef(
     "stream_roundtrip",
     (s, dir) => {
-      val base = s"${Work.dir}/log_roundtrip"
+      val base = Work.scratch("log_roundtrip")
       Work.clean(base)
       val store = LogStore(base)
       store.append(Tables(s, dir, "events"), "scope", "events-stream")
@@ -84,7 +84,7 @@ object StreamOps {
   val windowAgg = QueryDef(
     "stream_window_agg",
     (s, dir) => {
-      val base = s"${Work.dir}/log_window"
+      val base = Work.scratch("log_window")
       Work.clean(base)
       val store = LogStore(base)
       store.append(Tables(s, dir, "events"), "scope", "events-stream")
@@ -312,7 +312,7 @@ object StreamOps {
   val dedupExactlyOnce = QueryDef(
     "stream_dedup_exactly_once",
     (s, dir) => {
-      val base = s"${Work.dir}/log_dedup"
+      val base = Work.scratch("log_dedup")
       Work.clean(base)
       val store = LogStore(base)
       val events = Tables(s, dir, "events")

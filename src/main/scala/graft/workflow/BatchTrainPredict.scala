@@ -155,7 +155,7 @@ object BatchTrainPredict {
   val e2e = QueryDef(
     "workflow_e2e",
     (s, dir) => {
-      val base = s"${Work.dir}/workflow_e2e"
+      val base = Work.scratch("workflow_e2e")
       Work.clean(base)
       val emb = Tables(s, dir, "embeddings").select(
         element_at(col("embedding"), 1).cast(FloatType).as("sl"),

@@ -219,7 +219,7 @@ class PlanSpec extends SparkSpec {
   test("z-order layout clusters both dimensions into tight per-file ranges") {
     import org.apache.spark.sql.functions._
     graft.ops.PipelineOps.zorderLayout.fn(spark, sf).collect() // write files
-    val files = spark.read.parquet(s"${Work.dir}/orders_zorder")
+    val files = spark.read.parquet(Work.scratch("orders_zorder"))
       .groupBy(input_file_name().as("f"))
       .agg((max(col("x")) - min(col("x"))).as("xspan"),
         (max(col("y")) - min(col("y"))).as("yspan"),
@@ -227,7 +227,7 @@ class PlanSpec extends SparkSpec {
       .filter(col("n") > 10) // span is meaningless for near-empty files
       .collect()
     assert(files.length > 1, "expected multiple z-sorted files")
-    val global = spark.read.parquet(s"${Work.dir}/orders_zorder")
+    val global = spark.read.parquet(Work.scratch("orders_zorder"))
       .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
       .collect().head
     val (gx, gy) = (global.getLong(0), global.getLong(1))
