@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdcLookup, CosineArgmax, CosineSim, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
+import graft.functions.{AdcLookup, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -82,6 +82,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "adc_lookup(tbl, codes) takes 2 arguments")
         AdcLookup(args(0), args(1))
+      }),
+    (FunctionIdentifier("jl_project"),
+      info("jl_project", classOf[JlProject]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jl_project(xs, p) takes 2 arguments")
+        JlProject(args(0), intLit(args(1), "p"))
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

@@ -386,6 +386,86 @@ class ExtSpec extends SparkSpec {
     assert(rec > 0.10, s"ADC recall $rec vs exact L2 not above floor")
   }
 
+  test("jl_project matches a driver-side reference projection exactly") {
+    val fns = org.apache.spark.sql.functions
+    val scaled = Tables(spark, sf, "embeddings").limit(25)
+      .select(fns.col("vec_id"), graft.ext.Embeddings.intScale(
+        fns.col("embedding").cast("array<double>")).as("sc"))
+    val p = Similarity.JlP
+    def sign(j: Int, i: Int): Double = {
+      val h0 = (i.toLong * 2654435761L + j.toLong * 40503L + 9973L) % 2147483647L
+      val h1 = (h0 * h0 + i + j) % 2147483647L
+      val h2 = (h1 * h1 + h0) % 2147483647L
+      if ((h2 & 1L) == 0L) 1.0 else -1.0
+    }
+    val got = scaled.select(fns.col("vec_id"),
+        graft.functions.VectorFunctions.jlProject(fns.col("sc"), p).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    scaled.collect().foreach { r =>
+      val xs = r.getSeq[Double](1)
+      val want = (0 until p).map(j =>
+        xs.indices.map(i => sign(j, i) * xs(i)).sum)
+      assert(got(r.getLong(0)) == want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("JL ANN: a planted exact duplicate is always recalled at rank 1") {
+    val fns = org.apache.spark.sql.functions
+    val (q, r) = Similarity.split(spark, sf)
+    // plant a copy of every query among the references: projection is
+    // linear, so a duplicate's projected distance is exactly 0 — it
+    // survives any candidate cut and reranks to the top (d=0, and its
+    // rid sorts before any tied natural duplicate at +offset... the
+    // planted rid wins ties only if no natural 0-distance pair exists
+    // with a smaller rid, so assert on distance via rank-1 membership
+    // of the planted rid OR an exact-duplicate rid)
+    val offset = 10000000L
+    val planted = q.select((fns.col("qid") + offset).as("rid"),
+      fns.col("qe").as("re"))
+    val top1 = Similarity.jlTopK(q, r.unionByName(planted), Similarity.K)
+      .filter(fns.col("rank") === 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val qs = q.select("qid").collect().map(_.getLong(0))
+    // rank 1 must be at distance 0 from the query; the planted copy
+    // guarantees such a row exists. Verify distance-0 by value equality.
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(fns.col("vec_id"), graft.ext.Embeddings.intScale(
+        fns.col("embedding").cast("array<double>")).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    qs.foreach { id =>
+      val got = top1(id)
+      val gotVec = vecs(if (got >= offset) got - offset else got)
+      assert(gotVec == vecs(id),
+        s"query $id rank-1 $got is not an exact duplicate")
+    }
+  }
+
+  test("JL ANN recall vs exact integer-L2 top-k is substantial") {
+    val fns = org.apache.spark.sql.functions
+    val (q, r) = Similarity.split(spark, sf)
+    val qs = q.select(fns.col("qid"), graft.ext.Embeddings.intScale(
+      fns.col("qe")).as("qs"))
+    val rs = r.select(fns.col("rid"), graft.ext.Embeddings.intScale(
+      fns.col("re")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(fns.col("d").asc, fns.col("rid").asc)
+    val exact = qs.crossJoin(rs)
+      .withColumn("d", graft.functions.VectorFunctions.l2Sq(
+        fns.col("qs"), fns.col("sc")))
+      .withColumn("rk", fns.row_number().over(w))
+      .filter(fns.col("rk") <= Similarity.K)
+      .select("qid", "rid")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toSet
+    val approx = Similarity.jlTopK(q, r, Similarity.K)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toSet
+    val rec = recallVsBrute(approx, exact)
+    // measured 0.54 at p=16, C=80 on this uniform-sphere worst case
+    // (gaussian-plane parity — see JlProject's scaladoc); floor leaves
+    // headroom for sf jitter while still catching a sign-quality
+    // regression (the linear parity formula scored 0.3)
+    assert(rec > 0.42, s"JL recall $rec below floor")
+  }
+
   test("trained PQ codebooks strictly reduce reconstruction error") {
     val fns = org.apache.spark.sql.functions
     val scaled = Tables(spark, sf, "embeddings")

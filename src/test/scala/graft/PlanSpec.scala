@@ -305,4 +305,22 @@ class PlanSpec extends SparkSpec {
     val s = planString(df)
     assert(s.contains("*(1)"), "expected a WholeStageCodegen span:\n" + s.take(1000))
   }
+
+  test("JL ANN: no Window, both stages heap-aggregated, queries broadcast") {
+    val s = planString(
+      graft.ext.Similarity.annRandomProjection.fn(spark, sf))
+    // ranking happens in the bounded-heap aggregate on both stages —
+    // a Window would sort the full |Q|×|R| (stage 1) or |Q|×C (stage
+    // 2) score set instead of keeping C (resp. k) entries per partial
+    assert(!s.contains("Window"), "JL ANN must not plan a Window:\n" + s.take(1500))
+    // the reference scan streams; queries/candidates ride broadcasts
+    assert(s.contains("BroadcastExchange"), s.take(1500))
+    // projection is map work fused into codegen, never a shuffle of
+    // its own: the only Exchanges are the two qid aggregations and
+    // broadcasts
+    val shuffles = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(s).size
+    assert(shuffles <= 2, s"expected <= 2 hash shuffles, got $shuffles:\n" +
+      s.take(1500))
+  }
 }
