@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdcLookup, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
+import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.IntegerType
   *   l2_argmin(e, cents)               — nearest centroid id by L2
   *   l2_argmin_topk(e, cents, p)       — p nearest centroid ids by L2
   *   adc_lookup(tbl, codes)            — PQ asymmetric-distance score
+  *   jl_project(xs, p)                 — signed random projection to p dims
+  *   bpe_encode(word, merges)          — greedy BPE tokenization
   *
   * Two deployment paths share one registration list:
   *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -88,6 +90,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "jl_project(xs, p) takes 2 arguments")
         JlProject(args(0), intLit(args(1), "p"))
+      }),
+    (FunctionIdentifier("bpe_encode"),
+      info("bpe_encode", classOf[BpeEncode]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bpe_encode(word, merges) takes 2 arguments")
+        BpeEncode(args(0), args(1))
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

@@ -315,7 +315,166 @@ object Corpus {
       FROM inv JOIN freq USING (bg)
       GROUP BY doc_id"""))
 
+  // --- BPE training + encoding ----------------------------------------
+
+  val BpeNumMerges = 30
+  val BpeDictCap = 5000
+
+  /** Classic BPE training over the aggregated word-frequency dict —
+    * the standard trainer shape (Sennrich et al. 2016 operate on the
+    * word-count dictionary, never the raw corpus): Spark computes
+    * (word, count) with one map-side-combined shuffle, the capped dict
+    * ([[BpeDictCap]] by count desc, word asc — real trainers cap or
+    * frequency-threshold the dict the same way; at 100 TB the deduped
+    * word dict still collects) trains driver-side. Each round counts
+    * adjacent token pairs weighted by word count and merges the
+    * (count desc, pair asc) argmax everywhere, using the SAME
+    * replace-fixpoint semantic as encoding
+    * ([[graft.functions.BpeEncode.applyMerge]]) so train and encode
+    * agree. Deterministic end to end — pinned by a hand-computed
+    * fixture in CorpusSpec.
+    */
+  def trainBpeMerges(wordCounts: Seq[(String, Long)],
+      t: Int): Seq[(String, String)] = {
+    import graft.functions.BpeEncode.{Sep, applyMerge, toSepString}
+    var dict: Seq[(String, Long)] =
+      wordCounts.map { case (w, c) => (toSepString(w), c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < t && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (s, c) =>
+        val toks = s.split(Sep).filter(_.nonEmpty)
+        var j = 0
+        while (j < toks.length - 1) {
+          val k = (toks(j), toks(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        dict = dict.map { case (s, c) => (applyMerge(s, best._1, best._2), c) }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def mergesPath(dir: String): String =
+    s"${graft.Work.dir}/bpe_merges_${new java.io.File(dir).getName}"
+
+  private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[(String, String)]]
+
+  /** Train (memoized per session × sf dir) and publish the merge table
+    * to the fixed per-sf path the oracle SQL embeds — same
+    * deterministic-content publish contract as the codec rasters
+    * (Multimodal.ensureRaster): tmp dir + rename, a completed table
+    * (_SUCCESS) is always valid, a merge-semantics change must rename
+    * the path. */
+  def bpeMergesFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    graft.SessionCaches.evictStopped(mergesCache)(_._1)
+    mergesCache.computeIfAbsent((s, dir), { _ =>
+      val wc = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(BpeDictCap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = trainBpeMerges(wc, BpeNumMerges)
+      val path = mergesPath(dir)
+      val target = new java.io.File(path)
+      def done = new java.io.File(target, "_SUCCESS").exists()
+      if (!done) {
+        val sp = s
+        import sp.implicits._
+        val tmp = s"${path}__${graft.Work.jvmTag}"
+        graft.Work.clean(tmp)
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "a", "b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        if (!new java.io.File(tmp).renameTo(target)) {
+          if (!done) {
+            graft.Work.clean(path)
+            new java.io.File(tmp).renameTo(target): Unit
+          }
+          if (!done) sys.error(s"bpe merge table publish failed: $path")
+          graft.Work.clean(tmp)
+        }
+      }
+      merges
+    })
+  }
+
+  /** df-in/df-out encode over any (doc_id, text) frame with a given
+    * merge list: per word position, the BPE token sequence. Pure map
+    * work — the T-row merge table rides the plan as a literal, no
+    * join, no shuffle; the codegen'd [[graft.functions.BpeEncode]]
+    * does the per-word merge loop. */
+  def bpeEncodeOf(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("pos"), col("word"),
+        graft.functions.BpeEncode.bpeEncode(col("word"),
+          typedlit(merges)).as("toks"))
+
+  /** Driver-verified witness: full BPE — train [[BpeNumMerges]] merges
+    * on the corpus word dict, encode every word position. The oracle
+    * replays ENCODING independently (recursive CTE: one merge rank per
+    * fixpoint step over the chr(1)-delimited token string, replace()
+    * semantics identical to the engine's — see
+    * [[graft.functions.BpeEncode]]) from the published merge table;
+    * TRAINING itself is pinned by CorpusSpec's hand-computed fixture
+    * (the codec-raster split: materialized intermediate + independent
+    * arithmetic replay + engine-side unit pin).
+    */
+  val bpeEncodeQuery = QueryDef(
+    "bpe_encode",
+    (s, dir) => {
+      val merges = bpeMergesFor(s, dir)
+      bpeEncodeOf(Tables(s, dir, "documents"), merges)
+    },
+    Some(s"""
+      WITH RECURSIVE m AS (
+        SELECT rank, chr(1) || a || chr(1) || b || chr(1) AS pat,
+               chr(1) || a || b || chr(1) AS rep
+        FROM read_parquet('${graft.Work.dir}/bpe_merges_@SF@/*.parquet')),
+      d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents),
+      w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+            FROM d),
+      w2 AS (SELECT doc_id, pos, ws[pos] AS word FROM w
+             WHERE length(ws[pos]) > 0),
+      init AS (SELECT doc_id, pos, word,
+                      chr(1) || array_to_string(list_transform(
+                        generate_series(1, length(word)), i -> word[i:i]),
+                        chr(1)) || chr(1) AS s
+               FROM w2),
+      enc AS (
+        SELECT doc_id, pos, word, s, 1 AS r FROM init
+        UNION ALL
+        SELECT e.doc_id, e.pos, e.word,
+               CASE WHEN contains(e.s, m.pat)
+                    THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+               CASE WHEN contains(e.s, m.pat) THEN e.r ELSE e.r + 1 END
+        FROM enc e JOIN m ON m.rank = e.r)
+      SELECT doc_id, pos, word,
+             replace(trim(s, chr(1)), chr(1), ' ') AS toks
+      FROM enc
+      WHERE r = COALESCE((SELECT max(rank) FROM m), 0) + 1"""))
+
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
-      mixSample, invertedIndex, bpePairCounts, bigramLm)
+      mixSample, invertedIndex, bpePairCounts, bigramLm, bpeEncodeQuery)
 }

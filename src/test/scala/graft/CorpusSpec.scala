@@ -182,6 +182,48 @@ class CorpusSpec extends SparkSpec {
       byKey.get(k).exists(_._3 == bal + deltas(k)) })
   }
 
+  test("BPE training replays the hand-computed merge sequence") {
+    // dict {aaab:10, aab:5}: pairs (a,a)=2·10+5=25, (a,b)=10+5=15 →
+    // merge1 (a,a); then aaab=[aa,a,b], aab=[aa,b]: (aa,a)=10,
+    // (a,b)=10, (aa,b)=5 — count tie broken pair-ascending →
+    // merge2 (a,b); then aaab=[aa,ab]: (aa,ab)=10, (aa,b)=5 →
+    // merge3 (aa,ab)
+    val merges = Corpus.trainBpeMerges(Seq("aaab" -> 10L, "aab" -> 5L), 3)
+    assert(merges == Seq("a" -> "a", "a" -> "b", "aa" -> "ab"))
+    // exhaustion: once every word is one token, training stops early
+    val all = Corpus.trainBpeMerges(Seq("aaab" -> 10L, "aab" -> 5L), 100)
+    assert(all.take(3) == merges && all.length < 100)
+  }
+
+  test("bpe_encode: lossless, run-pairing matches the fixpoint semantic") {
+    import graft.functions.BpeEncode.{applyMerge, toSepString, Sep}
+    // the documented run case: 5×x under merge (x,x) pairs as
+    // [xx,x,xx] (replace-fixpoint), NOT the array scan's [xx,xx,x]
+    val run = applyMerge(toSepString("xxxxx"), "x", "x")
+    assert(run.split(Sep).filter(_.nonEmpty).toSeq == Seq("xx", "x", "xx"))
+    // corpus-wide: concatenating each word's tokens restores the word,
+    // and every multi-char token is a trained merge product
+    val merges = Corpus.bpeMergesFor(spark, sf)
+    assert(merges.nonEmpty && merges.size <= Corpus.BpeNumMerges)
+    val products = merges.map { case (a, b) => a + b }.toSet
+    val rows = Corpus.bpeEncodeOf(Tables(spark, sf, "documents"), merges)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val word = r.getString(2)
+      val toks = r.getString(3).split(" ")
+      assert(toks.mkString("") == word, s"lossy encode of '$word'")
+      toks.filter(_.length > 1).foreach(t =>
+        assert(products.contains(t), s"token '$t' is not a merge product"))
+    }
+    // the most frequent multi-char corpus word fully merges within 30
+    // ranks (training saw it most often)
+    val top = Corpus.vocabOf(Tables(spark, sf, "documents"))
+      .collect().map(_.getString(0)).find(_.length > 1).get
+    val enc = rows.find(_.getString(2) == top).get.getString(3)
+    assert(!enc.contains(" "), s"top word '$top' not fully merged: '$enc'")
+  }
+
   test("q34_latest_by_key: keeps exactly the most recent event per key") {
     val events = Tables(spark, sf, "events")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
