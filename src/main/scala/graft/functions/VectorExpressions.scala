@@ -562,8 +562,12 @@ case class AdcLookup(left: Expression, right: Expression)
             }
             ArrayData $row = $tbl.getArray($s);
             long $c = $codes.getLong($s);
-            if ($c < 0 || $c >= $row.numElements()
-                || $row.isNullAt((int) $c)) {
+            // NB: no generated line may START with '|' — the codegen
+            // pipeline treats a leading pipe as a margin and strips it
+            // (observed: a continuation "|| x" lost its operator and
+            // the whole stage fell back to interpreted eval)
+            if ($c < 0 || $c >= $row.numElements() ||
+                $row.isNullAt((int) $c)) {
               ${ev.isNull} = true; break;
             }
             $acc += $row.getDouble((int) $c);
