@@ -283,5 +283,115 @@ object Embeddings {
         FROM dists)
       WHERE rank <= 10"""))
 
-  val all: Seq[QueryDef] = Seq(normalize, quantizeInt8, pqCodes, pqTopK)
+  /** IVF-PQ ADC search — the production regime at 10⁹–10¹² vectors
+    * (FAISS's IVFADC, Jégou et al. 2011): the coarse quantizer prunes
+    * WHICH references are scored (only the [[Similarity.IvfProbes]]
+    * probed cells' members), PQ codes compress HOW they are scored
+    * (8 nibbles per vector, ADC table lookups). Both quantizers are
+    * the library's deterministic defaults (every-16th ref coarse,
+    * first-16 codebooks) so the oracle replays the full pipeline
+    * bit-for-bit in integer arithmetic.
+    *
+    * 100 TB shape: coarse quantizer AND codebook are one-row
+    * broadcasts; reference-side assignment + encoding is one pure-map
+    * pass (never re-shuffled); the probe→cell candidate restriction is
+    * a broadcast equi-join on cid (queries×probes is the tiny side);
+    * the only wide exchange is the final per-query top-k aggregation.
+    * Memory: scored corpus lives as codes (64 B → 8 B per vector).
+    */
+  val ivfPqTopK = QueryDef(
+    "topk_ivfpq_adc",
+    (s, dir) => {
+      val (q, r) = Similarity.split(s, dir)
+      val qs = q.select(col("qid"), intScale(col("qe")).as("qs"))
+      val rs = r.select(col("rid"), intScale(col("re")).as("sc"))
+      val cents = rs.filter(col("rid") % 16 === 0)
+        .select(col("rid").as("cid"), col("sc").as("ce"))
+      val qt = cents.agg(sort_array(
+        collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      val cb = pqCodebook(rs, "rid")
+      val enc = rs.crossJoin(broadcast(qt)).crossJoin(broadcast(cb))
+        .select(graft.functions.VectorFunctions
+            .l2Argmin(col("sc"), col("cents")).as("cid"),
+          col("rid"), pqEncode(col("sc"), col("cb")).as("codes"))
+      val qtab = qs.crossJoin(broadcast(qt)).crossJoin(broadcast(cb))
+        .select(col("qid"),
+          explode(graft.functions.VectorFunctions.l2ArgminTopK(
+            col("qs"), col("cents"), Similarity.IvfProbes)).as("cid"),
+          transform(sequence(lit(0), lit(PqM - 1)), sb =>
+            transform(element_at(col("cb"), sb), cw =>
+              graft.functions.VectorFunctions.l2Sq(
+                slice(col("qs"), sb * PqD + 1, lit(PqD)),
+                cw.getField("ce")))).as("tbl"))
+      enc.join(broadcast(qtab), "cid")
+        .select(col("qid"),
+          graft.functions.VectorFunctions
+            .adcLookup(col("tbl"), col("codes")).as("dist"),
+          col("rid"))
+        .groupBy("qid")
+        .agg(graft.functions.TopK.smallestK(
+          col("dist"), col("rid"), lit(0), Similarity.K).as("top"))
+        .select(col("qid"), posexplode(col("top.id")))
+        .select(col("qid"), (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("col").as("rid"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid,
+                        list_transform(CAST(embedding AS DOUBLE[]),
+                                       v -> round(v * 1000)) AS qsc
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      r AS (SELECT vec_id AS rid,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  v -> round(v * 1000)) AS sc
+            FROM embeddings WHERE vec_id % 10 <> 0),
+      c AS (SELECT rid AS cid, sc AS ce64 FROM r WHERE rid % 16 = 0),
+      assigned AS (SELECT cid, rid FROM (
+          SELECT c.cid, r.rid,
+                 row_number() OVER (PARTITION BY r.rid
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                     i -> (r.sc[i] - c.ce64[i]) * (r.sc[i] - c.ce64[i]))),
+                   c.cid) AS arn
+          FROM r CROSS JOIN c) WHERE arn = 1),
+      probes AS (SELECT qid, cid FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                     i -> (q.qsc[i] - c.ce64[i]) * (q.qsc[i] - c.ce64[i]))),
+                   c.cid) AS prn
+          FROM q CROSS JOIN c) WHERE prn <= ${Similarity.IvfProbes}),
+      t AS (SELECT sc, row_number() OVER (ORDER BY rid) - 1 AS j
+            FROM r ORDER BY rid LIMIT 16),
+      cw AS (SELECT s, j, list_slice(sc, s * 8 + 1, s * 8 + 8) AS ce
+             FROM t CROSS JOIN (SELECT unnest(range(8)) AS s)),
+      sub AS (SELECT rid, s, list_slice(sc, s * 8 + 1, s * 8 + 8) AS sq
+              FROM r CROSS JOIN (SELECT unnest(range(8)) AS s)),
+      enc AS (
+        SELECT rid, s, j FROM (
+          SELECT sub.rid, sub.s, cw.j,
+                 row_number() OVER (PARTITION BY sub.rid, sub.s
+                   ORDER BY list_sum(list_transform(range(1, 9),
+                     i -> (sub.sq[i] - cw.ce[i]) * (sub.sq[i] - cw.ce[i]))),
+                   cw.j) AS rn
+          FROM sub JOIN cw ON sub.s = cw.s) WHERE rn = 1),
+      cand AS (SELECT p.qid, a.rid
+               FROM probes p JOIN assigned a USING (cid)),
+      dists AS (
+        SELECT q.qid, enc.rid,
+               sum(list_sum(list_transform(range(1, 9), i ->
+                 (list_slice(q.qsc, enc.s * 8 + 1, enc.s * 8 + 8)[i]
+                    - cw.ce[i])
+                 * (list_slice(q.qsc, enc.s * 8 + 1, enc.s * 8 + 8)[i]
+                    - cw.ce[i])))) AS dist
+        FROM q JOIN cand ON q.qid = cand.qid
+        JOIN enc ON enc.rid = cand.rid
+        JOIN cw ON enc.s = cw.s AND enc.j = cw.j
+        GROUP BY q.qid, enc.rid)
+      SELECT qid, rank, rid FROM (
+        SELECT qid, rid, row_number() OVER (PARTITION BY qid
+                 ORDER BY dist, rid) AS rank
+        FROM dists)
+      WHERE rank <= ${Similarity.K}"""))
+
+  val all: Seq[QueryDef] =
+    Seq(normalize, quantizeInt8, pqCodes, pqTopK, ivfPqTopK)
 }

@@ -466,6 +466,54 @@ class ExtSpec extends SparkSpec {
     assert(rec > 0.42, s"JL recall $rec below floor")
   }
 
+  test("IVF-PQ: candidates honor the probe restriction; recall above floor") {
+    val fns = org.apache.spark.sql.functions
+    val rows = graft.ext.Embeddings.ivfPqTopK.fn(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(rows.nonEmpty)
+    // every returned rid must live in one of its query's probed cells —
+    // the candidate restriction is the operator's contract (recompute
+    // both assignments with the same argmin the plan uses)
+    val (q, r) = Similarity.split(spark, sf)
+    val qs = q.select(fns.col("qid"), graft.ext.Embeddings.intScale(
+      fns.col("qe")).as("v"))
+    val rs = r.select(fns.col("rid"), graft.ext.Embeddings.intScale(
+      fns.col("re")).as("v"))
+    val qt = rs.filter(fns.col("rid") % 16 === 0)
+      .select(fns.col("rid").as("cid"), fns.col("v").as("ce"))
+      .agg(fns.sort_array(fns.collect_list(
+        fns.struct(fns.col("cid"), fns.col("ce")))).as("cents"))
+    val assigned = rs.crossJoin(fns.broadcast(qt))
+      .select(fns.col("rid"), graft.functions.VectorFunctions
+        .l2Argmin(fns.col("v"), fns.col("cents")).as("cid"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val probed = qs.crossJoin(fns.broadcast(qt))
+      .select(fns.col("qid"), graft.functions.VectorFunctions
+        .l2ArgminTopK(fns.col("v"), fns.col("cents"), Similarity.IvfProbes)
+        .as("cids"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).toSet).toMap
+    rows.foreach { case (qid, rid) =>
+      assert(probed(qid).contains(assigned(rid)),
+        s"rid $rid returned for qid $qid outside its probed cells")
+    }
+    // recall floor vs exact integer L2 — compounded coarse+PQ
+    // approximation on the uniform-sphere worst case measured 0.17
+    // (PQ-alone 0.19, chance 0.02); the floor pins "genuinely above
+    // chance", not production recall (trained quantizers lift both
+    // stages on clustered corpora)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(fns.col("d").asc, fns.col("rid").asc)
+    val exact = qs.crossJoin(rs.withColumnRenamed("v", "rv"))
+      .withColumn("d", graft.functions.VectorFunctions.l2Sq(
+        fns.col("v"), fns.col("rv")))
+      .withColumn("rk", fns.row_number().over(w))
+      .filter(fns.col("rk") <= Similarity.K)
+      .select("qid", "rid")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toSet
+    val rec = recallVsBrute(rows.toSet, exact)
+    assert(rec > 0.08, s"IVF-PQ recall $rec not above floor")
+  }
+
   test("trained PQ codebooks strictly reduce reconstruction error") {
     val fns = org.apache.spark.sql.functions
     val scaled = Tables(spark, sf, "embeddings")

@@ -323,4 +323,29 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <= 2 hash shuffles, got $shuffles:\n" +
       s.take(1500))
   }
+
+  test("IVF-PQ: probe restriction is a broadcast hash join, no data-scale Window") {
+    val s = planString(graft.ext.Embeddings.ivfPqTopK.fn(spark, sf))
+    // the only Window nodes allowed are the UNpartitioned codebook
+    // ranks over the 16-row LIMIT side (plan text: 2 bracket groups);
+    // a PARTITIONED window (3 groups — e.g. per-rid assignment rank or
+    // per-qid scoring rank) would mean scored rows are being sorted at
+    // data scale, the exact shape the native argmins exist to avoid
+    val partitioned = """Window \[[^\]]*\], \[[^\]]*\], \[""".r
+    assert(partitioned.findFirstIn(s).isEmpty,
+      "IVF-PQ must not plan a partitioned Window:\n" + s.take(2000))
+    // the cell-candidate restriction joins streamed encoded refs to the
+    // broadcast (query × probe) side by cid — an equi hash join, never
+    // a nested loop over scored rows
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    // assignment/encode/probe are map work over one-row broadcasts; the
+    // only wide exchange is the final per-query top-k aggregation (the
+    // plan string carries AQE's initial AND final sections, so the one
+    // shuffle can print twice)
+    val shuffles = "Exchange hashpartitioning\\(qid".r.findAllIn(s).size
+    assert(shuffles <= 2, s"expected only the qid agg shuffle, got:\n" +
+      s.take(2000))
+    assert(!"Exchange hashpartitioning\\((rid|cid)".r.findAllIn(s).hasNext,
+      "no reference-side wide shuffle allowed:\n" + s.take(2000))
+  }
 }
