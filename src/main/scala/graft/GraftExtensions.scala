@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, TopKSmallest}
+import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, MisraGriesSketch, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.IntegerType
   *   adc_lookup(tbl, codes)            — PQ asymmetric-distance score
   *   jl_project(xs, p)                 — signed random projection to p dims
   *   bpe_encode(word, merges)          — greedy BPE tokenization
+  *   misra_gries(key, m)               — frequent-items summary aggregate
   *
   * Two deployment paths share one registration list:
   *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -96,6 +97,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "bpe_encode(word, merges) takes 2 arguments")
         BpeEncode(args(0), args(1))
+      }),
+    (FunctionIdentifier("misra_gries"),
+      info("misra_gries", classOf[MisraGriesSketch]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "misra_gries(key, m) takes 2 arguments")
+        MisraGriesSketch(args(0), intLit(args(1), "m")).toAggregateExpression()
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

@@ -17,7 +17,7 @@ object SparkEntry {
       ml.Knn.all ++ workflow.BatchTrainPredict.all ++
       ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.Similarity.all ++
       ext.Embeddings.all ++ ext.Chunking.all ++ ext.Corpus.all ++
-      ext.Multimodal.all
+      ext.Retrieval.all ++ ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's predict pipeline in miniature: distributed KNN

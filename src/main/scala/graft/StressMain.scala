@@ -162,6 +162,21 @@ object StressMain {
     pair("corpus_curate")(
       c => Dedup.curateCorpus(Dedup.plantedCorpus(c)).count(),
       n => repDocsKeepStop(n))
+    // MG pass + candidate recount: per-replica word salting grows the
+    // DISTINCT key space n× alongside the rows — exactly the regime a
+    // full groupBy(term) shuffle degrades in and the m-counter summary
+    // shouldn't care about (shuffle stays O(m·partitions))
+    pair("heavy_hitters")(
+      c => ext.Corpus.heavyHittersOf(c).count(),
+      n => repDocs(docs, n))
+    // replica salting keeps vocabularies disjoint, so every replica's
+    // query docs (+r·1e8 preserves doc_id % 50) only ever score their
+    // own replica's postings — candidates per query stay constant and
+    // the inverted-index join must grow linearly, n× queries over an
+    // n× corpus
+    pair("bm25_topk")(
+      c => ext.Retrieval.bm25Of(c, ext.Retrieval.idfOf(c)).count(),
+      n => repDocs(docs, n))
     // exact-KNN join strategies at the same (queries, refs): the
     // broadcast path vs the block-nested shuffle fallback — the 1x/Nx
     // pair locates the crossover where shipping the reference set to

@@ -18,6 +18,7 @@ object Corpus {
   val VocabSize = 200
   val TfIdfTopK = 3
   val ShuffleShards = 8
+  val MgCounters = 30
 
   /** Corpus vocabulary: global token counts, top-N by (count desc,
     * token asc) — the frequency pass a tokenizer-training or
@@ -474,7 +475,64 @@ object Corpus {
       FROM enc
       WHERE r = COALESCE((SELECT max(rank) FROM m), 0) + 1"""))
 
+  /** Threshold-frequent terms — every term with frequency strictly
+    * above total/(m+1) — via distributed Misra–Gries + exact recount,
+    * NOT a `groupBy(term).count` over the whole key space. Two passes
+    * over the corpus, neither of which shuffles the key space:
+    *
+    *  1. one [[graft.functions.MisraGriesSketch]] global aggregate —
+    *     partials are ≤ m counters per input partition, the final
+    *     summary is ≤ m candidate keys plus the exact element total;
+    *  2. exact recount of ONLY the candidates: the ≤ m candidate terms
+    *     broadcast back as a map-side semi-filter, so the recount's
+    *     groupBy shuffles ≤ m distinct keys with map-side combine.
+    *
+    * MG's deterministic guarantee (per-key undercount ≤ total/(m+1),
+    * see the aggregate's scaladoc) makes the candidate set a superset
+    * of the threshold-frequent keys in EVERY partitioning/merge order,
+    * so filtering the exact recount back to `cnt*(m+1) > total` yields
+    * the true threshold-frequent set at any scale — which is what the
+    * DuckDB oracle computes the naive way. This is the frequent-items
+    * shape for key spaces too wide to shuffle (distinct n-grams / URLs
+    * at 100 TB), and the hot-key pre-pass a salted join (q14) sizes
+    * its salt list from.
+    */
+  /** Term-frame core over any single-column ("term") frame; the docs
+    * overload below binds it to a (…, text) corpus. */
+  def heavyHittersOfTerms(words: DataFrame, m: Int = MgCounters): DataFrame = {
+    val summary = words
+      .agg(graft.functions.FrequentItems.misraGries(col("term"), m).as("s"))
+      .select(col("s.total").as("total"), explode(col("s.cands")).as("term"))
+    words
+      .join(broadcast(summary), "term")
+      .groupBy(col("term"), col("total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (m + 1) > col("total"))
+      .select("term", "cnt")
+  }
+
+  def heavyHittersOf(docs: DataFrame, m: Int = MgCounters): DataFrame =
+    heavyHittersOfTerms(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0),
+      m)
+
+  val heavyHitters = QueryDef(
+    "heavy_hitters",
+    (s, dir) => heavyHittersOf(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH w AS (SELECT term FROM
+                   (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS term FROM documents)
+                 WHERE length(term) > 0),
+           n AS (SELECT count(*) AS total FROM w)
+      SELECT term, count(*) AS cnt
+      FROM w, n
+      GROUP BY term, n.total
+      HAVING count(*) * ${MgCounters + 1} > n.total"""))
+
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
-      mixSample, invertedIndex, bpePairCounts, bigramLm, bpeEncodeQuery)
+      mixSample, invertedIndex, bpePairCounts, bigramLm, bpeEncodeQuery,
+      heavyHitters)
 }

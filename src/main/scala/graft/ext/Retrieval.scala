@@ -1,0 +1,217 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval over the corpus — the index-and-search step of a
+  * training-data pipeline (hard-negative mining, more-like-this
+  * expansion, query-document relevance for curriculum sampling).
+  * Reference surface: the reference's pipelines stop at per-doc stats;
+  * this is the retrieval layer those stats exist to feed (SURVEY.md
+  * §2.4 extension surface; BM25 per Robertson–Walker–Jones, public
+  * literature).
+  *
+  * Float discipline (the part that makes BM25 oracle-able): a BM25
+  * score is a float SUM over matched terms, and float sums are
+  * order-dependent — two engines summing in different orders can
+  * disagree in ulps and flip a rank. The engine therefore quantizes
+  * each per-(term, doc) contribution to fixed-point BIGINT
+  * (`round(idf_fp × tf_saturation)`) BEFORE summing: integer sums are
+  * order-independent, so both engines produce bit-identical scores.
+  * Inside one contribution only IEEE-exact steps remain — ×, ÷, + on
+  * doubles are correctly rounded, and both engines evaluate the SAME
+  * expression tree on the SAME exact integer inputs (tf, dl, idf_fp)
+  * and the same `sum(int)/count` avgdl, so every intermediate double is
+  * bit-identical. The one transcendental (ln in idf) is computed ONCE,
+  * in Spark, and PUBLISHED as a fixed-point parquet both the engine and
+  * the DuckDB oracle consume — no cross-engine (or cross-libm) ln ever
+  * enters the compare.
+  */
+object Retrieval {
+
+  // BM25 constants k1=1.2, b=0.75 appear inline as the exact literals
+  // the oracle SQL also spells (2.2 = k1+1, 0.25 = 1−b, 1.2 = k1,
+  // 0.75 = b) so both engines parse identical doubles and build the
+  // same expression tree.
+  val TopKDocs = 5
+  val QueryDocMod = 50
+  val IdfScale = 1e6
+
+  private def words(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").as("did"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** (did, term, tf) postings with exact integer term frequencies. */
+  private def tfOf(docs: DataFrame): DataFrame =
+    words(docs).groupBy("did", "term").agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token length (docs with ≥1 token — the indexed set). */
+  private def dlsOf(tf: DataFrame): DataFrame =
+    tf.groupBy("did").agg(sum("tf").as("dl"))
+
+  /** One-row (ndocs, toks) — avgdl's exact integer inputs. */
+  private def statsOf(dls: DataFrame): DataFrame =
+    dls.agg(count(lit(1)).as("ndocs"), sum("dl").as("toks"))
+
+  private def idfPath(dir: String): String =
+    s"${graft.Work.dir}/bm25_idf_${new java.io.File(dir).getName}"
+
+  private val idfDone = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  /** Publish (term, df, idf_fp) to the fixed per-sf path the oracle SQL
+    * embeds; same deterministic-content publish contract as the codec
+    * rasters (Multimodal.ensureRaster) and the BPE merge table: build
+    * into a jvm-tagged temp dir, rename into place, a completed table
+    * (_SUCCESS) is always valid. idf_fp = round(1e6·ln(1 + (N−df+0.5)/
+    * (df+0.5))) — the BM25+ idf, strictly positive, fixed-point.
+    * The SCORING path reads this parquet back rather than recomputing,
+    * so engine and oracle consume identical idf bytes even across JVMs
+    * whose `Math.log` could differ (libm variance is real across
+    * platforms; the publish pins one result).
+    */
+  /** (term, df, idf_fp) computed in-plan — the frame [[ensureIdf]]
+    * materializes, and the df-in form StressMain scales directly. */
+  def idfOf(docs: DataFrame): DataFrame = {
+    val tf = tfOf(docs)
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(statsOf(dlsOf(tf))))
+      .select(col("term"), col("df"),
+        round(lit(IdfScale) * log(lit(1.0) +
+          (col("ndocs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+          .cast("long").as("idf_fp"))
+  }
+
+  def ensureIdf(s: SparkSession, dir: String): String = {
+    graft.SessionCaches.evictStopped(idfDone)(_._1)
+    idfDone.computeIfAbsent((s, dir), { _ =>
+      val path = idfPath(dir)
+      val target = new java.io.File(path)
+      def done = new java.io.File(target, "_SUCCESS").exists()
+      if (!done) {
+        val idf = idfOf(Tables(s, dir, "documents"))
+        val tmp = s"${path}__${graft.Work.jvmTag}"
+        graft.Work.clean(tmp)
+        idf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if (!new java.io.File(tmp).renameTo(target)) {
+          if (!done) {
+            graft.Work.clean(path)
+            new java.io.File(tmp).renameTo(target): Unit
+          }
+          if (!done) sys.error(s"bm25 idf table publish failed: $path")
+          graft.Work.clean(tmp)
+        }
+      }
+      path
+    })
+  }
+
+  /** More-like-this BM25 top-k: every doc with `doc_id % qMod == 0` is
+    * a query (its distinct term set), scored against every OTHER doc it
+    * shares a term with, top [[TopKDocs]] by (score_fp desc, did asc).
+    *
+    * Plan shape, and what survives 100 TB:
+    *  - postings tf: one shuffle on (did, term), map-side combine;
+    *  - dl join on did: doc-count-sized dims — AQE broadcasts at test
+    *    SF, co-partitioned on did at scale (dl is index metadata,
+    *    stored beside the postings in a real deployment);
+    *  - idf join on term: vocab-sized, broadcast;
+    *  - the query set joins BROADCAST on term — the inverted-index
+    *    restriction: only docs sharing a term are ever scored, so the
+    *    candidate shuffle is the posting lists of the query's terms,
+    *    not |Q|×|D|;
+    *  - per-(qid, did) integer sum: one shuffle with map-side combine;
+    *  - top-k per qid: bounded-heap [[graft.functions.TopKSmallest]] —
+    *    partial heaps keep ≤ k per partition, no full sort, no Window.
+    */
+  def bm25TopK(s: SparkSession, dir: String,
+      k: Int = TopKDocs, qMod: Int = QueryDocMod): DataFrame =
+    bm25Of(Tables(s, dir, "documents"),
+      s.read.parquet(ensureIdf(s, dir)).select("term", "idf_fp"), k, qMod)
+
+  /** df-in core: score `docs` against the given (term, idf_fp) table. */
+  def bm25Of(docs: DataFrame, idf: DataFrame,
+      k: Int = TopKDocs, qMod: Int = QueryDocMod): DataFrame = {
+    val tf = tfOf(docs)
+    val dls = dlsOf(tf)
+    val stats = statsOf(dls)
+      .select((col("toks").cast("double") / col("ndocs").cast("double"))
+        .as("avgdl"))
+    val qterms = words(docs)
+      .filter(col("did") % qMod === 0)
+      .select(col("did").as("qid"), col("term")).distinct()
+
+    val contrib = tf
+      .join(dls, "did")
+      .join(broadcast(idf), "term")
+      .join(broadcast(qterms), "term")
+      .filter(col("did") =!= col("qid"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("did"),
+        round(col("idf_fp").cast("double") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") / col("avgdl"))))))
+          .cast("long").as("c"))
+
+    contrib
+      .groupBy("qid", "did")
+      .agg(sum("c").as("score_fp"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        -col("score_fp").cast("double"), col("did"), lit(0), k).as("arr"))
+      .select(col("qid"), posexplode(col("arr")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("did"),
+        (-col("col.score")).cast("long").as("score_fp"))
+  }
+
+  val bm25TopKQuery = QueryDef(
+    "bm25_topk",
+    (s, dir) => bm25TopK(s, dir),
+    Some(s"""
+      WITH w AS (SELECT doc_id AS did,
+                        unnest(regexp_split_to_array(trim(text), '\\s+'))
+                          AS term
+                 FROM documents),
+           wf AS (SELECT did, term FROM w WHERE length(term) > 0),
+           tf AS (SELECT did, term, count(*) AS tf
+                  FROM wf GROUP BY did, term),
+           dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl
+                  FROM tf GROUP BY did),
+           st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+           idf AS (SELECT term, idf_fp
+                   FROM read_parquet('${graft.Work.dir}/bm25_idf_@SF@/*.parquet')),
+           q AS (SELECT DISTINCT did AS qid, term FROM wf
+                 WHERE did % $QueryDocMod = 0),
+           contrib AS (
+             SELECT q.qid, tf.did,
+                    CAST(round(CAST(idf.idf_fp AS DOUBLE) *
+                      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                       (CAST(tf.tf AS DOUBLE) + 1.2 *
+                        (0.25 + 0.75 *
+                         (CAST(dl.dl AS DOUBLE) / st.avgdl))))) AS BIGINT)
+                      AS c
+             FROM tf
+             JOIN dl USING (did)
+             JOIN idf USING (term)
+             JOIN q ON q.term = tf.term
+             CROSS JOIN st
+             WHERE tf.did <> q.qid),
+           sc AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS score_fp
+                  FROM contrib GROUP BY qid, did)
+      SELECT qid, rank, did, score_fp FROM
+        (SELECT qid, did, score_fp,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY score_fp DESC, did) AS INT) AS rank
+         FROM sc)
+      WHERE rank <= $TopKDocs"""))
+
+  val all: Seq[QueryDef] = Seq(bm25TopKQuery)
+}

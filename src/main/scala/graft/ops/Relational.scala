@@ -1083,6 +1083,46 @@ object Relational {
         AND ts < TIMESTAMP '2024-01-17 00:00:00'
       GROUP BY 1, 2"""))
 
+  /** Event-log forward fill: per user, carry the LAST purchase amount
+    * onto every subsequent event — `last(_, ignoreNulls)` over a
+    * running row frame, the canonical gap-fill/LOCF (last observation
+    * carried forward) over sparse observations in an event stream.
+    * Events before a user's first purchase keep NULL (both engines
+    * agree NULL = no observation yet). Money as fixed-point cents
+    * ([[cents]] discipline) so the filled values hash identically.
+    * Scale: one shuffle on user_id; the running frame is a single
+    * per-partition streaming pass holding ONE value of state per user —
+    * no self-join, no second shuffle, and a year-long 100 TB event log
+    * gap-fills in the same plan shape.
+    */
+  val q40GapFill = QueryDef(
+    "q40_gap_fill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"),
+          when(col("event_type") === "purchase", cents(col("value")))
+            .as("pc"))
+        .withColumn("last_purchase_cents",
+          last(col("pc"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "ts_us", "event_type",
+          "last_purchase_cents")
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_cents
+      FROM events"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -1090,5 +1130,6 @@ object Relational {
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
-    q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime)
+    q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime,
+    q40GapFill)
 }

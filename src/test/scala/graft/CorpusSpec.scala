@@ -224,6 +224,118 @@ class CorpusSpec extends SparkSpec {
     assert(!enc.contains(" "), s"top word '$top' not fully merged: '$enc'")
   }
 
+  test("heavy_hitters: MG + recount equals exact threshold-frequents on a wide key space") {
+    val sp = spark
+    import sp.implicits._
+    // 4008 distinct keys >> m=40 counters, so the MG decrement and the
+    // cross-partition merge-trim both fire constantly; a planted skewed
+    // head sits on both sides of the n/(m+1) threshold.
+    val hot = (0 until 8).flatMap(i => Seq.fill(400 - 40 * i)(s"hot$i"))
+    val tail = (0 until 4000).map(i => s"tail$i")
+    val terms = (hot ++ tail)
+      .sortBy(s => scala.util.hashing.MurmurHash3.stringHash(s))
+    val m = 40
+    val n = terms.size
+    val exact = terms.groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+      .filter { case (_, c) => c * (m + 1) > n }
+      .toSet
+    assert(exact.nonEmpty && exact.size < 8,
+      s"fixture must straddle the threshold: $exact")
+    for (parts <- Seq(1, 5, 17)) {
+      val got = Corpus
+        .heavyHittersOfTerms(terms.toDF("term").repartition(parts), m)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == exact,
+        s"parts=$parts missed=${exact -- got} extra=${got -- exact}")
+    }
+  }
+
+  test("misra_gries summary: every above-threshold key survives any partitioning") {
+    val sp = spark
+    import sp.implicits._
+    val hot = (0 until 8).flatMap(i => Seq.fill(400 - 40 * i)(s"hot$i"))
+    val tail = (0 until 4000).map(i => s"tail$i")
+    val terms = (hot ++ tail)
+      .sortBy(s => scala.util.hashing.MurmurHash3.stringHash(s))
+    val m = 40
+    val n = terms.size.toLong
+    val above = terms.groupBy(identity)
+      .collect { case (k, v) if v.size.toLong * (m + 1) > n => k }.toSet
+    for (parts <- Seq(1, 3, 23)) {
+      val row = terms.toDF("term").repartition(parts)
+        .agg(graft.functions.FrequentItems.misraGries(col("term"), m).as("s"))
+        .select("s.total", "s.cands").head()
+      assert(row.getLong(0) == n, "summary total must be exact")
+      val cands = row.getSeq[String](1).toSet
+      assert(cands.size <= m, s"summary holds ${cands.size} > m keys")
+      assert(above.subsetOf(cands),
+        s"parts=$parts dropped guaranteed keys: ${above -- cands}")
+    }
+  }
+
+  test("bm25_topk matches a driver-side brute-force over the same corpus") {
+    val got = graft.ext.Retrieval.bm25TopK(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // independent brute force: same tokenization, same fixed-point
+    // contract, straight Scala over the collected corpus
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty)
+    val tf = docs.map { case (d, ws) =>
+      d -> ws.groupBy(identity).map { case (w, o) => (w, o.size.toLong) }
+    }.toMap
+    val dl = tf.map { case (d, m) => d -> m.values.sum }
+    val ndocs = dl.size
+    val avgdl = dl.values.sum.toDouble / ndocs.toDouble
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => (w, o.size.toLong) }
+    val idfFp = df.map { case (w, f) =>
+      w -> math.round(graft.ext.Retrieval.IdfScale *
+        math.log(1.0 + (ndocs.toDouble - f.toDouble + 0.5) / (f.toDouble + 0.5)))
+    }
+    val expected = docs.collect { case (q, _) if q % graft.ext.Retrieval.QueryDocMod == 0 =>
+      val qterms = tf(q).keySet
+      val scored = docs.collect { case (d, _) if d != q &&
+          tf(d).keySet.intersect(qterms).nonEmpty =>
+        val s = tf(d).collect { case (w, f) if qterms.contains(w) =>
+          math.round(idfFp(w).toDouble *
+            ((f.toDouble * 2.2) /
+              (f.toDouble + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl)))))
+        }.sum
+        (d, s)
+      }
+      q -> scored.sortBy { case (d, s) => (-s, d) }
+        .take(graft.ext.Retrieval.TopKDocs)
+    }.flatMap { case (q, top) =>
+      top.zipWithIndex.map { case ((d, s), i) => (q, i + 1, d, s) }
+    }.toSet
+    assert(expected.nonEmpty, "fixture corpus must yield query docs")
+    assert(got == expected,
+      s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("q40_gap_fill: LOCF carries exactly the latest prior purchase") {
+    val rows = Relational.q40GapFill.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, es) =>
+      var carried: Option[Long] = None
+      es.sortBy(e => (e._3, e._1)).foreach { e =>
+        if (e._4 == "purchase") {
+          assert(e._5.isDefined, s"purchase row must fill itself: $e")
+          carried = e._5
+        } else assert(e._5 == carried, s"wrong carry at $e, expected $carried")
+      }
+    }
+  }
+
   test("q34_latest_by_key: keeps exactly the most recent event per key") {
     val events = Tables(spark, sf, "events")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))

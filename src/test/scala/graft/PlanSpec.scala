@@ -348,4 +348,40 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\((rid|cid)".r.findAllIn(s).hasNext,
       "no reference-side wide shuffle allowed:\n" + s.take(2000))
   }
+
+  test("heavy_hitters: MG summary is object-hash aggregated, recount joins broadcast") {
+    val s = planString(graft.ext.Corpus.heavyHitters.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    // the TypedImperativeAggregate runs partial+final as object hash
+    // aggregates — ≤ m counters per partition is the whole point
+    assert(s.contains("ObjectHashAggregate"), s.take(2000))
+    assert(s.contains("misra_gries"), "MG aggregate missing:\n" + s.take(2000))
+    // the exact recount touches only the ≤ m broadcast candidates —
+    // never a sort-merge join against the corpus
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "candidate recount must not sort-merge:\n" + s.take(2000))
+  }
+
+  test("bm25_topk: no Window, heap top-k, no cartesian scoring") {
+    val s = planString(graft.ext.Retrieval.bm25TopKQuery.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    val windows = "Window \\[".r.findAllIn(s).size
+    assert(windows == 0, s"expected no Window nodes, found $windows")
+    assert(s.contains("topk_smallest"),
+      "bounded-heap top-k missing:\n" + s.take(2000))
+    // scoring rides the inverted-index equi-join on term; the only
+    // nested-loop is the one-row avgdl broadcast
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("q40_gap_fill: one shuffle, one running-frame window") {
+    val s = planString(Relational.q40GapFill.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    val windows = "Window \\[".r.findAllIn(s).size
+    assert(windows == 1, s"expected 1 Window node, found $windows")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles == 1,
+      s"expected the single user_id shuffle, got $shuffles:\n" + s.take(2000))
+  }
 }
