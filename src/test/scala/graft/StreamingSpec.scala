@@ -1033,4 +1033,47 @@ class StreamingSpec extends SparkSpec {
     val got = out.select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == want)
   }
+
+  test("streaming heavy hitters: MG guarantee holds across checkpointed micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // wide key space (4008 distinct >> shards*m counters) with a skewed
+    // head straddling the threshold — same fixture family as the batch
+    // CorpusSpec pin
+    val hot = (0 until 8).flatMap(i => Seq.fill(400 - 40 * i)(s"hot$i"))
+    val tail = (0 until 4000).map(i => s"tail$i")
+    val terms = (hot ++ tail)
+      .sortBy(s => scala.util.hashing.MurmurHash3.stringHash(s))
+    val m = 40
+    val shards = 4
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = graft.streaming.StreamingFrequency
+      .heavyHittersStream(ms.toDF().toDF("term"), m, shards)
+      .writeStream.format("memory").queryName("t_hhstream")
+      .outputMode("update")
+      .option("checkpointLocation", s"${freshDir("hhstream")}/ckpt")
+      .start()
+    // two micro-batches: every batch-2 counter update resumes from
+    // checkpointed MG state, and the split lands mid-hot-key
+    val (b1, b2) = terms.splitAt(terms.size / 2)
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    // latest summary per shard = the row with that shard's max total
+    // (totals are monotone per shard under Update mode)
+    val latest = spark.table("t_hhstream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[String](2)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+    val n = terms.size.toLong
+    assert(latest.map(_._2).sum == n, "shard totals must sum exactly")
+    assert(latest.forall(_._3.size <= m), "a shard exceeded m counters")
+    val union = latest.flatMap(_._3).toSet
+    val above = terms.groupBy(identity)
+      .collect { case (k, v) if v.size.toLong * (m + 1) > n => k }.toSet
+    assert(above.nonEmpty && above.subsetOf(union),
+      s"guaranteed keys dropped: ${above -- union}")
+  }
 }
