@@ -36,6 +36,7 @@ object Retrieval {
   // same expression tree.
   val TopKDocs = 5
   val QueryDocMod = 50
+  val QueryTerms = 10
   val IdfScale = 1e6
 
   private def words(docs: DataFrame): DataFrame =
@@ -131,9 +132,18 @@ object Retrieval {
   def bm25TopK(s: SparkSession, dir: String,
       k: Int = TopKDocs, qMod: Int = QueryDocMod): DataFrame =
     bm25Of(Tables(s, dir, "documents"),
-      s.read.parquet(ensureIdf(s, dir)).select("term", "idf_fp"), k, qMod)
+      s.read.parquet(ensureIdf(s, dir)).select("term", "df", "idf_fp"),
+      k, qMod)
 
-  /** df-in core: score `docs` against the given (term, idf_fp) table. */
+  /** df-in core: score `docs` against the given (term, df, idf_fp)
+    * table. A query uses only its [[QueryTerms]] most SALIENT terms
+    * (tf desc, df asc, term asc — the tfidf_topterms ranking), the
+    * standard more-like-this restriction: stop-like high-df terms
+    * contribute least to the score but drag the longest posting lists
+    * into the candidate join, so dropping them cuts the fan-out where
+    * it is widest. The per-(doc, term) contribution is computed ONCE
+    * before the query fan-out (it is query-independent), so the wide
+    * join only sums pre-quantized integers. */
   def bm25Of(docs: DataFrame, idf: DataFrame,
       k: Int = TopKDocs, qMod: Int = QueryDocMod): DataFrame = {
     val tf = tfOf(docs)
@@ -141,17 +151,22 @@ object Retrieval {
     val stats = statsOf(dls)
       .select((col("toks").cast("double") / col("ndocs").cast("double"))
         .as("avgdl"))
-    val qterms = words(docs)
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    val qterms = tf
       .filter(col("did") % qMod === 0)
-      .select(col("did").as("qid"), col("term")).distinct()
+      .join(broadcast(idf.select("term", "df")), "term")
+      .select(col("did").as("qid"), col("term"), col("tf"), col("df"))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= QueryTerms)
+      .select("qid", "term")
 
-    val contrib = tf
+    val contribs = tf
       .join(dls, "did")
       .join(broadcast(idf), "term")
-      .join(broadcast(qterms), "term")
-      .filter(col("did") =!= col("qid"))
       .crossJoin(broadcast(stats))
-      .select(col("qid"), col("did"),
+      .select(col("did"), col("term"),
         round(col("idf_fp").cast("double") *
           ((col("tf").cast("double") * lit(2.2)) /
             (col("tf").cast("double") + lit(1.2) *
@@ -159,7 +174,9 @@ object Retrieval {
                 (col("dl").cast("double") / col("avgdl"))))))
           .cast("long").as("c"))
 
-    contrib
+    contribs
+      .join(broadcast(qterms), "term")
+      .filter(col("did") =!= col("qid"))
       .groupBy("qid", "did")
       .agg(sum("c").as("score_fp"))
       .groupBy("qid")
@@ -186,10 +203,16 @@ object Retrieval {
                   FROM tf GROUP BY did),
            st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
                   FROM dl),
-           idf AS (SELECT term, idf_fp
+           idf AS (SELECT term, df, idf_fp
                    FROM read_parquet('${graft.Work.dir}/bm25_idf_@SF@/*.parquet')),
-           q AS (SELECT DISTINCT did AS qid, term FROM wf
-                 WHERE did % $QueryDocMod = 0),
+           q AS (SELECT qid, term FROM (
+                   SELECT tf.did AS qid, tf.term,
+                          row_number() OVER (PARTITION BY tf.did
+                            ORDER BY tf.tf DESC, idf.df ASC, tf.term)
+                            AS rk
+                   FROM tf JOIN idf USING (term)
+                   WHERE tf.did % $QueryDocMod = 0)
+                 WHERE rk <= $QueryTerms),
            contrib AS (
              SELECT q.qid, tf.did,
                     CAST(round(CAST(idf.idf_fp AS DOUBLE) *

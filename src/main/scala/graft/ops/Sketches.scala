@@ -56,5 +56,82 @@ object Sketches {
       WHERE o_orderkey % 100 = 0
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(bloomJoin)
+  /** EXACT distributed order statistics in two bounded passes —
+    * the 100 TB form of q26's sort-based `percentile`, which shuffles
+    * every value into its group's sort. Here nothing data-scale is
+    * ever sorted or collected:
+    *
+    *  1. histogram pass: count per fixed-width value bucket — a
+    *     map-side-combined aggregate whose shuffle and driver summary
+    *     are bounded by the DOMAIN (#non-empty buckets), not the rows;
+    *  2. the driver walks the ≤ #buckets cumulative counts to locate,
+    *     for each target rank k (ceil(q·n), discrete: p25/p50/p75),
+    *     the bucket holding the k-th smallest and the rank offset
+    *     within it;
+    *  3. select pass: the offset-th smallest INSIDE that one bucket
+    *     via `orderBy.limit(offset)` → TakeOrderedAndProject
+    *     (per-partition bounded heaps + driver merge of `offset`
+    *     rows) → `max`. Only one bucket's rows (≈ n/#buckets under
+    *     any non-adversarial distribution) are ever heap-selected.
+    *
+    * Equal values land in one bucket, so duplicate ranks resolve
+    * exactly. A pathologically hot bucket recurses with a narrower
+    * width (not needed at these SFs — the guard asserts instead).
+    * All arithmetic is integer (cents, ranks), so the oracle — a
+    * row_number replay of the same ceil-rank definition — hash-matches
+    * bit-for-bit.
+    */
+  def percentile2PassOf(vals: DataFrame,
+      bucketWidth: Long = 65536L): DataFrame = {
+    val spark = vals.sparkSession
+    val withB = vals.select(col("c"), expr(s"c div $bucketWidth").as("b"))
+    val hist = withB.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    require(n > 0, "percentile of an empty input")
+    val targets =
+      Seq(("p25", (n + 3) / 4), ("p50", (n + 1) / 2), ("p75", (3 * n + 3) / 4))
+    val rows = targets.map { case (name, k) =>
+      var cum = 0L
+      var bkt = 0L
+      var off = 0L
+      val it = hist.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (b, cnt) = it.next()
+        if (cum + cnt >= k) { bkt = b; off = k - cum; found = true }
+        else cum += cnt
+      }
+      require(found, s"rank $k beyond histogram total $n")
+      require(off <= Int.MaxValue,
+        s"bucket $bkt holds >2^31 rows below rank $k — recurse with a " +
+          "narrower bucket width")
+      val v = withB.filter(col("b") === bkt).orderBy(col("c").asc)
+        .limit(off.toInt).agg(max(col("c"))).head().getLong(0)
+      (name, k, v)
+    }
+    import spark.implicits._
+    rows.toDF("qtile", "krank", "val_cents")
+  }
+
+  /** Driver-verified witness over order totals (positive cents; the
+    * `divide`-based bucketing assumes a non-negative domain — shift
+    * first for signed data). */
+  val percentile2Pass = QueryDef(
+    "percentile_2pass",
+    (s, dir) => percentile2PassOf(
+      Tables(s, dir, "orders")
+        .select(Relational.cents(col("o_totalprice")).as("c"))),
+    Some("""
+      WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                 FROM orders),
+           r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+           n AS (SELECT count(*) AS n FROM v)
+      SELECT q.qtile, q.krank, r.c AS val_cents
+      FROM (SELECT 'p25' AS qtile, (n + 3) // 4 AS krank FROM n
+            UNION ALL SELECT 'p50', (n + 1) // 2 FROM n
+            UNION ALL SELECT 'p75', (3 * n + 3) // 4 FROM n) q
+      JOIN r ON r.rn = q.krank"""))
+
+  val all: Seq[QueryDef] = Seq(bloomJoin, percentile2Pass)
 }

@@ -299,7 +299,9 @@ class CorpusSpec extends SparkSpec {
         math.log(1.0 + (ndocs.toDouble - f.toDouble + 0.5) / (f.toDouble + 0.5)))
     }
     val expected = docs.collect { case (q, _) if q % graft.ext.Retrieval.QueryDocMod == 0 =>
-      val qterms = tf(q).keySet
+      val qterms = tf(q).toSeq
+        .sortBy { case (w, f) => (-f, df(w), w) }
+        .take(graft.ext.Retrieval.QueryTerms).map(_._1).toSet
       val scored = docs.collect { case (d, _) if d != q &&
           tf(d).keySet.intersect(qterms).nonEmpty =>
         val s = tf(d).collect { case (w, f) if qterms.contains(w) =>

@@ -363,11 +363,13 @@ class PlanSpec extends SparkSpec {
       "candidate recount must not sort-merge:\n" + s.take(2000))
   }
 
-  test("bm25_topk: no Window, heap top-k, no cartesian scoring") {
+  test("bm25_topk: one query-side Window only, heap top-k, no cartesian scoring") {
     val s = planString(graft.ext.Retrieval.bm25TopKQuery.fn(spark, sf))
       .split("== Initial Plan ==").head
+    // exactly ONE Window — the salient-term rank over the query docs
+    // (|Q|·vocab rows); the data-scale top-k must stay heap-aggregated
     val windows = "Window \\[".r.findAllIn(s).size
-    assert(windows == 0, s"expected no Window nodes, found $windows")
+    assert(windows == 1, s"expected 1 Window node, found $windows")
     assert(s.contains("topk_smallest"),
       "bounded-heap top-k missing:\n" + s.take(2000))
     // scoring rides the inverted-index equi-join on term; the only

@@ -104,4 +104,30 @@ class RelationalSpec extends SparkSpec {
     // null and must NOT be skipped in favor of the stale ts=5 value
     assert(got.toSeq == Seq(None))
   }
+
+  test("percentile_2pass: histogram select equals sorted ranks under ties and skew") {
+    val sp = spark
+    import sp.implicits._
+    // heavy ties (the same cents value repeated), values straddling
+    // bucket boundaries, and a hot bucket holding most of the mass —
+    // every shape the cumulative walk and in-bucket offset must survive
+    val vals: Seq[Long] =
+      Seq.fill(500)(65536L) ++ // exactly on a bucket boundary
+        Seq.fill(300)(65535L) ++ // last value of bucket 0
+        (0L until 200L).map(i => 131072L + i) ++ // spread in bucket 2
+        Seq.fill(7)(3L)
+    for (parts <- Seq(1, 7)) {
+      val got = ops.Sketches
+        .percentile2PassOf(vals.toDF("c").repartition(parts))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val sorted = vals.sorted
+      val n = sorted.size.toLong
+      val want = Map(
+        "p25" -> ((n + 3) / 4, sorted(((n + 3) / 4 - 1).toInt)),
+        "p50" -> ((n + 1) / 2, sorted(((n + 1) / 2 - 1).toInt)),
+        "p75" -> ((3 * n + 3) / 4, sorted(((3 * n + 3) / 4 - 1).toInt)))
+      assert(got == want, s"parts=$parts got=$got want=$want")
+    }
+  }
 }
