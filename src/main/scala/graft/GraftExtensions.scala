@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, MisraGriesSketch, TopKSmallest}
+import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, MisraGriesSketch, TermCounts, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.IntegerType
   *   jl_project(xs, p)                 — signed random projection to p dims
   *   bpe_encode(word, merges)          — greedy BPE tokenization
   *   misra_gries(key, m)               — frequent-items summary aggregate
+  *   term_counts(tokens)               — per-row (term, tf) postings fold
   *
   * Two deployment paths share one registration list:
   *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -103,6 +104,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "misra_gries(key, m) takes 2 arguments")
         MisraGriesSketch(args(0), intLit(args(1), "m")).toAggregateExpression()
+      }),
+    (FunctionIdentifier("term_counts"),
+      info("term_counts", classOf[TermCounts]),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "term_counts(tokens) takes 1 argument")
+        TermCounts(args(0))
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

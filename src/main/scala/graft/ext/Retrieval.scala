@@ -39,26 +39,46 @@ object Retrieval {
   val QueryTerms = 10
   val IdfScale = 1e6
 
-  private def words(docs: DataFrame): DataFrame =
+  /** (did, term, tf, dl) postings with exact integer term frequencies
+    * and the doc's token length on every posting row — computed
+    * entirely PER ROW. `doc_id` is unique in `documents`, so the
+    * groupBy(did, term) a naive postings build shuffles on is really a
+    * within-row fold: [[graft.functions.TermCounts]] does it in one
+    * hash pass per document and this frame is a narrow map stage. At
+    * 100 TB that deletes the pipeline's largest shuffle (~10¹²
+    * (doc, term) pairs); dl riding along deletes the dl-join shuffle
+    * with it. Docs with no tokens (null/blank text) drop here — the
+    * indexed set, same as the oracle's unnest semantics. */
+  private def postingsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id").as("did"),
-        explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(length(col("term")) > 0)
+        graft.functions.TermCounts.termCounts(
+          TextAnalysis.tokens(col("text"))).as("tc"))
+      .filter(size(col("tc")) > 0)
+      .select(col("did"),
+        aggregate(col("tc"), lit(0L), (a, x) => a + x.getField("tf"))
+          .as("dl"),
+        explode(col("tc")).as("p"))
+      .select(col("did"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
 
-  /** (did, term, tf) postings with exact integer term frequencies. */
-  private def tfOf(docs: DataFrame): DataFrame =
-    words(docs).groupBy("did", "term").agg(count(lit(1)).as("tf"))
+  /** One-row (ndocs, toks) — avgdl's exact integer inputs. A second
+    * narrow pass over the corpus (count + sum of per-row token counts,
+    * map-side partials into one row) — scan-bound, shuffle-free; the
+    * alternative (re-aggregating the postings by did) would re-shuffle
+    * the postings this plan exists to keep unshuffled. */
+  private def statsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(size(filter(TextAnalysis.tokens(col("text")),
+        t => length(t) > 0)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("ndocs"), sum("dl").as("toks"))
 
-  /** Per-doc token length (docs with ≥1 token — the indexed set). */
-  private def dlsOf(tf: DataFrame): DataFrame =
-    tf.groupBy("did").agg(sum("tf").as("dl"))
-
-  /** One-row (ndocs, toks) — avgdl's exact integer inputs. */
-  private def statsOf(dls: DataFrame): DataFrame =
-    dls.agg(count(lit(1)).as("ndocs"), sum("dl").as("toks"))
-
+  // _v2: schema grew (ndocs, toks) columns — a fixed-name published
+  // table must version its path, or a stale 3-column parquet from an
+  // earlier build would satisfy the _SUCCESS check and fail the read
   private def idfPath(dir: String): String =
-    s"${graft.Work.dir}/bm25_idf_${new java.io.File(dir).getName}"
+    s"${graft.Work.dir}/bm25_idf_v2_${new java.io.File(dir).getName}"
 
   private val idfDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -74,17 +94,20 @@ object Retrieval {
     * whose `Math.log` could differ (libm variance is real across
     * platforms; the publish pins one result).
     */
-  /** (term, df, idf_fp) computed in-plan — the frame [[ensureIdf]]
-    * materializes, and the df-in form StressMain scales directly. */
+  /** (term, df, idf_fp, ndocs, toks) computed in-plan — the frame
+    * [[ensureIdf]] materializes, and the df-in form StressMain scales
+    * directly. ndocs/toks (avgdl's exact integer inputs) ride on every
+    * row so the SCORING path needs no second corpus pass for stats —
+    * at 100 TB that deletes a full table scan from every query. */
   def idfOf(docs: DataFrame): DataFrame = {
-    val tf = tfOf(docs)
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(statsOf(dlsOf(tf))))
+    postingsOf(docs).groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(statsOf(docs)))
       .select(col("term"), col("df"),
         round(lit(IdfScale) * log(lit(1.0) +
           (col("ndocs").cast("double") - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))))
-          .cast("long").as("idf_fp"))
+          .cast("long").as("idf_fp"),
+        col("ndocs"), col("toks"))
   }
 
   def ensureIdf(s: SparkSession, dir: String): String = {
@@ -116,10 +139,10 @@ object Retrieval {
     * shares a term with, top [[TopKDocs]] by (score_fp desc, did asc).
     *
     * Plan shape, and what survives 100 TB:
-    *  - postings tf: one shuffle on (did, term), map-side combine;
-    *  - dl join on did: doc-count-sized dims — AQE broadcasts at test
-    *    SF, co-partitioned on did at scale (dl is index metadata,
-    *    stored beside the postings in a real deployment);
+    *  - postings (did, term, tf, dl): PER-ROW — doc_id is unique, so
+    *    term counting is a within-row fold ([[graft.functions
+    *    .TermCounts]]) and dl a within-row sum; no postings shuffle,
+    *    no dl join, ever;
     *  - idf join on term: vocab-sized, broadcast;
     *  - the query set joins BROADCAST on term — the inverted-index
     *    restriction: only docs sharing a term are ever scored, so the
@@ -132,8 +155,7 @@ object Retrieval {
   def bm25TopK(s: SparkSession, dir: String,
       k: Int = TopKDocs, qMod: Int = QueryDocMod): DataFrame =
     bm25Of(Tables(s, dir, "documents"),
-      s.read.parquet(ensureIdf(s, dir)).select("term", "df", "idf_fp"),
-      k, qMod)
+      s.read.parquet(ensureIdf(s, dir)), k, qMod)
 
   /** df-in core: score `docs` against the given (term, df, idf_fp)
     * table. A query uses only its [[QueryTerms]] most SALIENT terms
@@ -146,32 +168,36 @@ object Retrieval {
     * join only sums pre-quantized integers. */
   def bm25Of(docs: DataFrame, idf: DataFrame,
       k: Int = TopKDocs, qMod: Int = QueryDocMod): DataFrame = {
-    val tf = tfOf(docs)
-    val dls = dlsOf(tf)
-    val stats = statsOf(dls)
-      .select((col("toks").cast("double") / col("ndocs").cast("double"))
-        .as("avgdl"))
+    val posted = postingsOf(docs)
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy("qid")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    val qterms = tf
+    // query docs are 1/qMod of the corpus, so the window shuffle is
+    // small by construction; the per-row postings form means this
+    // subtree re-tokenizes only the query slice it keeps
+    // both joins broadcast the vocab-sized idf frame (column pruning
+    // projects each copy down to the fields that join needs)
+    val qterms = posted
       .filter(col("did") % qMod === 0)
-      .join(broadcast(idf.select("term", "df")), "term")
+      .join(broadcast(idf), "term")
       .select(col("did").as("qid"), col("term"), col("tf"), col("df"))
       .withColumn("rk", row_number().over(qw))
       .filter(col("rk") <= QueryTerms)
       .select("qid", "term")
 
-    val contribs = tf
-      .join(dls, "did")
+    // dl rides on every posting row; idf carries ndocs/toks, so avgdl
+    // is inline arithmetic on the joined row: the per-(doc, term)
+    // contribution is a pure map stage — the first shuffle in the
+    // whole scoring path is the (qid, did) sum below
+    val contribs = posted
       .join(broadcast(idf), "term")
-      .crossJoin(broadcast(stats))
       .select(col("did"), col("term"),
         round(col("idf_fp").cast("double") *
           ((col("tf").cast("double") * lit(2.2)) /
             (col("tf").cast("double") + lit(1.2) *
               (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") / col("avgdl"))))))
+                (col("dl").cast("double") /
+                  (col("toks").cast("double") / col("ndocs").cast("double")))))))
           .cast("long").as("c"))
 
     contribs
@@ -204,7 +230,7 @@ object Retrieval {
            st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
                   FROM dl),
            idf AS (SELECT term, df, idf_fp
-                   FROM read_parquet('${graft.Work.dir}/bm25_idf_@SF@/*.parquet')),
+                   FROM read_parquet('${graft.Work.dir}/bm25_idf_v2_@SF@/*.parquet')),
            q AS (SELECT qid, term FROM (
                    SELECT tf.did AS qid, tf.term,
                           row_number() OVER (PARTITION BY tf.did

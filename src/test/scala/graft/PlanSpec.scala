@@ -372,9 +372,25 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected 1 Window node, found $windows")
     assert(s.contains("topk_smallest"),
       "bounded-heap top-k missing:\n" + s.take(2000))
-    // scoring rides the inverted-index equi-join on term; the only
-    // nested-loop is the one-row avgdl broadcast
+    // scoring rides the inverted-index equi-join on term; no
+    // nested-loop anywhere (avgdl is inline arithmetic on the idf row)
     assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    // postings are PER-ROW (term_counts): the only hash exchanges are
+    // the query-side window, the (qid, did) candidate sum, and the
+    // per-qid heap — a (did, term) postings shuffle or a dl-join
+    // shuffle would show as a fourth
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles == 3,
+      s"expected qid-window + (qid,did)-sum + qid-heap shuffles only, " +
+        s"got $shuffles:\n" + s.take(3000))
+    assert(s.contains("term_counts"),
+      "per-row postings fold missing:\n" + s.take(2000))
+    // vocab-sized broadcasts only: idf into each of the two term joins
+    // (column pruning projects them differently, so the exchanges
+    // cannot canonically match for reuse) and the qterms candidate set
+    assert("BroadcastExchange".r.findAllIn(s).size <= 3,
+      "unexpected extra broadcast:\n" + s.take(3000))
   }
 
   test("q40_gap_fill: one shuffle, one running-frame window") {

@@ -143,6 +143,39 @@ class VectorExprSpec extends SparkSpec {
     assert(am.getLong(2) == am.getLong(3), "topk head must equal the argmin")
   }
 
+  test("term_counts == explode+groupBy postings, and joins codegen") {
+    import graft.functions.TermCounts
+    val docs = Tables(spark, sf, "documents")
+    // reference postings the per-row fold must reproduce exactly
+    val ref = docs
+      .select(col("doc_id").as("did"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("did", "term").agg(count(lit(1)).as("tf"))
+    val perRow = docs
+      .select(col("doc_id").as("did"),
+        explode(TermCounts.termCounts(
+          graft.ext.TextAnalysis.tokens(col("text")))).as("p"))
+      .select(col("did"), col("p.term").as("term"), col("p.tf").as("tf"))
+    assert(ref.exceptAll(perRow).isEmpty && perRow.exceptAll(ref).isEmpty,
+      "per-row term_counts diverges from the groupBy postings")
+    // empties/nulls: empty strings skipped, null array → null out
+    val edge = spark.sql(
+      """SELECT term_counts(array('b', '', 'a', 'b')) AS tc,
+                term_counts(CAST(null AS array<string>)) AS tn""")
+    val r = edge.collect().head
+    assert(r.isNullAt(1), "null input must stay null")
+    val tc = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(tc.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("a", 1L), ("b", 2L)), "term-sorted runs expected")
+    // stays inside the whole-stage span (static-forwarder codegen)
+    val df = docs.select(TermCounts.termCounts(
+      graft.ext.TextAnalysis.tokens(col("text"))).as("tc"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [term_counts"), plan.take(800))
+  }
+
   test("expressions participate in whole-stage codegen") {
     val df = Tables(spark, sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
