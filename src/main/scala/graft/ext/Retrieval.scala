@@ -262,5 +262,136 @@ object Retrieval {
          FROM sc)
       WHERE rank <= $TopKDocs"""))
 
-  val all: Seq[QueryDef] = Seq(bm25TopKQuery)
+  // --- hybrid retrieval: sparse BM25 + dense cosine, RRF-fused --------
+
+  val HybridK = 10     // per-channel candidate depth
+  val FusedK = 5       // fused results per query
+  val RrfK0 = 60       // the standard RRF dampening constant
+  val RrfScale = 1000000000L
+
+  /** Reciprocal-rank fusion of the two retrieval channels every modern
+    * training-data / RAG pipeline runs side by side: BM25 over the text
+    * (exact term match) and cosine over the embeddings (semantic
+    * match), fused by rank only — RRF(d) = Σ_chan ⌊scale/(k₀+rank)⌋.
+    * Rank-space fusion is what makes the operator oracle-able: the
+    * float cosine never leaves its channel (only its RANKS do, and the
+    * rank order is pinned by the same tie-break the topk_cosine oracle
+    * already hash-matches), and the fused score is a sum of exact
+    * integers, so the whole fusion is bit-deterministic.
+    *
+    * 100 TB shape: each channel is k-bounded per query BEFORE fusion —
+    * the fusion join handles |Q|·k rows per channel, never corpus-sized
+    * data; channels scale independently (sparse = the shuffle-free
+    * postings plan above; dense = swap the exact crossJoin for the
+    * LSH/IVF/PQ paths in [[Similarity]] — same (qid, rank, did)
+    * contract). Full-outer on (qid, did): a doc ranked by only one
+    * channel keeps that channel's contribution.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val sparse = bm25TopK(s, dir, HybridK, QueryDocMod)
+      .select(col("qid"), col("did"), col("rank").as("rs"))
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") % QueryDocMod === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val r = emb.select(col("vec_id").as("rid"), col("e").as("re"))
+    val dense = q.crossJoin(broadcast(r))
+      .filter(col("rid") =!= col("qid"))
+      .select(col("qid"), col("rid"),
+        (-Dedup.cosine(col("qe"), col("re"))).as("negcos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        col("negcos"), col("rid"), lit(0), HybridK).as("top"))
+      .select(col("qid"), posexplode(col("top.id")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rd"),
+        col("col").as("did"))
+    // DIV: integer division on both engines — no float reciprocal can
+    // perturb the fused order
+    val fused = sparse.join(dense, Seq("qid", "did"), "full_outer")
+      .select(col("qid"), col("did"),
+        (coalesce(expr(s"$RrfScale DIV ($RrfK0 + rs)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK0 + rd)"), lit(0L)))
+          .as("rrf_fp"))
+    fused.groupBy("qid")
+      .agg(graft.functions.TopK.smallestK(
+        -col("rrf_fp").cast("double"), col("did"), lit(0), FusedK).as("arr"))
+      .select(col("qid"), posexplode(col("arr")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("did"),
+        (-col("col.score")).cast("long").as("rrf_fp"))
+  }
+
+  val hybridRrfQuery = QueryDef(
+    "hybrid_rrf_topk",
+    (s, dir) => hybridRrf(s, dir),
+    Some(s"""
+      WITH w AS (SELECT doc_id AS did,
+                        unnest(regexp_split_to_array(trim(text), '\\s+'))
+                          AS term
+                 FROM documents),
+           wf AS (SELECT did, term FROM w WHERE length(term) > 0),
+           tf AS (SELECT did, term, count(*) AS tf
+                  FROM wf GROUP BY did, term),
+           dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl
+                  FROM tf GROUP BY did),
+           st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+           idf AS (SELECT term, df, idf_fp
+                   FROM read_parquet('${graft.Work.dir}/bm25_idf_v2_@SF@/*.parquet')),
+           qt AS (SELECT qid, term FROM (
+                   SELECT tf.did AS qid, tf.term,
+                          row_number() OVER (PARTITION BY tf.did
+                            ORDER BY tf.tf DESC, idf.df ASC, tf.term)
+                            AS rk
+                   FROM tf JOIN idf USING (term)
+                   WHERE tf.did % $QueryDocMod = 0)
+                 WHERE rk <= $QueryTerms),
+           contrib AS (
+             SELECT qt.qid, tf.did,
+                    CAST(round(CAST(idf.idf_fp AS DOUBLE) *
+                      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                       (CAST(tf.tf AS DOUBLE) + 1.2 *
+                        (0.25 + 0.75 *
+                         (CAST(dl.dl AS DOUBLE) / st.avgdl))))) AS BIGINT)
+                      AS c
+             FROM tf
+             JOIN dl USING (did)
+             JOIN idf USING (term)
+             JOIN qt ON qt.term = tf.term
+             CROSS JOIN st
+             WHERE tf.did <> qt.qid),
+           sc AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS score_fp
+                  FROM contrib GROUP BY qid, did),
+           sp AS (SELECT qid, did, rank FROM
+                    (SELECT qid, did,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY score_fp DESC, did) AS rank
+                     FROM sc)
+                  WHERE rank <= $HybridK),
+           qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id % $QueryDocMod = 0),
+           rv AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+           dn AS (SELECT qid, did, rank FROM
+                    (SELECT qid, rid AS did,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY list_cosine_similarity(qv.e, rv.e)
+                                DESC, rid) AS rank
+                     FROM qv CROSS JOIN rv WHERE rid <> qid)
+                  WHERE rank <= $HybridK),
+           fused AS (
+             SELECT coalesce(sp.qid, dn.qid) AS qid,
+                    coalesce(sp.did, dn.did) AS did,
+                    coalesce($RrfScale // ($RrfK0 + sp.rank), 0) +
+                    coalesce($RrfScale // ($RrfK0 + dn.rank), 0) AS rrf_fp
+             FROM sp FULL OUTER JOIN dn
+               ON sp.qid = dn.qid AND sp.did = dn.did)
+      SELECT qid, rank, did, rrf_fp FROM
+        (SELECT qid, did, rrf_fp,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY rrf_fp DESC, did) AS INT) AS rank
+         FROM fused)
+      WHERE rank <= $FusedK"""))
+
+  val all: Seq[QueryDef] = Seq(bm25TopKQuery, hybridRrfQuery)
 }

@@ -816,4 +816,34 @@ class ExtSpec extends SparkSpec {
       if (idxs.length > 1) assert(ChunkTokens > ChunkStride)
     }
   }
+
+  // --- hybrid retrieval ----------------------------------------------
+
+  test("RRF fusion: integer scores, contiguous ranks, both channels heard") {
+    import graft.ext.Retrieval
+    val fused = Retrieval.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty)
+    // per query: ranks are exactly 1..k and scores non-increasing
+    fused.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length),
+        s"qid $qid: ranks not contiguous")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true },
+        s"qid $qid: rrf_fp not non-increasing with rank")
+    }
+    // every fused score is a sum of the exact per-channel reciprocals —
+    // possible values are bounded by the two-channel maximum and the
+    // single-channel minimum floor
+    val maxFp = 2 * (Retrieval.RrfScale / (Retrieval.RrfK0 + 1))
+    val minFp = Retrieval.RrfScale / (Retrieval.RrfK0 + Retrieval.HybridK)
+    assert(fused.forall(r => r._4 >= minFp && r._4 <= maxFp))
+    // a doc ranked by BOTH channels must outscore the best possible
+    // single-channel doc: witnessed if any score exceeds the
+    // single-channel maximum
+    val singleMax = Retrieval.RrfScale / (Retrieval.RrfK0 + 1)
+    assert(fused.exists(_._4 > singleMax),
+      "no doc fused from both channels — channel alignment broken?")
+  }
 }
