@@ -613,6 +613,66 @@ object Dedup {
       JOIN (SELECT * FROM inv WHERE doc_id % 10 <> 0) tr ON t.sh = tr.sh
       GROUP BY 1"""))
 
+  /** Contamination FRACTION — the published-benchmark decontamination
+    * metric (the GPT-3 appendix form): per held-out doc, what share of
+    * its distinct n-gram shingles also occurs ANYWHERE in the training
+    * corpus. [[decontaminate]] counts collisions; pipelines gate on
+    * this normalized score (e.g. drop eval docs >70% dirty). The
+    * fraction is emitted fixed-point (ppm, integer DIV) so the oracle
+    * hash cannot be perturbed by float division.
+    *
+    * Scale: the train side collapses to its DISTINCT shingle set with
+    * map-side combine before any join (the same pre-aggregation lever
+    * as [[shingleDf]]); the semi-join output is bounded by the test
+    * inverted index, never |train|×|test|.
+    */
+  def contaminationScore(train: DataFrame, test: DataFrame,
+      n: Int = 4): DataFrame = {
+    val trainSh = shingleSets(train, n)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val testSets = shingleSets(test, n)
+      .select(col("doc_id").as("test_doc"), col("shs"))
+    val hits = testSets
+      .select(col("test_doc"), explode(col("shs")).as("sh"))
+      .join(trainSh, Seq("sh"), "left_semi")
+      .groupBy("test_doc").agg(count(lit(1)).as("n_hit"))
+    testSets.select(col("test_doc"), size(col("shs")).cast("long").as("n_sh"))
+      .join(hits, Seq("test_doc"), "left")
+      .select(col("test_doc"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("test_doc"), col("n_sh"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_sh").as("contam_ppm"))
+  }
+
+  val contamScore = QueryDef(
+    "contamination_score",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      contaminationScore(
+        train = docs.filter(col("doc_id") % 10 =!= 0),
+        test = docs.filter(col("doc_id") % 10 === 0))
+    },
+    Some("""
+      WITH sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                   FROM documents)
+             WHERE len(ws) >= 4),
+      trs AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 10 <> 0),
+      tin AS (SELECT doc_id AS test_doc, unnest(shs) AS sh
+              FROM sh WHERE doc_id % 10 = 0),
+      hits AS (SELECT test_doc, count(*) AS n_hit
+               FROM tin WHERE sh IN (SELECT sh FROM trs)
+               GROUP BY test_doc),
+      base AS (SELECT doc_id AS test_doc, CAST(len(shs) AS BIGINT) AS n_sh
+               FROM sh WHERE doc_id % 10 = 0)
+      SELECT base.test_doc, n_sh,
+             coalesce(n_hit, 0) AS n_hit,
+             coalesce(n_hit, 0) * 1000000 // n_sh AS contam_ppm
+      FROM base LEFT JOIN hits ON base.test_doc = hits.test_doc"""))
+
   /** Line-level dedup signal (the C4/RefinedWeb "line dedup" step at
     * sentence granularity): per doc, how many of its sentences also
     * appear in ANOTHER doc. Pipelines drop or trim docs dominated by
@@ -1503,6 +1563,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
       simhashNearDup, simhashWideNearDup, embeddingCosine, semantic,
-      semanticHier, clusters, decontam, curate, lineDedup, repeatedSpansQ,
-      removeSpansQ)
+      semanticHier, clusters, decontam, contamScore, curate, lineDedup,
+      repeatedSpansQ, removeSpansQ)
 }

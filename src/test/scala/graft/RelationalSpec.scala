@@ -130,4 +130,31 @@ class RelationalSpec extends SparkSpec {
       assert(got == want, s"parts=$parts got=$got want=$want")
     }
   }
+
+  test("pagerank: fixed-point mass bounds, node set, partition-invariant") {
+    import graft.ops.PageRank
+    val edges = PageRank.tradeEdges(spark, sf)
+    val nodes = edges.select("src").distinct().count()
+    val run1 = PageRank.pagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run1.size == nodes, "one score per node in the trade graph")
+    // integer truncation only LOSES mass: total ≤ N·S, and every node
+    // keeps at least the teleport floor
+    val total = run1.values.sum
+    assert(total <= nodes * PageRank.Scale)
+    assert(run1.values.forall(_ >= PageRank.Scale * 15 / 100))
+    // symmetric bipartite graph: some node must exceed the uniform
+    // score (hubs exist), else the iteration did nothing
+    assert(run1.values.exists(_ > PageRank.Scale),
+      "no node above uniform mass — propagation broken?")
+    // DIV-truncation order is pinned per-edge, so the result cannot
+    // depend on partitioning
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val run7 = PageRank.pagerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(run7 == run1, "scores changed with partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
 }
