@@ -65,18 +65,18 @@ object PageRank {
     var scores = outdeg.select(col("src").as("node"),
       lit(Scale).as("score_fp"))
     for (_ <- 1 to rounds) {
-      val contrib = withDeg
+      // edges are symmetric, so EVERY node has an in-edge: contrib's
+      // dst set IS the node set, and no keep-the-zeros left join is
+      // needed — each round is one equi-join (scores are node-sized;
+      // AQE broadcasts them at test SF, co-partitioned at scale) plus
+      // one map-side-combined sum
+      scores = withDeg
         .join(scores, col("src") === col("node"))
         .select(col("dst"),
           expr(s"score_fp * 85 DIV 100 DIV outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_fp"))
-      // every node has outdeg ≥ 1 (edges are symmetric), so the node
-      // set is stable: left join keeps isolated-round zeros exact
-      scores = scores.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(Scale * 15 / 100) + coalesce(col("in_fp"), lit(0L)))
-            .as("score_fp"))
+        .select(col("dst").as("node"),
+          (lit(Scale * 15 / 100) + col("in_fp")).as("score_fp"))
     }
     val out = Work.materialize("pagerank", scores)
     withDeg.unpersist()
@@ -103,11 +103,9 @@ object PageRank {
       c$r AS (SELECT wd.dst, sum(score_fp * 85 // 100 // outdeg) AS in_fp
               FROM wd JOIN $prev ON wd.src = $prev.node
               GROUP BY wd.dst),
-      s$r AS (SELECT node,
-                     CAST(${Scale * 15 / 100} + coalesce(in_fp, 0) AS BIGINT)
-                       AS score_fp
-              FROM (SELECT node FROM $prev) n
-              LEFT JOIN c$r ON n.node = c$r.dst)"""
+      s$r AS (SELECT dst AS node,
+                     CAST(${Scale * 15 / 100} + in_fp AS BIGINT) AS score_fp
+              FROM c$r)"""
     }.mkString(",")
     s"$base,$rounds\n      SELECT node, score_fp FROM s$Rounds"
   }
