@@ -202,6 +202,55 @@ object StressMain {
         c.filter(col("doc_id") % 10 =!= 0),
         c.filter(col("doc_id") % 10 === 0)).count(),
       n => repDocs(docs, n))
+    // same disjoint-vocab regime: the train distinct-shingle set and
+    // the eval inverted index both grow n×, the semi-join never crosses
+    // replicas — linear by construction
+    pair("contamination_score")(
+      c => Dedup.contaminationScore(
+        c.filter(col("doc_id") % 10 =!= 0),
+        c.filter(col("doc_id") % 10 === 0)).count(),
+      n => repDocs(docs, n))
+    // replica salting keeps both channels replica-local (+r·1e8
+    // preserves doc_id % 50 and vec_id % 50; vocabularies disjoint,
+    // rotations cosine-orthogonal): n× queries, constant per-query
+    // candidates, k-bounded fusion — the whole stack must grow linearly
+    locally {
+      val name = "hybrid_rrf"
+      if (only.isEmpty || only.contains(name)) {
+        def run(n: Int, tag: String): Double = {
+          val d = repDocs(docs, n)
+          val e = repEmb(emb, n)
+          val sec = t(s"$name $tag")(
+            ext.Retrieval.hybridRrfOf(
+              ext.Retrieval.bm25Of(d, ext.Retrieval.idfOf(d),
+                ext.Retrieval.HybridK),
+              e.select(col("vec_id"), col("e"))).count())
+          GraftSession.dropAllCaches(spark)
+          sec
+        }
+        results(name) = (run(1, "1x"), run(mult, s"${mult}x"))
+      }
+    }
+    // disjoint graph replicas (node ids offset per replica): edges,
+    // nodes, and per-round shuffle volume all grow n×, rounds constant
+    locally {
+      val name = "graph_pagerank"
+      if (only.isEmpty || only.contains(name)) {
+        val edges1 = ops.PageRank.tradeEdges(spark, dir)
+        def repEdges(n: Int): DataFrame =
+          (0 until n).map { r =>
+            edges1.select((col("src") + lit(r * 1000000000L)).as("src"),
+              (col("dst") + lit(r * 1000000000L)).as("dst"))
+          }.reduce(_ unionAll _)
+        def run(n: Int, tag: String): Double = {
+          val sec = t(s"$name $tag")(
+            ops.PageRank.pagerankOnEdges(repEdges(n)).count())
+          GraftSession.dropAllCaches(spark)
+          sec
+        }
+        results(name) = (run(1, "1x"), run(mult, s"${mult}x"))
+      }
+    }
     pair("embedding_cosine")(
       c => Dedup.embeddingCosinePairs(c.unionAll(
         c.select((col("vec_id") + Dedup.PlantedOffset).as("vec_id"),

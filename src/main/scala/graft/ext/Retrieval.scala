@@ -287,11 +287,18 @@ object Retrieval {
     * contract). Full-outer on (qid, did): a doc ranked by only one
     * channel keeps that channel's contribution.
     */
-  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val sparse = bm25TopK(s, dir, HybridK, QueryDocMod)
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(
+      bm25TopK(s, dir, HybridK, QueryDocMod),
+      Tables(s, dir, "embeddings")
+        .withColumn("e", col("embedding").cast("array<double>")))
+
+  /** df-in core: fuse a sparse (qid, did, rank, …) channel with the
+    * dense cosine channel over `emb` (vec_id, e) — the form StressMain
+    * scales directly. */
+  def hybridRrfOf(sparseTopK: DataFrame, emb: DataFrame): DataFrame = {
+    val sparse = sparseTopK
       .select(col("qid"), col("did"), col("rank").as("rs"))
-    val emb = Tables(s, dir, "embeddings")
-      .withColumn("e", col("embedding").cast("array<double>"))
     val q = emb.filter(col("vec_id") % QueryDocMod === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val r = emb.select(col("vec_id").as("rid"), col("e").as("re"))

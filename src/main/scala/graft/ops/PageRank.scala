@@ -55,11 +55,17 @@ object PageRank {
   }
 
   def pagerank(s: SparkSession, dir: String,
+      rounds: Int = Rounds): DataFrame =
+    pagerankOnEdges(tradeEdges(s, dir), rounds)
+
+  /** df-in core over a symmetric (src, dst) edge list — the form
+    * StressMain scales directly. */
+  def pagerankOnEdges(edgesIn: DataFrame,
       rounds: Int = Rounds): DataFrame = {
     // edges + outdeg computed once; persist through the rounds, then
     // materialize the node-sized result and free the cache (the same
     // leak-free loop shape as the connected-components fixed point)
-    val edges = tradeEdges(s, dir).persist()
+    val edges = edgesIn.persist()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = edges.join(outdeg, "src").persist()
     var scores = outdeg.select(col("src").as("node"),
