@@ -98,6 +98,90 @@ object StreamOps {
       FROM events
       GROUP BY 1, 2"""))
 
+  /** Per-window bucket-exact quantiles — the order-statistics face of
+    * the windowed aggregate. Each 5-min event-time window reports, for
+    * p25/p50/p75 of value-cents, the FLOOR of the width-[[QuantileBucket]]
+    * bucket holding that rank: a deterministic integer contract (div +
+    * cumulative counts + min-bucket pick — both engines evaluate the
+    * identical arithmetic), which is what makes a quantile operator
+    * hash-oracle-able where a float `percentile()` is not. Exactness
+    * within ±bucket-width; `ops.Sketches.percentile2PassOf` is the
+    * exact-rank batch form (its second pass doesn't stream — this
+    * histogram form is the one with a streaming twin,
+    * [[StreamingQuantile.windowQuantileStream]]).
+    *
+    * Scale shape: one (win, bucket) shuffle with map-side combine over
+    * the raw rows; everything after (cumulative window, rank pick) runs
+    * on bucket-cardinality data — #windows × #non-empty buckets rows,
+    * domain-bounded, never row-bounded. Positive-domain assumption as
+    * in percentile_2pass (Spark `div` truncates toward zero, DuckDB
+    * `//` floors — they agree only on non-negative values; shift first
+    * for signed data).
+    */
+  def windowQuantileOf(events: DataFrame,
+      bucketWidth: Long = QuantileBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val h = events
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .select(window(col("ts_t"), "300 seconds").as("w"),
+        expr(s"${centsSql("value")} div $bucketWidth").as("b"))
+      .select(col("w.start").cast(LongType).as("win_start"), col("b"))
+      .groupBy("win_start", "b").agg(count(lit(1)).as("cnt"))
+    val cum = h
+      .withColumn("cum", sum("cnt").over(
+        W.partitionBy("win_start").orderBy("b")))
+      .withColumn("n", sum("cnt").over(W.partitionBy("win_start")))
+    cum
+      .select(col("win_start"), col("b"), col("cum"),
+        explode(array(
+          struct(lit("p25").as("qtile"), expr("(n + 3) div 4").as("k")),
+          struct(lit("p50").as("qtile"), expr("(n + 1) div 2").as("k")),
+          struct(lit("p75").as("qtile"), expr("(3 * n + 3) div 4").as("k"))))
+          .as("q"))
+      .filter(col("cum") >= col("q.k"))
+      .groupBy(col("win_start"), col("q.qtile").as("qtile"))
+      .agg(max(col("q.k")).as("krank"),
+        (min("b") * bucketWidth).as("val_floor"))
+  }
+
+  val QuantileBucket = 256L
+
+  /** cents() as SQL text (round-to-BIGINT), shared with the div. */
+  private def centsSql(c: String): String =
+    s"""CAST(round($c * 100) AS BIGINT)"""
+
+  val windowQuantile = QueryDef(
+    "stream_window_quantile",
+    (s, dir) => {
+      val base = Work.scratch("log_window_q")
+      Work.clean(base)
+      val store = LogStore(base)
+      store.append(Tables(s, dir, "events"), "scope", "events-stream")
+      windowQuantileOf(
+        store.readBounded(s, "scope", "events-stream", eventSchema))
+    },
+    Some(s"""
+      WITH v AS (SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300
+                          AS win_start,
+                        CAST(round("value" * 100) AS BIGINT) // ${QuantileBucket}
+                          AS b
+                 FROM events),
+           h AS (SELECT win_start, b, count(*) AS cnt FROM v GROUP BY 1, 2),
+           c AS (SELECT win_start, b,
+                        sum(cnt) OVER (PARTITION BY win_start ORDER BY b)
+                          AS cum,
+                        sum(cnt) OVER (PARTITION BY win_start) AS n
+                 FROM h),
+           q AS (SELECT win_start, b, cum, t.qtile, t.k
+                 FROM c CROSS JOIN LATERAL (
+                   SELECT 'p25' AS qtile, (n + 3) // 4 AS k
+                   UNION ALL SELECT 'p50', (n + 1) // 2
+                   UNION ALL SELECT 'p75', (3 * n + 3) // 4) t)
+      SELECT win_start, qtile, CAST(max(k) AS BIGINT) AS krank,
+             CAST(min(b) * ${QuantileBucket} AS BIGINT) AS val_floor
+      FROM q WHERE cum >= k
+      GROUP BY win_start, qtile"""))
+
   /** Streaming face of the windowed aggregate: watermark + append output
     * mode to a file sink — finalized windows are emitted exactly once as
     * the watermark passes them and their state is evicted (nothing lives
@@ -380,6 +464,6 @@ object StreamOps {
     Some("SELECT * FROM documents"))
 
   val all: Seq[QueryDef] =
-    Seq(roundtrip, windowAgg, sessionize, sessionWindow, dedupExactlyOnce,
-      streamIntervalJoin, identity)
+    Seq(roundtrip, windowAgg, windowQuantile, sessionize, sessionWindow,
+      dedupExactlyOnce, streamIntervalJoin, identity)
 }

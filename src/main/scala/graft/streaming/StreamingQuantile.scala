@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One bucketed observation routed to its event-time window. */
+final case class WinBucket(win_start: Long, b: Long)
+
+/** A window's current bucket-exact quantile row. `n` — the window's
+  * total observation count at emission — is monotone per window across
+  * triggers, so "latest rows" are selectable from an Update-mode sink
+  * without relying on sink ordering. */
+final case class WinQuantile(win_start: Long, qtile: String,
+    krank: Long, val_floor: Long, n: Long)
+
+/** Checkpointable per-window histogram (bucket → count). */
+final case class HistState(counts: Map[Long, Long])
+
+/** Streaming twin of [[StreamOps.windowQuantileOf]]: continuous
+  * bucket-exact order statistics per event-time window with BOUNDED
+  * state — one histogram per open window, #non-empty buckets entries
+  * (domain-bounded, like the batch plan's post-shuffle cardinality),
+  * regardless of how many rows flow past.
+  *
+  * Keyed state is the window's bucket histogram, resumed from the
+  * checkpoint each micro-batch (histograms are mergeable summaries:
+  * seeding with saved counts and continuing IS the same fold — the
+  * same incremental-summary argument as the Misra–Gries twin). Every
+  * trigger an updated window re-emits its current p25/p50/p75 rows;
+  * after all data, the latest rows per window equal the batch operator
+  * exactly (StreamingSpec pins this across a mid-stream split).
+  */
+object StreamingQuantile {
+
+  def windowQuantileStream(events: DataFrame,
+      bucketWidth: Long = StreamOps.QuantileBucket): Dataset[WinQuantile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .select(window(col("ts_t"), "300 seconds").as("w"),
+        expr(s"CAST(round(value * 100) AS BIGINT) div $bucketWidth").as("b"))
+      .select(col("w.start").cast("long").as("win_start"), col("b"))
+      .as[WinBucket]
+      .groupByKey(_.win_start)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateWindow)
+  }
+
+  private[streaming] def updateWindow(
+      win: Long, batch: Iterator[WinBucket],
+      state: GroupState[HistState]): Iterator[WinQuantile] = {
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    state.getOption.foreach(_.counts.foreach { case (b, c) =>
+      counts(b) = c })
+    batch.foreach(wb => counts(wb.b) = counts.getOrElse(wb.b, 0L) + 1L)
+    state.update(HistState(counts.toMap))
+    quantilesOf(win, counts.toMap).iterator
+  }
+
+  /** The same cumulative-walk arithmetic as the batch plan, over one
+    * window's histogram. */
+  private[streaming] def quantilesOf(win: Long,
+      counts: Map[Long, Long],
+      bucketWidth: Long = StreamOps.QuantileBucket): Seq[WinQuantile] = {
+    val hist = counts.toSeq.sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val targets = Seq(("p25", (n + 3) / 4), ("p50", (n + 1) / 2),
+      ("p75", (3 * n + 3) / 4))
+    targets.map { case (name, k) =>
+      var cum = 0L
+      val bkt = hist.collectFirst {
+        case (b, cnt) if { cum += cnt; cum >= k } => b
+      }.getOrElse(sys.error(s"rank $k beyond histogram total $n"))
+      WinQuantile(win, name, k, bkt * bucketWidth, n)
+    }
+  }
+}

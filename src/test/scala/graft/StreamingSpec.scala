@@ -1034,6 +1034,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming window quantiles equal the batch histogram form across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events").select("ts", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamingQuantile
+      .windowQuantileStream(ms.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("t_wq")
+      .outputMode("update")
+      .option("checkpointLocation", s"${freshDir("wqstream")}/ckpt")
+      .start()
+    // the split lands mid-stream: batch 2's histograms must resume from
+    // checkpointed counts, not recount from scratch
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    ms.addData(b1.toSeq)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // latest row per (window, qtile) = max n (monotone per window)
+    val got = spark.table("t_wq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (_, rs) => val m = rs.maxBy(_._5); (m._1, m._2, m._3, m._4) }
+      .toSet
+    val want = graft.streaming.StreamOps.windowQuantileOf(
+      ev.toSeq.toDF("ts", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"stream≠batch: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming heavy hitters: MG guarantee holds across checkpointed micro-batches") {
     val sp = spark
     import sp.implicits._
