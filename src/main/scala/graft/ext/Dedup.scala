@@ -164,6 +164,55 @@ object Dedup {
       jaccardPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
     Some(jaccardOracleSql))
 
+  /** DIRECTED containment pairs — the asymmetric near-superset signal
+    * Jaccard structurally misses: a short doc embedded verbatim in a
+    * much longer one has |A∩B|/|A| ≈ 1 but J = |A∩B|/|A∪B| ≈ |A|/|B|,
+    * below any symmetric threshold. Pipelines use containment to drop
+    * quoted/aggregated copies (the "news wire inside a roundup" case).
+    * C(a→b) = n_common/n_a ≥ 0.8, emitted fixed-point ppm (integer
+    * DIV). Same inverted-index candidate shape (and df-cap lever) as
+    * [[jaccardPairsOn]]; the pair join is the one shuffle that scales
+    * with Σ df², never |D|².
+    */
+  def containmentPairs(shingled: DataFrame): DataFrame = {
+    val sh = shingled.persist()
+    sh.count(): Unit
+    val inv = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val pairCounts = inv.select(col("sh"), col("doc_id").as("a"))
+      .join(inv.select(col("sh"), col("doc_id").as("b")), "sh")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val result = pairCounts
+      .join(sh.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .filter(col("n_common") * 5 >= col("n_a") * 4)
+      .select(col("a"), col("b"), col("n_common"), col("n_a"),
+        expr("n_common * 1000000 DIV n_a").as("contain_ppm"))
+    val out = Work.materialize("containment_pairs", result)
+    sh.unpersist()
+    out
+  }
+
+  val containment = QueryDef(
+    "dedup_containment",
+    (s, dir) =>
+      containmentPairs(shingleSets(plantedCorpus(Tables(s, dir, "documents")))),
+    Some(s"""
+      WITH corpus AS ($plantedCorpusSql),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM corpus)
+             WHERE len(ws) >= 4),
+      inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common,
+             a.n AS n_a,
+             count(*) * 1000000 // a.n AS contain_ppm
+      FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 4
+      HAVING count(*) * 5 >= a.n * 4"""))
+
   /** Prefix index for J >= 0.5 candidate generation (SSJoin/PPJoin
     * family): each doc's shingles are ranked by global document
     * frequency ascending (rarest first, ties by shingle — a total,
@@ -1561,8 +1610,8 @@ object Dedup {
       GROUP BY w.doc_id, len(w.ws)"""))
 
   val all: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, ngramJaccardPrefix, minhash, simhash,
-      simhashNearDup, simhashWideNearDup, embeddingCosine, semantic,
-      semanticHier, clusters, decontam, contamScore, curate, lineDedup,
-      repeatedSpansQ, removeSpansQ)
+    Seq(exact, ngramJaccard, ngramJaccardPrefix, containment, minhash,
+      simhash, simhashNearDup, simhashWideNearDup, embeddingCosine,
+      semantic, semanticHier, clusters, decontam, contamScore, curate,
+      lineDedup, repeatedSpansQ, removeSpansQ)
 }

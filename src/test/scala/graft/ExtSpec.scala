@@ -817,6 +817,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("containment catches a short doc embedded in a long one; jaccard misses it") {
+    val sp = spark
+    import sp.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    val long = words.mkString(" ")               // 40 words, 37 shingles
+    val short = words.take(8).mkString(" ")      // 8 words, 5 shingles ⊂ long
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs)
+    // jaccard: J = 5/37 — far below the 0.5 gate
+    assert(Dedup.jaccardPairs(sh).count() == 0,
+      "jaccard should not fire on an asymmetric pair")
+    val c = Dedup.containmentPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // short→long containment is exactly 1 (1e6 ppm); the reverse
+    // direction is 5/37 and must NOT fire
+    assert(c == Set((2L, 1L, 1000000L)),
+      s"expected only short→long at 1e6 ppm, got $c")
+  }
+
   // --- hybrid retrieval ----------------------------------------------
 
   test("RRF fusion: integer scores, contiguous ranks, both channels heard") {
