@@ -146,6 +146,79 @@ object StreamOps {
 
   val QuantileBucket = 256L
 
+  /** Per-window robust outliers by Tukey fences over the bucket-exact
+    * quartiles: flag x outside [q25 − 1.5·IQR, q75 + 1.5·IQR]. Robust
+    * statistics are what monitoring pipelines actually deploy (a mean/
+    * stddev z-score is itself dragged by the outliers it hunts, and its
+    * integer-exact form risks BIGINT overflow on n²·x² terms) — and the
+    * quartiles compose directly from [[windowQuantileOf]]'s
+    * deterministic bucket floors. The 1.5 multiplier is kept integral
+    * by doubling through: 2x > 2·q75 + 3·IQR. Everything is BIGINT
+    * compare — no float crosses the engine boundary.
+    *
+    * Scale: the fences frame is #windows rows (broadcast); flagging is
+    * a map-side filter over the raw scan — one extra pass, no new
+    * shuffle beyond the quantile plan's own.
+    */
+  def windowOutliersOf(events: DataFrame): DataFrame = {
+    val fences = windowQuantileOf(events)
+      .groupBy("win_start")
+      .agg(max(when(col("qtile") === "p25", col("val_floor"))).as("q25"),
+        max(when(col("qtile") === "p75", col("val_floor"))).as("q75"))
+    events
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .select(window(col("ts_t"), "300 seconds").as("w"),
+        col("event_id"), expr(s"${centsSql("value")}").as("xc"))
+      .select(col("w.start").cast(LongType).as("win_start"),
+        col("event_id"), col("xc"))
+      .join(broadcast(fences), "win_start")
+      .filter(col("xc") * 2 > col("q75") * 2 + (col("q75") - col("q25")) * 3 ||
+        col("xc") * 2 < col("q25") * 2 - (col("q75") - col("q25")) * 3)
+      .select(col("win_start"), col("event_id"), col("xc"),
+        col("q25"), col("q75"))
+  }
+
+  val windowOutliers = QueryDef(
+    "stream_outlier_tukey",
+    (s, dir) => {
+      val base = Work.scratch("log_window_o")
+      Work.clean(base)
+      val store = LogStore(base)
+      store.append(Tables(s, dir, "events"), "scope", "events-stream")
+      windowOutliersOf(
+        store.readBounded(s, "scope", "events-stream", eventSchema))
+    },
+    Some(s"""
+      WITH v AS (SELECT event_id,
+                        (epoch_ns(ts) // 1000 // 1000000 // 300) * 300
+                          AS win_start,
+                        CAST(round("value" * 100) AS BIGINT) AS xc
+                 FROM events),
+           h AS (SELECT win_start, xc // ${QuantileBucket} AS b,
+                        count(*) AS cnt
+                 FROM v GROUP BY 1, 2),
+           c AS (SELECT win_start, b,
+                        sum(cnt) OVER (PARTITION BY win_start ORDER BY b)
+                          AS cum,
+                        sum(cnt) OVER (PARTITION BY win_start) AS n
+                 FROM h),
+           q AS (SELECT win_start, b, cum, t.qtile, t.k
+                 FROM c CROSS JOIN LATERAL (
+                   SELECT 'p25' AS qtile, (n + 3) // 4 AS k
+                   UNION ALL SELECT 'p75', (3 * n + 3) // 4) t),
+           f AS (SELECT win_start,
+                        max(CASE WHEN qtile = 'p25'
+                              THEN mn * ${QuantileBucket} END) AS q25,
+                        max(CASE WHEN qtile = 'p75'
+                              THEN mn * ${QuantileBucket} END) AS q75
+                 FROM (SELECT win_start, qtile, min(b) AS mn
+                       FROM q WHERE cum >= k GROUP BY 1, 2)
+                 GROUP BY win_start)
+      SELECT v.win_start, v.event_id, v.xc, f.q25, f.q75
+      FROM v JOIN f ON v.win_start = f.win_start
+      WHERE v.xc * 2 > f.q75 * 2 + (f.q75 - f.q25) * 3
+         OR v.xc * 2 < f.q25 * 2 - (f.q75 - f.q25) * 3"""))
+
   /** cents() as SQL text (round-to-BIGINT), shared with the div. */
   private def centsSql(c: String): String =
     s"""CAST(round($c * 100) AS BIGINT)"""
@@ -464,6 +537,6 @@ object StreamOps {
     Some("SELECT * FROM documents"))
 
   val all: Seq[QueryDef] =
-    Seq(roundtrip, windowAgg, windowQuantile, sessionize, sessionWindow,
-      dedupExactlyOnce, streamIntervalJoin, identity)
+    Seq(roundtrip, windowAgg, windowQuantile, windowOutliers, sessionize,
+      sessionWindow, dedupExactlyOnce, streamIntervalJoin, identity)
 }

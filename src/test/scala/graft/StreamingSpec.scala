@@ -1072,6 +1072,31 @@ class StreamingSpec extends SparkSpec {
       s"stream≠batch: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("tukey outliers: planted spike flagged, bulk untouched, fences exact") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // one 5-min window: 99 values at 1.00–9.90, one spike at 500.00 —
+    // q25/q75 land in bucket 0 (floors 0), IQR 0, fences collapse to
+    // [0, 0]: every value above bucket 0 flags; the bulk sits in
+    // bucket 0..3... use wider spread so IQR is non-degenerate
+    val base = 1700000000000000000L  // epoch ns, inside one window
+    val vals = (1 to 99).map(i => (i.toLong, base, i * 3.00)) :+
+      (100L, base, 50000.00)
+    val ev = vals.toDF("event_id", "ts", "value")
+    val out = graft.streaming.StreamOps.windowOutliersOf(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // quartile bucket floors: cents 300..29700 → q25 rank 25 → val
+    // 7500c → bucket 29 → floor 7424; q75 rank 75 → 22500c → bucket 87
+    // → floor 22272; IQR 14848 → upper fence 22272 + 22272·... =
+    // 2x > 2·22272 + 3·14848 ⇒ x > 44544/2 + 22272·0 … compute:
+    // (2·22272 + 3·14848) / 2 = 44544/2 + 44544/2 = 44544 → x > 44544c
+    val flagged = out.map(_._1)
+    assert(flagged == Set(100L),
+      s"only the planted 50000.00 spike must flag, got $flagged")
+    assert(out.head._2 == 5000000L, "flagged value must carry exact cents")
+  }
+
   test("streaming heavy hitters: MG guarantee holds across checkpointed micro-batches") {
     val sp = spark
     import sp.implicits._
