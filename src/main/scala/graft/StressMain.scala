@@ -234,22 +234,13 @@ object StressMain {
     // disjoint graph replicas (node ids offset per replica): edges,
     // nodes, and per-round shuffle volume all grow n×, rounds constant
     locally {
-      val name = "graph_pagerank"
-      if (only.isEmpty || only.contains(name)) {
-        val edges1 = ops.PageRank.tradeEdges(spark, dir)
-        def repEdges(n: Int): DataFrame =
-          (0 until n).map { r =>
-            edges1.select((col("src") + lit(r * 1000000000L)).as("src"),
-              (col("dst") + lit(r * 1000000000L)).as("dst"))
-          }.reduce(_ unionAll _)
-        def run(n: Int, tag: String): Double = {
-          val sec = t(s"$name $tag")(
-            ops.PageRank.pagerankOnEdges(repEdges(n)).count())
-          GraftSession.dropAllCaches(spark)
-          sec
-        }
-        results(name) = (run(1, "1x"), run(mult, s"${mult}x"))
-      }
+      val edges1 = ops.PageRank.tradeEdges(spark, dir)
+      pair("graph_pagerank")(
+        e => ops.PageRank.pagerankOnEdges(e).count(),
+        n => (0 until n).map { r =>
+          edges1.select((col("src") + lit(r * 1000000000L)).as("src"),
+            (col("dst") + lit(r * 1000000000L)).as("dst"))
+        }.reduce(_ unionAll _))
     }
     pair("embedding_cosine")(
       c => Dedup.embeddingCosinePairs(c.unionAll(

@@ -174,10 +174,16 @@ object Dedup {
     * [[jaccardPairsOn]]; the pair join is the one shuffle that scales
     * with Σ df², never |D|².
     */
-  def containmentPairs(shingled: DataFrame): DataFrame = {
+  def containmentPairs(shingled: DataFrame,
+      shingleDfCap: Int = 0): DataFrame = {
     val sh = shingled.persist()
     sh.count(): Unit
-    val inv = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val invAll = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val inv = if (shingleDfCap > 0) {
+      val hot = invAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > shingleDfCap).select("sh")
+      invAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else invAll
     val pairCounts = inv.select(col("sh"), col("doc_id").as("a"))
       .join(inv.select(col("sh"), col("doc_id").as("b")), "sh")
       .filter(col("a") =!= col("b"))

@@ -54,7 +54,12 @@ object Retrieval {
       .select(col("doc_id").as("did"),
         graft.functions.TermCounts.termCounts(
           TextAnalysis.tokens(col("text"))).as("tc"))
-      .filter(size(col("tc")) > 0)
+      // NO size() > 0 filter here: explode already emits zero rows for
+      // empty/null arrays, and a filter on the aliased expression gets
+      // pushed below the Project, making Catalyst evaluate the
+      // tokenize+fold TWICE per row (once in the Filter's substituted
+      // predicate, once in the projection) — on the exact stage this
+      // plan exists to make cheap
       .select(col("did"),
         aggregate(col("tc"), lit(0L), (a, x) => a + x.getField("tf"))
           .as("dl"),

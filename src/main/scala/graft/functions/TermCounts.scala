@@ -68,16 +68,24 @@ object TermCounts {
     * the TreeMap yields a deterministic layout with no extra sort. */
   def countStatic(tokens: ArrayData): ArrayData = {
     if (tokens == null) return null
-    val counts = new java.util.TreeMap[UTF8String, Long]()
+    // java.lang.Long values: get() must return null (not a 0-unboxed
+    // scala.Long) for the clone-on-first-sight branch below
+    val counts = new java.util.TreeMap[UTF8String, java.lang.Long]()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val t = tokens.getUTF8String(i)
-        // clone: the input UTF8String may point into a reused scan
-        // buffer; the map outlives this element read
-        if (t.numBytes() > 0)
-          counts.merge(t.clone(), 1L, (a, b) => a + b): Unit
+        if (t.numBytes() > 0) {
+          val cur = counts.get(t)
+          // clone only on first sight: the input UTF8String may point
+          // into a reused scan buffer and map KEYS outlive the element
+          // read — but an increment retains no reference (Map.put on
+          // an existing key keeps the stored key object), and natural-
+          // language token streams are mostly repeats
+          if (cur == null) counts.put(t.clone(), 1L): Unit
+          else counts.put(t, cur + 1L): Unit
+        }
       }
       i += 1
     }

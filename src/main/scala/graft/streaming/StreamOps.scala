@@ -152,9 +152,17 @@ object StreamOps {
     * stddev z-score is itself dragged by the outliers it hunts, and its
     * integer-exact form risks BIGINT overflow on n²·x² terms) — and the
     * quartiles compose directly from [[windowQuantileOf]]'s
-    * deterministic bucket floors. The 1.5 multiplier is kept integral
-    * by doubling through: 2x > 2·q75 + 3·IQR. Everything is BIGINT
+    * deterministic buckets. The 1.5 multiplier is kept integral by
+    * doubling through: 2x > 2·q75 + 3·IQR. Everything is BIGINT
     * compare — no float crosses the engine boundary.
+    *
+    * Fence bounds are CONSERVATIVE: the upper fence uses the q75
+    * bucket's CEILING (floor + width) and the lower the q25 floor, so
+    * the fences always bracket the true quartiles and a low-spread
+    * window can never flag its own bulk. (Floors on both sides put the
+    * upper fence BELOW the data when q25 and q75 share a bucket —
+    * IQR 0, every identical value "outlying" — the degenerate case a
+    * fence built from rounded-down order statistics walks into.)
     *
     * Scale: the fences frame is #windows rows (broadcast); flagging is
     * a map-side filter over the raw scan — one extra pass, no new
@@ -164,7 +172,8 @@ object StreamOps {
     val fences = windowQuantileOf(events)
       .groupBy("win_start")
       .agg(max(when(col("qtile") === "p25", col("val_floor"))).as("q25"),
-        max(when(col("qtile") === "p75", col("val_floor"))).as("q75"))
+        max(when(col("qtile") === "p75",
+          col("val_floor") + lit(QuantileBucket))).as("q75"))
     events
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .select(window(col("ts_t"), "300 seconds").as("w"),
@@ -210,7 +219,7 @@ object StreamOps {
                         max(CASE WHEN qtile = 'p25'
                               THEN mn * ${QuantileBucket} END) AS q25,
                         max(CASE WHEN qtile = 'p75'
-                              THEN mn * ${QuantileBucket} END) AS q75
+                              THEN (mn + 1) * ${QuantileBucket} END) AS q75
                  FROM (SELECT win_start, qtile, min(b) AS mn
                        FROM q WHERE cum >= k GROUP BY 1, 2)
                  GROUP BY win_start)

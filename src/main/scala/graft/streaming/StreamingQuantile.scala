@@ -45,10 +45,10 @@ object StreamingQuantile {
       .as[WinBucket]
       .groupByKey(_.win_start)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout)(updateWindow)
+        GroupStateTimeout.NoTimeout)(updateWindow(bucketWidth))
   }
 
-  private[streaming] def updateWindow(
+  private[streaming] def updateWindow(bucketWidth: Long)(
       win: Long, batch: Iterator[WinBucket],
       state: GroupState[HistState]): Iterator[WinQuantile] = {
     val counts = scala.collection.mutable.Map.empty[Long, Long]
@@ -56,7 +56,7 @@ object StreamingQuantile {
       counts(b) = c })
     batch.foreach(wb => counts(wb.b) = counts.getOrElse(wb.b, 0L) + 1L)
     state.update(HistState(counts.toMap))
-    quantilesOf(win, counts.toMap).iterator
+    quantilesOf(win, counts.toMap, bucketWidth).iterator
   }
 
   /** The same cumulative-walk arithmetic as the batch plan, over one

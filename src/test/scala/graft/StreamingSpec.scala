@@ -1095,6 +1095,13 @@ class StreamingSpec extends SparkSpec {
     assert(flagged == Set(100L),
       s"only the planted 50000.00 spike must flag, got $flagged")
     assert(out.head._2 == 5000000L, "flagged value must carry exact cents")
+    // degenerate window — 100 IDENTICAL values: q25 and q75 share a
+    // bucket, IQR collapses; the ceiling-bounded upper fence must still
+    // bracket the data (floors on both sides would flag the whole bulk)
+    val flat = (1 to 100).map(i => (i.toLong, base, 5.00))
+      .toDF("event_id", "ts", "value")
+    assert(graft.streaming.StreamOps.windowOutliersOf(flat).count() == 0,
+      "identical values must never be their own outliers")
   }
 
   test("streaming heavy hitters: MG guarantee holds across checkpointed micro-batches") {
