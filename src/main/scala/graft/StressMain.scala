@@ -318,6 +318,12 @@ object StressMain {
         GraftSession.dropAllCaches(spark)
       }
     }
+    // directed pairs stay replica-local (disjoint shingle spaces), so
+    // output and the inverted-index join grow linearly like jaccard
+    pair("containment")(
+      c => Dedup.containmentPairs(
+        Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
+      n => repDocs(docs, n))
     pair("repeated_spans")(
       c => Dedup.repeatedSpans(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))
@@ -364,6 +370,29 @@ object StressMain {
         Work.clean(Work.scratch("log_window_stress"))
         results(name) = (base, big)
       }
+    }
+    // windowed quantiles + tukey flags over the replicated event log:
+    // the base events already span ~30 days, so the +1-day-per-replica
+    // shift OVERLAPS — rows per 5-min window grow ~8× while the window
+    // count stays ~flat. That is the harsher histogram test: the
+    // per-window bucket fold must absorb 8× observations into a
+    // domain-bounded summary (a per-value or sort-based plan would
+    // grow with the rows)
+    locally {
+      val events = Tables(spark, dir, "events")
+      def repEvents(n: Int): DataFrame =
+        (0 until n).map { r =>
+          events.select(
+            (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+            (col("ts") + lit(r * 86400L * 1000000000L)).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionAll _)
+      pair("window_quantile")(
+        e => streaming.StreamOps.windowQuantileOf(e).count(),
+        n => repEvents(n))
+      pair("window_outlier_tukey")(
+        e => streaming.StreamOps.windowOutliersOf(e).count(),
+        n => repEvents(n))
     }
     pair("shuffle_det")(
       c => ext.Corpus.shuffleOf(c).count(),
