@@ -184,8 +184,15 @@ object Bench {
       "multimodal_audio")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
+    // stdout map: headline/q-series keys, capped to the SLOWEST 40 by
+    // median — at 133 keys the full filtered map crested 1.85k chars,
+    // one more q-series key from overflowing the driver's 2000-char
+    // tail again (the rounds-1-3 "parsed": null failure). Slowest-first
+    // keeps the informative keys; the FULL map is in the artifact file
+    // either way.
     val shown = results.filter { case (k, _) =>
       k.startsWith("q") || headline(k) }
+      .toSeq.sortBy(-_._2).take(40).toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: String): String =
