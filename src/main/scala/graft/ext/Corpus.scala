@@ -188,6 +188,43 @@ object Corpus {
                  WHEN lang = 'zh' THEN 100
                  ELSE 25 END"""))
 
+  val QuotaPerSource = 20
+
+  /** Per-source quota cap: keep each source's top [[QuotaPerSource]]
+    * docs by a deterministic ranking (n_chars desc, doc_id asc) — the
+    * other half of data mixing. [[mixSample]] thins by RATE (keep x%
+    * of a language); this caps by COUNT (no source may contribute more
+    * than N docs), the rule that stops one crawl dump from dominating
+    * a mixture regardless of its size. Integer ranking only — no float
+    * can reorder ties across engines.
+    *
+    * Scale: the bounded-heap aggregate keeps ≤ N entries per (source,
+    * partition) map-side, so the one shuffle carries O(sources·N·
+    * partitions) heap entries, never the corpus — the same plan that
+    * replaced row_number windows in the top-k family (a window form
+    * sorts every source's full doc list).
+    */
+  val quotaSample = QueryDef(
+    "quota_sample_by_source",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .groupBy("source")
+        .agg(graft.functions.TopK.smallestK(
+          -col("n_chars").cast("double"), col("doc_id"), lit(0),
+          QuotaPerSource).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("doc_id"),
+          (-col("col.score")).cast("long").as("n_chars")),
+    Some(s"""
+      SELECT source, rank, doc_id, n_chars FROM
+        (SELECT source, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+         FROM documents)
+      WHERE rank <= $QuotaPerSource"""))
+
   val PostingMinDf = 5
 
   /** Inverted index: term → sorted posting list of doc_ids, for terms
@@ -533,6 +570,6 @@ object Corpus {
 
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
-      mixSample, invertedIndex, bpePairCounts, bigramLm, bpeEncodeQuery,
-      heavyHitters)
+      mixSample, quotaSample, invertedIndex, bpePairCounts, bigramLm,
+      bpeEncodeQuery, heavyHitters)
 }

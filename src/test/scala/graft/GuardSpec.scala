@@ -291,4 +291,12 @@ class GuardSpec extends SparkSpec {
         maxHamming = 4))
     ()
   }
+
+  test("pagerank on an empty edge list yields an empty result, not a crash") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.PageRank.pagerankOnEdges(empty).count() == 0,
+      "no nodes, no scores — the rounds must tolerate an empty graph")
+  }
 }

@@ -393,6 +393,36 @@ class PlanSpec extends SparkSpec {
       "unexpected extra broadcast:\n" + s.take(3000))
   }
 
+  test("pagerank: equi-joins only, no data-scale window or cartesian") {
+    val s = planString(graft.ops.PageRank.pagerankQuery.fn(spark, sf))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(!s.contains("Window ["), "no window belongs in pagerank:\n" +
+      s.take(2000))
+    // the materialized node-sized result is a plain parquet scan — the
+    // round loop's lineage must not leak into the returned plan
+    assert(s.contains("FileScan parquet"), s.take(2000))
+  }
+
+  test("contamination_score: train side reaches the probe as a semi-join") {
+    val s = planString(graft.ext.Dedup.contamScore.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    // the train corpus must enter as LeftSemi (ids never widen the
+    // probe) and never via sort-merge on this bounded candidate set
+    assert(s.contains("LeftSemi"), "semi-join missing:\n" + s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("tukey outliers: fences broadcast, flagging never sort-merges") {
+    val s = planString(graft.streaming.StreamOps.windowOutliers.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    // the #windows-sized fence frame joins broadcast; the raw scan is
+    // filtered map-side
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "fence join must not sort-merge the raw scan:\n" + s.take(2000))
+  }
+
   test("q40_gap_fill: one shuffle, one running-frame window") {
     val s = planString(Relational.q40GapFill.fn(spark, sf))
       .split("== Initial Plan ==").head
