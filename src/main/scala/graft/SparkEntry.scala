@@ -12,7 +12,7 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] =
     ops.Relational.all ++ ops.Parity.all ++ ops.Skew.all ++
       ops.AsofJoin.all ++ ops.RangeJoin.all ++ ops.Sketches.all ++
-      ops.PageRank.all ++
+      ops.PageRank.all ++ ops.Funnel.all ++
       ops.PipelineOps.all ++
       streaming.StreamOps.all ++
       ml.Knn.all ++ workflow.BatchTrainPredict.all ++

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence funnel over the event stream — the
+  * view → click → purchase progression per user, the event-analytics
+  * staple (ClickHouse windowFunnel / Flink CEP's simplest pattern,
+  * public literature). A user advances a stage only with an event
+  * STRICTLY LATER than their previous stage's completion, so the
+  * output is the per-user stage-completion timestamp chain (nulls
+  * where the funnel stalled).
+  *
+  * Determinism: timestamps are epoch-nanos BIGINT and every stage is a
+  * min() over an equi-join restriction — integer mins are
+  * order-independent, so the chain replays hash-exact in SQL.
+  *
+  * 100 TB shape: three map-side-combined min-aggregations and three
+  * equi-joins, ALL keyed on user_id — co-partitioning the event log by
+  * user makes the whole funnel shuffle-once; each stage's frame only
+  * shrinks (users who reached that stage). No window over the raw
+  * events, no per-user sort: the CEP-style alternative (collect +
+  * per-user ordered scan) sorts every user's history to answer the
+  * same three mins.
+  */
+object Funnel {
+
+  val Stages = Seq("view", "click", "purchase")
+
+  def funnelOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val a = ev.filter(col("event_type") === Stages(0))
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val b = ev.filter(col("event_type") === Stages(1))
+      .join(a, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val c = ev.filter(col("event_type") === Stages(2))
+      .join(b, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    a.join(b, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"))
+  }
+
+  val funnelQuery = QueryDef(
+    "event_funnel",
+    (s, dir) => funnelOf(Tables(s, dir, "events")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+                  FROM events),
+           a AS (SELECT user_id, min(ts) AS t_view
+                 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+           b AS (SELECT ev.user_id, min(ts) AS t_click
+                 FROM ev JOIN a USING (user_id)
+                 WHERE event_type = 'click' AND ts > t_view
+                 GROUP BY ev.user_id),
+           c AS (SELECT ev.user_id, min(ts) AS t_purchase
+                 FROM ev JOIN b USING (user_id)
+                 WHERE event_type = 'purchase' AND ts > t_click
+                 GROUP BY ev.user_id)
+      SELECT a.user_id, t_view, t_click, t_purchase
+      FROM a
+      LEFT JOIN b ON a.user_id = b.user_id
+      LEFT JOIN c ON a.user_id = c.user_id"""))
+
+  val all: Seq[QueryDef] = Seq(funnelQuery)
+}

@@ -131,6 +131,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strict ordering enforced, stalls are nulls, chain monotone") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // u1 completes in order; u2 clicked BEFORE viewing (stalls at view);
+    // u3 never clicked (purchase without click must not count)
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 50L), (2L, "view", 100L),
+      (3L, "view", 100L), (3L, "purchase", 300L),
+      // u4: click at the SAME ns as view — strictly-later excludes it,
+      // the later click advances the funnel
+      (4L, "view", 100L), (4L, "click", 100L), (4L, "click", 150L))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.funnelOf(ev).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 100L, 200L, 300L),
+      (2L, 100L, null, null),
+      (3L, 100L, null, null),
+      (4L, 100L, 150L, null)), s"got $got")
+    // full-data invariant: every emitted chain is strictly increasing
+    val full = graft.ops.Funnel.funnelOf(Tables(spark, sf, "events"))
+    assert(full.filter(col("t_click").isNotNull &&
+      col("t_click") <= col("t_view")).count() == 0)
+    assert(full.filter(col("t_purchase").isNotNull &&
+      col("t_purchase") <= col("t_click")).count() == 0)
+  }
+
   test("pagerank: fixed-point mass bounds, node set, partition-invariant") {
     import graft.ops.PageRank
     val edges = PageRank.tradeEdges(spark, sf)
