@@ -67,5 +67,48 @@ object Funnel {
       LEFT JOIN b ON a.user_id = b.user_id
       LEFT JOIN c ON a.user_id = c.user_id"""))
 
-  val all: Seq[QueryDef] = Seq(funnelQuery)
+  // --- cohort retention ----------------------------------------------
+
+  val WeekNs = 7L * 86400 * 1000000000L
+
+  /** Cohort retention triangle — the other event-analytics staple:
+    * bucket each user into the week of their FIRST event (the cohort),
+    * then count, for every (cohort_week, week_offset), how many of
+    * that cohort had any activity offset weeks later. All arithmetic
+    * is integer epoch-nanos floor-division into week buckets (both
+    * engines share the div — timestamps are non-negative), so the
+    * triangle replays hash-exact.
+    *
+    * Shape: one min-aggregation for cohorts, one distinct over
+    * (user, week) — both map-side combined and keyed on user — then a
+    * user-keyed equi-join and a (cohort, offset)-keyed count. At
+    * scale: co-partition by user; the final count's group space is
+    * weeks², metadata-sized.
+    */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      expr(s"ts div $WeekNs").as("wk"))
+    val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = weeks.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val retentionQuery = QueryDef(
+    "event_retention_cohorts",
+    (s, dir) => retentionOf(Tables(s, dir, "events")),
+    Some(s"""
+      WITH w AS (SELECT user_id, epoch_ns(ts) // ${WeekNs} AS wk
+                 FROM events),
+           cohort AS (SELECT user_id, min(wk) AS cohort_wk
+                      FROM w GROUP BY user_id),
+           active AS (SELECT DISTINCT user_id, wk FROM w)
+      SELECT cohort_wk, wk - cohort_wk AS week_offset,
+             count(*) AS n_users
+      FROM active JOIN cohort USING (user_id)
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(funnelQuery, retentionQuery)
 }

@@ -163,6 +163,33 @@ class RelationalSpec extends SparkSpec {
       col("t_purchase") <= col("t_click")).count() == 0)
   }
 
+  test("retention: offset-0 equals cohort size, later offsets never exceed it") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val wk = graft.ops.Funnel.WeekNs
+    // cohort week 0: u1 (active wks 0,1,2), u2 (wk 0 only);
+    // cohort week 1: u3 (active wks 1,3)
+    val ev = Seq(
+      (1L, 0L), (1L, wk + 5), (1L, 2 * wk + 5),
+      (2L, 10L),
+      (3L, wk + 1), (3L, 3 * wk + 1))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Funnel.retentionOf(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L), s"got $got")
+    // full-data invariants: offsets non-negative, no offset beats its
+    // cohort's week-0 count
+    val full = graft.ops.Funnel.retentionOf(Tables(spark, sf, "events"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(full.forall(_._1._2 >= 0))
+    val base = full.collect { case ((c, 0L), n) => c -> n }.toMap
+    assert(full.forall { case ((c, _), n) => n <= base(c) },
+      "a later offset outnumbered its cohort")
+  }
+
   test("pagerank: fixed-point mass bounds, node set, partition-invariant") {
     import graft.ops.PageRank
     val edges = PageRank.tradeEdges(spark, sf)
