@@ -110,5 +110,42 @@ object Funnel {
       FROM active JOIN cohort USING (user_id)
       GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(funnelQuery, retentionQuery)
+  /** First-order transition counts — the empirical Markov matrix over
+    * per-user event sequences (the "what happens after a click"
+    * question; also the statistic sequence-model pretraining data gets
+    * audited with). Events order by (ts, event_id) — a TOTAL,
+    * engine-shared order, so ties cannot flip a transition between
+    * engines.
+    *
+    * Shape: ONE shuffle — the per-user lead() window — then a
+    * map-side-combined count on the (from, to) pairs (group space =
+    * |event_type|², metadata). The window sorts each user's history;
+    * a skewed user degrades to a spill-able sort, and the funnel/
+    * retention operators above show the windowless alternative when
+    * the question reduces to mins.
+    */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val transitionsQuery = QueryDef(
+    "event_transitions",
+    (s, dir) => transitionsOf(Tables(s, dir, "events")),
+    Some("""
+      WITH seq AS (SELECT user_id, event_type AS from_type,
+                          lead(event_type) OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS to_type
+                   FROM events)
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(funnelQuery, retentionQuery, transitionsQuery)
 }
