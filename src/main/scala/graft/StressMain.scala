@@ -393,6 +393,20 @@ object StressMain {
       pair("window_outlier_tukey")(
         e => streaming.StreamOps.windowOutliersOf(e).count(),
         n => repEvents(n))
+      // event-analytics family: replicas multiply EVENTS (8×) over a
+      // FIXED user population — per-user histories grow 8×, the group
+      // spaces (users, weeks², types²) stay put. funnel/retention are
+      // min/distinct folds (combine absorbs the growth); transitions
+      // pays the one per-user sort, the shape that degrades first
+      pair("event_funnel")(
+        e => ops.Funnel.funnelOf(e).count(),
+        n => repEvents(n))
+      pair("event_retention")(
+        e => ops.Funnel.retentionOf(e).count(),
+        n => repEvents(n))
+      pair("event_transitions")(
+        e => ops.Funnel.transitionsOf(e).count(),
+        n => repEvents(n))
     }
     pair("shuffle_det")(
       c => ext.Corpus.shuffleOf(c).count(),
