@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, JlProject, L2Argmin, L2ArgminTopK, L2Squared, MisraGriesSketch, TermCounts, TopKSmallest}
+import graft.functions.{AdcLookup, BpeEncode, CosineArgmax, CosineSim, CountMinAgg, JlProject, L2Argmin, L2ArgminTopK, L2Squared, MisraGriesSketch, TermCounts, TopKSmallest}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.IntegerType
   *   jl_project(xs, p)                 — signed random projection to p dims
   *   bpe_encode(word, merges)          — greedy BPE tokenization
   *   misra_gries(key, m)               — frequent-items summary aggregate
+  *   count_min(key, d, w)              — Count-Min frequency-sketch aggregate
   *   term_counts(tokens)               — per-row (term, tf) postings fold
   *
   * Two deployment paths share one registration list:
@@ -110,6 +111,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "term_counts(tokens) takes 1 argument")
         TermCounts(args(0))
+      }),
+    (FunctionIdentifier("count_min"),
+      info("count_min", classOf[CountMinAgg]),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "count_min(key, d, w) takes 3 arguments")
+        CountMinAgg(args(0), intLit(args(1), "d"), intLit(args(2), "w"))
+          .toAggregateExpression()
       }))
 
   /** Register on a live session (idempotent — replaces existing). */

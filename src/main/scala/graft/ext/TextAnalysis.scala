@@ -400,7 +400,95 @@ object TextAnalysis {
                ' +', ' ', 'g')) AS norm_text
       FROM documents"""))
 
+  /** Corpus-level boilerplate-line removal — the C4/RefinedWeb cleaning
+    * rule `dedup_lines` only measures: a LINE that recurs across a
+    * meaningful fraction of documents (nav text, footers, cookie
+    * banners) is dropped from every document; everything else keeps its
+    * original order. The testdata corpus has no line structure, so
+    * lines are planted deterministically — each doc becomes its 10-word
+    * windows, and two boilerplate footers are appended to every 3rd /
+    * 5th doc (df ≈ n/3 and n/5 clear the ≥10%-of-docs bar by design;
+    * every natural window is unique word soup).
+    *
+    * Shape at 100 TB: line df is one distinct + one count aggregate
+    * keyed by the line (hash the line text for 8-byte shuffle keys at
+    * scale, exactly like `dedup_exact`), the flag join streams the
+    * corpus past the line-df table once, and the rebuild is one
+    * groupBy(doc_id) whose state is a single document — no window, no
+    * driver state, nothing all-pairs. Reference: the reference's SQL
+    * escape hatch reaches arbitrary cleaning like this
+    * (processor.py:44 execute_sql); the operator itself follows
+    * Raffel et al. 2020 (C4) §2.2's line-filter family.
+    */
+  val Footer1 = "subscribe to our newsletter for daily updates"
+  val Footer2 = "all rights reserved terms of service apply"
+
+  val boilerplate = QueryDef(
+    "text_boilerplate_removal",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = tokens(col("text"))
+      val nLines = floor((size(w) + lit(9)) / lit(10)).cast("int")
+      val base = transform(sequence(lit(1), nLines),
+        i => array_join(slice(w, (i - lit(1)) * 10 + 1, lit(10)), " "))
+      val empty = array().cast(ArrayType(StringType))
+      val planted = concat(base,
+        when(col("doc_id") % 3 === 0, array(lit(Footer1))).otherwise(empty),
+        when(col("doc_id") % 5 === 0, array(lit(Footer2))).otherwise(empty))
+      val ex = docs
+        .select(col("doc_id"), posexplode(planted).as(Seq("pos", "line")))
+      val dfs = ex.select("doc_id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      ex.join(dfs, "line").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("pos"), col("line"),
+          (col("df") * 10 >= col("nd")).as("boil"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("boil").cast(LongType)).as("n_removed"),
+          array_join(
+            transform(
+              filter(
+                array_sort(collect_list(
+                  struct(col("pos"), col("line"), col("boil")))),
+                x => !x.getField("boil")),
+              x => x.getField("line")),
+            ". ").as("clean_text"))
+    },
+    Some(s"""
+      WITH ws AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      l0 AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, (len(w) + 9) // 10),
+                 i -> array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')) AS ls
+        FROM ws),
+      l1 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN list_append(ls, '$Footer1') ELSE ls END AS ls
+             FROM l0),
+      l2 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN list_append(ls, '$Footer2') ELSE ls END AS ls
+             FROM l1),
+      ex AS (SELECT doc_id,
+                    unnest(generate_series(1, len(ls))) - 1 AS pos,
+                    unnest(ls) AS line
+             FROM l2),
+      dfs AS (SELECT line, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, line FROM ex) GROUP BY 1),
+      nd AS (SELECT count(*) AS nd FROM documents)
+      SELECT doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN df * 10 >= nd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             coalesce(string_agg(CASE WHEN df * 10 < nd THEN line END,
+                                 '. ' ORDER BY pos), '') AS clean_text
+      FROM ex JOIN dfs USING (line) CROSS JOIN nd
+      GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(stats, quality, langId, fingerprint, tokenCount, repetition,
-      piiScrub, normalize)
+      piiScrub, normalize, boilerplate)
 }

@@ -133,5 +133,70 @@ object Sketches {
             UNION ALL SELECT 'p75', (3 * n + 3) // 4 FROM n) q
       JOIN r ON r.rn = q.krank"""))
 
-  val all: Seq[QueryDef] = Seq(bloomJoin, percentile2Pass)
+  /** Count-Min frequency estimation over the event stream's user ids —
+    * the "how often did THIS key occur" sketch next to Misra–Gries's
+    * "which keys are frequent" (`heavy_hitters`). One pass builds the
+    * fixed d×w grid (map-side combined, O(d·w) shuffle bytes per
+    * partition — never a per-key shuffle); the one-row sketch is then
+    * broadcast and every probe's estimate is plain Catalyst arithmetic
+    * over the grid array: `est(u) = least_i grid[i·w + h_i(u)]`.
+    *
+    * The exact per-probe recount here exists to WITNESS the sketch
+    * contract in the output (`n_est ≥ n_exact`, overcount ≤ ε·N) — the
+    * 100 TB deployment answers from the grid alone, which is the point:
+    * frequency of any key, O(d·w) memory, zero key state. The portable
+    * 2-universal hash keeps every counter — and so every estimate —
+    * bit-replayable by the DuckDB oracle (no engine hash involved).
+    */
+  val freqCountMin = QueryDef(
+    "freq_count_min",
+    (s, dir) => {
+      import graft.functions.CountMin.countMin
+      import graft.functions.CountMinSketch.{P, RowA, RowB}
+      val d = 4
+      val w = 512
+      val ev = Tables(s, dir, "events").select(col("user_id"))
+      val sketch = ev.agg(countMin(col("user_id"), d, w).as("cm"))
+      val probes = ev.filter(col("user_id") % 7 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      val um = (col("user_id") % P + P) % P
+      val est = least((0 until d).map { i =>
+        element_at(col("cm.grid"),
+          ((lit(RowA(i)) * um + RowB(i)) % P % w + lit(i * w) + 1)
+            .cast("int"))
+      }: _*)
+      probes.join(broadcast(sketch))
+        .select(col("user_id"), col("n_exact"), est.as("n_est"),
+          (est - col("n_exact")).as("n_over"))
+    },
+    Some("""
+      WITH rows_d AS (
+        SELECT * FROM (VALUES
+          (0, 1361, 7919), (1, 98765431, 15485863),
+          (2, 217645199, 32452843), (3, 1073741789, 49979687))
+          AS t(i, a, b)),
+      ev AS (SELECT ((user_id % 2147483647) + 2147483647) % 2147483647
+                      AS um, user_id
+             FROM events),
+      grid AS (
+        SELECT i, ((a * um + b) % 2147483647) % 512 AS bkt,
+               count(*) AS cnt
+        FROM ev CROSS JOIN rows_d
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT user_id, um, count(*) AS n_exact
+        FROM ev WHERE user_id % 7 = 0
+        GROUP BY 1, 2),
+      est AS (
+        SELECT p.user_id, p.n_exact, min(g.cnt) AS n_est
+        FROM probes p
+        JOIN rows_d d ON true
+        JOIN grid g
+          ON g.i = d.i
+         AND g.bkt = ((d.a * p.um + d.b) % 2147483647) % 512
+        GROUP BY 1, 2)
+      SELECT user_id, n_exact, n_est, n_est - n_exact AS n_over
+      FROM est"""))
+
+  val all: Seq[QueryDef] = Seq(bloomJoin, percentile2Pass, freqCountMin)
 }

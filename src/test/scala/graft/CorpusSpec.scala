@@ -274,6 +274,56 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("count_min: estimates never undercount, are partition-invariant, " +
+      "and bound the overcount") {
+    val sp = spark
+    import sp.implicits._
+    // skewed key stream: key k occurs 1 + (k*k mod 37) times
+    val keys = (0L until 600L).flatMap(k => Seq.fill(1 + (k * k % 37).toInt)(k))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val d = 4
+    val w = 256
+    val n = keys.size.toLong
+    // grid must be identical under any partitioning (merge = elementwise
+    // add of exact cell sums — order-free)
+    val grids = Seq(1, 5, 31).map { parts =>
+      val row = keys.toDF("k").repartition(parts)
+        .agg(graft.functions.CountMin.countMin(col("k"), d, w).as("s"))
+        .select("s.total", "s.grid").head()
+      assert(row.getLong(0) == n, "sketch total must be exact")
+      row.getSeq[Long](1)
+    }
+    assert(grids.distinct.size == 1, "grid must be partition-invariant")
+    val grid = grids.head
+    // every estimate ≥ exact; CM guarantee: overcount ≤ (e/w)·N per
+    // row with prob ≥ 1−2^-d — across ALL keys assert the hard bound
+    // (never undercount) and that the MEAN overcount is well under ε·N
+    val eps = math.exp(1.0) / w
+    var overSum = 0.0
+    exact.foreach { case (k, c) =>
+      val est = (0 until d).map(i =>
+        grid(i * w + graft.functions.CountMinSketch.bucket(k, i, w))).min
+      assert(est >= c, s"CM undercounted key $k: $est < $c")
+      overSum += (est - c).toDouble
+    }
+    assert(overSum / exact.size <= eps * n,
+      s"mean overcount ${overSum / exact.size} above the ε·N bound ${eps * n}")
+  }
+
+  test("count_min is SQL-registered and matches the library column") {
+    val sp = spark
+    import sp.implicits._
+    GraftFunctions.register(sp)
+    val df = (0L until 500L).map(k => k % 17).toDF("k")
+    df.createOrReplaceTempView("cm_in")
+    val viaSql = sp.sql(
+      "SELECT count_min(k, 2, 64) AS s FROM cm_in").select("s.grid").head()
+    val viaLib = df
+      .agg(graft.functions.CountMin.countMin(col("k"), 2, 64).as("s"))
+      .select("s.grid").head()
+    assert(viaSql.getSeq[Long](0) == viaLib.getSeq[Long](0))
+  }
+
   test("bm25_topk matches a driver-side brute-force over the same corpus") {
     val got = graft.ext.Retrieval.bm25TopK(spark, sf)
       .collect()

@@ -865,4 +865,32 @@ class ExtSpec extends SparkSpec {
     assert(fused.exists(_._4 > singleMax),
       "no doc fused from both channels — channel alignment broken?")
   }
+
+  test("boilerplate removal drops planted footers, leaves clean docs verbatim") {
+    import graft.ext.TextAnalysis.{Footer1, Footer2}
+    val out = graft.ext.TextAnalysis.boilerplate.fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val orig = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet, "every doc must survive")
+    out.foreach { case (id, (nLines, nRemoved, clean)) =>
+      val expectRemoved =
+        (if (id % 3 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(nRemoved == expectRemoved,
+        s"doc $id removed $nRemoved lines, expected $expectRemoved")
+      assert(!clean.contains(Footer1) && !clean.contains(Footer2),
+        s"doc $id still carries a footer")
+      // reassembly preserves the original token stream exactly (the
+      // planted '. ' window separators collapse back to whitespace)
+      val cleanToks = clean.split("\\. ").flatMap(_.split("\\s+"))
+        .filter(_.nonEmpty).toSeq
+      val origToks = orig(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(cleanToks == origToks, s"doc $id token stream altered")
+      assert(nLines == (origToks.size + 9) / 10 + expectRemoved)
+    }
+  }
 }
