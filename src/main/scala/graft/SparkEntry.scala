@@ -12,8 +12,8 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] =
     ops.Relational.all ++ ops.Parity.all ++ ops.Skew.all ++
       ops.AsofJoin.all ++ ops.RangeJoin.all ++ ops.Sketches.all ++
-      ops.PageRank.all ++ ops.Funnel.all ++
-      ops.PipelineOps.all ++
+      ops.PageRank.all ++ ops.Triangles.all ++ ops.Funnel.all ++
+      ops.PipelineOps.all ++ ops.Quality.all ++
       streaming.StreamOps.all ++
       ml.Knn.all ++ workflow.BatchTrainPredict.all ++
       ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.Similarity.all ++

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-expectations audit — the declarative validation report every
+  * ingestion pipeline runs before promoting a batch (Great-Expectations
+  * / dbt-test semantics re-expressed as Spark aggregates): each rule
+  * yields one row `(rule, n_checked, n_violations)`. The reference's
+  * CSV ingestion already embodies one such rule (malformed rows dropped
+  * via csv.ignore-parse-errors, processor.py:55); this generalizes the
+  * idea into an auditable report instead of a silent drop.
+  *
+  * The testdata is constraint-clean, so a violation slice is PLANTED
+  * deterministically (dup keys, null / dangling FK custkeys, negative
+  * totals, out-of-domain status — both engines replay the same
+  * mutations), proving the rules actually fire; one FK rule stays
+  * zero-violation to witness the clean case.
+  *
+  * Shape at 100 TB: all row-local rules for a table fold into ONE
+  * conditional aggregate — a single scan with map-side combine and a
+  * one-row result regardless of input size; uniqueness piggybacks the
+  * same pass as count − count(distinct). The two referential rules are
+  * left-anti equi-joins (the key-side table collapses to its distinct
+  * keys first; AQE broadcasts dimension-sized sides). Nothing here is
+  * per-rule-per-scan — adding a row-local rule costs one more column in
+  * the aggregate, not another pass over the fact table.
+  */
+object Quality {
+
+  val expectations = QueryDef(
+    "quality_expectations",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val cust = Tables(s, dir, "customer")
+      // planted violation slice: every 500th order re-appended mutated
+      val bad = orders.filter(col("o_orderkey") % 500 === 0).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 1000 === 0, lit(null))
+          .otherwise(col("o_custkey") + 1000000000L).as("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (-col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      val o2 = orders.unionByName(bad)
+      val oAgg = o2.agg(
+        count(lit(1)).as("n_o"),
+        countDistinct(col("o_orderkey")).as("n_ok"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v_status"))
+      val liAgg = li.agg(
+        count(lit(1)).as("n_li"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("v_disc"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_qty"))
+      val fkO = o2.filter(col("o_custkey").isNotNull)
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk_o"))
+      val fkL = li
+        .join(o2.select("o_orderkey").distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk_l"))
+      oAgg.crossJoin(broadcast(liAgg)).crossJoin(broadcast(fkO))
+        .crossJoin(broadcast(fkL))
+        .selectExpr(
+          """stack(8,
+            'orders_orderkey_unique',      n_o,          n_o - n_ok,
+            'orders_custkey_not_null',     n_o,          v_null,
+            'orders_totalprice_positive',  n_o,          v_price,
+            'orders_status_domain',        n_o,          v_status,
+            'orders_custkey_fk_customer',  n_o - v_null, v_fk_o,
+            'lineitem_orderkey_fk_orders', n_li,         v_fk_l,
+            'lineitem_discount_range',     n_li,         v_disc,
+            'lineitem_quantity_positive',  n_li,         v_qty)
+            AS (rule, n_checked, n_violations)""")
+    },
+    Some("""
+      WITH bad AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                    ELSE o_custkey + 1000000000 END AS o_custkey,
+               'X' AS o_orderstatus,
+               -o_totalprice AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 500 = 0),
+      o2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority FROM orders
+        UNION ALL SELECT * FROM bad),
+      oa AS (
+        SELECT count(*) AS n_o,
+               count(DISTINCT o_orderkey) AS n_ok,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+        FROM o2),
+      la AS (
+        SELECT count(*) AS n_li,
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+        FROM lineitem),
+      fko AS (
+        SELECT count(*) AS v_fk_o FROM o2
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey)),
+      fkl AS (
+        SELECT count(*) AS v_fk_l FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM o2
+                          WHERE o_orderkey = l_orderkey))
+      SELECT rule, n_checked, n_violations FROM (
+        SELECT 'orders_orderkey_unique' AS rule, n_o AS n_checked,
+               n_o - n_ok AS n_violations FROM oa
+        UNION ALL SELECT 'orders_custkey_not_null', n_o,
+               v_null FROM oa
+        UNION ALL SELECT 'orders_totalprice_positive', n_o,
+               v_price FROM oa
+        UNION ALL SELECT 'orders_status_domain', n_o,
+               v_status FROM oa
+        UNION ALL SELECT 'orders_custkey_fk_customer', n_o - v_null,
+               (SELECT v_fk_o FROM fko) FROM oa
+        UNION ALL SELECT 'lineitem_orderkey_fk_orders', n_li,
+               (SELECT v_fk_l FROM fkl) FROM la
+        UNION ALL SELECT 'lineitem_discount_range', n_li,
+               v_disc FROM la
+        UNION ALL SELECT 'lineitem_quantity_positive', n_li,
+               v_qty FROM la)"""))
+
+  val all: Seq[QueryDef] = Seq(expectations)
+}

@@ -1123,6 +1123,70 @@ object Relational {
                AS last_purchase_cents
       FROM events"""))
 
+  /** SCD Type-2 interval build from the changelog — the other half of
+    * the CDC family: q34 keeps only each key's LATEST state, this one
+    * keeps the full validity history. Consecutive same-state runs per
+    * user (ordered by the total (ts_us, event_id) key, the q34
+    * granularity contract) collapse into one row carrying
+    * [valid_from, valid_to) — the classic gaps-and-islands build every
+    * warehouse dimension-history job runs; valid_to NULL marks the
+    * currently-open interval.
+    *
+    * Scale: ONE shuffle on user_id serves both windows (change flags +
+    * running island id share the same partitioning/ordering, and the
+    * final lead() over islands re-uses it); the island aggregate holds
+    * one row per run. Nothing is ever ordered globally and no state
+    * outlives a partition sort — the same shape at 10⁹ users, where
+    * user_id partitioning spreads the work and no per-user history is
+    * large enough to spill a sort.
+    */
+  val q41Scd2 = QueryDef(
+    "q41_scd2_intervals",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("event_id"))
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(wOrd)
+      val chg = when(prev.isNull || prev =!= col("event_type"), 1L)
+        .otherwise(0L)
+      ev.withColumn("island", sum(chg).over(wOrd))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts_us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(
+            Window.partitionBy("user_id").orderBy("island")))
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us",
+          "n_events")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      c AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      i AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS island
+        FROM c),
+      g AS (
+        SELECT user_id, island, min(event_type) AS event_type,
+               min(ts_us) AS valid_from_us, count(*) AS n_events
+        FROM i GROUP BY 1, 2)
+      SELECT user_id, event_type, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY island) AS valid_to_us,
+             n_events
+      FROM g"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -1131,5 +1195,5 @@ object Relational {
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
     q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime,
-    q40GapFill)
+    q40GapFill, q41Scd2)
 }

@@ -98,6 +98,54 @@ object StreamOps {
       FROM events
       GROUP BY 1, 2"""))
 
+  /** Event-time HOPPING (sliding) window: 10-min windows advancing every
+    * 5 min, so each event lands in exactly size/hop = 2 overlapping
+    * windows — the smoothing form every rate/alert dashboard runs where
+    * a tumbling bucket would chop a burst in half at an arbitrary
+    * boundary. Spark's `window(ts, size, hop)` expands the per-row
+    * window list BEFORE the aggregate, so the plan is the tumbling plan
+    * with 2× the shuffle rows: still one (window, event_type) exchange
+    * with map-side partial aggregation, still no driver state — the 2×
+    * is the operator's honest cost, paid map-side, not a second job.
+    * The oracle replays the window assignment arithmetic itself
+    * (`unnest([t div hop − 1, t div hop])`), so the overlap semantics —
+    * not just the totals — are hash-checked. Streaming twin with an
+    * evicting watermark: [[hoppingAggStream]] (StreamingSpec).
+    */
+  def hoppingAggOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_t"), "600 seconds", "300 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value"))
+      .select(col("window.start").cast(LongType).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val hoppingAgg = QueryDef(
+    "stream_hopping_window",
+    (s, dir) => {
+      val base = Work.scratch("log_hopping")
+      Work.clean(base)
+      val store = LogStore(base)
+      store.append(Tables(s, dir, "events"), "scope", "events-stream")
+      hoppingAggOf(
+        store.readBounded(s, "scope", "events-stream", eventSchema))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT epoch_ns(ts) // 1000 // 1000000 AS tsec, event_type,
+               CAST(round("value" * 100) AS BIGINT) AS c
+        FROM events),
+      hop AS (
+        SELECT event_type, c,
+               unnest([(tsec // 300) - 1, tsec // 300]) AS k
+        FROM ev)
+      SELECT k * 300 AS win_start, event_type, count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS sum_value
+      FROM hop
+      GROUP BY 1, 2"""))
+
   /** Per-window bucket-exact quantiles — the order-statistics face of
     * the windowed aggregate. Each 5-min event-time window reports, for
     * p25/p50/p75 of value-cents, the FLOOR of the width-[[QuantileBucket]]
@@ -277,6 +325,31 @@ object StreamOps {
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_t", "10 minutes")
       .groupBy(window(col("ts_t"), "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value"))
+      .select(col("window.start").cast(LongType).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .format("json").option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming twin of [[hoppingAggOf]]: the same 10-min/5-min-hop
+    * window plan under a REAL evicting watermark and append-mode file
+    * sink. State per trigger is the open windows × event types — the
+    * hop multiplies open-window count by size/hop (= 2), not by rows;
+    * the watermark closes (and emits) a window once event time passes
+    * its end + 10 min, exactly like the tumbling twin.
+    */
+  def hoppingAggStream(s: SparkSession, store: LogStore, scope: String,
+      stream: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    store.readStream(s, scope, stream, eventSchema)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "600 seconds", "300 seconds"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value"))
       .select(col("window.start").cast(LongType).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -546,6 +619,7 @@ object StreamOps {
     Some("SELECT * FROM documents"))
 
   val all: Seq[QueryDef] =
-    Seq(roundtrip, windowAgg, windowQuantile, windowOutliers, sessionize,
-      sessionWindow, dedupExactlyOnce, streamIntervalJoin, identity)
+    Seq(roundtrip, windowAgg, hoppingAgg, windowQuantile, windowOutliers,
+      sessionize, sessionWindow, dedupExactlyOnce, streamIntervalJoin,
+      identity)
 }

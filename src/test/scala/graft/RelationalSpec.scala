@@ -216,4 +216,63 @@ class RelationalSpec extends SparkSpec {
       assert(run7 == run1, "scores changed with partition count")
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
+
+  test("graph_triangles: oriented count equals the naive id-ordered count") {
+    import graft.ops.Triangles
+    val edges = Triangles.coPurchaseEdges(spark, sf).persist()
+    val got = Triangles.triangleList(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each triangle appears exactly once and its three nodes are distinct
+    assert(got.length == got.map(t => Set(t._1, t._2, t._3)).distinct.length)
+    assert(got.forall(t => Set(t._1, t._2, t._3).size == 3))
+    // naive driver-side reference: id-ordered a<b<c enumeration
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val naive = for {
+      (a, bs) <- adj.toSeq
+      b <- bs
+      c <- adj.getOrElse(b, Set.empty)
+      if es.contains((a, c))
+    } yield Set(a, b, c)
+    assert(got.map(t => Set(t._1, t._2, t._3)).toSet == naive.toSet,
+      "oriented enumeration diverges from naive")
+    assert(got.length == naive.length)
+    edges.unpersist()
+  }
+
+  test("q41_scd2_intervals: per-user intervals tile the timeline exactly") {
+    val rows = Relational.q41Scd2.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    val events = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val ord = ivs.sortBy(_._3)
+      // exactly one open (current) interval, and it is the last one
+      assert(ord.init.forall(_._4.isDefined) && ord.last._4.isEmpty,
+        s"user $u: open intervals misplaced")
+      // half-open tiling: each valid_to equals the next valid_from
+      ord.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: gap between $a and $b")
+          // adjacent islands must differ in state or they'd be one island
+          assert(a._2 != b._2, s"user $u: unmerged adjacent state ${a._2}")
+        case _ => ()
+      }
+      // interval event counts partition the user's changelog
+      val mine = events.filter(_._1 == u)
+      assert(ord.map(_._5).sum == mine.length,
+        s"user $u: interval counts don't cover the changelog")
+      // replay: collapsing the ordered event stream gives the same runs
+      val runs = mine.sortBy(e => (e._3, e._4)).map(_._2)
+        .foldLeft(List.empty[(String, Long)]) {
+          case ((t, n) :: rest, e) if t == e => (t, n + 1) :: rest
+          case (acc, e) => (e, 1L) :: acc
+        }.reverse
+      assert(ord.map(i => (i._2, i._5)).toSeq == runs,
+        s"user $u: runs mismatch")
+    }
+  }
 }

@@ -608,6 +608,42 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
   }
 
+  test("streaming hopping-window agg equals the bounded hopping plan") {
+    val base = freshDir("hoppingappend")
+    val store = LogStore(base)
+    val events = Tables(spark, sf, "events")
+    store.append(events, "scope", "s6h")
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect().head.getLong(0)
+    val sentinel = events.limit(1).selectExpr(
+      "CAST(-1 AS BIGINT) AS event_id",
+      s"CAST(${maxTs + 24L * 3600 * 1000 * 1000 * 1000} AS BIGINT) AS ts",
+      "CAST(-1 AS BIGINT) AS user_id",
+      "'sentinel' AS event_type", "CAST(0.0 AS DOUBLE) AS value",
+      "'{}' AS props")
+    store.append(sentinel, "scope", "s6h")
+    val outDir = s"$base/out"
+    val q = StreamOps.hoppingAggStream(spark, store, "scope", "s6h",
+      outDir, s"$base/ckpt")
+    q.awaitTermination()
+    val got = spark.read
+      .schema("win_start LONG, event_type STRING, n LONG, sum_value LONG")
+      .json(outDir)
+      .filter("event_type <> 'sentinel'")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = StreamOps.hoppingAgg.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+    // every event lands in exactly size/hop = 2 windows: the hopping
+    // row-weight is exactly 2x the tumbling input
+    assert(want.values.map(_._1).sum == 2L * events.count())
+  }
+
   test("streaming session_window with watermark equals batch session counts") {
     val base = freshDir("sessionwindow")
     val store = LogStore(base)
