@@ -181,7 +181,10 @@ object Bench {
       "stream_dedup_exactly_once", "build_vocab", "inverted_index",
       "pack_chunk_text", "text_stats", "token_count",
       "multimodal_video_frames", "multimodal_avi_frames",
-      "multimodal_audio")
+      "multimodal_audio", "graph_triangles", "er_blocked_match",
+      "text_boilerplate_removal", "stream_hopping_window",
+      "freq_count_min", "attribution_last_touch", "quality_expectations",
+      "event_new_vs_returning")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
     // stdout map: headline/q-series keys, capped to the SLOWEST 40 by

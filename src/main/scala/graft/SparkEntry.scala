@@ -16,7 +16,8 @@ object SparkEntry {
       ops.PipelineOps.all ++ ops.Quality.all ++
       streaming.StreamOps.all ++
       ml.Knn.all ++ workflow.BatchTrainPredict.all ++
-      ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.Similarity.all ++
+      ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.EntityResolution.all ++
+      ext.Similarity.all ++
       ext.Embeddings.all ++ ext.Chunking.all ++ ext.Corpus.all ++
       ext.Retrieval.all ++ ext.Multimodal.all
 

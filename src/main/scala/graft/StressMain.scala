@@ -411,6 +411,90 @@ object StressMain {
     pair("shuffle_det")(
       c => ext.Corpus.shuffleOf(c).count(),
       n => repDocs(docs, n))
+    // round-9 additions -------------------------------------------------
+    // scd2/rolling/attribution/hopping/new-vs-returning: 8× events over
+    // the fixed user population (overlapping-day replication, the
+    // "deeper per-user history" regime); all four are one-user-shuffle
+    // plans whose growth should track the row count
+    locally {
+      val events = Tables(spark, dir, "events")
+      def repEvents(n: Int): DataFrame =
+        (0 until n).map { r =>
+          events.select(
+            (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+            (col("ts") + lit(r * 86400L * 1000000000L)).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionAll _)
+      pair("scd2_intervals")(
+        e => ops.Relational.scd2Of(e).count(),
+        n => repEvents(n))
+      pair("rolling_window")(
+        e => ops.Relational.rollingWindowOf(e).count(),
+        n => repEvents(n))
+      pair("attribution")(
+        e => ops.Funnel.lastTouchOf(e).count(),
+        n => repEvents(n))
+      pair("hopping_window")(
+        e => streaming.StreamOps.hoppingAggOf(e).count(),
+        n => repEvents(n))
+      pair("new_vs_returning")(
+        e => ops.Funnel.newVsReturningOf(e).count(),
+        n => repEvents(n))
+      // count_min: the sketch is FIXED d×w regardless of input — the
+      // growth row should show ~linear scan cost and a flat buffer
+      // shuffle (the whole point of the sketch)
+      pair("count_min_grid")(
+        e => {
+          e.select(col("user_id"))
+            .agg(graft.functions.CountMin.countMin(col("user_id"), 4, 512)
+              .as("cm"))
+            .select("cm.total").collect().head.getLong(0)
+        },
+        n => repEvents(n))
+    }
+    // triangles: replicas are DISJOINT graphs (order/part ids offset into
+    // disjoint ranges), so edges, wedges and triangles all grow ~n×; a
+    // super-linear ratio here means the orientation stopped bounding the
+    // wedge fan-out
+    locally {
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+      def repLi(n: Int): DataFrame =
+        (0 until n).map { r =>
+          li.select(
+            (col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
+            (col("l_partkey") + lit(r * 100000000L)).as("l_partkey"))
+        }.reduce(_ unionAll _)
+      pair("graph_triangles")(
+        l => ops.Triangles.triangleList(
+          ops.Triangles.coPurchaseEdgesOf(l)).count(),
+        n => repLi(n))
+    }
+    // boilerplate: replicas get disjoint word spaces (so natural-line
+    // df stays 1), while the operator plants its footers on doc_id
+    // % 3/5 of the REPLICATED corpus — footer df grows with the corpus
+    // and the ≥10%-of-docs threshold scales with it, so the rule keeps
+    // firing at every multiplier
+    pair("boilerplate")(
+      c => ext.TextAnalysis.boilerplateOf(c).count(),
+      n => repDocs(docs, n))
+    // entity resolution: replicas offset nationkey into disjoint block
+    // spaces — candidates and matches grow linearly; a hot shared block
+    // would show up as a super-linear candidate join
+    locally {
+      val cust = Tables(spark, dir, "customer")
+      def repCust(n: Int): DataFrame =
+        (0 until n).map { r =>
+          cust.select(
+            (col("c_custkey") + lit(r * 1000000L)).as("c_custkey"),
+            col("c_name"),
+            (col("c_nationkey") + lit(r * 100)).as("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+        }.reduce(_ unionAll _)
+      pair("er_blocked_match")(
+        c => ext.EntityResolution.erMatchOf(c).count(),
+        n => repCust(n))
+    }
 
     println(f"[stress] ${"operator"}%-20s ${"1x"}%8s ${mult + "x"}%8s ${"ratio"}%7s  (linear => ratio ~ " + mult + ")")
     results.foreach { case (name, (a, b)) =>

@@ -568,8 +568,62 @@ object Corpus {
       GROUP BY term, n.total
       HAVING count(*) * ${MgCounters + 1} > n.total"""))
 
+  /** Per-document out-of-vocabulary rate against the corpus top-N
+    * vocabulary — the tokenizer-coverage diagnostic run before
+    * committing to a vocab size (an OOV token costs fallback bytes/UNK
+    * degradation downstream). Rate is fixed-point ppm via integer DIV,
+    * so the oracle hash-matches. Top-10 vocab here: the synthetic
+    * corpus has only 31 distinct tokens, and a vocab that swallows the
+    * whole domain would make every rate 0 (the operator's formula,
+    * not its thresholds, is the contract).
+    *
+    * Scale: vocab is the [[vocabOf]] bounded top-N (combine + heap);
+    * membership is a BROADCAST left join of the token explode against
+    * the N-row vocab; the per-doc fold is one doc-keyed aggregate with
+    * map-side combine. The corpus-sized explode never shuffles on the
+    * token.
+    */
+  val OovVocabSize = 10
+
+  def oovRateOf(docs: DataFrame, topN: Int = OovVocabSize): DataFrame = {
+    val vocab = vocabOf(docs, topN).select(col("token"), lit(1).as("iv"))
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+  }
+
+  val oovRate = QueryDef(
+    "vocab_oov_rate",
+    (s, dir) => oovRateOf(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS token
+        FROM documents),
+      t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS cnt FROM t GROUP BY 1
+          ORDER BY cnt DESC, token LIMIT $OovVocabSize)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM t LEFT JOIN vocab v USING (token)
+        GROUP BY 1)
+      SELECT doc_id, n_tokens, n_oov,
+             n_oov * 1000000 // n_tokens AS oov_ppm
+      FROM agg"""))
+
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
       mixSample, quotaSample, invertedIndex, bpePairCounts, bigramLm,
-      bpeEncodeQuery, heavyHitters)
+      bpeEncodeQuery, heavyHitters, oovRate)
 }

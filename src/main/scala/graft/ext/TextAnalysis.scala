@@ -423,10 +423,8 @@ object TextAnalysis {
   val Footer1 = "subscribe to our newsletter for daily updates"
   val Footer2 = "all rights reserved terms of service apply"
 
-  val boilerplate = QueryDef(
-    "text_boilerplate_removal",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+  def boilerplateOf(docsIn: DataFrame): DataFrame = {
+      val docs = docsIn.select(col("doc_id"), col("text"))
       val w = tokens(col("text"))
       val nLines = floor((size(w) + lit(9)) / lit(10)).cast("int")
       val base = transform(sequence(lit(1), nLines),
@@ -455,7 +453,11 @@ object TextAnalysis {
                 x => !x.getField("boil")),
               x => x.getField("line")),
             ". ").as("clean_text"))
-    },
+  }
+
+  val boilerplate = QueryDef(
+    "text_boilerplate_removal",
+    (s, dir) => boilerplateOf(Tables(s, dir, "documents")),
     Some(s"""
       WITH ws AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -147,5 +147,113 @@ object Funnel {
       FROM seq WHERE to_type IS NOT NULL
       GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(funnelQuery, retentionQuery, transitionsQuery)
+  /** Last-touch attribution with a lookback window — every purchase is
+    * credited to the user's most recent click STRICTLY before it and at
+    * most 30 minutes old; otherwise it is organic (NULL click). The
+    * marketing-analytics staple next to the funnel (which asks "did the
+    * user progress", where attribution asks "which touch gets the
+    * credit").
+    *
+    * Built as the asof-join composition ([[AsofJoin]]) with a bound
+    * check instead of an inequality join: tag clicks and purchases,
+    * union, ONE window per user ordered by (ts_us, tag, event_id) with
+    * purchases sorting BEFORE same-instant clicks (strict-precedence),
+    * carry the last click as a boxed struct, then apply the 30-min
+    * lookback as a per-row filter on the carried timestamp. One shuffle
+    * on user_id, no range join, no per-purchase rescan — the candidate
+    * set for each purchase is exactly one carried row regardless of
+    * click volume, which is what makes this shape survive a 100 TB
+    * click log (the interval-join form rescans every click in the
+    * window per purchase).
+    */
+  def lastTouchOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val LookbackUs = 30L * 60 * 1000000
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        // purchases first at equal instants → same-ts clicks invisible
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("lastc",
+        last(when(col("tag") === 1,
+          struct(col("ts_us").as("cts"), col("event_id").as("cid"))),
+          ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("lastc.cts") >= col("ts_us") - LookbackUs,
+          col("lastc.cid")).as("click_id"),
+        when(col("lastc.cts") >= col("ts_us") - LookbackUs,
+          col("ts_us") - col("lastc.cts")).as("lag_us"))
+  }
+
+  val attributionQuery = QueryDef(
+    "attribution_last_touch",
+    (s, dir) => lastTouchOf(Tables(s, dir, "events")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *,
+               last_value(CASE WHEN tag = 1 THEN
+                   struct_pack(cts := ts_us, cid := event_id) END
+                 IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts_us, tag, event_id
+                       ROWS UNBOUNDED PRECEDING) AS lastc
+        FROM ev)
+      SELECT event_id AS purchase_id, user_id,
+             CASE WHEN lastc.cts >= ts_us - 1800000000
+                  THEN lastc.cid END AS click_id,
+             CASE WHEN lastc.cts >= ts_us - 1800000000
+                  THEN ts_us - lastc.cts END AS lag_us
+      FROM w WHERE tag = 0"""))
+
+  /** Daily new-vs-returning active users — the growth-accounting
+    * counterpart of the retention triangle (retention follows a cohort
+    * forward; this splits each day's actives by whether the day IS the
+    * user's first). Integer epoch-day arithmetic on both engines.
+    *
+    * Scale: first-day is a map-side-combined min per user; actives are
+    * one (user, day) distinct; the classifying join is user-keyed —
+    * co-partitioning the log by user makes all three share one
+    * shuffle. The final day-keyed count runs on (users × active days)
+    * rows, bounded by the distinct, never the raw log.
+    */
+  def newVsReturningOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("(ts div 1000) div 86400000000").as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min("day").as("first_day"))
+    ev.distinct().join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("first_day"))
+          .cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
+  val newVsReturningQuery = QueryDef(
+    "event_new_vs_returning",
+    (s, dir) => newVsReturningOf(Tables(s, dir, "events")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      fd AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, day FROM ev)
+      SELECT day, count(*) AS n_active,
+             CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0
+                                 END) AS BIGINT) AS n_returning
+      FROM act JOIN fd USING (user_id)
+      GROUP BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(funnelQuery, retentionQuery, transitionsQuery, attributionQuery,
+      newVsReturningQuery)
 }

@@ -1140,13 +1140,12 @@ object Relational {
     * user_id partitioning spreads the work and no per-user history is
     * large enough to spill a sort.
     */
-  val q41Scd2 = QueryDef(
-    "q41_scd2_intervals",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"), col("event_id"))
+  def scd2Of(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
       val wOrd = Window.partitionBy("user_id")
         .orderBy(col("ts_us"), col("event_id"))
       val prev = lag(col("event_type"), 1).over(wOrd)
@@ -1162,7 +1161,11 @@ object Relational {
             Window.partitionBy("user_id").orderBy("island")))
         .select("user_id", "event_type", "valid_from_us", "valid_to_us",
           "n_events")
-    },
+  }
+
+  val q41Scd2 = QueryDef(
+    "q41_scd2_intervals",
+    (s, dir) => scd2Of(Tables(s, dir, "events")),
     Some("""
       WITH ev AS (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
@@ -1187,6 +1190,150 @@ object Relational {
              n_events
       FROM g"""))
 
+  /** Per-user trailing-7-day rolling aggregates at every event — the
+    * TIME-valued RANGE frame (`RANGE BETWEEN 6 days PRECEDING AND
+    * CURRENT ROW` over epoch-micros), the feature-engineering staple
+    * behind "activity in the last N days" model inputs. Distinct from
+    * q18 (ROWS frame: last k rows) and q31 (peer-inclusive RANGE on a
+    * value): here the frame is cut by a TIME OFFSET, so its row count
+    * varies per row — exactly what ROWS frames cannot express.
+    *
+    * Determinism: the frame boundary is integer micros arithmetic, the
+    * aggregates are count + integer-cents sum (order-independent), and
+    * ts ties are RANGE peers on both engines — hash-exact replay.
+    * Scale: one shuffle on user_id, one in-partition sort; Spark
+    * evaluates the sliding frame incrementally (two moving endpoints),
+    * never re-scanning the window per row.
+    */
+  def rollingWindowOf(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), cents(col("value")).as("c"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-6L * 86400 * 1000000, 0)
+    ev.select(col("event_id"), col("user_id"), col("ts_us"),
+      count(lit(1)).over(w).as("n_7d"),
+      sum(col("c")).over(w).as("sum_cents_7d"))
+  }
+
+  val q42RollingWindow = QueryDef(
+    "q42_rolling_window",
+    (s, dir) => rollingWindowOf(Tables(s, dir, "events")),
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             count(*) OVER w AS n_7d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS sum_cents_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)"""))
+
+  /** Resample each user's purchase-value series onto the daily grid
+    * with linear interpolation — the time-series regularization step
+    * (financial bars, sensor alignment) that q40's LOCF only
+    * approximates: grid points strictly inside a user's purchase span
+    * get `v0 + (v1−v0)·(t−t0)/(t1−t0)` between the surrounding
+    * events, in integer cents.
+    *
+    * Integer portability: Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — they agree only on non-negative operands,
+    * so the falling-segment case computes `v0 − ((v0−v1)·x div dt)`
+    * with both factors positive (truncation toward v0 on both
+    * engines). A grid point landing exactly on an event has
+    * t0 = t1 = t (both carries see the same-instant event first);
+    * the dt = 0 guard returns v0 outright.
+    *
+    * Shape: the grid explodes from each user's (min, max) bounds —
+    * span/day rows per user, never a global calendar; prev/next
+    * carries are the [[AsofJoin]] union trick run in BOTH directions
+    * (one shuffle on user_id, two in-partition sorts); nothing joins
+    * per grid point. At 100 TB this is the plan you want: the
+    * interval-join alternative rescans each user's events once per
+    * grid day.
+    */
+  val q43Resample = QueryDef(
+    "q43_resample_interpolate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = 86400000000L
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("t"),
+          cents(col("value")).as("v"))
+      val grid = p.groupBy("user_id")
+        .agg(min("t").as("t0"), max("t").as("t1"))
+        .filter(expr(s"t0 div $D + 1 <= t1 div $D"))
+        .select(col("user_id"),
+          explode(sequence(expr(s"t0 div $D + 1"), expr(s"t1 div $D")))
+            .as("k"))
+        .select(col("user_id"), (col("k") * D).as("t"),
+          lit(null).cast("long").as("v"), lit(1).as("tag"))
+      val ev = p.withColumn("tag", lit(0))
+      val u = ev.unionByName(grid)
+      // events sort before grid points at the same instant in BOTH
+      // directions, so an exact-hit grid point sees t0 = t1 = t
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("tag").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("t").desc, col("tag").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boxed = when(col("tag") === 0,
+        struct(col("t").as("et"), col("v").as("ev")))
+      u.withColumn("prev", last(boxed, ignoreNulls = true).over(wPrev))
+        .withColumn("nxt", last(boxed, ignoreNulls = true).over(wNext))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("t").as("ts_us"),
+          col("prev.ev").as("v0"), col("nxt.ev").as("v1"),
+          expr("""CASE
+              WHEN nxt.et = prev.et THEN prev.ev
+              WHEN nxt.ev >= prev.ev THEN prev.ev +
+                (nxt.ev - prev.ev) * (t - prev.et) div (nxt.et - prev.et)
+              ELSE prev.ev -
+                (prev.ev - nxt.ev) * (t - prev.et) div (nxt.et - prev.et)
+            END""").as("v_cents"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT user_id, min(t) AS t0, max(t) AS t1 FROM p GROUP BY 1
+        HAVING min(t) // 86400000000 + 1 <= max(t) // 86400000000),
+      grid AS (
+        SELECT user_id,
+               unnest(generate_series(t0 // 86400000000 + 1,
+                                      t1 // 86400000000)) * 86400000000
+                 AS t,
+               CAST(NULL AS BIGINT) AS v, 1 AS tag
+        FROM b),
+      u AS (
+        SELECT user_id, t, v, 0 AS tag FROM p
+        UNION ALL SELECT * FROM grid),
+      c AS (
+        SELECT *,
+               last_value(CASE WHEN tag = 0 THEN
+                   struct_pack(et := t, ev := v) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY t ASC, tag ASC
+                       ROWS UNBOUNDED PRECEDING) AS prev,
+               last_value(CASE WHEN tag = 0 THEN
+                   struct_pack(et := t, ev := v) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY t DESC, tag ASC
+                       ROWS UNBOUNDED PRECEDING) AS nxt
+        FROM u)
+      SELECT user_id, t AS ts_us, prev.ev AS v0, nxt.ev AS v1,
+             CASE
+               WHEN nxt.et = prev.et THEN prev.ev
+               WHEN nxt.ev >= prev.ev THEN prev.ev +
+                 (nxt.ev - prev.ev) * (t - prev.et) // (nxt.et - prev.et)
+               ELSE prev.ev -
+                 (prev.ev - nxt.ev) * (t - prev.et) // (nxt.et - prev.et)
+             END AS v_cents
+      FROM c WHERE tag = 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -1195,5 +1342,5 @@ object Relational {
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
     q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime,
-    q40GapFill, q41Scd2)
+    q40GapFill, q41Scd2, q42RollingWindow, q43Resample)
 }

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
 final case class Ev(event_id: Long, ts: Long, user_id: Long,
     event_type: String, value: Double, props: String)
 
+/** Open-interval state for the streaming SCD2 build (one per key). */
+final case class Scd2State(event_type: String, valid_from_us: Long, n: Long)
+
+final case class Scd2Row(user_id: Long, event_type: String,
+    valid_from_us: Long, valid_to_us: Option[Long], n_events: Long)
+
 final case class SessionSummary(user_id: Long, n_events: Long,
     n_sessions: Long, first_ts: Long, last_ts: Long)
 
@@ -377,6 +383,56 @@ object StreamOps {
             .maxBy(e => (e.ts, e.event_id))
           state.update(newest)
           newest
+      }
+  }
+
+  /** Streaming face of the SCD Type-2 interval build (batch:
+    * graft.ops.Relational.scd2Of / q41): per-user keyed state holds
+    * exactly the OPEN interval (current event_type, valid_from, count);
+    * a state change closes the interval — emitted immediately with its
+    * half-open [valid_from, valid_to) — and opens the next. This is the
+    * incremental dimension-history maintenance a lakehouse CDC pipeline
+    * runs per micro-batch, and the state is ONE row per key no matter
+    * how long the history grows (contrast the sessionize twin, which
+    * must buffer a user's whole window).
+    *
+    * Ordering contract: events within a micro-batch are sorted by the
+    * q41 total key (ts_us, event_id); ACROSS batches the changelog must
+    * arrive in commit order per key — the standard CDC assumption (a
+    * Pravega/Kafka partition keyed by user delivers exactly that). The
+    * open interval is never emitted (append semantics): closed rows
+    * from the stream equal the batch build's non-NULL-valid_to rows,
+    * asserted in StreamingSpec.
+    *
+    * `ts` is expected in MICROS (caller divides the canonical nanos,
+    * exactly like the batch operator's `ts div 1000`).
+    */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[Ev])
+      : org.apache.spark.sql.Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val sorted = it.toArray.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if s.event_type == e.event_type =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out += Scd2Row(uid, s.event_type, s.valid_from_us,
+                  Some(e.ts), s.n)
+                cur = Some(Scd2State(e.event_type, e.ts, 1L))
+              case None =>
+                cur = Some(Scd2State(e.event_type, e.ts, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -14,6 +14,15 @@ final case class HhShardSummary(g: Int, total: Long, cands: Seq[String])
 /** Checkpointable MG shard state (the counters, not just the keys). */
 final case class MgState(total: Long, counts: Map[String, Long])
 
+/** One bigint key routed to its Count-Min shard. */
+final case class ShardKey(g: Int, key: Long)
+
+/** A shard's current Count-Min grid (row-major d×w). */
+final case class CmShardGrid(g: Int, total: Long, grid: Seq[Long])
+
+/** Checkpointable Count-Min shard state. */
+final case class CmState(total: Long, grid: Seq[Long])
+
 /** Streaming twin of the `heavy_hitters` MG pass
   * ([[graft.ext.Corpus.heavyHittersOfTerms]]): continuous frequent-items
   * tracking over an unbounded term stream with BOUNDED state — G shards
@@ -64,5 +73,44 @@ object StreamingFrequency {
     state.update(MgState(buf.total, buf.counts.toMap))
     Iterator.single(HhShardSummary(g, buf.total,
       buf.counts.keys.toSeq.sorted))
+  }
+
+  /** Streaming twin of the `count_min` aggregate
+    * ([[graft.functions.CountMinAgg]]): continuous frequency sketching
+    * with G·d·w bounded state. Keys shard by hash; each shard's keyed
+    * state is its own d×w grid, resumed from the checkpoint per
+    * micro-batch. Because every CM cell is an EXACT sum over the rows
+    * that hash into it and a key's rows live in exactly one shard, the
+    * elementwise sum of the shard grids equals the batch-built global
+    * grid bit-for-bit at every trigger — the mergeable-summaries
+    * property, witnessed across checkpointed micro-batches in
+    * StreamingSpec. A live estimate for any key is then
+    * `min_i Σ_g grid_g[i·w + h_i(u)]`.
+    */
+  def countMinStream(keys: DataFrame, d: Int, w: Int,
+      shards: Int): Dataset[CmShardGrid] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys
+      .select(pmod(hash(col("key")), lit(shards)).cast("int").as("g"),
+        col("key"))
+      .as[ShardKey]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateCmShard(d, w))
+  }
+
+  private[streaming] def updateCmShard(d: Int, w: Int)(
+      g: Int, batch: Iterator[ShardKey],
+      state: GroupState[CmState]): Iterator[CmShardGrid] = {
+    val buf = new graft.functions.CMBuffer(d, w)
+    state.getOption.foreach { s0 =>
+      buf.total = s0.total
+      var i = 0
+      while (i < buf.grid.length) { buf.grid(i) = s0.grid(i); i += 1 }
+    }
+    batch.foreach(k => buf.add(k.key))
+    state.update(CmState(buf.total, buf.grid.toSeq))
+    Iterator.single(CmShardGrid(g, buf.total, buf.grid.toSeq))
   }
 }

@@ -432,4 +432,53 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1,
       s"expected the single user_id shuffle, got $shuffles:\n" + s.take(2000))
   }
+
+  test("count_min: grid builds as a two-phase object-hash aggregate, " +
+      "probe side joins the one-row sketch broadcast") {
+    val s = planString(graft.ops.Sketches.freqCountMin.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    // TypedImperativeAggregate → ObjectHashAggregate, partial+final:
+    // the d×w buffer combines map-side, the shuffle carries buffers
+    assert(s.contains("ObjectHashAggregate"), s.take(2000))
+    assert(!s.contains("SortAggregate"),
+      "CM buffers must not fall back to sort aggregation:\n" + s.take(2000))
+    // the sketch reaches every probe without a data-scale shuffle
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastExchange"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("graph_triangles: equi-joins only, no cartesian, no window") {
+    val s = planString(graft.ops.Triangles.trianglesQuery.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "wedge/closing joins must stay equi:\n" + s.take(2000))
+    assert(!s.contains("Window ["), s.take(2000))
+  }
+
+  test("scd2/rolling/attribution: exactly one user_id shuffle feeds the windows") {
+    for ((name, df) <- Seq(
+        "q41" -> Relational.q41Scd2.fn(spark, sf),
+        "q42" -> Relational.q42RollingWindow.fn(spark, sf),
+        "attribution" -> graft.ops.Funnel.attributionQuery.fn(spark, sf))) {
+      val s = planString(df).split("== Initial Plan ==").head
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+      assert(shuffles == 1,
+        s"$name: expected 1 shuffle, got $shuffles:\n" + s.take(2000))
+      assert(!s.contains("CartesianProduct"), s"$name:\n" + s.take(2000))
+    }
+  }
+
+  test("boilerplate removal: line-df join is an equi-join, rebuild is " +
+      "one doc-keyed aggregate") {
+    val s = planString(graft.ext.TextAnalysis.boilerplate.fn(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    // the only nested-loop join allowed is the one-row ndocs broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n" + s.take(2000))
+    assert(!s.contains("Window ["),
+      "doc rebuild must aggregate, not window-sort:\n" + s.take(2000))
+  }
 }

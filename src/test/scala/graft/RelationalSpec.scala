@@ -217,6 +217,81 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  test("q43_resample_interpolate: grid values stay inside their segment " +
+      "and replay the integer interpolation") {
+    val rows = Relational.q43Resample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val purchases = Tables(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id", "ts div 1000 AS t",
+        "CAST(round(value * 100) AS LONG) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (u, t, v0, v1, v) =>
+      assert(t % 86400000000L == 0, "grid points are day boundaries")
+      assert(v >= math.min(v0, v1) && v <= math.max(v0, v1),
+        s"user $u at $t: interpolant $v escapes [$v0, $v1]")
+      // replay against the user's actual surrounding events
+      val mine = purchases(u)
+      val (t0, ev0) = mine.filter(_._2 <= t).maxBy(_._2) match {
+        case (_, a, b) => (a, b) }
+      val (t1, ev1) = mine.filter(_._2 >= t).minBy(_._2) match {
+        case (_, a, b) => (a, b) }
+      assert(ev0 == v0 && ev1 == v1, s"user $u at $t: wrong segment")
+      val expect =
+        if (t1 == t0) ev0
+        else if (ev1 >= ev0) ev0 + (ev1 - ev0) * (t - t0) / (t1 - t0)
+        else ev0 - (ev0 - ev1) * (t - t0) / (t1 - t0)
+      assert(v == expect, s"user $u at $t: $v != $expect")
+    }
+  }
+
+  test("attribution_last_touch: credited click is the user's latest " +
+      "strictly-earlier click within the lookback") {
+    val events = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "event_id", "ts div 1000 AS ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val clicks = events.filter(_._2 == "click")
+    val got = graft.ops.Funnel.lastTouchOf(Tables(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.length == events.count(_._2 == "purchase"),
+      "every purchase must appear exactly once")
+    val lookback = 30L * 60 * 1000000
+    got.foreach { case (pid, user, clickId) =>
+      val pts = events.find(e => e._3 == pid).get._4
+      val eligible = clicks.filter(c =>
+        c._1 == user && c._4 < pts && c._4 >= pts - lookback)
+      clickId match {
+        case None => assert(eligible.isEmpty,
+          s"purchase $pid left organic despite ${eligible.take(2)}")
+        case Some(cid) =>
+          val best = eligible.maxBy(c => (c._4, c._3))
+          assert(cid == best._3,
+            s"purchase $pid credited $cid, expected ${best._3}")
+      }
+    }
+  }
+
+  test("event_new_vs_returning: news sum to the user base, day0 all new") {
+    val rows = graft.ops.Funnel.newVsReturningOf(Tables(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val users = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == users,
+      "every user is new exactly once")
+    rows.foreach { case (d, active, nw, ret) =>
+      assert(active == nw + ret, s"day $d split doesn't add up")
+    }
+    val first = rows.minBy(_._1)
+    assert(first._4 == 0, "nobody can return on the first day")
+  }
+
   test("graph_triangles: oriented count equals the naive id-ordered count") {
     import graft.ops.Triangles
     val edges = Triangles.coPurchaseEdges(spark, sf).persist()

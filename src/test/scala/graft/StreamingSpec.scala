@@ -905,6 +905,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming SCD2 closed intervals equal the batch build's") {
+    val base = freshDir("scd2stream")
+    val store = LogStore(base)
+    // CDC ordering contract: the changelog arrives in commit order —
+    // append time-sorted so segment replay preserves per-key order
+    store.append(
+      Tables(spark, sf, "events").orderBy("ts", "event_id"), "scope", "sc2")
+    val sp = spark
+    import sp.implicits._
+    val streamed = StreamOps.scd2Stream(
+      store.readStream(spark, "scope", "sc2", StreamOps.eventSchema)
+        .as[Ev].map(e => e.copy(ts = e.ts / 1000)))
+    val q = streamed.toDF().writeStream
+      .format("memory").queryName("t_scd2").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_scd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.ops.Relational.scd2Of(Tables(spark, sf, "events"))
+      .collect()
+    val closed = batch.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == closed,
+      s"missing=${(closed -- got).take(3)} extra=${(got -- closed).take(3)}")
+    // the still-open intervals (exactly one per user) live in state
+    assert(batch.count(_.isNullAt(3)) ==
+      Tables(spark, sf, "events").select("user_id").distinct().count())
+  }
+
   test("streaming mapGroupsWithState sessionize equals batch sessionize") {
     val base = freshDir("sessionize")
     val store = LogStore(base)
@@ -1181,5 +1213,41 @@ class StreamingSpec extends SparkSpec {
       .collect { case (k, v) if v.size.toLong * (m + 1) > n => k }.toSet
     assert(above.nonEmpty && above.subsetOf(union),
       s"guaranteed keys dropped: ${above -- union}")
+  }
+
+  test("streaming count-min: shard grids sum to the batch grid exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = 3
+    val w = 128
+    val shards = 4
+    val keys = (0L until 3000L).map(k => k * k % 611)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.streaming.StreamingFrequency
+      .countMinStream(ms.toDF().toDF("key"), d, w, shards)
+      .writeStream.format("memory").queryName("t_cmstream")
+      .outputMode("update")
+      .option("checkpointLocation", s"${freshDir("cmstream")}/ckpt")
+      .start()
+    // two micro-batches: batch-2 cells accumulate onto checkpointed grids
+    val (b1, b2) = keys.splitAt(keys.size / 2)
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("t_cmstream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+    assert(latest.map(_._2).sum == keys.size.toLong)
+    val summed = latest.map(_._3).reduce((a, b) =>
+      a.zip(b).map { case (x, y) => x + y })
+    val batchGrid = keys.toDF("key")
+      .agg(graft.functions.CountMin.countMin(
+        org.apache.spark.sql.functions.col("key"), d, w).as("s"))
+      .select("s.grid").head().getSeq[Long](0)
+    assert(summed == batchGrid,
+      "elementwise shard-grid sum must equal the batch grid")
   }
 }
