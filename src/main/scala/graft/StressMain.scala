@@ -470,6 +470,48 @@ object StressMain {
           ops.Triangles.coPurchaseEdgesOf(l)).count(),
         n => repLi(n))
     }
+    // multi-touch attribution: 8× events over fixed users — candidate
+    // pairs grow with clicks-per-bucket × purchases, the bucketed
+    // interval join's honest linear cost
+    locally {
+      val events = Tables(spark, dir, "events")
+      def repEvents(n: Int): DataFrame =
+        (0 until n).map { r =>
+          events.select(
+            (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+            (col("ts") + lit(r * 86400L * 1000000000L)).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionAll _)
+      pair("attribution_multi")(
+        e => ops.Funnel.multiTouchOf(e).count(),
+        n => repEvents(n))
+    }
+    // co-purchase top-k: disjoint replica catalogs; the bounded-heap
+    // keeps k entries per (item, partition) however hot an item gets
+    locally {
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+      def repLi(n: Int): DataFrame =
+        (0 until n).map { r =>
+          li.select(
+            (col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
+            (col("l_partkey") + lit(r * 100000000L)).as("l_partkey"))
+        }.reduce(_ unionAll _)
+      def topkOf(l: DataFrame): Long = {
+        val p = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = p.as("a").join(p.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("n"))
+        val sym = pairs.unionAll(
+          pairs.select(col("v").as("u"), col("u").as("v"), col("n")))
+        sym.groupBy("u")
+          .agg(graft.functions.TopK.smallestK(
+            (-col("n")).cast("double"), col("v"), lit(0), 5).as("top"))
+          .count()
+      }
+      pair("copurchase_topk")(topkOf, n => repLi(n))
+    }
     // boilerplate: replicas get disjoint word spaces (so natural-line
     // df stays 1), while the operator plants its footers on doc_id
     // % 3/5 of the REPLICATED corpus — footer df grows with the corpus

@@ -253,7 +253,102 @@ object Funnel {
       FROM act JOIN fd USING (user_id)
       GROUP BY 1"""))
 
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * many-credit complement of [[lastTouchOf]]: every click strictly
+    * before a purchase and within the 6-hour lookback shares the
+    * credit, 40%/40% to first/last touch and 20% split across the
+    * middles (the standard position-based model). Weights are integer
+    * ppm with the flooring remainder assigned to the LAST touch, so
+    * each purchase's weights sum to exactly 1,000,000 — engines cannot
+    * disagree on a rounding crumb.
+    *
+    * Unlike last-touch (one carried row per purchase), multi-touch
+    * genuinely needs the purchase×click pairs — the interval join is
+    * bounded by TIME-BUCKET equi-keys: each purchase probes its own
+    * lookback-sized bucket and the previous one (the [[RangeJoin]] grid trick
+    * on the time axis), so candidates are clicks-in-two-buckets per
+    * purchase, never the user's full click history. The per-purchase
+    * rank window then runs on lookback-bounded groups.
+    */
+  def multiTouchOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 6 h (vs last-touch's 30 min): at the testdata's event density a
+    // 30-min window yields almost no multi-click paths, and the model's
+    // interesting arithmetic IS the n>=3 split
+    val LookbackUs = 6L * 3600 * 1000000
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("cts"),
+        expr(s"(ts div 1000) div $LookbackUs").as("bkt"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("pts"))
+      .select(col("*"),
+        explode(array(expr(s"pts div $LookbackUs - 1"),
+          expr(s"pts div $LookbackUs"))).as("bkt"))
+    val cand = purchases.join(clicks, Seq("user_id", "bkt"))
+      .filter(col("cts") < col("pts") &&
+        col("cts") >= col("pts") - LookbackUs)
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("cts"), col("click_id"))
+    cand
+      .withColumn("touch_rank", row_number().over(w))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy("purchase_id")))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("touch_rank").cast("int").as("touch_rank"),
+        col("n_touches"),
+        expr("""CASE
+            WHEN n_touches = 1 THEN 1000000
+            WHEN n_touches = 2 THEN 500000
+            WHEN touch_rank = 1 THEN 400000
+            WHEN touch_rank = n_touches THEN
+              1000000 - 400000 - 400000
+                - (n_touches - 2) * (200000 div (n_touches - 2))
+                + 400000
+            ELSE 200000 div (n_touches - 2)
+          END""").cast("long").as("weight_ppm"))
+  }
+
+  val multiTouchQuery = QueryDef(
+    "attribution_position_multi",
+    (s, dir) => multiTouchOf(Tables(s, dir, "events")),
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts,
+               epoch_us(ts) // 21600000000 AS bkt
+        FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts,
+               unnest([epoch_us(ts) // 21600000000 - 1,
+                       epoch_us(ts) // 21600000000]) AS bkt
+        FROM events WHERE event_type = 'purchase'),
+      cand AS (
+        SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id AND p.bkt = c.bkt
+        WHERE c.cts < p.pts AND c.cts >= p.pts - 21600000000),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY cts, click_id) AS touch_rank,
+               count(*) OVER (PARTITION BY purchase_id) AS n_touches
+        FROM cand)
+      SELECT purchase_id, user_id, click_id,
+             CAST(touch_rank AS INT) AS touch_rank, n_touches,
+             CAST(CASE
+               WHEN n_touches = 1 THEN 1000000
+               WHEN n_touches = 2 THEN 500000
+               WHEN touch_rank = 1 THEN 400000
+               WHEN touch_rank = n_touches THEN
+                 1000000 - 400000 - 400000
+                   - (n_touches - 2) * (200000 // (n_touches - 2))
+                   + 400000
+               ELSE 200000 // (n_touches - 2)
+             END AS BIGINT) AS weight_ppm
+      FROM r"""))
+
   val all: Seq[QueryDef] =
     Seq(funnelQuery, retentionQuery, transitionsQuery, attributionQuery,
-      newVsReturningQuery)
+      newVsReturningQuery, multiTouchQuery)
 }

@@ -106,5 +106,57 @@ object Triangles {
       SELECT part, count(*) AS n_triangles
       FROM nodes GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(trianglesQuery)
+  /** "People also bought": top-5 co-purchased parts per part by shared
+    * order count — the item-item collaborative-filtering staple, and
+    * the WEIGHTED face of the same co-purchase pair generation the
+    * triangle count uses (there: distinct edges; here: multiplicity is
+    * the signal).
+    *
+    * Scale: pair counts are one combine-enabled aggregate over the
+    * bounded per-order fan-out; the per-item top-k runs on the
+    * bounded-heap aggregate (k entries per (item, partition) map-side —
+    * the shuffle never carries an item's full neighbor list, which for
+    * a hub item is catalog-sized). Ranking is integer (n desc, id asc)
+    * through the heap's (−n, id) order, so the window-form oracle
+    * replays it exactly.
+    */
+  val copurchaseTopK = QueryDef(
+    "copurchase_topk_similar",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("n"))
+      val sym = pairs.unionAll(
+        pairs.select(col("v").as("u"), col("u").as("v"), col("n")))
+      sym.groupBy("u")
+        .agg(graft.functions.TopK.smallestK(
+          (-col("n")).cast("double"), col("v"), lit(0), 5).as("top"))
+        .select(col("u"), posexplode(col("top")))
+        .select(col("u").as("part"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("similar_part"),
+          (-col("col.score")).cast("long").as("n_co"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        WHERE l_orderkey % 3 = 0),
+      pc AS (
+        SELECT a.pk AS u, b.pk AS v, count(*) AS n
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+      sym AS (SELECT u, v, n FROM pc
+              UNION ALL SELECT v, u, n FROM pc),
+      r AS (SELECT u, v, n,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY n DESC, v ASC) AS rank
+            FROM sym)
+      SELECT u AS part, CAST(rank AS INT) AS rank, v AS similar_part,
+             n AS n_co
+      FROM r WHERE rank <= 5"""))
+
+  val all: Seq[QueryDef] = Seq(trianglesQuery, copurchaseTopK)
 }

@@ -302,4 +302,59 @@ object StreamingDedup {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  // --- Bloom-state approximate dedup ---------------------------------
+
+  /** Approximate exactly-once dedup with PERMANENTLY BOUNDED state —
+    * the 100 TB answer to `stream_dedup_exactly_once`'s honest
+    * limitation: exact dedup state (dropDuplicates / the watermarked
+    * variant) grows with the distinct keys inside the watermark, but an
+    * unbounded-retention dedup ("never re-process any id, ever") needs
+    * state ∝ all ids seen. A Bloom filter inverts the error: NO
+    * duplicate is ever emitted (a seen id always hits its set bits),
+    * while an ε fraction of UNIQUE ids is falsely dropped
+    * (ε ≈ (1−e^{−kn/m})^k) — the right trade for at-least-once
+    * ingestion where re-processing is costly and a rare dropped record
+    * is recoverable from the source.
+    *
+    * Keys shard by hash; each shard's keyed state is a fixed m-bit
+    * array (m/64 longs, checkpointed), G·m bits forever. Bits come
+    * from the same portable 2-universal family as Count-Min
+    * ([[graft.functions.CountMinSketch.bucket]]), k = 3 rows. A key
+    * lives in exactly one shard, so the no-duplicates guarantee is
+    * global. Within a batch keys process in (key) sorted order —
+    * deterministic replay after a crash.
+    */
+  def bloomDedupStream(keys: DataFrame, mBits: Int,
+      shards: Int): Dataset[Long] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys
+      .select(pmod(hash(col("key")), lit(shards)).cast("int").as("g"),
+        col("key"))
+      .as[ShardKey]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateBloomShard(mBits))
+  }
+
+  private[streaming] def updateBloomShard(mBits: Int)(
+      g: Int, batch: Iterator[ShardKey],
+      state: GroupState[Seq[Long]]): Iterator[Long] = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val words = state.getOption.map(_.toArray)
+      .getOrElse(new Array[Long](mBits / 64))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batch.toArray.sortBy(_.key).foreach { sk =>
+      val bits = (0 until 3).map(i =>
+        graft.functions.CountMinSketch.bucket(sk.key, i, mBits))
+      val seen = bits.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+      if (!seen) {
+        out += sk.key
+        bits.foreach(b => words(b >> 6) |= 1L << (b & 63))
+      }
+    }
+    state.update(words.toSeq)
+    out.iterator
+  }
 }

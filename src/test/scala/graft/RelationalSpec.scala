@@ -277,6 +277,42 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("attribution_position_multi: weights sum to exactly 1e6 ppm per " +
+      "purchase across path lengths") {
+    val sp = spark
+    import sp.implicits._
+    val M = 60L * 1000000 // a minute in micros→nanos handled below
+    // hand-built paths: users with 1, 2, 4, 5 clicks before one purchase
+    // (5 middles split 200000//3 with the remainder on the last touch)
+    def ev(id: Long, user: Long, tMin: Long, tpe: String) =
+      (id, tMin * M * 1000, user, tpe, 0.0, "{}")
+    val rows =
+      (1 to 1).map(i => ev(10 + i, 1, 10 + i, "click")) ++ Seq(ev(19, 1, 20, "purchase")) ++
+      (1 to 2).map(i => ev(20 + i, 2, 10 + i, "click")) ++ Seq(ev(29, 2, 20, "purchase")) ++
+      (1 to 4).map(i => ev(30 + i, 3, 10 + i, "click")) ++ Seq(ev(39, 3, 20, "purchase")) ++
+      (1 to 5).map(i => ev(40 + i, 4, 10 + i, "click")) ++ Seq(ev(49, 4, 20, "purchase")) ++
+      // a click OUTSIDE the 6 h lookback never shares credit
+      Seq(ev(51, 5, -400, "click"), ev(52, 5, 10, "click"), ev(59, 5, 20, "purchase"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Funnel.multiTouchOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    val byPurchase = got.groupBy(_._1)
+    assert(byPurchase.keySet == Set(19L, 29L, 39L, 49L, 59L))
+    byPurchase.foreach { case (pid, ts) =>
+      assert(ts.map(_._5).sum == 1000000L, s"purchase $pid ppm sum")
+      assert(ts.map(_._3).sorted.toSeq == (1 to ts.length),
+        s"purchase $pid ranks not contiguous")
+    }
+    assert(byPurchase(19L).map(_._5).toSeq == Seq(1000000L))
+    assert(byPurchase(29L).map(_._5).sorted.toSeq == Seq(500000L, 500000L))
+    assert(byPurchase(39L).sortBy(_._3).map(_._5).toSeq ==
+      Seq(400000L, 100000L, 100000L, 400000L))
+    assert(byPurchase(49L).sortBy(_._3).map(_._5).toSeq ==
+      Seq(400000L, 66666L, 66666L, 66666L, 400002L))
+    // the stale click is excluded; only the in-window click is credited
+    assert(byPurchase(59L).map(_._2).toSeq == Seq(52L))
+  }
+
   test("event_new_vs_returning: news sum to the user base, day0 all new") {
     val rows = graft.ops.Funnel.newVsReturningOf(Tables(spark, sf, "events"))
       .collect()

@@ -1215,6 +1215,40 @@ class StreamingSpec extends SparkSpec {
       s"guaranteed keys dropped: ${above -- union}")
   }
 
+  test("bloom-state dedup: zero duplicates ever, bounded false-drop rate, " +
+      "replayed batch emits nothing") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val distinctKeys = (0L until 4000L).toVector
+    val mBits = 64 * 1024 // k=3, n/shard≈1000 → ε ≈ (1−e^{−3n/m})^3 ≪ 1%
+    val shards = 4
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.streaming.StreamingDedup
+      .bloomDedupStream(ms.toDF().toDF("key"), mBits, shards)
+      .writeStream.format("memory").queryName("t_bloomdedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"${freshDir("bloomdedup")}/ckpt")
+      .start()
+    ms.addData(distinctKeys)
+    q.processAllAvailable()
+    val afterB1 = spark.table("t_bloomdedup").collect().map(_.getLong(0))
+    // duplicate delivery: the whole batch again, plus some fresh keys
+    ms.addData(distinctKeys ++ (4000L until 4500L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("t_bloomdedup").collect().map(_.getLong(0))
+    assert(all.length == all.distinct.length, "a duplicate was emitted")
+    assert(afterB1.toSet.subsetOf(distinctKeys.toSet))
+    // one-sided error: ≥99% of uniques survive at this sizing
+    assert(afterB1.length >= 3960,
+      s"false-drop rate too high: ${4000 - afterB1.length}/4000")
+    val batch2New = all.toSet -- afterB1.toSet
+    assert(batch2New.subsetOf((4000L until 4500L).toSet),
+      "a replayed key was re-emitted")
+    assert(batch2New.size >= 495, s"fresh keys dropped: ${500 - batch2New.size}")
+  }
+
   test("streaming count-min: shard grids sum to the batch grid exactly") {
     val sp = spark
     import sp.implicits._
