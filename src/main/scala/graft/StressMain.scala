@@ -440,6 +440,9 @@ object StressMain {
       pair("new_vs_returning")(
         e => ops.Funnel.newVsReturningOf(e).count(),
         n => repEvents(n))
+      pair("window_topk")(
+        e => streaming.StreamOps.windowTopkOf(e).count(),
+        n => repEvents(n))
       // count_min: the sketch is FIXED d×w regardless of input — the
       // growth row should show ~linear scan cost and a flat buffer
       // shuffle (the whole point of the sketch)

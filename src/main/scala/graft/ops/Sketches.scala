@@ -198,5 +198,53 @@ object Sketches {
       SELECT user_id, n_exact, n_est, n_est - n_exact AS n_over
       FROM est"""))
 
-  val all: Seq[QueryDef] = Seq(bloomJoin, percentile2Pass, freqCountMin)
+  /** Mergeable distinct-count rollup — the property q15's single-shot
+    * `approx_count_distinct` doesn't witness: Datasketches HLL sketches
+    * built per group (`hll_sketch_agg`) UNION to the global sketch
+    * (`hll_union_agg`) without rescanning anything. That associative
+    * merge is how a 100 TB deployment answers "distinct users this
+    * month" from daily sketches: per-segment sketches are cheap to
+    * keep, and every rollup (day→week→month, type→all) is a
+    * sketch-sized reduce, not a data-sized distinct.
+    *
+    * Same Expand discipline as q15: the sketch aggregates and the exact
+    * distincts stay in SEPARATE aggregations (combined, Spark keys
+    * partial sketches by the multi-distinct Expand tuples and the
+    * shuffle carries sketch-bytes × distinct values). The oracle
+    * asserts the exact counts and the estimate-within-5% booleans; the
+    * union row proves the merged estimate tracks the true global
+    * cardinality, which is NOT the sum of the per-type counts (users
+    * overlap across types).
+    */
+  val approxDistinctUnion = QueryDef(
+    "approx_distinct_union",
+    (s, dir) => {
+      def ok(est: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        abs(est - exact) <= greatest(exact * 0.05, lit(1.0))
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val ex = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val per = ex.join(sk, "event_type")
+        .select(col("event_type").as("scope"), col("n_exact"),
+          ok(hll_sketch_estimate(col("sk")), col("n_exact")).as("est_ok"))
+      val merged = sk.agg(hll_union_agg(col("sk")).as("u"))
+      val exAll = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      val allRow = exAll.crossJoin(broadcast(merged))
+        .select(lit("ALL").as("scope"), col("n_exact"),
+          ok(hll_sketch_estimate(col("u")), col("n_exact")).as("est_ok"))
+      per.unionByName(allRow)
+    },
+    Some("""
+      SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact,
+             TRUE AS est_ok
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events"""))
+
+  val all: Seq[QueryDef] =
+    Seq(bloomJoin, percentile2Pass, freqCountMin, approxDistinctUnion)
 }

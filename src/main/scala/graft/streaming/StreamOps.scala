@@ -152,6 +152,47 @@ object StreamOps {
       FROM hop
       GROUP BY 1, 2"""))
 
+  /** Per-window top-k ranking — "the 3 busiest event types each hour",
+    * the leaderboard face of the windowed aggregate. The rank runs on
+    * the AGGREGATED (window, type) counts — #windows × |types| rows,
+    * domain-bounded — never on raw events; at 100 TB the only
+    * data-scale work is the same map-side-combined count shuffle the
+    * tumbling aggregate pays. In the streaming deployment the counts
+    * stream (see [[windowAggStream]]) and the leaderboard is a
+    * per-trigger foreachBatch step over the domain-bounded deltas
+    * (ranking after aggregation is not append-streamable in one query
+    * — the honest split, same as the quantile family's rank pick).
+    */
+  def windowTopkOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val counts = events
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_t"), "3600 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast(LongType).as("win_start"),
+        col("event_type"), col("n"))
+    val w = W.partitionBy("win_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+  }
+
+  val windowTopk = QueryDef(
+    "stream_window_topk",
+    (s, dir) => windowTopkOf(Tables(s, dir, "events")),
+    Some("""
+      WITH c AS (
+        SELECT (epoch_ns(ts) // 1000 // 1000000 // 3600) * 3600
+                 AS win_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY win_start
+                    ORDER BY n DESC, event_type ASC) AS rank
+        FROM c)
+      SELECT win_start, event_type, n, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""))
+
   /** Per-window bucket-exact quantiles — the order-statistics face of
     * the windowed aggregate. Each 5-min event-time window reports, for
     * p25/p50/p75 of value-cents, the FLOOR of the width-[[QuantileBucket]]
@@ -675,7 +716,7 @@ object StreamOps {
     Some("SELECT * FROM documents"))
 
   val all: Seq[QueryDef] =
-    Seq(roundtrip, windowAgg, hoppingAgg, windowQuantile, windowOutliers,
-      sessionize, sessionWindow, dedupExactlyOnce, streamIntervalJoin,
-      identity)
+    Seq(roundtrip, windowAgg, hoppingAgg, windowTopk, windowQuantile,
+      windowOutliers, sessionize, sessionWindow, dedupExactlyOnce,
+      streamIntervalJoin, identity)
 }

@@ -327,6 +327,9 @@ object StreamingDedup {
     */
   def bloomDedupStream(keys: DataFrame, mBits: Int,
       shards: Int): Dataset[Long] = {
+    require(mBits % 64 == 0 && mBits > 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(shards > 0, s"shards must be positive, got $shards")
     val spark = keys.sparkSession
     import spark.implicits._
     keys

@@ -292,6 +292,30 @@ class GuardSpec extends SparkSpec {
     ()
   }
 
+  test("parameter validation: count-min depth/width, bloom bit alignment") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(1L, 2L).toDF("k")
+    // depth past the fixed hash-row family must refuse, not wrap
+    intercept[IllegalArgumentException](
+      df.agg(graft.functions.CountMin.countMin(col("k"), 7, 64)).collect())
+    intercept[IllegalArgumentException](
+      df.agg(graft.functions.CountMin.countMin(col("k"), 0, 64)).collect())
+    intercept[IllegalArgumentException](
+      df.agg(graft.functions.CountMin.countMin(col("k"), 4, 0)).collect())
+    // a non-64-aligned bloom size would silently truncate the bitset —
+    // the public entry point refuses before any stream is built
+    val ex = intercept[IllegalArgumentException](
+      graft.streaming.StreamingDedup.bloomDedupStream(
+        df.select(col("k").as("key")), mBits = 100, shards = 2))
+    assert(ex.getMessage.contains("64"))
+    // count_min over a non-bigint key names the type in the failure
+    val tex = intercept[Exception](
+      Seq("a").toDF("k")
+        .agg(graft.functions.CountMin.countMin(col("k"), 2, 64)).collect())
+    assert(tex.getMessage.contains("bigint"))
+  }
+
   test("pagerank on an empty edge list yields an empty result, not a crash") {
     val sp = spark
     import sp.implicits._
