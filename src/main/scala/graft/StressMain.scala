@@ -443,6 +443,12 @@ object StressMain {
       pair("window_topk")(
         e => streaming.StreamOps.windowTopkOf(e).count(),
         n => repEvents(n))
+      pair("top_paths")(
+        e => ops.Funnel.topPathsOf(e).count(),
+        n => repEvents(n))
+      pair("window_approx_users")(
+        e => streaming.StreamOps.windowApproxUsersOf(e).count(),
+        n => repEvents(n))
       // count_min: the sketch is FIXED d×w regardless of input — the
       // growth row should show ~linear scan cost and a flat buffer
       // shuffle (the whole point of the sketch)

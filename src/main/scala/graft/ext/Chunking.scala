@@ -186,5 +186,32 @@ object Chunking {
       FROM f
       GROUP BY shard, bin"""))
 
-  val all: Seq[QueryDef] = Seq(chunk, pack, packChunkText)
+  /** Equi-width document-length histogram — the pre-packing diagnostic
+    * that sizes [[pack]]'s context budget and predicts padding waste:
+    * docs bucketed by token count (width 16), each bucket reporting its
+    * doc count and total tokens. One map-side-combined aggregate on a
+    * domain-bounded (length-bucket) key space; the same histogram shape
+    * `percentile_2pass` and the window-quantile family reduce over, here
+    * exposed as the report itself.
+    */
+  val lengthHistogram = QueryDef(
+    "doc_length_histogram",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(size(TextAnalysis.tokens(col("text"))).cast(LongType)
+          .as("n_tokens"))
+        .select(expr("n_tokens div 16").as("bucket"), col("n_tokens"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT n_tokens // 16 AS bucket, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM t GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(chunk, pack, packChunkText, lengthHistogram)
 }

@@ -348,7 +348,58 @@ object Funnel {
              END AS BIGINT) AS weight_ppm
       FROM r"""))
 
+  /** Top user journeys — the most common prefixes of user behavior:
+    * each user's first 5 events (by the total (ts, event_id) key)
+    * concatenated into a path string, counted, top-20 paths emitted
+    * (product-analytics "top paths" / Sankey feed; the many-step
+    * generalization of [[transitionsOf]]'s single step).
+    *
+    * Shape: the per-user rank window is the one per-user sort (same
+    * cost class as transitions); the path build is a doc-sized
+    * collect per user; path counting is a map-side-combined count on
+    * a path-string key space bounded by |types|⁵; top-20 is
+    * TakeOrderedAndProject. Determinism: rank ties cannot exist under
+    * the total key, and the (n desc, path asc) final order pins the
+    * limit boundary.
+    */
+  def topPathsOf(events: DataFrame, depth: Int = 5,
+      topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"),
+          col("event_type")))), x => x.getField("event_type")),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topN)
+  }
+
+  val topPathsQuery = QueryDef(
+    "event_top_paths",
+    (s, dir) => topPathsOf(Tables(s, dir, "events")),
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS rn
+        FROM events),
+      paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5
+        GROUP BY 1)
+      SELECT path, count(*) AS n_users
+      FROM paths GROUP BY 1
+      ORDER BY n_users DESC, path ASC
+      LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(funnelQuery, retentionQuery, transitionsQuery, attributionQuery,
-      newVsReturningQuery, multiTouchQuery)
+      newVsReturningQuery, multiTouchQuery, topPathsQuery)
 }

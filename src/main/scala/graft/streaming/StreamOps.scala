@@ -193,6 +193,39 @@ object StreamOps {
       SELECT win_start, event_type, n, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 3"""))
 
+  /** Per-window approximate distinct users — the hourly-DAU dashboard
+    * aggregate: per tumbling hour, exact distinct users next to the
+    * HLL estimate's within-5% witness. Same Expand discipline as q15 /
+    * `approx_distinct_union`: the sketch aggregate and the exact
+    * distinct stay in separate aggregations joined on the window key.
+    * At 100 TB the exact column is dropped and per-window sketches
+    * roll up across hours via `hll_union_agg` (the
+    * `approx_distinct_union` witness) — each window's state is a
+    * sketch, not a user set.
+    */
+  def windowApproxUsersOf(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      expr("((ts div 1000) div 1000000 div 3600) * 3600").as("win_start"),
+      col("user_id"))
+    val ex = ev.groupBy("win_start")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val sk = ev.groupBy("win_start")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    ex.join(sk, "win_start")
+      .select(col("win_start"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+          greatest(col("n_exact") * 0.05, lit(1.0))).as("est_ok"))
+  }
+
+  val windowApproxUsers = QueryDef(
+    "stream_window_approx_users",
+    (s, dir) => windowApproxUsersOf(Tables(s, dir, "events")),
+    Some("""
+      SELECT (epoch_ns(ts) // 1000 // 1000000 // 3600) * 3600
+               AS win_start,
+             count(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+      FROM events GROUP BY 1"""))
+
   /** Per-window bucket-exact quantiles — the order-statistics face of
     * the windowed aggregate. Each 5-min event-time window reports, for
     * p25/p50/p75 of value-cents, the FLOOR of the width-[[QuantileBucket]]
@@ -716,7 +749,7 @@ object StreamOps {
     Some("SELECT * FROM documents"))
 
   val all: Seq[QueryDef] =
-    Seq(roundtrip, windowAgg, hoppingAgg, windowTopk, windowQuantile,
-      windowOutliers, sessionize, sessionWindow, dedupExactlyOnce,
-      streamIntervalJoin, identity)
+    Seq(roundtrip, windowAgg, hoppingAgg, windowTopk, windowApproxUsers,
+      windowQuantile, windowOutliers, sessionize, sessionWindow,
+      dedupExactlyOnce, streamIntervalJoin, identity)
 }
