@@ -425,10 +425,16 @@ object TextAnalysis {
 
   def boilerplateOf(docsIn: DataFrame): DataFrame = {
       val docs = docsIn.select(col("doc_id"), col("text"))
-      val w = tokens(col("text"))
-      val nLines = floor((size(w) + lit(9)) / lit(10)).cast("int")
-      val base = transform(sequence(lit(1), nLines),
-        i => array_join(slice(w, (i - lit(1)) * 10 + 1, lit(10)), " "))
+      // 10-word windows as one compact UDF — same semantics as the
+      // declarative transform(sequence)+slice chain (split on \s+ of
+      // trimmed text, grouped in 10s, space-joined; empty text → one
+      // empty line, like the slice form), but the interpreted
+      // higher-order chain costs ~1 ms/doc (the shinglesUdf lesson)
+      val linesUdf = udf { (text: String) =>
+        Option(text).getOrElse("").trim.split("\\s+")
+          .grouped(10).map(_.mkString(" ")).toArray
+      }
+      val base = linesUdf(col("text"))
       val empty = array().cast(ArrayType(StringType))
       val planted = concat(base,
         when(col("doc_id") % 3 === 0, array(lit(Footer1))).otherwise(empty),
