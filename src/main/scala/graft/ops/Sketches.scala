@@ -245,6 +245,64 @@ object Sketches {
       UNION ALL
       SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events"""))
 
+  /** Sketch-based join-size estimation — the optimizer-side use of
+    * Count-Min (Alon–Matias–Szegedy F₂ family): the self-join size
+    * Σ_k c(k)² of the events log on user_id, estimated from the CM
+    * grid as `min_i Σ_j grid[i][j]²` WITHOUT touching the key space.
+    * The inner product over a grid row only ADDS collision terms, so
+    * the estimate is one-sided (never below the true size) — the same
+    * property that lets a planner bound a join's output before running
+    * it, from two O(d·w) summaries instead of two scans. Because the
+    * grid is exactly replayable (the `freq_count_min` contract), the
+    * oracle reproduces the ESTIMATE itself bit-for-bit, not just a
+    * bounds boolean.
+    */
+  val joinSizeEstimate = QueryDef(
+    "join_size_estimate",
+    (s, dir) => {
+      import graft.functions.CountMin.countMin
+      val d = 4
+      // w = 64 < the 150-user key space: collisions are GUARANTEED, so
+      // the one-sided overcount path is actually witnessed (at w = 1024
+      // the testdata hashed collision-free and n_over was identically 0)
+      val w = 64
+      val ev = Tables(s, dir, "events").select(col("user_id"))
+      val sketch = ev.agg(countMin(col("user_id"), d, w).as("cm"))
+      val est = least((0 until d).map { i =>
+        aggregate(slice(col("cm.grid"), i * w + 1, w), lit(0L),
+          (acc, x) => acc + x * x)
+      }: _*)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("n_exact"))
+      exact.crossJoin(broadcast(sketch))
+        .select(col("n_exact"), est.as("n_est"),
+          (est - col("n_exact")).as("n_over"))
+    },
+    Some("""
+      WITH rows_d AS (
+        SELECT * FROM (VALUES
+          (0, 1361, 7919), (1, 98765431, 15485863),
+          (2, 217645199, 32452843), (3, 1073741789, 49979687))
+          AS t(i, a, b)),
+      ev AS (SELECT ((user_id % 2147483647) + 2147483647) % 2147483647
+                      AS um
+             FROM events),
+      grid AS (
+        SELECT i, ((a * um + b) % 2147483647) % 64 AS bkt,
+               count(*) AS c
+        FROM ev CROSS JOIN rows_d
+        GROUP BY 1, 2),
+      est AS (
+        SELECT min(s) AS n_est FROM (
+          SELECT i, CAST(sum(c * c) AS BIGINT) AS s
+          FROM grid GROUP BY 1)),
+      exact AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS n_exact FROM (
+          SELECT count(*) AS c FROM events GROUP BY user_id))
+      SELECT n_exact, n_est, n_est - n_exact AS n_over
+      FROM exact, est"""))
+
   val all: Seq[QueryDef] =
-    Seq(bloomJoin, percentile2Pass, freqCountMin, approxDistinctUnion)
+    Seq(bloomJoin, percentile2Pass, freqCountMin, approxDistinctUnion,
+      joinSizeEstimate)
 }

@@ -226,6 +226,57 @@ object StreamOps {
              count(DISTINCT user_id) AS n_exact, TRUE AS est_ok
       FROM events GROUP BY 1"""))
 
+  /** Streaming twin of [[windowTopkOf]] — the per-trigger leaderboard
+    * split described there, made real: the windowed counts stream in
+    * UPDATE mode (watermarked state, same plan as the tumbling
+    * aggregate), and each micro-batch's foreachBatch (a) MERGEs the
+    * updated (window, type) counts into a snapshot parquet (newest
+    * count per key — the [[mergeLatestSnapshot]] recipe on the
+    * aggregate's keys) and (b) recomputes the top-k per window FROM
+    * THE SNAPSHOT into the leaderboard directory. Both steps run on
+    * domain-bounded data (#windows × |types|), so per-trigger cost is
+    * independent of event volume — the property that makes a live
+    * leaderboard viable over a 100 TB/day stream.
+    */
+  def windowTopkStream(s: SparkSession, store: LogStore, scope: String,
+      stream: String, snapshotDir: String, leaderboardDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    store.readStream(s, scope, stream, eventSchema)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "3600 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast(LongType).as("win_start"),
+        col("event_type"), col("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (updates: DataFrame, _: Long) =>
+        val sp = updates.sparkSession
+        val dir = new java.io.File(snapshotDir)
+        val merged =
+          if (dir.exists())
+            sp.read.parquet(snapshotDir)
+              // an update replaces the key's previous count outright
+              .join(updates, Seq("win_start", "event_type"), "left_anti")
+              .unionByName(updates)
+          else updates
+        val tmp = snapshotDir + ".tmp"
+        Work.clean(tmp)
+        merged.write.parquet(tmp)
+        Work.clean(snapshotDir)
+        new java.io.File(tmp).renameTo(dir): Unit
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start")
+          .orderBy(col("n").desc, col("event_type").asc)
+        sp.read.parquet(snapshotDir)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 3)
+          .write.mode("overwrite").parquet(leaderboardDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-window bucket-exact quantiles — the order-statistics face of
     * the windowed aggregate. Each 5-min event-time window reports, for
     * p25/p50/p75 of value-cents, the FLOOR of the width-[[QuantileBucket]]

@@ -608,6 +608,25 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
   }
 
+  test("streaming leaderboard (windowTopkStream) equals the batch top-k") {
+    val base = freshDir("windowtopk")
+    val store = LogStore(base)
+    store.append(Tables(spark, sf, "events"), "scope", "stk")
+    val q = StreamOps.windowTopkStream(spark, store, "scope", "stk",
+      s"$base/snapshot", s"$base/leaderboard", s"$base/ckpt")
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/leaderboard")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val want = StreamOps.windowTopk.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming hopping-window agg equals the bounded hopping plan") {
     val base = freshDir("hoppingappend")
     val store = LogStore(base)
