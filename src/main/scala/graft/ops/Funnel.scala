@@ -399,7 +399,68 @@ object Funnel {
       ORDER BY n_users DESC, path ASC
       LIMIT 20"""))
 
+  /** Deadline-bounded funnel — the ClickHouse-windowFunnel semantic
+    * proper: each stage must complete within `stepDeadlineNs` of the
+    * PREVIOUS stage's completion, not just eventually ([[funnelOf]] is
+    * the unbounded-patience form). Same windowless min-fold shape: the
+    * deadline is one more predicate on each stage's equi-join
+    * restriction, so the plan — three user-keyed min-aggregations and
+    * joins — is unchanged, and a stage that misses its deadline nulls
+    * the rest of the chain exactly like a stalled stage.
+    */
+  def funnelWindowedOf(events: DataFrame,
+      stepDeadlineNs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val a = ev.filter(col("event_type") === Stages(0))
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val b = ev.filter(col("event_type") === Stages(1))
+      .join(a, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + stepDeadlineNs)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val c = ev.filter(col("event_type") === Stages(2))
+      .join(b, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + stepDeadlineNs)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    a.join(b, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"))
+  }
+
+  /** 3-day per-step deadline at the testdata's event density (~11 h
+    * between a user's events): tight enough that a visible fraction of
+    * chains expire, loose enough that most convert — both branches
+    * witnessed. */
+  val FunnelDeadlineNs = 3L * 86400 * 1000000000L
+
+  val funnelWindowedQuery = QueryDef(
+    "event_funnel_windowed",
+    (s, dir) => funnelWindowedOf(Tables(s, dir, "events"),
+      FunnelDeadlineNs),
+    Some(s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+                  FROM events),
+           a AS (SELECT user_id, min(ts) AS t_view
+                 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+           b AS (SELECT ev.user_id, min(ts) AS t_click
+                 FROM ev JOIN a USING (user_id)
+                 WHERE event_type = 'click' AND ts > t_view
+                   AND ts <= t_view + ${FunnelDeadlineNs}
+                 GROUP BY ev.user_id),
+           c AS (SELECT ev.user_id, min(ts) AS t_purchase
+                 FROM ev JOIN b USING (user_id)
+                 WHERE event_type = 'purchase' AND ts > t_click
+                   AND ts <= t_click + ${FunnelDeadlineNs}
+                 GROUP BY ev.user_id)
+      SELECT a.user_id, t_view, t_click, t_purchase
+      FROM a
+      LEFT JOIN b ON a.user_id = b.user_id
+      LEFT JOIN c ON a.user_id = c.user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(funnelQuery, retentionQuery, transitionsQuery, attributionQuery,
-      newVsReturningQuery, multiTouchQuery, topPathsQuery)
+      newVsReturningQuery, multiTouchQuery, topPathsQuery,
+      funnelWindowedQuery)
 }

@@ -1334,6 +1334,48 @@ object Relational {
              END AS v_cents
       FROM c WHERE tag = 1"""))
 
+  /** Week-over-week change report — the BI staple layered on a windowed
+    * aggregate: weekly value-cents per event_type, each week comparing
+    * itself to the type's previous week as a fixed-point ppm ratio
+    * (`cur·10⁶ div prev`, NULL for a type's first week or a zero
+    * denominator). The lag window runs on the AGGREGATED
+    * (type, week) rows — weeks × |types|, metadata-sized — so the
+    * report costs one combine-enabled count shuffle plus a trivial
+    * window, at any event volume.
+    */
+  val q44WeekOverWeek = QueryDef(
+    "q44_week_over_week",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 604800000000").as("wk"),
+          cents(col("value")).as("c"))
+        .groupBy("event_type", "wk")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"))
+      val w = Window.partitionBy("event_type").orderBy("wk")
+      weekly
+        .withColumn("prev_cents", lag(col("sum_cents"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("n"), col("sum_cents"),
+          when(col("prev_cents") > 0,
+            expr("sum_cents * 1000000 div prev_cents")).as("wow_ppm"))
+    },
+    Some("""
+      WITH weekly AS (
+        SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT *, lag(sum_cents) OVER (PARTITION BY event_type
+                                       ORDER BY wk) AS prev_cents
+        FROM weekly)
+      SELECT event_type, wk, n, sum_cents,
+             CASE WHEN prev_cents > 0
+                  THEN sum_cents * 1000000 // prev_cents END AS wow_ppm
+      FROM l"""))
+
   val all: Seq[QueryDef] = Seq(
     q0Csv, q1Agg, q2Filter, q3Join, q4Broadcast, q5Window, q6SortLimit,
     q7Rollup, q8Distinct, q9Anti, q10SetOps, q11StringDate, q12Json,
@@ -1342,5 +1384,5 @@ object Relational {
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
     q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime,
-    q40GapFill, q41Scd2, q42RollingWindow, q43Resample)
+    q40GapFill, q41Scd2, q42RollingWindow, q43Resample, q44WeekOverWeek)
 }
