@@ -184,7 +184,12 @@ object Bench {
       "multimodal_audio", "graph_triangles", "er_blocked_match",
       "text_boilerplate_removal", "stream_hopping_window",
       "freq_count_min", "attribution_last_touch", "quality_expectations",
-      "event_new_vs_returning")
+      "event_new_vs_returning", "copurchase_topk_similar",
+      "attribution_position_multi", "event_top_paths",
+      "event_funnel_windowed", "join_size_estimate",
+      "approx_distinct_union", "stream_window_topk",
+      "stream_window_approx_users", "doc_length_histogram",
+      "vocab_oov_rate")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
     // stdout map: headline/q-series keys, capped to the SLOWEST 40 by

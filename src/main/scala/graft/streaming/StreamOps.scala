@@ -14,6 +14,10 @@ import org.apache.spark.sql.types._
 final case class Ev(event_id: Long, ts: Long, user_id: Long,
     event_type: String, value: Double, props: String)
 
+/** Per-user funnel stage chain (streaming funnel state AND output). */
+final case class FunnelChain(user_id: Long, t_view: Option[Long],
+    t_click: Option[Long], t_purchase: Option[Long])
+
 /** Open-interval state for the streaming SCD2 build (one per key). */
 final case class Scd2State(event_type: String, valid_from_us: Long, n: Long)
 
@@ -508,6 +512,47 @@ object StreamOps {
             .maxBy(e => (e.ts, e.event_id))
           state.update(newest)
           newest
+      }
+  }
+
+  /** Streaming funnel — the CEP-lite face of
+    * [[graft.ops.Funnel.funnelOf]]: per-user keyed state is the
+    * 3-slot stage chain (first view; first click strictly after it;
+    * first purchase strictly after that), advanced as events arrive
+    * and re-emitted per trigger in update mode. State is three
+    * optional timestamps per user — FIXED size however long the
+    * history — which is the whole advantage over a buffering CEP
+    * engine for monotone patterns: the fold never needs to look back.
+    *
+    * Ordering contract: same as [[scd2Stream]] — in-order arrival per
+    * key (batch-internal rows are sorted by the (ts, event_id) total
+    * key). Under it the sequential fold computes exactly the batch
+    * min-fold chain: the first view IS min(t_view), the first
+    * qualifying click IS min(click ts > t_view), and so on.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[Ev])
+      : org.apache.spark.sql.Dataset[FunnelChain] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelChain, FunnelChain](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var s = state.getOption.getOrElse(FunnelChain(uid, None, None, None))
+          it.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if s.t_view.isEmpty =>
+                s = s.copy(t_view = Some(e.ts))
+              case "click" if s.t_view.isDefined && s.t_click.isEmpty &&
+                  e.ts > s.t_view.get =>
+                s = s.copy(t_click = Some(e.ts))
+              case "purchase" if s.t_click.isDefined &&
+                  s.t_purchase.isEmpty && e.ts > s.t_click.get =>
+                s = s.copy(t_purchase = Some(e.ts))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          s
       }
   }
 

@@ -341,7 +341,7 @@ object StreamingDedup {
         GroupStateTimeout.NoTimeout)(updateBloomShard(mBits))
   }
 
-  private[streaming] def updateBloomShard(mBits: Int)(
+  private[graft] def updateBloomShard(mBits: Int)(
       g: Int, batch: Iterator[ShardKey],
       state: GroupState[Seq[Long]]): Iterator[Long] = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")

@@ -238,4 +238,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("count-min never undercounts and merges exactly, for arbitrary streams") {
+    val streamGen = Gen.nonEmptyListOf(Gen.chooseNum(-5000L, 5000L))
+    samples(streamGen, 25).foreach { keys =>
+      val d = 3
+      val w = 64
+      // driver-side reference fold through the SAME buffer class the
+      // aggregate uses, split at an arbitrary point and merged — the
+      // partial-aggregation path
+      val whole = new graft.functions.CMBuffer(d, w)
+      keys.foreach(whole.add)
+      val cut = keys.length / 2
+      val left = new graft.functions.CMBuffer(d, w)
+      val right = new graft.functions.CMBuffer(d, w)
+      keys.take(cut).foreach(left.add)
+      keys.drop(cut).foreach(right.add)
+      var i = 0
+      while (i < left.grid.length) {
+        left.grid(i) += right.grid(i); i += 1
+      }
+      left.total += right.total
+      assert(left.grid.toSeq == whole.grid.toSeq && left.total == whole.total,
+        s"merge diverged for n=${keys.length}")
+      // one-sided estimates for every key in the stream
+      val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size }
+      exact.foreach { case (k, c) =>
+        val est = (0 until d).map(i =>
+          whole.grid(i * w + graft.functions.CountMinSketch.bucket(k, i, w))).min
+        assert(est >= c, s"undercount for $k: $est < $c")
+      }
+    }
+  }
+
+  test("bloom dedup emits each distinct key at most once, in any batch split") {
+    val streamGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 2000L))
+    samples(streamGen, 15).foreach { keys =>
+      val mBits = 8192
+      // simulate the shard fold across an arbitrary 2-batch split with
+      // carried state, exactly as flatMapGroupsWithState would drive it
+      val cut = keys.length / 2
+      val s0 = org.apache.spark.sql.streaming.TestGroupState.create[Seq[Long]](
+        org.apache.spark.api.java.Optional.empty(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        0L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+      val out1 = graft.streaming.StreamingDedup.updateBloomShard(mBits)(
+        0, keys.take(cut).map(k => graft.streaming.ShardKey(0, k)).iterator,
+        s0).toList
+      val s1 = org.apache.spark.sql.streaming.TestGroupState.create[Seq[Long]](
+        org.apache.spark.api.java.Optional.of(s0.get),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        0L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+      val out2 = graft.streaming.StreamingDedup.updateBloomShard(mBits)(
+        0, keys.drop(cut).map(k => graft.streaming.ShardKey(0, k)).iterator,
+        s1).toList
+      val all = out1 ++ out2
+      assert(all.size == all.distinct.size,
+        s"duplicate emitted across the batch split (n=${keys.length})")
+      assert(all.toSet.subsetOf(keys.toSet))
+    }
+  }
 }

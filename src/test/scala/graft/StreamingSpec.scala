@@ -924,6 +924,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming funnel chains equal the batch min-fold funnel") {
+    val base = freshDir("funnelstream")
+    val store = LogStore(base)
+    store.append(
+      Tables(spark, sf, "events").orderBy("ts", "event_id"), "scope", "fn1")
+    val sp = spark
+    import sp.implicits._
+    val q = StreamOps.funnelStream(
+      store.readStream(spark, "scope", "fn1", StreamOps.eventSchema).as[Ev])
+      .toDF().writeStream
+      .format("memory").queryName("t_funnelstream").outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // update mode re-emits a user's chain per trigger; the final chain
+    // per user is the one with the most stages filled (monotone)
+    val got = spark.table("t_funnelstream").collect()
+      .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3)))
+      .groupBy(_._1)
+      .map { case (_, rs) =>
+        rs.maxBy(t => t._2.size + t._3.size + t._4.size) }
+      .filter(_._2.isDefined)
+      .toSet
+    val want = graft.ops.Funnel.funnelOf(Tables(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming SCD2 closed intervals equal the batch build's") {
     val base = freshDir("scd2stream")
     val store = LogStore(base)
