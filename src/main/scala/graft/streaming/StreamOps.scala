@@ -18,6 +18,10 @@ final case class Ev(event_id: Long, ts: Long, user_id: Long,
 final case class FunnelChain(user_id: Long, t_view: Option[Long],
     t_click: Option[Long], t_purchase: Option[Long])
 
+/** One attributed purchase from the streaming last-touch operator. */
+final case class Attribution(purchase_id: Long, user_id: Long,
+    click_id: Option[Long], lag_us: Option[Long])
+
 /** Open-interval state for the streaming SCD2 build (one per key). */
 final case class Scd2State(event_type: String, valid_from_us: Long, n: Long)
 
@@ -553,6 +557,49 @@ object StreamOps {
           }
           state.update(s)
           s
+      }
+  }
+
+  /** Streaming last-touch attribution — the real-time face of
+    * [[graft.ops.Funnel.lastTouchOf]]: per-user state carries ONLY the
+    * most recent click (8+8 bytes however heavy the click volume);
+    * each arriving purchase is credited immediately against it under
+    * the same strict-precedence + 30-min-lookback rule, emitted in
+    * append mode. Same in-order arrival contract as [[funnelStream]] /
+    * [[scd2Stream]]; same-instant click/purchase ties resolve exactly
+    * like the batch window's (purchase first ⇒ the click is invisible
+    * to it), because the in-batch sort key (ts, tag, event_id) mirrors
+    * the batch ordering.
+    */
+  def lastTouchStream(events: org.apache.spark.sql.Dataset[Ev])
+      : org.apache.spark.sql.Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val LookbackUs = 30L * 60 * 1000000
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), Attribution](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var lastClick = state.getOption // (ts_us, click_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          // purchases sort before same-instant clicks (tag 0 < 1),
+          // mirroring the batch window's strict precedence
+          it.toArray
+            .map(e => (e.ts / 1000,
+              if (e.event_type == "purchase") 0 else 1, e.event_id))
+            .sortBy(t => t) // not `identity` — shadowed by the QueryDef
+            .foreach { case (tsUs, tag, eid) =>
+              if (tag == 1) lastClick = Some((tsUs, eid))
+              else {
+                val hit = lastClick.filter(_._1 >= tsUs - LookbackUs)
+                out += Attribution(eid, uid,
+                  hit.map(_._2), hit.map(c => tsUs - c._1))
+              }
+            }
+          lastClick.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -957,6 +957,31 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streaming last-touch attributions equal the batch window form") {
+    val base = freshDir("lasttouchstream")
+    val store = LogStore(base)
+    store.append(
+      Tables(spark, sf, "events").orderBy("ts", "event_id"), "scope", "lt1")
+    val sp = spark
+    import sp.implicits._
+    val q = StreamOps.lastTouchStream(
+      store.readStream(spark, "scope", "lt1", StreamOps.eventSchema).as[Ev])
+      .toDF().writeStream
+      .format("memory").queryName("t_lasttouch").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = spark.table("t_lasttouch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3))).toSet
+    val want = graft.ops.Funnel.lastTouchOf(Tables(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming SCD2 closed intervals equal the batch build's") {
     val base = freshDir("scd2stream")
     val store = LogStore(base)
