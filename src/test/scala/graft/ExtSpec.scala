@@ -866,6 +866,46 @@ class ExtSpec extends SparkSpec {
       "no doc fused from both channels — channel alignment broken?")
   }
 
+  test("er_blocked_match recovers every planted corruption (recall 1.0)") {
+    val got = graft.ext.EntityResolution.erMatchOf(
+      Tables(spark, sf, "customer")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = Tables(spark, sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 4 === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    // every planted dirty record links back to its own clean twin...
+    planted.foreach { ck =>
+      assert(got.exists(m => m._1 == ck + 10000000L && m._2 == ck),
+        s"planted pair for customer $ck not recovered")
+    }
+    // ...at the exact one-substitution distance
+    got.filter(m => m._1 - 10000000L == m._2)
+      .foreach(m => assert(m._3 == 1, s"twin pair at distance ${m._3}"))
+  }
+
+  test("copurchase_topk_similar: ranks contiguous, counts non-increasing, " +
+      "symmetric co-counts") {
+    val rows = graft.ops.Triangles.copurchaseTopK.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (p, ts) =>
+      val byRank = ts.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to ts.length),
+        s"part $p ranks not contiguous")
+      val ns = byRank.map(_._4)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"part $p counts increase along ranks")
+      assert(ts.forall(_._3 != p), s"part $p is its own neighbor")
+    }
+    // co-purchase counts are symmetric: if (a,b,n) ranks for a and b
+    // also ranks a, both see the same n
+    val asMap = rows.map(t => (t._1, t._3) -> t._4).toMap
+    asMap.foreach { case ((a, b), n) =>
+      asMap.get((b, a)).foreach(n2 => assert(n == n2, s"asym ($a,$b)"))
+    }
+  }
+
   test("boilerplate removal drops planted footers, leaves clean docs verbatim") {
     import graft.ext.TextAnalysis.{Footer1, Footer2}
     val out = graft.ext.TextAnalysis.boilerplate.fn(spark, sf)
