@@ -41,6 +41,13 @@ final case class KeptVec(vec_id: Long, e: Array[Double])
   * batch face's output). */
 final case class SemanticDecision(vec_id: Long, cid: Long, kept: Boolean)
 
+/** One event-timed key routed to its rotating-Bloom shard. */
+final case class TsKey(g: Int, key: Long, ts_us: Long)
+
+/** Two-generation rotating-Bloom shard state (epoch in retention units). */
+final case class BloomEpochState(epoch: Long, active: Seq[Long],
+    prev: Seq[Long])
+
 /** Incremental near-dup dedup over an UNBOUNDED document stream — the
   * streaming twin of [[graft.ext.Dedup.minhashDedup]]: as documents
   * arrive, each is checked against everything previously seen and the
@@ -339,6 +346,68 @@ object StreamingDedup {
       .groupByKey(_.g)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(updateBloomShard(mBits))
+  }
+
+  /** Retention-bounded rotating-Bloom dedup — completing the streaming
+    * dedup triangle: exact state (`dropDuplicates` + watermark) is
+    * bounded by the watermark but exact; [[bloomDedupStream]] is
+    * fixed-size but remembers FOREVER (re-ingesting last year's crawl
+    * stays silent); this one remembers a sliding window. Two
+    * generations of bit arrays rotate on EVENT-TIME epochs of length
+    * `retentionUs`: a key is "seen" if either generation knows it, and
+    * every arrival re-inserts into the active generation. Guarantees:
+    * a duplicate within `retentionUs` of its predecessor is ALWAYS
+    * suppressed (its bits live in active or previous); a key idle
+    * longer than 2·retention is forgotten and re-emitted — by design,
+    * the C4-style "dedup within N days" contract at 2·G·m bits of
+    * state forever. Epoch rotation is event-time arithmetic, so a
+    * checkpoint replay reproduces the same decisions.
+    */
+  def bloomDedupStreamRotating(keys: DataFrame, mBits: Int, shards: Int,
+      retentionUs: Long): Dataset[Long] = {
+    require(mBits % 64 == 0 && mBits > 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(shards > 0 && retentionUs > 0, "shards/retention must be positive")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys
+      .select(pmod(hash(col("key")), lit(shards)).cast("int").as("g"),
+        col("key"), col("ts_us"))
+      .as[TsKey]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateRotatingShard(mBits, retentionUs))
+  }
+
+  private[graft] def updateRotatingShard(mBits: Int, retentionUs: Long)(
+      g: Int, batch: Iterator[TsKey],
+      state: GroupState[BloomEpochState]): Iterator[Long] = {
+    val words = mBits / 64
+    var s = state.getOption.getOrElse(
+      BloomEpochState(Long.MinValue, Seq.fill(words)(0L), Seq.fill(words)(0L)))
+    var active = s.active.toArray
+    var prev = s.prev.toArray
+    var epoch = s.epoch
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batch.toArray.sortBy(t => (t.ts_us, t.key)).foreach { tk =>
+      val e = Math.floorDiv(tk.ts_us, retentionUs)
+      if (epoch == Long.MinValue) epoch = e
+      while (e > epoch) {
+        // one rotation per epoch step: active ages into previous
+        prev = active
+        active = new Array[Long](words)
+        epoch += 1
+      }
+      val bits = (0 until 3).map(i =>
+        graft.functions.CountMinSketch.bucket(tk.key, i, mBits))
+      val seen = bits.forall(b =>
+        ((active(b >> 6) | prev(b >> 6)) & (1L << (b & 63))) != 0L)
+      if (!seen) out += tk.key
+      // re-insert on every arrival: a continuously-seen key never ages out
+      bits.foreach(b => active(b >> 6) |= 1L << (b & 63))
+    }
+    state.update(BloomEpochState(epoch, active.toSeq, prev.toSeq))
+    out.iterator
   }
 
   private[graft] def updateBloomShard(mBits: Int)(

@@ -1326,6 +1326,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch2New.size >= 495, s"fresh keys dropped: ${500 - batch2New.size}")
   }
 
+  test("rotating-bloom dedup: in-window dups suppressed, long-idle keys " +
+      "re-emitted, fresh keys always pass") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val R = 1000000L // retention: 1 s of event time (us)
+    val keysA = (0L until 400L).toVector
+    val keysB = (1000L until 1400L).toVector
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingDedup
+      .bloomDedupStreamRotating(ms.toDF().toDF("key", "ts_us"),
+        mBits = 64 * 512, shards = 2, retentionUs = R)
+      .writeStream.format("memory").queryName("t_rotbloom")
+      .outputMode("append")
+      .option("checkpointLocation", s"${freshDir("rotbloom")}/ckpt")
+      .start()
+    def emitted(): Seq[Long] =
+      spark.table("t_rotbloom").collect().map(_.getLong(0)).toSeq
+    // epoch 0: first sight of A
+    ms.addData(keysA.map(k => (k, 100L)))
+    q.processAllAvailable()
+    val n1 = emitted().size
+    assert(n1 >= 396, s"false drops on first sight: ${400 - n1}")
+    // half a retention later: exact replays of A all suppressed
+    ms.addData(keysA.map(k => (k, 100L + R / 2)))
+    q.processAllAvailable()
+    assert(emitted().size == n1, "in-window duplicate emitted")
+    // 2.5 retentions later: A idled past both generations → re-emitted;
+    // fresh B emitted alongside
+    ms.addData(keysA.map(k => (k, 100L + 5 * R / 2)) ++
+      keysB.map(k => (k, 100L + 5 * R / 2)))
+    q.processAllAvailable()
+    q.stop()
+    val all = emitted()
+    val reA = all.size - n1
+    assert(reA >= 780,
+      s"long-idle keys not re-emitted / fresh dropped: ${800 - reA}")
+    // each key appears at most twice (once per eligible epoch window)
+    assert(all.groupBy(identity).values.forall(_.size <= 2))
+  }
+
   test("streaming count-min: shard grids sum to the batch grid exactly") {
     val sp = spark
     import sp.implicits._
