@@ -28,6 +28,18 @@ object Relational {
   private[graft] def cents(c: Column): Column =
     round(c * 100).cast(LongType)
 
+  /** Exact BIGINT floor division for a positive divisor — portable to
+    * DuckDB's `//`. Spark's `div` truncates toward zero; `a − pmod(a,b)`
+    * is the largest multiple of b ≤ a (pmod is non-negative for b > 0),
+    * so the truncating `div` on it IS the floor quotient, for either
+    * sign of `a`. All-integer arithmetic (SQL `div`, not `/` — double
+    * division would round past 2⁵³). Use this instead of raw `div` at
+    * any fixed-point ratio site whose numerator can go negative
+    * (round-9 verdict #4).
+    */
+  private[graft] def floorDivSql(num: String, den: String): Column =
+    expr(s"($num - pmod($num, $den)) div $den")
+
   /** TPC-H Q1-style scan→filter→partial/final hash aggregate. Money math
     * in fixed-point BIGINT cents (exact; see [[cents]]) so the hash is
     * stable across aggregation orders and engines. sum_disc_price is in
@@ -1337,11 +1349,20 @@ object Relational {
   /** Week-over-week change report — the BI staple layered on a windowed
     * aggregate: weekly value-cents per event_type, each week comparing
     * itself to the type's previous week as a fixed-point ppm ratio
-    * (`cur·10⁶ div prev`, NULL for a type's first week or a zero
-    * denominator). The lag window runs on the AGGREGATED
+    * (`cur·10⁶ floor-div prev`, NULL for a type's first week or a
+    * non-positive denominator). The lag window runs on the AGGREGATED
     * (type, week) rows — weeks × |types|, metadata-sized — so the
     * report costs one combine-enabled count shuffle plus a trivial
     * window, at any event volume.
+    *
+    * Signed-numerator portability (round-9 verdict #4): Spark `div`
+    * truncates toward zero while DuckDB `//` floors — they diverge
+    * whenever the numerator goes negative (a refund-heavy week). The
+    * Spark side therefore computes floor division explicitly via
+    * [[floorDivSql]] — `(a − pmod(a,b)) div b`, exact for b > 0 — so the
+    * ppm ratio matches the oracle on ANY sign of sum_cents, not just
+    * the non-negative testdata (RelationalSpec pins a planted-negative
+    * week against DuckDB's floor arithmetic).
     */
   val q44WeekOverWeek = QueryDef(
     "q44_week_over_week",
@@ -1358,7 +1379,7 @@ object Relational {
         .withColumn("prev_cents", lag(col("sum_cents"), 1).over(w))
         .select(col("event_type"), col("wk"), col("n"), col("sum_cents"),
           when(col("prev_cents") > 0,
-            expr("sum_cents * 1000000 div prev_cents")).as("wow_ppm"))
+            floorDivSql("sum_cents * 1000000", "prev_cents")).as("wow_ppm"))
     },
     Some("""
       WITH weekly AS (

@@ -22,6 +22,16 @@ final case class FunnelChain(user_id: Long, t_view: Option[Long],
 final case class Attribution(purchase_id: Long, user_id: Long,
     click_id: Option[Long], lag_us: Option[Long])
 
+/** One credited touch from the streaming position-based attribution —
+  * identical shape to the batch multiTouchOf row. */
+final case class MultiTouch(purchase_id: Long, user_id: Long,
+    click_id: Long, touch_rank: Int, n_touches: Long, weight_ppm: Long)
+
+/** [[Ev]] narrowed to the attribution columns plus the watermark
+  * timestamp the event-time timeout needs in the operator's input. */
+final case class EvW(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, ts_t: java.sql.Timestamp)
+
 /** Open-interval state for the streaming SCD2 build (one per key). */
 final case class Scd2State(event_type: String, valid_from_us: Long, n: Long)
 
@@ -261,19 +271,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (updates: DataFrame, _: Long) =>
         val sp = updates.sparkSession
-        val dir = new java.io.File(snapshotDir)
-        val merged =
-          if (dir.exists())
-            sp.read.parquet(snapshotDir)
-              // an update replaces the key's previous count outright
-              .join(updates, Seq("win_start", "event_type"), "left_anti")
-              .unionByName(updates)
-          else updates
-        val tmp = snapshotDir + ".tmp"
-        Work.clean(tmp)
-        merged.write.parquet(tmp)
-        Work.clean(snapshotDir)
-        new java.io.File(tmp).renameTo(dir): Unit
+        mergeCountsSnapshot(updates, snapshotDir)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("win_start")
           .orderBy(col("n").desc, col("event_type").asc)
@@ -284,6 +282,58 @@ object StreamOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The leaderboard's snapshot MERGE + atomic-ish publish, extracted
+    * from [[windowTopkStream]]'s foreachBatch: newest count per
+    * (win_start, event_type) key wins; the publish is the same
+    * retire-then-swap as [[mergeLatestSnapshot]] (current → .old, .tmp
+    * → current, then drop .old), so a crash between the renames leaves
+    * .old as the surviving truth and the next trigger recovers from it.
+    * Round-9 verdict #3: the previous clean-then-rename IGNORED the
+    * rename result — a failed rename silently emptied the whole
+    * leaderboard history, because the next trigger re-merged only its
+    * own updates against a now-missing snapshot. Both renames now
+    * throw, naming the paths (GuardSpec pins the throw and the
+    * crash-recovery path).
+    *
+    * `rename` is a test seam (GuardSpec forces a failure through it);
+    * production callers use the default File.renameTo.
+    */
+  private[graft] def mergeCountsSnapshot(updates: DataFrame,
+      snapshotDir: String,
+      rename: (java.io.File, java.io.File) => Boolean =
+        (a, b) => a.renameTo(b)): Unit = {
+    val sp = updates.sparkSession
+    val dir = new java.io.File(snapshotDir)
+    val old = new java.io.File(snapshotDir + ".old")
+    // prior-run crash between the renames: current is gone, .old is
+    // the surviving truth — recover from it
+    val base =
+      if (dir.exists()) Some(snapshotDir)
+      else if (old.exists()) Some(old.getPath)
+      else None
+    val merged = base match {
+      case Some(p) =>
+        sp.read.parquet(p)
+          // an update replaces the key's previous count outright
+          .join(updates, Seq("win_start", "event_type"), "left_anti")
+          .unionByName(updates)
+      case None => updates
+    }
+    val tmp = new java.io.File(snapshotDir + ".tmp")
+    Work.clean(tmp.getPath)
+    merged.write.parquet(tmp.getPath)
+    if (dir.exists()) {
+      Work.clean(old.getPath)
+      if (!rename(dir, old))
+        throw new java.io.IOException(
+          s"leaderboard snapshot retire failed: $dir -> $old")
+    }
+    if (!rename(tmp, dir))
+      throw new java.io.IOException(
+        s"leaderboard snapshot swap failed: $tmp -> $dir")
+    Work.clean(old.getPath)
+  }
 
   /** Per-window bucket-exact quantiles — the order-statistics face of
     * the windowed aggregate. Each 5-min event-time window reports, for
@@ -533,12 +583,21 @@ object StreamOps {
     * key). Under it the sequential fold computes exactly the batch
     * min-fold chain: the first view IS min(t_view), the first
     * qualifying click IS min(click ts > t_view), and so on.
+    *
+    * Row-set contract matches the batch face exactly: a user whose
+    * only observed events are clicks/purchases emits NOTHING (and
+    * keeps no state — under in-order arrival those events can never
+    * qualify retroactively), where the batch funnelOf likewise emits
+    * no row for a user who never viewed. (Round-9 advice: the old
+    * mapGroupsWithState form emitted an all-null chain per such user,
+    * a row set the batch contract never produces.)
     */
   def funnelStream(events: org.apache.spark.sql.Dataset[Ev])
       : org.apache.spark.sql.Dataset[FunnelChain] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelChain, FunnelChain](
+      .flatMapGroupsWithState[FunnelChain, FunnelChain](
+        org.apache.spark.sql.streaming.OutputMode.Update,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
           var s = state.getOption.getOrElse(FunnelChain(uid, None, None, None))
@@ -555,8 +614,10 @@ object StreamOps {
               case _ => ()
             }
           }
-          state.update(s)
-          s
+          if (s.t_view.isDefined) {
+            state.update(s)
+            Iterator.single(s)
+          } else Iterator.empty
       }
   }
 
@@ -602,6 +663,98 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming position-based (U-shaped) multi-touch attribution — the
+    * real-time face of [[graft.ops.Funnel.multiTouchOf]], closing the
+    * one event operator that had neither a streaming twin nor a written
+    * boundary (round-9 verdict #6). The state contract genuinely
+    * differs from last-touch's 16 bytes: U-shaped weights need the FULL
+    * touch list per purchase, so per-user keyed state is the
+    * lookback-bounded click buffer — clicks from the trailing 6 h of
+    * that user's event time, evicted as event time advances and dropped
+    * wholesale by an event-time timeout once the watermark passes the
+    * user's last activity + lookback (idle users hold no state). State
+    * is therefore O(clicks-per-user-per-6h), the same bound as the
+    * batch operator's per-purchase candidate set, regardless of stream
+    * length.
+    *
+    * Each arriving purchase credits its buffered clicks immediately
+    * with the identical integer-ppm arithmetic as the batch face
+    * (40/40 first/last, 200000 div (n−2) middles, flooring remainder
+    * to the last touch — weights sum to exactly 10⁶), emitted in
+    * append mode. Ordering contract: same as [[lastTouchStream]] —
+    * in-order arrival per key up to `lateness` cross-batch disorder;
+    * the in-batch sort key (ts, tag, event_id) with purchases before
+    * same-instant clicks mirrors the batch plan's strict `cts < pts`.
+    */
+  def multiTouchStream(events: org.apache.spark.sql.Dataset[Ev],
+      lateness: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[MultiTouch] = {
+    import events.sparkSession.implicits._
+    val LookbackUs = 6L * 3600 * 1000000 // mirrors multiTouchOf
+    events.toDF()
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", lateness)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("ts_t"))
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long)], MultiTouch](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            // watermark cleared last-activity + lookback: no future
+            // purchase can credit these clicks
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption.getOrElse(Seq.empty).toVector
+            val out = scala.collection.mutable.ArrayBuffer.empty[MultiTouch]
+            var maxUs = buf.lastOption.map(_._1).getOrElse(Long.MinValue)
+            it.toArray
+              .map(e => (e.ts / 1000,
+                if (e.event_type == "purchase") 0 else 1, e.event_id))
+              .sortBy(t => t)
+              .foreach { case (tsUs, tag, eid) =>
+                if (tag == 1) buf :+= ((tsUs, eid))
+                else {
+                  // sort by (cts, click_id): cross-batch same-instant
+                  // clicks may have appended out of id order
+                  val touches = buf
+                    .filter(c => c._1 < tsUs && c._1 >= tsUs - LookbackUs)
+                    .sortBy(c => c)
+                  val n = touches.size
+                  touches.zipWithIndex.foreach { case ((_, cid), i) =>
+                    out += MultiTouch(eid, uid, cid, i + 1, n.toLong,
+                      positionWeightPpm(i + 1, n))
+                  }
+                }
+                maxUs = math.max(maxUs, tsUs)
+              }
+            // event-time eviction keeps the buffer lookback-bounded
+            buf = buf.dropWhile(_._1 < maxUs - LookbackUs)
+            if (buf.nonEmpty) {
+              state.update(buf)
+              state.setTimeoutTimestamp(
+                math.max(maxUs / 1000 + LookbackUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
+  /** The batch CASE at Funnel.multiTouchOf, as integer Scala: all
+    * operands non-negative, so `/` (truncating) IS the SQL `div`. */
+  private[graft] def positionWeightPpm(rank: Int, n: Int): Long =
+    if (n == 1) 1000000L
+    else if (n == 2) 500000L
+    else if (rank == 1) 400000L
+    else if (rank == n)
+      200000L - (n - 2).toLong * (200000L / (n - 2)) + 400000L
+    else 200000L / (n - 2)
 
   /** Streaming face of the SCD Type-2 interval build (batch:
     * graft.ops.Relational.scd2Of / q41): per-user keyed state holds

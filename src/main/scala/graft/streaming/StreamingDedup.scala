@@ -362,6 +362,20 @@ object StreamingDedup {
     * the C4-style "dedup within N days" contract at 2·G·m bits of
     * state forever. Epoch rotation is event-time arithmetic, so a
     * checkpoint replay reproduces the same decisions.
+    *
+    * ARRIVAL-ORDER CONTRACT (same class as [[StreamOps.funnelStream]] /
+    * scd2Stream): the always-suppressed guarantee holds under per-shard
+    * event-time-ordered arrival across micro-batches, with disorder
+    * tolerated up to one epoch (within a batch, rows are sorted by
+    * event time before applying, so intra-batch disorder is free). If
+    * OTHER keys advance a shard's epoch by ≥2 before a late duplicate
+    * arrives, its predecessor's bits have rotated out and the late
+    * duplicate is re-emitted even though its own gap is < retention —
+    * bound cross-batch lateness with an upstream watermark ≤ retention
+    * to stay inside the contract. An event whose timestamp lags the
+    * shard epoch entirely (e < epoch) is checked/inserted against the
+    * current generations — it can only cause a re-emit, never a
+    * wrongly-suppressed unique beyond Bloom ε.
     */
   def bloomDedupStreamRotating(keys: DataFrame, mBits: Int, shards: Int,
       retentionUs: Long): Dataset[Long] = {
@@ -392,11 +406,22 @@ object StreamingDedup {
     batch.toArray.sortBy(t => (t.ts_us, t.key)).foreach { tk =>
       val e = Math.floorDiv(tk.ts_us, retentionUs)
       if (epoch == Long.MinValue) epoch = e
-      while (e > epoch) {
-        // one rotation per epoch step: active ages into previous
+      if (e == epoch + 1) {
+        // normal rotation: active ages into previous
         prev = active
         active = new Array[Long](words)
-        epoch += 1
+        epoch = e
+      } else if (e > epoch) {
+        // gap ≥ 2 epochs: after two rotations both generations would be
+        // all-zero anyway, so jump directly (round-9 verdict #4: the old
+        // one-step `while` loop allocated a fresh array per elapsed epoch
+        // — a single corrupt far-future timestamp, e.g. ns parsed as µs,
+        // spun the task through millions of rotations and poisoned the
+        // checkpointed epoch via an effectively-hung state update).
+        // Semantically identical to stepping: every key is forgotten.
+        prev = new Array[Long](words)
+        active = new Array[Long](words)
+        epoch = e
       }
       val bits = (0 until 3).map(i =>
         graft.functions.CountMinSketch.bucket(tk.key, i, mBits))

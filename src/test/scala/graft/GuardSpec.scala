@@ -323,4 +323,48 @@ class GuardSpec extends SparkSpec {
     assert(graft.ops.PageRank.pagerankOnEdges(empty).count() == 0,
       "no nodes, no scores — the rounds must tolerate an empty graph")
   }
+
+  test("leaderboard snapshot swap: failed rename throws instead of " +
+      "silently emptying history; crash between renames recovers from .old") {
+    val sp = spark
+    import sp.implicits._
+    val snap = s"${graft.Work.scratch("lbswap")}/snapshot"
+    def counts(ws: (Long, String, Long)*) =
+      ws.toSeq.toDF("win_start", "event_type", "n")
+    // seed: one healthy publish
+    graft.streaming.StreamOps.mergeCountsSnapshot(
+      counts((0L, "view", 5L)), snap)
+    assert(spark.read.parquet(snap).count() == 1)
+    // a failing rename must THROW, naming the snapshot path (round-9
+    // verdict #3: the old code discarded renameTo's result — the next
+    // trigger then silently rebuilt the leaderboard from nothing)
+    val ex = intercept[java.io.IOException](
+      graft.streaming.StreamOps.mergeCountsSnapshot(
+        counts((0L, "click", 3L)), snap, rename = (_, _) => false))
+    assert(ex.getMessage.contains(snap), s"path missing from: ${ex.getMessage}")
+    // ...and the pre-failure history is still recoverable on disk
+    // (either still current, or retired at .old)
+    val surviving =
+      if (new java.io.File(snap).exists()) snap else snap + ".old"
+    assert(spark.read.parquet(surviving)
+      .filter($"event_type" === "view").count() == 1,
+      "seed row lost after failed swap")
+    // crash between the renames: current gone, .old holds the truth —
+    // the next trigger must merge against it, not start from scratch
+    graft.Work.clean(snap); graft.Work.clean(snap + ".old")
+    graft.Work.clean(snap + ".tmp")
+    graft.streaming.StreamOps.mergeCountsSnapshot(
+      counts((0L, "view", 5L)), snap)
+    assert(new java.io.File(snap)
+      .renameTo(new java.io.File(snap + ".old")))
+    graft.streaming.StreamOps.mergeCountsSnapshot(
+      counts((0L, "click", 3L)), snap)
+    val out = spark.read.parquet(snap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((0L, "view", 5L), (0L, "click", 3L)),
+      s"history not recovered from .old: $out")
+    assert(!new java.io.File(snap + ".old").exists(),
+      "recovered merge must clean the retired snapshot")
+    graft.Work.clean(snap); graft.Work.clean(snap + ".old")
+  }
 }

@@ -386,4 +386,25 @@ class RelationalSpec extends SparkSpec {
         s"user $u: runs mismatch")
     }
   }
+
+  test("floorDivSql: floor semantics on planted negatives (the q44 ppm " +
+      "ratio must match DuckDB `//` on a refund-heavy week)") {
+    val sp = spark
+    import sp.implicits._
+    // (numerator, positive denominator) — includes the signs where
+    // Spark's truncating `div` and DuckDB's flooring `//` diverge
+    val cases = Seq((-7L, 3L), (-6L, 3L), (-1L, 2L), (7L, 3L), (0L, 5L),
+      (-1000001L, 1000000L), (Long.MinValue / 4, 3L))
+    val got = cases.toDF("a", "b")
+      .select(graft.ops.Relational.floorDivSql("a", "b").as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (a, b) => Math.floorDiv(a, b) }
+    assert(got == want, s"got $got want $want")
+    // and the raw `div` really does diverge on the planted negative —
+    // the guard exists for a reason, not as dead code
+    val trunc = Seq((-7L, 3L)).toDF("a", "b")
+      .selectExpr("a div b").head().getLong(0)
+    assert(trunc == -2L && Math.floorDiv(-7L, 3L) == -3L,
+      "engine semantics changed: re-audit the fixed-point div sites")
+  }
 }

@@ -942,12 +942,17 @@ class StreamingSpec extends SparkSpec {
       if (r.isNullAt(i)) None else Some(r.getLong(i))
     // update mode re-emits a user's chain per trigger; the final chain
     // per user is the one with the most stages filled (monotone)
-    val got = spark.table("t_funnelstream").collect()
+    val emitted = spark.table("t_funnelstream").collect()
       .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3)))
+    // row-set contract: the stream must emit NO all-null chain for a
+    // user whose only events are clicks/purchases — the batch face
+    // emits no row for such users (round-9 advice)
+    assert(emitted.forall(_._2.isDefined),
+      s"all-null chains leaked: ${emitted.filter(_._2.isEmpty).take(3).toSeq}")
+    val got = emitted
       .groupBy(_._1)
       .map { case (_, rs) =>
         rs.maxBy(t => t._2.size + t._3.size + t._4.size) }
-      .filter(_._2.isDefined)
       .toSet
     val want = graft.ops.Funnel.funnelOf(Tables(spark, sf, "events"))
       .collect()
@@ -980,6 +985,59 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3))).toSet
     assert(got == want,
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("streaming multi-touch attributions equal the batch U-shaped " +
+      "model, with lookback-bounded state evicted by event time") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // in event-time order: the split is then a clean temporal split,
+    // inside the operator's in-order arrival contract
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .as[Ev].collect().sortBy(e => (e.ts, e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamOps.multiTouchStream(ms.toDS())
+      .toDF().writeStream
+      .format("memory").queryName("t_multitouch").outputMode("append")
+      .option("checkpointLocation", s"${freshDir("multitouchstream")}/ckpt")
+      .start()
+    // mid-stream split: batch 2's purchases must credit clicks buffered
+    // from batch 1's checkpointed state
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    ms.addData(b1.toSeq)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("t_multitouch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = graft.ops.Funnel.multiTouchOf(Tables(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // per-purchase weights must still sum to exactly 1e6 ppm
+    assert(got.groupBy(_._1).values
+      .forall(rs => rs.toSeq.map(_._6).sum == 1000000L))
+    // BOUNDED state: two sentinel clicks a day apart, far past the
+    // data, advance the watermark until every user's buffer (incl. the
+    // first sentinel's) has timed out — only the newest sentinel's
+    // 1-click buffer may remain
+    val far = ev.last.ts + 86400L * 1000000000L
+    ms.addData(Seq(Ev(-1L, far, -1L, "click", 0.0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Ev(-2L, far + 86400L * 1000000000L, -2L, "click",
+      0.0, "{}")))
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    q.stop()
+    assert(stateRows <= 2,
+      s"idle users' click buffers not evicted: $stateRows state rows")
   }
 
   test("streaming SCD2 closed intervals equal the batch build's") {
@@ -1184,8 +1242,12 @@ class StreamingSpec extends SparkSpec {
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
+    // sorted by event time: the split below is then a clean temporal
+    // split, so cross-batch lateness is zero and the watermark eviction
+    // (see below) can never drop in-contract data
     val ev = Tables(spark, sf, "events").select("ts", "value")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
     val q = graft.streaming.StreamingQuantile
       .windowQuantileStream(ms.toDF().toDF("ts", "value"))
@@ -1200,11 +1262,27 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     ms.addData(b2.toSeq)
     q.processAllAvailable()
+    // BOUNDED state (round-9 advice: the old NoTimeout form kept every
+    // window ever opened): one more batch whose watermark — max event
+    // time through batch 2, minus the 10-min delay — evicts all but the
+    // horizon's tail of histograms. The sentinel sits 1 day past the
+    // data and forms its own window, excluded from the equality set.
+    val sentinelTs = ev.last._1 + 86400L * 1000000000L
+    ms.addData(Seq((sentinelTs, 1.0)))
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
     q.stop()
+    val nWindows = ev.map(_._1 / 1000000000L / 300L).distinct.length
+    assert(nWindows > 50, s"testdata too small to exercise eviction: $nWindows")
+    assert(stateRows <= 10,
+      s"state not evicted: $stateRows live histograms for $nWindows windows")
+    val sentinelWin = sentinelTs / 1000000000L / 300L * 300L
     // latest row per (window, qtile) = max n (monotone per window)
     val got = spark.table("t_wq").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
+      .filter(_._1 != sentinelWin)
       .groupBy(t => (t._1, t._2))
       .map { case (_, rs) => val m = rs.maxBy(_._5); (m._1, m._2, m._3, m._4) }
       .toSet
@@ -1366,6 +1444,62 @@ class StreamingSpec extends SparkSpec {
       s"long-idle keys not re-emitted / fresh dropped: ${800 - reA}")
     // each key appears at most twice (once per eligible epoch window)
     assert(all.groupBy(identity).values.forall(_.size <= 2))
+  }
+
+  test("rotating-bloom dedup: a hostile far-future timestamp jumps the " +
+      "epoch instantly and leaves the other shard's decisions intact") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val R = 1000000L // 1 s retention (µs)
+    val keys = (0L until 200L).toVector
+    val corrupt = 5000L
+    // which shard the corrupt key lands in — same arithmetic as the
+    // operator's routing
+    val corruptShard = Seq(corrupt).toDF("key")
+      .select(pmod(hash(col("key")), lit(2)).cast("int")).head().getInt(0)
+    def shardOf(k: Long): Int = Seq(k).toDF("key")
+      .select(pmod(hash(col("key")), lit(2)).cast("int")).head().getInt(0)
+    val shard = keys.map(k => k -> shardOf(k)).toMap
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingDedup
+      .bloomDedupStreamRotating(ms.toDF().toDF("key", "ts_us"),
+        mBits = 64 * 512, shards = 2, retentionUs = R)
+      .writeStream.format("memory").queryName("t_rotbloomhostile")
+      .outputMode("append")
+      .option("checkpointLocation", s"${freshDir("rotbloomhostile")}/ckpt")
+      .start()
+    def emitted(): Seq[Long] =
+      spark.table("t_rotbloomhostile").collect().map(_.getLong(0)).toSeq
+    ms.addData(keys.map(k => (k, 100L)))
+    q.processAllAvailable()
+    val n1 = emitted().size
+    // ns-parsed-as-µs class corruption: epoch gap ≈ 4.6e12. The old
+    // one-step-per-epoch rotation allocated a fresh bit array per step —
+    // this batch would spin for days; the clamped jump is O(1).
+    val t0 = System.nanoTime()
+    ms.addData(Seq((corrupt, Long.MaxValue / 2)))
+    q.processAllAvailable()
+    assert((System.nanoTime() - t0) / 1e9 < 60.0,
+      "far-future timestamp must not spin the epoch-rotation loop")
+    // replay every key within retention of its predecessor: the corrupt
+    // shard was zeroed by the jump (documented re-emit), but the OTHER
+    // shard's generations are untouched — its duplicates stay suppressed
+    ms.addData(keys.map(k => (k, 100L + R / 2)))
+    q.processAllAvailable()
+    q.stop()
+    val byKey = emitted().groupBy(identity).view.mapValues(_.size).toMap
+    keys.foreach { k =>
+      if (shard(k) == corruptShard)
+        assert(byKey.getOrElse(k, 0) <= 2, s"key $k emitted >2 times")
+      else
+        // ≤1: emitted at first sight only (0 allowed — a first-sight
+        // Bloom false positive is the documented ε), never re-emitted
+        assert(byKey.getOrElse(k, 0) <= 1,
+          s"unaffected-shard key $k re-emitted after the corrupt jump")
+    }
   }
 
   test("streaming count-min: shard grids sum to the batch grid exactly") {
