@@ -271,6 +271,13 @@ object StressMain {
     pair("tfidf_topterms")(
       c => ext.Corpus.tfidfOf(c).count(),
       n => repDocs(docs, n))
+    // distribution drift: one token shuffle + a 1-row totals broadcast
+    // — the vocabulary (not the corpus) bounds the post-shuffle side,
+    // so growth should track the scan. Slice by doc parity (repDocs
+    // carries no source column).
+    pair("token_drift")(
+      c => ext.Corpus.tokenDriftOf(c, col("doc_id") % 2 === 0).count(),
+      n => repDocs(docs, n))
     pair("pack_chunk_text")(
       c => ext.Chunking.packChunkTextOf(c).count(),
       n => repDocs(docs, n))

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -622,8 +622,72 @@ object Corpus {
              n_oov * 1000000 // n_tokens AS oov_ppm
       FROM agg"""))
 
+  /** Token-distribution drift report between a corpus slice and the
+    * rest — the data-quality gate a training pipeline runs when a new
+    * crawl or source lands: per token, its frequency as ppm of each
+    * side's total token count, ranked by absolute divergence. A spike
+    * in a handful of tokens (one template, one language, one spam
+    * domain) shows up at the top before it skews a training mix. All
+    * arithmetic is integer (counts, then a ppm floor-division over
+    * positive totals), so the two engines cannot disagree on a float
+    * crumb; (drift desc, token asc) is a total order, pinning the
+    * top-N boundary.
+    *
+    * Scale: one (token) shuffle with map-side combine for the per-side
+    * counts; the two slice totals are a single 1-row aggregate
+    * cross-broadcast onto the count rows; top-N is
+    * TakeOrderedAndProject. Vocabulary-sized intermediates only —
+    * never doc×token, nothing driver-side. Contract: each side must
+    * contain at least one token (an empty slice has no distribution
+    * to drift from; the ppm division is over its total).
+    */
+  def tokenDriftOf(docs: DataFrame, isA: Column,
+      topN: Int = 50): DataFrame = {
+    val toks = docs
+      .select(isA.cast("long").as("a"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val totals = toks
+      .agg(sum(col("a")).as("ta"), sum(lit(1L) - col("a")).as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("ca"), col("cb"),
+        expr("ca * 1000000 div ta").as("fa_ppm"),
+        expr("cb * 1000000 div tb").as("fb_ppm"))
+      .withColumn("drift_ppm", abs(col("fa_ppm") - col("fb_ppm")))
+      .orderBy(col("drift_ppm").desc, col("token").asc)
+      .limit(topN)
+  }
+
+  val tokenDrift = QueryDef(
+    "token_drift",
+    (s, dir) => tokenDriftOf(Tables(s, dir, "documents"),
+      col("source") === "src0"),
+    Some("""
+      WITH toks AS (
+        SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      t AS (SELECT * FROM toks WHERE length(token) > 0),
+      counts AS (
+        SELECT token, CAST(sum(a) AS BIGINT) AS ca,
+               CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM t GROUP BY 1),
+      totals AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta,
+               CAST(sum(1 - a) AS BIGINT) AS tb
+        FROM t)
+      SELECT token, ca, cb,
+             ca * 1000000 // ta AS fa_ppm,
+             cb * 1000000 // tb AS fb_ppm,
+             abs(ca * 1000000 // ta - cb * 1000000 // tb) AS drift_ppm
+      FROM counts, totals
+      ORDER BY drift_ppm DESC, token ASC
+      LIMIT 50"""))
+
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
       mixSample, quotaSample, invertedIndex, bpePairCounts, bigramLm,
-      bpeEncodeQuery, heavyHitters, oovRate)
+      bpeEncodeQuery, heavyHitters, oovRate, tokenDrift)
 }

@@ -651,7 +651,161 @@ object Multimodal {
       FROM p
       GROUP BY doc_id, w, h"""))
 
+  // --- perceptual-hash image dedup ------------------------------------
+
+  private val PhashTwinOffset = 1000000000L
+  private val PhashHamMax = 3
+
+  /** Base PNG corpus plus deterministic NEAR-DUPLICATE twins — the
+    * planted structure an image-dedup operator must recover (the
+    * LAION/DataComp pipeline step; text dedup's plantedCorpus pattern,
+    * in pixels). Every `doc_id % 37 == 0` image is re-encoded with 4
+    * pixels recolored at positions the 8×8 thumbnail's floor sampling
+    * never reads, so each twin is a DIFFERENT payload (different
+    * bytes, different full-raster digest) whose perceptual hash is
+    * identical by construction — recall is decidable, not
+    * probabilistic. Twin ids offset by +1e9. Materialized once per
+    * session like every media table.
+    */
+  def phashPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "phash") {
+      val sp = s
+      import sp.implicits._
+      val base = imagePayloads(s, dir).as[(Long, Array[Byte])]
+      val twins = base.filter(_._1 % 37 == 0).mapPartitions(_.map {
+        case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          val px = d.argb.clone()
+          val sampled = (for (y <- 0 until 8; x <- 0 until 8)
+            yield (y * d.height / 8) * d.width + x * d.width / 8).toSet
+          var changed = 0
+          var i = 0
+          while (changed < 4 && i < px.length) {
+            if (!sampled(i)) { px(i) = 0xFFFF00FF; changed += 1 }
+            i += 1
+          }
+          (id + PhashTwinOffset, ImageCodec.encodePng(
+            ImageCodec.DecodedImage(d.width, d.height, 3, px)))
+      })
+      base.union(twins).toDF("doc_id", "payload")
+    }
+
+  /** 8×8 thumbnail rasters of the phash corpus (base + twins),
+    * materialized for the oracle — 64 masked pixels per doc. Decode +
+    * resize correctness is pinned upstream (GoldenSpec digests, the
+    * resize oracle's source-index replay); this table lets the oracle
+    * prove all the post-resize hash arithmetic. */
+  private def phashThumbRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "phash") {
+      val sp = s
+      import sp.implicits._
+      phashPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val t = ImageCodec.resizeNearest(ImageCodec.decode(bytes), 8, 8)
+          (id, t.width, t.height, t.argb.map(_ & 0xFFFFFF))
+        })
+        .toDF("doc_id", "width", "height", "px")
+    }
+
+  /** 64-bit average-hash (aHash) per image, as 4×16-bit band columns:
+    * decode → nearest-neighbor 8×8 → per-cell gray (R+G+B, 0..765) →
+    * bit c set iff 64·gray_c ≥ Σgray (all-integer mean compare — no
+    * float enters the hash, so the oracle replays it exactly). Band
+    * columns instead of one packed i64 keep every value a small
+    * non-negative int — xor/bit_count then agree across engines
+    * without the signed-overflow replay dance the 64-bit SimHash
+    * needs. */
+  def phashBandsOf(payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = payloads.sparkSession
+    import sp.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, bytes) =>
+        val t = ImageCodec.resizeNearest(ImageCodec.decode(bytes), 8, 8)
+        val gray = t.argb.map(p =>
+          ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF))
+        val tot = gray.foldLeft(0L)(_ + _)
+        val bits = gray.map(g => if (64L * g >= tot) 1 else 0)
+        val bands = (0 until 4).map(k =>
+          (0 until 16).map(j => bits(16 * k + j) << j).sum)
+        (id, bands(0), bands(1), bands(2), bands(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-dup image pairs by pigeonhole banding over the aHash — the
+    * identical candidate discipline as the text SimHash join: two
+    * hashes within hamming ≤ 3 agree exactly on ≥1 of the 4 bands, so
+    * the (band, value) equi-join has recall 1.0 by construction and is
+    * NEVER all-pairs; the exact-hamming verify gives precision 1.0.
+    * On these pseudorandom renders chance band collisions are
+    * n²·4/2¹⁶ — bounded, and the 128-bit two-word escalation path
+    * documented at dedup_simhash128_pairs applies unchanged if a real
+    * corpus needs it. One shuffle on the band key.
+    */
+  def phashPairs(sigs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = PhashHamMax): org.apache.spark.sql.DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
+    val banded = sigs.select(col("doc_id"), col("b0"), col("b1"),
+      col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "bval")
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k")))).reduce(_ + _)
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        hamming.cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Image near-dup dedup over real PNG payloads. The oracle replays
+    * hash + pairs from the materialized thumbs with an O(n²) exact
+    * join — at oracle scale that is trivial, and its equality with the
+    * banded plan PROVES the pigeonhole candidate generation lossless
+    * (the same exact-oracle discipline as dedup_simhash_pairs). */
+  val phashDedup = QueryDef(
+    "multimodal_phash_dedup",
+    (s, dir) => {
+      phashThumbRaster(s, dir): Unit
+      phashPairs(graft.Work.materialize("phash_sigs",
+        phashBandsOf(phashPayloads(s, dir))))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT doc_id, unnest(range(0, 64)) AS i, px
+        FROM read_parquet('${rasterSqlPath("phash")}/*.parquet')),
+      p AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+               px[CAST(i + 1 AS INT)] // 65536
+                 + (px[CAST(i + 1 AS INT)] // 256) % 256
+                 + px[CAST(i + 1 AS INT)] % 256 AS g
+        FROM e),
+      t AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS tot FROM p GROUP BY 1),
+      bits AS (
+        SELECT p.doc_id, p.i,
+               CASE WHEN 64 * p.g >= t.tot THEN 1 ELSE 0 END AS bit
+        FROM p JOIN t USING (doc_id)),
+      bands AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b0,
+               CAST(sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b1,
+               CAST(sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b2,
+               CAST(sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b3
+        FROM bits GROUP BY 1)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+               AS BIGINT) AS hamming
+      FROM bands x JOIN bands y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $PhashHamMax"""))
+
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, audio, featurize,
-      resize)
+      resize, phashDedup)
 }

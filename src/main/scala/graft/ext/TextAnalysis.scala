@@ -496,7 +496,61 @@ object TextAnalysis {
       FROM ex JOIN dfs USING (line) CROSS JOIN nd
       GROUP BY doc_id"""))
 
+  /** HTML tag stripping — the step a web-crawl ingest (C4/CCNet class)
+    * runs before any text analysis: drop comments, drop tags, decode
+    * the common entities, collapse whitespace. Distinct from
+    * [[boilerplate]] (which removes recurring TEXT lines after
+    * markup is gone — this is the markup pass that precedes it). The
+    * testdata corpus has no markup, so each doc is deterministically
+    * wrapped in a fixed page skeleton (nav div, comment, entities) and
+    * the operator must recover the original text plus the nav's
+    * now-visible text — a planted-input pattern shared with
+    * [[boilerplate]] / dedup's plantedCorpus.
+    *
+    * Scale: shuffle-free per-row regexp chain (codegen'd), same class
+    * as [[normalize]]. The regexes stay in the Java∩RE2 common dialect
+    * (`<[^>]*>`, non-greedy comment match) so the DuckDB oracle runs
+    * the literally-identical patterns.
+    */
+  val htmlStrip = QueryDef(
+    "text_html_strip",
+    (s, dir) => {
+      val planted = concat(
+        lit("<html><body><!-- generated --><p>"), col("text"),
+        lit("</p><div class=\"nav\">home &amp; about &lt;here&gt;</div></body></html>"))
+      val noComment = regexp_replace(planted, "<!--.*?-->", " ")
+      val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+      val decoded =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&amp;", "&"),
+            "&lt;", "<"),
+          "&gt;", ">")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"),
+        regexp_count(planted, lit("<[^>]*>")).cast(LongType).as("n_tags"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               '<html><body><!-- generated --><p>' || text ||
+               '</p><div class="nav">home &amp; about &lt;here&gt;</div></body></html>'
+                 AS h
+        FROM documents)
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(h, '<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '\s+', ' ', 'g')) AS text_clean,
+             CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT)
+               AS n_tags
+      FROM p"""))
+
   val all: Seq[QueryDef] =
     Seq(stats, quality, langId, fingerprint, tokenCount, repetition,
-      piiScrub, normalize, boilerplate)
+      piiScrub, normalize, boilerplate, htmlStrip)
 }

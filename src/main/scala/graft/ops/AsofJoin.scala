@@ -83,5 +83,70 @@ object AsofJoin {
       FROM ev e ASOF LEFT JOIN snap1 s
         ON e.user_id = s.user_id AND e.tsu >= s.tsu"""))
 
-  val all: Seq[QueryDef] = Seq(asofEnrich)
+  /** FORWARD as-of join — each left row matched to the EARLIEST right
+    * row with `right.ts >= left.ts` per key: the label-alignment
+    * direction (next tick after an order, next conversion after an
+    * impression, next sensor reading after a fault), where
+    * [[asofJoin]] is the enrichment direction. Same one-shuffle
+    * composition mirrored: union both sides, one `first(...,
+    * ignoreNulls)` window over (currentRow, unboundedFollowing). At
+    * equal ts, LEFTS sort before rights (tag desc) so a simultaneous
+    * right IS visible — `>=` semantics, matching DuckDB's forward
+    * ASOF JOIN, the independent oracle implementation.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, value: String, out: String): DataFrame = {
+    val vType = right.schema(value).dataType
+    val l = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__v", lit(null).cast(vType))
+    val r = right
+      .select(col(key), col(ts), col(value).as("__v"))
+      .withColumn("__tag", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // boxed for the same null-valued-snapshot reason as [[asofJoin]]
+    unioned
+      .withColumn("__boxed",
+        first(when(col("__tag") === 0, struct(col("__v"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .withColumn(out, col("__boxed.__v"))
+      .drop("__tag", "__v", "__boxed")
+  }
+
+  /** Forward witness — the mirror of [[asofEnrich]]: every event
+    * carries the value of the user's NEXT snapshot at or after its
+    * timestamp; NULL after the last snapshot. */
+  val asofEnrichForward = QueryDef(
+    "asof_join_forward",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsu"), col("value"))
+      // same snapshot dedup as the backward witness: max event_id wins
+      val rnW = Window.partitionBy("user_id", "tsu")
+        .orderBy(col("event_id").desc)
+      val snaps = ev.filter(col("event_id") % 20 === 0)
+        .withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("tsu"), col("value"))
+      asofJoinForward(ev.drop("value"), snaps, "user_id", "tsu", "value",
+        "snap_value")
+    },
+    Some("""
+      WITH snap AS (
+        SELECT user_id, epoch_us(ts) AS tsu, "value", event_id,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 20 = 0),
+      snap1 AS (SELECT user_id, tsu, "value" FROM snap WHERE rn = 1),
+      ev AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+      SELECT e.event_id, e.user_id, e.tsu, s."value" AS snap_value
+      FROM ev e ASOF LEFT JOIN snap1 s
+        ON e.user_id = s.user_id AND e.tsu <= s.tsu"""))
+
+  val all: Seq[QueryDef] = Seq(asofEnrich, asofEnrichForward)
 }

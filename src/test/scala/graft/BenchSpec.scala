@@ -10,23 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("suspect rule: threshold is max(5x local median, 5s)") {
-    // sub-second keys never flag on noise: 5 s floor
-    assert(!Bench.isSuspect(4.9, Some(0.1)))
-    assert(Bench.isSuspect(5.1, Some(0.1)))
-    // slow keys flag at 5x their own median, not the floor
-    assert(!Bench.isSuspect(14.0, Some(3.0)))
-    assert(Bench.isSuspect(15.1, Some(3.0)))
+  test("suspect rule: threshold is max(3x local median, 1s)") {
+    // sub-second keys flag only past the 1 s floor (round-9 verdict #1
+    // lowered it from 5 s: ten sub-5 s keys sat at 5-10x local with no
+    // resample), so sub-second jitter still never flags...
+    assert(!Bench.isSuspect(0.9, Some(0.1)))
+    // ...but a 0.19 s key stalled to 1.97 s (the round-9 text_stats
+    // case) now does
+    assert(Bench.isSuspect(1.97, Some(0.19)))
+    assert(Bench.isSuspect(1.1, Some(0.1)))
+    // slow keys flag at 3x their own median, not the floor
+    assert(!Bench.isSuspect(8.9, Some(3.0)))
+    assert(Bench.isSuspect(9.1, Some(3.0)))
     // no committed reference -> never suspect (new key, unknown cost)
     assert(!Bench.isSuspect(100.0, None))
   }
 
   test("synthetic stall: a sleeping run trips the suspect flag") {
     // Exercise the rule through a real timed stall, the way Bench.main
-    // times a run — a 5.2 s sleep against a 0.2 s committed median must
-    // flag (threshold max(1.0, 5.0) = 5 s), and a fast run must not.
+    // times a run — a 1.2 s sleep against a 0.2 s committed median must
+    // flag (threshold max(0.6, 1.0) = 1 s), and a fast run must not.
     val t0 = System.nanoTime()
-    Thread.sleep(5200)
+    Thread.sleep(1200)
     val stalled = (System.nanoTime() - t0) / 1e9
     assert(Bench.isSuspect(stalled, Some(0.2)))
     val f0 = System.nanoTime()

@@ -933,4 +933,90 @@ class ExtSpec extends SparkSpec {
       assert(nLines == (origToks.size + 9) / 10 + expectRemoved)
     }
   }
+
+  test("html strip recovers the wrapped text exactly and counts the " +
+      "skeleton's tags") {
+    import org.apache.spark.sql.functions.col
+    val orig = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = ext.TextAnalysis.htmlStrip.fn(spark, sf).collect()
+    assert(out.length == orig.size)
+    out.foreach { r =>
+      val (id, clean, nTags) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val expect = orig(id).trim.replaceAll("\\s+", " ") +
+        " home & about <here>"
+      assert(clean == expect, s"doc $id strip mismatch")
+      // fixed page skeleton: html, body, comment, p, /p, div, /div,
+      // /body, /html — 9 matches of <[^>]*> (word-soup text has no '<')
+      assert(nTags == 9L, s"doc $id tag count $nTags")
+    }
+  }
+
+  test("token drift: ppm bounded, ordering total, counts consistent " +
+      "with a recount") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val rows = ext.Corpus.tokenDriftOf(
+      Tables(spark, sf, "documents"), col("source") === "src0").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // frequencies are ppm of each side's total: never above 1e6
+    rows.foreach { case (tok, ca, cb, fa, fb, d) =>
+      assert(fa >= 0 && fa <= 1000000 && fb >= 0 && fb <= 1000000)
+      assert(d == math.abs(fa - fb), s"$tok drift not |fa-fb|")
+      assert(ca > 0 || cb > 0)
+    }
+    // emitted in total (drift desc, token asc) order
+    assert(rows.sliding(2).forall {
+      case Array((t1, _, _, _, _, d1), (t2, _, _, _, _, d2)) =>
+        d1 > d2 || (d1 == d2 && t1 < t2)
+      case _ => true
+    })
+    // per-token counts replay an independent recount
+    val docs = Tables(spark, sf, "documents")
+      .select("source", "text").collect()
+    val recount = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    docs.foreach { r =>
+      val a = r.getString(0) == "src0"
+      r.getString(1).trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val (x, y) = recount(t)
+        recount(t) = if (a) (x + 1, y) else (x, y + 1)
+      }
+    }
+    rows.foreach { case (tok, ca, cb, _, _, _) =>
+      assert(recount(tok) == ((ca, cb)), s"$tok counts diverge")
+    }
+  }
+
+  test("phash dedup: banded pairs equal brute force; every planted twin " +
+      "recovered at hamming 0") {
+    val payloads = ext.Multimodal.phashPayloads(spark, sf)
+    val sigs = ext.Multimodal.phashBandsOf(payloads)
+    val banded = ext.Multimodal.phashPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the (small) signature table
+    val sv = sigs.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    val brute = (for {
+      (a, ba) <- sv; (b, bb) <- sv if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute,
+      s"banding lost/invented pairs: missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    // twins perturb only pixels the 8x8 floor sampling never reads, so
+    // each (id, id+1e9) pair is hamming 0 by construction
+    val twinIds = payloads.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id >= 1000000000L).toSeq
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { t =>
+      assert(banded.contains((t - 1000000000L, t, 0L)),
+        s"planted twin pair for ${t - 1000000000L} not recovered")
+    }
+  }
 }

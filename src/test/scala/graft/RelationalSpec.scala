@@ -74,6 +74,40 @@ class RelationalSpec extends SparkSpec {
       (2L, 100L) -> None))     // other key's snapshots invisible
   }
 
+  test("forward asof join: >= semantics, null after last snapshot, " +
+      "simultaneous snapshot visible") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (1L, 16L), (2L, 100L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 50L, "z"))
+      .toDF("k", "ts", "v")
+    val got = ops.AsofJoin
+      .asofJoinForward(left, right, "k", "ts", "v", "next")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (1L, 5L) -> Some("a"),   // earliest at-or-after wins
+      (1L, 10L) -> Some("a"),  // exactly-equal ts IS visible (>=)
+      (1L, 16L) -> None,       // past the last snapshot (15)
+      (1L, 20L) -> None,       // likewise
+      (2L, 100L) -> None))     // other key's future is behind this ts
+  }
+
+  test("forward asof join: a null-valued next snapshot still wins over " +
+      "a later one") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 3L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, Option.empty[String]), (1L, 10L, Option("late")))
+      .toDF("k", "ts", "v")
+    val got = ops.AsofJoin.asofJoinForward(left, right, "k", "ts", "v", "next")
+      .collect().map(r => Option(r.getString(2)))
+    // ts=5 is the earliest at-or-after 3; its null value must not be
+    // skipped in favor of the later ts=10 value
+    assert(got.toSeq == Seq(None))
+  }
+
   test("range join equals brute-force inequality join") {
     val sp = spark
     import sp.implicits._
