@@ -261,6 +261,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("bucket"), s.take(1500))
   }
 
+  test("phash pairs: candidates are an equi-join on the band key, " +
+      "never a nested loop") {
+    val sigs = graft.ext.Multimodal.phashBandsOf(
+      graft.ext.Multimodal.phashPayloads(spark, sf))
+    val s = planString(graft.ext.Multimodal.phashPairs(sigs))
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      "banded phash join must never plan all-pairs:\n" + s.take(1500))
+    assert(s.contains("band"), s.take(1500))
+  }
+
   test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
     val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
     assert(s.contains("TakeOrderedAndProject"),
