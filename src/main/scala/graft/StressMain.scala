@@ -278,6 +278,17 @@ object StressMain {
     pair("token_drift")(
       c => ext.Corpus.tokenDriftOf(c, col("doc_id") % 2 === 0).count(),
       n => repDocs(docs, n))
+    // banded hamming pair join (phash/awhash share it): synthetic
+    // uniform 64-bit signatures from a salted xxhash of the id — the
+    // chance-candidate term n²·4/2¹⁶ is the quadratic-with-tiny-
+    // constant cost the 128-bit escalation path exists for; at this n
+    // the scan still dominates, which is the point of measuring it
+    pair("phash_band_pairs")(
+      c => ext.Multimodal.phashPairs(c).count(),
+      n => spark.range(n.toLong * 20000).select(
+        (col("id").as("doc_id") +: (0 until 4).map(k =>
+          pmod(xxhash64(col("id"), lit(k)), lit(65536))
+            .cast("int").as(s"b$k"))): _*))
     pair("pack_chunk_text")(
       c => ext.Chunking.packChunkTextOf(c).count(),
       n => repDocs(docs, n))

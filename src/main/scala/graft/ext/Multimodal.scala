@@ -669,10 +669,16 @@ object Multimodal {
     */
   def phashPayloads(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    mediaTable(s, dir, "phash") {
+    {
+      // resolve the base table BEFORE entering the cache: a nested
+      // computeIfAbsent on the same map throws "Recursive update"
+      // (surfaced by the isolated-key bench, where no earlier key had
+      // populated the png entry)
+      val baseDf = imagePayloads(s, dir)
+      mediaTable(s, dir, "phash") {
       val sp = s
       import sp.implicits._
-      val base = imagePayloads(s, dir).as[(Long, Array[Byte])]
+      val base = baseDf.as[(Long, Array[Byte])]
       val twins = base.filter(_._1 % 37 == 0).mapPartitions(_.map {
         case (id, bytes) =>
           val d = ImageCodec.decode(bytes)
@@ -689,6 +695,7 @@ object Multimodal {
             ImageCodec.DecodedImage(d.width, d.height, 3, px)))
       })
       base.union(twins).toDF("doc_id", "payload")
+      }
     }
 
   /** 8×8 thumbnail rasters of the phash corpus (base + twins),
@@ -805,7 +812,136 @@ object Multimodal {
           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
           <= $PhashHamMax"""))
 
+  // --- audio envelope-hash dedup --------------------------------------
+
+  /** 64-frame energy envelope of a decoded PCM stream: frame f sums
+    * |sample| over samples [f·n/64, (f+1)·n/64) — all-integer, the
+    * audio analog of the 8×8 gray thumbnail. */
+  def awhashEnergies(d: AudioCodec.DecodedAudio): Array[Long] = {
+    val n = d.samples.length
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      e(i * 64 / n) += math.abs(d.samples(i).toInt)
+      i += 1
+    }
+    e
+  }
+
+  /** Base WAV corpus plus deterministic near-duplicate twins: every
+    * `doc_id % 41 == 0` stream re-encoded with one +1/−1 tweak applied
+    * to an adjacent same-sign, same-frame sample pair — the frame's
+    * |·|-energy sum is EXACTLY unchanged, so the twin has different
+    * payload bytes but an identical envelope hash (the phash twin
+    * trick, in samples). Twin ids offset by +1e9. */
+  def awhashPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    {
+      // same pre-resolution as phashPayloads: no nested computeIfAbsent
+      val baseDf = wavPayloads(s, dir)
+      mediaTable(s, dir, "awhash") {
+      val sp = s
+      import sp.implicits._
+      val base = baseDf.as[(Long, Array[Byte])]
+      val twins = base.filter(_._1 % 41 == 0).mapPartitions(_.map {
+        case (id, wav) =>
+          val d = AudioCodec.decodeWav(wav)
+          val px = d.samples.clone()
+          val n = px.length
+          var j = 0
+          var done = false
+          while (!done && j + 1 < n) {
+            val sameFrame = j * 64 / n == (j + 1) * 64 / n
+            val a = px(j).toInt
+            val b = px(j + 1).toInt
+            if (sameFrame &&
+                ((a > 0 && b > 0 && a < Short.MaxValue && b > 1) ||
+                 (a < 0 && b < 0 && a > Short.MinValue + 1 && b < -1))) {
+              // same sign, no clip risk: |a±1| + |b∓1| == |a| + |b|
+              if (a > 0) { px(j) = (a + 1).toShort; px(j + 1) = (b - 1).toShort }
+              else { px(j) = (a - 1).toShort; px(j + 1) = (b + 1).toShort }
+              done = true
+            }
+            j += 1
+          }
+          (id + PhashTwinOffset, AudioCodec.encodeWav(px))
+      })
+      base.union(twins).toDF("doc_id", "payload")
+      }
+    }
+
+  /** Envelope tables for the oracle — 64 frame energies per doc. */
+  private def awhashEnergyRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "awhash") {
+      val sp = s
+      import sp.implicits._
+      awhashPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, wav) =>
+          (id, awhashEnergies(AudioCodec.decodeWav(wav)))
+        })
+        .toDF("doc_id", "e")
+    }
+
+  /** 64-bit envelope hash per audio stream as 4×16-bit bands — bit f
+    * set iff 64·energy_f ≥ Σenergy, the same all-integer mean compare
+    * as the image aHash, so the DuckDB replay is exact. */
+  def awhashBandsOf(payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = payloads.sparkSession
+    import sp.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, wav) =>
+        val e = awhashEnergies(AudioCodec.decodeWav(wav))
+        val tot = e.sum
+        val bits = e.map(v => if (64L * v >= tot) 1 else 0)
+        val bands = (0 until 4).map(k =>
+          (0 until 16).map(j => bits(16 * k + j) << j).sum)
+        (id, bands(0), bands(1), bands(2), bands(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Audio near-dup dedup over real WAV payloads — the audio face of
+    * [[phashDedup]], sharing its banded pair join verbatim (the band
+    * schema is the contract, not the modality). Same exact-O(n²)
+    * oracle discipline proving the pigeonhole candidates lossless. */
+  val awhashDedup = QueryDef(
+    "multimodal_awhash_dedup",
+    (s, dir) => {
+      awhashEnergyRaster(s, dir): Unit
+      phashPairs(graft.Work.materialize("awhash_sigs",
+        awhashBandsOf(awhashPayloads(s, dir))))
+    },
+    Some(s"""
+      WITH x AS (
+        SELECT doc_id, unnest(range(0, 64)) AS i, e
+        FROM read_parquet('${rasterSqlPath("awhash")}/*.parquet')),
+      p AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+               e[CAST(i + 1 AS INT)] AS g
+        FROM x),
+      t AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS tot FROM p GROUP BY 1),
+      bits AS (
+        SELECT p.doc_id, p.i,
+               CASE WHEN 64 * p.g >= t.tot THEN 1 ELSE 0 END AS bit
+        FROM p JOIN t USING (doc_id)),
+      bands AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b0,
+               CAST(sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b1,
+               CAST(sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b2,
+               CAST(sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b3
+        FROM bits GROUP BY 1)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+               AS BIGINT) AS hamming
+      FROM bands x JOIN bands y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $PhashHamMax"""))
+
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, audio, featurize,
-      resize, phashDedup)
+      resize, phashDedup, awhashDedup)
 }

@@ -1019,4 +1019,41 @@ class ExtSpec extends SparkSpec {
         s"planted twin pair for ${t - 1000000000L} not recovered")
     }
   }
+
+  test("awhash dedup: banded pairs equal brute force; twins differ in " +
+      "bytes yet hash identically") {
+    val payloads = ext.Multimodal.awhashPayloads(spark, sf)
+    val sigs = ext.Multimodal.awhashBandsOf(payloads)
+    val banded = ext.Multimodal.phashPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sv = sigs.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    val brute = (for {
+      (a, ba) <- sv; (b, bb) <- sv if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute,
+      s"banding lost/invented pairs: missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    // the +1/-1 same-frame tweak keeps every frame energy exact: twins
+    // are hamming 0 even though their payload bytes differ
+    val byId = payloads.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val twinIds = byId.keys.filter(_ >= 1000000000L).toSeq
+    assert(twinIds.nonEmpty)
+    var perturbed = 0
+    twinIds.foreach { t =>
+      assert(banded.contains((t - 1000000000L, t, 0L)),
+        s"planted audio twin for ${t - 1000000000L} not recovered")
+      if (!java.util.Arrays.equals(byId(t), byId(t - 1000000000L)))
+        perturbed += 1
+    }
+    // near-dups, not copies: the tweak must have applied to (nearly)
+    // every twin — a sine+noise render always has an adjacent
+    // same-sign in-frame pair
+    assert(perturbed == twinIds.size,
+      s"only $perturbed/${twinIds.size} twins actually perturbed")
+  }
 }
