@@ -724,20 +724,25 @@ object Multimodal {
     * non-negative int — xor/bit_count then agree across engines
     * without the signed-overflow replay dance the 64-bit SimHash
     * needs. */
+  /** aHash band arithmetic over an 8×8 thumb — shared by the image and
+    * video hashes (and mirrored for audio over frame energies). */
+  private def aHashBands(t: ImageCodec.DecodedImage): IndexedSeq[Int] = {
+    val gray = t.argb.map(p =>
+      ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF))
+    val tot = gray.foldLeft(0L)(_ + _)
+    val bits = gray.map(g => if (64L * g >= tot) 1 else 0)
+    (0 until 4).map(k => (0 until 16).map(j => bits(16 * k + j) << j).sum)
+  }
+
   def phashBandsOf(payloads: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val sp = payloads.sparkSession
     import sp.implicits._
     payloads.as[(Long, Array[Byte])].mapPartitions(_.map {
       case (id, bytes) =>
-        val t = ImageCodec.resizeNearest(ImageCodec.decode(bytes), 8, 8)
-        val gray = t.argb.map(p =>
-          ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF))
-        val tot = gray.foldLeft(0L)(_ + _)
-        val bits = gray.map(g => if (64L * g >= tot) 1 else 0)
-        val bands = (0 until 4).map(k =>
-          (0 until 16).map(j => bits(16 * k + j) << j).sum)
-        (id, bands(0), bands(1), bands(2), bands(3))
+        val b = aHashBands(
+          ImageCodec.resizeNearest(ImageCodec.decode(bytes), 8, 8))
+        (id, b(0), b(1), b(2), b(3))
     }).toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
@@ -941,7 +946,124 @@ object Multimodal {
           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
           <= $PhashHamMax"""))
 
+  // --- video keyframe-hash dedup --------------------------------------
+
+  /** Base AVI corpus plus deterministic near-duplicate twins
+    * (`doc_id % 43 == 0`, ids +1e9): the MIDDLE frame gets the phash
+    * pixel tweak (4 recolors at positions the 8×8 floor sampling never
+    * reads) and every OTHER frame gets 4 arbitrary recolors — the twin
+    * differs across multiple frames yet its keyframe hash is identical
+    * by construction. */
+  def vhashPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val baseDf = aviPayloads(s, dir) // resolve before the cache (no
+                                     // nested computeIfAbsent)
+    mediaTable(s, dir, "vhash") {
+      val sp = s
+      import sp.implicits._
+      val base = baseDf.as[(Long, Array[Byte])]
+      val twins = base.filter(_._1 % 43 == 0).mapPartitions(_.map {
+        case (id, avi) =>
+          val fs = VideoCodec.decodeAviFrames(avi)
+          val mid = (fs.length - 1) / 2
+          val out = fs.zipWithIndex.map { case (f, i) =>
+            val px = f.argb.clone()
+            if (i == mid) {
+              val sampled = (for (y <- 0 until 8; x <- 0 until 8)
+                yield (y * f.height / 8) * f.width + x * f.width / 8).toSet
+              var changed = 0
+              var j = 0
+              while (changed < 4 && j < px.length) {
+                if (!sampled(j)) { px(j) = 0xFFFF00FF; changed += 1 }
+                j += 1
+              }
+            } else {
+              var j = 0
+              while (j < 4 && j < px.length) { px(j) = 0xFF00FF00; j += 1 }
+            }
+            ImageCodec.DecodedImage(f.width, f.height, 3, px)
+          }
+          (id + PhashTwinOffset, VideoCodec.encodeAvi(out))
+      })
+      base.union(twins).toDF("doc_id", "payload")
+    }
+  }
+
+  /** Middle-frame 8×8 thumbs for the oracle. */
+  private def vhashThumbRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "vhash") {
+      val sp = s
+      import sp.implicits._
+      vhashPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, avi) =>
+          val fs = VideoCodec.decodeAviFrames(avi)
+          val t = ImageCodec.resizeNearest(fs((fs.length - 1) / 2), 8, 8)
+          (id, t.width, t.height, t.argb.map(_ & 0xFFFFFF))
+        })
+        .toDF("doc_id", "width", "height", "px")
+    }
+
+  /** Keyframe aHash per video — demux the REAL AVI container, hash the
+    * middle frame through the shared [[aHashBands]] arithmetic. The
+    * standard thumbnail-dedup first pass; a full temporal variant
+    * (per-frame hashes, any-frame band match, aligned-frame verify)
+    * composes from the same pieces when a corpus needs it. */
+  def vhashBandsOf(payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = payloads.sparkSession
+    import sp.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, avi) =>
+        val fs = VideoCodec.decodeAviFrames(avi)
+        val b = aHashBands(
+          ImageCodec.resizeNearest(fs((fs.length - 1) / 2), 8, 8))
+        (id, b(0), b(1), b(2), b(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Video near-dup dedup — the third face of the perceptual-dedup
+    * triad (image [[phashDedup]], audio [[awhashDedup]]), same banded
+    * pair join, same exact-O(n²) oracle discipline. */
+  val vhashDedup = QueryDef(
+    "multimodal_vhash_dedup",
+    (s, dir) => {
+      vhashThumbRaster(s, dir): Unit
+      phashPairs(graft.Work.materialize("vhash_sigs",
+        vhashBandsOf(vhashPayloads(s, dir))))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT doc_id, unnest(range(0, 64)) AS i, px
+        FROM read_parquet('${rasterSqlPath("vhash")}/*.parquet')),
+      p AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+               px[CAST(i + 1 AS INT)] // 65536
+                 + (px[CAST(i + 1 AS INT)] // 256) % 256
+                 + px[CAST(i + 1 AS INT)] % 256 AS g
+        FROM e),
+      t AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS tot FROM p GROUP BY 1),
+      bits AS (
+        SELECT p.doc_id, p.i,
+               CASE WHEN 64 * p.g >= t.tot THEN 1 ELSE 0 END AS bit
+        FROM p JOIN t USING (doc_id)),
+      bands AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b0,
+               CAST(sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b1,
+               CAST(sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b2,
+               CAST(sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS b3
+        FROM bits GROUP BY 1)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+               AS BIGINT) AS hamming
+      FROM bands x JOIN bands y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          <= $PhashHamMax"""))
+
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, audio, featurize,
-      resize, phashDedup, awhashDedup)
+      resize, phashDedup, awhashDedup, vhashDedup)
 }

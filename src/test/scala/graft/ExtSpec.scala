@@ -1056,4 +1056,41 @@ class ExtSpec extends SparkSpec {
     assert(perturbed == twinIds.size,
       s"only $perturbed/${twinIds.size} twins actually perturbed")
   }
+
+  test("vhash dedup: banded pairs equal brute force; video twins differ " +
+      "in EVERY frame yet keyframe-hash identically") {
+    val payloads = ext.Multimodal.vhashPayloads(spark, sf)
+    val sigs = ext.Multimodal.vhashBandsOf(payloads)
+    val banded = ext.Multimodal.phashPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sv = sigs.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    val brute = (for {
+      (a, ba) <- sv; (b, bb) <- sv if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute,
+      s"banding lost/invented pairs: missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    val byId = payloads.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val twinIds = byId.keys.filter(_ >= 1000000000L).toSeq
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { t =>
+      assert(banded.contains((t - 1000000000L, t, 0L)),
+        s"planted video twin for ${t - 1000000000L} not recovered")
+      // a genuine near-dup: every frame's raster changed, not just the
+      // container bytes
+      val fa = ext.VideoCodec.decodeAviFrames(byId(t - 1000000000L))
+        .map(f => ext.ImageCodec.pixelSha(f))
+      val fb = ext.VideoCodec.decodeAviFrames(byId(t))
+        .map(f => ext.ImageCodec.pixelSha(f))
+      assert(fa.length == fb.length)
+      fa.zip(fb).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x != y, s"twin of ${t - 1000000000L}: frame $i unchanged")
+      }
+    }
+  }
 }
