@@ -502,12 +502,22 @@ object StressMain {
     // interval join's honest linear cost
     locally {
       val events = Tables(spark, dir, "events")
+      // USER-salted replicas: the day-shifted replication the windowed
+      // rows use leaves replicas overlapping in time (30-day span,
+      // 1-day shifts), which DENSIFIES every user's 6 h lookback 8× —
+      // for the one interval-join-shaped operator that is quadratic in
+      // per-user density, the measured 8× ratio was ~89 with output up
+      // 58.7× (per-ROW cost grew only ~1.5×: the data, not the plan).
+      // Disjoint per-replica user ids keep per-user density constant,
+      // so the row measures the operator's growth, as the disjoint
+      // shingle/catalog salts do for the join-shaped text ops.
       def repEvents(n: Int): DataFrame =
         (0 until n).map { r =>
           events.select(
             (col("event_id") + lit(r * 1000000000L)).as("event_id"),
             (col("ts") + lit(r * 86400L * 1000000000L)).as("ts"),
-            col("user_id"), col("event_type"), col("value"), col("props"))
+            (col("user_id") + lit(r * 1000000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
         }.reduce(_ unionAll _)
       pair("attribution_multi")(
         e => ops.Funnel.multiTouchOf(e).count(),
