@@ -30,8 +30,12 @@ import org.apache.spark.sql.types.IntegerType
   *   - live session: `GraftFunctions.register(spark)` (tests, REPLs)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // whole-plan optimizer rules (each a no-op until its hint conf is
+    // set): auto range-join grid rewrite
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftFunctions {

@@ -47,6 +47,9 @@ object GraftSession {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(s)
+    // whole-plan optimizer extensions (no-ops until their hint conf is
+    // set — see RangeJoinRewrite.BinConf)
+    graft.plans.RangeJoinRewrite.ensureRegistered(s)
     s
   }
 

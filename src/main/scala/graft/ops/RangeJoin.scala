@@ -63,5 +63,43 @@ object RangeJoin {
       FROM iv JOIN ev ON ev.tsu >= iv.lo AND ev.tsu < iv.hi
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(rangeCount)
+  /** The SAME query as [[rangeCount]], but written as the PLAIN
+    * inequality join a user would naturally write — no manual grid —
+    * and optimized by the injected
+    * [[graft.plans.RangeJoinRewrite]] rule under the
+    * `spark.graft.rangeJoin.binSize` hint. PlanSpec pins that the
+    * rewrite actually fires (no nested-loop join in the physical
+    * plan); this key proves it end-to-end against the same DuckDB
+    * IEJoin oracle. The hint conf stays set on the session — the rule
+    * only ever touches inner joins with NO equi key and BOTH range
+    * bounds, which would otherwise plan as nested loops anyway.
+    */
+  val rangeCountAuto = QueryDef(
+    "range_join_auto",
+    (s, dir) => {
+      graft.plans.RangeJoinRewrite.ensureRegistered(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.BinConf, "1800000000")
+      val halfHourUs = 1800000000L
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tsu"))
+      val iv = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("iv_id"),
+          (col("tsu") - halfHourUs).as("lo"),
+          (col("tsu") + halfHourUs).as("hi"))
+      ev.join(iv, col("tsu") >= col("lo") && col("tsu") < col("hi"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT event_id AS iv_id,
+               epoch_us(ts) - 1800000000 AS lo,
+               epoch_us(ts) + 1800000000 AS hi
+        FROM events WHERE event_id % 50 = 0),
+      ev AS (SELECT event_id, epoch_us(ts) AS tsu FROM events)
+      SELECT iv_id, count(*) AS n_events
+      FROM iv JOIN ev ON ev.tsu >= iv.lo AND ev.tsu < iv.hi
+      GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(rangeCount, rangeCountAuto)
 }

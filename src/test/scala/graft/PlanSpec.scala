@@ -272,6 +272,38 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("band"), s.take(1500))
   }
 
+  test("range-join rewrite: hinted inequality join plans as an equi-join, " +
+      "unhinted stays a nested loop") {
+    import org.apache.spark.sql.functions.col
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    val pts = (0L to 1000L).map(i => i * 7L).toDF("pt")
+    val ivs = Seq((0L, 50L, 1), (40L, 200L, 2), (600L, 700L, 3))
+      .toDF("lo", "hi", "id")
+    def planOfJoin(): String = {
+      val df = pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))
+      planString(df)
+    }
+    spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+    val unhinted = planOfJoin()
+    assert(unhinted.contains("BroadcastNestedLoopJoin") ||
+      unhinted.contains("CartesianProduct"),
+      "negative control: without the hint Spark has no equi key:\n" +
+        unhinted.take(1200))
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "64")
+      val hinted = planOfJoin()
+      assert(!hinted.contains("BroadcastNestedLoopJoin") &&
+        !hinted.contains("CartesianProduct"),
+        "hinted range join must rewrite to the grid equi-join:\n" +
+          hinted.take(1200))
+      assert(hinted.contains("__graft_pt_cell") ||
+        hinted.contains("HashJoin") || hinted.contains("SortMergeJoin"),
+        hinted.take(1200))
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+  }
+
   test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
     val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
     assert(s.contains("TakeOrderedAndProject"),

@@ -108,6 +108,34 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(None))
   }
 
+  test("auto range-join rewrite equals the unrewritten join on a signed " +
+      "domain, including empty and point-sized intervals") {
+    import org.apache.spark.sql.functions.col
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    // signed points: truncating cell division must stay monotone and
+    // the residual filter must fix every edge
+    val pts = (-300L to 300L).map(i => i * 7L).toDF("pt")
+    val ivs = Seq((-2000L, -1900L, 1), (-50L, 50L, 2), (0L, 1L, 3),
+      (100L, 100L, 4), (1999L, 2100L, 5)).toDF("lo", "hi", "id")
+    def run(): Set[(Int, Long)] =
+      pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))
+        .select("id", "pt").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+    val brute = run()
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "64")
+      val rewritten = run()
+      assert(rewritten == brute,
+        s"missing=${(brute -- rewritten).take(3)} extra=${(rewritten -- brute).take(3)}")
+      assert(brute.nonEmpty)
+      // empty interval (4) matches nothing under either plan
+      assert(!brute.exists(_._1 == 4))
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+  }
+
   test("range join equals brute-force inequality join") {
     val sp = spark
     import sp.implicits._
