@@ -217,7 +217,10 @@ object Bench {
       "event_funnel_windowed", "join_size_estimate",
       "approx_distinct_union", "stream_window_topk",
       "stream_window_approx_users", "doc_length_histogram",
-      "vocab_oov_rate")
+      "vocab_oov_rate", "multimodal_phash_dedup",
+      "multimodal_awhash_dedup", "multimodal_vhash_dedup",
+      "token_drift", "text_html_strip", "asof_join_forward",
+      "range_join_auto")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
     // stdout map: headline/q-series keys, capped to the SLOWEST 40 by
