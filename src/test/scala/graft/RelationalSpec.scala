@@ -133,6 +133,30 @@ class RelationalSpec extends SparkSpec {
       assert(brute.nonEmpty)
       // empty interval (4) matches nothing under either plan
       assert(!brute.exists(_._1 == 4))
+      // REVERSED orientation: intervals on the LEFT, points on the
+      // RIGHT — exercises the rule's ptOnLeft=false branch and pins
+      // that output column order survives the rewrite
+      val revBrute = {
+        spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+        ivs.join(pts, col("pt") >= col("lo") && col("pt") < col("hi"))
+          .select("id", "pt").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+      }
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "64")
+      val revRewritten =
+        ivs.join(pts, col("pt") >= col("lo") && col("pt") < col("hi"))
+          .select("id", "pt").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(revRewritten == revBrute && revBrute == brute)
+      // null bounds: the cell becomes null and the equi-join drops the
+      // row, exactly like the original null-rejecting comparison
+      val ivsNull = Seq((Option(-50L), Option(50L), 2),
+        (Option.empty[Long], Option(50L), 6),
+        (Option(-50L), Option.empty[Long], 7)).toDF("lo", "hi", "id")
+      val nullGot =
+        pts.join(ivsNull, col("pt") >= col("lo") && col("pt") < col("hi"))
+          .select("id").distinct().collect().map(_.getInt(0)).toSet
+      assert(nullGot == Set(2), s"null-bound intervals must match nothing: $nullGot")
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
   }
 
