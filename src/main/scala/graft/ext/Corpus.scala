@@ -634,8 +634,9 @@ object Corpus {
     * top-N boundary.
     *
     * Scale: one (token) shuffle with map-side combine for the per-side
-    * counts; the two slice totals are a single 1-row aggregate
-    * cross-broadcast onto the count rows; top-N is
+    * counts; the two slice totals fold from the vocabulary-sized
+    * count rows (one corpus scan total, not two) into a single 1-row
+    * aggregate cross-broadcast onto the counts; top-N is
     * TakeOrderedAndProject. Vocabulary-sized intermediates only —
     * never doc×token, nothing driver-side. Contract: each side must
     * contain at least one token (an empty slice has no distribution
@@ -649,8 +650,12 @@ object Corpus {
       .filter(length(col("token")) > 0)
     val counts = toks.groupBy("token")
       .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
-    val totals = toks
-      .agg(sum(col("a")).as("ta"), sum(lit(1L) - col("a")).as("tb"))
+    // totals fold from the vocabulary-sized counts — Σca ≡ Σa over the
+    // raw tokens, so the corpus is scanned and tokenized exactly ONCE
+    // (the first cut re-aggregated the raw token stream for the
+    // totals, doubling the dominant scan+explode cost)
+    val totals = counts
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
     counts.crossJoin(broadcast(totals))
       .select(col("token"), col("ca"), col("cb"),
         expr("ca * 1000000 div ta").as("fa_ppm"),
