@@ -30,6 +30,19 @@ final case class BandedDocTs(band: Int, bucket: Long, doc_id: Long,
 final case class NearDupPair(a: Long, b: Long, n_common: Int,
     n_a: Int, n_b: Int)
 
+/** One perceptual-hash signature in one pigeonhole band bucket —
+  * the full 4-band signature rides along so the in-state verify can
+  * compute exact hamming (16 bytes/occupant; a doc occupies ≤4
+  * buckets). */
+final case class PhashBucketed(band: Int, bval: Int, doc_id: Long,
+    b0: Int, b1: Int, b2: Int, b3: Int) {
+  def bands: Array[Int] = Array(b0, b1, b2, b3)
+}
+
+/** A verified perceptual near-dup pair (same contract as the batch
+  * Multimodal.phashPairs row). */
+final case class PhashPair(a: Long, b: Long, hamming: Long)
+
 /** One cluster-assigned vector flowing into the semantic-dedup
   * stateful prune. */
 final case class ClusterVec(cid: Long, vec_id: Long, e: Seq[Double])
@@ -90,6 +103,84 @@ object StreamingDedup {
       .groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(verifyAgainstState)
+  }
+
+  /** Streaming perceptual near-dup pairs — the real-time face of
+    * [[graft.ext.Multimodal.phashPairs]], over ANY of the aHash-band
+    * signature streams (image thumbs, audio envelopes, video
+    * keyframes — the band schema is the contract). Keyed state per
+    * (band, bval) pigeonhole bucket holds the signatures seen in that
+    * bucket; each arrival verifies exact hamming against the bucket's
+    * occupants and emits pairs in append mode.
+    *
+    * EXACTLY-ONCE across buckets without a post-hoc distinct (the
+    * batch face dedups with `.distinct()` — a streaming append sink
+    * cannot): a pair within hamming ≤ 3 shares ≥1 band, possibly
+    * several, and every sharing bucket sees both signatures — so each
+    * bucket recomputes, locally and deterministically, the pair's
+    * FIRST shared band from the two full signatures it already holds,
+    * and only the bucket whose band index equals it emits. No
+    * cross-bucket coordination, no duplicate emission, no loss.
+    *
+    * State contract matches [[nearDupPairsStream]]: NoTimeout base
+    * form (state ∝ bucket occupancy forever — bounded by the corpus,
+    * the right default for a bounded backfill), with the
+    * retention-eviction pattern of [[nearDupPairsStreamWithRetention]]
+    * composing the same way when an infinite stream needs it.
+    * In-batch arrivals process in doc_id order, so replay after a
+    * crash reproduces identical pair sets.
+    *
+    * sigs: streaming DataFrame with (doc_id LONG, b0..b3 INT).
+    */
+  def phashPairsStream(sigs: DataFrame,
+      maxHamming: Int = 3): Dataset[PhashPair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "bval")
+      .select(col("band").cast("int"), col("bval").cast("int"),
+        col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .as[PhashBucketed]
+      .groupByKey(d => (d.band, d.bval))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(verifyPhashBucket(maxHamming))
+  }
+
+  private[streaming] def verifyPhashBucket(maxHamming: Int)(
+      key: (Int, Int), rows: Iterator[PhashBucketed],
+      state: GroupState[Seq[PhashBucketed]]): Iterator[PhashPair] = {
+    var seen = state.getOption.getOrElse(Seq.empty).toVector
+    val out = scala.collection.mutable.ArrayBuffer.empty[PhashPair]
+    def hamming(x: Array[Int], y: Array[Int]): Int = {
+      var h = 0; var i = 0
+      while (i < 4) { h += java.lang.Integer.bitCount(x(i) ^ y(i)); i += 1 }
+      h
+    }
+    rows.toArray.sortBy(_.doc_id).foreach { d =>
+      val db = d.bands
+      seen.foreach { s =>
+        if (s.doc_id != d.doc_id) {
+          val sb = s.bands
+          val h = hamming(sb, db)
+          if (h <= maxHamming) {
+            // first shared band decides the emitting bucket — both
+            // sides' full signatures are local, so every sharing
+            // bucket computes the same answer
+            val firstShared = (0 until 4).find(k => sb(k) == db(k))
+            if (firstShared.contains(key._1)) {
+              val (a, b) = if (s.doc_id < d.doc_id) (s.doc_id, d.doc_id)
+                else (d.doc_id, s.doc_id)
+              out += PhashPair(a, b, h.toLong)
+            }
+          }
+        }
+      }
+      seen :+= d
+    }
+    state.update(seen)
+    out.iterator
   }
 
   /** Retention-bounded variant — "dedup within the last N days", the

@@ -1502,6 +1502,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming perceptual near-dup pairs equal the batch banded join " +
+      "with no cross-bucket duplicates") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real signatures from the planted phash corpus (base + twins)
+    val sigs = graft.ext.Multimodal.phashBandsOf(
+      graft.ext.Multimodal.phashPayloads(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Int, Int, Int)]
+    val q = graft.streaming.StreamingDedup
+      .phashPairsStream(ms.toDF().toDF("doc_id", "b0", "b1", "b2", "b3"))
+      .toDF().writeStream
+      .format("memory").queryName("t_phashstream").outputMode("append")
+      .option("checkpointLocation", s"${freshDir("phashstream")}/ckpt")
+      .start()
+    // split so twin pairs straddle the batch boundary: state must carry
+    // batch 1's signatures into batch 2's verification
+    val (b1, b2) = sigs.sortBy(_._1).splitAt(sigs.length / 2)
+    ms.addData(b1.toSeq)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("t_phashstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no duplicate emissions: the first-shared-band rule must fire in
+    // exactly one bucket per pair
+    assert(emitted.length == emitted.distinct.length,
+      s"duplicate pair emissions: ${emitted.groupBy(identity).collect { case (k, v) if v.length > 1 => k }.take(3).toSeq}")
+    val want = graft.ext.Multimodal.phashPairs(
+      graft.ext.Multimodal.phashBandsOf(
+        graft.ext.Multimodal.phashPayloads(spark, sf))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted.toSet == want,
+      s"missing=${(want -- emitted.toSet).take(3)} extra=${(emitted.toSet -- want).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming count-min: shard grids sum to the batch grid exactly") {
     val sp = spark
     import sp.implicits._
