@@ -43,6 +43,15 @@ final case class PhashBucketed(band: Int, bval: Int, doc_id: Long,
   * Multimodal.phashPairs row). */
 final case class PhashPair(a: Long, b: Long, hamming: Long)
 
+/** [[PhashBucketed]] plus the doc's event time — the retention-bounded
+  * perceptual variant's clock (the watermarked TIMESTAMP itself rides
+  * through, as in [[BandedDocTs]]). */
+final case class PhashBucketedTs(band: Int, bval: Int, doc_id: Long,
+    b0: Int, b1: Int, b2: Int, b3: Int, ts_t: java.sql.Timestamp) {
+  def bands: Array[Int] = Array(b0, b1, b2, b3)
+  def tsMs: Long = ts_t.getTime
+}
+
 /** One cluster-assigned vector flowing into the semantic-dedup
   * stateful prune. */
 final case class ClusterVec(cid: Long, vec_id: Long, e: Seq[Double])
@@ -146,6 +155,88 @@ object StreamingDedup {
       .groupByKey(d => (d.band, d.bval))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(verifyPhashBucket(maxHamming))
+  }
+
+  /** Retention-bounded perceptual variant — the same "near-dups within
+    * the last N days" contract as [[nearDupPairsStreamWithRetention]],
+    * for the aHash signature streams: pairs are reported iff the two
+    * docs' event times are within `retentionMs` (enforced in the
+    * predicate — timeouts only fire for idle groups, so a
+    * batch-boundary race could otherwise resurrect expired pairs),
+    * bucket state prunes against the WATERMARK's retention window, and
+    * idle buckets are evicted by event-time timeout. State is bounded
+    * by stream rate × retention instead of corpus lifetime.
+    *
+    * sigs: streaming DataFrame with (doc_id LONG, b0..b3 INT,
+    * <tsCol> TIMESTAMP) and `withWatermark(tsCol, ...)` applied.
+    */
+  def phashPairsStreamWithRetention(sigs: DataFrame, tsCol: String,
+      retentionMs: Long, maxHamming: Int = 3): Dataset[PhashPair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs
+      .filter(col(tsCol).isNotNull)
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col(tsCol).as("ts_t"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "ts_t", "band", "bval")
+      .select(col("band").cast("int"), col("bval").cast("int"),
+        col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("ts_t"))
+      .as[PhashBucketedTs]
+      .groupByKey(d => (d.band, d.bval))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        verifyPhashWithRetention(maxHamming, retentionMs))
+  }
+
+  private[streaming] def verifyPhashWithRetention(maxHamming: Int,
+      retentionMs: Long)(
+      key: (Int, Int), rows: Iterator[PhashBucketedTs],
+      state: GroupState[Seq[PhashBucketedTs]]): Iterator[PhashPair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val fresh = rows.filter(_.ts_t != null).toArray.sortBy(_.doc_id)
+    if (fresh.isEmpty) return Iterator.empty
+    val wm = state.getCurrentWatermarkMs()
+    // only state older than wm - retention can never pair again — the
+    // safe prune bound (not this batch's max: a late-but-valid arrival
+    // can be older)
+    var seen = state.getOption.getOrElse(Seq.empty).toVector
+      .filter(_.tsMs >= wm - retentionMs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PhashPair]
+    def hamming(x: Array[Int], y: Array[Int]): Int = {
+      var h = 0; var i = 0
+      while (i < 4) { h += java.lang.Integer.bitCount(x(i) ^ y(i)); i += 1 }
+      h
+    }
+    fresh.foreach { d =>
+      val db = d.bands
+      seen.foreach { s =>
+        if (s.doc_id != d.doc_id &&
+            math.abs(d.tsMs - s.tsMs) <= retentionMs) {
+          val sb = s.bands
+          val h = hamming(sb, db)
+          if (h <= maxHamming) {
+            val firstShared = (0 until 4).find(k => sb(k) == db(k))
+            if (firstShared.contains(key._1)) {
+              val (a, b) = if (s.doc_id < d.doc_id) (s.doc_id, d.doc_id)
+                else (d.doc_id, s.doc_id)
+              out += PhashPair(a, b, h.toLong)
+            }
+          }
+        }
+      }
+      seen :+= d
+    }
+    state.update(seen)
+    // GC armed from retained state's max event time (arming from this
+    // batch alone could regress the timeout on a late-only batch)
+    state.setTimeoutTimestamp(
+      math.max(seen.map(_.tsMs).max + retentionMs, wm + 1))
+    out.iterator
   }
 
   private[streaming] def verifyPhashBucket(maxHamming: Int)(

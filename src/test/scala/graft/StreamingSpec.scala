@@ -1543,6 +1543,50 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("retention-bounded perceptual pairs: in-window dup reported, " +
+      "beyond-retention dup suppressed, idle buckets evicted") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val R = 60000L // 1 min retention (ms)
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Int, Int, Int, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingDedup
+      .phashPairsStreamWithRetention(
+        ms.toDF().toDF("doc_id", "b0", "b1", "b2", "b3", "ts")
+          .withWatermark("ts", "1 second"),
+        "ts", retentionMs = R)
+      .toDF().writeStream
+      .format("memory").queryName("t_phashret").outputMode("append")
+      .option("checkpointLocation", s"${freshDir("phashret")}/ckpt")
+      .start()
+    // batch 1: first sightings — A(1) and B(3), unrelated bands
+    ms.addData(Seq((1L, 1, 2, 3, 4, ts(t0)), (3L, 5, 6, 7, 8, ts(t0))))
+    q.processAllAvailable()
+    // batch 2: A's dup lands inside retention, B's far outside it
+    ms.addData(Seq((2L, 1, 2, 3, 4, ts(t0 + R / 2)),
+      (4L, 5, 6, 7, 8, ts(t0 + 3 * R))))
+    q.processAllAvailable()
+    // two far-future sentinel batches: the second's watermark evicts
+    // every earlier bucket's state (incl. the first sentinel's)
+    ms.addData(Seq((100L, 9, 10, 11, 12, ts(t0 + 86400000L))))
+    q.processAllAvailable()
+    ms.addData(Seq((101L, 13, 14, 15, 16, ts(t0 + 2 * 86400000L))))
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    q.stop()
+    val got = spark.table("t_phashret").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L)),
+      s"expected only the in-retention pair: $got")
+    // each sentinel occupies 4 buckets; everything older is gone
+    assert(stateRows <= 4,
+      s"idle bucket state not evicted: $stateRows rows")
+  }
+
   test("streaming count-min: shard grids sum to the batch grid exactly") {
     val sp = spark
     import sp.implicits._
