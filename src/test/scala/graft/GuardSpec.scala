@@ -324,6 +324,38 @@ class GuardSpec extends SparkSpec {
       "no nodes, no scores — the rounds must tolerate an empty graph")
   }
 
+  test("range-join rewrite skips non-integral point types and joins " +
+      "that already have an equi key") {
+    import org.apache.spark.sql.functions.col
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "64")
+      // double-typed point: integer grid arithmetic doesn't apply —
+      // the rule must leave the join alone (still correct, still BNLJ)
+      val dpts = Seq(1.5, 42.0, 199.9).toDF("pt")
+      val divs = Seq((0.0, 50.0, 1), (40.0, 200.0, 2)).toDF("lo", "hi", "id")
+      val dj = dpts.join(divs, col("pt") >= col("lo") && col("pt") < col("hi"))
+      assert(dj.queryExecution.optimizedPlan.toString
+        .contains("Join Inner") &&
+        !dj.queryExecution.optimizedPlan.toString.contains("__graft_pt_cell"),
+        "non-integral point must not be grid-rewritten")
+      // 1.5→[0,50); 42→both; 199.9→[40,200): 4 rows via nested loop
+      assert(dj.count() == 4)
+      // equi-keyed range join: Spark hash-joins on the key; the rule
+      // must not touch it (idempotence relies on the same check)
+      val ep = Seq((1L, 10L), (1L, 60L), (2L, 10L)).toDF("k", "pt")
+      val ei = Seq((1L, 0L, 50L), (2L, 0L, 50L)).toDF("k", "lo", "hi")
+      val ej = ep.join(ei, ep("k") === ei("k") &&
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+      assert(!ej.queryExecution.optimizedPlan.toString
+        .contains("__graft_pt_cell"),
+        "equi-keyed join must not be grid-rewritten")
+      assert(ej.count() == 2)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+  }
+
   test("leaderboard snapshot swap: failed rename throws instead of " +
       "silently emptying history; crash between renames recovers from .old") {
     val sp = spark
