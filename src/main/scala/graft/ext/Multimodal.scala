@@ -821,13 +821,16 @@ object Multimodal {
 
   /** 64-frame energy envelope of a decoded PCM stream: frame f sums
     * |sample| over samples [f·n/64, (f+1)·n/64) — all-integer, the
-    * audio analog of the 8×8 gray thumbnail. */
+    * audio analog of the 8×8 gray thumbnail. The frame index is
+    * computed in Long: i*64 in Int overflows past ~33.5M samples
+    * (≈12 min at 48 kHz — well inside real podcast/audiobook inputs),
+    * which would scatter energies across frames and corrupt the hash. */
   def awhashEnergies(d: AudioCodec.DecodedAudio): Array[Long] = {
     val n = d.samples.length
     val e = new Array[Long](64)
     var i = 0
     while (i < n) {
-      e(i * 64 / n) += math.abs(d.samples(i).toInt)
+      e((i.toLong * 64 / n).toInt) += math.abs(d.samples(i).toInt)
       i += 1
     }
     e
@@ -856,7 +859,8 @@ object Multimodal {
           var j = 0
           var done = false
           while (!done && j + 1 < n) {
-            val sameFrame = j * 64 / n == (j + 1) * 64 / n
+            // Long index arithmetic, matching awhashEnergies exactly
+            val sameFrame = j.toLong * 64 / n == (j + 1).toLong * 64 / n
             val a = px(j).toInt
             val b = px(j + 1).toInt
             if (sameFrame &&

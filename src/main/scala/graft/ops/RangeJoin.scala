@@ -66,19 +66,23 @@ object RangeJoin {
   /** The SAME query as [[rangeCount]], but written as the PLAIN
     * inequality join a user would naturally write — no manual grid —
     * and optimized by the injected
-    * [[graft.plans.RangeJoinRewrite]] rule under the
-    * `spark.graft.rangeJoin.binSize` hint. PlanSpec pins that the
-    * rewrite actually fires (no nested-loop join in the physical
-    * plan); this key proves it end-to-end against the same DuckDB
-    * IEJoin oracle. The hint conf stays set on the session — the rule
-    * only ever touches inner joins with NO equi key and BOTH range
-    * bounds, which would otherwise plan as nested loops anyway.
+    * [[graft.plans.RangeJoinRewrite]] rule with the bin AUTO-DERIVED
+    * (round-10 punch #6: the manual binSize knob is gone; the rule
+    * proves the interval span statically from the shared `tsu ± c`
+    * base and picks bin = span, 2 cells per interval). PlanSpec pins
+    * that the rewrite actually fires (no nested-loop join in the
+    * physical plan); this key proves it end-to-end against the same
+    * DuckDB IEJoin oracle. The enable conf stays set on the session —
+    * safe by design: the rule only touches inner joins with NO equi
+    * key and BOTH range bounds (otherwise nested loops anyway), and
+    * every rewrite path is bounded (static cap / skip / overflow
+    * bucket), so inheritance cannot fail a later query.
     */
   val rangeCountAuto = QueryDef(
     "range_join_auto",
     (s, dir) => {
       graft.plans.RangeJoinRewrite.ensureRegistered(s)
-      s.conf.set(graft.plans.RangeJoinRewrite.BinConf, "1800000000")
+      s.conf.set(graft.plans.RangeJoinRewrite.EnabledConf, "true")
       val halfHourUs = 1800000000L
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), expr("ts div 1000").as("tsu"))

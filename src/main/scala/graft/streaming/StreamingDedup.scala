@@ -143,6 +143,11 @@ object StreamingDedup {
     */
   def phashPairsStream(sigs: DataFrame,
       maxHamming: Int = 3): Dataset[PhashPair] = {
+    // same guard as the batch phashPairs: beyond hamming 3 the 4-band
+    // pigeonhole no longer guarantees a shared band, so recall silently
+    // drops AND the first-shared-band exactly-once rule stops covering
+    // every qualifying pair
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
     val spark = sigs.sparkSession
     import spark.implicits._
     sigs
@@ -172,6 +177,7 @@ object StreamingDedup {
     */
   def phashPairsStreamWithRetention(sigs: DataFrame, tsCol: String,
       retentionMs: Long, maxHamming: Int = 3): Dataset[PhashPair] = {
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
     val spark = sigs.sparkSession
     import spark.implicits._
     sigs
@@ -213,6 +219,8 @@ object StreamingDedup {
       h
     }
     fresh.foreach { d =>
+      // replayed doc_id → no-op (same contract as verifyPhashBucket)
+      if (!seen.exists(_.doc_id == d.doc_id)) {
       val db = d.bands
       seen.foreach { s =>
         if (s.doc_id != d.doc_id &&
@@ -230,6 +238,7 @@ object StreamingDedup {
         }
       }
       seen :+= d
+      }
     }
     state.update(seen)
     // GC armed from retained state's max event time (arming from this
@@ -250,6 +259,10 @@ object StreamingDedup {
       h
     }
     rows.toArray.sortBy(_.doc_id).foreach { d =>
+      // a re-delivered signature (upstream replay / duplicate ingest)
+      // must be a no-op: appending it again would double bucket state
+      // and re-emit every pair involving this doc on later matches
+      if (!seen.exists(_.doc_id == d.doc_id)) {
       val db = d.bands
       seen.foreach { s =>
         if (s.doc_id != d.doc_id) {
@@ -269,6 +282,7 @@ object StreamingDedup {
         }
       }
       seen :+= d
+      }
     }
     state.update(seen)
     out.iterator

@@ -17,4 +17,14 @@ object DataFrameBridge {
   def fromInternalRows(spark: org.apache.spark.sql.SparkSession,
       rows: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[SparkSession].internalCreateDataFrame(rows, schema)
+
+  /** Wrap an analyzed/optimized LogicalPlan as a DataFrame (the
+    * private[sql] `Dataset.ofRows`). Used by optimizer rules that need
+    * a bounded statistics sample of a sub-plan (RangeJoinRewrite's
+    * auto bin derivation). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[SparkSession], plan)
 }

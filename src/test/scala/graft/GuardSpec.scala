@@ -356,6 +356,89 @@ class GuardSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
   }
 
+  test("range-join rewrite: sentinel-wide intervals (hi = Long.MaxValue) " +
+      "neither fail nor lose rows, and still plan the grid equi-join") {
+    // round-10 advice #1: the r10 rule enumerated Sequence(cell(lo),
+    // cell(hi)) unbounded — a sentinel "no upper bound" interval made
+    // Sequence throw its max-length error at runtime. Wide/extreme
+    // intervals now route to the salted overflow bucket: same single
+    // equi-join, exact results, no failure path.
+    import org.apache.spark.sql.functions.col
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    val pts = (-300L to 300L).map(i => i * 7L).toDF("pt")
+    val ivs = Seq((-50L, 50L, 1), (0L, Long.MaxValue, 2),
+      (Long.MinValue, Long.MaxValue, 3), (100L, 164L, 4))
+      .toDF("lo", "hi", "id")
+    def run(): Set[(Int, Long)] =
+      pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))
+        .select("id", "pt").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+    spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
+    val brute = run()
+    assert(brute.count(_._1 == 3) == 601, "sentinel interval matches all")
+    try {
+      // fixed bin, data-dependent span → runtime narrow/wide split
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "64")
+      val df = pts.join(ivs,
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_pt_cell"),
+        "sentinel intervals must not disable the rewrite:\n" + plan.take(1200))
+      assert(run() == brute)
+      // auto mode (no bin conf): sampled median drives the bin
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+      spark.conf.set(graft.plans.RangeJoinRewrite.EnabledConf, "true")
+      assert(run() == brute)
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+      spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
+    }
+  }
+
+  test("range-join rewrite: a statically over-cap span skips the rewrite " +
+      "instead of exploding cells") {
+    import org.apache.spark.sql.functions.col
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    val pts = Seq(5L, 500000L).toDF("pt")
+    // shared-base bounds → span provable at plan time: 1e9 units; with
+    // bin=1 that is 1e9 cells >> maxCells → the rule must leave the
+    // join alone (slow nested loop, never a runtime Sequence blowup).
+    // spark.range (not a LocalRelation — Catalyst constant-folds those
+    // projections into data, hiding the shared base) keeps the ±c
+    // alias structure visible to the rule's static analysis.
+    val ivs = spark.range(2).select(
+      (col("id") * 1000L).as("base"),
+      (col("id") * 1000L - 1L).as("lo"),
+      (col("id") * 1000L + 999999999L).as("hi"))
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "1")
+      val df = pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))
+      assert(!df.queryExecution.optimizedPlan.toString
+        .contains("__graft_pt_cell"),
+        "over-cap static span must skip the grid rewrite")
+      assert(df.count() == 3) // 5 ∈ iv0; 500000 ∈ iv0 and iv1
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+  }
+
+  test("awhash frame index survives >2^25-sample streams (Long arithmetic)") {
+    // round-10 advice #4: i*64 in Int overflows past ~33.5M samples
+    // (negative index → crash / scattered energies). 34M constant
+    // samples must land every unit in a frame, exactly n total.
+    val n = 34000000
+    val d = graft.ext.AudioCodec.DecodedAudio(8000, 1, 16,
+      Array.fill[Short](n)(1))
+    val e = graft.ext.Multimodal.awhashEnergies(d)
+    assert(e.length == 64 && e.sum == n.toLong,
+      s"sum=${e.sum} expected $n")
+    assert(e.forall(f => math.abs(f - n / 64) <= 1),
+      "constant signal must spread evenly across frames")
+  }
+
   test("leaderboard snapshot swap: failed rename throws instead of " +
       "silently emptying history; crash between renames recovers from .old") {
     val sp = spark

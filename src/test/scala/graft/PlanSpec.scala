@@ -304,6 +304,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
   }
 
+  test("auto range-join (no bin conf): static span drives the bin — grid " +
+      "equi-join, no nested loop, no overflow probes on the point side") {
+    // round-10 punch #6: range_join_auto with the binSize knob GONE.
+    // The tsu±c bounds share a base, so the span is provable at plan
+    // time: the rule must take the pure-grid path (point side is a
+    // plain projection; exactly ONE Generate — the interval side's
+    // two-cell enumeration), not the runtime overflow classification.
+    val s = planString(graft.ops.RangeJoin.rangeCountAuto.fn(spark, sf))
+    try {
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"),
+        "auto range join must rewrite to the grid equi-join:\n" + s.take(1500))
+      assert(s.contains("__graft_pt_cell"), s.take(1500))
+      // overflow-path fingerprint: the salted probe hashes the point —
+      // the static path must not pay it (point side stays a projection)
+      assert(!s.contains("pmod(hash("),
+        "static-span path must not add the overflow probes:\n" + s.take(2000))
+      assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+        s.contains("ShuffledHashJoin"), s.take(2000))
+    } finally
+      spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
+  }
+
   test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
     val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
     assert(s.contains("TakeOrderedAndProject"),

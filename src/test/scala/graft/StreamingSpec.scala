@@ -1543,6 +1543,51 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("replayed perceptual signatures are no-ops: no duplicate pair " +
+      "emissions, no doubled bucket state; hamming >= 4 is rejected") {
+    // round-10 advice #2+#3: a re-delivered signature (upstream replay /
+    // duplicate ingest) must not re-enter bucket state — appending it
+    // again would emit every later pair against that doc twice; and the
+    // streaming entry points must enforce the same maxHamming < 4
+    // pigeonhole bound as the batch face.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Int, Int, Int)]
+    intercept[IllegalArgumentException](graft.streaming.StreamingDedup
+      .phashPairsStream(
+        ms.toDF().toDF("doc_id", "b0", "b1", "b2", "b3"), maxHamming = 4))
+    intercept[IllegalArgumentException](graft.streaming.StreamingDedup
+      .phashPairsStreamWithRetention(
+        ms.toDF().toDF("doc_id", "b0", "b1", "b2", "b3")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .current_timestamp()).withWatermark("ts", "1 second"),
+        "ts", 60000L, maxHamming = 4))
+    val q = graft.streaming.StreamingDedup
+      .phashPairsStream(ms.toDF().toDF("doc_id", "b0", "b1", "b2", "b3"))
+      .toDF().writeStream
+      .format("memory").queryName("t_phashreplay").outputMode("append")
+      .option("checkpointLocation", s"${freshDir("phashreplay")}/ckpt")
+      .start()
+    val a = (1L, 10, 20, 30, 40)
+    val b = (2L, 10, 20, 30, 41) // hamming 1 from a, 3 shared bands
+    ms.addData(a)
+    q.processAllAvailable()
+    ms.addData(a) // replay across batches
+    q.processAllAvailable()
+    ms.addData(b, b) // match + in-batch duplicate
+    q.processAllAvailable()
+    // replayed a again AFTER the match: doubled state would re-emit
+    ms.addData(a)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("t_phashreplay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(emitted.toSeq == Seq((1L, 2L, 1L)),
+      s"expected exactly one (1,2,1) pair, got: ${emitted.toSeq}")
+  }
+
   test("retention-bounded perceptual pairs: in-window dup reported, " +
       "beyond-retention dup suppressed, idle buckets evicted") {
     val sp = spark
