@@ -22,27 +22,38 @@ object Bench {
 
   /** Per-query medians from line 1 of a committed bench artifact (the exact
    *  format `main` writes: `"queries":{"name":sec,…}` with flat numeric
-   *  values, so the first `}` after the marker closes the map). Missing or
-   *  unreadable file → empty map: suspect detection simply disarms rather
-   *  than failing the bench.
+   *  values, so the first `}` after the marker closes the map). Missing
+   *  file → empty map: suspect detection simply disarms rather than
+   *  failing the bench. A file that EXISTS but parses to nothing is a
+   *  format drift (pretty-printed / reordered artifact) — that disarm is
+   *  made LOUD (round-10 verdict #3): a disarmed detector otherwise looks
+   *  identical to a healthy quiet run.
    */
-  def refMedians(path: String): Map[String, Double] =
-    try {
-      val line1 = java.nio.file.Files
-        .readAllLines(java.nio.file.Paths.get(path)).asScala.head
-      val start = line1.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
-      else {
-        val body = line1.substring(start + "\"queries\":{".length)
-        val end = body.indexOf('}')
-        if (end < 0) Map.empty
-        else
-          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-            .findAllMatchIn(body.substring(0, end))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+  def refMedians(path: String,
+      warn: String => Unit = System.err.println): Map[String, Double] = {
+    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+    val parsed: Map[String, Double] =
+      try {
+        val line1 = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(path)).asScala.head
+        val start = line1.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = line1.substring(start + "\"queries\":{".length)
+          val end = body.indexOf('}')
+          if (end < 0) Map.empty
+          else
+            "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+              .findAllMatchIn(body.substring(0, end))
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    if (exists && parsed.isEmpty)
+      warn(s"[bench] WARNING: reference artifact $path exists but parsed " +
+        "to no medians — suspect-run detection is DISARMED (format drift?)")
+    parsed
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -258,11 +269,21 @@ object Bench {
         s""""tasks":${r.tasks},"gc_ms":${r.gcMs},"at":${n3(r.atSec)},""" +
         s""""pass":${r.pass}""" +
         (if (r.suspect) ""","suspect":true""" else "") + "}"
+    // ratio_vs_local (round-10 verdict #2): median ÷ committed local
+    // median when available, so sub-1 s environment outliers (which sit
+    // under the suspect floor by design) are adjudicable from one field
+    // instead of a hand diff against the baseline file. Reporting only —
+    // the suspect rule is unchanged.
     val detailJson = keyList.flatMap { case ((name, _), idx) =>
       val rs = recs(name)
       if (rs.isEmpty) None
-      else Some(s""""$name":{"median":${n3(results(name))},"idx":$idx,""" +
-        s""""runs":[${rs.map(runJson).mkString(",")}]}""")
+      else {
+        val ratio = ref.get(name).filter(_ > 0)
+          .map(r => s""""ratio_vs_local":${n3(results(name) / r)},""")
+          .getOrElse("")
+        Some(s""""$name":{"median":${n3(results(name))},"idx":$idx,$ratio""" +
+          s""""runs":[${rs.map(runJson).mkString(",")}]}""")
+      }
     }.mkString("{", ",", "}")
     // Canary rows (round-9 verdict #2): one per pass edge. A healthy box
     // keeps every canary within ~2× the first; a degraded pass shows up

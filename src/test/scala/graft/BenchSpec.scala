@@ -61,4 +61,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.refMedians(p.toString).isEmpty)
     java.nio.file.Files.delete(p)
   }
+
+  test("refMedians disarm is LOUD when the file exists but drifts " +
+      "(pretty-printed artifact), silent when the file is simply absent") {
+    // round-10 verdict #3: an empty parse of an EXISTING reference file
+    // silently disarmed suspect detection — indistinguishable from a
+    // healthy quiet run. The warning names the path.
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val p = java.nio.file.Files.createTempFile("bench_pretty", ".json")
+    java.nio.file.Files.writeString(p,
+      "{\n  \"metric\": \"total\",\n  \"queries\": {\n" +
+        "    \"q1_agg\": 0.194\n  }\n}\n") // pretty-printed: line 1 = "{"
+    assert(Bench.refMedians(p.toString, warnings += _).isEmpty)
+    assert(warnings.exists(w => w.contains("DISARMED") &&
+      w.contains(p.toString)), s"no loud disarm: $warnings")
+    java.nio.file.Files.delete(p)
+    // absent file stays a silent (normal first-run) disarm
+    warnings.clear()
+    assert(Bench.refMedians("/nonexistent/path/bench.json",
+      warnings += _).isEmpty)
+    assert(warnings.isEmpty, s"absent file must not warn: $warnings")
+  }
 }
