@@ -33,8 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     // whole-plan optimizer rules (each a no-op until its hint conf is
-    // set): auto range-join grid rewrite
+    // set): auto range-join grid rewrite, auto top-k window rewrite
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 

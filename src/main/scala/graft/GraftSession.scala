@@ -48,8 +48,10 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(s)
     // whole-plan optimizer extensions (no-ops until their hint conf is
-    // set — see RangeJoinRewrite.BinConf)
+    // set — see RangeJoinRewrite.BinConf/EnabledConf,
+    // TopKRewrite.EnabledConf)
     graft.plans.RangeJoinRewrite.ensureRegistered(s)
+    graft.plans.TopKRewrite.ensureRegistered(s)
     s
   }
 

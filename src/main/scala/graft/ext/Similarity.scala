@@ -77,6 +77,29 @@ object Similarity {
                  ORDER BY cos DESC, rid) AS rank FROM d)
       WHERE rank <= $K"""))
 
+  /** The SAME query as [[topkCosine]], but written the way a USER
+    * naturally writes top-k — the crossJoin + `row_number() <= k`
+    * window form ([[bruteForceTopKWindow]]) — and optimized by the
+    * injected [[graft.plans.TopKRewrite]] whole-plan rule into the
+    * bounded-heap aggregate plan (round-10 verdict punch #1, SURVEY §4's
+    * named custom-strategy candidate). PlanSpec pins that the rewrite
+    * fires (no Window, no per-group sort in the physical plan; the
+    * unrewritten control keeps the Window); this key proves it
+    * end-to-end against the same DuckDB oracle as the hand-built
+    * aggregate form. The enable conf stays set on the session — the
+    * rule only touches `row_number() <= literal-k` window filters,
+    * which it replaces with a plan of identical semantics.
+    */
+  val topkCosineAuto = QueryDef(
+    "topk_cosine_auto",
+    (s, dir) => {
+      graft.plans.TopKRewrite.ensureRegistered(s)
+      s.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      val (q, r) = split(s, dir)
+      bruteForceTopKWindow(q, r, K)
+    },
+    topkCosine.oracle)
+
   // --- random-hyperplane LSH ANN --------------------------------------
 
   /** Deterministic pseudo-random plane component in [-1, 1) — no RNG,
@@ -510,6 +533,6 @@ object Similarity {
       WHERE rank <= $K"""))
 
   val all: Seq[QueryDef] =
-    Seq(topkCosine, topkLsh, topkIvf, mineHardNegatives,
+    Seq(topkCosine, topkCosineAuto, topkLsh, topkIvf, mineHardNegatives,
       annRandomProjection)
 }

@@ -1,0 +1,183 @@
+package graft.plans
+
+import graft.functions.RowTopK
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.IntegerType
+
+/** Auto top-k rewrite — the second whole-plan optimizer extension
+  * (SURVEY.md §4's named custom-strategy candidate, round-10 verdict
+  * punch #1): the naive top-k-per-group a user naturally writes,
+  *
+  * {{{
+  *   scored.withColumn("rank", row_number().over(
+  *       Window.partitionBy("qid").orderBy($"cos".desc, $"rid")))
+  *     .filter($"rank" <= k)
+  * }}}
+  *
+  * executes as written: EVERY scored row shuffles to its group's
+  * window partition and the whole group sorts, even though only k rows
+  * survive the filter. Spark's own InferWindowGroupLimit bounds the
+  * per-partition sort, but the full |group| row set still flows
+  * through the exchange. This rule rewrites the
+  * `Filter(rank <= k, Window(row_number over (P order O)))` shape into
+  * the bounded-heap aggregate plan the engine's library functions
+  * already hand-build ([[graft.functions.TopKSmallest]],
+  * `ext/Similarity.bruteForceTopK`):
+  *
+  * {{{
+  *   Aggregate(P, row_topk(O-keys ++ child.*, k))
+  *     → PosExplode → Project(child.*, pos+1 AS rank)
+  * }}}
+  *
+  * Map-side partial aggregation keeps ≤ k rows per (group, input
+  * partition), so the exchange carries O(groups·k·partitions) rows
+  * instead of the full score set, and the per-group sort disappears
+  * entirely (a k-sized heap per group replaces it). For a brute-force
+  * cosine top-k over |Q| queries × |R| references, that is the
+  * difference between shuffling |Q|·|R| scored pairs and shuffling
+  * |Q|·k·partitions rows — the one scale-killer a user could still
+  * reach by hand (the Window form; pinned equal to the aggregate form
+  * in ExtSpec).
+  *
+  * Semantics: row_number() over a non-total ORDER BY breaks ties
+  * arbitrarily; the heap keeps an equally-arbitrary (but valid)
+  * subset, the same contract Spark's own rank-limit pushdown has. The
+  * rewrite preserves output attributes (same exprIds, same order:
+  * child.* :+ rank), so downstream operators resolve unchanged.
+  * Residual filter conjuncts (anything beside the rank bound) are
+  * re-applied above the rewritten subtree — they commuted with the
+  * window in the original plan because the window only APPENDS a
+  * column.
+  *
+  * Matched only when: exactly one window expression and it is
+  * row_number(); the filter bounds it by a positive integer literal ≤
+  * `spark.graft.topkRewrite.maxK` (default [[DefaultMaxK]] — beyond
+  * that a per-group heap stops being obviously better than the sort);
+  * the plan is batch (streaming keeps Spark's stateful machinery).
+  * Activation: `spark.graft.topkRewrite.enabled=true` — opt-in like
+  * the range-join hint, and inert otherwise.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  val EnabledConf = "spark.graft.topkRewrite.enabled"
+  val MaxKConf = "spark.graft.topkRewrite.maxK"
+  val DefaultMaxK = 1024L
+
+  def ensureRegistered(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(TopKRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ TopKRewrite
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(EnabledConf, "false").equalsIgnoreCase("true")
+
+  private def maxK: Long =
+    try SQLConf.get.getConfString(MaxKConf, DefaultMaxK.toString).toLong
+    catch { case _: NumberFormatException => DefaultMaxK }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) plan
+    else plan.transformUp {
+      case f @ Filter(cond, w: Window) =>
+        rewrite(cond, w).getOrElse(f)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def intLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Number, dt) if dt == IntegerType ||
+        dt == org.apache.spark.sql.types.LongType => Some(v.longValue())
+    case _ => None
+  }
+
+  /** k such that the conjunct is `rank <= k`, in any spelling. */
+  private def rankBound(c: Expression, rank: Attribute): Option[Long] =
+    c match {
+      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
+        intLit(l)
+      case LessThan(a: Attribute, l) if a.semanticEquals(rank) =>
+        intLit(l).map(_ - 1)
+      case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) =>
+        intLit(l)
+      case GreaterThan(l, a: Attribute) if a.semanticEquals(rank) =>
+        intLit(l).map(_ - 1)
+      case EqualTo(a: Attribute, l) if a.semanticEquals(rank) =>
+        intLit(l).filter(_ == 1L)
+      case EqualTo(l, a: Attribute) if a.semanticEquals(rank) =>
+        intLit(l).filter(_ == 1L)
+      case _ => None
+    }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    if (w.isStreaming) return None
+    // exactly one window expression: row_number() with its standard frame
+    val rankAlias = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some(a)
+      case _ => None
+    }
+    rankAlias.filter(_ => w.orderSpec.nonEmpty).flatMap { alias =>
+      val rankAttr = alias.toAttribute
+      val conjuncts = splitConjuncts(cond)
+      val bounds = conjuncts.flatMap(c => rankBound(c, rankAttr))
+      val residual = conjuncts.filterNot(c => rankBound(c, rankAttr).isDefined)
+      // every remaining conjunct must be rank-free (a different rank
+      // predicate — e.g. rank > 2 pagination — is not a plain top-k),
+      // and the bound must be a positive literal within the heap cap
+      val kOpt = Some(bounds).filter(_.nonEmpty).map(_.min)
+        .filter(k => k >= 1 && k <= maxK)
+        .filter(_ => !residual.exists(_.references.contains(rankAttr)))
+      kOpt.map(buildPlan(w, alias, rankAttr, residual, _))
+    }
+  }
+
+  private def buildPlan(w: Window, alias: Alias, rankAttr: Attribute,
+      residual: Seq[Expression], k: Long): LogicalPlan = {
+      // Spark's InferWindowGroupLimit may already have inserted its
+      // per-partition limit below the window — the rewrite replaces
+      // that machinery wholesale, so unwrap it
+      val child = w.child match {
+        case wgl: WindowGroupLimit => wgl.child
+        case c => c
+      }
+      val order = w.orderSpec
+      val agg = RowTopK(
+        order.map(_.child) ++ child.output,
+        nOrder = order.length,
+        ascending = order.map(_.direction == Ascending),
+        nullsFirst = order.map(_.nullOrdering == NullsFirst),
+        k = k.toInt,
+        payloadNames = child.output.map(_.name))
+      val topAttr = AttributeReference("__graft_topk", agg.dataType,
+        nullable = false)()
+      val aggPlan = Aggregate(
+        w.partitionSpec,
+        Seq(Alias(agg.toAggregateExpression(), topAttr.name)(topAttr.exprId)),
+        child)
+      val posAttr = AttributeReference("__graft_topk_pos", IntegerType,
+        nullable = false)()
+      val rowType = agg.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val rowAttr = AttributeReference("__graft_topk_row", rowType,
+        nullable = false)()
+      val gen = Generate(PosExplode(topAttr),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(posAttr, rowAttr), child = aggPlan)
+      // rebuild the ORIGINAL output attributes (same exprIds, same
+      // order: child.* :+ rank) so downstream plans resolve unchanged
+      val proj = Project(
+        child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(a.exprId)
+        } :+ Alias(Add(posAttr, Literal(1)), alias.name)(rankAttr.exprId),
+        gen)
+      if (residual.isEmpty) proj
+      else Filter(residual.reduce(And), proj)
+  }
+}

@@ -539,6 +539,73 @@ class ExtSpec extends SparkSpec {
     assert(heap.nonEmpty)
   }
 
+  test("auto top-k rewrite equals the unrewritten window form on a hostile " +
+      "domain: desc order, duplicate scores, nulls, small groups, " +
+      "residual filter conjuncts") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    // groups of very different sizes; v has nulls and heavy duplicates
+    // so the heap's tie handling is exercised under a TOTAL order
+    // (id breaks ties — without that row_number is nondeterministic
+    // and no rewrite could promise equality)
+    val df = (0 until 500).map { i =>
+      (i % 7, if (i % 11 == 0) None else Some((i * i) % 13), i.toLong)
+    }.toDF("g", "v", "id")
+    val w = Window.partitionBy("g")
+      .orderBy(col("v").desc_nulls_last, col("id").asc)
+    def q() = df.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 3 && col("id") % 2 === 0)
+    def got() = q().collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getLong(2), r.getInt(3))).toSet
+    spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+    val control = got()
+    assert(control.nonEmpty)
+    try {
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      val plan = q().queryExecution.optimizedPlan.toString
+      assert(plan.contains("row_topk") && !plan.contains("window"),
+        "rewrite must fire:\n" + plan.take(1200))
+      assert(got() == control,
+        s"missing=${(control -- got()).take(3)} extra=${(got() -- control).take(3)}")
+      // k = 1 via equality predicate
+      def q1() = df.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") === 1).select("g", "id")
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val c1 = q1().collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      assert(q1().collect().map(r => (r.getInt(0), r.getLong(1))).toSet == c1)
+      // NEGATIVE controls: rank() (not row_number) and a rank-range
+      // predicate (pagination) must keep the window
+      val rk = df.withColumn("rank",
+          org.apache.spark.sql.functions.rank().over(w))
+        .filter(col("rank") <= 3)
+      assert(!rk.queryExecution.optimizedPlan.toString.contains("row_topk"),
+        "rank() must not be rewritten (ties share ranks)")
+      val page = df.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 5 && col("rank") > 2)
+      assert(!page.queryExecution.optimizedPlan.toString.contains("row_topk"),
+        "a rank range (pagination) is not a plain top-k")
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
+  test("topk_cosine_auto (window form + rewrite) equals the hand-built " +
+      "bounded-heap key") {
+    val auto = graft.ext.Similarity.topkCosineAuto.fn(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    try {
+      val hand = graft.ext.Similarity.topkCosine.fn(spark, sf)
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      assert(auto == hand)
+      assert(auto.nonEmpty)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("brute-force top-k: rank 1 of a reference vector vs itself is itself") {
     val (_, r) = Similarity.split(spark, sf)
     val self = r.limit(20).select(col("rid").as("qid"), col("re").as("qe"))

@@ -327,6 +327,31 @@ class PlanSpec extends SparkSpec {
       spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
   }
 
+  test("auto top-k rewrite: the user's row_number window plan becomes the " +
+      "bounded-heap aggregate — no Window, map-side partial top-k; " +
+      "unrewritten control keeps the Window") {
+    // round-10 punch #1 (SURVEY §4's custom-strategy candidate): the
+    // naive window form shuffles EVERY scored row to its group and
+    // sorts; the rewritten plan partial-aggregates k rows per (group,
+    // partition) before the exchange and never sorts a group.
+    val s = planString(graft.ext.Similarity.topkCosineAuto.fn(spark, sf))
+    try {
+      assert(!s.contains("Window"),
+        "rewritten plan must not contain a Window operator:\n" + s.take(2000))
+      assert(s.contains("partial_row_topk"),
+        "top-k must partial-aggregate map-side:\n" + s.take(2000))
+      assert(s.contains("row_topk"), s.take(2000))
+      // negative control: conf off → the Window (plus Spark's own
+      // WindowGroupLimit) executes as written
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val (q, r) = graft.ext.Similarity.split(spark, sf)
+      val c = planString(
+        graft.ext.Similarity.bruteForceTopKWindow(q, r, 10))
+      assert(c.contains("Window"), c.take(2000))
+      assert(!c.contains("row_topk"), c.take(2000))
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
     val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
     assert(s.contains("TakeOrderedAndProject"),
