@@ -550,7 +550,187 @@ object TextAnalysis {
                AS n_tags
       FROM p"""))
 
+  // --- trained quality classifier (fastText/DCLM-style linear scorer) --
+
+  /** Stopword list for the quality scorer — larger than the 7-word
+    * [[stopwords]] heuristic list so the stopword-rate feature has
+    * real dynamic range; embedded verbatim in the oracle SQL. */
+  val QsStop: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+    "from", "had", "she", "he", "they", "we", "his", "her", "were")
+
+  /** Integer feature vector of a document — the exact arithmetic the
+    * Spark columns and the DuckDB oracle replay (floor division over
+    * non-negative operands, so `div` and `//` agree):
+    * [bias, min(ntoks,1000), 100·nchars/ntoks, 1000·stop/ntoks,
+    *  1000·punct/nchars, 1000·digit/nchars, 1000·upper/nchars]. */
+  def qsFeatures(rawText: String): Array[Long] = {
+    val t = Option(rawText).getOrElse("")
+    val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+    val ntoks = toks.length.toLong
+    val nchars = t.length.toLong
+    val dTok = math.max(ntoks, 1L)
+    val dCh = math.max(nchars, 1L)
+    val stop = toks.count(w => QsStop.contains(w.toLowerCase)).toLong
+    val punct = t.count(c => ".,!?;:".indexOf(c.toInt) >= 0).toLong
+    val digit = t.count(c => c >= '0' && c <= '9').toLong
+    val upper = t.count(c => c >= 'A' && c <= 'Z').toLong
+    Array(1L, math.min(ntoks, 1000L), 100L * nchars / dTok,
+      1000L * stop / dTok, 1000L * punct / dCh, 1000L * digit / dCh,
+      1000L * upper / dCh)
+  }
+
+  /** Embedded labeled training snippets (public-knowledge prose vs
+    * synthetic spam/boilerplate — the standard LLM-pipeline quality
+    * split). Like [[langSamples]], the tiny corpus is the stand-in; the
+    * MODEL (integer perceptron over the [[qsFeatures]] vector, the
+    * fastText/DCLM linear-scorer family) is the real artifact, and a
+    * deployment swaps the samples for its own labeled table. */
+  val qsTrainPos: Seq[String] = Seq(
+    "The committee reviewed the proposal and agreed to fund the project for another year.",
+    "She walked along the river in the early morning and watched the light change on the water.",
+    "After the storm had passed, the villagers returned to the fields and began the harvest.",
+    "He explained that the results of the experiment were consistent with the earlier findings.",
+    "The library was quiet in the afternoon, and she found a seat by the window to read.",
+    "They traveled by train across the mountains and arrived at the station before sunset.",
+    "In the second chapter, the author describes the history of the city and its markets.",
+    "The teacher asked the students to write a short essay about their favorite season.",
+    "A gentle rain fell through the night, and by morning the garden was green again.",
+    "The engineers tested the bridge for weeks before it was opened to the public.",
+    "When the letter arrived, she read it twice and then placed it carefully in the drawer.",
+    "The recipe calls for two cups of flour, a pinch of salt, and a spoonful of honey.",
+    "Over the years, the small shop on the corner became a meeting place for the whole town.",
+    "The doctor listened patiently and suggested that he rest for a few days at home.",
+    "Most of the visitors came in the summer, when the days were long and the sea was warm.",
+    "It was the kind of evening that made everyone want to stay outside a little longer.")
+
+  val qsTrainNeg: Seq[String] = Seq(
+    "BUY NOW!!! CHEAP PILLS 100% FREE CLICK HERE WIN WIN WIN $$$ 4999 2999 1999",
+    "cheap watches cheap watches cheap watches best price best price buy buy buy",
+    "CLICK CLICK CLICK FREE MONEY 77777 88888 99999 JACKPOT CASINO BONUS NOW NOW",
+    "viagra cialis discount discount discount order order order pharmacy pharmacy",
+    "!!!! $$$$ #### 0000 1111 2222 3333 4444 5555 6666 7777 8888 9999 !!!!",
+    "WINNER WINNER WINNER CALL 1800 555 0199 CLAIM PRIZE CASH CASH CASH URGENT",
+    "seo backlinks seo backlinks seo backlinks rank rank rank traffic traffic",
+    "FREE FREE FREE DOWNLOAD CRACK KEYGEN SERIAL 2024 2025 FULL VERSION NO SURVEY",
+    "lose weight fast lose weight fast lose weight fast miracle miracle miracle",
+    "hot singles hot singles hot singles near you near you near you chat chat",
+    "MAKE $5000 PER DAY FROM HOME!!! NO EXPERIENCE!!! 100% GUARANTEED!!! ACT NOW",
+    "replica handbags replica handbags replica handbags lowest prices lowest prices")
+
+  /** Held-out labeled set (never trained on): the accuracy floor in
+    * ExtSpec is the regression gate on the embedded model. */
+  val qsHeldout: Seq[(String, Boolean)] = Seq(
+    ("The museum opened a new exhibit about the early history of navigation and mapmaking.", true),
+    ("On Sunday afternoons, the family would gather on the porch and tell stories until dark.", true),
+    ("The report concluded that the changes to the schedule had improved the service for most riders.", true),
+    ("A narrow path led from the gate to the orchard, where the apples were almost ripe.", true),
+    ("The orchestra rehearsed the final movement until every entrance was exactly together.", true),
+    ("CONGRATULATIONS YOU WON!!! CLAIM 10000 NOW CLICK CLICK 555 7777 FREE CASH", false),
+    ("best loans best loans best loans approval approval approval apply apply apply", false),
+    ("ROLEX GUCCI PRADA 90% OFF!!! 2024 2025 SALE SALE SALE BUY BUY BUY", false),
+    ("crypto pump crypto pump crypto pump 1000x 1000x guaranteed profit profit", false),
+    ("FREE IPHONE FREE IPHONE CALL 1800 999 0000 LIMITED LIMITED LIMITED!!!", false))
+
+  /** Integer perceptron trained at class load on the embedded samples:
+    * deterministic order, fixed 200 epochs, unit learning rate — every
+    * weight is an exact integer, so the scorer replays bit-for-bit in
+    * SQL (the [[langProfiles]] pattern, with training instead of
+    * count-ranking). Mistake-driven updates (y·s ≤ 0 → w += y·f). */
+  lazy val qsWeights: Array[Long] = {
+    val data = qsTrainPos.map(t => (qsFeatures(t), 1L)) ++
+      qsTrainNeg.map(t => (qsFeatures(t), -1L))
+    val w = new Array[Long](7)
+    var epoch = 0
+    while (epoch < 200) {
+      data.foreach { case (f, y) =>
+        var s = 0L
+        var i = 0
+        while (i < 7) { s += w(i) * f(i); i += 1 }
+        if (s * y <= 0L) {
+          i = 0
+          while (i < 7) { w(i) += y * f(i); i += 1 }
+        }
+      }
+      epoch += 1
+    }
+    w
+  }
+
+  /** Map-only quality scoring of a text column: the integer feature
+    * extraction as native column expressions (regexp counts + a token
+    * filter — all codegen'd), the trained weights folded into one
+    * integer dot product. No shuffle, no UDF: at 100 TB this is a pure
+    * scan-side projection that AQE/pushdown never have to work around.
+    */
+  def qualityScoreOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stopArr = array(QsStop.map(lit): _*)
+    val w = qsWeights
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("__toks",
+        filter(split(trim(col("text")), "\\s+"), t => length(t) > 0))
+      .withColumn("__ntoks", size(col("__toks")).cast("long"))
+      .withColumn("__nchars", length(col("text")).cast("long"))
+      .withColumn("__nstop", size(filter(col("__toks"),
+        t => array_contains(stopArr, lower(t)))).cast("long"))
+      .withColumn("__npunct",
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long"))
+      .withColumn("__ndigit",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("__nupper",
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long"))
+      .withColumn("score", expr(
+        s"CAST((${w(0)}) + (${w(1)}) * least(__ntoks, 1000L)" +
+          s" + (${w(2)}) * ((__nchars * 100L) div greatest(__ntoks, 1L))" +
+          s" + (${w(3)}) * ((__nstop * 1000L) div greatest(__ntoks, 1L))" +
+          s" + (${w(4)}) * ((__npunct * 1000L) div greatest(__nchars, 1L))" +
+          s" + (${w(5)}) * ((__ndigit * 1000L) div greatest(__nchars, 1L))" +
+          s" + (${w(6)}) * ((__nupper * 1000L) div greatest(__nchars, 1L))" +
+          " AS BIGINT)"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0L, "keep").otherwise("drop").as("quality"))
+  }
+
+  val qualityScore = QueryDef(
+    "quality_score",
+    (s, dir) => qualityScoreOf(Tables(s, dir, "documents")),
+    // full DuckDB replay of the trained integer dot product: weights
+    // and the stopword list are embedded literals; `//` floors like
+    // Spark's `div` because every operand here is non-negative
+    Some {
+      val w = qsWeights
+      val stopList = QsStop.map(s0 => s"'$s0'").mkString("[", ", ", "]")
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              t -> len(t) > 0)) AS ntoks,
+          length(text) AS nchars,
+          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              t -> len(t) > 0 AND list_contains($stopList, lower(t))))
+            AS nstop,
+          length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndigit,
+          length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nupper
+        FROM documents),
+      s AS (
+        SELECT doc_id, CAST(
+          (${w(0)}) + (${w(1)}) * least(ntoks, 1000)
+          + (${w(2)}) * ((nchars * 100) // greatest(ntoks, 1))
+          + (${w(3)}) * ((nstop * 1000) // greatest(ntoks, 1))
+          + (${w(4)}) * ((npunct * 1000) // greatest(nchars, 1))
+          + (${w(5)}) * ((ndigit * 1000) // greatest(nchars, 1))
+          + (${w(6)}) * ((nupper * 1000) // greatest(nchars, 1))
+          AS BIGINT) AS score
+        FROM f)
+      SELECT doc_id, CAST(score AS BIGINT) AS score,
+             CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS quality
+      FROM s"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(stats, quality, langId, fingerprint, tokenCount, repetition,
-      piiScrub, normalize, boilerplate, htmlStrip)
+      piiScrub, normalize, boilerplate, htmlStrip, qualityScore)
 }

@@ -616,6 +616,38 @@ class ExtSpec extends SparkSpec {
 
   // --- text analysis --------------------------------------------------
 
+  test("quality_score: trained perceptron separates the training set, " +
+      "holds a held-out accuracy floor, and the Spark pipeline agrees " +
+      "with the JVM scorer") {
+    def jvmScore(t: String): Long =
+      TextAnalysis.qsFeatures(t).zip(TextAnalysis.qsWeights)
+        .map { case (f, w) => f * w }.sum
+    // training set: the integer perceptron must fully separate it
+    // (otherwise the embedded model is underfit and the key is luck)
+    TextAnalysis.qsTrainPos.foreach(t =>
+      assert(jvmScore(t) > 0, s"train pos misclassified: ${t.take(40)}"))
+    TextAnalysis.qsTrainNeg.foreach(t =>
+      assert(jvmScore(t) <= 0, s"train neg misclassified: ${t.take(40)}"))
+    // held-out floor: at least 9/10 (regression gate on model quality)
+    val correct = TextAnalysis.qsHeldout.count { case (t, good) =>
+      (jvmScore(t) > 0) == good }
+    assert(correct >= 9, s"held-out accuracy $correct/10 below floor")
+    // the Spark column pipeline computes the same integer score as the
+    // JVM trainer's feature path (ASCII inputs)
+    val sp = spark
+    import sp.implicits._
+    val df = (TextAnalysis.qsHeldout.map(_._1) ++ Seq("", "   ", "x"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScoreOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (TextAnalysis.qsHeldout.map(_._1) ++ Seq("", "   ", "x"))
+      .zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == jvmScore(t),
+          s"spark=${got(i.toLong)} jvm=${jvmScore(t)} for: ${t.take(40)}")
+      }
+  }
+
   test("lang_id is deterministic and total") {
     val a = TextAnalysis.langId.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -1543,6 +1543,78 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming token drift equals the windowed batch computation " +
+      "across a mid-window split; state is open-windows x vocab bounded; " +
+      "OOV tokens never enter state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 60000L
+    val ref = Map("alpha" -> 500000L, "beta" -> 300000L, "gamma" -> 200000L)
+    val t0 = 1700000040000L // window-aligned: t0 % 60000 == 0
+    assert(t0 % W == 0)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamOps.tokenDriftStream(
+        ms.toDF().toDF("doc_id", "text", "ts"), "ts", W, ref,
+        lateness = "5 seconds")
+      .toDF().writeStream
+      .format("memory").queryName("t_tokendrift").outputMode("append")
+      .option("checkpointLocation", s"${freshDir("tokendrift")}/ckpt")
+      .start()
+    // window 0: split across batches 1 and 2 — state must carry counts
+    ms.addData((1L, "alpha beta junk", ts(t0 + 1000)),
+      (2L, "alpha gamma", ts(t0 + 2000)))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.head.numRowsTotal <= 1,
+      "one open window => at most one state row")
+    ms.addData((3L, "beta  beta", ts(t0 + 30000)), // W0 continues
+      (4L, "alpha junk", ts(t0 + W + 5000))) // W1 opens
+    q.processAllAvailable()
+    // sentinel far-future docs: first advances the watermark past both
+    // window ends, second triggers the event-time timeouts
+    ms.addData((5L, "alpha", ts(t0 + 600000)))
+    q.processAllAvailable()
+    ms.addData((6L, "alpha", ts(t0 + 700000)))
+    q.processAllAvailable()
+    // a beyond-lateness straggler for the CLOSED window 0 must not
+    // resurrect it (that would double-emit the window)
+    ms.addData((7L, "alpha", ts(t0 + 1500)))
+    q.processAllAvailable()
+    val emitted = spark.table("t_tokendrift").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // only sentinel windows remain open
+    assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2)
+    q.stop()
+    // batch twin over the SAME non-sentinel docs
+    val batchDocs = Seq(
+      (1L, "alpha beta junk", ts(t0 + 1000)),
+      (2L, "alpha gamma", ts(t0 + 2000)),
+      (3L, "beta  beta", ts(t0 + 30000)),
+      (4L, "alpha junk", ts(t0 + W + 5000)),
+      // sentinel 5's own (aligned) window also closed once sentinel 6
+      // pushed the watermark past its end — the twin must include it;
+      // sentinel 6's window never closes and straggler 7 is dropped
+      (5L, "alpha", ts(t0 + 600000))).toDF("doc_id", "text", "ts")
+    val want = graft.streaming.StreamOps
+      .tokenDriftWindowedBatch(batchDocs, "ts", W, ref).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(emitted == want,
+      s"missing=${(want -- emitted).take(4)} extra=${(emitted -- want).take(4)}")
+    // hand-check window 0: alpha 2/6, beta 3/6, gamma 1/6 of the VOCAB
+    // token mass (the OOV 'junk' counts nowhere)
+    val w0 = t0
+    assert(emitted((w0, "alpha", 2L, 333333L, 500000L, 166667L)))
+    assert(emitted((w0, "beta", 3L, 500000L, 300000L, 200000L)))
+    assert(emitted((w0, "gamma", 1L, 166666L, 200000L, 33334L)))
+    // window 1: alpha only arrived => gamma/beta report the VANISHED
+    // signal (cnt 0, drift = ref_ppm)
+    assert(emitted((t0 + W, "beta", 0L, 0L, 300000L, 300000L)))
+  }
+
   test("replayed perceptual signatures are no-ops: no duplicate pair " +
       "emissions, no doubled bucket state; hamming >= 4 is rejected") {
     // round-10 advice #2+#3: a re-delivered signature (upstream replay /
