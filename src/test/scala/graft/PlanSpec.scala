@@ -352,6 +352,34 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("auto top-k rewrite fires on the SQL text form, including a " +
+      "complex partition expression") {
+    // the engine claim: a user writing plain SQL top-k-per-group gets
+    // the bounded-heap plan too — and PARTITION BY an expression (not a
+    // column) groups correctly through the Aggregate
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    (0 until 200).map(i => (i % 10, (i * 7) % 23, i.toLong))
+      .toDF("g", "v", "id").createOrReplaceTempView("tkv_plan")
+    val sql = """SELECT * FROM (
+        SELECT g, v, id, row_number() OVER (
+          PARTITION BY g % 3 ORDER BY v DESC, id) AS rn FROM tkv_plan)
+      WHERE rn <= 2"""
+    def got() = spark.sql(sql).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    try {
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val control = got()
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      val s = planString(spark.sql(sql))
+      assert(s.contains("row_topk") && !s.contains("Window"),
+        "SQL-form top-k must rewrite:\n" + s.take(1500))
+      assert(got() == control)
+      assert(control.map(_._4).max == 2 && control.nonEmpty)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
     val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
     assert(s.contains("TakeOrderedAndProject"),

@@ -125,6 +125,92 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("top-k window rewrite equals the unrewritten plan for arbitrary " +
+      "data, k, and sort direction (nulls and ties included)") {
+    // the whole-plan rewrite must be semantics-preserving for EVERY
+    // total-ordered row_number window filter, not just the cosine key:
+    // random groups/values (nulls, heavy ties), random k, both
+    // directions — conf-on vs conf-off row sets must be identical
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 6),
+      Gen.option(Gen.chooseNum(0, 4)))) // few distinct values → ties
+    val cases = samples(Gen.zip(rowsGen, Gen.chooseNum(1, 5),
+      Gen.oneOf(true, false), Gen.oneOf(true, false)), 6)
+    try {
+      cases.foreach { case (rows, k, asc, nullsFirst) =>
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val vOrd = (asc, nullsFirst) match {
+          case (true, true) => col("v").asc_nulls_first
+          case (true, false) => col("v").asc_nulls_last
+          case (false, true) => col("v").desc_nulls_first
+          case (false, false) => col("v").desc_nulls_last
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(vOrd, col("id").asc)
+        def run() = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k).collect()
+          .map(r => (r.getInt(0), if (r.isNullAt(1)) -99 else r.getInt(1),
+            r.getLong(2), r.getInt(3))).toSet
+        spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+        val control = run()
+        spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+        val rewritten = run()
+        assert(rewritten == control,
+          s"k=$k asc=$asc nf=$nullsFirst missing=${(control -- rewritten).take(3)} " +
+            s"extra=${(rewritten -- control).take(3)} rows=${rows.take(12)}")
+      }
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
+  test("range-join rewrite equals brute force for arbitrary intervals " +
+      "incl. sentinel, empty, null, and extreme bounds") {
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val ptGen = Gen.oneOf(Gen.chooseNum(-500L, 500L),
+      Gen.oneOf(Long.MinValue, Long.MaxValue, Long.MaxValue - 1, 0L))
+    val boundGen = Gen.option(Gen.oneOf(
+      Gen.chooseNum(-400L, 400L),
+      Gen.oneOf(Long.MinValue, Long.MaxValue, -1L, 1L)))
+    val caseGen = Gen.zip(
+      Gen.nonEmptyListOf(ptGen),
+      Gen.nonEmptyListOf(Gen.zip(boundGen, boundGen)))
+    try {
+      samples(caseGen, 6).zipWithIndex.foreach { case ((pts0, ivs0), ci) =>
+        val pts = pts0.distinct.toDF("pt")
+        val ivs = ivs0.zipWithIndex
+          .map { case ((lo, hi), i) => (lo, hi, i) }
+          .toDF("lo", "hi", "id")
+        def run() =
+          pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))
+            .select("id", "pt").collect()
+            .map(r => (r.getInt(0), r.getLong(1))).toSet
+        spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+        spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
+        val brute = run()
+        spark.conf.set(graft.plans.RangeJoinRewrite.BinConf, "64")
+        val fixed = run()
+        assert(fixed == brute, s"case $ci (fixed bin): " +
+          s"missing=${(brute -- fixed).take(3)} extra=${(fixed -- brute).take(3)}")
+        spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledConf, "true")
+        val auto = run()
+        assert(auto == brute, s"case $ci (auto bin): " +
+          s"missing=${(brute -- auto).take(3)} extra=${(auto -- brute).take(3)}")
+      }
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BinConf)
+      spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
+    }
+  }
+
   test("top-k heap treats NaN as worse than every finite score") {
     val buf = new TopKBuffer(3)
     buf.insert(Double.NaN, 1L, 0)
