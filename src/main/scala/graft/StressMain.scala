@@ -259,6 +259,37 @@ object StressMain {
           (12 + (math.log(n.toDouble) / math.log(2)).round).toString)
         repEmb(emb, n)
       })
+    // round-11: the TopKRewrite evidence pair — the IDENTICAL
+    // user-written window top-k, executed as written (naive: every
+    // scored row crosses the exchange and sorts per group) vs under
+    // the whole-plan rewrite (bounded-heap partials: k rows per
+    // (group, partition) cross). Queries fixed at 200, references grow
+    // n× — the scored-row set grows n× with them, so the naive form's
+    // exchange carries n× more while the rewritten exchange stays
+    // O(|Q|·k·partitions) flat.
+    locally {
+      val name = "topk_window_rewrite"
+      if (only.isEmpty || only.contains(name)) {
+        graft.plans.TopKRewrite.ensureRegistered(spark)
+        def sides(c: DataFrame) = (
+          c.limit(200).select(col("vec_id").as("qid"), col("e").as("qe")),
+          c.select(col("vec_id").as("rid"), col("e").as("re")))
+        def run(n: Int, enabled: Boolean, tag: String): Double = {
+          spark.conf.set(graft.plans.TopKRewrite.EnabledConf,
+            enabled.toString)
+          val (q, r) = sides(repEmb(emb, n))
+          val sec = t(s"$name $tag")(
+            ext.Similarity.bruteForceTopKWindow(q, r, 5).count())
+          GraftSession.dropAllCaches(spark)
+          spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+          sec
+        }
+        results(s"$name:naive") = (run(1, false, "naive 1x"),
+          run(mult, false, s"naive ${mult}x"))
+        results(s"$name:auto") = (run(1, true, "auto 1x"),
+          run(mult, true, s"auto ${mult}x"))
+      }
+    }
     pair("topk_cosine_lsh")(
       c => Similarity.lshTopK(
         c.limit(200).select(col("vec_id").as("qid"), col("e").as("qe")),
