@@ -31,7 +31,11 @@ object Bench {
    */
   def refMedians(path: String,
       warn: String => Unit = System.err.println): Map[String, Double] = {
-    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+    // single read, no exists() pre-check: "absent" is decided by the
+    // read itself (NoSuchFile → silent first-run disarm), so a file
+    // created/deleted between two filesystem calls can't mislabel the
+    // warning state
+    var absent = false
     val parsed: Map[String, Double] =
       try {
         val line1 = java.nio.file.Files
@@ -48,8 +52,12 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble)
               .toMap
         }
-      } catch { case _: Throwable => Map.empty }
-    if (exists && parsed.isEmpty)
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          absent = true; Map.empty
+        case _: Throwable => Map.empty
+      }
+    if (!absent && parsed.isEmpty)
       warn(s"[bench] WARNING: reference artifact $path exists but parsed " +
         "to no medians — suspect-run detection is DISARMED (format drift?)")
     parsed
@@ -123,6 +131,9 @@ object Bench {
         pass: Int): Unit = {
       org.apache.spark.sql.graftbridge.ListenerBridge
         .drain(spark.sparkContext)
+      // opt-in rewrite confs are scoped per key: a key that enables a
+      // whole-plan rewrite must not change the plans later keys measure
+      GraftSession.resetQueryConfs(spark)
       val (j0, s0, k0, g0) = (jobs.get(), stages.get(), tasks.get(), gcMs())
       val at = (System.nanoTime() - benchT0) / 1e9
       val t0 = System.nanoTime()

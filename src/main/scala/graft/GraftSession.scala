@@ -55,6 +55,27 @@ object GraftSession {
     s
   }
 
+  /** The opt-in optimizer-rewrite confs. Harness mains that run MANY
+    * queries over one session (Bench/Verify) unset these before each
+    * query, so a key that opts in (range_join_auto, topk_cosine_auto)
+    * cannot silently change the PLANS of every later key with a
+    * matching shape — medians must measure one plan per key, and a
+    * dev subset run must measure the same plan as the full suite
+    * (the code-review finding on round-11's conf leak: results stayed
+    * correct — both rewrites are semantics-preserving — but the bench
+    * comparison became apples-to-oranges). A normal user session
+    * keeps them as ordinary session confs.
+    */
+  val queryScopedConfs: Seq[String] = Seq(
+    graft.plans.RangeJoinRewrite.BinConf,
+    graft.plans.RangeJoinRewrite.EnabledConf,
+    graft.plans.RangeJoinRewrite.MaxCellsConf,
+    graft.plans.TopKRewrite.EnabledConf,
+    graft.plans.TopKRewrite.MaxKConf)
+
+  def resetQueryConfs(s: SparkSession): Unit =
+    queryScopedConfs.foreach(s.conf.unset)
+
   /** Drop everything any query cached and didn't free — SQL cache and
     * persistent RDDs (incl. localCheckpoint blocks). Multi-query
     * sessions (Bench/Verify/StressMain) call this between queries so

@@ -86,9 +86,10 @@ object Similarity {
     * fires (no Window, no per-group sort in the physical plan; the
     * unrewritten control keeps the Window); this key proves it
     * end-to-end against the same DuckDB oracle as the hand-built
-    * aggregate form. The enable conf stays set on the session — the
-    * rule only touches `row_number() <= literal-k` window filters,
-    * which it replaces with a plan of identical semantics.
+    * aggregate form. The enable conf is SCOPED per key by the harness
+    * mains (GraftSession.resetQueryConfs): the rewrite is
+    * semantics-preserving, but other row_number-window keys must
+    * measure the plans they document, not inherit this one's.
     */
   val topkCosineAuto = QueryDef(
     "topk_cosine_auto",

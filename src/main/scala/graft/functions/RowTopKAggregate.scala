@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 
 /** Bounded max-heap of the k first rows under an arbitrary SortOrder —
   * the generalization of [[TopKBuffer]] from its fixed (double, long,
-  * int) slots to any (order keys, payload) row shape, built for
+  * int) slots to any (payload, order keys) row shape, built for
   * [[graft.plans.TopKRewrite]]: a `row_number() <= k` window filter is
   * rewritten into this aggregate, so the rewrite must carry whatever
   * columns the user's window child produced, under whatever ORDER BY
@@ -76,14 +76,19 @@ final class TopKRowsBuffer(val k: Int, ord: Ordering[InternalRow]) {
   }
 }
 
-/** Aggregate keeping, per group, the k rows that order FIRST under the
-  * given directions/null-orderings over the first `nOrder` children;
-  * returns array<struct<payload...>> in rank order (payload = the
-  * remaining children, named `payloadNames`). Constructed only by
-  * [[graft.plans.TopKRewrite]] — which derives the children from the
-  * window's ORDER BY and the window child's full output — so input
-  * types are whatever the analyzer already accepted as orderable for
-  * the window.
+/** Aggregate keeping, per group, the k rows that order FIRST; returns
+  * array<struct<payload...>> in rank order. Constructed only by
+  * [[graft.plans.TopKRewrite]].
+  *
+  * Row layout (the code-review finding on round-11's first cut, which
+  * stored every ORDER BY key twice): `children` is the payload columns
+  * followed by only those order expressions that are NOT already a
+  * payload column; each sort key addresses its slot through
+  * `orderIdx`, so `ORDER BY cos DESC, rid` over payload (rid, cos)
+  * adds ZERO extra slots — heap rows, serialized partial buffers, and
+  * the exchange payload carry each value once. Grouping columns don't
+  * ride the rows at all (the rewrite re-derives them from the
+  * Aggregate's grouping output).
   *
   * Row storage is an UnsafeProjection copy per kept row (rejected rows
   * copy nothing); merge streams one buffer into the other; ser/de is
@@ -91,7 +96,8 @@ final class TopKRowsBuffer(val k: Int, ord: Ordering[InternalRow]) {
   */
 case class RowTopK(
     children: Seq[Expression],
-    nOrder: Int,
+    payloadCount: Int,
+    orderIdx: Seq[Int],
     ascending: Seq[Boolean],
     nullsFirst: Seq[Boolean],
     k: Int,
@@ -101,21 +107,19 @@ case class RowTopK(
   extends TypedImperativeAggregate[TopKRowsBuffer] {
 
   require(k > 0, "k must be positive")
-  require(nOrder > 0 && nOrder < children.length &&
-    ascending.length == nOrder && nullsFirst.length == nOrder,
-    "RowTopK needs >=1 order key, >=1 payload column, and one " +
-      "direction/null-ordering per order key")
+  require(payloadCount > 0 && payloadCount <= children.length &&
+    payloadNames.length == payloadCount,
+    "RowTopK needs >=1 payload column with matching names")
+  require(orderIdx.nonEmpty &&
+    orderIdx.forall(i => i >= 0 && i < children.length) &&
+    ascending.length == orderIdx.length &&
+    nullsFirst.length == orderIdx.length,
+    "RowTopK needs >=1 in-range order slot with one direction/null-" +
+      "ordering each")
 
   override def prettyName: String = "row_topk"
 
-  private def payload: Seq[Expression] = children.drop(nOrder)
-
-  private def rowSchemaFields: Seq[StructField] =
-    children.take(nOrder).zipWithIndex.map { case (e, i) =>
-      StructField(s"__o$i", e.dataType, e.nullable)
-    } ++ payload.zip(payloadNames).map { case (e, n) =>
-      StructField(n, e.dataType, e.nullable)
-    }
+  private def payload: Seq[Expression] = children.take(payloadCount)
 
   override def dataType: DataType = ArrayType(
     StructType(payload.zip(payloadNames).map { case (e, n) =>
@@ -125,9 +129,11 @@ case class RowTopK(
   override def nullable: Boolean = false
 
   @transient private lazy val ordering: Ordering[InternalRow] = {
-    val sortOrders = (0 until nOrder).map { i =>
+    val sortOrders = orderIdx.indices.map { i =>
+      val slot = orderIdx(i)
       SortOrder(
-        BoundReference(i, children(i).dataType, children(i).nullable),
+        BoundReference(slot, children(slot).dataType,
+          children(slot).nullable),
         if (ascending(i)) Ascending else Descending,
         if (nullsFirst(i)) NullsFirst else NullsLast,
         Seq.empty)
@@ -142,15 +148,11 @@ case class RowTopK(
 
   override def update(b: TopKRowsBuffer, input: InternalRow)
       : TopKRowsBuffer = {
-    // project first, copy only if kept: probe with the reused row, copy
-    // on insert — but the heap stores the row, so the probe must
-    // already be the copy. k is small and most rows are rejected at the
-    // root compare; copying per-insert only would need a two-phase
-    // probe. Simplest correct: copy when the row will be kept.
+    // probe with the projection's reused row; copy only on keep — most
+    // rows lose the root compare and allocate nothing
     val r = proj(input)
     if (b.size < b.k) b.insert(r.copy())
     else {
-      // root compare without copying: reject in O(1) with zero alloc
       val root = b.rows(0)
       if (ordering.compare(root, r) > 0) b.insert(r.copy())
     }
@@ -168,12 +170,12 @@ case class RowTopK(
   }
 
   override def eval(b: TopKRowsBuffer): Any = {
-    val fields = rowSchemaFields
+    val types = payload.map(_.dataType)
     val out = b.sortedRows.map { r =>
-      val vals = new Array[Any](payload.length)
+      val vals = new Array[Any](payloadCount)
       var i = 0
-      while (i < payload.length) {
-        vals(i) = r.get(nOrder + i, fields(nOrder + i).dataType)
+      while (i < payloadCount) {
+        vals(i) = r.get(i, types(i))
         i += 1
       }
       new GenericInternalRow(vals): Any

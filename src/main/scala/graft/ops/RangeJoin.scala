@@ -72,11 +72,13 @@ object RangeJoin {
     * base and picks bin = span, 2 cells per interval). PlanSpec pins
     * that the rewrite actually fires (no nested-loop join in the
     * physical plan); this key proves it end-to-end against the same
-    * DuckDB IEJoin oracle. The enable conf stays set on the session —
-    * safe by design: the rule only touches inner joins with NO equi
-    * key and BOTH range bounds (otherwise nested loops anyway), and
-    * every rewrite path is bounded (static cap / skip / overflow
-    * bucket), so inheritance cannot fail a later query.
+    * DuckDB IEJoin oracle. The enable conf is SCOPED per key by the
+    * harness mains (GraftSession.resetQueryConfs — later keys must
+    * measure their own plans, not inherit this one's rewrite); on a
+    * user session it is an ordinary session conf, safe by design:
+    * the rule only touches inner joins with NO equi key and BOTH
+    * range bounds, and every rewrite path is bounded (static cap /
+    * skip / overflow bucket), so inheritance cannot fail a query.
     */
   val rangeCountAuto = QueryDef(
     "range_join_auto",

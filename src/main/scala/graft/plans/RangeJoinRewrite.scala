@@ -263,7 +263,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         Some(math.max(1L, math.min(med, MaxAbsCell.toDouble).toLong))
       }
     } catch {
-      case _: Throwable => None // un-runnable sample → leave the plan alone
+      // un-runnable sample (streaming child, analysis mismatch) → leave
+      // the plan alone; fatal errors (OOM, interrupt) must propagate
+      case scala.util.control.NonFatal(_) => None
     } finally sampling.set(false)
   }
 
@@ -401,6 +403,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       Some(Literal(2L)))
     val ivArr = CaseWhen(
       Seq((Or(IsNull(cLo), IsNull(cHi)), emptyArr),
+        // runtime-empty interval (hi < lo ⇒ cHi < cLo possible): it can
+        // match nothing — emitting the overflow fan-out for it would pay
+        // 32 copies + an all-pairs probe per provably-dead row
+        (LessThan(cHi, cLo), emptyArr),
         (narrow, narrowSeq)),
       Some(wideSeq))
     val ivPlan = Generate(Explode(ivArr),

@@ -132,7 +132,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
       // predicate — e.g. rank > 2 pagination — is not a plain top-k),
       // and the bound must be a positive literal within the heap cap
       val kOpt = Some(bounds).filter(_.nonEmpty).map(_.min)
-        .filter(k => k >= 1 && k <= maxK)
+        .filter(k => k >= 1 && k <= math.min(maxK, Int.MaxValue.toLong))
         .filter(_ => !residual.exists(_.references.contains(rankAttr)))
       kOpt.map(buildPlan(w, alias, rankAttr, residual, _))
     }
@@ -148,18 +148,46 @@ object TopKRewrite extends Rule[LogicalPlan] {
         case c => c
       }
       val order = w.orderSpec
+      // Heap-row layout (code-review finding #5 on the first cut, which
+      // carried every order key twice and the group keys once per row):
+      //  - grouping columns that are plain attributes ride the
+      //    Aggregate's grouping output, NOT the per-row payload (they
+      //    are constant per group);
+      //  - order keys that ARE payload attributes address their payload
+      //    slot; only computed order expressions add a slot.
+      val partAttrs = AttributeSet(
+        w.partitionSpec.collect { case a: Attribute => a })
+      val payload0 = child.output.filterNot(partAttrs.contains)
+      // degenerate shape (every child column is a grouping key): carry
+      // all columns in the payload so the struct is non-empty and the
+      // final projection needs no grouping passthrough
+      val payload = if (payload0.nonEmpty) payload0 else child.output
+      val extras = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      val orderIdx = order.map(_.child).map {
+        case a: Attribute if payload.exists(_.exprId == a.exprId) =>
+          payload.indexWhere(_.exprId == a.exprId)
+        case e =>
+          extras += e
+          payload.length + extras.length - 1
+      }
       val agg = RowTopK(
-        order.map(_.child) ++ child.output,
-        nOrder = order.length,
+        (payload: Seq[Expression]) ++ extras,
+        payloadCount = payload.length,
+        orderIdx = orderIdx,
         ascending = order.map(_.direction == Ascending),
         nullsFirst = order.map(_.nullOrdering == NullsFirst),
         k = k.toInt,
-        payloadNames = child.output.map(_.name))
+        payloadNames = payload.map(_.name))
       val topAttr = AttributeReference("__graft_topk", agg.dataType,
         nullable = false)()
+      // grouping attrs pass through the Aggregate with their own
+      // exprIds, so the final projection can reference them directly
+      val groupOut = child.output.filterNot(a =>
+        payload.exists(_.exprId == a.exprId))
       val aggPlan = Aggregate(
         w.partitionSpec,
-        Seq(Alias(agg.toAggregateExpression(), topAttr.name)(topAttr.exprId)),
+        groupOut :+
+          Alias(agg.toAggregateExpression(), topAttr.name)(topAttr.exprId),
         child)
       val posAttr = AttributeReference("__graft_topk_pos", IntegerType,
         nullable = false)()
@@ -173,8 +201,12 @@ object TopKRewrite extends Rule[LogicalPlan] {
       // rebuild the ORIGINAL output attributes (same exprIds, same
       // order: child.* :+ rank) so downstream plans resolve unchanged
       val proj = Project(
-        child.output.zipWithIndex.map { case (a, i) =>
-          Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(a.exprId)
+        child.output.map { a =>
+          val slot = payload.indexWhere(_.exprId == a.exprId)
+          if (slot >= 0)
+            Alias(GetStructField(rowAttr, slot, Some(a.name)),
+              a.name)(a.exprId)
+          else a // grouping attr: straight from the Aggregate output
         } :+ Alias(Add(posAttr, Literal(1)), alias.name)(rankAttr.exprId),
         gen)
       if (residual.isEmpty) proj

@@ -579,6 +579,27 @@ class ExtSpec extends SparkSpec {
       val c1 = q1().collect().map(r => (r.getInt(0), r.getLong(1))).toSet
       spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
       assert(q1().collect().map(r => (r.getInt(0), r.getLong(1))).toSet == c1)
+      // ORDER BY includes the PARTITION column (constant per group →
+      // an extra heap slot, not a payload slot): equality must hold
+      val wp = Window.partitionBy("g")
+        .orderBy(col("g").desc, col("v").asc_nulls_last, col("id"))
+      def qp() = df.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(wp))
+        .filter(col("rank") <= 2)
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val cp = qp().collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      assert(qp().queryExecution.optimizedPlan.toString.contains("row_topk"))
+      assert(qp().collect().map(_.toSeq).toSet == cp)
+      // degenerate shape: the window child is ONLY the partition column
+      val wg = Window.partitionBy("g").orderBy(col("g"))
+      def qg() = df.select("g").withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(wg))
+        .filter(col("rank") <= 2)
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val cg = qg().collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      assert(qg().collect().map(_.toSeq).toSet == cg)
       // NEGATIVE controls: rank() (not row_number) and a rank-range
       // predicate (pagination) must keep the window
       val rk = df.withColumn("rank",
