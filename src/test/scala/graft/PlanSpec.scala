@@ -380,6 +380,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("GraftExtensions (the spark.sql.extensions cluster path) injects " +
+      "both whole-plan rules and every SQL function") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.graftbridge.ExtensionsBridge
+      .optimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.RangeJoinRewrite), rules.toString)
+    assert(rules.contains(graft.plans.TopKRewrite), rules.toString)
+    val reg = org.apache.spark.sql.graftbridge.ExtensionsBridge
+      .registerFunctions(ext,
+        new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
+    GraftFunctions.all.foreach { case (ident, _, _) =>
+      assert(reg.functionExists(ident), s"missing SQL function: $ident")
+    }
+  }
+
   test("build_vocab: bounded top-N plans as TakeOrderedAndProject") {
     val s = planString(graft.ext.Corpus.buildVocab.fn(spark, sf))
     assert(s.contains("TakeOrderedAndProject"),
