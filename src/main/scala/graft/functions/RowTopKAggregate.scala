@@ -138,7 +138,15 @@ case class RowTopK(
         if (nullsFirst(i)) NullsFirst else NullsLast,
         Seq.empty)
     }
-    new InterpretedOrdering(sortOrders)
+    // codegen'd comparator (the SortExec path) — every heap probe runs
+    // one compare, so the interpreted SortOrder walk is the hot cost;
+    // fall back to interpretation if codegen is unavailable
+    try org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateOrdering.generate(sortOrders)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        new InterpretedOrdering(sortOrders)
+    }
   }
 
   @transient private lazy val proj = UnsafeProjection.create(children)
