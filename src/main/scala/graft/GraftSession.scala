@@ -76,6 +76,34 @@ object GraftSession {
   def resetQueryConfs(s: SparkSession): Unit =
     queryScopedConfs.foreach(s.conf.unset)
 
+  /** Set `confs`, build the DataFrame, FORCE its optimization while
+    * they are set, then restore every conf to its prior value (unset
+    * if absent) — on exception too. The optimizer runs at ACTION time,
+    * not at DataFrame-build time, so a library function that merely
+    * set a rewrite conf around plan construction would either not fire
+    * the rewrite at all or have to leave the conf set, permanently
+    * changing the plans of every later matching query in the caller's
+    * session (round-11 verdict #2/punch #4). Instead: optimize eagerly
+    * under the conf and return the OPTIMIZED plan re-wrapped as a
+    * DataFrame — the rewrite is baked into the returned plan (each
+    * later action re-plans it through a fresh QueryExecution, and both
+    * graft rewrites are idempotent no-ops on their own output), while
+    * the session's ambient confs are exactly what they were.
+    */
+  def withScopedConfs(s: SparkSession, confs: (String, String)*)(
+      body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = body
+      org.apache.spark.sql.graftbridge.DataFrameBridge
+        .ofRows(s, df.queryExecution.optimizedPlan)
+    } finally saved.foreach { case (k, prior) =>
+      prior.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
   /** Drop everything any query cached and didn't free — SQL cache and
     * persistent RDDs (incl. localCheckpoint blocks). Multi-query
     * sessions (Bench/Verify/StressMain) call this between queries so

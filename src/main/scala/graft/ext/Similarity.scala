@@ -86,18 +86,22 @@ object Similarity {
     * fires (no Window, no per-group sort in the physical plan; the
     * unrewritten control keeps the Window); this key proves it
     * end-to-end against the same DuckDB oracle as the hand-built
-    * aggregate form. The enable conf is SCOPED per key by the harness
-    * mains (GraftSession.resetQueryConfs): the rewrite is
-    * semantics-preserving, but other row_number-window keys must
-    * measure the plans they document, not inherit this one's.
+    * aggregate form. The enable conf is set/run/RESTORED inside this
+    * function (GraftSession.withScopedConfs, round-11 punch #4): the
+    * plan is optimized eagerly under the conf and returned already
+    * rewritten, so a direct library call no longer leaves the conf on
+    * the caller's session changing every later matching plan
+    * (GuardSpec pins the conf restored, including on exception).
     */
   val topkCosineAuto = QueryDef(
     "topk_cosine_auto",
     (s, dir) => {
       graft.plans.TopKRewrite.ensureRegistered(s)
-      s.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
-      val (q, r) = split(s, dir)
-      bruteForceTopKWindow(q, r, K)
+      graft.GraftSession.withScopedConfs(s,
+        graft.plans.TopKRewrite.EnabledConf -> "true") {
+        val (q, r) = split(s, dir)
+        bruteForceTopKWindow(q, r, K)
+      }
     },
     topkCosine.oracle)
 

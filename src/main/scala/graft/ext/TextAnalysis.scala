@@ -569,10 +569,16 @@ object TextAnalysis {
     val t = Option(rawText).getOrElse("")
     val toks = t.trim.split("\\s+").filter(_.nonEmpty)
     val ntoks = toks.length.toLong
-    val nchars = t.length.toLong
+    // code POINTS, not UTF-16 units — the Spark/DuckDB pipelines both
+    // count code points (length()/len()), so non-BMP text must not make
+    // the trainer/held-out gate disagree with the shipped scorer
+    val nchars = t.codePointCount(0, t.length).toLong
     val dTok = math.max(ntoks, 1L)
     val dCh = math.max(nchars, 1L)
-    val stop = toks.count(w => QsStop.contains(w.toLowerCase)).toLong
+    // Locale.ROOT: the pipelines use locale-independent lower(); a
+    // Turkish-default-locale JVM must not dot-less-i the stopword match
+    val stop = toks.count(w =>
+      QsStop.contains(w.toLowerCase(java.util.Locale.ROOT))).toLong
     val punct = t.count(c => ".,!?;:".indexOf(c.toInt) >= 0).toLong
     val digit = t.count(c => c >= '0' && c <= '9').toLong
     val upper = t.count(c => c >= 'A' && c <= 'Z').toLong

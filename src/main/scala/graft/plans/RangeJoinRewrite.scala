@@ -235,10 +235,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         if (bl.semanticEquals(bh)) Some(oh - ol) else None
     }
 
+  /** Memoized sample outcomes (r11 advice #1): the sample is a
+    * driver-side Spark job launched DURING logical optimization, and the
+    * fixed-point operator batch re-runs this rule several times per
+    * query (plus once more per re-optimization and per .explain()) — so
+    * each outcome, INCLUDING None, is cached keyed on the canonicalized
+    * sample plan (exprIds normalized positionally, so re-instantiations
+    * of the same query hit). Bounded LRU; staleness when the underlying
+    * data changes under an identical plan is acceptable for a bin
+    * HEURISTIC — the residual filter keeps results exact regardless. */
+  private val SampleCacheMax = 64
+  private val sampleCache =
+    new java.util.LinkedHashMap[LogicalPlan, Option[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Option[Long]]): Boolean =
+        size() > SampleCacheMax
+    }
+
+  /** Test hook: observed cache size (SampleSpec pins one-entry-per-
+    * shape, not one-job-per-optimizer-iteration). */
+  private[graft] def sampleCacheSize: Int =
+    sampleCache.synchronized(sampleCache.size())
+  private[graft] def clearSampleCache(): Unit =
+    sampleCache.synchronized(sampleCache.clear())
+
   /** Median interval length from a bounded sample of the interval
-    * side — ONE small Spark job per optimization of a matching plan
-    * (limit pushes down; re-optimizations re-sample, which is bounded
-    * and honest). None when the sample has no positive span. */
+    * side — at most ONE small Spark job per distinct sampled shape
+    * (memoized above). None when the sample has no positive span. */
   private def sampleBin(ivChild: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
     val spark = SparkSession.active
@@ -249,24 +272,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val span = Alias(Subtract(
       Cast(hi, org.apache.spark.sql.types.DoubleType),
       Cast(lo, org.apache.spark.sql.types.DoubleType)), "__graft_span")()
-    sampling.set(true)
-    try {
-      val rows = org.apache.spark.sql.graftbridge.DataFrameBridge
-        .ofRows(spark, Project(Seq(span), ivChild))
-        .filter(org.apache.spark.sql.functions.col("__graft_span") > 0.0)
-        .limit(SampleRows)
-        .collect()
-      if (rows.isEmpty) None
-      else {
-        val spans = rows.map(_.getDouble(0)).sorted
-        val med = spans((spans.length - 1) / 2)
-        Some(math.max(1L, math.min(med, MaxAbsCell.toDouble).toLong))
-      }
-    } catch {
-      // un-runnable sample (streaming child, analysis mismatch) → leave
-      // the plan alone; fatal errors (OOM, interrupt) must propagate
-      case scala.util.control.NonFatal(_) => None
-    } finally sampling.set(false)
+    // LIMIT BELOW the positivity filter (r11 advice #1): the filter
+    // cannot push a limit through itself, so an interval side with
+    // few/no positive spans was scanned in FULL per sample; bounding
+    // the scan first keeps the job O(SampleRows) rows regardless of
+    // data. Price: a side whose first SampleRows rows happen to carry
+    // no positive span skips the rewrite (None) — correct, unrewritten.
+    val samplePlan = Project(Seq(span), Limit(Literal(SampleRows), ivChild))
+    val key = samplePlan.canonicalized
+    val cached = sampleCache.synchronized(Option(sampleCache.get(key)))
+    cached.getOrElse {
+      sampling.set(true)
+      val result =
+        try {
+          val rows = org.apache.spark.sql.graftbridge.DataFrameBridge
+            .ofRows(spark, samplePlan)
+            .filter(org.apache.spark.sql.functions.col("__graft_span") > 0.0)
+            .collect()
+          if (rows.isEmpty) None
+          else {
+            val spans = rows.map(_.getDouble(0)).sorted
+            val med = spans((spans.length - 1) / 2)
+            Some(math.max(1L, math.min(med, MaxAbsCell.toDouble).toLong))
+          }
+        } catch {
+          // un-runnable sample (streaming child, analysis mismatch) →
+          // leave the plan alone; fatal errors (OOM, interrupt) propagate
+          case scala.util.control.NonFatal(_) => None
+        } finally sampling.set(false)
+      sampleCache.synchronized(sampleCache.put(key, result)): Unit
+      result
+    }
   }
 
   private def rewrite(j: Join, fixedBin: Option[Long]): Option[LogicalPlan] = {
@@ -394,9 +430,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // grid keys; else → every odd overflow key
     val cLo = cellOf(lo, bin)
     val cHi = cellOf(hi, bin)
+    // strict <: cHi-cLo = d enumerates d+1 cells, so the inclusive form
+    // admitted maxCells+1 — one over the documented cap and inconsistent
+    // with the static path's s/b+2 <= maxCells bound (r11 advice #3)
     val narrow = And(And(inRange(cLo), inRange(cHi)),
       And(GreaterThanOrEqual(cHi, cLo),
-        LessThanOrEqual(Subtract(cHi, cLo), Literal(maxCells))))
+        LessThan(Subtract(cHi, cLo), Literal(maxCells))))
     val narrowSeq = seqTz(Multiply(cLo, Literal(2L)),
       Multiply(cHi, Literal(2L)), Some(Literal(2L)))
     val wideSeq = seqTz(Literal(1L), Literal(2L * OverflowSalts - 1),

@@ -212,6 +212,10 @@ object StreamingDedup {
     // can be older)
     var seen = state.getOption.getOrElse(Seq.empty).toVector
       .filter(_.tsMs >= wm - retentionMs)
+    // O(1) replay check (r11 advice #4): the linear exists() scan made
+    // each state update O(bucket²) per batch on top of the pair scan
+    val seenIds = scala.collection.mutable.HashSet.empty[Long]
+    seen.foreach(s => seenIds += s.doc_id)
     val out = scala.collection.mutable.ArrayBuffer.empty[PhashPair]
     def hamming(x: Array[Int], y: Array[Int]): Int = {
       var h = 0; var i = 0
@@ -220,7 +224,7 @@ object StreamingDedup {
     }
     fresh.foreach { d =>
       // replayed doc_id → no-op (same contract as verifyPhashBucket)
-      if (!seen.exists(_.doc_id == d.doc_id)) {
+      if (seenIds.add(d.doc_id)) {
       val db = d.bands
       seen.foreach { s =>
         if (s.doc_id != d.doc_id &&
@@ -252,6 +256,10 @@ object StreamingDedup {
       key: (Int, Int), rows: Iterator[PhashBucketed],
       state: GroupState[Seq[PhashBucketed]]): Iterator[PhashPair] = {
     var seen = state.getOption.getOrElse(Seq.empty).toVector
+    // O(1) replay check (r11 advice #4): the linear exists() scan made
+    // each state update O(bucket²) per batch on top of the pair scan
+    val seenIds = scala.collection.mutable.HashSet.empty[Long]
+    seen.foreach(s => seenIds += s.doc_id)
     val out = scala.collection.mutable.ArrayBuffer.empty[PhashPair]
     def hamming(x: Array[Int], y: Array[Int]): Int = {
       var h = 0; var i = 0
@@ -261,8 +269,9 @@ object StreamingDedup {
     rows.toArray.sortBy(_.doc_id).foreach { d =>
       // a re-delivered signature (upstream replay / duplicate ingest)
       // must be a no-op: appending it again would double bucket state
-      // and re-emit every pair involving this doc on later matches
-      if (!seen.exists(_.doc_id == d.doc_id)) {
+      // and re-emit every pair involving this doc on later matches —
+      // seenIds.add returns false exactly for those replays
+      if (seenIds.add(d.doc_id)) {
       val db = d.bands
       seen.foreach { s =>
         if (s.doc_id != d.doc_id) {

@@ -26,6 +26,27 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(100.0, None))
   }
 
+  test("sub-floor suspect rule: median >3x local with flat job counts " +
+      "flags under the 1 s floor (r11 punch #7)") {
+    // the json_roundtrip class: 0.869 s median vs 0.185 s local = 4.70x,
+    // 2 jobs flat every run — under the 1 s floor no RUN ever flags, but
+    // the KEY must now earn resamples
+    assert(!Bench.isSuspect(0.869, Some(0.185)))
+    assert(Bench.isSubFloorSuspect(0.869, Some(0.185), Seq(2, 2, 2)))
+    // in-band median: quiet
+    assert(!Bench.isSubFloorSuspect(0.25, Some(0.185), Seq(2, 2, 2)))
+    // job-count drift = the plan changed, not the environment —
+    // resampling cannot adjudicate that; it must stay visible as-is
+    assert(!Bench.isSubFloorSuspect(0.869, Some(0.185), Seq(2, 3, 2)))
+    // no committed reference / zero reference / no runs: never flags
+    assert(!Bench.isSubFloorSuspect(0.869, None, Seq(2, 2, 2)))
+    assert(!Bench.isSubFloorSuspect(0.869, Some(0.0), Seq(2, 2, 2)))
+    assert(!Bench.isSubFloorSuspect(0.869, Some(0.185), Seq.empty))
+    // slow keys keep flagging through the original per-run rule; the
+    // sub-floor rule also covers them when only the median is inflated
+    assert(Bench.isSubFloorSuspect(9.1, Some(3.0), Seq(7, 7, 7)))
+  }
+
   test("synthetic stall: a sleeping run trips the suspect flag") {
     // Exercise the rule through a real timed stall, the way Bench.main
     // times a run — a 1.2 s sleep against a 0.2 s committed median must

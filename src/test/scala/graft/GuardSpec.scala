@@ -482,4 +482,40 @@ class GuardSpec extends SparkSpec {
       "recovered merge must clean the retired snapshot")
     graft.Work.clean(snap); graft.Work.clean(snap + ".old")
   }
+
+  test("withScopedConfs: opt-in rewrite confs are restored after the " +
+      "call, including on exception (r11 punch #4)") {
+    val tk = graft.plans.TopKRewrite.EnabledConf
+    val rj = graft.plans.RangeJoinRewrite.EnabledConf
+    spark.conf.unset(tk); spark.conf.unset(rj)
+    // the two auto keys call through withScopedConfs: after building
+    // the DataFrame the session conf must be back to unset, and the
+    // returned plan must still be the REWRITTEN one (optimized eagerly
+    // under the conf, baked into the returned logical plan)
+    val topk = graft.ext.Similarity.topkCosineAuto.fn(spark, sf)
+    assert(spark.conf.getOption(tk).isEmpty,
+      "topk_cosine_auto must not leave its enable conf set")
+    assert(topk.queryExecution.executedPlan.toString.contains("row_topk"))
+    val rng = graft.ops.RangeJoin.rangeCountAuto.fn(spark, sf)
+    assert(spark.conf.getOption(rj).isEmpty,
+      "range_join_auto must not leave its enable conf set")
+    val rs = rng.queryExecution.executedPlan.toString
+    assert(!rs.contains("BroadcastNestedLoopJoin") &&
+      !rs.contains("CartesianProduct"), rs.take(1500))
+    // exception path: the body throws -> conf still restored
+    intercept[RuntimeException] {
+      GraftSession.withScopedConfs(spark, tk -> "true") {
+        assert(spark.conf.get(tk) == "true")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.getOption(tk).isEmpty,
+      "conf must be restored when the body throws")
+    // a PRE-EXISTING value is restored, not blown away
+    spark.conf.set(tk, "false")
+    GraftSession.withScopedConfs(spark, tk -> "true")(spark.range(1).toDF())
+    assert(spark.conf.get(tk) == "false",
+      "a caller's own conf value must be restored, not unset")
+    spark.conf.unset(tk)
+  }
 }

@@ -380,6 +380,48 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("range-join auto-bin sample memoizes per plan shape: " +
+      "re-optimizing the same query launches no new sample job " +
+      "(r11 advice #1)") {
+    import org.apache.spark.sql.functions.col
+    graft.plans.RangeJoinRewrite.ensureRegistered(spark)
+    graft.plans.RangeJoinRewrite.clearSampleCache()
+    val sp = spark
+    import sp.implicits._
+    // data-dependent bounds (plain LocalRelation attributes, no shared
+    // base expression) force the SAMPLED bin path
+    val pts = (0L to 500L).map(i => i * 3L).toDF("pt")
+    val ivs = (0L until 50L).map(i => (i * 30L, i * 30L + 25L, i))
+      .toDF("lo", "hi", "id")
+    def q() = pts.join(ivs,
+      col("pt") >= col("lo") && col("pt") < col("hi"))
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.EnabledConf, "true")
+      val df1 = q()
+      df1.queryExecution.optimizedPlan
+      // the fixed-point optimizer batch visits the matching join
+      // several times per optimization; the memo must hold exactly ONE
+      // entry for the shape, not one per iteration
+      assert(graft.plans.RangeJoinRewrite.sampleCacheSize == 1,
+        s"expected 1 memoized sample, got ${graft.plans.RangeJoinRewrite.sampleCacheSize}")
+      // a fresh instantiation of the SAME query canonicalizes to the
+      // same key: still one entry, no second sample job
+      q().queryExecution.optimizedPlan
+      assert(graft.plans.RangeJoinRewrite.sampleCacheSize == 1)
+      // the sampled bin actually drove the rewrite, and results are
+      // exact: 9 multiples of 3 inside each of the 50 [i*30, i*30+25)
+      val s1 = planString(df1)
+      assert(!s1.contains("BroadcastNestedLoopJoin") &&
+        !s1.contains("CartesianProduct"),
+        "sampled-bin path must rewrite to the grid equi-join:\n" +
+          s1.take(1200))
+      assert(df1.count() == 450L)
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledConf)
+      graft.plans.RangeJoinRewrite.clearSampleCache()
+    }
+  }
+
   test("GraftExtensions (the spark.sql.extensions cluster path) injects " +
       "both whole-plan rules and every SQL function") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
