@@ -982,6 +982,78 @@ object Relational {
                AS drnk
       FROM lineitem"""))
 
+  /** The rank-family TOP-K: the q36 window bounded by `rnk <= 2`,
+    * written exactly the way a user writes "top 2 per order with ties"
+    * — and rewritten by [[graft.plans.TopKRewrite]] into the
+    * tie-keeping [[graft.functions.RankTopK]] aggregate (round-11
+    * verdict punch #1: the rank() spelling previously fell back to the
+    * full-shuffle window; rank bounds must keep EVERY row order-equal
+    * to the k-th, so the row_number heap could not be reused). Integer
+    * quantities tie constantly, which is what makes this key prove the
+    * tie contract: both engines keep all boundary ties, so output is
+    * deterministic without a total order. The enable conf is
+    * set/run/restored ([[graft.GraftSession.withScopedConfs]]); the
+    * plan shape (no Window, map-side partial rank_topk) is pinned in
+    * PlanSpec, rank-tie equality in both directions in PropertySpec.
+    * Scale: map-side partials keep (k + boundary ties) rows per
+    * (order, partition) — the exchange carries O(groups·k·partitions)
+    * rows instead of every line item.
+    */
+  val topkRankAuto = QueryDef(
+    "topk_rank_auto",
+    (s, dir) => {
+      graft.plans.TopKRewrite.ensureRegistered(s)
+      graft.GraftSession.withScopedConfs(s,
+        graft.plans.TopKRewrite.EnabledConf -> "true") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_quantity").desc)
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity")).cast(LongType).as("qty"),
+            rank().over(w).as("rnk"))
+          .filter(col("rnk") <= 2)
+      }
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               rank() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_quantity DESC) AS rnk
+        FROM lineitem)
+      WHERE rnk <= 2"""))
+
+  /** dense_rank() face of [[topkRankAuto]]: "top 2 quantity LEVELS per
+    * order, all rows at each level" — the rewrite keeps the k smallest
+    * DISTINCT sort keys per group ([[graft.functions.RankTopK]] with
+    * dense = true). Retention is bounded by distinct keys, not rows;
+    * the emitted rank carries no gaps, exactly SQL dense_rank. */
+  val topkDenseRankAuto = QueryDef(
+    "topk_dense_rank_auto",
+    (s, dir) => {
+      graft.plans.TopKRewrite.ensureRegistered(s)
+      graft.GraftSession.withScopedConfs(s,
+        graft.plans.TopKRewrite.EnabledConf -> "true") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_quantity").desc)
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity")).cast(LongType).as("qty"),
+            dense_rank().over(w).as("drnk"))
+          .filter(col("drnk") <= 2)
+      }
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               dense_rank() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_quantity DESC) AS drnk
+        FROM lineitem)
+      WHERE drnk <= 2"""))
+
   /** ANSI three-valued-logic witness: NOT IN against a subquery that
     * contains a NULL yields UNKNOWN for every row (count 0), while NOT
     * EXISTS with the equivalent predicate anti-joins normally — the
@@ -1404,6 +1476,7 @@ object Relational {
     q22Cube, q23GroupingSets, q24Ntile, q25Explode, q26Percentile,
     q27DateSpine, q28Profile, q29Unpivot, q30NullSafeJoin, q31RangeFrame,
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
-    q36RankFamily, q37NotInNulls, q38FilterListagg, q39EventTime,
-    q40GapFill, q41Scd2, q42RollingWindow, q43Resample, q44WeekOverWeek)
+    q36RankFamily, topkRankAuto, topkDenseRankAuto, q37NotInNulls,
+    q38FilterListagg, q39EventTime, q40GapFill, q41Scd2, q42RollingWindow,
+    q43Resample, q44WeekOverWeek)
 }

@@ -54,10 +54,15 @@ import org.apache.spark.sql.types.IntegerType
   * column.
   *
   * Matched only when: exactly one window expression and it is
-  * row_number(); the filter bounds it by a positive integer literal ≤
-  * `spark.graft.topkRewrite.maxK` (default [[DefaultMaxK]] — beyond
-  * that a per-group heap stops being obviously better than the sort);
-  * the plan is batch (streaming keeps Spark's stateful machinery).
+  * row_number(), rank(), or dense_rank() (the rank family gets the
+  * tie-keeping [[graft.functions.RankTopK]] — round-11 punch #1: a
+  * rank() bound must keep every row order-equal to the k-th, a
+  * dense_rank() bound the k smallest distinct keys, so the arbitrary-
+  * subset heap would be wrong); the filter bounds it by a positive
+  * integer literal ≤ `spark.graft.topkRewrite.maxK` (default
+  * [[DefaultMaxK]] — beyond that a per-group heap stops being
+  * obviously better than the sort); the plan is batch (streaming
+  * keeps Spark's stateful machinery).
   * Activation: `spark.graft.topkRewrite.enabled=true` — opt-in like
   * the range-join hint, and inert otherwise.
   */
@@ -116,14 +121,32 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Which ranking function bounds the filter — each needs a different
+    * tie contract from the aggregate (round-11 punch #1):
+    * row_number() keeps an arbitrary k-subset of boundary ties (the
+    * bounded HEAP, [[graft.functions.RowTopK]]); rank() must keep ALL
+    * rows order-equal to the k-th; dense_rank() keeps the k smallest
+    * DISTINCT keys (both via the tie-keeping
+    * [[graft.functions.RankTopK]]). */
+  private sealed trait Mode
+  private case object RowNumMode extends Mode
+  private case object RankMode extends Mode
+  private case object DenseRankMode extends Mode
+
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
     if (w.isStreaming) return None
-    // exactly one window expression: row_number() with its standard frame
-    val rankAlias = w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some(a)
+    // exactly one window expression: a ranking function with its
+    // standard frame
+    val rankAlias: Option[(Alias, Mode)] = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) =>
+        Some((a, RowNumMode))
+      case Seq(a @ Alias(WindowExpression(_: Rank, _), _)) =>
+        Some((a, RankMode))
+      case Seq(a @ Alias(WindowExpression(_: DenseRank, _), _)) =>
+        Some((a, DenseRankMode))
       case _ => None
     }
-    rankAlias.filter(_ => w.orderSpec.nonEmpty).flatMap { alias =>
+    rankAlias.filter(_ => w.orderSpec.nonEmpty).flatMap { case (alias, mode) =>
       val rankAttr = alias.toAttribute
       val conjuncts = splitConjuncts(cond)
       val bounds = conjuncts.flatMap(c => rankBound(c, rankAttr))
@@ -134,12 +157,12 @@ object TopKRewrite extends Rule[LogicalPlan] {
       val kOpt = Some(bounds).filter(_.nonEmpty).map(_.min)
         .filter(k => k >= 1 && k <= math.min(maxK, Int.MaxValue.toLong))
         .filter(_ => !residual.exists(_.references.contains(rankAttr)))
-      kOpt.map(buildPlan(w, alias, rankAttr, residual, _))
+      kOpt.map(buildPlan(w, alias, rankAttr, residual, _, mode))
     }
   }
 
   private def buildPlan(w: Window, alias: Alias, rankAttr: Attribute,
-      residual: Seq[Expression], k: Long): LogicalPlan = {
+      residual: Seq[Expression], k: Long, mode: Mode): LogicalPlan = {
       // Spark's InferWindowGroupLimit may already have inserted its
       // per-partition limit below the window — the rewrite replaces
       // that machinery wholesale, so unwrap it
@@ -170,14 +193,32 @@ object TopKRewrite extends Rule[LogicalPlan] {
           extras += e
           payload.length + extras.length - 1
       }
-      val agg = RowTopK(
-        (payload: Seq[Expression]) ++ extras,
-        payloadCount = payload.length,
-        orderIdx = orderIdx,
-        ascending = order.map(_.direction == Ascending),
-        nullsFirst = order.map(_.nullOrdering == NullsFirst),
-        k = k.toInt,
-        payloadNames = payload.map(_.name))
+      val ascendingFlags = order.map(_.direction == Ascending)
+      val nullsFirstFlags = order.map(_.nullOrdering == NullsFirst)
+      val agg: org.apache.spark.sql.catalyst.expressions.aggregate
+          .TypedImperativeAggregate[_] = mode match {
+        case RowNumMode => RowTopK(
+          (payload: Seq[Expression]) ++ extras,
+          payloadCount = payload.length,
+          orderIdx = orderIdx,
+          ascending = ascendingFlags,
+          nullsFirst = nullsFirstFlags,
+          k = k.toInt,
+          payloadNames = payload.map(_.name))
+        // tie-keeping variants (r11 punch #1): rank() keeps every row
+        // order-equal to the k-th, dense_rank() the k smallest distinct
+        // keys — the rank VALUE rides each struct (ranks aren't
+        // positional under ties), read back below instead of pos+1
+        case RankMode | DenseRankMode => graft.functions.RankTopK(
+          (payload: Seq[Expression]) ++ extras,
+          payloadCount = payload.length,
+          orderIdx = orderIdx,
+          ascending = ascendingFlags,
+          nullsFirst = nullsFirstFlags,
+          k = k.toInt,
+          dense = mode == DenseRankMode,
+          payloadNames = payload.map(_.name))
+      }
       val topAttr = AttributeReference("__graft_topk", agg.dataType,
         nullable = false)()
       // grouping attrs pass through the Aggregate with their own
@@ -198,6 +239,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
       val gen = Generate(PosExplode(topAttr),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(posAttr, rowAttr), child = aggPlan)
+      // the rank column: row_number is positional (pos+1); rank and
+      // dense_rank carry their value as the struct's LAST field
+      val rankValue: Expression = mode match {
+        case RowNumMode => Add(posAttr, Literal(1))
+        case RankMode | DenseRankMode =>
+          GetStructField(rowAttr, payload.length, Some("__graft_rank"))
+      }
       // rebuild the ORIGINAL output attributes (same exprIds, same
       // order: child.* :+ rank) so downstream plans resolve unchanged
       val proj = Project(
@@ -207,7 +255,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
             Alias(GetStructField(rowAttr, slot, Some(a.name)),
               a.name)(a.exprId)
           else a // grouping attr: straight from the Aggregate output
-        } :+ Alias(Add(posAttr, Literal(1)), alias.name)(rankAttr.exprId),
+        } :+ Alias(rankValue, alias.name)(rankAttr.exprId),
         gen)
       if (residual.isEmpty) proj
       else Filter(residual.reduce(And), proj)

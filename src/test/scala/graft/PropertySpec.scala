@@ -168,6 +168,55 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("rank/dense_rank top-k rewrite equals the unrewritten plan over " +
+      "heavy ties, both directions, nulls included (r11 punch #1)") {
+    // the tie-keeping contract: rank() <= k must keep EVERY row
+    // order-equal to the k-th (boundary tie groups survive whole),
+    // dense_rank() <= k the k smallest distinct keys — over data built
+    // to tie constantly (values from a 3-element domain plus nulls),
+    // conf-on vs conf-off row sets must match exactly in both sort
+    // directions and both null orderings
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, rank, dense_rank}
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 4),
+      Gen.option(Gen.chooseNum(0, 2)))) // 3-value domain -> heavy ties
+    val cases = samples(Gen.zip(rowsGen, Gen.chooseNum(1, 4),
+      Gen.oneOf(true, false), Gen.oneOf(true, false),
+      Gen.oneOf(true, false)), 8)
+    try {
+      cases.foreach { case (rows, k, asc, nullsFirst, dense) =>
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val vOrd = (asc, nullsFirst) match {
+          case (true, true) => col("v").asc_nulls_first
+          case (true, false) => col("v").asc_nulls_last
+          case (false, true) => col("v").desc_nulls_first
+          case (false, false) => col("v").desc_nulls_last
+        }
+        // NO id tiebreak: ties must be real so whole tie groups cross k
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(vOrd)
+        val rk = if (dense) dense_rank().over(w) else rank().over(w)
+        def run() = df.withColumn("rnk", rk)
+          .filter(col("rnk") <= k).collect()
+          .map(r => (r.getInt(0), if (r.isNullAt(1)) -99 else r.getInt(1),
+            r.getLong(2), r.getInt(3))).toSet
+        spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+        val control = run()
+        spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+        val rewritten = run()
+        assert(rewritten == control,
+          s"k=$k asc=$asc nf=$nullsFirst dense=$dense " +
+            s"missing=${(control -- rewritten).take(3)} " +
+            s"extra=${(rewritten -- control).take(3)} rows=${rows.take(12)}")
+      }
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("range-join rewrite equals brute force for arbitrary intervals " +
       "incl. sentinel, empty, null, and extreme bounds") {
     graft.plans.RangeJoinRewrite.ensureRegistered(spark)
