@@ -197,6 +197,16 @@ object StressMain {
         ml.Knn.predictShuffled(q, r, k = 5).count()
       },
       n => repEmb(emb, n))
+    // pivot-pruned exact predict (r11 punch #6): the growth row that
+    // justifies the pruning — at 1x the extra estimate jobs are pure
+    // overhead vs knn_bcast; as refs grow, the O(P)-per-pair LB filter
+    // skips full-dimension distances and the curve crosses over
+    pair("knn_pruned")(
+      { c =>
+        val (q, r) = knnSides(c)
+        ml.Knn.predictDistributedPruned(q, r, k = 5).count()
+      },
+      n => repEmb(emb, n))
     pair("decontaminate")(
       c => Dedup.decontaminate(
         c.filter(col("doc_id") % 10 =!= 0),

@@ -139,10 +139,26 @@ object Knn {
   /** Pivot-pruned EXACT predict (REPOSE-style reference-point pruning,
     * SURVEY.md §7.3): the 100 TB form of the brute-force crossJoin.
     *
-    *  1. Estimate: exact top-k against a deterministic 1/4 sample of
-    *     the reference set gives each query an upper bound d̂_k on its
-    *     true kth distance (the sample is a subset, so its kth distance
-    *     can only be larger).
+    *  0. Decide (round-11 punch #6): metric pruning only pays when the
+    *     pivot bound has CONTRAST — on distance-concentrated data
+    *     (quasi-uniform high-dim embeddings) every pair survives the
+    *     filter and the O(P)-per-pair probe is pure overhead. One
+    *     bounded driver-side sample of (reference, query) pivot
+    *     distances estimates the filter's selectivity; past
+    *     [[BypassSelectivity]] the call returns the UNPRUNED exact plan
+    *     (identical results — both paths are exact; only the plan
+    *     changes).
+    *  1. Estimate (round-11 punch #6 rewrite): the upper bound d̂_k on
+    *     each query's true kth distance comes from the pivots
+    *     themselves — for any pivot p, the k references closest to p
+    *     satisfy |q−r| ≤ |q−p| + |r−p| ≤ |q−p| + kth_p(|r−p|), so
+    *     d_k(q) ≤ min_p (|q−p| + kth_p). kth_p is QUERY-INDEPENDENT:
+    *     one P-row aggregate over the reference side, collected as P
+    *     doubles (bounded driver pull, pivot-sized), and d̂_k becomes a
+    *     map-only expression over the query's own pivot distances. The
+    *     former sample estimate paid an extra |Q|×|R|/4 full-dimension
+    *     crossJoin — 25% of brute force before pruning even started,
+    *     and measured 4 extra Spark jobs of fixed overhead at bench SF.
     *  2. Prune: with P broadcast pivots, the triangle inequality gives
     *     the lower bound LB(q,r) = max_p | |q-p| - |r-p| | ≤ |q-r|;
     *     any reference with LB² > d̂²_k cannot be in the true top-k and
@@ -150,17 +166,85 @@ object Knn {
     *  3. Exact top-k + vote over the survivors.
     *
     * Survivors always contain the true top-k (LB ≤ true distance and
-    * d̂_k ≥ true kth distance), so the result is bit-identical to
-    * [[predictDistributed]] — asserted in tests. The pivot distances
-    * are P-element arrays, so the pruning predicate costs O(P) per
-    * pair instead of O(dim), and the filter sits inside codegen before
-    * the fused distance expression.
+    * d̂_k ≥ true kth distance — step 1's bound holds for every pivot,
+    * hence for the min), so the result is bit-identical to
+    * [[predictDistributed]] — asserted in tests, including against a
+    * references side SMALLER than k (kth_p undefined → pruning
+    * disabled via an infinite bound). The pivot distances are
+    * P-element arrays, so the pruning predicate costs O(P) per pair
+    * instead of O(dim), and the filter sits inside codegen before the
+    * fused distance expression. P is a tightness-vs-probe-cost dial
+    * (each pair pays O(P); each extra pivot tightens d̂_k and LB):
+    * 8 suits dim 64 — past ~dim/4 the probe stops being cheaper than
+    * the distance it avoids.
     */
+  /** Bounded driver-side samples for the adaptive prune decision. */
+  private val RefSampleRows = 2048
+  private val QuerySampleRows = 64
+
+  /** Estimated LB-filter selectivity above which pruning is BYPASSED:
+    * when the pivot bound keeps most pairs, the O(P)-per-pair probe is
+    * pure overhead on top of the brute-force distances it fails to
+    * avoid, so the unpruned exact plan is strictly better. Measured on
+    * the sf0.1 embeddings (quasi-uniform 64-d, distance concentration):
+    * survivor fraction 0.96 — NO metric bound can prune that
+    * distribution, and the 16× stress row ran 3× slower than plain
+    * broadcast KNN before this bypass existed. */
+  private val BypassSelectivity = 0.5
+
   def predictDistributedPruned(queries: DataFrame, refs: DataFrame,
       k: Int, nPivots: Int = 8): DataFrame = {
     val spark = queries.sparkSession
-    val pivots: Array[Array[Double]] = refs.orderBy("rid").limit(nPivots)
-      .select("rvec").collect().map(_.getSeq[Double](0).toArray)
+    // ONE bounded collect serves pivot selection, the sample-kth, and
+    // the selectivity probe (deterministic: rid order)
+    val refSample: Array[Array[Double]] = refs.orderBy("rid")
+      .limit(RefSampleRows).select("rvec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (refSample.isEmpty) return predictDistributed(queries, refs, k)
+    val pivots = refSample.take(nPivots)
+    def pdist(v: Array[Double]): Array[Double] = pivots.map { p =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - p(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    // kth_p over the SAMPLE is >= kth_p over the full reference set, so
+    // any bound derived from it stays a valid upper bound on d_k — good
+    // enough for the prune/bypass DECISION (the engaged prune path
+    // recomputes kth_p exactly below, so the real filter is tighter
+    // than the estimate: the estimated survivor fraction is an upper
+    // bound and the decision errs toward bypass, which is always exact)
+    val rpdSample = refSample.map(pdist)
+    val kthSample: Array[Double] = Array.tabulate(pivots.length) { p =>
+      val ds = rpdSample.map(_(p)).sorted
+      if (ds.length >= k) ds(k - 1) else Double.MaxValue
+    }
+    // a bounded query sample probes the selectivity: plain limit (no
+    // global sort over the query side — the sample only steers the
+    // plan choice, never the result, which is exact on both paths)
+    val qpdSample = queries.limit(QuerySampleRows).select("qvec").collect()
+      .map(r0 => pdist(r0.getSeq[Double](0).toArray))
+    val frac =
+      if (qpdSample.isEmpty) 1.0
+      else {
+        var kept = 0L
+        qpdSample.foreach { qp =>
+          val dk = Array.tabulate(pivots.length)(p =>
+            if (kthSample(p) == Double.MaxValue) Double.MaxValue
+            else qp(p) + kthSample(p)).min
+          rpdSample.foreach { rp =>
+            var lb = 0.0
+            var p = 0
+            while (p < pivots.length) {
+              val d = math.abs(qp(p) - rp(p)); if (d > lb) lb = d; p += 1
+            }
+            if (lb <= dk) kept += 1
+          }
+        }
+        kept.toDouble / (qpdSample.length.toLong * rpdSample.length)
+      }
+    if (frac > BypassSelectivity)
+      return predictDistributed(queries, refs, k)
+
     val bc = spark.sparkContext.broadcast(pivots)
     val pivotDists = udf { (v: Seq[Double]) =>
       val a = v.toArray
@@ -173,24 +257,35 @@ object Knn {
     val q = queries.withColumn("qpd", pivotDists(col("qvec")))
     val r = refs.withColumn("rpd", pivotDists(col("rvec")))
 
-    // 1. upper bound from the sample: kth smallest squared distance
-    val sample = refs.filter(col("rid") % 4 === 0)
-    val dkSq = queries.crossJoin(broadcast(sample))
-      .select(col("qid"), col("rid"),
-        sqDist(col("qvec"), col("rvec")).as("dist"))
-      .groupBy("qid")
+    // 1. EXACT kth smallest |r−p| per pivot: one tiny aggregate
+    // (P rows), collected pivot-sized — tighter than the sample-kth
+    // used for the decision. Fewer than k references under a pivot →
+    // no valid bound → that pivot contributes no d̂ term.
+    val kthPerPivot: Map[Int, Double] = r
+      .select(posexplode(col("rpd")).as(Seq("p", "d")))
+      .groupBy("p")
       .agg(graft.functions.TopK.smallestK(
-        col("dist"), col("rid"), lit(0), k).as("top"))
-      // a sample smaller than k gives no valid bound — disable pruning
-      .select(col("qid"), when(size(col("top")) >= k,
+        col("d"), lit(0L), lit(0), k).as("top"))
+      .select(col("p"), when(size(col("top")) >= k,
         element_at(col("top.score"), -1))
-        .otherwise(lit(Double.MaxValue)).as("dk_sq"))
+        .otherwise(lit(Double.MaxValue)).as("kth"))
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    // d̂_k(q) = min_p (qpd[p] + kth_p) — both UNsquared pivot
+    // distances; squared once at the end for the lb² comparison
+    val dkExpr =
+      if (kthPerPivot.isEmpty) lit(Double.MaxValue)
+      else least(kthPerPivot.toSeq.sortBy(_._1).map { case (p, kth) =>
+        if (kth == Double.MaxValue) lit(Double.MaxValue)
+        else element_at(col("qpd"), p + 1) + lit(kth)
+      }: _*)
+    val qWithBound = q.withColumn("dk_sq",
+      when(dkExpr === Double.MaxValue, lit(Double.MaxValue))
+        .otherwise(dkExpr * dkExpr))
 
     // 2+3. prune by triangle-inequality lower bound, then exact top-k
     val lb = array_max(zip_with(col("qpd"), col("rpd"),
       (a, b) => abs(a - b)))
-    val scored = q.join(dkSq, Seq("qid"), "left")
-      .withColumn("dk_sq", coalesce(col("dk_sq"), lit(Double.MaxValue)))
+    val scored = qWithBound
       .crossJoin(broadcast(r))
       .filter(lb * lb <= col("dk_sq"))
       .select(col("qid"), col("rid"), col("label"),

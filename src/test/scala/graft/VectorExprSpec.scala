@@ -95,6 +95,20 @@ class VectorExprSpec extends SparkSpec {
     assert(pruned == full)
   }
 
+  test("pivot-pruned predict with fewer references than k disables the " +
+      "bound (kth_p undefined) and still matches unpruned") {
+    // r11 punch #6 rewrite: d-hat_k now comes from kth_p(|r-p|), which
+    // does not exist when |R| < k — the infinite-bound path must keep
+    // every pair and agree with the unpruned plan
+    val (q, r) = Knn.split(spark, sf)
+    val tiny = r.orderBy("rid").limit(3) // k = 5 > |R| = 3
+    val pruned = Knn.predictDistributedPruned(q, tiny, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val full = Knn.predictDistributed(q, tiny, 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(pruned == full && pruned.nonEmpty)
+  }
+
   test("bounded-heap predictFn equals full-sort semantics (distributed face)") {
     // the UDF face's k-selection must rank (dist, rid) and vote
     // (count desc, label asc) exactly like the window form
