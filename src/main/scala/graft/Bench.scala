@@ -149,7 +149,9 @@ object Bench {
         .drain(spark.sparkContext)
       // opt-in rewrite confs are scoped per key: a key that enables a
       // whole-plan rewrite must not change the plans later keys measure
-      GraftSession.resetQueryConfs(spark)
+      // (SPARK_GRAFT_RULES_ON=1 instead forces both rules globally on —
+      // the rules-on soak posture, r11 punch #3)
+      GraftSession.applyQueryConfPolicy(spark)
       val (j0, s0, k0, g0) = (jobs.get(), stages.get(), tasks.get(), gcMs())
       val at = (System.nanoTime() - benchT0) / 1e9
       val t0 = System.nanoTime()

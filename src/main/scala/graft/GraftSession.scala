@@ -76,6 +76,24 @@ object GraftSession {
   def resetQueryConfs(s: SparkSession): Unit =
     queryScopedConfs.foreach(s.conf.unset)
 
+  /** Per-key conf policy for the harness mains (Bench/Verify): scope
+    * the opt-in rewrite confs per key as documented above — UNLESS the
+    * rules-on soak is requested (`SPARK_GRAFT_RULES_ON=1`, round-11
+    * punch #3), in which case every key runs with BOTH whole-plan
+    * rewrites globally enabled: the real `spark.sql.extensions`
+    * deployment posture, where a user sets the confs session-wide and
+    * every matching plan in the suite must take either a correct
+    * rewrite or a safe skip path. The soak artifact (SOAK_r12.md)
+    * records the oracle result and per-key bench deltas of that run.
+    */
+  def applyQueryConfPolicy(s: SparkSession): Unit = {
+    resetQueryConfs(s)
+    if (sys.env.get("SPARK_GRAFT_RULES_ON").contains("1")) {
+      s.conf.set(plans.RangeJoinRewrite.EnabledConf, "true")
+      s.conf.set(plans.TopKRewrite.EnabledConf, "true")
+    }
+  }
+
   /** Set `confs`, build the DataFrame, FORCE its optimization while
     * they are set, then restore every conf to its prior value (unset
     * if absent) — on exception too. The optimizer runs at ACTION time,

@@ -300,6 +300,43 @@ object StressMain {
           run(mult, true, s"auto ${mult}x"))
       }
     }
+    // round-12: the rank-family twin of the pair above — rank() <= k
+    // over data with genuine ties (scores rounded to 2 decimals so tie
+    // groups are real), naive window vs the tie-keeping RankTopK
+    // rewrite; the rewritten exchange carries (k + boundary ties) rows
+    // per (group, partition) instead of the full scored set
+    locally {
+      val name = "topk_rank_rewrite"
+      if (only.isEmpty || only.contains(name)) {
+        graft.plans.TopKRewrite.ensureRegistered(spark)
+        import org.apache.spark.sql.expressions.Window
+        def run(n: Int, enabled: Boolean, tag: String): Double = {
+          spark.conf.set(graft.plans.TopKRewrite.EnabledConf,
+            enabled.toString)
+          val c = repEmb(emb, n)
+          val q = c.limit(200).select(col("vec_id").as("qid"),
+            col("e").as("qe"))
+          val r = c.select(col("vec_id").as("rid"), col("e").as("re"))
+          // no rid tiebreak: the order must NOT be total, so tie
+          // groups are real and the tie-keeping buffer is exercised
+          val w = Window.partitionBy("qid").orderBy(col("cos2").desc)
+          val sec = t(s"$name $tag")(
+            q.crossJoin(broadcast(r))
+              .select(col("qid"), col("rid"),
+                round(ext.Dedup.cosine(col("qe"), col("re")), 2).as("cos2"))
+              .withColumn("rnk", rank().over(w))
+              .filter(col("rnk") <= 5)
+              .count())
+          GraftSession.dropAllCaches(spark)
+          spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+          sec
+        }
+        results(s"$name:naive") = (run(1, false, "naive 1x"),
+          run(mult, false, s"naive ${mult}x"))
+        results(s"$name:auto") = (run(1, true, "auto 1x"),
+          run(mult, true, s"auto ${mult}x"))
+      }
+    }
     pair("topk_cosine_lsh")(
       c => Similarity.lshTopK(
         c.limit(200).select(col("vec_id").as("qid"), col("e").as("qe")),

@@ -25,8 +25,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // scope opt-in rewrite confs per key (see GraftSession scaladoc)
-      GraftSession.resetQueryConfs(spark)
+      // scope opt-in rewrite confs per key — or force both rewrites
+      // globally on under SPARK_GRAFT_RULES_ON=1 (the soak posture)
+      GraftSession.applyQueryConfPolicy(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -130,5 +130,72 @@ object Quality {
         UNION ALL SELECT 'lineitem_quantity_positive', n_li,
                v_qty FROM la)"""))
 
-  val all: Seq[QueryDef] = Seq(expectations)
+  /** Two-sample Kolmogorov–Smirnov drift gate — the distribution-QA
+    * check an LLM-data pipeline runs when a new crawl slice lands:
+    * does the per-document token-count distribution of the slice
+    * (doc_id % 7 = 0, the stand-in "new source") match the reference
+    * corpus? Reported as the KS statistic D = max |ECDF_a − ECDF_b| in
+    * EXACT integer arithmetic: with cum_a/cum_b the running counts and
+    * n_a/n_b the totals, D·(n_a·n_b) = max |cum_a·n_b − cum_b·n_a| —
+    * every operand an integer, so the DuckDB oracle replays the whole
+    * statistic bit-for-bit (emitted as ppm via integer division; all
+    * operands non-negative, so `div` and `//` agree). The same shape
+    * gates numeric drift between any two slices (quality scores,
+    * lengths, perplexities) — swap the value column.
+    *
+    * Scale: one combine-enabled aggregate collapses the corpus to
+    * per-value counts FIRST, so the single global-order running-sum
+    * window runs over the DOMAIN (distinct token counts — hundreds),
+    * never the corpus; the totals ride a one-row broadcast. Cost at
+    * 100 TB = one scan + one domain-sized exchange, the
+    * stream_window_topk leaderboard discipline.
+    */
+  val ksDrift = QueryDef(
+    "dist_drift_ks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents").select(
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("v"),
+        (col("doc_id") % 7 === 0).as("is_a"))
+      val counts = docs.groupBy("v").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.select(
+        sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+      val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      cum.crossJoin(broadcast(totals))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("dnum"), first("na").as("na"), first("nb").as("nb"))
+        .select(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          expr("CAST((dnum * 1000000) div (na * nb) AS BIGINT)")
+            .as("ks_ppm"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> len(t) > 0)) AS v,
+               (doc_id % 7 = 0) AS is_a
+        FROM documents),
+      c AS (
+        SELECT v,
+               sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+        FROM d GROUP BY v),
+      cum AS (
+        SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumb
+        FROM c),
+      t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+      SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             CAST(max(abs(cuma * t.nb - cumb * t.na)) * 1000000
+                  // (t.na * t.nb) AS BIGINT) AS ks_ppm
+      FROM cum, t GROUP BY t.na, t.nb"""))
+
+  val all: Seq[QueryDef] = Seq(expectations, ksDrift)
 }

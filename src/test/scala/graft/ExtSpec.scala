@@ -1213,4 +1213,44 @@ class ExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("dist_drift_ks: identical slices score 0, disjoint ranges score " +
+      "1e6 ppm, and the statistic replays by hand on a small case") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val ksSeq = new java.util.concurrent.atomic.AtomicInteger
+    def ks(df: org.apache.spark.sql.DataFrame): Long = {
+      // re-point the QueryDef's source at a temp docs table — a FRESH
+      // dir per call (Tables caches scans by path)
+      val dir = graft.Work.scratch(s"ksdrift_${ksSeq.incrementAndGet()}")
+      graft.Work.clean(dir)
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.ops.Quality.ksDrift.fn(spark, dir).collect()(0)
+      graft.Work.clean(dir)
+      out.getLong(2)
+    }
+    // identical distributions across slices: D = 0 (14 docs, ids 0..13;
+    // the %7 slice {0,7} has the same word counts {1,3} as planted)
+    val same = (0 until 14).map { i =>
+      (i.toLong, Seq.fill(if (i % 2 == 0) 1 else 3)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    // %7 slice = {0, 7}: doc 0 has 1 token, doc 7 has 3 — rest is half
+    // 1-token, half 3-token as well => ECDFs identical => 0
+    assert(ks(same) == 0L)
+    // disjoint supports: slice docs have 1-2 tokens, rest 10-11 => D = 1
+    val disjoint = (0 until 14).map { i =>
+      val n = if (i % 7 == 0) 1 + (i % 2) else 10 + (i % 2)
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(ks(disjoint) == 1000000L)
+    // hand case: A = {1,1}, B = {1,2,2,2} over token counts
+    //   value 1: ECDF_A = 2/2, ECDF_B = 1/4 -> |2*4 - 1*2| = 6; D*nAnB max = 6
+    //   ks_ppm = 6 * 1e6 div 8 = 750000
+    val hand = Seq(
+      (0L, "w"), (7L, "w"),
+      (1L, "w"), (2L, "w w"), (3L, "w w"), (4L, "w w")
+    ).toDF("doc_id", "text")
+    assert(ks(hand) == 750000L)
+  }
 }
