@@ -42,6 +42,11 @@ final case class TokenWinRow(win_start: Long, token: String,
     ts_t: java.sql.Timestamp)
 final case class TokenWinCnt(win_start: Long, token: String, cnt: Long,
     ts_t: java.sql.Timestamp)
+final case class ValueWinRow(win_start: Long, v: Long,
+    ts_t: java.sql.Timestamp)
+final case class ValueWinCnt(win_start: Long, v: Long, cnt: Long,
+    ts_t: java.sql.Timestamp)
+final case class WindowKs(win_start: Long, n: Long, ks_ppm: Long)
 final case class TokenWindowDrift(win_start: Long, token: String, cnt: Long,
     stream_ppm: Long, ref_ppm: Long, drift_ppm: Long)
 final case class SessionSummary(user_id: Long, n_events: Long,
@@ -880,6 +885,138 @@ object StreamOps {
       val c = counts.getOrElse(tok, 0L)
       val sp = c * 1000000L / total
       TokenWindowDrift(winStart, tok, c, sp, rp, math.abs(sp - rp))
+    }
+  }
+
+  /** Streaming face of the two-sample KS drift gate (batch:
+    * graft.ops.Quality.ksDrift — round-12): each event-time window's
+    * per-document token-count DISTRIBUTION against a broadcast
+    * reference histogram, emitted once on watermark close as the exact
+    * integer KS statistic ([[ksPpm]] — the same
+    * D·n_s·n_r = max |cum_s·n_r − cum_r·n_s| arithmetic as the batch
+    * face, BigInt-folded so no corpus size can overflow it). The live
+    * QA alarm for "this hour's crawl is length-shifted vs the
+    * reference corpus".
+    *
+    * Same architecture as [[tokenDriftStream]]: per-partition
+    * micro-batch fold of (window, value) counts BEFORE the stateful
+    * operator (the shuffle carries ≤ distinct-values rows per window
+    * per partition), one state row per open window holding a
+    * value-domain-bounded count map, closed-window resurrection guard,
+    * event-time timeout eviction. Stream == batch equality across a
+    * mid-window split is pinned in StreamingSpec against
+    * [[ksDriftWindowedBatch]].
+    *
+    * docs: streaming DataFrame with (text STRING, <tsCol> TIMESTAMP).
+    * refCounts: value → count histogram of the reference distribution
+    * (token counts per document), non-empty.
+    */
+  def ksDriftStream(docs: DataFrame, tsCol: String, windowMs: Long,
+      refCounts: Map[Long, Long], lateness: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[WindowKs] = {
+    require(refCounts.nonEmpty && refCounts.values.forall(_ > 0),
+      "reference histogram must be non-empty with positive counts")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(tsCol).isNotNull)
+      .select(
+        expr(s"(unix_millis($tsCol) div $windowMs) * $windowMs")
+          .as("win_start"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("v"),
+        col(tsCol).as("ts_t"))
+      .as[ValueWinRow]
+      .mapPartitions(foldValueCounts)
+      .withWatermark("ts_t", lateness)
+      .groupByKey(_.win_start)
+      .flatMapGroupsWithState[Map[Long, Long], WindowKs](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (winStart, it, state) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[Long, Long])
+            state.remove()
+            val n = counts.values.sum
+            Iterator.single(
+              WindowKs(winStart, n, ksPpm(counts, refCounts)))
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            if (state.getOption.isEmpty && winStart + windowMs <= wm) {
+              // closed and emitted: a beyond-lateness straggler must
+              // not resurrect the window (double emission)
+              it.size: Unit
+              Iterator.empty
+            } else {
+              var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+              it.foreach { r =>
+                counts = counts.updated(r.v,
+                  counts.getOrElse(r.v, 0L) + r.cnt)
+              }
+              state.update(counts)
+              state.setTimeoutTimestamp(
+                math.max(winStart + windowMs, wm + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Per-partition micro-batch combine for [[ksDriftStream]] — the
+    * [[foldTokenCounts]] pattern over (window, numeric value). */
+  private[graft] def foldValueCounts(
+      it: Iterator[ValueWinRow]): Iterator[ValueWinCnt] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[(Long, Long), (Long, java.sql.Timestamp)]
+    it.foreach { r =>
+      val k = (r.win_start, r.v)
+      m.get(k) match {
+        case Some((c, ts)) =>
+          m(k) = (c + 1L, if (r.ts_t.after(ts)) r.ts_t else ts)
+        case None => m(k) = (1L, r.ts_t)
+      }
+    }
+    m.iterator.map { case ((w, v), (c, ts)) => ValueWinCnt(w, v, c, ts) }
+  }
+
+  /** Exact integer two-sample KS statistic in ppm between a sample
+    * histogram and a reference histogram — the batch gate's
+    * D·n_s·n_r = max |cum_s·n_r − cum_r·n_s| over the merged value
+    * points, BigInt-folded so the product can never overflow at any
+    * corpus size. 0 when the sample is empty (no evidence ≠ drift). */
+  private[graft] def ksPpm(cnt: Map[Long, Long],
+      ref: Map[Long, Long]): Long = {
+    val ns = BigInt(cnt.values.sum)
+    val nr = BigInt(ref.values.sum)
+    if (ns == 0 || nr == 0) return 0L
+    val points = (cnt.keySet ++ ref.keySet).toSeq.sorted
+    var cums = BigInt(0); var cumr = BigInt(0); var d = BigInt(0)
+    points.foreach { p =>
+      cums += BigInt(cnt.getOrElse(p, 0L))
+      cumr += BigInt(ref.getOrElse(p, 0L))
+      val x = (cums * nr - cumr * ns).abs
+      if (x > d) d = x
+    }
+    (d * 1000000 / (ns * nr)).toLong
+  }
+
+  /** The batch computation [[ksDriftStream]] must equal: per observed
+    * window, the window's doc count and integer KS ppm against the
+    * reference. Test support and the backfill face of the same gate. */
+  def ksDriftWindowedBatch(docs: DataFrame, tsCol: String,
+      windowMs: Long, refCounts: Map[Long, Long]): Seq[WindowKs] = {
+    val rows = docs
+      .filter(col(tsCol).isNotNull)
+      .select(
+        expr(s"(unix_millis($tsCol) div $windowMs) * $windowMs")
+          .as("win_start"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("v"))
+      .groupBy("win_start", "v").count()
+      .collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (w, rs) =>
+      val cnt = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      WindowKs(w, cnt.values.sum, ksPpm(cnt, refCounts))
     }
   }
 

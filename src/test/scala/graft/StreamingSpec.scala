@@ -1615,6 +1615,70 @@ class StreamingSpec extends SparkSpec {
     assert(emitted((t0 + W, "beta", 0L, 0L, 300000L, 300000L)))
   }
 
+  test("streaming KS drift equals the windowed batch computation across " +
+      "a mid-window split; closed windows never resurrect; the integer " +
+      "statistic matches hand-computed ppm") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 60000L
+    // reference: half 1-token docs, half 3-token docs
+    val ref = Map(1L -> 5L, 3L -> 5L)
+    val t0 = 1700000040000L
+    assert(t0 % W == 0)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamOps.ksDriftStream(
+        ms.toDF().toDF("text", "ts"), "ts", W, ref, lateness = "5 seconds")
+      .toDF().writeStream
+      .format("memory").queryName("t_ksdrift").outputMode("append")
+      .option("checkpointLocation", s"${freshDir("ksdrift")}/ckpt")
+      .start()
+    // window 0 split across two batches: 3 one-token docs + 1
+    // three-token doc -> cnt {1:3, 3:1}, ns=4, nr=10
+    ms.addData(("alpha", ts(t0 + 1000)), ("beta", ts(t0 + 2000)))
+    q.processAllAvailable()
+    ms.addData(("gamma", ts(t0 + 30000)), ("one two three", ts(t0 + 40000)),
+      // window 1: all 3-token docs (fully drifted vs ref at value 1)
+      ("a b c", ts(t0 + W + 1000)), ("d e f", ts(t0 + W + 2000)))
+    q.processAllAvailable()
+    // advance watermark past both windows, then fire timeouts
+    ms.addData(("sentinel", ts(t0 + 600000)))
+    q.processAllAvailable()
+    ms.addData(("sentinel", ts(t0 + 700000)))
+    q.processAllAvailable()
+    // beyond-lateness straggler for closed window 0: no resurrection
+    ms.addData(("late", ts(t0 + 1500)))
+    q.processAllAvailable()
+    val emitted = spark.table("t_ksdrift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // batch twin over the same non-straggler docs (sentinel 5's window
+    // closed when sentinel 6 advanced the watermark; 6's never closes)
+    val batchDocs = Seq(
+      ("alpha", ts(t0 + 1000)), ("beta", ts(t0 + 2000)),
+      ("gamma", ts(t0 + 30000)), ("one two three", ts(t0 + 40000)),
+      ("a b c", ts(t0 + W + 1000)), ("d e f", ts(t0 + W + 2000)),
+      ("sentinel", ts(t0 + 600000))).toDF("text", "ts")
+    val want = graft.streaming.StreamOps
+      .ksDriftWindowedBatch(batchDocs, "ts", W, ref)
+      .map(k => (k.win_start, k.n, k.ks_ppm)).toSet
+    assert(emitted == want,
+      s"missing=${(want -- emitted).take(3)} extra=${(emitted -- want).take(3)}")
+    // hand-check window 0: cnt {1:3, 3:1}; at value 1:
+    // |cum_s*nr - cum_r*ns| = |3*10 - 5*4| = 10 -> 10e6/(4*10) = 250000
+    assert(emitted((t0, 4L, 250000L)))
+    // window 1: all 3-token docs; at value 1: |0*10 - 5*2| = 10 ->
+    // 10e6/(2*10) = 500000
+    assert(emitted((t0 + W, 2L, 500000L)))
+    // ksPpm unit edges: identical histograms -> 0; disjoint -> 1e6
+    assert(graft.streaming.StreamOps.ksPpm(ref, ref) == 0L)
+    assert(graft.streaming.StreamOps.ksPpm(
+      Map(9L -> 2L), Map(1L -> 5L, 3L -> 5L)) == 1000000L)
+    assert(graft.streaming.StreamOps.ksPpm(Map.empty, ref) == 0L)
+  }
+
   test("tokenDriftStream pre-agg fold: a partition's token stream folds " +
       "to <= windows x vocab pre-counted rows (r11 punch #5)") {
     // the straggler bound: however many token OCCURRENCES a partition
