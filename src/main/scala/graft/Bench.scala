@@ -277,7 +277,7 @@ object Bench {
       "multimodal_awhash_dedup", "multimodal_vhash_dedup",
       "token_drift", "text_html_strip", "asof_join_forward",
       "range_join_auto", "topk_cosine_auto", "quality_score",
-      "topk_rank_auto", "topk_dense_rank_auto")
+      "topk_rank_auto", "topk_dense_rank_auto", "dist_drift_ks")
     def mapJson(rs: scala.collection.Map[String, Double]): String =
       rs.map { case (k, v) => s""""$k":${n3(v)}""" }.mkString("{", ",", "}")
     // stdout map: headline/q-series keys, capped to the SLOWEST 40 by

@@ -414,6 +414,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("dist_drift_ks: per-value counts combine map-side before the " +
+      "domain-sized running-sum window; totals join broadcast") {
+    // the KS gate's scale discipline: the corpus collapses to distinct
+    // token-count rows FIRST (two-phase aggregate), so the single
+    // global-order window runs over the value DOMAIN, never the docs
+    val s = planString(graft.ops.Quality.ksDrift.fn(spark, sf))
+    assert(s.contains("partial_sum"),
+      "per-value counts must partial-aggregate map-side:\n" + s.take(2000))
+    assert(s.contains("Window"), s.take(2000))
+    assert(s.contains("BroadcastExchange") ||
+      s.contains("BroadcastNestedLoopJoin"),
+      "one-row totals must broadcast:\n" + s.take(2000))
+    // and the result is a single row with a sane ppm
+    val row = graft.ops.Quality.ksDrift.fn(spark, sf).collect()
+    assert(row.length == 1)
+    val ks = row(0).getLong(2)
+    assert(ks >= 0L && ks <= 1000000L, s"ks_ppm out of range: $ks")
+  }
+
   test("range-join auto-bin sample memoizes per plan shape: " +
       "re-optimizing the same query launches no new sample job " +
       "(r11 advice #1)") {
