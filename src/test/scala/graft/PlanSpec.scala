@@ -475,6 +475,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rank-family rewrite fires on the SQL text form and keeps SQL " +
+      "tie semantics") {
+    // the user-facing claim: plain SQL "top 2 per group WITH TIES"
+    // (rank() <= 2) gets the tie-keeping aggregate plan too
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    (0 until 300).map(i => (i % 10, (i * 7) % 5, i.toLong))
+      .toDF("g", "v", "id").createOrReplaceTempView("rkv_plan")
+    val sql = """SELECT * FROM (
+        SELECT g, v, id, rank() OVER (
+          PARTITION BY g ORDER BY v DESC) AS rnk FROM rkv_plan)
+      WHERE rnk <= 2"""
+    def got() = spark.sql(sql).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    try {
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val control = got()
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      val pstr = planString(spark.sql(sql))
+      assert(pstr.contains("rank_topk") && !pstr.contains("Window"),
+        "SQL-form rank top-k must rewrite:\n" + pstr.take(1500))
+      assert(got() == control)
+      // a 5-value domain over 30 rows/group ties constantly: every
+      // boundary tie group must survive whole (> 2 rows per group)
+      assert(control.groupBy(_._1).values.forall(_.size > 2))
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("GraftExtensions (the spark.sql.extensions cluster path) injects " +
       "both whole-plan rules and every SQL function") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
