@@ -68,8 +68,8 @@ object Triangles {
     * capped only at a sanity bound — a 100 TB deployment WANTS
     * partitions ∝ data.
     */
-  private[ops] val WedgeEdgesPerPart = 75000L
-  private[ops] def wedgeParts(m: Long, sessionDefault: Int): Int =
+  private[graft] val WedgeEdgesPerPart = 75000L
+  private[graft] def wedgeParts(m: Long, sessionDefault: Int): Int =
     math.max(sessionDefault,
       math.min(1 << 18, (m - 1) / WedgeEdgesPerPart + 1).toInt)
 

@@ -414,6 +414,23 @@ class RelationalSpec extends SparkSpec {
     assert(first._4 == 0, "nobody can return on the first day")
   }
 
+  test("wedgeParts sizes the wedge join from the edge count: session " +
+      "floor at small m, ~75k edges/partition past it, sane cap") {
+    import graft.ops.Triangles.wedgeParts
+    // sf0.1 witness graph (400k edges) and full graph (1.2M): session
+    // default — the bench plan is unchanged by the auto-sizing
+    assert(wedgeParts(400465L, 32) == 32)
+    assert(wedgeParts(1196000L, 32) == 32)
+    // the measured r11 knee point: 16x full graph (19.1M edges) must
+    // land at the 256-partition operating point that restored linear
+    // growth (SCALE.md deep-growth table)
+    assert(wedgeParts(19136000L, 32) == 256)
+    // partitions keep tracking data and the cap is only a sanity bound
+    assert(wedgeParts(19136000L * 10, 32) == 2552)
+    assert(wedgeParts(Long.MaxValue / 4, 32) == (1 << 18))
+    assert(wedgeParts(1L, 32) == 32 && wedgeParts(0L, 32) == 32)
+  }
+
   test("graph_triangles: oriented count equals the naive id-ordered count") {
     import graft.ops.Triangles
     val edges = Triangles.coPurchaseEdges(spark, sf).persist()
