@@ -168,6 +168,70 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("RankRowsBuffer invariants: insert/trim/merge equal the brute " +
+      "reference for random streams, ks, and both modes") {
+    // JVM-level fuzz of the tie-keeping buffer itself (the e2e
+    // property above goes through Spark; this one pins the data
+    // structure: rank() keeps rows with < k strictly-smaller rows,
+    // dense_rank() the k smallest distinct keys — any split of the
+    // stream merged back must agree with one pass and with brute force)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val ord: Ordering[InternalRow] =
+      Ordering.by((r: InternalRow) => r.getLong(0))
+    def row(v: Long, id: Long): InternalRow =
+      new GenericInternalRow(Array[Any](v, id))
+    def brute(vals: Seq[(Long, Long)], k: Int, dense: Boolean)
+        : Map[Long, Int] = {
+      // (value, id) -> rank, keeping only rank <= k survivors
+      val sorted = vals.sortBy(_._1)
+      val out = scala.collection.mutable.Map.empty[Long, Int]
+      if (dense) {
+        val keys = sorted.map(_._1).distinct.take(k).toSet
+        val rankOf = sorted.map(_._1).distinct.zipWithIndex.toMap
+        sorted.foreach { case (v, id) =>
+          if (keys(v)) out(id) = rankOf(v) + 1 }
+      } else {
+        sorted.zipWithIndex.foreach { case ((v, id), i) =>
+          val rank = sorted.indexWhere(_._1 == v) + 1 // first order-equal
+          if (rank <= k) out(id) = rank
+        }
+      }
+      out.toMap
+    }
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 999L))),
+      Gen.chooseNum(1, 5), Gen.oneOf(true, false),
+      Gen.chooseNum(0, 10))
+    samples(gen, 40).foreach { case (pairs0, k, dense, splitSeed) =>
+      // unique ids so the brute map is well-defined
+      val pairs = pairs0.zipWithIndex.map { case ((v, _), i) =>
+        (v, i.toLong) }
+      val want = brute(pairs, k, dense)
+      // one-pass buffer
+      val b1 = new graft.functions.RankRowsBuffer(k, dense, ord)
+      pairs.foreach { case (v, id) => b1.insert(row(v, id)) }
+      def got(b: graft.functions.RankRowsBuffer): Map[Long, Int] =
+        b.ranked.map { case (r, rank) => r.getLong(1) -> rank }.toMap
+      assert(got(b1) == want,
+        s"one-pass k=$k dense=$dense pairs=${pairs.take(10)} " +
+          s"got=${got(b1)} want=$want")
+      // split-and-merge (the partial-aggregation path)
+      val cut = if (pairs.isEmpty) 0 else splitSeed % (pairs.length + 1)
+      val (a, c) = pairs.splitAt(cut)
+      val ba = new graft.functions.RankRowsBuffer(k, dense, ord)
+      val bc = new graft.functions.RankRowsBuffer(k, dense, ord)
+      a.foreach { case (v, id) => ba.insert(row(v, id)) }
+      c.foreach { case (v, id) => bc.insert(row(v, id)) }
+      bc.allRows.foreach(ba.insert)
+      assert(got(ba) == want,
+        s"merged k=$k dense=$dense cut=$cut got=${got(ba)} want=$want")
+      // retention bound: rank mode holds < k + boundary-tie-width rows
+      if (!dense && b1.totalRows > 0)
+        assert(b1.totalRows == want.size, "buffer holds exactly the output")
+    }
+  }
+
   test("rank/dense_rank top-k rewrite equals the unrewritten plan over " +
       "heavy ties, both directions, nulls included (r11 punch #1)") {
     // the tie-keeping contract: rank() <= k must keep EVERY row
