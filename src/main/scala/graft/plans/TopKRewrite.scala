@@ -121,6 +121,26 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Conjuncts trivially TRUE for any ranking function (rank ≥ 1
+    * always): `rank >= c` for c ≤ 1, `rank > c` for c ≤ 0, either
+    * orientation. `rnk BETWEEN 1 AND k` — the spelling SQL users reach
+    * for first — desugars to `rank >= 1 AND rank <= k`, and without
+    * this the lower conjunct survived as a rank-referencing residual
+    * that blocked the rewrite. A lower bound ABOVE 1 is genuine
+    * pagination and still blocks, correctly. */
+  private def trivialRankLower(c: Expression, rank: Attribute): Boolean =
+    c match {
+      case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
+        intLit(l).exists(_ <= 1L)
+      case GreaterThan(a: Attribute, l) if a.semanticEquals(rank) =>
+        intLit(l).exists(_ <= 0L)
+      case LessThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) =>
+        intLit(l).exists(_ <= 1L)
+      case LessThan(l, a: Attribute) if a.semanticEquals(rank) =>
+        intLit(l).exists(_ <= 0L)
+      case _ => false
+    }
+
   /** Which ranking function bounds the filter — each needs a different
     * tie contract from the aggregate (round-11 punch #1):
     * row_number() keeps an arbitrary k-subset of boundary ties (the
@@ -148,7 +168,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
     rankAlias.filter(_ => w.orderSpec.nonEmpty).flatMap { case (alias, mode) =>
       val rankAttr = alias.toAttribute
+      // trivially-true lower bounds (rank >= 1, the BETWEEN 1 AND k
+      // spelling) drop out entirely — neither a bound nor a residual
       val conjuncts = splitConjuncts(cond)
+        .filterNot(c => trivialRankLower(c, rankAttr))
       val bounds = conjuncts.flatMap(c => rankBound(c, rankAttr))
       val residual = conjuncts.filterNot(c => rankBound(c, rankAttr).isDefined)
       // every remaining conjunct must be rank-free (a different rank

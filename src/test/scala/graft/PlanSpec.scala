@@ -504,6 +504,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("top-k rewrite: BETWEEN 1 AND k rewrites (trivial lower bound " +
+      "dropped); BETWEEN 2 AND 4 pagination stays a Window") {
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    (0 until 200).map(i => (i % 8, (i * 11) % 31, i.toLong))
+      .toDF("g", "v", "id").createOrReplaceTempView("btw_plan")
+    def sql(pred: String) = s"""SELECT * FROM (
+        SELECT g, v, id, row_number() OVER (
+          PARTITION BY g ORDER BY v DESC, id) AS rn FROM btw_plan)
+      WHERE $pred"""
+    def rows(pred: String) = spark.sql(sql(pred)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    try {
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val control = rows("rn BETWEEN 1 AND 3")
+      val pagiControl = rows("rn BETWEEN 2 AND 4")
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      val pTop = planString(spark.sql(sql("rn BETWEEN 1 AND 3")))
+      assert(pTop.contains("row_topk") && !pTop.contains("Window"),
+        "BETWEEN 1 AND k must rewrite:\n" + pTop.take(1500))
+      assert(rows("rn BETWEEN 1 AND 3") == control)
+      // a genuine pagination lower bound must BLOCK the rewrite — the
+      // heap cannot express "skip rank 1" — and stay correct
+      val pPagi = planString(spark.sql(sql("rn BETWEEN 2 AND 4")))
+      assert(pPagi.contains("Window") && !pPagi.contains("row_topk"),
+        "pagination must not rewrite:\n" + pPagi.take(1500))
+      assert(rows("rn BETWEEN 2 AND 4") == pagiControl)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("GraftExtensions (the spark.sql.extensions cluster path) injects " +
       "both whole-plan rules and every SQL function") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
