@@ -105,6 +105,45 @@ object Similarity {
     },
     topkCosine.oracle)
 
+  /** Pagination page 2 (`rank BETWEEN k+1 AND 2k`) through the SAME
+    * rewrite (round-12: the one top-k spelling that still blocked after
+    * the BETWEEN-1 fix). The heap is sized by the UPPER bound (2k rows
+    * per group cross the exchange, not the |Q|·|R| score set) and the
+    * lower bound survives as a residual filter over the rebuilt rank
+    * column — so "give me results 11–20" costs the same plan shape as
+    * "give me the top 20". PlanSpec pins no-Window + the residual
+    * filter; the DuckDB oracle replays the full window pagination.
+    */
+  val topkPagedAuto = QueryDef(
+    "topk_paged_auto",
+    (s, dir) => {
+      graft.plans.TopKRewrite.ensureRegistered(s)
+      graft.GraftSession.withScopedConfs(s,
+        graft.plans.TopKRewrite.EnabledConf -> "true") {
+        val (q, r) = split(s, dir)
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("rid").asc)
+        q.crossJoin(broadcast(r))
+          .select(col("qid"), col("rid"),
+            Dedup.cosine(col("qe"), col("re")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank").between(K + 1, 2 * K))
+          .select("qid", "rank", "rid")
+      }
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 = 0),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 <> 0),
+           d AS (SELECT qid, rid,
+                        list_cosine_similarity(q.e, r.e) AS cos
+                 FROM q CROSS JOIN r)
+      SELECT qid, rank, rid FROM
+        (SELECT qid, rid, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, rid) AS rank FROM d)
+      WHERE rank BETWEEN ${K + 1} AND ${2 * K}"""))
+
   // --- random-hyperplane LSH ANN --------------------------------------
 
   /** Deterministic pseudo-random plane component in [-1, 1) — no RNG,
@@ -538,6 +577,6 @@ object Similarity {
       WHERE rank <= $K"""))
 
   val all: Seq[QueryDef] =
-    Seq(topkCosine, topkCosineAuto, topkLsh, topkIvf, mineHardNegatives,
-      annRandomProjection)
+    Seq(topkCosine, topkCosineAuto, topkPagedAuto, topkLsh, topkIvf,
+      mineHardNegatives, annRandomProjection)
 }

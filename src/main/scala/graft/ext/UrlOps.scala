@@ -1,0 +1,176 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** URL canonicalization + canonical-URL dedup — the first dedup pass of
+  * every web-crawl curation pipeline (CommonCrawl/C4/RefinedWeb class):
+  * before any content hashing, recrawls and syndicated mirrors of the
+  * SAME page are collapsed by normalizing their URLs. The testdata has
+  * no URL column, so each document gets a DETERMINISTIC planted URL
+  * (the plantedCorpus pattern shared with text_html_strip/text_pii_scrub):
+  * ~3 docs per article id wearing the real-world variant costumes —
+  * scheme/host case, default ports, `www.`, trailing slash, fragments,
+  * `utm_*`/click-id tracking params — plus one variant whose `?page=2`
+  * is a GENUINE query param that must survive and keep the URL distinct.
+  *
+  * Canonicalization policy (each step a documented, replayable rule):
+  * scheme dropped (protocol-insensitive dedup — http/https mirrors are
+  * the same page), host lowercased, default port (`:80` http / `:443`
+  * https) stripped, leading `www.` stripped, trailing slashes on a
+  * non-root path stripped, fragment dropped, tracking params
+  * (`utm_*`, `fbclid`, `gclid`) removed with remaining params kept in
+  * order. Every regex stays in the Java∩RE2 common dialect so the
+  * DuckDB oracle runs the literally-identical patterns.
+  *
+  * Scale: canonicalization is a shuffle-free codegen'd per-row regexp
+  * chain; the dedup is ONE hash aggregate on the canonical key with
+  * map-side combine — at 100 TB the groupBy carries one row per
+  * (canonical URL, partition), never the raw crawl. No window, no join.
+  */
+object UrlOps {
+
+  /** Planted raw URL for a document row — variant by `doc_id % 6`,
+    * article identity by `doc_id DIV 3` (so consecutive docs share an
+    * article and the dedup has real groups to find). The site
+    * (`src<n>.example.org`) derives from the ARTICLE id — the same
+    * article lives on the same site whatever crawl batch (= `source`
+    * column) each copy arrived in. */
+  def plantedUrl(docId: Column): Column = {
+    val artId = floor(docId / 3).cast(LongType)
+    val art = artId.cast(StringType)
+    val site = concat(lit("src"), (artId % 20).cast(StringType))
+    val siteUp = upper(site)
+    val v = docId % 6
+    when(v === 0, concat(lit("https://"), site,
+        lit(".example.org/a/"), art))
+      .when(v === 1, concat(lit("HTTPS://"), siteUp,
+        lit(".Example.Org:443/a/"), art))
+      .when(v === 2, concat(lit("https://www."), site,
+        lit(".example.org/a/"), art, lit("/")))
+      .when(v === 3, concat(lit("https://"), site,
+        lit(".example.org/a/"), art, lit("?utm_source=feed&utm_campaign=c#sec")))
+      .when(v === 4, concat(lit("http://"), site,
+        lit(".EXAMPLE.org:80/a/"), art))
+      .otherwise(concat(lit("https://"), site,
+        lit(".example.org/a/"), art, lit("?page=2&utm_medium=em")))
+  }
+
+  /** The planted-URL arithmetic as DuckDB SQL (doc_id // 3 = article,
+    * doc_id % 6 = variant, site from the article id) — shared by both
+    * oracle queries. */
+  val PlantedUrlSql: String = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'https://src' || ((doc_id // 3) % 20) || '.example.org/a/' || (doc_id // 3)
+        WHEN 1 THEN 'HTTPS://SRC' || ((doc_id // 3) % 20) || '.Example.Org:443/a/' || (doc_id // 3)
+        WHEN 2 THEN 'https://www.src' || ((doc_id // 3) % 20) || '.example.org/a/' || (doc_id // 3) || '/'
+        WHEN 3 THEN 'https://src' || ((doc_id // 3) % 20) || '.example.org/a/' || (doc_id // 3) || '?utm_source=feed&utm_campaign=c#sec'
+        WHEN 4 THEN 'http://src' || ((doc_id // 3) % 20) || '.EXAMPLE.org:80/a/' || (doc_id // 3)
+        ELSE 'https://src' || ((doc_id // 3) % 20) || '.example.org/a/' || (doc_id // 3) || '?page=2&utm_medium=em'
+      END"""
+
+  /** Lowercased host with default port and `www.` stripped. */
+  def canonicalHost(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noPort = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Full canonical key: host + path (trailing slashes stripped, root
+    * kept as `/`) + surviving query params (tracking removed, order
+    * preserved). Scheme and fragment are gone by policy. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val path0 = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val q0 = regexp_extract(noFrag, "(\\?.*)$", 1)
+    val q1 = regexp_replace(q0,
+      "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
+    val q2 = regexp_replace(q1, "^&", "?")
+    val query = when(q2 === "?", lit("")).otherwise(q2)
+    concat(canonicalHost(url), path, query)
+  }
+
+  /** The same canonicalization as DuckDB SQL — literally the same regex
+    * patterns ('g' = replace-all, which Spark's regexp_replace does by
+    * default). Staged through CTEs (nf = fragment-stripped) so both
+    * oracle queries share one readable pipeline:
+    * p(raw) → n(nf) → c(url_canon, host). */
+  private val CanonCtesSql: String = s"""
+      p AS (SELECT doc_id, ${PlantedUrlSql} AS raw_url
+            FROM documents),
+      n AS (SELECT doc_id, raw_url,
+                   regexp_replace(raw_url, '#.*$$', '') AS nf
+            FROM p),
+      h AS (SELECT doc_id, raw_url, nf,
+                   regexp_replace(
+                     CASE WHEN lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                          THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$$', '')
+                          WHEN lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+                          THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$$', '')
+                          ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END,
+                     '^www\\.', '') AS host,
+                   regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path1,
+                   regexp_replace(regexp_replace(regexp_extract(nf, '(\\?.*)$$', 1), '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'), '^&', '?') AS q2
+            FROM n),
+      c AS (SELECT doc_id, raw_url, host,
+                   host || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
+                        || (CASE WHEN q2 = '?' THEN '' ELSE q2 END)
+                     AS url_canon
+            FROM h)"""
+
+  /** Per-doc canonical mapping — the map-only witness of every rule. */
+  val urlNormalize = QueryDef(
+    "url_normalize",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val raw = plantedUrl(col("doc_id"))
+      docs.select(col("doc_id"), raw.as("raw_url"),
+        canonicalUrl(raw).as("url_canon"),
+        canonicalHost(raw).as("host"))
+    },
+    Some(s"""
+      WITH ${CanonCtesSql}
+      SELECT doc_id, raw_url, url_canon, host
+      FROM c"""))
+
+  /** Canonical-URL dedup groups: one row per canonical URL with the
+    * group size, the number of distinct raw spellings collapsed, and
+    * the keep rule (min doc_id — first-crawled wins). Emits only groups
+    * (n_docs >= 2) plus distinct-URL singletons carrying a real query
+    * param, so the result witnesses both collapse and non-collapse. */
+  val urlDedup = QueryDef(
+    "url_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val raw = plantedUrl(col("doc_id"))
+      docs.select(col("doc_id"), raw.as("raw_url"),
+          canonicalUrl(raw).as("url_canon"),
+          canonicalHost(raw).as("host"))
+        .groupBy("url_canon")
+        .agg(min(col("host")).as("host"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_url")).as("n_variants"),
+          min(col("doc_id")).as("keep_doc_id"))
+    },
+    Some(s"""
+      WITH ${CanonCtesSql}
+      SELECT url_canon, min(host) AS host,
+             count(*) AS n_docs,
+             count(DISTINCT raw_url) AS n_variants,
+             min(doc_id) AS keep_doc_id
+      FROM c GROUP BY url_canon"""))
+
+  val all: Seq[QueryDef] = Seq(urlNormalize, urlDedup)
+}

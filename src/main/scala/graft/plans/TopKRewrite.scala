@@ -58,11 +58,14 @@ import org.apache.spark.sql.types.IntegerType
   * tie-keeping [[graft.functions.RankTopK]] — round-11 punch #1: a
   * rank() bound must keep every row order-equal to the k-th, a
   * dense_rank() bound the k smallest distinct keys, so the arbitrary-
-  * subset heap would be wrong); the filter bounds it by a positive
-  * integer literal ≤ `spark.graft.topkRewrite.maxK` (default
-  * [[DefaultMaxK]] — beyond that a per-group heap stops being
+  * subset heap would be wrong); the filter carries at least one UPPER
+  * bound by a positive integer literal ≤ `spark.graft.topkRewrite.maxK`
+  * (default [[DefaultMaxK]] — beyond that a per-group heap stops being
   * obviously better than the sort); the plan is batch (streaming
-  * keeps Spark's stateful machinery).
+  * keeps Spark's stateful machinery). Pagination (`rank BETWEEN a AND
+  * b`, a > 1; `rank = n`) rewrites too: the heap is sized by the upper
+  * bound and the remaining rank predicate filters the rebuilt rank
+  * column — the exchange still carries O(groups·b·partitions) rows.
   * Activation: `spark.graft.topkRewrite.enabled=true` — opt-in like
   * the range-join hint, and inert otherwise.
   */
@@ -103,21 +106,25 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** k such that the conjunct is `rank <= k`, in any spelling. */
-  private def rankBound(c: Expression, rank: Attribute): Option[Long] =
+  /** The heap bound a conjunct implies, plus whether the bound fully
+    * CAPTURES the conjunct (a pure `rank <= k` is subsumed by a k-row
+    * heap and drops out; `rank = n` bounds the heap at n but must stay
+    * a residual over the rebuilt rank column). */
+  private def rankBound(c: Expression,
+      rank: Attribute): Option[(Long, Boolean)] =
     c match {
       case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
-        intLit(l)
+        intLit(l).map((_, true))
       case LessThan(a: Attribute, l) if a.semanticEquals(rank) =>
-        intLit(l).map(_ - 1)
+        intLit(l).map(v => (v - 1, true))
       case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) =>
-        intLit(l)
+        intLit(l).map((_, true))
       case GreaterThan(l, a: Attribute) if a.semanticEquals(rank) =>
-        intLit(l).map(_ - 1)
+        intLit(l).map(v => (v - 1, true))
       case EqualTo(a: Attribute, l) if a.semanticEquals(rank) =>
-        intLit(l).filter(_ == 1L)
+        intLit(l).map((_, false))
       case EqualTo(l, a: Attribute) if a.semanticEquals(rank) =>
-        intLit(l).filter(_ == 1L)
+        intLit(l).map((_, false))
       case _ => None
     }
 
@@ -125,9 +132,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     * always): `rank >= c` for c ≤ 1, `rank > c` for c ≤ 0, either
     * orientation. `rnk BETWEEN 1 AND k` — the spelling SQL users reach
     * for first — desugars to `rank >= 1 AND rank <= k`, and without
-    * this the lower conjunct survived as a rank-referencing residual
-    * that blocked the rewrite. A lower bound ABOVE 1 is genuine
-    * pagination and still blocks, correctly. */
+    * this the lower conjunct survived as a rank-referencing residual.
+    * A lower bound ABOVE 1 is genuine pagination: it stays a residual
+    * re-applied over the rebuilt rank column (the heap is sized by the
+    * UPPER bound, which pagination always carries too). Dropping the
+    * trivial ones here just keeps the common case residual-free. */
   private def trivialRankLower(c: Expression, rank: Attribute): Boolean =
     c match {
       case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
@@ -172,14 +181,19 @@ object TopKRewrite extends Rule[LogicalPlan] {
       // spelling) drop out entirely — neither a bound nor a residual
       val conjuncts = splitConjuncts(cond)
         .filterNot(c => trivialRankLower(c, rankAttr))
-      val bounds = conjuncts.flatMap(c => rankBound(c, rankAttr))
-      val residual = conjuncts.filterNot(c => rankBound(c, rankAttr).isDefined)
-      // every remaining conjunct must be rank-free (a different rank
-      // predicate — e.g. rank > 2 pagination — is not a plain top-k),
-      // and the bound must be a positive literal within the heap cap
+      val bounds = conjuncts.flatMap(c => rankBound(c, rankAttr).map(_._1))
+      val residual =
+        conjuncts.filterNot(c => rankBound(c, rankAttr).exists(_._2))
+      // Rank-referencing residuals — pagination lower bounds
+      // (`rank BETWEEN 11 AND 20` → `rank >= 11`), `rank = n`, parity
+      // predicates — are fine: the rewritten subtree rebuilds the rank
+      // column under its ORIGINAL exprId, and a heap of min(upper
+      // bounds) rows contains every row any such residual can accept,
+      // so re-applying them above the Project reproduces the original
+      // filter exactly. Only an upper bound within the heap cap is
+      // required.
       val kOpt = Some(bounds).filter(_.nonEmpty).map(_.min)
         .filter(k => k >= 1 && k <= math.min(maxK, Int.MaxValue.toLong))
-        .filter(_ => !residual.exists(_.references.contains(rankAttr)))
       kOpt.map(buildPlan(w, alias, rankAttr, residual, _, mode))
     }
   }

@@ -1253,4 +1253,45 @@ class ExtSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     assert(ks(hand) == 750000L)
   }
+
+  test("url canonicalization: every planted variant rule collapses, the " +
+      "real query param keeps its URL distinct, keep rule is min doc_id") {
+    // planted structure (UrlOps.plantedUrl): article = doc_id/3, variant
+    // = doc_id%6 — even articles wear variants {0,1,2} (case, default
+    // port, www+slash: all collapse), odd articles wear {3,4,5} where
+    // v3 (utm+fragment) and v4 (http:80, host case) collapse but v5's
+    // `?page=2` is a genuine param -> its own canonical URL
+    val dir = "/root/testdata/sf0.001"
+    val norm = graft.ext.UrlOps.urlNormalize.fn(spark, dir).collect()
+    norm.foreach { r =>
+      val canon = r.getAs[String]("url_canon")
+      val host = r.getAs[String]("host")
+      assert(canon.startsWith(host), s"canon must start with host: $r")
+      assert(!canon.contains("://") && !canon.contains("#") &&
+        !canon.contains("utm_") && !canon.contains(":443") &&
+        !canon.contains(":80"), s"policy leak in canon: $canon")
+      assert(host == host.toLowerCase(java.util.Locale.ROOT) &&
+        !host.startsWith("www."), s"host not normalized: $host")
+    }
+    val byDoc = norm.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("url_canon")).toMap
+    // full even-article group: all three variants one canonical URL
+    val evenArt = byDoc.keys.filter(d => d % 6 == 0 && byDoc.contains(d + 1)
+      && byDoc.contains(d + 2)).head
+    assert(byDoc(evenArt) == byDoc(evenArt + 1) &&
+      byDoc(evenArt) == byDoc(evenArt + 2), "variants 0/1/2 must collapse")
+    // odd-article group: v3 == v4, v5 distinct with ?page=2 kept
+    val oddArt = byDoc.keys.filter(d => d % 6 == 3 && byDoc.contains(d + 1)
+      && byDoc.contains(d + 2)).head
+    assert(byDoc(oddArt) == byDoc(oddArt + 1), "variants 3/4 must collapse")
+    assert(byDoc(oddArt + 2) == byDoc(oddArt) + "?page=2",
+      s"real param must survive distinctly: ${byDoc(oddArt + 2)}")
+    // dedup groups: n_docs 3 for full even articles, keep = min doc_id
+    val groups = graft.ext.UrlOps.urlDedup.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("url_canon") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_doc_id"))).toMap
+    assert(groups(byDoc(evenArt)) == ((3L, evenArt)))
+    assert(groups(byDoc(oddArt)) == ((2L, oddArt)))
+    assert(groups(byDoc(oddArt + 2))._1 == 1L)
+  }
 }

@@ -352,6 +352,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("pagination top-k rewrite: rank BETWEEN a AND b (a > 1) becomes " +
+      "the heap sized by b with the lower bound as a residual filter") {
+    // r12: "results 11-20" previously blocked (the lower conjunct was a
+    // rank-referencing residual); now the heap keeps the top b rows per
+    // group and the page filter runs over the rebuilt rank column — the
+    // exchange carries O(groups·b·partitions) rows either way.
+    val s = planString(graft.ext.Similarity.topkPagedAuto.fn(spark, sf))
+    try {
+      assert(!s.contains("Window"),
+        "paged plan must not contain a Window operator:\n" + s.take(2000))
+      assert(s.contains("partial_row_topk"),
+        "paged top-k must partial-aggregate map-side:\n" + s.take(2000))
+      // the lower bound survives as a Filter over the rebuilt rank
+      assert(s.contains("Filter"), s.take(2000))
+      // page contents: every rank in [K+1, 2K], exactly K rows per qid
+      // present in full pages (queries have >= 2K refs at sf0.001)
+      val rows = graft.ext.Similarity.topkPagedAuto.fn(spark, sf)
+        .collect()
+      val ks = rows.map(_.getAs[Int]("rank"))
+      assert(ks.nonEmpty && ks.forall(r =>
+        r >= graft.ext.Similarity.K + 1 && r <= 2 * graft.ext.Similarity.K),
+        s"ranks out of page: ${ks.distinct.sorted.mkString(",")}")
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("rank-family top-k rewrite: rank()/dense_rank() bounds become the " +
       "tie-keeping aggregate — no Window; row counts prove ties kept") {
     // r11 punch #1: the rank spelling of top-k-per-group previously
@@ -505,7 +530,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top-k rewrite: BETWEEN 1 AND k rewrites (trivial lower bound " +
-      "dropped); BETWEEN 2 AND 4 pagination stays a Window") {
+      "dropped); BETWEEN 2 AND 4 pagination rewrites with a residual") {
     graft.plans.TopKRewrite.ensureRegistered(spark)
     val sp = spark
     import sp.implicits._
@@ -526,12 +551,21 @@ class PlanSpec extends SparkSpec {
       assert(pTop.contains("row_topk") && !pTop.contains("Window"),
         "BETWEEN 1 AND k must rewrite:\n" + pTop.take(1500))
       assert(rows("rn BETWEEN 1 AND 3") == control)
-      // a genuine pagination lower bound must BLOCK the rewrite — the
-      // heap cannot express "skip rank 1" — and stay correct
+      // r12: a genuine pagination lower bound rewrites too — the heap
+      // is sized by the UPPER bound (4 rows per group) and "skip rank 1"
+      // survives as a residual filter over the rebuilt rank column
       val pPagi = planString(spark.sql(sql("rn BETWEEN 2 AND 4")))
-      assert(pPagi.contains("Window") && !pPagi.contains("row_topk"),
-        "pagination must not rewrite:\n" + pPagi.take(1500))
+      assert(pPagi.contains("row_topk") && !pPagi.contains("Window"),
+        "pagination must rewrite via the upper bound:\n" + pPagi.take(1500))
       assert(rows("rn BETWEEN 2 AND 4") == pagiControl)
+      // `rn = n` (n > 1): bounds the heap at n, equality stays residual
+      val pEq = planString(spark.sql(sql("rn = 3")))
+      assert(pEq.contains("row_topk") && !pEq.contains("Window"),
+        "rank-equality must rewrite via the bound:\n" + pEq.take(1500))
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val eqControl = rows("rn = 3")
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      assert(rows("rn = 3") == eqControl)
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 

@@ -281,6 +281,58 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("pagination top-k rewrite equals the unrewritten plan for " +
+      "arbitrary data, page bounds, and all three ranking functions") {
+    // r12: `rank BETWEEN a AND b` (a > 1) rewrites too — the heap is
+    // sized by b, the lower bound re-applies over the rebuilt rank
+    // column. Equality must hold for every page window, including
+    // pages past the data (empty result), a == b (`rank = n` via
+    // BETWEEN), and the tie-keeping modes. row_number uses a total
+    // order (id tiebreak) so pages are deterministic; rank/dense_rank
+    // run over heavy ties with no tiebreak.
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, row_number, rank, dense_rank}
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 4),
+      Gen.option(Gen.chooseNum(0, 2))))
+    val cases = samples(Gen.zip(rowsGen,
+      Gen.chooseNum(1, 4), Gen.chooseNum(0, 3), // lo, extra (hi = lo+extra)
+      Gen.oneOf(true, false), Gen.oneOf(0, 1, 2)), 8)
+    try {
+      cases.foreach { case (rows, lo, extra, asc, mode) =>
+        val hi = lo + extra
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val vOrd = if (asc) col("v").asc_nulls_first
+          else col("v").desc_nulls_last
+        val w0 = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        // row_number needs a total order for a deterministic page
+        val w = if (mode == 0) w0.orderBy(vOrd, col("id").asc)
+          else w0.orderBy(vOrd)
+        val rk = mode match {
+          case 0 => row_number().over(w)
+          case 1 => rank().over(w)
+          case _ => dense_rank().over(w)
+        }
+        def run() = df.withColumn("rnk", rk)
+          .filter(col("rnk").between(lo, hi)).collect()
+          .map(r => (r.getInt(0), if (r.isNullAt(1)) -99 else r.getInt(1),
+            r.getLong(2), r.getInt(3))).toSet
+        spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+        val control = run()
+        spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+        val rewritten = run()
+        assert(rewritten == control,
+          s"page=[$lo,$hi] asc=$asc mode=$mode " +
+            s"missing=${(control -- rewritten).take(3)} " +
+            s"extra=${(rewritten -- control).take(3)} rows=${rows.take(12)}")
+      }
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("range-join rewrite equals brute force for arbitrary intervals " +
       "incl. sentinel, empty, null, and extreme bounds") {
     graft.plans.RangeJoinRewrite.ensureRegistered(spark)
