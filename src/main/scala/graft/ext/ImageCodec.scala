@@ -49,6 +49,30 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** JPEG encode at an explicit quality — the compressed-frame payload
+    * for the MJPEG AVI path ([[VideoCodec.encodeAviMjpeg]]). Lossy by
+    * nature: decode(encodeJpeg(x)) approximates x (error bound asserted
+    * in ExtSpec), so JPEG pixels are never golden-pinned; the decoded
+    * rasters are still deterministic for fixed bytes + JDK. */
+  def encodeJpeg(d: DecodedImage, quality: Float = 0.9f): Array[Byte] = {
+    val img = new BufferedImage(d.width, d.height, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, d.width, d.height, d.argb, 0, d.width)
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   /** SHA-256 over the big-endian ARGB pixel stream — the pinned content
     * identity of a decoded image (independent of the encoded container
     * bytes, which codecs may legally vary). */

@@ -429,6 +429,66 @@ object Multimodal {
              ${sqlPxSum("px")} AS px_sum, ${sqlPxWsum("px")} AS px_wsum
       FROM read_parquet('${rasterSqlPath("avi")}/*.parquet')"""))
 
+  /** MJPEG-AVI payloads per doc, materialized once per session. */
+  private def mjpegPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "mjpeg") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          (id, VideoCodec.renderAviMjpeg(id,
+            Option(text).getOrElse("").getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** Per-frame rasters of the MJPEG demux+decode, for the oracle. */
+  private def mjpegRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "mjpeg") {
+      val sp = s
+      import sp.implicits._
+      mjpegPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, avi) =>
+          VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
+            (id, i, f.width, f.height, f.argb.map(_ & 0xFFFFFF))
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "px")
+    }
+
+  /** COMPRESSED video decode: MJPEG-in-AVI payloads — each '00dc' chunk
+    * an independent baseline JPEG the JVM's own codec decodes — demuxed
+    * by the same RIFF walk as [[aviFrames]] and entropy-decoded per
+    * frame. This moves a real compressed codec inside the pure-JVM
+    * line: what remains out is inter-frame codecs (h264/vp9), which
+    * have no JVM decoder. JPEG is lossy, so unlike the DIB path the
+    * decoded rasters are never golden-pinned; the ExtSpec round-trip
+    * asserts a per-channel error bound on smooth content instead, and
+    * the oracle replays pixel arithmetic from the once-materialized
+    * decoded rasters (the post-decode contract, like every codec key).
+    */
+  val mjpegFrames = QueryDef(
+    "multimodal_mjpeg_frames",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      mjpegRaster(s, dir): Unit
+      mjpegPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, avi) =>
+          VideoCodec.decodeAviFrames(avi).zipWithIndex.map { case (f, i) =>
+            val (ps, pw) = pxSums(f.argb)
+            (id, i, f.width, f.height, ps, pw)
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "px_sum", "px_wsum")
+    },
+    Some(s"""
+      SELECT doc_id, frame_idx, width, height,
+             ${sqlPxSum("px")} AS px_sum, ${sqlPxWsum("px")} AS px_wsum
+      FROM read_parquet('${rasterSqlPath("mjpeg")}/*.parquet')"""))
+
   /** REAL audio decode: WAV payloads (genuine RIFF/WAVE bytes rendered
     * deterministically per doc) decoded by javax.sound.sampled — format
     * fields from the container, integer waveform statistics from the
@@ -1068,6 +1128,6 @@ object Multimodal {
           <= $PhashHamMax"""))
 
   val all: Seq[QueryDef] =
-    Seq(meta, decode, frames, videoFrames, aviFrames, audio, featurize,
-      resize, phashDedup, awhashDedup, vhashDedup)
+    Seq(meta, decode, frames, videoFrames, aviFrames, mjpegFrames, audio,
+      featurize, resize, phashDedup, awhashDedup, vhashDedup)
 }

@@ -202,6 +202,25 @@ class GuardSpec extends SparkSpec {
     frames.zip(back).foreach { case (a, b) =>
       assert(b.argb.toSeq == a.argb.toSeq)
     }
+
+    // 6. MJPG hostility (r12): garbage '00dc' bodies must fail loudly
+    //    (undecodable JPEG), a '00db' chunk inside an MJPG stream is
+    //    corrupt, and a header/frame dimension disagreement is rejected
+    val mj = VideoCodec.encodeAviMjpeg(frames)
+    val dc0 = find(mj, "00dc")
+    val garbage = mj.clone()
+    java.util.Arrays.fill(garbage, dc0 + 8, dc0 + 16, 0x55.toByte)
+    intercept[IllegalArgumentException](VideoCodec.decodeAviFrames(garbage))
+    val mixed = mj.clone()
+    "00db".getBytes("US-ASCII").copyToArray(mixed, dc0)
+    val e6 = intercept[IllegalArgumentException](
+      VideoCodec.decodeAviFrames(mixed))
+    assert(e6.getMessage.contains("'00db' chunk in an MJPG stream"))
+    val mjStrf = find(mj, "strf")
+    val dimLie = putInt(mj, mjStrf + 8 + 4, frames.head.width + 1)
+    val e7 = intercept[IllegalArgumentException](
+      VideoCodec.decodeAviFrames(dimLie))
+    assert(e7.getMessage.contains("disagrees with strf"))
     ()
   }
 
