@@ -94,6 +94,22 @@ object StressMain {
     pair("minhash_lsh")(
       c => Dedup.minhashDedup(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))
+    // r12: canonical-URL dedup — one codegen'd regexp map + one hash
+    // aggregate; replica id offsets keep article ids (and so canonical
+    // URLs) disjoint across replicas, so groups grow linearly and the
+    // growth curve measures the plan, not colliding keys
+    pair("url_dedup")(
+      { c =>
+        import graft.ext.UrlOps
+        c.select(col("doc_id"),
+            UrlOps.plantedUrl(col("doc_id")).as("raw"))
+          .select(col("doc_id"),
+            UrlOps.canonicalUrl(col("raw")).as("u"))
+          .groupBy("u")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+          .count()
+      },
+      n => repDocs(docs, n))
     pair("ngram_jaccard")(
       c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
       n => repDocs(docs, n))

@@ -600,18 +600,26 @@ class ExtSpec extends SparkSpec {
       val cg = qg().collect().map(_.toSeq).toSet
       spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
       assert(qg().collect().map(_.toSeq).toSet == cg)
-      // NEGATIVE controls: rank() (not row_number) and a rank-range
-      // predicate (pagination) must keep the window
+      // rank() routes to the TIE-KEEPING aggregate (r11), never the
+      // arbitrary-subset heap — ties share ranks
       val rk = df.withColumn("rank",
           org.apache.spark.sql.functions.rank().over(w))
         .filter(col("rank") <= 3)
       assert(!rk.queryExecution.optimizedPlan.toString.contains("row_topk"),
-        "rank() must not be rewritten (ties share ranks)")
-      val page = df.withColumn("rank",
+        "rank() must take rank_topk, not the row_number heap")
+      // pagination (r12): the heap is sized by the upper bound, the
+      // lower bound survives as a residual over the rebuilt rank
+      def page() = df.withColumn("rank",
           org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rank") <= 5 && col("rank") > 2)
-      assert(!page.queryExecution.optimizedPlan.toString.contains("row_topk"),
-        "a rank range (pagination) is not a plain top-k")
+      val pStr = page().queryExecution.optimizedPlan.toString
+      assert(pStr.contains("row_topk") && pStr.contains("rank") &&
+        pStr.contains("> 2"), "pagination must rewrite with a residual:\n" +
+        pStr.take(1200))
+      spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      val pageControl = page().collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+      assert(page().collect().map(_.toSeq).toSet == pageControl)
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 

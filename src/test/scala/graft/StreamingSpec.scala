@@ -1827,4 +1827,53 @@ class StreamingSpec extends SparkSpec {
     assert(summed == batchGrid,
       "elementwise shard-grid sum must equal the batch grid")
   }
+
+  test("streaming URL ingest: canonicalize + dropDuplicates emits each " +
+      "canonical URL exactly once across a mid-stream split") {
+    // the crawl-ingest composition of the r12 URL operators: the
+    // canonicalization Column is stateless (map-only), so it runs
+    // unchanged on a stream; exactly-once per canonical key then comes
+    // from keyed dedup state that survives the micro-batch boundary
+    val fns = org.apache.spark.sql.functions
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = graft.ext.UrlOps.urlNormalize.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("raw_url")))
+      .sortBy(_._1)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "raw_url")
+      .withColumn("url_canon",
+        graft.ext.UrlOps.canonicalUrl(fns.col("raw_url")))
+      .dropDuplicates("url_canon")
+      .select("url_canon", "doc_id")
+    val q = stream.writeStream.format("memory").queryName("t_urlstream")
+      .option("checkpointLocation", s"${freshDir("urlstream")}/ckpt")
+      .start()
+    // split mid-corpus: dup groups straddle the boundary, so batch-2
+    // suppressions are decided against checkpointed state
+    val (b1, b2) = raw.toSeq.splitAt(raw.length / 2)
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_urlstream").collect()
+      .map(r => (r.getAs[String]("url_canon"), r.getLong(1)))
+    val batch = graft.ext.UrlOps.urlDedup.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("url_canon")).toSet
+    // exactly one emission per canonical key, and the key set is the
+    // batch dedup's (kept doc_id is arbitrary within a micro-batch,
+    // like the batch groupBy's arbitrary-first before the min)
+    assert(got.length == got.map(_._1).distinct.length,
+      "a canonical URL was emitted twice")
+    assert(got.map(_._1).toSet == batch)
+    // membership: every emitted doc really canonicalizes to its key
+    val byDoc = raw.toMap
+    val canonOf = graft.ext.UrlOps.urlNormalize.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("url_canon")).toMap
+    got.foreach { case (u, d) => assert(canonOf(d) == u, s"doc $d -> $u") }
+    assert(byDoc.nonEmpty)
+  }
 }
