@@ -352,6 +352,52 @@ object Relational {
       FROM events
       GROUP BY 1"""))
 
+  /** Semi-structured JSON through Spark 4's VARIANT type — the modern
+    * path next to q12's string-walking `get_json_object`: `parse_json`
+    * ingests once into the binary variant encoding, then `variant_get`
+    * extracts typed values by path (object fields, nested objects,
+    * array indices) and `is_variant_null` distinguishes a JSON null
+    * from a missing path. The nested document is CONSTRUCTED
+    * deterministically per event (the planted pattern — `props` is
+    * flat), so the DuckDB oracle replays the identical text through
+    * its native JSON functions.
+    * Scale: parse + extraction are per-row scan-side work (no shuffle);
+    * the variant binary avoids re-parsing the JSON text once per
+    * extracted path, which is q12's hidden cost when paths multiply.
+    */
+  val q45Variant = QueryDef(
+    "q45_variant_json",
+    (s, dir) => {
+      val js = concat(lit("{\"p\":"), col("props"),
+        lit(",\"u\":"), col("user_id"),
+        lit(",\"tags\":[\"a\",\""), col("event_type"), lit("\"],\"extra\":"),
+        when(col("event_id") % 5 === 0, lit("null"))
+          .otherwise(concat(lit("\""), col("event_type"), lit("\""))),
+        lit("}"))
+      Tables(s, dir, "events")
+        .withColumn("v", parse_json(js))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.p.k', 'int')").as("k"),
+          expr("variant_get(v, '$.u', 'bigint')").as("u"),
+          expr("variant_get(v, '$.tags[1]', 'string')").as("tag"),
+          expr("is_variant_null(variant_get(v, '$.extra'))")
+            .as("extra_null"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT event_id,
+               '{"p":' || props || ',"u":' || user_id ||
+               ',"tags":["a","' || event_type || '"],"extra":' ||
+               (CASE WHEN event_id % 5 = 0 THEN 'null'
+                     ELSE '"' || event_type || '"' END) || '}' AS js
+        FROM events)
+      SELECT event_id,
+             CAST(json_extract_string(js, '$.p.k') AS INT) AS k,
+             CAST(json_extract_string(js, '$.u') AS BIGINT) AS u,
+             json_extract_string(js, '$.tags[1]') AS tag,
+             (json_type(js, '$.extra') = 'NULL') AS extra_null
+      FROM j"""))
+
   /** Array functions over tokenized text (split/size/element_at). */
   val q13Array = QueryDef(
     "q13_array_fns",
@@ -1478,5 +1524,5 @@ object Relational {
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
     q36RankFamily, topkRankAuto, topkDenseRankAuto, q37NotInNulls,
     q38FilterListagg, q39EventTime, q40GapFill, q41Scd2, q42RollingWindow,
-    q43Resample, q44WeekOverWeek)
+    q43Resample, q44WeekOverWeek, q45Variant)
 }

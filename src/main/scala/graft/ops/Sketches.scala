@@ -245,6 +245,60 @@ object Sketches {
       UNION ALL
       SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events"""))
 
+  /** Sketch ALGEBRA on distinct sets — the audience-overlap question
+    * ("how many users do event types A and B share?") answered from
+    * per-type HLL sketches by inclusion–exclusion:
+    * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), with `hll_union` doing the
+    * pairwise merge. This is the capability the single-set estimate
+    * (q15) and the rollup union ([[approxDistinctUnion]]) don't
+    * witness: set OPERATIONS between summaries, no rescan — at 100 TB
+    * every pairwise overlap of a |types|² matrix is three sketch reads,
+    * never a data-sized join. Intersection error compounds (it scales
+    * with the UNION size, the known weakness of inclusion–exclusion on
+    * HLL), so the witness carries the exact intersection next to a
+    * bound boolean the oracle asserts: |est − exact| ≤
+    * max(5% · union, 4). The exact side costs one user_id shuffle and
+    * exists for the witness; a deployment keeps only the sketch path.
+    */
+  val approxSetOverlap = QueryDef(
+    "approx_set_overlap",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val pairs = sk.select(col("event_type").as("type_a"),
+          col("sk").as("ska"))
+        .crossJoin(broadcast(sk.select(col("event_type").as("type_b"),
+          col("sk").as("skb"))))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          (hll_sketch_estimate(col("ska")) +
+            hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+            .as("est_inter"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_union"))
+      val du = ev.distinct()
+      val inter = du.as("x").join(du.as("y"), Seq("user_id"))
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(countDistinct(col("user_id")).as("n_exact_inter"))
+      pairs.join(inter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+          (abs(col("est_inter") - coalesce(col("n_exact_inter"), lit(0L)))
+            <= greatest(col("est_union") * 0.05, lit(4.0))).as("inter_ok"))
+    },
+    Some("""
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             count(DISTINCT x.user_id) AS n_exact_inter, TRUE AS inter_ok
+      FROM du x JOIN du y ON x.user_id = y.user_id
+       AND x.event_type < y.event_type
+      GROUP BY 1, 2"""))
+
   /** Sketch-based join-size estimation — the optimizer-side use of
     * Count-Min (Alon–Matias–Szegedy F₂ family): the self-join size
     * Σ_k c(k)² of the events log on user_id, estimated from the CM
@@ -304,5 +358,5 @@ object Sketches {
 
   val all: Seq[QueryDef] =
     Seq(bloomJoin, percentile2Pass, freqCountMin, approxDistinctUnion,
-      joinSizeEstimate)
+      approxSetOverlap, joinSizeEstimate)
 }

@@ -632,6 +632,64 @@ object StreamOps {
       }
   }
 
+  /** The [[funnelStream]] state machine on Spark 4's transformWithState
+    * API (r12) — the successor to flatMapGroupsWithState: typed named
+    * state ([[org.apache.spark.sql.streaming.ValueState]]) obtained
+    * from the processor handle instead of the single GroupState blob,
+    * per-state TTL available, timers decoupled from output mode, and
+    * the RocksDB state store required underneath (the provider conf is
+    * set by the caller/test; the checkpoint carries the store). Same
+    * fold, same in-order arrival contract, same row-set contract as
+    * the flatMapGroupsWithState twin — StreamingSpec pins both equal
+    * to the batch min-fold across a mid-stream split.
+    */
+  final class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, FunnelChain] {
+    @transient private var chain:
+      org.apache.spark.sql.streaming.ValueState[FunnelChain] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      chain = getHandle.getValueState[FunnelChain]("chain",
+        org.apache.spark.sql.Encoders.product[FunnelChain],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelChain] = {
+      var s = if (chain.exists()) chain.get()
+        else FunnelChain(uid, None, None, None)
+      it.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" if s.t_view.isEmpty =>
+            s = s.copy(t_view = Some(e.ts))
+          case "click" if s.t_view.isDefined && s.t_click.isEmpty &&
+              e.ts > s.t_view.get =>
+            s = s.copy(t_click = Some(e.ts))
+          case "purchase" if s.t_click.isDefined &&
+              s.t_purchase.isEmpty && e.ts > s.t_click.get =>
+            s = s.copy(t_purchase = Some(e.ts))
+          case _ => ()
+        }
+      }
+      if (s.t_view.isDefined) {
+        chain.update(s)
+        Iterator.single(s)
+      } else Iterator.empty
+    }
+  }
+
+  /** [[funnelStream]] through [[FunnelProcessor]]. */
+  def funnelStreamTws(events: org.apache.spark.sql.Dataset[Ev])
+      : org.apache.spark.sql.Dataset[FunnelChain] = {
+    implicit val chainEnc: org.apache.spark.sql.Encoder[FunnelChain] =
+      org.apache.spark.sql.Encoders.product[FunnelChain]
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Streaming last-touch attribution — the real-time face of
     * [[graft.ops.Funnel.lastTouchOf]]: per-user state carries ONLY the
     * most recent click (8+8 bytes however heavy the click volume);

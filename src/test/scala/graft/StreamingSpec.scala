@@ -962,6 +962,57 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("transformWithState funnel equals the flatMapGroupsWithState twin " +
+      "and the batch min-fold (RocksDB store, mid-stream split)") {
+    // Spark 4's stateful successor API: typed named ValueState from the
+    // processor handle instead of the GroupState blob; requires the
+    // RocksDB state store provider. Same fold => same chains.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val evs = Tables(spark, sf, "events")
+        .orderBy("ts", "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[Ev].collect().toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Ev]
+      val q = StreamOps.funnelStreamTws(ms.toDS())
+        .toDF().writeStream
+        .format("memory").queryName("t_funneltws").outputMode("update")
+        .option("checkpointLocation", s"${freshDir("funneltws")}/ckpt")
+        .start()
+      // mid-stream split: batch-2 folds resume from RocksDB state
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      ms.addData(b1)
+      q.processAllAvailable()
+      ms.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val got = spark.table("t_funneltws").collect()
+        .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3)))
+        .groupBy(_._1)
+        .map { case (_, rs) =>
+          rs.maxBy(t => t._2.size + t._3.size + t._4.size) }
+        .toSet
+      val want = graft.ops.Funnel.funnelOf(Tables(spark, sf, "events"))
+        .collect()
+        .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3)))
+        .toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming last-touch attributions equal the batch window form") {
     val base = freshDir("lasttouchstream")
     val store = LogStore(base)
