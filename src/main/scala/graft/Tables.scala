@@ -44,6 +44,22 @@ object Tables {
     * projection to keep parquet min/max pushdown; none of the engine's
     * events queries filter on raw ts today.
     */
+  /** Spread a small-split scan across the session's cores before
+    * per-row-HEAVY map work (tokenize/explode/codec/score). A real
+    * table at cluster scale has ≥ cores splits and this is the
+    * IDENTITY (no exchange added); the bench's single-file parquet
+    * scans plan as 1 input partition, which pins every pre-shuffle
+    * map stage — where corpus operators do most of their work — to
+    * one core of 32 (measured: bm25_topk's whole tokenize+score ran
+    * as 1 task). One round-robin exchange of the raw rows is far
+    * cheaper than 31 idle cores. Only worth it where per-row work
+    * dominates; cheap-scan operators keep their unspread plans (and
+    * their pushdown/exchange-count pins). */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
+  }
+
   private def normalize(name: String, df: DataFrame): DataFrame =
     if (name != "events" || df.schema("ts").dataType == LongType) df
     else df.withColumn(

@@ -31,7 +31,11 @@ object Dedup {
     val perturbed = docs.select(
       (col("doc_id") + PlantedOffset).as("doc_id"),
       dropLast(col("text")).as("text"))
-    docs.select("doc_id", "text").unionAll(perturbed)
+    // spread: every consumer's first act is per-row-heavy map work
+    // (shingle/minhash/simhash explode) and the single-file bench scan
+    // would pin all of it to 1 of 32 cores; identity at cluster scale
+    // (Tables.spread docs the rationale)
+    graft.Tables.spread(docs.select("doc_id", "text").unionAll(perturbed))
   }
 
   private val plantedCorpusSql = """

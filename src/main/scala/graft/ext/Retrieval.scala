@@ -50,7 +50,7 @@ object Retrieval {
     * with it. Docs with no tokens (null/blank text) drop here — the
     * indexed set, same as the oracle's unnest semantics. */
   private def postingsOf(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id").as("did"),
         graft.functions.TermCounts.termCounts(
           TextAnalysis.tokens(col("text"))).as("tc"))

@@ -18,12 +18,16 @@ object Similarity {
 
   val K = 10
 
-  /** Query set = vec_id % 10 == 0; references = all other vectors. */
+  /** Query set = vec_id % 10 == 0; references = all other vectors.
+    * The query side is [[graft.Tables.spread]]: its downstream is
+    * always per-row-heavy scoring against a broadcast reference side
+    * (|R| cosines per query row), and the bench's single-file scan
+    * would pin all of it to one core — identity at cluster scale. */
   def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables(s, dir, "embeddings")
       .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
-    (emb.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("qid"), col("e").as("qe")),
+    (graft.Tables.spread(emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))),
       emb.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("rid"), col("e").as("re")))
   }

@@ -432,9 +432,13 @@ object Knn {
   def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables(s, dir, "embeddings")
       .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
-    val q = emb.filter(col("vec_id") % 5 === 0)
+    // query side spread: downstream is |R| distances per query row
+    // against a broadcast reference side, and the bench's single-file
+    // scan would run it on one core (Tables.spread: identity at
+    // cluster scale)
+    val q = graft.Tables.spread(emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qvec"),
-        col("label").as("true_label"))
+        col("label").as("true_label")))
     val r = emb.filter(col("vec_id") % 5 =!= 0)
       .select(col("vec_id").as("rid"), col("e").as("rvec"), col("label"))
     (q, r)
