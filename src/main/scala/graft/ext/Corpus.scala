@@ -225,6 +225,53 @@ object Corpus {
          FROM documents)
       WHERE rank <= $QuotaPerSource"""))
 
+  /** Temperature-based mixture weights (r12) — the third face of data
+    * mixing next to [[mixSample]] (rate) and [[quotaSample]] (cap):
+    * per-source sampling weights ∝ n^α with α = 1/2, the standard
+    * upsample-the-tail rebalancing (multilingual/LLaMA-style `p^α`
+    * renormalization) that keeps big sources from drowning small ones
+    * without a hard cap. α = 1/2 is deliberate: `floor(sqrt(n))` is
+    * EXACT cross-engine integer arithmetic (IEEE sqrt is correctly
+    * rounded — `pow(n, 0.7)` is not, and one ULP would flip a DIV),
+    * so weights, ppm shares, per-source doc quotas for a fixed budget,
+    * and the implied keep-rates all replay bit-for-bit.
+    *
+    * Scale: one count per source with map-side combine + a one-row
+    * total broadcast — the result is sources-sized metadata at any
+    * corpus size; the selection mechanics it parameterizes are the
+    * hash-rate filter [[mixSample]] already witnesses.
+    */
+  val MixBudgetDocs = 1000L
+
+  val mixTemperature = QueryDef(
+    "corpus_mix_temperature",
+    (s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+      val total = counts.agg(sum("weight").as("tw"))
+      counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("weight"),
+          expr("weight * 1000000L div tw").as("share_ppm"),
+          expr(s"($MixBudgetDocs * weight) div tw").as("quota_docs"),
+          least(lit(1000000L),
+            expr(s"(($MixBudgetDocs * weight) div tw) * 1000000L" +
+              " div n_docs")).as("keep_ppm"))
+    },
+    Some(s"""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+                 GROUP BY 1),
+           w AS (SELECT source, n_docs,
+                        CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+                 FROM c),
+           t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+      SELECT source, n_docs, weight,
+             CAST(weight * 1000000 // tw AS BIGINT) AS share_ppm,
+             CAST(($MixBudgetDocs * weight) // tw AS BIGINT) AS quota_docs,
+             CAST(least(1000000, (($MixBudgetDocs * weight) // tw) * 1000000
+               // n_docs) AS BIGINT) AS keep_ppm
+      FROM w CROSS JOIN t"""))
+
   val PostingMinDf = 5
 
   /** Inverted index: term → sorted posting list of doc_ids, for terms
@@ -693,6 +740,6 @@ object Corpus {
 
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
-      mixSample, quotaSample, invertedIndex, bpePairCounts, bigramLm,
+      mixSample, mixTemperature, quotaSample, invertedIndex, bpePairCounts, bigramLm,
       bpeEncodeQuery, heavyHitters, oovRate, tokenDrift)
 }
