@@ -56,6 +56,13 @@ object Tables {
     * dominates; cheap-scan operators keep their unspread plans (and
     * their pushdown/exchange-count pins). */
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames can't answer .rdd (and micro-batch sources
+    // split on their own) — pass through so batch helpers stay safe
+    // to reuse in streaming twins
+    if (df.isStreaming) return df
+    // .rdd plans the (discarded) unspread physical tree to read the
+    // real partition count — a driver-side fixed cost, paid once per
+    // query build, charged to the operator like any other planning
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
   }

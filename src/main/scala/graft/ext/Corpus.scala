@@ -249,8 +249,14 @@ object Corpus {
       val counts = Tables(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
-      val total = counts.agg(sum("weight").as("tw"))
-      counts.crossJoin(broadcast(total))
+      // total as an unpartitioned window over the SOURCES-sized
+      // aggregate — a second agg subtree would re-scan the corpus
+      // (Spark does not dedupe shared subtrees; r12 review). The
+      // single-partition window frame is sources-sized metadata.
+      counts
+        .withColumn("tw", sum("weight").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
         .select(col("source"), col("n_docs"), col("weight"),
           expr("weight * 1000000L div tw").as("share_ppm"),
           expr(s"($MixBudgetDocs * weight) div tw").as("quota_docs"),

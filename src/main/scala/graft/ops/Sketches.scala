@@ -265,8 +265,12 @@ object Sketches {
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("event_type"), col("user_id"))
+      // the sketch table is types-sized; persist it so the self-cross-
+      // join's two sides don't each re-scan events + re-aggregate
+      // (Spark does not dedupe the shared subtree; r12 review)
       val sk = ev.groupBy("event_type")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")).persist()
+      sk.count(): Unit
       val pairs = sk.select(col("event_type").as("type_a"),
           col("sk").as("ska"))
         .crossJoin(broadcast(sk.select(col("event_type").as("type_b"),
@@ -285,11 +289,19 @@ object Sketches {
         .groupBy(col("x.event_type").as("type_a"),
           col("y.event_type").as("type_b"))
         .agg(countDistinct(col("user_id")).as("n_exact_inter"))
-      pairs.join(inter, Seq("type_a", "type_b"), "left")
-        .select(col("type_a"), col("type_b"),
-          coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
-          (abs(col("est_inter") - coalesce(col("n_exact_inter"), lit(0L)))
+      // INNER join: the report covers pairs that share at least one
+      // user — the same row set the oracle's join produces. (A left
+      // join + coalesce(0) emitted zero-overlap pairs the oracle
+      // doesn't, a data-dependent orphan-row mismatch; r12 review.)
+      val result = pairs.join(inter, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_exact_inter"),
+          (abs(col("est_inter") - col("n_exact_inter"))
             <= greatest(col("est_union") * 0.05, lit(4.0))).as("inter_ok"))
+      // pairs-sized result; materialize so the persisted sketch frame
+      // can be released (the jaccardPairsPrefix pattern)
+      val out = graft.Work.materialize("set_overlap", result)
+      sk.unpersist()
+      out
     },
     Some("""
       WITH du AS (SELECT DISTINCT event_type, user_id FROM events)

@@ -603,6 +603,29 @@ object StreamOps {
     * mapGroupsWithState form emitted an all-null chain per such user,
     * a row set the batch contract never produces.)
     */
+  /** The funnel fold shared by BOTH streaming twins (the
+    * flatMapGroupsWithState form and the transformWithState form) —
+    * one definition so the stage rules (strict `>` precedence, the
+    * in-batch (ts, event_id) total-order sort) cannot diverge. */
+  private def advanceChain(start: FunnelChain,
+      batch: Iterator[Ev]): FunnelChain = {
+    var s = start
+    batch.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      e.event_type match {
+        case "view" if s.t_view.isEmpty =>
+          s = s.copy(t_view = Some(e.ts))
+        case "click" if s.t_view.isDefined && s.t_click.isEmpty &&
+            e.ts > s.t_view.get =>
+          s = s.copy(t_click = Some(e.ts))
+        case "purchase" if s.t_click.isDefined &&
+            s.t_purchase.isEmpty && e.ts > s.t_click.get =>
+          s = s.copy(t_purchase = Some(e.ts))
+        case _ => ()
+      }
+    }
+    s
+  }
+
   def funnelStream(events: org.apache.spark.sql.Dataset[Ev])
       : org.apache.spark.sql.Dataset[FunnelChain] = {
     import events.sparkSession.implicits._
@@ -611,20 +634,8 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Update,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
-          var s = state.getOption.getOrElse(FunnelChain(uid, None, None, None))
-          it.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-            e.event_type match {
-              case "view" if s.t_view.isEmpty =>
-                s = s.copy(t_view = Some(e.ts))
-              case "click" if s.t_view.isDefined && s.t_click.isEmpty &&
-                  e.ts > s.t_view.get =>
-                s = s.copy(t_click = Some(e.ts))
-              case "purchase" if s.t_click.isDefined &&
-                  s.t_purchase.isEmpty && e.ts > s.t_click.get =>
-                s = s.copy(t_purchase = Some(e.ts))
-              case _ => ()
-            }
-          }
+          val s = advanceChain(
+            state.getOption.getOrElse(FunnelChain(uid, None, None, None)), it)
           if (s.t_view.isDefined) {
             state.update(s)
             Iterator.single(s)
@@ -657,21 +668,9 @@ object StreamOps {
     override def handleInputRows(uid: Long, it: Iterator[Ev],
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[FunnelChain] = {
-      var s = if (chain.exists()) chain.get()
-        else FunnelChain(uid, None, None, None)
-      it.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-        e.event_type match {
-          case "view" if s.t_view.isEmpty =>
-            s = s.copy(t_view = Some(e.ts))
-          case "click" if s.t_view.isDefined && s.t_click.isEmpty &&
-              e.ts > s.t_view.get =>
-            s = s.copy(t_click = Some(e.ts))
-          case "purchase" if s.t_click.isDefined &&
-              s.t_purchase.isEmpty && e.ts > s.t_click.get =>
-            s = s.copy(t_purchase = Some(e.ts))
-          case _ => ()
-        }
-      }
+      val s = advanceChain(
+        if (chain.exists()) chain.get()
+        else FunnelChain(uid, None, None, None), it)
       if (s.t_view.isDefined) {
         chain.update(s)
         Iterator.single(s)
