@@ -213,5 +213,54 @@ object Chunking {
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       FROM t GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(chunk, pack, packChunkText, lengthHistogram)
+  /** Sentence segmentation (r12) — the boundary-respecting chunker
+    * face next to [[chunk]]'s fixed token windows: RAG pipelines split
+    * at sentence boundaries so a chunk never cuts a thought mid-word.
+    * The synthetic corpus carries no punctuation, so a deterministic
+    * planting pass inserts `.` after every 5th token first (the
+    * plantedCorpus pattern), then the operator segments on the
+    * `[.!?] +` boundary class and emits (doc_id, sent_idx, sentence,
+    * n_tokens) — the feed a sentence-packing or embedding step
+    * consumes. Regexes stay in the Java∩RE2 common dialect; only the
+    * replacement syntax differs ($1 Spark, \\1 DuckDB) and both mean
+    * the same capture.
+    * Scale: per-row regexp + split + explode — shuffle-free, the
+    * explode fan-out bounded by sentence count per doc.
+    */
+  val chunkSentences = QueryDef(
+    "chunk_sentences",
+    (s, dir) => {
+      val planted = regexp_replace(col("text"),
+        "((?:\\S+ ){4}\\S+) ", "$1. ")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(planted, "[.!?] +").as("arr"))
+        .select(col("doc_id"), posexplode(col("arr")))
+        .select(col("doc_id"), col("pos").cast("int").as("sent_idx"),
+          col("col").as("sentence"))
+        .filter(length(trim(col("sentence"))) > 0)
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("sentence"))).cast(LongType))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                 regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1. ', 'g'),
+                 '[.!?] +') AS arr
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+               CAST(unnest(generate_series(1, len(arr))) - 1 AS INT)
+                 AS sent_idx,
+               unnest(arr) AS sentence
+        FROM p)
+      SELECT doc_id, sent_idx, sentence,
+             CAST(len(list_filter(
+               regexp_split_to_array(trim(sentence), '\s+'),
+               t -> len(t) > 0)) AS BIGINT) AS n_tokens
+      FROM e
+      WHERE length(trim(sentence)) > 0"""))
+
+  val all: Seq[QueryDef] =
+    Seq(chunk, chunkSentences, pack, packChunkText, lengthHistogram)
 }

@@ -678,6 +678,98 @@ object StreamOps {
     }
   }
 
+  /** Input row for the timer-based sessionizer: [[Ev]] plus the
+    * timestamp column the watermark rides on (TimeMode.EventTime
+    * requires one). */
+  final case class EvW(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, ts_t: java.sql.Timestamp)
+
+  /** A closed session: [t_start, t_last] micros + its event count. */
+  final case class SessionRow(user_id: Long, t_start: Long,
+      t_last: Long, n_events: Long)
+
+  private final case class OpenSession(start: Long, last: Long,
+      n: Long, deadlineMs: Long)
+
+  /** Idle-gap sessionizer on transformWithState with EVENT-TIME TIMERS
+    * (r12) — the capability the funnel twin doesn't exercise and the
+    * reason the new API exists beyond typed state: a departed user's
+    * LAST session can only close when the watermark passes
+    * last + gap, which a data-driven fold (mapGroupsWithState without
+    * timeouts, or any per-event operator) can never emit — no later
+    * event arrives to trigger it. Each batch extends/closes sessions
+    * by the batch rule (`t - last > gap` starts a new one, matching
+    * the batch sessionize's strict `>`), re-arms ONE timer per key at
+    * the new idle deadline (the previous deadline is carried in state
+    * and deleted — no timer leak), and `handleExpiredTimer` flushes
+    * the open session when event time really has moved past it.
+    * State per key: one OpenSession (4 longs) + one timer. */
+  final class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvW, SessionRow] {
+    @transient private var open:
+      org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[EvW],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionRow] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
+      var s: Option[OpenSession] = if (open.exists()) Some(open.get())
+        else None
+      it.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val tUs = e.ts / 1000
+        s match {
+          case Some(os) if tUs - os.last <= gapUs =>
+            s = Some(os.copy(last = tUs, n = os.n + 1))
+          case Some(os) =>
+            out += SessionRow(uid, os.start, os.last, os.n)
+            s = Some(OpenSession(tUs, tUs, 1, 0L))
+          case None =>
+            s = Some(OpenSession(tUs, tUs, 1, 0L))
+        }
+      }
+      s.foreach { os =>
+        val deadline = (os.last + gapUs) / 1000 + 1 // us → ms, past-gap
+        val prev = if (open.exists()) open.get().deadlineMs else 0L
+        if (prev != 0L && prev != deadline) getHandle.deleteTimer(prev)
+        if (prev != deadline) getHandle.registerTimer(deadline)
+        open.update(os.copy(deadlineMs = deadline))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionRow] = {
+      if (open.exists()) {
+        val os = open.get()
+        open.clear()
+        Iterator.single(SessionRow(uid, os.start, os.last, os.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Sessionize with idle-timeout flushing through
+    * [[SessionTimerProcessor]] — append mode: every emitted row is a
+    * CLOSED session, closed either by the next event (data) or by the
+    * watermark passing the idle deadline (timer). */
+  def sessionizeTwsStream(events: org.apache.spark.sql.Dataset[EvW],
+      gapUs: Long = sessionGapUs)
+      : org.apache.spark.sql.Dataset[SessionRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[SessionRow] =
+      org.apache.spark.sql.Encoders.product[SessionRow]
+    events.withWatermark("ts_t", "0 seconds")
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** [[funnelStream]] through [[FunnelProcessor]]. */
   def funnelStreamTws(events: org.apache.spark.sql.Dataset[Ev])
       : org.apache.spark.sql.Dataset[FunnelChain] = {

@@ -1151,6 +1151,74 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("transformWithState event-time timers close idle sessions: the " +
+      "timer sessionizer equals batch sessionize (RocksDB, split feed)") {
+    // the capability the funnel TWS twin doesn't exercise: a departed
+    // user's LAST session closes when the WATERMARK passes last+gap —
+    // no later event exists to close it data-driven. A far-future
+    // sentinel user pushes the watermark past every real deadline.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val fns = org.apache.spark.sql.functions
+      val evs = Tables(spark, sf, "events")
+        .select(fns.col("event_id"), fns.col("ts"), fns.col("user_id"),
+          fns.col("event_type"))
+        .orderBy("ts", "event_id")
+        .collect().map(r => StreamOps.EvW(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getString(3),
+          new java.sql.Timestamp(r.getLong(1) / 1000000L)))
+      val maxTs = evs.map(_.ts).max
+      val sentinel = StreamOps.EvW(-1L,
+        maxTs + StreamOps.sessionGapUs * 1000L * 10L, -1L, "view",
+        new java.sql.Timestamp(
+          (maxTs + StreamOps.sessionGapUs * 1000L * 10L) / 1000000L))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamOps.EvW]
+      val q = StreamOps.sessionizeTwsStream(ms.toDS())
+        .toDF().writeStream
+        .format("memory").queryName("t_sesstws").outputMode("append")
+        .option("checkpointLocation", s"${freshDir("sesstws")}/ckpt")
+        .start()
+      val (b1, b2) = evs.toSeq.splitAt(evs.length / 2)
+      ms.addData(b1)
+      q.processAllAvailable()
+      ms.addData(b2)
+      q.processAllAvailable()
+      // sentinel batch advances the watermark; one more batch lets the
+      // now-expired timers fire
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel.copy(event_id = -2L)))
+      q.processAllAvailable()
+      q.stop()
+      val sessions = spark.table("t_sesstws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 >= 0L)
+      val got = sessions.groupBy(_._1).map { case (uid, ss) =>
+        uid -> (ss.length.toLong, ss.map(_._4).sum,
+          ss.map(_._2).min, ss.map(_._3).max)
+      }
+      val want = StreamOps.sessionize.fn(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1),
+          r.getLong(3), r.getLong(4))).toMap
+      // (n_sessions, n_events, first_ts, last_ts) per user — every
+      // session, including each user's final one, must have been
+      // emitted exactly once (append mode cannot re-emit)
+      assert(got == want,
+        s"missing=${(want.toSet -- got.toSet).take(3)} " +
+          s"extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming latest-by-key upsert view equals batch CDC compaction across runs") {
     import org.apache.spark.sql.functions._
     val base = freshDir("cdcview")
