@@ -98,6 +98,14 @@ object StressMain {
     // aggregate; replica id offsets keep article ids (and so canonical
     // URLs) disjoint across replicas, so groups grow linearly and the
     // growth curve measures the plan, not colliding keys
+    // r12: BM25 with per-corpus idf rebuild — growth proves the
+    // shuffle-free postings + broadcast-idf plan stays linear after
+    // the scan-spread change (replicas have disjoint vocabularies, so
+    // posting lists don't lengthen; query count and postings both 8x)
+    pair("bm25_topk")(
+      c => graft.ext.Retrieval.bm25Of(
+        c, graft.ext.Retrieval.idfOf(c)).count(),
+      n => repDocs(docs, n))
     pair("url_dedup")(
       { c =>
         import graft.ext.UrlOps

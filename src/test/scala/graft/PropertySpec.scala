@@ -333,6 +333,72 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("URL canonicalization equals a direct JVM reference over " +
+      "generated URLs: case, ports, www, params, fragments composed") {
+    // the planted corpus covers the designed variants; this fuzzes the
+    // POLICY over arbitrary compositions (scheme case x port x www x
+    // trailing slashes x tracking/real param mixes x fragment) against
+    // an independent straight-line JVM canonicalizer of the documented
+    // rules — the regexp chain must agree on every composition
+    def reference(url: String): String = {
+      val noFrag = url.takeWhile(_ != '#')
+      val afterScheme = noFrag.substring(noFrag.indexOf("://") + 3)
+      val scheme = noFrag.substring(0, noFrag.indexOf("://"))
+        .toLowerCase(java.util.Locale.ROOT)
+      val hostEnd = afterScheme.indexWhere(c => c == '/' || c == '?')
+      val hostport = (if (hostEnd < 0) afterScheme
+        else afterScheme.take(hostEnd)).toLowerCase(java.util.Locale.ROOT)
+      val noPort =
+        if (scheme == "http" && hostport.endsWith(":80"))
+          hostport.dropRight(3)
+        else if (scheme == "https" && hostport.endsWith(":443"))
+          hostport.dropRight(4)
+        else hostport
+      val host = if (noPort.startsWith("www.")) noPort.drop(4) else noPort
+      val rest = if (hostEnd < 0) "" else afterScheme.drop(hostEnd)
+      val qStart = rest.indexOf('?')
+      val path0 = if (qStart < 0) rest else rest.take(qStart)
+      val path1 = path0.reverse.dropWhile(_ == '/').reverse
+      val path = if (path1.isEmpty) "/" else path1
+      val q0 = if (qStart < 0) "" else rest.drop(qStart)
+      val query = if (q0.isEmpty) "" else {
+        val parts = q0.drop(1).split("&", -1).filterNot(p =>
+          p.matches("(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*"))
+        if (parts.isEmpty) "" else parts.mkString("?", "&", "")
+      }
+      host + path + query
+    }
+    val schemeGen = Gen.oneOf("http", "https", "HTTP", "Https", "HTTPS")
+    val hostGen = Gen.oneOf("site.org", "Site.Org", "www.site.org",
+      "WWW.SITE.ORG", "a.b.site.org")
+    val portGen = Gen.oneOf("", ":80", ":443", ":8080")
+    val pathGen = Gen.oneOf("", "/", "/a", "/a/B", "/a/", "/a//", "/a/B/")
+    val paramGen = Gen.someOf(Seq("utm_source=x", "utm_campaign=Y",
+      "fbclid=123", "gclid=z", "page=2", "id=A7", "q=hello"))
+    val fragGen = Gen.oneOf("", "#top", "#a?b")
+    val urlGen = for {
+      sc <- schemeGen; h <- hostGen; po <- portGen; pa <- pathGen
+      ps <- paramGen; fr <- fragGen
+    } yield s"$sc://$h$po$pa" +
+      (if (ps.isEmpty) "" else ps.mkString("?", "&", "")) + fr
+    val sp = spark
+    import sp.implicits._
+    val urls = samples(urlGen, 120).distinct
+    val got = urls.toDF("u")
+      .select(org.apache.spark.sql.functions.col("u"),
+        graft.ext.UrlOps.canonicalUrl(
+          org.apache.spark.sql.functions.col("u")).as("c"),
+        graft.ext.UrlOps.canonicalHost(
+          org.apache.spark.sql.functions.col("u")).as("h"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    urls.foreach { u =>
+      val want = reference(u)
+      assert(got(u)._1 == want, s"url=$u got=${got(u)._1} want=$want")
+      assert(want.startsWith(got(u)._2), s"host not a prefix: $u")
+    }
+  }
+
   test("range-join rewrite equals brute force for arbitrary intervals " +
       "incl. sentinel, empty, null, and extreme bounds") {
     graft.plans.RangeJoinRewrite.ensureRegistered(spark)
