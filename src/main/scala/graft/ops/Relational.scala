@@ -398,6 +398,47 @@ object Relational {
              (json_type(js, '$.extra') = 'NULL') AS extra_null
       FROM j"""))
 
+  /** Spark 4 string COLLATIONS — case-insensitive semantics as a
+    * column property (`collate(c, 'UTF8_LCASE')`) instead of lower()
+    * scattered through every predicate: grouping, distinct counting,
+    * and an equality filter all honor the collation natively, and the
+    * optimizer sees one collated attribute rather than an expression
+    * wrapper it can't push. The corpus is single-case, so a planted
+    * pass uppercases every third event's type first (the q45/html
+    * pattern); output keys are emitted through lower() so the DuckDB
+    * oracle (which replays with lower(); its own collations are
+    * per-database state the driver doesn't configure) hash-matches.
+    * Scale: same one-shuffle aggregate as any groupBy — the collation
+    * changes comparison, not the plan shape.
+    */
+  val q46Collation = QueryDef(
+    "q46_collated_group",
+    (s, dir) => {
+      val planted = when(col("event_id") % 3 === 0,
+        upper(col("event_type"))).otherwise(col("event_type"))
+      val ci = collate(planted, "UTF8_LCASE")
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), ci.as("et"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("et") === lit("view"), 1L).otherwise(0L))
+            .as("n_eq_view"))
+        .select(lower(col("et")).as("event_type_ci"), col("n"),
+          col("n_users"), col("n_eq_view"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                    ELSE event_type END AS et
+        FROM events)
+      SELECT lower(et) AS event_type_ci, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CASE WHEN lower(et) = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_eq_view
+      FROM p GROUP BY lower(et)"""))
+
   /** Array functions over tokenized text (split/size/element_at). */
   val q13Array = QueryDef(
     "q13_array_fns",
@@ -1524,5 +1565,5 @@ object Relational {
     q32FullOuter, q33Lateral, q34LatestByKey, q35MergeUpsert,
     q36RankFamily, topkRankAuto, topkDenseRankAuto, q37NotInNulls,
     q38FilterListagg, q39EventTime, q40GapFill, q41Scd2, q42RollingWindow,
-    q43Resample, q44WeekOverWeek, q45Variant)
+    q43Resample, q44WeekOverWeek, q45Variant, q46Collation)
 }
