@@ -87,7 +87,10 @@ object UrlOps {
 
   /** Full canonical key: host + path (trailing slashes stripped, root
     * kept as `/`) + surviving query params (tracking removed, order
-    * preserved). Scheme and fragment are gone by policy. */
+    * preserved). Scheme and fragment are gone by policy. A string with
+    * no parseable `scheme://host` prefix canonicalizes to ITSELF
+    * (exact-string dedup for unparseable URLs — the explicit fallback,
+    * never a silent empty-host collision bucket; r12 review). */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val path0 = regexp_extract(noFrag,
@@ -99,7 +102,8 @@ object UrlOps {
       "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
     val q2 = regexp_replace(q1, "^&", "?")
     val query = when(q2 === "?", lit("")).otherwise(q2)
-    concat(canonicalHost(url), path, query)
+    when(canonicalHost(url) === "", url)
+      .otherwise(concat(canonicalHost(url), path, query))
   }
 
   /** The same canonicalization as DuckDB SQL — literally the same regex
@@ -125,8 +129,10 @@ object UrlOps {
                    regexp_replace(regexp_replace(regexp_extract(nf, '(\\?.*)$$', 1), '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'), '^&', '?') AS q2
             FROM n),
       c AS (SELECT doc_id, raw_url, host,
-                   host || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
-                        || (CASE WHEN q2 = '?' THEN '' ELSE q2 END)
+                   CASE WHEN host = '' THEN raw_url
+                        ELSE host
+                          || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
+                          || (CASE WHEN q2 = '?' THEN '' ELSE q2 END) END
                      AS url_canon
             FROM h)"""
 

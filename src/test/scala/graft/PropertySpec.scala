@@ -342,6 +342,9 @@ class PropertySpec extends SparkSpec {
     // rules — the regexp chain must agree on every composition
     def reference(url: String): String = {
       val noFrag = url.takeWhile(_ != '#')
+      // unparseable (no scheme://host): canonical = the raw string
+      if (!noFrag.matches("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+.*"))
+        return url
       val afterScheme = noFrag.substring(noFrag.indexOf("://") + 3)
       val scheme = noFrag.substring(0, noFrag.indexOf("://"))
         .toLowerCase(java.util.Locale.ROOT)
@@ -381,9 +384,12 @@ class PropertySpec extends SparkSpec {
       ps <- paramGen; fr <- fragGen
     } yield s"$sc://$h$po$pa" +
       (if (ps.isEmpty) "" else ps.mkString("?", "&", "")) + fr
+    // malformed inputs: the explicit policy is exact-string identity
+    val badGen = Gen.oneOf("", "not a url", "missing-scheme.org/a",
+      "http:/one-slash.org", "://no-scheme", "ftp//x", "/rel/path?q=1")
     val sp = spark
     import sp.implicits._
-    val urls = samples(urlGen, 120).distinct
+    val urls = (samples(urlGen, 120) ++ samples(badGen, 7)).distinct
     val got = urls.toDF("u")
       .select(org.apache.spark.sql.functions.col("u"),
         graft.ext.UrlOps.canonicalUrl(
