@@ -200,6 +200,102 @@ object Multimodal {
   private def sqlPxWsum(px: String): String =
     s"CAST(list_sum(list_transform(range(1, len($px) + 1), i -> i * (($px[i] // 65536) + (($px[i] // 256) % 256) + ($px[i] % 256)))) AS BIGINT)"
 
+  /** Payloads for the blank-image filter: the normal noise render for
+    * most docs plus CONSTANT-color renders planted at doc_id % 17 == 0
+    * — the corpus renders are all noise, so the filter's true branch
+    * needs its own payload kind ("pngb"); the shared media_png stays
+    * untouched for the other codec keys and the GoldenSpec digests. */
+  private def blankPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "pngb") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes =
+            if (id % 17 == 0) {
+              val w = 16 + Math.floorMod(id, 17L).toInt
+              val h = 16 + Math.floorMod(id / 17, 13L).toInt
+              val c = Math.floorMod(id * 37L, 256L).toInt
+              val px = Array.fill(w * h)(0xFF000000 | (c << 16) | (c << 8) | c)
+              ImageCodec.encodePng(ImageCodec.DecodedImage(w, h, 3, px))
+            } else ImageCodec.renderPng(id,
+              Option(text).getOrElse("").getBytes("UTF-8"))
+          (id, bytes)
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  private def blankRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "pngb") {
+      val sp = s
+      import sp.implicits._
+      blankPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          (id, d.width, d.height, d.argb.map(_ & 0xFFFFFF))
+        })
+        .toDF("doc_id", "width", "height", "px")
+    }
+
+  val BlankSpreadMax = 24L
+
+  /** Blank/solid-image filter (r12) — the LAION/DataComp curation gate
+    * that drops placeholder, tracking-pixel, and solid-color images
+    * before any embedding or dedup spend: decode, take per-channel
+    * min/max over the raster, flag when the summed RGB spread is at or
+    * under [[BlankSpreadMax]] (0 = perfectly solid; a small tolerance
+    * keeps lightly-dithered blanks out too). All-integer — the oracle
+    * replays min/max/spread from the materialized rasters. Planted
+    * constant-color images at doc_id % 17 == 0 witness the true
+    * branch; every noise render sits far above the threshold.
+    * Scale: map-only decode + per-row fold, no shuffle. */
+  val blankFilter = QueryDef(
+    "multimodal_blank_filter",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      blankRaster(s, dir): Unit
+      blankPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = ImageCodec.decode(bytes)
+          var minR = 255; var maxR = 0; var minG = 255; var maxG = 0
+          var minB = 255; var maxB = 0
+          var i = 0
+          while (i < d.argb.length) {
+            val p = d.argb(i)
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF
+            val b = p & 0xFF
+            if (r < minR) minR = r; if (r > maxR) maxR = r
+            if (g < minG) minG = g; if (g > maxG) maxG = g
+            if (b < minB) minB = b; if (b > maxB) maxB = b
+            i += 1
+          }
+          val spread = (maxR - minR) + (maxG - minG) + (maxB - minB)
+          (id, d.width, d.height, spread.toLong,
+            spread.toLong <= BlankSpreadMax)
+        })
+        .toDF("doc_id", "width", "height", "rgb_spread", "is_blank")
+    },
+    Some(s"""
+      SELECT doc_id, width, height,
+             CAST((list_max(list_transform(px, p -> p // 65536))
+                 - list_min(list_transform(px, p -> p // 65536)))
+               + (list_max(list_transform(px, p -> (p // 256) % 256))
+                 - list_min(list_transform(px, p -> (p // 256) % 256)))
+               + (list_max(list_transform(px, p -> p % 256))
+                 - list_min(list_transform(px, p -> p % 256)))
+               AS BIGINT) AS rgb_spread,
+             (CAST((list_max(list_transform(px, p -> p // 65536))
+                 - list_min(list_transform(px, p -> p // 65536)))
+               + (list_max(list_transform(px, p -> (p // 256) % 256))
+                 - list_min(list_transform(px, p -> (p // 256) % 256)))
+               + (list_max(list_transform(px, p -> p % 256))
+                 - list_min(list_transform(px, p -> p % 256)))
+               AS BIGINT) <= $BlankSpreadMax) AS is_blank
+      FROM read_parquet('${rasterSqlPath("pngb")}/*.parquet')"""))
+
   /** Declarative metadata over the binary column — stays in codegen. */
   val meta = QueryDef(
     "multimodal_meta",
@@ -1129,5 +1225,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, mjpegFrames, audio,
-      featurize, resize, phashDedup, awhashDedup, vhashDedup)
+      featurize, resize, blankFilter, phashDedup, awhashDedup, vhashDedup)
 }

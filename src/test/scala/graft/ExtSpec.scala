@@ -1310,6 +1310,22 @@ class ExtSpec extends SparkSpec {
     assert(ks(hand) == 750000L)
   }
 
+  test("blank-image filter: planted constant-color images flag, noise " +
+      "renders never do, spread is exact") {
+    val rows = graft.ext.Multimodal.blankFilter.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { case (id, spread, blank) =>
+      if (id % 17 == 0)
+        assert(blank && spread == 0L, s"planted blank $id: spread=$spread")
+      else
+        assert(!blank &&
+          spread > graft.ext.Multimodal.BlankSpreadMax,
+          s"noise render $id flagged blank (spread=$spread)")
+    }
+    assert(rows.count(_._3) > 0, "no planted blanks present")
+  }
+
   test("url canonicalization: every planted variant rule collapses, the " +
       "real query param keeps its URL distinct, keep rule is min doc_id") {
     // planted structure (UrlOps.plantedUrl): article = doc_id/3, variant
