@@ -239,6 +239,78 @@ object Multimodal {
         .toDF("doc_id", "width", "height", "px")
     }
 
+  /** Payloads for the silence filter: normal WAV renders plus SILENT
+    * clips (all-zero PCM) planted at doc_id % 19 == 0 — own payload
+    * kind ("wavs"), shared media_wav untouched. */
+  private def silencePayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "wavs") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes =
+            if (id % 19 == 0)
+              AudioCodec.encodeWav(
+                new Array[Short](64 + Math.floorMod(id, 97L).toInt))
+            else AudioCodec.renderWav(id,
+              Option(text).getOrElse("").getBytes("UTF-8"))
+          (id, bytes)
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** Decoded PCM (widened to INT32) for the silence-filter oracle. */
+  private def silenceRaster(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ensureRaster(s, dir, "wavs") {
+      val sp = s
+      import sp.implicits._
+      silencePayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, wav) =>
+          val d = AudioCodec.decodeWav(wav)
+          (id, d.nFrames, d.samples.map(_.toInt))
+        })
+        .toDF("doc_id", "n_frames", "pcm")
+    }
+
+  val SilencePeakMax = 96L
+
+  /** Audio silence filter (r12) — the audio face of
+    * [[blankFilter]]: drop silent or near-silent clips (dead uploads,
+    * DRM-stripped tracks) before transcription/embedding spend. Flag =
+    * peak |sample| ≤ [[SilencePeakMax]] (~0.3% of int16 full scale —
+    * noise-floor tolerance; exact zero is the planted case).
+    * All-integer; oracle replays the peak fold from materialized PCM.
+    * Scale: map-only decode + per-row fold, no shuffle. */
+  val silenceFilter = QueryDef(
+    "multimodal_silence_filter",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      silenceRaster(s, dir): Unit
+      silencePayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, wav) =>
+          val d = AudioCodec.decodeWav(wav)
+          var peak = 0L
+          var i = 0
+          while (i < d.samples.length) {
+            val a = math.abs(d.samples(i).toLong)
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, d.nFrames, peak, peak <= SilencePeakMax)
+        })
+        .toDF("doc_id", "n_frames", "peak_abs", "is_silent")
+    },
+    Some(s"""
+      SELECT doc_id, n_frames,
+             CAST(coalesce(list_max(list_transform(pcm, v -> abs(v))), 0)
+               AS BIGINT) AS peak_abs,
+             (CAST(coalesce(list_max(list_transform(pcm, v -> abs(v))), 0)
+               AS BIGINT) <= $SilencePeakMax) AS is_silent
+      FROM read_parquet('${rasterSqlPath("wavs")}/*.parquet')"""))
+
   val BlankSpreadMax = 24L
 
   /** Blank/solid-image filter (r12) — the LAION/DataComp curation gate
@@ -1225,5 +1297,6 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, mjpegFrames, audio,
-      featurize, resize, blankFilter, phashDedup, awhashDedup, vhashDedup)
+      featurize, resize, blankFilter, silenceFilter, phashDedup,
+      awhashDedup, vhashDedup)
 }

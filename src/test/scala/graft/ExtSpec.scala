@@ -1326,6 +1326,22 @@ class ExtSpec extends SparkSpec {
     assert(rows.count(_._3) > 0, "no planted blanks present")
   }
 
+  test("silence filter: planted all-zero clips flag, rendered audio " +
+      "never does, peak is exact") {
+    val rows = graft.ext.Multimodal.silenceFilter.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { case (id, peak, silent) =>
+      if (id % 19 == 0)
+        assert(silent && peak == 0L, s"planted silent $id: peak=$peak")
+      else
+        assert(!silent &&
+          peak > graft.ext.Multimodal.SilencePeakMax,
+          s"rendered clip $id flagged silent (peak=$peak)")
+    }
+    assert(rows.count(_._3) > 0, "no planted silent clips present")
+  }
+
   test("url canonicalization: every planted variant rule collapses, the " +
       "real query param keeps its URL distinct, keep rule is min doc_id") {
     // planted structure (UrlOps.plantedUrl): article = doc_id/3, variant
