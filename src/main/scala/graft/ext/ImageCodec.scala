@@ -73,6 +73,55 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Insert a PNG tEXt chunk (keyword\0text) right after IHDR — the
+    * planted-metadata half of the strip-metadata witness. Real chunk
+    * surgery: big-endian length, type, data, CRC32 over type+data. */
+  def insertTextChunk(png: Array[Byte], keyword: String,
+      text: String): Array[Byte] = {
+    require(png.length > 8 + 25, "not a PNG")
+    val data = keyword.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      text.getBytes("ISO-8859-1")
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+    chunk.putInt(data.length)
+    chunk.put("tEXt".getBytes("ISO-8859-1"))
+    chunk.put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update("tEXt".getBytes("ISO-8859-1"))
+    crc.update(data)
+    chunk.putInt(crc.getValue.toInt)
+    // IHDR is always the first chunk: 8-byte signature + 25-byte IHDR
+    val cut = 8 + 25
+    png.take(cut) ++ chunk.array() ++ png.drop(cut)
+  }
+
+  /** Strip ancillary text metadata chunks (tEXt/zTXt/iTXt) from a PNG
+    * — the privacy pass (EXIF-strip analog) a crawl pipeline runs
+    * before republishing media. Walks the real chunk stream; critical
+    * and non-text ancillary chunks pass through byte-identical, so the
+    * decoded pixels are untouched. Returns (cleaned, chunksRemoved).
+    * Fails loudly on a non-PNG or a truncated chunk stream. */
+  def stripTextChunks(png: Array[Byte]): (Array[Byte], Int) = {
+    require(png.length >= 8 &&
+      (png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte, "not a PNG")
+    val out = new ByteArrayOutputStream()
+    out.write(png, 0, 8)
+    var pos = 8
+    var removed = 0
+    val drop = Set("tEXt", "zTXt", "iTXt")
+    while (pos < png.length) {
+      require(pos + 8 <= png.length, s"truncated PNG chunk header at $pos")
+      val len = java.nio.ByteBuffer.wrap(png, pos, 4).getInt
+      require(len >= 0 && pos + 12L + len <= png.length,
+        s"corrupt PNG chunk at $pos: len $len exceeds container")
+      val ctype = new String(png, pos + 4, 4, "ISO-8859-1")
+      if (drop.contains(ctype)) removed += 1
+      else out.write(png, pos, 12 + len)
+      pos += 12 + len
+    }
+    (out.toByteArray, removed)
+  }
+
   /** SHA-256 over the big-endian ARGB pixel stream — the pinned content
     * identity of a decoded image (independent of the encoded container
     * bytes, which codecs may legally vary). */

@@ -311,6 +311,58 @@ object Multimodal {
                AS BIGINT) <= $SilencePeakMax) AS is_silent
       FROM read_parquet('${rasterSqlPath("wavs")}/*.parquet')"""))
 
+  /** Payloads with PLANTED metadata: the normal PNG render plus a tEXt
+    * chunk (`comment\0src=<doc_id>`) spliced after IHDR — real chunk
+    * surgery with a real CRC, own payload kind ("pngm"). */
+  private def metaPayloads(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mediaTable(s, dir, "pngm") {
+      val sp = s
+      import sp.implicits._
+      docRows(s, dir)
+        .mapPartitions(_.map { case (id, text) =>
+          (id, ImageCodec.insertTextChunk(
+            ImageCodec.renderPng(id,
+              Option(text).getOrElse("").getBytes("UTF-8")),
+            "comment", s"src=$id"))
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** Metadata stripping (r12) — the privacy pass (EXIF-strip analog)
+    * before republishing crawled media: drop ancillary text chunks
+    * (tEXt/zTXt/iTXt) from the PNG container, keep every byte of the
+    * image data. The oracle is fully SQL-computable: the planted chunk
+    * is 12 + len('comment') + 1 + len('src=<id>') bytes, so
+    * bytes_removed = 24 + len(CAST(doc_id AS VARCHAR)) exactly, and
+    * the decoded pixel sums of the CLEANED bytes must equal the
+    * pristine render's rasters (raster_png — stripping metadata cannot
+    * touch pixels). Scale: map-only byte-level chunk walk, no decode
+    * needed for the strip itself, no shuffle.
+    */
+  val stripMetadata = QueryDef(
+    "multimodal_strip_metadata",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      pngRaster(s, dir): Unit
+      metaPayloads(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, dirty) =>
+          val (clean, removed) = ImageCodec.stripTextChunks(dirty)
+          val d = ImageCodec.decode(clean)
+          val (ps, pw) = pxSums(d.argb)
+          (id, removed, (dirty.length - clean.length).toLong, ps, pw)
+        })
+        .toDF("doc_id", "n_stripped", "bytes_removed",
+          "px_sum", "px_wsum")
+    },
+    Some(s"""
+      SELECT doc_id, 1 AS n_stripped,
+             CAST(24 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+               AS bytes_removed,
+             ${sqlPxSum("px")} AS px_sum, ${sqlPxWsum("px")} AS px_wsum
+      FROM read_parquet('${rasterSqlPath("png")}/*.parquet')"""))
+
   val BlankSpreadMax = 24L
 
   /** Blank/solid-image filter (r12) — the LAION/DataComp curation gate
@@ -1297,6 +1349,6 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(meta, decode, frames, videoFrames, aviFrames, mjpegFrames, audio,
-      featurize, resize, blankFilter, silenceFilter, phashDedup,
-      awhashDedup, vhashDedup)
+      featurize, resize, blankFilter, silenceFilter, stripMetadata,
+      phashDedup, awhashDedup, vhashDedup)
 }

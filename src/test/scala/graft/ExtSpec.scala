@@ -1342,6 +1342,33 @@ class ExtSpec extends SparkSpec {
     assert(rows.count(_._3) > 0, "no planted silent clips present")
   }
 
+  test("PNG metadata strip: planted tEXt chunk removed, pixels " +
+      "bit-identical, idempotent, hostile chunk stream fails loudly") {
+    import graft.ext.ImageCodec
+    val png = ImageCodec.renderPng(31L, "planted".getBytes)
+    val dirty = ImageCodec.insertTextChunk(png, "comment", "src=31")
+    // the dirty container still decodes to the SAME pixels
+    assert(ImageCodec.pixelSha(ImageCodec.decode(dirty)) ==
+      ImageCodec.pixelSha(ImageCodec.decode(png)))
+    val (clean, n) = ImageCodec.stripTextChunks(dirty)
+    assert(n == 1)
+    assert(dirty.length - clean.length == 24 + "31".length)
+    assert(ImageCodec.pixelSha(ImageCodec.decode(clean)) ==
+      ImageCodec.pixelSha(ImageCodec.decode(png)))
+    // idempotent: a pristine container loses nothing, byte-identical
+    val (again, n2) = ImageCodec.stripTextChunks(clean)
+    assert(n2 == 0 && again.toSeq == clean.toSeq)
+    // hostile: a chunk length past the container must fail loudly
+    val bad = dirty.clone()
+    java.nio.ByteBuffer.wrap(bad).putInt(8 + 25, Int.MaxValue - 4)
+    val e = intercept[IllegalArgumentException](
+      ImageCodec.stripTextChunks(bad))
+    assert(e.getMessage.contains("exceeds container"))
+    intercept[IllegalArgumentException](
+      ImageCodec.stripTextChunks("notapng".getBytes))
+    ()
+  }
+
   test("url canonicalization: every planted variant rule collapses, the " +
       "real query param keeps its URL distinct, keep rule is min doc_id") {
     // planted structure (UrlOps.plantedUrl): article = doc_id/3, variant
