@@ -107,16 +107,8 @@ object StressMain {
         c, graft.ext.Retrieval.idfOf(c)).count(),
       n => repDocs(docs, n))
     pair("url_dedup")(
-      { c =>
-        import graft.ext.UrlOps
-        c.select(col("doc_id"),
-            UrlOps.plantedUrl(col("doc_id")).as("raw"))
-          .select(col("doc_id"),
-            UrlOps.canonicalUrl(col("raw")).as("u"))
-          .groupBy("u")
-          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
-          .count()
-      },
+      c => graft.ext.UrlOps.dedupGroupsOf(
+        graft.ext.UrlOps.canonicalized(c)).count(),
       n => repDocs(docs, n))
     pair("ngram_jaccard")(
       c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),

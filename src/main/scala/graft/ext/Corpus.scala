@@ -257,12 +257,12 @@ object Corpus {
         .withColumn("tw", sum("weight").over(
           Window.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
+        .withColumn("quota_docs", expr(s"($MixBudgetDocs * weight) div tw"))
         .select(col("source"), col("n_docs"), col("weight"),
           expr("weight * 1000000L div tw").as("share_ppm"),
-          expr(s"($MixBudgetDocs * weight) div tw").as("quota_docs"),
+          col("quota_docs"),
           least(lit(1000000L),
-            expr(s"(($MixBudgetDocs * weight) div tw) * 1000000L" +
-              " div n_docs")).as("keep_ppm"))
+            expr("quota_docs * 1000000L div n_docs")).as("keep_ppm"))
     },
     Some(s"""
       WITH c AS (SELECT source, count(*) AS n_docs FROM documents

@@ -304,12 +304,14 @@ object Multimodal {
         .toDF("doc_id", "n_frames", "peak_abs", "is_silent")
     },
     Some(s"""
-      SELECT doc_id, n_frames,
-             CAST(coalesce(list_max(list_transform(pcm, v -> abs(v))), 0)
-               AS BIGINT) AS peak_abs,
-             (CAST(coalesce(list_max(list_transform(pcm, v -> abs(v))), 0)
-               AS BIGINT) <= $SilencePeakMax) AS is_silent
-      FROM read_parquet('${rasterSqlPath("wavs")}/*.parquet')"""))
+      WITH p AS (
+        SELECT doc_id, n_frames,
+               CAST(coalesce(list_max(list_transform(pcm, v -> abs(v))), 0)
+                 AS BIGINT) AS peak_abs
+        FROM read_parquet('${rasterSqlPath("wavs")}/*.parquet'))
+      SELECT doc_id, n_frames, peak_abs,
+             (peak_abs <= $SilencePeakMax) AS is_silent
+      FROM p"""))
 
   /** Payloads with PLANTED metadata: the normal PNG render plus a tEXt
     * chunk (`comment\0src=<doc_id>`) spliced after IHDR — real chunk
@@ -403,22 +405,19 @@ object Multimodal {
         .toDF("doc_id", "width", "height", "rgb_spread", "is_blank")
     },
     Some(s"""
-      SELECT doc_id, width, height,
-             CAST((list_max(list_transform(px, p -> p // 65536))
-                 - list_min(list_transform(px, p -> p // 65536)))
-               + (list_max(list_transform(px, p -> (p // 256) % 256))
-                 - list_min(list_transform(px, p -> (p // 256) % 256)))
-               + (list_max(list_transform(px, p -> p % 256))
-                 - list_min(list_transform(px, p -> p % 256)))
-               AS BIGINT) AS rgb_spread,
-             (CAST((list_max(list_transform(px, p -> p // 65536))
-                 - list_min(list_transform(px, p -> p // 65536)))
-               + (list_max(list_transform(px, p -> (p // 256) % 256))
-                 - list_min(list_transform(px, p -> (p // 256) % 256)))
-               + (list_max(list_transform(px, p -> p % 256))
-                 - list_min(list_transform(px, p -> p % 256)))
-               AS BIGINT) <= $BlankSpreadMax) AS is_blank
-      FROM read_parquet('${rasterSqlPath("pngb")}/*.parquet')"""))
+      WITH b AS (
+        SELECT doc_id, width, height,
+               CAST((list_max(list_transform(px, p -> p // 65536))
+                   - list_min(list_transform(px, p -> p // 65536)))
+                 + (list_max(list_transform(px, p -> (p // 256) % 256))
+                   - list_min(list_transform(px, p -> (p // 256) % 256)))
+                 + (list_max(list_transform(px, p -> p % 256))
+                   - list_min(list_transform(px, p -> p % 256)))
+                 AS BIGINT) AS rgb_spread
+        FROM read_parquet('${rasterSqlPath("pngb")}/*.parquet'))
+      SELECT doc_id, width, height, rgb_spread,
+             (rgb_spread <= $BlankSpreadMax) AS is_blank
+      FROM b"""))
 
   /** Declarative metadata over the binary column — stays in codegen. */
   val meta = QueryDef(

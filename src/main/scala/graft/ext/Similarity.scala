@@ -49,18 +49,24 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col").as("rid"))
 
-  /** The window full-sort form (the v1 plan) — equivalence witness. */
-  def bruteForceTopKWindow(queries: DataFrame, refs: DataFrame,
-      k: Int): DataFrame = {
+  /** Scored + ranked cosine frame — the shared window subtree of the
+    * naive top-k spellings ([[bruteForceTopKWindow]] and the paged
+    * form in [[topkPagedAuto]]); each caller applies its rank filter. */
+  private def rankedCosine(queries: DataFrame, refs: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("rid").asc)
     queries.crossJoin(broadcast(refs))
       .select(col("qid"), col("rid"),
         Dedup.cosine(col("qe"), col("re")).as("cos"))
       .withColumn("rank", row_number().over(w))
+  }
+
+  /** The window full-sort form (the v1 plan) — equivalence witness. */
+  def bruteForceTopKWindow(queries: DataFrame, refs: DataFrame,
+      k: Int): DataFrame =
+    rankedCosine(queries, refs)
       .filter(col("rank") <= k)
       .select("qid", "rank", "rid")
-  }
 
   val topkCosine = QueryDef(
     "topk_cosine",
@@ -125,12 +131,7 @@ object Similarity {
       graft.GraftSession.withScopedConfs(s,
         graft.plans.TopKRewrite.EnabledConf -> "true") {
         val (q, r) = split(s, dir)
-        val w = Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("rid").asc)
-        q.crossJoin(broadcast(r))
-          .select(col("qid"), col("rid"),
-            Dedup.cosine(col("qe"), col("re")).as("cos"))
-          .withColumn("rank", row_number().over(w))
+        rankedCosine(q, r)
           .filter(col("rank").between(K + 1, 2 * K))
           .select("qid", "rank", "rid")
       }

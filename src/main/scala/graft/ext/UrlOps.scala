@@ -136,16 +136,29 @@ object UrlOps {
                      AS url_canon
             FROM h)"""
 
+  /** df-in core: per-doc canonicalized frame over any frame with a
+    * doc_id column (the planted URL derives from it) — the library
+    * API; QueryDefs and the StressMain growth harness both bind it. */
+  def canonicalized(docs: DataFrame): DataFrame = {
+    val raw = plantedUrl(col("doc_id"))
+    docs.select(col("doc_id"), raw.as("raw_url"),
+      canonicalUrl(raw).as("url_canon"),
+      canonicalHost(raw).as("host"))
+  }
+
+  /** df-in core: dedup groups over a [[canonicalized]] frame — one
+    * map-side-combined hash aggregate on the canonical key. */
+  def dedupGroupsOf(c: DataFrame): DataFrame =
+    c.groupBy("url_canon")
+      .agg(min(col("host")).as("host"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_variants"),
+        min(col("doc_id")).as("keep_doc_id"))
+
   /** Per-doc canonical mapping — the map-only witness of every rule. */
   val urlNormalize = QueryDef(
     "url_normalize",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val raw = plantedUrl(col("doc_id"))
-      docs.select(col("doc_id"), raw.as("raw_url"),
-        canonicalUrl(raw).as("url_canon"),
-        canonicalHost(raw).as("host"))
-    },
+    (s, dir) => canonicalized(Tables(s, dir, "documents")),
     Some(s"""
       WITH ${CanonCtesSql}
       SELECT doc_id, raw_url, url_canon, host
@@ -153,23 +166,12 @@ object UrlOps {
 
   /** Canonical-URL dedup groups: one row per canonical URL with the
     * group size, the number of distinct raw spellings collapsed, and
-    * the keep rule (min doc_id — first-crawled wins). Emits only groups
-    * (n_docs >= 2) plus distinct-URL singletons carrying a real query
-    * param, so the result witnesses both collapse and non-collapse. */
+    * the keep rule (min doc_id — first-crawled wins). Multi-doc groups
+    * witness every collapse rule; the `?page=2` singletons witness
+    * non-collapse. */
   val urlDedup = QueryDef(
     "url_dedup",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val raw = plantedUrl(col("doc_id"))
-      docs.select(col("doc_id"), raw.as("raw_url"),
-          canonicalUrl(raw).as("url_canon"),
-          canonicalHost(raw).as("host"))
-        .groupBy("url_canon")
-        .agg(min(col("host")).as("host"),
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("raw_url")).as("n_variants"),
-          min(col("doc_id")).as("keep_doc_id"))
-    },
+    (s, dir) => dedupGroupsOf(canonicalized(Tables(s, dir, "documents"))),
     Some(s"""
       WITH ${CanonCtesSql}
       SELECT url_canon, min(host) AS host,

@@ -276,13 +276,16 @@ object Sketches {
         .crossJoin(broadcast(sk.select(col("event_type").as("type_b"),
           col("sk").as("skb"))))
         .filter(col("type_a") < col("type_b"))
+        // union estimated once per pair; inclusion–exclusion over the
+        // projected columns
         .select(col("type_a"), col("type_b"),
-          (hll_sketch_estimate(col("ska")) +
-            hll_sketch_estimate(col("skb")) -
-            hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
-            .as("est_inter"),
+          hll_sketch_estimate(col("ska")).as("ea"),
+          hll_sketch_estimate(col("skb")).as("eb"),
           hll_sketch_estimate(hll_union(col("ska"), col("skb")))
             .as("est_union"))
+        .select(col("type_a"), col("type_b"),
+          (col("ea") + col("eb") - col("est_union")).as("est_inter"),
+          col("est_union"))
       val du = ev.distinct()
       val inter = du.as("x").join(du.as("y"), Seq("user_id"))
         .filter(col("x.event_type") < col("y.event_type"))

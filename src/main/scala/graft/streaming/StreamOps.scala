@@ -719,8 +719,11 @@ object StreamOps {
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionRow] = {
       val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
-      var s: Option[OpenSession] = if (open.exists()) Some(open.get())
+      // ONE state-store read per (key, batch) — the deadline for the
+      // timer re-arm below comes from this same snapshot
+      val prior: Option[OpenSession] = if (open.exists()) Some(open.get())
         else None
+      var s: Option[OpenSession] = prior
       it.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
         val tUs = e.ts / 1000
         s match {
@@ -735,7 +738,7 @@ object StreamOps {
       }
       s.foreach { os =>
         val deadline = (os.last + gapUs) / 1000 + 1 // us → ms, past-gap
-        val prev = if (open.exists()) open.get().deadlineMs else 0L
+        val prev = prior.map(_.deadlineMs).getOrElse(0L)
         if (prev != 0L && prev != deadline) getHandle.deleteTimer(prev)
         if (prev != deadline) getHandle.registerTimer(deadline)
         open.update(os.copy(deadlineMs = deadline))
