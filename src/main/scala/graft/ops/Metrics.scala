@@ -146,3 +146,30 @@ object GraftStreamingMetrics {
   def uninstall(spark: SparkSession, m: GraftStreamingMetrics): Unit =
     spark.streams.removeListener(m)
 }
+
+/** Row-level pipeline gate via `Dataset.observe` — the user-facing
+  * metrics face next to the listeners above: named aggregates attached
+  * to a frame are computed DURING the action (inside the same pass,
+  * zero extra jobs) and read back after it completes. This is how a
+  * production writer publishes "rows written / nulls seen / value
+  * total" counters without a second scan — at 100 TB the second scan
+  * IS the cost, and a separate `.count()` can silently diverge from
+  * what the action actually wrote (retries, concurrent updates).
+  */
+object ObservedGate {
+
+  /** Run `action` over `df` with the given named metric aggregates
+    * attached; returns the observed metric map once the action
+    * finishes. Metrics must be aggregate expressions over the frame's
+    * columns (Spark's observe contract). */
+  def run(df: org.apache.spark.sql.DataFrame, gateName: String,
+      metrics: Seq[org.apache.spark.sql.Column])(
+      action: org.apache.spark.sql.DataFrame => Unit)
+      : Map[String, Any] = {
+    require(metrics.nonEmpty, "ObservedGate.run: no metrics")
+    val obs = org.apache.spark.sql.Observation(gateName)
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    action(observed)
+    obs.get
+  }
+}

@@ -619,6 +619,46 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.GraftMetrics.uninstall(spark, gm)
   }
 
+  test("ObservedGate: observe-metrics match independent aggregates and " +
+      "add no extra job to the action") {
+    // Dataset.observe computes named aggregates INSIDE the action's own
+    // pass — the zero-extra-scan writer-counters contract; a separate
+    // count() would be a second data-sized job at scale
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val df = Tables(spark, sf, "orders")
+      .select(graft.ops.Relational.cents(
+        org.apache.spark.sql.functions.col("o_totalprice")).as("cents"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val before = {
+        // baseline: the same action un-observed
+        df.write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .drain(spark.sparkContext)
+        jobs.get()
+      }
+      val got = graft.ops.ObservedGate.run(df, "gate",
+        Seq(count(lit(1)).as("rows"), sum("cents").as("total_cents"))) {
+        observed => observed.write.format("noop").mode("overwrite").save()
+      }
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
+      val observedJobs = jobs.get() - before
+      assert(observedJobs <= 2, // the noop write's own job(s), no extra scan
+        s"observe must not add a data pass: $observedJobs jobs")
+      val wantRows = df.count()
+      val wantSum = df.agg(sum("cents")).head().getLong(0)
+      assert(got("rows") == wantRows, s"got=$got want rows=$wantRows")
+      assert(got("total_cents") == wantSum, s"got=$got want=$wantSum")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     val df = Tables(spark, sf, "embeddings")
       .selectExpr("CAST(embedding AS array<double>) AS e")
