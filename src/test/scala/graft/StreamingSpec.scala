@@ -962,6 +962,52 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("dropDuplicatesWithinWatermark: exact dedup with watermark-bounded " +
+      "state — in-window dups suppressed, state evicted, late re-emission") {
+    // the native MIDDLE tier of the streaming dedup ladder the engine
+    // ships (exact-unbounded dropDuplicates / THIS / bloom / rotating
+    // bloom): exact no-dup guarantee only within the watermark delay,
+    // in exchange for state that the watermark evicts — keys older
+    // than the delay are forgotten and a very-late duplicate re-emits
+    // BY DESIGN (the same contract as bloomDedupStreamRotating, with
+    // exactness instead of eps inside the window)
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fns = org.apache.spark.sql.functions
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)] // (key, event-time seconds)
+    val stream = ms.toDF().toDF("key", "sec")
+      .withColumn("ts_t", fns.timestamp_seconds(fns.col("sec")))
+      .withWatermark("ts_t", "10 seconds")
+      .dropDuplicatesWithinWatermark("key")
+      .select("key", "sec")
+    val q = stream.writeStream.format("memory").queryName("t_ddww")
+      .outputMode("append")
+      .option("checkpointLocation", s"${freshDir("ddww")}/ckpt")
+      .start()
+    // batch 1: key 1 at t=100 (kept), dup at t=105 (suppressed —
+    // within the 10 s watermark window)
+    ms.addData(Seq((1L, 100L), (1L, 105L), (2L, 101L)))
+    q.processAllAvailable()
+    // batch 2: watermark is now ~95 s; another in-window dup of key 1
+    // (t=106) still suppressed across the batch boundary
+    ms.addData(Seq((1L, 106L), (3L, 107L)))
+    q.processAllAvailable()
+    // batch 3: advance event time far past the delay so key 1's state
+    // is evicted, then batch 4: key 1 re-emits as a "new" key
+    ms.addData(Seq((9L, 1000L)))
+    q.processAllAvailable()
+    ms.addData(Seq((1L, 1001L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ddww").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 101L), (3L, 107L), (9L, 1000L),
+      (1L, 1001L)),
+      s"got=$got — in-window dups must drop, evicted keys must re-emit")
+  }
+
   test("transformWithState funnel equals the flatMapGroupsWithState twin " +
       "and the batch min-fold (RocksDB store, mid-stream split)") {
     // Spark 4's stateful successor API: typed named ValueState from the
