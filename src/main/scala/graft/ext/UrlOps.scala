@@ -39,7 +39,11 @@ object UrlOps {
     * article lives on the same site whatever crawl batch (= `source`
     * column) each copy arrived in. */
   def plantedUrl(docId: Column): Column = {
-    val artId = floor(docId / 3).cast(LongType)
+    // Integer division in the DECIMAL domain, not floor(double) —
+    // keeps the arithmetic bit-exact against the DuckDB oracle's
+    // `doc_id // 3` for ALL long values (floating floor diverges past
+    // 2^53; r12 ADVICE). Decimal(20,0)/3 is exact, floor truncates.
+    val artId = floor(docId.cast(DecimalType(20, 0)) / 3).cast(LongType)
     val art = artId.cast(StringType)
     val site = concat(lit("src"), (artId % 20).cast(StringType))
     val siteUp = upper(site)

@@ -500,7 +500,21 @@ object Knn {
     "knn_predict_udf",
     (s, dir) => {
       val (q, r) = split(s, dir)
-      val refs = r.collect().map(row => Ref(
+      // Parity twin of the reference's tab.to_pandas() (processor.py:
+      // 124) — a driver-side collect by DESIGN, but guarded: the same
+      // spark.graft.knn.maxBroadcastRows cap the distributed path uses
+      // fails loudly here instead of OOMing the driver when a user
+      // hands an oversized reference set. limit(cap+1) bounds what the
+      // probe itself can pull (r12 review).
+      val maxBc = s.conf.getOption("spark.graft.knn.maxBroadcastRows")
+        .map(_.toLong).getOrElse(2000000L)
+      val capProbe = math.min(maxBc + 1L, Int.MaxValue - 1L).toInt
+      val collected = r.limit(capProbe).collect()
+      require(collected.length <= maxBc,
+        s"knn_predict_udf: reference set exceeds " +
+        s"spark.graft.knn.maxBroadcastRows=$maxBc rows; use " +
+        "knn_predict/knn_predict_pruned (distributed) instead")
+      val refs = collected.map(row => Ref(
         row.getLong(0),
         row.getSeq[Double](1).toArray,
         row.getInt(2)))

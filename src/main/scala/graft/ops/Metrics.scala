@@ -161,7 +161,15 @@ object ObservedGate {
   /** Run `action` over `df` with the given named metric aggregates
     * attached; returns the observed metric map once the action
     * finishes. Metrics must be aggregate expressions over the frame's
-    * columns (Spark's observe contract). */
+    * columns (Spark's observe contract).
+    *
+    * CONTRACT — the action MUST execute a Spark action on the frame it
+    * is handed (the observed frame), not on the original `df`:
+    * `Observation.get` blocks until the observed plan runs, so acting
+    * on anything else deadlocks the caller. Ordering below is
+    * load-bearing: `action(...)` runs BEFORE `obs.get`, so an action
+    * that throws propagates to the caller instead of parking on a get
+    * that can never complete — do not reorder (r12 ADVICE). */
   def run(df: org.apache.spark.sql.DataFrame, gateName: String,
       metrics: Seq[org.apache.spark.sql.Column])(
       action: org.apache.spark.sql.DataFrame => Unit)

@@ -703,7 +703,17 @@ object StreamOps {
     * the new idle deadline (the previous deadline is carried in state
     * and deleted — no timer leak), and `handleExpiredTimer` flushes
     * the open session when event time really has moved past it.
-    * State per key: one OpenSession (4 longs) + one timer. */
+    * State per key: one OpenSession (4 longs) + one timer.
+    *
+    * IN-ORDER CONTRACT (same as the funnel twin): events for a key
+    * must arrive in batches no older than that key's last timer-closed
+    * session — an event behind a closed boundary starts a FRESH
+    * session (closed state is gone), so append mode would emit a
+    * second overlapping row for the same span where the batch oracle
+    * emits one. The watermark delay is the knob: size it past the
+    * feed's max disorder and the timer never fires before a straggler
+    * (r12 ADVICE; pinned here because this is where the timer path
+    * would re-open state). */
   final class SessionTimerProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, EvW, SessionRow] {

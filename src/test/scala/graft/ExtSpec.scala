@@ -1376,8 +1376,7 @@ class ExtSpec extends SparkSpec {
     // port, www+slash: all collapse), odd articles wear {3,4,5} where
     // v3 (utm+fragment) and v4 (http:80, host case) collapse but v5's
     // `?page=2` is a genuine param -> its own canonical URL
-    val dir = "/root/testdata/sf0.001"
-    val norm = graft.ext.UrlOps.urlNormalize.fn(spark, dir).collect()
+    val norm = graft.ext.UrlOps.urlNormalize.fn(spark, sf).collect()
     norm.foreach { r =>
       val canon = r.getAs[String]("url_canon")
       val host = r.getAs[String]("host")
@@ -1402,7 +1401,7 @@ class ExtSpec extends SparkSpec {
     assert(byDoc(oddArt + 2) == byDoc(oddArt) + "?page=2",
       s"real param must survive distinctly: ${byDoc(oddArt + 2)}")
     // dedup groups: n_docs 3 for full even articles, keep = min doc_id
-    val groups = graft.ext.UrlOps.urlDedup.fn(spark, dir).collect()
+    val groups = graft.ext.UrlOps.urlDedup.fn(spark, sf).collect()
       .map(r => r.getAs[String]("url_canon") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_doc_id"))).toMap
     assert(groups(byDoc(evenArt)) == ((3L, evenArt)))

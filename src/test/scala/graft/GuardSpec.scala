@@ -61,6 +61,21 @@ class GuardSpec extends SparkSpec {
     assert(e.getMessage.contains("empty reference set"))
   }
 
+  test("knn_predict_udf refuses an over-cap reference collect, naming " +
+      "the conf and the distributed alternative") {
+    // the parity twin of to_pandas() must fail loudly instead of OOMing
+    // the driver; cap pushed below the test reference-set size
+    spark.conf.set("spark.graft.knn.maxBroadcastRows", "3")
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.ml.Knn.predictUdf.fn(spark, sf).collect())
+      assert(e.getMessage.contains("maxBroadcastRows"))
+      assert(e.getMessage.contains("knn_predict"))
+    } finally spark.conf.unset("spark.graft.knn.maxBroadcastRows")
+    // and with the cap back at default the key still runs green
+    assert(graft.ml.Knn.predictUdf.fn(spark, sf).count() > 0)
+  }
+
   test("catalog initialization without a workdir names the missing conf") {
     val cat = new graft.connector.GraftCatalog
     val e = intercept[RuntimeException](cat.initialize("badcat",
