@@ -92,6 +92,33 @@ object TopKRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case f @ Filter(cond, w: Window) =>
         rewrite(cond, w).getOrElse(f)
+      // `Filter(Project(Window))` — the shape a `.select(...)` between
+      // the window and the rank filter produces (r12 punch #5). When
+      // the Project only renames/reorders/drops window-output columns
+      // the filter commutes through it: substitute the Project's
+      // aliases into the condition, rewrite the inner window exactly
+      // as above (it rebuilds the window's output under the original
+      // exprIds), and re-apply the Project on top. Catalyst's own
+      // PushDownPredicates usually normalizes this shape away before
+      // extraOptimizations run, but not always (non-deterministic
+      // sibling columns block the push; a standalone ensureRegistered
+      // caller may hand us an un-normalized plan) — a computing
+      // Project keeps the Window untouched.
+      case f @ Filter(cond, Project(projList, w: Window))
+          if projList.forall {
+            case a: Attribute => w.outputSet.contains(a)
+            case Alias(ref: Attribute, _) => w.outputSet.contains(ref)
+            case _ => false
+          } =>
+        val sub: Map[ExprId, Attribute] = projList.collect {
+          case a @ Alias(ref: Attribute, _) => a.exprId -> ref
+        }.toMap
+        val cond2 = cond.transform {
+          case attr: Attribute => sub.getOrElse(attr.exprId, attr)
+        }
+        rewrite(cond2, w)
+          .map(r => Project(projList, r))
+          .getOrElse(f)
     }
   }
 

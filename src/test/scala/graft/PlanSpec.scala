@@ -352,6 +352,65 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("top-k rewrite fires through an alias-only Project between the " +
+      "window and the rank filter; a computing Project keeps the Window") {
+    // r12 punch #5: `.select(...)` between the window and the filter
+    // builds Filter(Project(Window)). Catalyst usually pushes the
+    // filter through, but the rule must handle the surviving shape
+    // itself (pushdown is blocked by non-deterministic siblings, and
+    // standalone callers can hand it un-normalized plans). Direct rule
+    // application on the analyzed+collapsed plan pins the new matcher
+    // — not whichever normalization happens to fire first.
+    import org.apache.spark.sql.catalyst.optimizer.CollapseProject
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      Project => LProject, Window => LWindow, LogicalPlan}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 40).map(i => (i % 4, (i * 7 % 11).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val ranked = df.withColumn("rank", row_number().over(w))
+    def hasWindow(p: LogicalPlan) = p.exists(_.isInstanceOf[LWindow])
+    // control rows BEFORE the conf goes on (plain window execution)
+    val expect = ranked.filter(col("rank") <= 2)
+      .select(col("g"), col("id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+    try {
+      // rename + reorder + drop: rnk aliases rank, v is dropped
+      val aliased = ranked
+        .select(col("rank").as("rnk"), col("id"), col("g").as("grp"))
+        .filter(col("rnk") <= 2)
+      val shape = CollapseProject(aliased.queryExecution.analyzed)
+      shape match { // precondition: the un-pushed shape really is F(P(W))
+        case LFilter(_, LProject(_, _: LWindow)) =>
+        case other => fail("test shape drifted: " + other.treeString.take(800))
+      }
+      val rewritten = graft.plans.TopKRewrite(shape)
+      assert(!hasWindow(rewritten),
+        "alias-only Project must rewrite:\n" + rewritten.treeString.take(2000))
+      // downstream contract: same output attributes, same exprIds
+      assert(rewritten.output.map(a => (a.name, a.exprId)) ==
+        shape.output.map(a => (a.name, a.exprId)))
+      // negative: a COMPUTING projection of the rank must keep the
+      // Window (a k-heap of rank can't answer predicates over r2 here
+      // without re-deriving the expression — out of contract)
+      val computing = ranked
+        .select(col("g"), (col("rank") * 2).as("r2"), col("id"))
+        .filter(col("r2") <= 4)
+      val cshape = CollapseProject(computing.queryExecution.analyzed)
+      assert(hasWindow(graft.plans.TopKRewrite(cshape)),
+        "computing Project must not rewrite")
+      // end-to-end: the df-API spelling stays correct under the conf
+      // (whichever normalization path handles it first)
+      val got = aliased.select(col("grp"), col("id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == expect)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("pagination top-k rewrite: rank BETWEEN a AND b (a > 1) becomes " +
       "the heap sized by b with the lower bound as a residual filter") {
     // r12: "results 11-20" previously blocked (the lower conjunct was a

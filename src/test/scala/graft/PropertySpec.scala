@@ -168,6 +168,41 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("top-k rewrite with an alias-only select between window and " +
+      "filter equals the unrewritten plan for arbitrary data and k") {
+    // r13: the Filter(Project(Window)) spelling — rename/reorder/drop
+    // between the window and the rank bound — must stay semantics-
+    // preserving whichever normalization (Catalyst pushdown or the
+    // rule's own Project matcher) fires first
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 6), Gen.option(Gen.chooseNum(0, 4))))
+    val cases = samples(Gen.zip(rowsGen, Gen.chooseNum(1, 5)), 5)
+    try {
+      cases.foreach { case (rows, k) =>
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").asc_nulls_last, col("id"))
+        def run() = df.withColumn("rank", row_number().over(w))
+          .select(col("rank").as("rnk"), col("id"), col("g").as("grp"))
+          .filter(col("rnk") <= k).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+        spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+        val control = run()
+        spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+        val rewritten = run()
+        assert(rewritten == control,
+          s"k=$k missing=${(control -- rewritten).take(3)} " +
+            s"extra=${(rewritten -- control).take(3)} rows=${rows.take(12)}")
+      }
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
   test("RankRowsBuffer invariants: insert/trim/merge equal the brute " +
       "reference for random streams, ks, and both modes") {
     // JVM-level fuzz of the tie-keeping buffer itself (the e2e
