@@ -20,21 +20,50 @@ object Bench {
   def isSuspect(sec: Double, refMedian: Option[Double]): Boolean =
     refMedian.exists(r => sec > math.max(3.0 * r, 1.0))
 
-  /** Sub-floor suspect rule (round-11 verdict #1 / punch #7): the 1 s
-   *  floor keeps sub-second jitter from flagging individual RUNS, but it
-   *  also left whole KEYS dark — json_roundtrip sat at 4.70× its local
-   *  median (0.869 s vs 0.185) with no resample because no run crossed
-   *  1 s. A key earns resamples regardless of the floor when its MEDIAN
-   *  exceeds 3× the committed local median AND its per-run Spark job
-   *  counts are flat (identical every run → the same plan executed every
-   *  time, so the inflation is environmental, not a plan change — a
-   *  job-count drift means the plan itself changed, which resampling
-   *  cannot adjudicate and must stay visible in the artifact instead).
+  /** Sub-floor suspect rule (round-11 verdict #1 / punch #7; trigger
+   *  lowered 3× → 2× per round-12 verdict #2): the 1 s floor keeps
+   *  sub-second jitter from flagging individual RUNS, but it also left
+   *  whole KEYS dark — json_roundtrip sat at 4.70× its local median
+   *  (0.869 s vs 0.185) with no resample because no run crossed 1 s,
+   *  and r12's only >2.3× key (dedup_repeated_spans, 2.31×, every run
+   *  above local, flat jobs) earned nothing because the old 3× line
+   *  left the 2–3× class dark. A key earns resamples regardless of the
+   *  floor when its MEDIAN exceeds 2× the committed local median AND
+   *  its per-run Spark job counts are flat (identical every run → the
+   *  same plan executed every time, so the inflation is environmental,
+   *  not a plan change — a job-count drift means the plan itself
+   *  changed, which resampling cannot adjudicate and must stay visible
+   *  in the artifact instead).
    */
   def isSubFloorSuspect(median: Double, refMedian: Option[Double],
       jobCounts: Seq[Int]): Boolean =
-    refMedian.exists(r => r > 0 && median > 3.0 * r) &&
+    refMedian.exists(r => r > 0 && median > 2.0 * r) &&
       jobCounts.nonEmpty && jobCounts.distinct.size == 1
+
+  /** Committed quiet-box canary median from line 2 of a bench artifact
+   *  (round-12 verdict #3): the canary probes already bracket every
+   *  pass; dividing this run's canary median by the committed one gives
+   *  a BOX FACTOR the verdict can read directly instead of re-deriving
+   *  "the gate box ran 1.22× hot" from per-key ratios by hand. Missing
+   *  file / no canary line → None (factor reporting disarms; the
+   *  suspect rules never depended on it).
+   */
+  def refCanaryMedian(path: String): Option[Double] =
+    try {
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(path)).asScala
+      lines.drop(1).headOption.flatMap { l =>
+        val secs = """"sec":([0-9.]+)""".r.findAllMatchIn {
+          val start = l.indexOf("\"canary\":[")
+          if (start < 0) "" else {
+            val body = l.substring(start + "\"canary\":[".length)
+            val end = body.indexOf(']')
+            if (end < 0) "" else body.substring(0, end)
+          }
+        }.map(_.group(1).toDouble).toSeq.sorted
+        if (secs.isEmpty) None else Some(secs((secs.size - 1) / 2))
+      }
+    } catch { case _: Throwable => None }
 
   /** Per-query medians from line 1 of a committed bench artifact (the exact
    *  format `main` writes: `"queries":{"name":sec,…}` with flat numeric
@@ -291,8 +320,22 @@ object Bench {
       .toSeq.sortBy(-_._2).take(40).toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Box factor (round-12 verdict #3): this run's canary median over
+    // the committed quiet-box canary median — a one-field read for "the
+    // box ran N× hot" that previously had to be re-derived by hand from
+    // per-key ratio medians. Stamped on the total row; each detail row
+    // also carries ratio normalized by it. Reporting only.
+    val runCanaryMedian: Option[Double] = {
+      val s = canaries.map(_._3).sorted
+      if (s.isEmpty) None else Some(s((s.size - 1) / 2))
+    }
+    val boxFactor: Option[Double] = for {
+      rc <- refCanaryMedian(refPath) if rc > 0
+      mine <- runCanaryMedian
+    } yield mine / rc
+    val boxField = boxFactor.map(f => s""","box_factor":${n3(f)}""").getOrElse("")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs$boxField}"""
     println(line(mapJson(shown)))
     // full artifact to a file the driver/devs can parse directly (stdout
     // is wrapped in sbt's [info] decoration and tail-truncated):
@@ -325,7 +368,13 @@ object Bench {
       if (rs.isEmpty) None
       else {
         val ratio = ref.get(name).filter(_ > 0)
-          .map(r => s""""ratio_vs_local":${n3(results(name) / r)},""")
+          .map { r =>
+            val raw = results(name) / r
+            val norm = boxFactor.filter(_ > 0)
+              .map(f => s""""ratio_vs_local_norm":${n3(raw / f)},""")
+              .getOrElse("")
+            s""""ratio_vs_local":${n3(raw)},$norm"""
+          }
           .getOrElse("")
         Some(s""""$name":{"median":${n3(results(name))},"idx":$idx,$ratio""" +
           s""""runs":[${rs.map(runJson).mkString(",")}]}""")

@@ -26,15 +26,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(100.0, None))
   }
 
-  test("sub-floor suspect rule: median >3x local with flat job counts " +
-      "flags under the 1 s floor (r11 punch #7)") {
+  test("sub-floor suspect rule: median >2x local with flat job counts " +
+      "flags under the 1 s floor (r11 punch #7, trigger lowered r12 #2)") {
     // the json_roundtrip class: 0.869 s median vs 0.185 s local = 4.70x,
     // 2 jobs flat every run — under the 1 s floor no RUN ever flags, but
     // the KEY must now earn resamples
     assert(!Bench.isSuspect(0.869, Some(0.185)))
     assert(Bench.isSubFloorSuspect(0.869, Some(0.185), Seq(2, 2, 2)))
-    // in-band median: quiet
+    // the r12 dark zone: dedup_repeated_spans at 2.31x local (2.43 s vs
+    // 1.05), flat 5 jobs — the old 3x line left it unresampled
+    assert(Bench.isSubFloorSuspect(2.43, Some(1.05), Seq(5, 5, 5)))
+    // in-band median: quiet (2x exactly does not flag — strict >)
     assert(!Bench.isSubFloorSuspect(0.25, Some(0.185), Seq(2, 2, 2)))
+    assert(!Bench.isSubFloorSuspect(2.10, Some(1.05), Seq(5, 5, 5)))
     // job-count drift = the plan changed, not the environment —
     // resampling cannot adjudicate that; it must stay visible as-is
     assert(!Bench.isSubFloorSuspect(0.869, Some(0.185), Seq(2, 3, 2)))
@@ -73,6 +77,30 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.delete(p)
     // value field outside the queries map must not leak in
     assert(!ref.contains("value"))
+  }
+
+  test("refCanaryMedian reads the committed canary median from line 2; " +
+      "disarms on missing file, missing line, or missing canary") {
+    // r12 punch #3: the box factor divides this run's canary median by
+    // the committed quiet-box one — both read the same artifact schema
+    val p = java.nio.file.Files.createTempFile("bench_canary", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","value":9.000,"queries":{"q1_agg":0.194}}""" +
+        "\n" +
+        """{"metric":"detail","runs":3,"sf":"x","ref":"y","canary":[""" +
+        """{"pass":1,"edge":"start","sec":0.167,"gc_ms":0},""" +
+        """{"pass":1,"edge":"end","sec":0.046,"gc_ms":0},""" +
+        """{"pass":2,"edge":"start","sec":0.042,"gc_ms":0}],""" +
+        """"queries":{}}""" + "\n")
+    // sorted canary secs: 0.042, 0.046, 0.167 → median 0.046 (the
+    // gc_ms integers must not be swept into the sec regex)
+    assert(Bench.refCanaryMedian(p.toString).contains(0.046))
+    java.nio.file.Files.delete(p)
+    assert(Bench.refCanaryMedian("/nonexistent/bench.json").isEmpty)
+    val one = java.nio.file.Files.createTempFile("bench_oneline", ".json")
+    java.nio.file.Files.writeString(one, """{"metric":"total"}""" + "\n")
+    assert(Bench.refCanaryMedian(one.toString).isEmpty)
+    java.nio.file.Files.delete(one)
   }
 
   test("refMedians disarms (empty) on a missing or malformed file") {
