@@ -60,11 +60,71 @@ object Tables {
     // split on their own) — pass through so batch helpers stay safe
     // to reuse in streaming twins
     if (df.isStreaming) return df
-    // .rdd plans the (discarded) unspread physical tree to read the
-    // real partition count — a driver-side fixed cost, paid once per
-    // query build, charged to the operator like any other planning
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
+    // Scan-split estimate from the analyzed plan's cached file
+    // listings — a driver-side map read. The old probe (`df.rdd`)
+    // planned the DISCARDED unspread physical tree on every query
+    // build just to read its partition count (r12 verdict); it remains
+    // only as the fallback when a leaf isn't a file scan. The
+    // leaf-based estimate is also the truer signal: spread gates on
+    // SCAN parallelism (the pre-shuffle map stages it exists to
+    // widen), not whatever partitioning the tree ends in.
+    val parts = estimateScanPartitions(df)
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (parts * 2 >= want) df else df.repartition(want)
+  }
+
+  /** Estimated total file-scan partition count across the plan's
+    * leaves, by Spark's own FilePartition math (maxSplitBytes, then
+    * greedy size-desc packing) over the relations' driver-cached file
+    * listings — no physical planning, no job. None when any leaf is
+    * not a file-based relation (caller falls back to `.rdd`). At
+    * cluster scale a real table lists ≥ cores splits here, so
+    * [[spread]] is the identity — pinned in GuardSpec against a
+    * multi-file rewrite of the testdata. */
+  private[graft] def estimateScanPartitions(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val sess = df.sparkSession
+    val conf = sess.sessionState.conf
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val perLeaf = leaves.map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val open = conf.filesOpenCostInBytes
+          val maxPB = conf.filesMaxPartitionBytes
+          val minPN = conf.filesMinPartitionNum
+            .getOrElse(sess.sparkContext.defaultParallelism)
+          val lens = fs.location.listFiles(Nil, Nil)
+            .flatMap(_.files.map(_.getLen)).filter(_ > 0)
+          if (lens.isEmpty) 0L
+          else {
+            val totalBytes = lens.map(_ + open).sum
+            val bytesPerCore = totalBytes / math.max(1, minPN)
+            val maxSplit = math.min(maxPB, math.max(open, bytesPerCore))
+            // split each (splittable-parquet) file into maxSplit chunks,
+            // then pack size-descending exactly like FilePartition:
+            // close when currentSize + len > maxSplit; openCost rides
+            // the accumulator, not the comparison
+            val chunks = lens.flatMap { len =>
+              val full = (len / maxSplit).toInt
+              val rem = len % maxSplit
+              Seq.fill(full)(maxSplit) ++ (if (rem > 0) Seq(rem) else Nil)
+            }.sortBy(-_)
+            var n = 0L
+            var cur = 0L
+            chunks.foreach { len =>
+              if (cur + len > maxSplit && cur > 0) { n += 1; cur = 0 }
+              cur += len + open
+            }
+            if (cur > 0) n += 1
+            n
+          }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(perLeaf.sum)
   }
 
   private def normalize(name: String, df: DataFrame): DataFrame =

@@ -61,6 +61,50 @@ class GuardSpec extends SparkSpec {
     assert(e.getMessage.contains("empty reference set"))
   }
 
+  test("Tables.spread: identity on a multi-file scan (cluster posture, " +
+      "no exchange added), repartition on a single small file, rows " +
+      "unchanged either way") {
+    // the committed claim (SCALE.md: "at cluster scale spread is
+    // identity — testdata regenerated multi-file would make every
+    // spread a no-op") gets its pin: re-write documents as many files
+    // and spread must hand the frame back untouched
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread")
+      .toString
+    val want = spark.sparkContext.defaultParallelism
+    docs.repartition(want * 2).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val multi = spark.read.parquet(s"$tmp/documents.parquet")
+    assert(Tables.spread(multi) eq multi,
+      "multi-file scan must spread as IDENTITY (no exchange)")
+    // single small file → genuinely 1 scan split → spread repartitions
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/one.parquet")
+    val one = spark.read.parquet(s"$tmp/one.parquet")
+    val spreadOne = Tables.spread(one)
+    assert(spreadOne ne one, "single-file scan must spread")
+    assert(spreadOne.rdd.getNumPartitions == want)
+    // rows unchanged in both postures
+    assert(spreadOne.count() == docs.count())
+    assert(Tables.spread(multi).count() == docs.count())
+    // the plan-side estimate (not the .rdd fallback) is what decides:
+    // file scans answer Some — including through the narrow trees the
+    // call sites build (select/filter/union) — and its counts straddle
+    // the gate the way the assertions above require
+    assert(Tables.estimateScanPartitions(one).contains(1L))
+    val estMulti = Tables.estimateScanPartitions(multi)
+    assert(estMulti.exists(_ * 2 >= want), s"estimate $estMulti")
+    assert(Tables.estimateScanPartitions(
+      one.select("doc_id").filter(col("doc_id") >= 0).unionAll(
+        one.select("doc_id"))).contains(2L))
+    // non-file leaves fall back safely (estimate disarms, .rdd path)
+    val sp = spark
+    import sp.implicits._
+    val local = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Tables.estimateScanPartitions(local).isEmpty)
+    assert(Tables.spread(local).count() == 2)
+  }
+
   test("knn_predict_udf refuses an over-cap reference collect, naming " +
       "the conf and the distributed alternative") {
     // the parity twin of to_pandas() must fail loudly instead of OOMing
