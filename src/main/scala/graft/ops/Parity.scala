@@ -179,7 +179,29 @@ object Parity {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
 
+  /** Avro container round-trip — the one mainstream format this Spark
+    * build has no DataSource for (no spark-avro jar; r12 verdict
+    * residual-gap #1). [[graft.sources.AvroIO]] carries the engine's
+    * own distributed writer/reader on the raw Avro library: one
+    * container file per partition out, one task per file back, schema
+    * declared (long/string/int/double incl. a nullable-union column).
+    * The oracle replays the projection from the parquet source — the
+    * roundtrip must be value-exact. */
+  val avroRoundtrip = QueryDef(
+    "avro_roundtrip",
+    (s, dir) => {
+      val path = Work.scratch("avro_roundtrip")
+      Work.clean(path)
+      val src = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      graft.sources.AvroIO.write(src, path)
+      // declared read schema = the source projection's (the roundtrip
+      // must reproduce it type-exactly; never inferred from the files)
+      graft.sources.AvroIO.read(s, path, src.schema)
+    },
+    Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"))
+
   val all: Seq[QueryDef] = Seq(
     csvScan, csvSink, streamSinkJson, streamScanBounded, collectQuery,
-    labelSplit, orcRoundtrip, jsonRoundtrip, xmlRoundtrip)
+    labelSplit, orcRoundtrip, jsonRoundtrip, xmlRoundtrip, avroRoundtrip)
 }

@@ -510,4 +510,47 @@ class RelationalSpec extends SparkSpec {
     assert(trunc == -2L && Math.floorDiv(-7L, 3L) == -3L,
       "engine semantics changed: re-audit the fixed-point div sites")
   }
+
+  test("AvroIO round-trips nulls, binary, empty partitions, and empty " +
+      "strings type-exactly; unsupported types and empty dirs are loud") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("b", BinaryType),
+      StructField("d", DoubleType)))
+    val rows = Seq(
+      Row(1L, "a", Array[Byte](1, 2, 3), 1.5),
+      Row(2L, null, null, null),
+      Row(3L, "", Array.empty[Byte], -0.0))
+    // 5 partitions over 3 rows: empty partitions must write nothing and
+    // read back nothing (the per-partition writer skips them)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro")
+      .toString
+    graft.sources.AvroIO.write(df, dir)
+    val back = graft.sources.AvroIO.read(spark, dir, schema)
+    assert(back.schema == schema)
+    def key(r: Row) = (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2).toSeq,
+      if (r.isNullAt(3)) null else r.getDouble(3))
+    assert(back.collect().map(key).toSet == rows.map(key).toSet)
+    // a second write REPLACES prior content (mode=overwrite semantics)
+    graft.sources.AvroIO.write(df.limit(1), dir)
+    assert(graft.sources.AvroIO.read(spark, dir, schema).count() == 1)
+    // unsupported type: loud at schema build, naming the column
+    val e = intercept[IllegalArgumentException](
+      graft.sources.AvroIO.avroSchema(StructType(Seq(
+        StructField("nested", ArrayType(LongType))))))
+    assert(e.getMessage.contains("nested"))
+    // no files: loud, naming the dir
+    val empty = java.nio.file.Files.createTempDirectory("graft_avro_e")
+      .toString
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.AvroIO.read(spark, empty, schema))
+    assert(e2.getMessage.contains(empty))
+  }
 }
