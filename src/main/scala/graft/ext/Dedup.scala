@@ -75,9 +75,20 @@ object Dedup {
     * df² explosion is 8× larger (measured 11M vs 1.4M pair rows at
     * sf0.1) — larger shingles keep the inverted index sparse. */
   def shingleSets(corpus: DataFrame, n: Int = 4): DataFrame =
-    corpus.withColumn("shs", TextAnalysis.shinglesUdf(n)(col("text")))
+    corpus
+      // The non-empty guard as a NATIVE word-count predicate —
+      // size(tokens) >= n iff the UDF's shingle array is non-empty
+      // (both split trimmed text on \s+; null text fails both). The
+      // old spelling filtered on the UDF column itself, which let
+      // PushDownPredicates clone the UDF below plantedCorpus's spread
+      // exchange (r13 profile: DataFilters [size(UDF(text))>0] on the
+      // 1-split scan) — the whole shingling ran once ON ONE CORE for
+      // the filter and again, spread, for the projection. The native
+      // predicate is cheap wherever pushdown puts it, and the UDF now
+      // evaluates exactly once, above the exchange.
+      .filter(size(TextAnalysis.tokens(col("text"))) >= n)
+      .withColumn("shs", TextAnalysis.shinglesUdf(n)(col("text")))
       .drop("text")
-      .filter(size(col("shs")) > 0)
       .withColumn("n", size(col("shs")))
 
   /** All near-dup pairs with shingle-Jaccard >= 0.5, via an inverted
@@ -235,7 +246,17 @@ object Dedup {
     * land in suffixes and never generate candidates. */
   private[graft] def prefixIndex(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One explicit sh-hash exchange FEEDS BOTH the df aggregate and
+    // the join's stream side (ReuseExchange dedups them; both
+    // consumers' requirements are satisfied by the repartition, so
+    // neither plans its own). Without it the explode ran twice and the
+    // aggregate shuffled its partial counts in a second exchange —
+    // strictly additional work, since the join shuffles the full
+    // inverted index anyway (r13 profile). The aggregate losing its
+    // map-side partial is free for the same reason: its input already
+    // sits on the join's exchange.
     val inv = sh.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
     val dfs = inv.groupBy("sh").agg(count(lit(1)).as("df"))
     // NOTE: the windowless alternative (groupBy doc_id +
     // collect_list(struct(df, sh)) + in-row array_sort + slice) was
@@ -252,14 +273,19 @@ object Dedup {
 
   /** Candidate pairs from the prefix index — ids-only equi-join on the
     * prefix shingle, exactly the shape of [[jaccardPairs]]' candidate
-    * stage but over the halved (and rare-first) index. */
-  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
-    val pre = prefixIndex(sh)
+    * stage but over the halved (and rare-first) index. NOTE for
+    * callers on the hot path: pass an already-persisted index
+    * ([[jaccardPairsPrefix]] does) — the self-join broadcasts one side,
+    * so ReuseExchange can NOT dedup the two sides and an uncached
+    * index pays the df-join + window twice (r13 profile). */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame =
+    prefixCandidatesOn(prefixIndex(sh))
+
+  private[graft] def prefixCandidatesOn(pre: DataFrame): DataFrame =
     pre.select(col("sh"), col("doc_id").as("a"))
       .join(pre.select(col("sh"), col("doc_id").as("b")), "sh")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-  }
 
   /** Prefix-filtered near-dup pairs — same output contract and ORACLE
     * as [[jaccardPairs]]: candidates from the ⌊n/2⌋+1 rare-first
@@ -272,8 +298,23 @@ object Dedup {
   def jaccardPairsPrefix(shingled: DataFrame): DataFrame = {
     val sh = shingled.persist()
     sh.count(): Unit
+    // persist the prefix index too: the candidate self-join broadcasts
+    // one side, so without the cache the df-join + window subtree runs
+    // once per side (ReuseExchange only dedups identical SHUFFLE
+    // exchanges; a broadcast side has none). One count() to populate,
+    // same race rationale as sh above.
+    val pre = prefixIndex(sh).persist()
+    pre.count(): Unit
     val sets = sh.select(col("doc_id"), col("shs"), col("n"))
-    val result = prefixCandidates(sh)
+    // Verify shape: chained candidate ⋈ sets_a ⋈ sets_b. The r13
+    // profile also MEASURED the two-fetch alternative (va = cands ⋈
+    // sets_a, vb = cands ⋈ sets_b, merge on (a,b)): +3 jobs and no
+    // wall win here, and at scale it only helps when the candidate ids
+    // broadcast — in the non-broadcast regime (100 TB candidates) it
+    // shuffles sets by a AND b PLUS an extra candidate-fat merge
+    // exchange, strictly more than this chain. Adjudicated: keep the
+    // chain (SCALE.md r13).
+    val result = prefixCandidatesOn(pre)
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
         col("n").as("n_a")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
@@ -282,6 +323,7 @@ object Dedup {
       .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
       .select("a", "b", "n_common", "n_a", "n_b")
     val out = Work.materialize("jaccard_pairs_prefix", result)
+    pre.unpersist()
     sh.unpersist()
     out
   }

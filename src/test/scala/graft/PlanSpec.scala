@@ -352,6 +352,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("shingle sets: the non-empty guard reaches the scan as a NATIVE " +
+      "predicate and the shingle UDF never clones into a filter") {
+    // r13 profile finding: filtering on size(shs) — the UDF output —
+    // let PushDownPredicates clone the whole shingle UDF below the
+    // spread exchange, running it once single-core at the scan for the
+    // filter and again spread for the projection. The guard is now the
+    // equivalent native word-count predicate; the UDF must appear only
+    // in the post-exchange projection.
+    val df = graft.ext.Dedup.shingleSets(
+      graft.ext.Dedup.plantedCorpus(Tables(spark, sf, "documents")))
+    val s = planString(df)
+    assert(s.contains("size(split(trim("),
+      "native word-count guard missing:\n" + s.take(2000))
+    assert(!s.contains("size(UDF"),
+      "shingle UDF cloned into a filter:\n" + s.take(2000))
+  }
+
   test("top-k rewrite fires through an alias-only Project between the " +
       "window and the rank filter; a computing Project keeps the Window") {
     // r12 punch #5: `.select(...)` between the window and the filter
