@@ -606,10 +606,16 @@ object Dedup {
   }
 
   /** LSH candidate pairs: equal band-bucket for any of the 16 bands of 4
-    * signature rows. One shuffle on (band, bucket).
-    */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val buckets = bandBuckets(sigs)
+    * signature rows. One shuffle on (band, bucket). NOTE for hot-path
+    * callers: the self-join BROADCASTS one side when small, defeating
+    * ReuseExchange — an unpersisted bucket frame recomputes the 64-hash
+    * signature UDF per side ([[minhashDedup]] persists; same finding as
+    * the r13 prefix-index fix, and the same reason the simhash/media
+    * pair keys materialize their signatures first). */
+  def lshCandidates(sigs: DataFrame): DataFrame =
+    lshCandidatesOn(bandBuckets(sigs))
+
+  private[graft] def lshCandidatesOn(buckets: DataFrame): DataFrame = {
     buckets.alias("x").join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -627,7 +633,12 @@ object Dedup {
     // compute the same partitions concurrently
     val shingled = shingleSets(corpus).persist()
     shingled.count(): Unit
-    val cands = lshCandidates(minhashSignatures(shingled))
+    // persist the banded buckets: the candidate self-join broadcasts
+    // one side when small, so without the cache the 64-hash signature
+    // UDF runs once per side (r13; see lshCandidates scaladoc)
+    val buckets = bandBuckets(minhashSignatures(shingled)).persist()
+    buckets.count(): Unit
+    val cands = lshCandidatesOn(buckets)
     val sets = shingled.select(col("doc_id"), col("shs"), col("n"))
     val result = cands
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
@@ -638,6 +649,7 @@ object Dedup {
       .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
       .select("a", "b", "n_common", "n_a", "n_b")
     val out = Work.materialize("minhash_dedup", result)
+    buckets.unpersist()
     shingled.unpersist()
     out
   }
