@@ -19,7 +19,8 @@ object SparkEntry {
       ext.TextAnalysis.all ++ ext.Dedup.all ++ ext.EntityResolution.all ++
       ext.Similarity.all ++
       ext.Embeddings.all ++ ext.Chunking.all ++ ext.Corpus.all ++
-      ext.Retrieval.all ++ ext.UrlOps.all ++ ext.Multimodal.all
+      ext.Retrieval.all ++ ext.UrlOps.all ++ ext.Multimodal.all ++
+      ext.Dsir.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's predict pipeline in miniature: distributed KNN

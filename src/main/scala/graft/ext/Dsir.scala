@@ -1,0 +1,217 @@
+package graft.ext
+
+import graft.{QueryDef, Tables, Work}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling — data selection for LM training
+  * via hashed n-gram importance weights (Xie et al., "Data Selection
+  * for Language Models via Importance Resampling", NeurIPS 2023; the
+  * published pipeline RedPajama-v2/DoReMi-era stacks run between raw
+  * crawl and training). Given a small TARGET corpus (the distribution
+  * you want more of) and the RAW corpus, every raw document gets an
+  * importance weight
+  *
+  *   log w(x) = Σ_features count_x(f) · [ log p̂(bucket(f)) − log q̂(bucket(f)) ]
+  *
+  * over hashed unigram+bigram feature buckets (p̂ = target bucket
+  * distribution, q̂ = raw, both Laplace-smoothed), and selection takes
+  * the top-k by weight (Gumbel-top-k at temperature → 0; the
+  * deterministic face every other sampling operator here exposes, so
+  * the DuckDB oracle replays it exactly).
+  *
+  * Exactness discipline (the bm25 idf pattern): the per-bucket log
+  * ratio — the ONE transcendental — is computed once, fixed-pointed
+  * (round(1e6·Δln)), and PUBLISHED as parquet that BOTH the engine's
+  * weight pass and the oracle consume; per-doc weights are then pure
+  * integer dot products, order-independent and bit-identical across
+  * engines. Feature hashing is the repo's portable
+  * [[TextAnalysis.tokenHash]] (UBIGINT-replayable in DuckDB),
+  * bucketed by unsigned remainder.
+  *
+  * 100 TB shape: bucket counting is explode → ONE hash-aggregate with
+  * map-side combine whose output is bounded by [[Buckets]] (4096 rows),
+  * NOT the corpus; the ratio table is 4096 longs ≈ 32 KB, broadcast
+  * into a map-only weight projection — the weight pass adds ZERO
+  * shuffles to a corpus scan (PlanSpec pins no Exchange). Selection is
+  * a global top-k: TakeOrderedAndProject (per-partition heaps), never
+  * a full sort.
+  */
+object Dsir {
+
+  val Buckets = 4096
+  val LrScale = 1e6
+  val SampleK = 100
+
+  /** Unsigned-remainder bucket of the portable token hash — matches
+    * DuckDB's `UBIGINT % Buckets` exactly. */
+  def bucketOf(feature: String): Int =
+    java.lang.Long.remainderUnsigned(
+      TextAnalysis.tokenHash(feature), Buckets.toLong).toInt
+
+  /** All hashed feature buckets of a document: one per token
+    * OCCURRENCE (unigrams) plus one per adjacent pair (bigrams,
+    * space-joined — same string DuckDB rebuilds with `|| ' ' ||`).
+    * Bag semantics, not set: DSIR weights count repeated features. */
+  private[graft] def featureBuckets(text: String): Array[Int] = {
+    val w = Option(text).getOrElse("").trim.split("\\s+")
+    val out = new Array[Int](w.length + math.max(0, w.length - 1))
+    var i = 0
+    while (i < w.length) { out(i) = bucketOf(w(i)); i += 1 }
+    var j = 0
+    while (j < w.length - 1) {
+      out(w.length + j) = bucketOf(w(j) + " " + w(j + 1)); j += 1
+    }
+    out
+  }
+
+  private val bucketsUdf = udf { (text: String) => featureBuckets(text) }
+
+  /** (bucket, cnt) over a corpus — explode of the per-doc feature
+    * buckets into one map-side-combined aggregate; output ≤ Buckets
+    * rows regardless of corpus size. */
+  def bucketCounts(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs.select(col("text")))
+      .select(explode(bucketsUdf(col("text"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Dense fixed-point log-ratio table over all buckets:
+    * lr_fp(b) = round(1e6 · (ln((p_b+1)/(P+B)) − ln((q_b+1)/(Q+B)))).
+    * Computed driver-side from the two ≤4096-row count collections
+    * with StrictMath.log (plus the publish below, this pins one result
+    * across JVMs/libms). */
+  def logRatioRows(raw: DataFrame, target: DataFrame): Seq[(Int, Long)] = {
+    def collectCounts(df: DataFrame): Map[Int, Long] =
+      bucketCounts(df).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val q = collectCounts(raw)
+    val p = collectCounts(target)
+    val qTot = (q.values.sum + Buckets).toDouble
+    val pTot = (p.values.sum + Buckets).toDouble
+    (0 until Buckets).map { b =>
+      val lp = StrictMath.log((p.getOrElse(b, 0L) + 1L) / pTot)
+      val lq = StrictMath.log((q.getOrElse(b, 0L) + 1L) / qTot)
+      b -> Math.round(LrScale * (lp - lq))
+    }
+  }
+
+  // --- published ratio table (the bm25-idf publish contract) ---------
+
+  private def lrPath(dir: String): String =
+    s"${Work.dir}/dsir_lr_v1_${new java.io.File(dir).getName}"
+
+  private val lrDone = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  /** The target slice for the witness keys: every 7th document — a
+    * stand-in for "a curated high-quality sample" (target must be
+    * SMALL relative to raw; the weights answer "which raw docs look
+    * like it"). */
+  def targetOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
+
+  /** Publish (bucket, lr_fp) for this sf dir once: deterministic
+    * content (StrictMath + fixed hashing), jvm-tagged temp dir renamed
+    * into place, a completed table (_SUCCESS) is always valid. Engine
+    * weight pass and DuckDB oracle both read THESE bytes. */
+  def ensureLogRatios(s: SparkSession, dir: String): String = {
+    graft.SessionCaches.evictStopped(lrDone)(_._1)
+    lrDone.computeIfAbsent((s, dir), { _ =>
+      val path = lrPath(dir)
+      val target = new java.io.File(path)
+      def done = new java.io.File(target, "_SUCCESS").exists()
+      if (!done) {
+        val docs = Tables(s, dir, "documents")
+        val rows = logRatioRows(docs, targetOf(docs))
+        val tmp = s"${path}__${Work.jvmTag}"
+        Work.clean(tmp)
+        import s.implicits._
+        rows.toDF("bucket", "lr_fp").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        if (!new java.io.File(tmp).renameTo(target)) {
+          if (!done) throw new IllegalStateException(
+            s"dsir ratio publish lost the rename race AND $path is " +
+              "incomplete — inspect the work dir")
+          Work.clean(tmp)
+        }
+      }
+      path
+    })
+  }
+
+  /** Map-only weight projection: broadcast the 4096-long ratio array
+    * into a per-row integer fold — (doc_id, weight_fp, n_feats), no
+    * shuffle, no join. `lr` comes from the PUBLISHED parquet so the
+    * engine sums the identical integers the oracle joins against. */
+  def weights(docs: DataFrame, lr: Array[Long]): DataFrame = {
+    require(lr.length == Buckets, s"ratio table must be dense: ${lr.length}")
+    val wUdf = udf { (text: String) =>
+      val bs = featureBuckets(text)
+      var s = 0L
+      var i = 0
+      while (i < bs.length) { s += lr(bs(i)); i += 1 }
+      Array(s, bs.length.toLong)
+    }
+    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .withColumn("wf", wUdf(col("text")))
+      .select(col("doc_id"), col("wf")(0).as("weight_fp"),
+        col("wf")(1).as("n_feats"))
+  }
+
+  private def loadLr(s: SparkSession, path: String): Array[Long] = {
+    val out = new Array[Long](Buckets)
+    s.read.parquet(path).collect()
+      .foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  private def weightsFor(s: SparkSession, dir: String): DataFrame =
+    weights(Tables(s, dir, "documents"),
+      loadLr(s, ensureLogRatios(s, dir)))
+
+  // --- oracle SQL ------------------------------------------------------
+
+  private def weightsSql: String = s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(ws) AS f FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS f
+        FROM toks),
+      fb AS (
+        SELECT doc_id,
+               CAST(${TextAnalysis.tokenHashSql("f")} % $Buckets AS BIGINT)
+                 AS bucket
+        FROM feats)
+      SELECT doc_id, CAST(sum(r.lr_fp) AS BIGINT) AS weight_fp,
+             count(*) AS n_feats
+      FROM fb
+      JOIN read_parquet('${Work.dir}/dsir_lr_v1_@SF@/*.parquet') r
+        USING (bucket)
+      GROUP BY 1"""
+
+  val dsirWeights = QueryDef(
+    "corpus_dsir_weights",
+    (s, dir) => weightsFor(s, dir),
+    Some(weightsSql))
+
+  /** Selection face: top-[[SampleK]] raw docs by importance weight,
+    * total-ordered (weight desc, doc_id asc) — Gumbel-top-k at
+    * temperature → 0, the deterministic replayable variant. Plans as
+    * TakeOrderedAndProject over the map-only weight projection. */
+  val dsirSample = QueryDef(
+    "corpus_dsir_sample",
+    (s, dir) => weightsFor(s, dir)
+      .orderBy(col("weight_fp").desc, col("doc_id").asc)
+      .select("doc_id", "weight_fp")
+      .limit(SampleK),
+    Some(s"""
+      SELECT doc_id, weight_fp FROM ($weightsSql)
+      ORDER BY weight_fp DESC, doc_id LIMIT $SampleK"""))
+
+  val all: Seq[QueryDef] = Seq(dsirWeights, dsirSample)
+}

@@ -1408,4 +1408,41 @@ class ExtSpec extends SparkSpec {
     assert(groups(byDoc(oddArt)) == ((2L, oddArt)))
     assert(groups(byDoc(oddArt + 2))._1 == 1L)
   }
+
+  test("DSIR: feature buckets are bag unigrams+bigrams under the " +
+      "portable hash; weights are the exact integer dot product; the " +
+      "sample is the total-ordered top-k") {
+    import graft.ext.{Dsir, TextAnalysis}
+    // bag semantics on a doc with a repeated token and a repeated bigram
+    val bs = Dsir.featureBuckets("a b a b")
+    assert(bs.length == 7) // 4 unigrams + 3 bigrams, occurrences kept
+    def bk(f: String) = java.lang.Long.remainderUnsigned(
+      TextAnalysis.tokenHash(f), Dsir.Buckets.toLong).toInt
+    assert(bs.toSeq == Seq(bk("a"), bk("b"), bk("a"), bk("b"),
+      bk("a b"), bk("b a"), bk("a b")))
+    // engine weight == manual fold against the PUBLISHED ratio table
+    val path = Dsir.ensureLogRatios(spark, sf)
+    val lr = new Array[Long](Dsir.Buckets)
+    spark.read.parquet(path).collect()
+      .foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    val docs = Tables(spark, sf, "documents")
+    val w = Dsir.weights(docs, lr).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sample = docs.select("doc_id", "text").limit(5).collect()
+    sample.foreach { r =>
+      val manual = Dsir.featureBuckets(r.getString(1)).map(lr(_)).sum
+      assert(w(r.getLong(0))._1 == manual, s"doc ${r.getLong(0)}")
+    }
+    // the selection face: exactly K rows, the K best by (weight desc,
+    // doc_id asc), and deterministic across runs
+    val s1 = graft.ext.Dsir.dsirSample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.length == Dsir.SampleK)
+    val best = w.toSeq.map { case (id, (wf, _)) => (id, wf) }
+      .sortBy { case (id, wf) => (-wf, id) }.take(Dsir.SampleK)
+    assert(s1.sortBy(x => (-x._2, x._1)).toSeq == best)
+    val s2 = graft.ext.Dsir.dsirSample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s2.toSeq == s1.toSeq)
+  }
 }

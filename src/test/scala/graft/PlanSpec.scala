@@ -352,6 +352,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("DSIR: the weight pass is map-only (no hash exchange, no join, " +
+      "no aggregate) and the sample plans as TakeOrderedAndProject") {
+    // the 4096-long ratio table is broadcast into a per-row integer
+    // fold — at 100 TB the weight pass must cost exactly one corpus
+    // scan (the only exchange is the bench-only scan spread)
+    val s = planString(graft.ext.Dsir.dsirWeights.fn(spark, sf))
+    assert(!s.contains("hashpartitioning"),
+      "weight pass must not shuffle:\n" + s.take(2000))
+    assert(!s.contains("Join") && !s.contains("HashAggregate"),
+      "weight pass must not join/aggregate:\n" + s.take(2000))
+    val t = planString(graft.ext.Dsir.dsirSample.fn(spark, sf))
+    assert(t.contains("TakeOrderedAndProject"),
+      "selection must be a bounded top-k, not a global sort:\n" + t.take(2000))
+  }
+
   test("shingle sets: the non-empty guard reaches the scan as a NATIVE " +
       "predicate and the shingle UDF never clones into a filter") {
     // r13 profile finding: filtering on size(shs) — the UDF output —
