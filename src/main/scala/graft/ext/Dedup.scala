@@ -533,6 +533,64 @@ object Dedup {
       SELECT node AS doc_id, min(label) AS cluster
       FROM reach GROUP BY 1"""))
 
+  /** Canonical-per-cluster selection by QUALITY (r13): production
+    * dedup keeps the BEST document of each duplicate cluster, not the
+    * lowest id — the quality scorer decides which near-copy survives
+    * (the CCNet/RefinedWeb keep rule). One aggregate: argmax by
+    * (score desc, doc_id asc) via `max(struct(score, -doc_id))` — a
+    * plain algebraic max with map-side combine, one shuffle on the
+    * cluster label, never a window over the corpus. Total order makes
+    * the pick deterministic and oracle-able. */
+  def keepBestPerCluster(labels: DataFrame, scores: DataFrame): DataFrame =
+    labels.join(scores.select(col("doc_id"), col("score")), "doc_id")
+      .groupBy("cluster")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
+        col("best.score").as("best_score"))
+
+  val keepBest = QueryDef(
+    "dedup_keep_best",
+    (s, dir) => {
+      val corpus = plantedCorpus(Tables(s, dir, "documents"))
+      val nodes = corpus
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
+        .select("doc_id")
+      val labels = connectedComponents(nodes,
+        jaccardPairs(shingleSets(corpus)).select("a", "b"))
+      keepBestPerCluster(labels, TextAnalysis.qualityScoreOf(corpus))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS ($plantedCorpusSql),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM corpus)
+             WHERE len(ws) >= 4),
+      inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh),
+      edges AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        HAVING count(*) * 3 >= a.n + b.n),
+      und AS (SELECT a AS src, b AS dst FROM edges
+              UNION ALL SELECT b, a FROM edges),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM sh
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node),
+      lab AS (SELECT node AS doc_id, min(label) AS cluster
+              FROM reach GROUP BY 1),
+      ${TextAnalysis.qsScoreSql("corpus")}
+      SELECT cluster, keep_id, best_score FROM (
+        SELECT l.cluster, q.doc_id AS keep_id, q.score AS best_score,
+               row_number() OVER (PARTITION BY l.cluster
+                 ORDER BY q.score DESC, q.doc_id) AS rn
+        FROM lab l JOIN qss q ON l.doc_id = q.doc_id)
+      WHERE rn = 1"""))
+
   // --- MinHash + LSH --------------------------------------------------
 
   private val MersennePrime = 2147483647L // 2^31 - 1
@@ -1676,6 +1734,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, containment, minhash,
       simhash, simhashNearDup, simhashWideNearDup, embeddingCosine,
-      semantic, semanticHier, clusters, decontam, contamScore, curate,
-      lineDedup, repeatedSpansQ, removeSpansQ)
+      semantic, semanticHier, clusters, keepBest, decontam, contamScore,
+      curate, lineDedup, repeatedSpansQ, removeSpansQ)
 }

@@ -699,17 +699,17 @@ object TextAnalysis {
         when(col("score") > 0L, "keep").otherwise("drop").as("quality"))
   }
 
-  val qualityScore = QueryDef(
-    "quality_score",
-    (s, dir) => qualityScoreOf(Tables(s, dir, "documents")),
-    // full DuckDB replay of the trained integer dot product: weights
-    // and the stopword list are embedded literals; `//` floors like
-    // Spark's `div` because every operand here is non-negative
-    Some {
-      val w = qsWeights
-      val stopList = QsStop.map(s0 => s"'$s0'").mkString("[", ", ", "]")
-      s"""
-      WITH f AS (
+  /** The trained-scorer replay as reusable DuckDB CTEs over a named
+    * relation — two CTEs `qsf`/`qss`; `qss` is (doc_id, score). Weights
+    * and the stopword list are embedded literals; `//` floors like
+    * Spark's `div` because every operand is non-negative. Shared by
+    * the quality_score oracle and r13's dedup_keep_best (argmax
+    * canonical per dup cluster). */
+  def qsScoreSql(corpusRef: String): String = {
+    val w = qsWeights
+    val stopList = QsStop.map(s0 => s"'$s0'").mkString("[", ", ", "]")
+    s"""
+      qsf AS (
         SELECT doc_id,
           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
               t -> len(t) > 0)) AS ntoks,
@@ -720,8 +720,8 @@ object TextAnalysis {
           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct,
           length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndigit,
           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nupper
-        FROM documents),
-      s AS (
+        FROM $corpusRef),
+      qss AS (
         SELECT doc_id, CAST(
           (${w(0)}) + (${w(1)}) * least(ntoks, 1000)
           + (${w(2)}) * ((nchars * 100) // greatest(ntoks, 1))
@@ -730,11 +730,17 @@ object TextAnalysis {
           + (${w(5)}) * ((ndigit * 1000) // greatest(nchars, 1))
           + (${w(6)}) * ((nupper * 1000) // greatest(nchars, 1))
           AS BIGINT) AS score
-        FROM f)
+        FROM qsf)"""
+  }
+
+  val qualityScore = QueryDef(
+    "quality_score",
+    (s, dir) => qualityScoreOf(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH ${qsScoreSql("documents")}
       SELECT doc_id, CAST(score AS BIGINT) AS score,
              CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS quality
-      FROM s"""
-    })
+      FROM qss"""))
 
   val all: Seq[QueryDef] =
     Seq(stats, quality, langId, fingerprint, tokenCount, repetition,

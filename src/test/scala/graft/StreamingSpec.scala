@@ -2041,4 +2041,40 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (u, d) => assert(canonOf(d) == u, s"doc $d -> $u") }
     assert(byDoc.nonEmpty)
   }
+
+  test("streaming DSIR weights equal the batch weights — the map-only " +
+      "projection is an ingest-time data-selection gate, stateless") {
+    // the weight pass is a broadcast-array integer fold with no state,
+    // so the SAME library function runs on a stream (Tables.spread
+    // passes streaming frames through); stream == batch is the pin
+    val path = graft.ext.Dsir.ensureLogRatios(spark, sf)
+    val lr = new Array[Long](graft.ext.Dsir.Buckets)
+    spark.read.parquet(path).collect()
+      .foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = graft.ext.Dsir.weights(stream, lr)
+      .writeStream.format("memory").queryName("t_dsirstream")
+      .option("checkpointLocation", s"${freshDir("dsirstream")}/ckpt")
+      .start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    ms.addData(b1.toSeq)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_dsirstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.ext.Dsir.dsirWeights.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
