@@ -184,5 +184,45 @@ object UrlOps {
              min(doc_id) AS keep_doc_id
       FROM c GROUP BY url_canon"""))
 
-  val all: Seq[QueryDef] = Seq(urlNormalize, urlDedup)
+  /** Per-DOMAIN curation stats (r13) — the aggregate a URL-level
+    * filter (the RefinedWeb/CCNet curation stage) consumes to decide
+    * which hosts to keep, throttle, or blocklist: doc count, distinct
+    * canonical URLs (host-level dup rate = n_docs − n_urls), and the
+    * host's total + mean trained quality score (mean as exact
+    * fixed-point milli-units: integer `div`, no float drift). One
+    * map-side-combined hash aggregate on the host — the group space is
+    * DOMAINS, which at 100 TB is millions of rows where the corpus is
+    * billions, so the shuffle carries per-(host, partition) partials
+    * only. Composes the canonicalizer with the trained quality scorer
+    * ([[TextAnalysis.qualityScoreOf]]). */
+  def domainStatsOf(docs: DataFrame): DataFrame =
+    canonicalized(docs)
+      .join(TextAnalysis.qualityScoreOf(docs).select("doc_id", "score"),
+        "doc_id")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_canon")).as("n_urls"),
+        sum(col("score")).as("score_sum"))
+      .select(col("host"), col("n_docs"), col("n_urls"),
+        // plain truncating `div`: this DuckDB's `//` TRUNCATES toward
+        // zero (measured: -7 // 3 = -2), same as Spark's div — and
+        // score sums DO go negative for low-quality hosts, so the two
+        // engines' division semantics must be checked here, not assumed
+        // (r13; see RelationalSpec's div-semantics pin)
+        expr("(score_sum * 1000) div n_docs").as("mean_score_milli"))
+
+  val domainStats = QueryDef(
+    "url_domain_stats",
+    (s, dir) => domainStatsOf(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH ${CanonCtesSql},
+      ${TextAnalysis.qsScoreSql("documents")}
+      SELECT host, count(*) AS n_docs,
+             count(DISTINCT url_canon) AS n_urls,
+             CAST((sum(score) * 1000) // count(*) AS BIGINT)
+               AS mean_score_milli
+      FROM c JOIN qss USING (doc_id)
+      GROUP BY host"""))
+
+  val all: Seq[QueryDef] = Seq(urlNormalize, urlDedup, domainStats)
 }

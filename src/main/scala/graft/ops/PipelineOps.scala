@@ -55,6 +55,60 @@ object PipelineOps {
                   ELSE 'test' END AS split
       FROM documents"""))
 
+  /** Leakage-safe split (r13): train/val/test assignment keyed on the
+    * duplicate-CLUSTER label, not the document id — near/exact copies
+    * of one document must land in the SAME split, or eval rows leak
+    * into training through their surviving twins (the train/test
+    * contamination every dedup paper warns the split step about; a
+    * per-doc hash split like [[sampleSplit]] cannot guarantee it).
+    * Takes ANY (doc_id, cluster) labels — exact-dedup groups here,
+    * [[graft.ext.Dedup.connectedComponents]] output at full fidelity —
+    * and assigns `hashBucket(cluster)`: members of a cluster agree by
+    * construction. Per-row and shuffle-free GIVEN labels; the witness
+    * key's labels are one groupBy(text) + one join. */
+  def splitByCluster(labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = hashBucket(col("cluster"))
+    labels.select(col("doc_id"), col("cluster"),
+      when(b < 80, lit("train"))
+        .when(b < 90, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  val splitLeakageSafe = QueryDef(
+    "split_leakage_safe",
+    (s, dir) => {
+      // planted exact copies (+20M on every 10th doc) make the
+      // guarantee observable: copy and original must co-locate
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      val labels = corpus.groupBy("text")
+        .agg(min(col("doc_id")).as("cluster"),
+          collect_list(col("doc_id")).as("members"))
+        .select(explode(col("members")).as("doc_id"), col("cluster"))
+      splitByCluster(labels)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 10 = 0),
+      lab AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster
+        FROM corpus),
+      b AS (
+        SELECT doc_id, cluster,
+               (((cluster % 2147483648) * 2654435761) % 4294967296) % 100
+                 AS bk
+        FROM lab)
+      SELECT doc_id, cluster,
+             CASE WHEN bk < 80 THEN 'train'
+                  WHEN bk < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b"""))
+
   /** Partition-pruned layout: write orders hive-partitioned by order
     * year, then scan ONE partition back. The filter on the partition
     * column never touches the other years' files (PartitionFilters in
@@ -215,6 +269,6 @@ object PipelineOps {
       FROM orders"""))
 
   val all: Seq[QueryDef] =
-    Seq(sampleSplit, sampleStratified, sampleClassCap, partitionedPrune,
-      schemaEvolution, zorderLayout)
+    Seq(sampleSplit, splitLeakageSafe, sampleStratified, sampleClassCap,
+      partitionedPrune, schemaEvolution, zorderLayout)
 }

@@ -37,8 +37,6 @@ object Relational {
     * any fixed-point ratio site whose numerator can go negative
     * (round-9 verdict #4).
     */
-  private[graft] def floorDivSql(num: String, den: String): Column =
-    expr(s"($num - pmod($num, $den)) div $den")
 
   /** TPC-H Q1-style scan→filter→partial/final hash aggregate. Money math
     * in fixed-point BIGINT cents (exact; see [[cents]]) so the hash is
@@ -1514,15 +1512,14 @@ object Relational {
     * report costs one combine-enabled count shuffle plus a trivial
     * window, at any event volume.
     *
-    * Signed-numerator portability (round-9 verdict #4): Spark `div`
-    * truncates toward zero while DuckDB `//` floors — they diverge
-    * whenever the numerator goes negative (a refund-heavy week). The
-    * Spark side therefore computes floor division explicitly via
-    * [[floorDivSql]] — `(a − pmod(a,b)) div b`, exact for b > 0 — so the
-    * ppm ratio matches the oracle on ANY sign of sum_cents, not just
-    * the non-negative testdata (RelationalSpec pins a planted-negative
-    * week against DuckDB's floor arithmetic).
-    */
+    * Signed-numerator portability (round-9 verdict #4, CORRECTED r13):
+    * this environment's DuckDB `//` TRUNCATES toward zero (measured:
+    * `-7 // 3 = -2`), exactly like Spark's `div` — the round-9 fix
+    * assumed `//` floors and swapped in explicit floor division, which
+    * would diverge by one on any negative refund-heavy week. Plain
+    * `div` is the matching spelling; RelationalSpec pins the measured
+    * truncation constant so a DuckDB semantics change (back) to floor
+    * fails loudly instead of silently shifting ratios. */
   val q44WeekOverWeek = QueryDef(
     "q44_week_over_week",
     (s, dir) => {
@@ -1538,7 +1535,7 @@ object Relational {
         .withColumn("prev_cents", lag(col("sum_cents"), 1).over(w))
         .select(col("event_type"), col("wk"), col("n"), col("sum_cents"),
           when(col("prev_cents") > 0,
-            floorDivSql("sum_cents * 1000000", "prev_cents")).as("wow_ppm"))
+            expr("(sum_cents * 1000000) div prev_cents")).as("wow_ppm"))
     },
     Some("""
       WITH weekly AS (

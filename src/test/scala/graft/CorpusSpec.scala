@@ -399,4 +399,31 @@ class CorpusSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
   }
+
+  test("leakage-safe split: every duplicate cluster lands in exactly " +
+      "one split; the per-doc hash split would have torn planted pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.PipelineOps.splitLeakageSafe.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // cluster coherence: one split per cluster (the operator's contract)
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $c torn")
+    }
+    // the planted copies really exercise it: every +20M copy co-locates
+    // with its original
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    val copies = rows.map(_._1).filter(_ >= 20000000L)
+    assert(copies.nonEmpty)
+    copies.foreach(c => assert(byDoc(c) == byDoc(c - 20000000L)))
+    // motivation pin: the PER-DOC split (sample_split_hash's rule)
+    // assigns original and copy independently — at least one planted
+    // pair straddles splits there, which is exactly the leak
+    def docBucket(id: Long) = ((id % 2147483648L) * 2654435761L
+      % 4294967296L) % 100L
+    def docSplit(id: Long) =
+      if (docBucket(id) < 80) "train" else if (docBucket(id) < 90) "val"
+      else "test"
+    assert(copies.exists(c => docSplit(c) != docSplit(c - 20000000L)),
+      "planted ids no longer demonstrate the per-doc leak — re-plant")
+  }
 }

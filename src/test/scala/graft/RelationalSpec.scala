@@ -490,25 +490,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("floorDivSql: floor semantics on planted negatives (the q44 ppm " +
-      "ratio must match DuckDB `//` on a refund-heavy week)") {
+  test("integer division semantics: Spark `div` truncates toward zero " +
+      "on planted negatives — the spelling that matches this DuckDB's " +
+      "`//` (measured -7 // 3 = -2), so q44's ppm ratio agrees on a " +
+      "refund-heavy week") {
+    // r13 correction of the round-9 assumption: this environment's
+    // DuckDB `//` TRUNCATES (verified directly against the oracle's
+    // duckdb: SELECT -7 // 3, CAST(-7 AS HUGEINT) // 3 → -2, -2), so
+    // the engine must use plain `div`, NOT explicit floor division —
+    // floorDivSql would diverge by one on every negative numerator.
+    // These constants pin Spark's side; if DuckDB ever switches to
+    // floor, the q44/url_domain_stats oracles fail loudly and this
+    // comment is the map.
     val sp = spark
     import sp.implicits._
-    // (numerator, positive denominator) — includes the signs where
-    // Spark's truncating `div` and DuckDB's flooring `//` diverge
     val cases = Seq((-7L, 3L), (-6L, 3L), (-1L, 2L), (7L, 3L), (0L, 5L),
       (-1000001L, 1000000L), (Long.MinValue / 4, 3L))
     val got = cases.toDF("a", "b")
-      .select(graft.ops.Relational.floorDivSql("a", "b").as("q"))
+      .selectExpr("a div b")
       .collect().map(_.getLong(0)).toSeq
-    val want = cases.map { case (a, b) => Math.floorDiv(a, b) }
+    val want = cases.map { case (a, b) => a / b } // JVM / truncates
     assert(got == want, s"got $got want $want")
-    // and the raw `div` really does diverge on the planted negative —
-    // the guard exists for a reason, not as dead code
-    val trunc = Seq((-7L, 3L)).toDF("a", "b")
-      .selectExpr("a div b").head().getLong(0)
-    assert(trunc == -2L && Math.floorDiv(-7L, 3L) == -3L,
-      "engine semantics changed: re-audit the fixed-point div sites")
+    assert(got.head == -2L && Math.floorDiv(-7L, 3L) == -3L,
+      "division semantics drifted: re-audit every fixed-point div site")
   }
 
   test("AvroIO round-trips nulls, binary, empty partitions, and empty " +
