@@ -110,6 +110,51 @@ object StressMain {
       c => graft.ext.UrlOps.dedupGroupsOf(
         graft.ext.UrlOps.canonicalized(c)).count(),
       n => repDocs(docs, n))
+    // r13: DSIR weights — map-only broadcast-array fold, the growth
+    // must be flat-linear (no shuffle to super-linearize); the ratio
+    // table is built ONCE from the 1x corpus so replicas measure the
+    // weight pass, not ratio re-estimation
+    lazy val dsirLr: Array[Long] = {
+      val out = new Array[Long](graft.ext.Dsir.Buckets)
+      graft.ext.Dsir.logRatioRows(docs, graft.ext.Dsir.targetOf(docs))
+        .foreach { case (b, v) => out(b) = v }
+      out
+    }
+    pair("dsir_weights")(
+      c => graft.ext.Dsir.weights(c, dsirLr).count(),
+      n => repDocs(docs, n))
+    // r13: per-domain stats — replicas repeat the SAME 20 planted
+    // hosts, so the group space stays constant while rows grow 8x:
+    // the growth row measures heavy-hitter aggregation (map-side
+    // combine must absorb the fan-in; domains ARE hot keys at 100 TB)
+    pair("url_domain_stats")(
+      c => graft.ext.UrlOps.domainStatsOf(c).count(),
+      n => repDocs(docs, n))
+    // r13: leakage-safe split over exact-dup groups — one groupBy(text)
+    // + explode + map assignment; disjoint replica texts grow groups
+    // linearly
+    pair("split_leakage_safe")(
+      { c =>
+        val labels = c.groupBy("text")
+          .agg(min(col("doc_id")).as("cluster"),
+            collect_list(col("doc_id")).as("members"))
+          .select(explode(col("members")).as("doc_id"), col("cluster"))
+        graft.ops.PipelineOps.splitByCluster(labels).count()
+      },
+      n => repDocs(docs, n))
+    // r13: keep-best composition (clusters + quality argmax) — the
+    // composed growth must track clusters_cc's, the argmax adds one
+    // label-keyed aggregate
+    pair("keep_best")(
+      { c =>
+        val corpus = Dedup.plantedCorpus(c)
+        val sh = Dedup.shingleSets(corpus)
+        Dedup.keepBestPerCluster(
+          Dedup.connectedComponents(sh.select("doc_id"),
+            Dedup.jaccardPairs(sh).select("a", "b")),
+          graft.ext.TextAnalysis.qualityScoreOf(corpus)).count()
+      },
+      n => repDocs(docs, n))
     pair("ngram_jaccard")(
       c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
       n => repDocs(docs, n))
