@@ -143,7 +143,8 @@ object Dsir {
     * into a per-row integer fold — (doc_id, weight_fp, n_feats), no
     * shuffle, no join. `lr` comes from the PUBLISHED parquet so the
     * engine sums the identical integers the oracle joins against. */
-  def weights(docs: DataFrame, lr: Array[Long]): DataFrame = {
+  def weights(docs: DataFrame, lr: Array[Long],
+      extras: Seq[String] = Nil): DataFrame = {
     require(lr.length == Buckets, s"ratio table must be dense: ${lr.length}")
     val wUdf = udf { (text: String) =>
       val bs = featureBuckets(text)
@@ -152,10 +153,14 @@ object Dsir {
       while (i < bs.length) { s += lr(bs(i)); i += 1 }
       Array(s, bs.length.toLong)
     }
-    graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+    // extras (e.g. `source`) ride the projection so downstream
+    // aggregates need no join back to the corpus — the pass stays
+    // map-only whatever metadata the consumer wants grouped by
+    graft.Tables.spread(
+      docs.select((col("doc_id") +: col("text") +: extras.map(col)): _*))
       .withColumn("wf", wUdf(col("text")))
-      .select(col("doc_id"), col("wf")(0).as("weight_fp"),
-        col("wf")(1).as("n_feats"))
+      .select((col("doc_id") +: extras.map(col)) :+
+        col("wf")(0).as("weight_fp") :+ col("wf")(1).as("n_feats"): _*)
   }
 
   private def loadLr(s: SparkSession, path: String): Array[Long] = {
@@ -213,5 +218,35 @@ object Dsir {
       SELECT doc_id, weight_fp FROM ($weightsSql)
       ORDER BY weight_fp DESC, doc_id LIMIT $SampleK"""))
 
-  val all: Seq[QueryDef] = Seq(dsirWeights, dsirSample)
+  /** Per-SOURCE target-affinity report (the DSIR → mixture bridge):
+    * how much does each crawl source look like the target? n_docs,
+    * exact fixed-point mean weight (truncating div — matches this
+    * DuckDB's measured `//`), and the count above the selection line
+    * (weight > 0 ⟺ more target-like than raw-like under the smoothed
+    * model) — the numbers a mixture-reweighting step turns into
+    * per-source rates ([[Corpus]] `corpus_mix_*` consume such counts).
+    * `source` rides the map-only weight pass, so the whole report is
+    * one corpus scan plus one sources-sized aggregate — no join. */
+  val dsirMixture = QueryDef(
+    "corpus_dsir_mixture",
+    (s, dir) => weights(Tables(s, dir, "documents"),
+        loadLr(s, ensureLogRatios(s, dir)), extras = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weight_fp")).as("wsum"),
+        sum(when(col("weight_fp") > 0, 1L).otherwise(0L)).as("n_selected"))
+      .select(col("source"), col("n_docs"),
+        expr("(wsum * 1000) div n_docs").as("mean_weight_milli"),
+        col("n_selected")),
+    Some(s"""
+      WITH w AS ($weightsSql)
+      SELECT d.source, count(*) AS n_docs,
+             CAST((sum(w.weight_fp) * 1000) // count(*) AS BIGINT)
+               AS mean_weight_milli,
+             CAST(sum(CASE WHEN w.weight_fp > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected
+      FROM w JOIN documents d USING (doc_id)
+      GROUP BY d.source"""))
+
+  val all: Seq[QueryDef] = Seq(dsirWeights, dsirSample, dsirMixture)
 }

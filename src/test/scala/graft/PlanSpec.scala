@@ -365,6 +365,19 @@ class PlanSpec extends SparkSpec {
     val t = planString(graft.ext.Dsir.dsirSample.fn(spark, sf))
     assert(t.contains("TakeOrderedAndProject"),
       "selection must be a bounded top-k, not a global sort:\n" + t.take(2000))
+    // the mixture report: source rides the map pass, so the whole
+    // thing is one corpus scan + ONE sources-keyed exchange — no join
+    val m = planString(graft.ext.Dsir.dsirMixture.fn(spark, sf))
+    assert(!m.contains("Join"),
+      "mixture must not join back to the corpus:\n" + m.take(2000))
+    // count within the FINAL plan only (adaptive toString appends the
+    // Initial plan too, doubling every operator name)
+    val mFinal = m.split("== Initial Plan ==").head
+    assert("hashpartitioning".r.findAllIn(mFinal).size == 1,
+      "mixture must shuffle exactly once (the source aggregate):\n" +
+        mFinal.take(2000))
+    assert(mFinal.contains("partial_sum"),
+      "mixture aggregate must combine map-side:\n" + mFinal.take(2000))
   }
 
   test("shingle sets: the non-empty guard reaches the scan as a NATIVE " +
