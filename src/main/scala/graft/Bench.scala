@@ -248,8 +248,9 @@ object Bench {
     // outlived the suite) or the key is still median-inflated, so the
     // usual cost is one run per flagged key. Keys flag either per-RUN
     // (isSuspect: run > max(3× local, 1 s)) or per-KEY (isSubFloorSuspect,
-    // r11 punch #7: median > 3× local with flat job counts — the
-    // sub-second class the floor was hiding).
+    // r11 punch #7, trigger lowered to 2× in r12 punch #2: median > 2×
+    // local with flat job counts — the sub-second class the floor was
+    // hiding, and the 2–3× band r12 left dark).
     def medianOf(name: String): Double = {
       val ts = recs(name).map(_.sec).sorted
       ts((ts.size - 1) / 2)
@@ -262,7 +263,7 @@ object Bench {
       runOnce(name, fn, runs + 1)
       // second extra: the stall outlived the first resample (run-level
       // suspect) OR the median — now including the extra run — is still
-      // over 3× local for a flat-plan key
+      // over the 2× sub-floor line for a flat-plan key
       if (recs(name).lastOption.exists(r => r.pass == runs + 1 && r.suspect)
           || subFloor(name))
         runOnce(name, fn, runs + 2)

@@ -33,24 +33,14 @@ object ProfileNgram {
         p
       }
       val cands = t("candidates (selfjoin)") {
-        val c = pre.select(col("sh"), col("doc_id").as("a"))
-          .join(pre.select(col("sh"), col("doc_id").as("b")), "sh")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct().persist()
+        // the REAL candidate stage (not a re-implementation — the
+        // profiler must measure the plan the key runs, r13 review)
+        val c = graft.ext.Dedup.prefixCandidatesOn(pre).persist()
         println(s"[ngram]   n_candidates=${c.count()}")
         c
       }
       t("verify (2 joins+intersect)") {
-        val sets = sh.select(col("doc_id"), col("shs"), col("n"))
-        val v = cands
-          .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
-            col("n").as("n_a")), "a")
-          .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
-            col("n").as("n_b")), "b")
-          .withColumn("n_common",
-            size(array_intersect(col("shs_a"), col("shs_b"))))
-          .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
-          .select("a", "b", "n_common", "n_a", "n_b")
+        val v = graft.ext.Dedup.verifyJaccard(cands, sh)
         v.write.format("noop").mode("overwrite").save()
         if (rep == reps && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           println("[ngram] verify plan:\n" +

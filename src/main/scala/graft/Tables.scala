@@ -91,6 +91,17 @@ object Tables {
     val perLeaf = leaves.map {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
+          // two shapes where the whole-listing estimate would LIE and
+          // the .rdd fallback must decide (r13 review): (a) a hive-
+          // partitioned relation — partition pruning can cut the real
+          // scan to a fraction of the listing, and an over-estimate
+          // here silently SKIPS a spread the pruned scan needed;
+          // (b) a non-splittable format (csv/json may be gzipped) —
+          // the file-chunk math below assumes splittability
+          if (fs.partitionSchema.nonEmpty) return None
+          val fmt = fs.fileFormat.getClass.getSimpleName.toLowerCase
+          if (!fmt.contains("parquet") && !fmt.contains("orc"))
+            return None
           val open = conf.filesOpenCostInBytes
           val maxPB = conf.filesMaxPartitionBytes
           val minPN = conf.filesMinPartitionNum

@@ -287,6 +287,30 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
+  /** Exact Jaccard verification of candidate (a, b) id pairs against
+    * the full shingle sets — the shared tail of the prefix and
+    * MinHash-LSH paths (and what ProfileNgram times). Shape: chained
+    * candidate ⋈ sets_a ⋈ sets_b. The r13 profile also MEASURED the
+    * two-fetch alternative (va = cands ⋈ sets_a, vb = cands ⋈ sets_b,
+    * merge on (a,b)): +3 jobs and no wall win, and at scale it only
+    * helps while the candidate ids broadcast — in the non-broadcast
+    * regime (100 TB candidates) it shuffles sets by a AND b PLUS an
+    * extra candidate-fat merge exchange, strictly more than this
+    * chain. Adjudicated: keep the chain (SCALE.md r13). */
+  private[graft] def verifyJaccard(cands: DataFrame,
+      sh: DataFrame): DataFrame = {
+    val sets = sh.select(col("doc_id"), col("shs"), col("n"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), "b")
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))))
+      .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
+      .select("a", "b", "n_common", "n_a", "n_b")
+  }
+
   /** Prefix-filtered near-dup pairs — same output contract and ORACLE
     * as [[jaccardPairs]]: candidates from the ⌊n/2⌋+1 rare-first
     * prefix (provably no qualifying pair lost, see [[prefixIndex]]),
@@ -305,23 +329,7 @@ object Dedup {
     // same race rationale as sh above.
     val pre = prefixIndex(sh).persist()
     pre.count(): Unit
-    val sets = sh.select(col("doc_id"), col("shs"), col("n"))
-    // Verify shape: chained candidate ⋈ sets_a ⋈ sets_b. The r13
-    // profile also MEASURED the two-fetch alternative (va = cands ⋈
-    // sets_a, vb = cands ⋈ sets_b, merge on (a,b)): +3 jobs and no
-    // wall win here, and at scale it only helps when the candidate ids
-    // broadcast — in the non-broadcast regime (100 TB candidates) it
-    // shuffles sets by a AND b PLUS an extra candidate-fat merge
-    // exchange, strictly more than this chain. Adjudicated: keep the
-    // chain (SCALE.md r13).
-    val result = prefixCandidatesOn(pre)
-      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
-        col("n").as("n_a")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
-        col("n").as("n_b")), "b")
-      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
-      .select("a", "b", "n_common", "n_a", "n_b")
+    val result = verifyJaccard(prefixCandidatesOn(pre), sh)
     val out = Work.materialize("jaccard_pairs_prefix", result)
     pre.unpersist()
     sh.unpersist()
@@ -696,16 +704,7 @@ object Dedup {
     // UDF runs once per side (r13; see lshCandidates scaladoc)
     val buckets = bandBuckets(minhashSignatures(shingled)).persist()
     buckets.count(): Unit
-    val cands = lshCandidatesOn(buckets)
-    val sets = shingled.select(col("doc_id"), col("shs"), col("n"))
-    val result = cands
-      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
-        col("n").as("n_a")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
-        col("n").as("n_b")), "b")
-      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
-      .select("a", "b", "n_common", "n_a", "n_b")
+    val result = verifyJaccard(lshCandidatesOn(buckets), shingled)
     val out = Work.materialize("minhash_dedup", result)
     buckets.unpersist()
     shingled.unpersist()

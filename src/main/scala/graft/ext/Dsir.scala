@@ -84,8 +84,30 @@ object Dsir {
     def collectCounts(df: DataFrame): Map[Int, Long] =
       bucketCounts(df).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val q = collectCounts(raw)
-    val p = collectCounts(target)
+    ratiosOf(collectCounts(raw), collectCounts(target))
+  }
+
+  /** One-pass variant for the common case where the target is a
+    * PREDICATE over the raw corpus (the publish path): one explode,
+    * one aggregate emitting both counts per bucket — halves the
+    * corpus scans of [[logRatioRows]] (r13 review). */
+  def logRatioRowsFused(raw: DataFrame,
+      targetPred: org.apache.spark.sql.Column): Seq[(Int, Long)] = {
+    val rows = graft.Tables.spread(
+        raw.select(col("doc_id"), col("text")))
+      .select(targetPred.as("t"),
+        explode(bucketsUdf(col("text"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("q"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("p"))
+      .collect()
+    ratiosOf(
+      rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getInt(0) -> r.getLong(2)).toMap)
+  }
+
+  private def ratiosOf(q: Map[Int, Long],
+      p: Map[Int, Long]): Seq[(Int, Long)] = {
     val qTot = (q.values.sum + Buckets).toDouble
     val pTot = (p.values.sum + Buckets).toDouble
     (0 until Buckets).map { b =>
@@ -122,7 +144,7 @@ object Dsir {
       def done = new java.io.File(target, "_SUCCESS").exists()
       if (!done) {
         val docs = Tables(s, dir, "documents")
-        val rows = logRatioRows(docs, targetOf(docs))
+        val rows = logRatioRowsFused(docs, col("doc_id") % 7 === 0)
         val tmp = s"${path}__${Work.jvmTag}"
         Work.clean(tmp)
         import s.implicits._
@@ -178,7 +200,12 @@ object Dsir {
 
   private def weightsSql: String = s"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        -- coalesce pins the null-text contract to the engine's
+        -- (featureBuckets treats null as empty → one ''-token feature);
+        -- without it unnest(NULL) would DROP a null-text doc here while
+        -- the engine still weights it (r13 review)
+        SELECT doc_id,
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
         FROM documents),
       feats AS (
         SELECT doc_id, unnest(ws) AS f FROM toks
@@ -236,7 +263,16 @@ object Dsir {
         sum(col("weight_fp")).as("wsum"),
         sum(when(col("weight_fp") > 0, 1L).otherwise(0L)).as("n_selected"))
       .select(col("source"), col("n_docs"),
-        expr("(wsum * 1000) div n_docs").as("mean_weight_milli"),
+        // overflow-safe exact mean: `wsum * 1000` in LongType would
+        // WRAP silently past 2^63 (sum over ~1e7 high-feature docs)
+        // where the oracle's HUGEINT arithmetic stays exact. Decompose
+        // instead: trunc(w·1000/n) = (w div n)·1000 + (rem·1000) div n
+        // with rem = w − (w div n)·n — |rem| < n keeps every product
+        // within long, both `div`s truncate toward zero like this
+        // DuckDB's `//`, and the identity holds for signed w because
+        // quotient and remainder share w's sign (r13 review).
+        graft.ops.Relational.meanMilli("wsum", "n_docs")
+          .as("mean_weight_milli"),
         col("n_selected")),
     Some(s"""
       WITH w AS ($weightsSql)

@@ -41,8 +41,11 @@ object UrlOps {
   def plantedUrl(docId: Column): Column = {
     // Integer division in the DECIMAL domain, not floor(double) —
     // keeps the arithmetic bit-exact against the DuckDB oracle's
-    // `doc_id // 3` for ALL long values (floating floor diverges past
-    // 2^53; r12 ADVICE). Decimal(20,0)/3 is exact, floor truncates.
+    // `doc_id // 3` for all NON-NEGATIVE long ids (floating floor
+    // diverges past 2^53; r12 ADVICE). Scope: doc_ids are >= 0 by the
+    // testdata contract; on a negative id floor(-7/3) = -3 while this
+    // DuckDB's `//` truncates to -2 (measured, r13) — floor == // only
+    // holds on the non-negative domain this runs in.
     val artId = floor(docId.cast(DecimalType(20, 0)) / 3).cast(LongType)
     val art = artId.cast(StringType)
     val site = concat(lit("src"), (artId % 20).cast(StringType))
@@ -204,12 +207,12 @@ object UrlOps {
         countDistinct(col("url_canon")).as("n_urls"),
         sum(col("score")).as("score_sum"))
       .select(col("host"), col("n_docs"), col("n_urls"),
-        // plain truncating `div`: this DuckDB's `//` TRUNCATES toward
-        // zero (measured: -7 // 3 = -2), same as Spark's div — and
-        // score sums DO go negative for low-quality hosts, so the two
-        // engines' division semantics must be checked here, not assumed
-        // (r13; see RelationalSpec's div-semantics pin)
-        expr("(score_sum * 1000) div n_docs").as("mean_score_milli"))
+        // overflow-safe exact truncating mean — matches this DuckDB's
+        // measured `//` on signed sums (score sums DO go negative for
+        // low-quality hosts) without the score_sum*1000 long overflow
+        // a billion-doc host would hit; see Relational.meanMilli
+        graft.ops.Relational.meanMilli("score_sum", "n_docs")
+          .as("mean_score_milli"))
 
   val domainStats = QueryDef(
     "url_domain_stats",

@@ -38,6 +38,18 @@ object Relational {
     * (round-9 verdict #4).
     */
 
+  /** Exact `trunc(sum·1000 / n)` without the `sum * 1000` long
+    * overflow: decomposed as `(s div n)·1000 + (rem·1000) div n` with
+    * `rem = s − (s div n)·n` — |rem| < n keeps every product within
+    * long, both `div`s truncate toward zero like this environment's
+    * DuckDB `//` (measured, see RelationalSpec's div-semantics pin),
+    * and the identity holds for signed sums because quotient and
+    * remainder share the sum's sign. The fixed-point-mean helper for
+    * aggregate reports (url_domain_stats, corpus_dsir_mixture). */
+  private[graft] def meanMilli(sum: String, n: String): Column =
+    expr(s"(($sum div $n) * 1000) + " +
+      s"((($sum - ($sum div $n) * $n) * 1000) div $n)")
+
   /** TPC-H Q1-style scan→filter→partial/final hash aggregate. Money math
     * in fixed-point BIGINT cents (exact; see [[cents]]) so the hash is
     * stable across aggregation orders and engines. sum_disc_price is in

@@ -115,6 +115,13 @@ object AvroIO {
         val in = new FsInput(new Path(f), new Configuration())
         val r = new DataFileReader[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
+        // close on TASK COMPLETION, not only on iterator exhaustion: a
+        // consumer that stops early (limit, show) abandons the iterator
+        // and would otherwise leak one open file per task (r13 review —
+        // the same listener Spark's own file readers register)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try r.close() catch { case _: java.io.IOException => () }))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = r.hasNext

@@ -103,6 +103,16 @@ class GuardSpec extends SparkSpec {
     val local = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(Tables.estimateScanPartitions(local).isEmpty)
     assert(Tables.spread(local).count() == 2)
+    // hive-PARTITIONED relations disarm too: the whole-listing count
+    // would ignore partition pruning and could silently skip a spread
+    // the pruned scan needed (r13 review) — the .rdd fallback, which
+    // plans WITH PartitionFilters, must decide
+    docs.withColumn("p", col("doc_id") % 4)
+      .write.mode("overwrite").partitionBy("p")
+      .parquet(s"$tmp/part.parquet")
+    val part = spark.read.parquet(s"$tmp/part.parquet")
+    assert(Tables.estimateScanPartitions(
+      part.filter(col("p") === 0)).isEmpty)
   }
 
   test("knn_predict_udf refuses an over-cap reference collect, naming " +

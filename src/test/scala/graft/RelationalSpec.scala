@@ -513,6 +513,16 @@ class RelationalSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
     assert(got.head == -2L && Math.floorDiv(-7L, 3L) == -3L,
       "division semantics drifted: re-audit every fixed-point div site")
+    // meanMilli: exact trunc(sum*1000/n) WITHOUT the sum*1000 long
+    // overflow — signed sums and a sum whose naive product wraps
+    val mm = Seq((-7L, 3L), (7L, 3L), (0L, 5L), (-1L, 7L),
+      (Long.MaxValue / 2, 1000000L), (-(Long.MaxValue / 2), 999999L))
+    val mmGot = mm.toDF("s", "n")
+      .select(graft.ops.Relational.meanMilli("s", "n").as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    val mmWant = mm.map { case (s, n) =>
+      (BigInt(s) * 1000 / n).toLong } // BigInt / truncates toward zero
+    assert(mmGot == mmWant, s"got $mmGot want $mmWant")
   }
 
   test("AvroIO round-trips nulls, binary, empty partitions, and empty " +
