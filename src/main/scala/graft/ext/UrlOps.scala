@@ -227,5 +227,52 @@ object UrlOps {
       FROM c JOIN qss USING (doc_id)
       GROUP BY host"""))
 
-  val all: Seq[QueryDef] = Seq(urlNormalize, urlDedup, domainStats)
+  /** Domain-level quality FILTER (r13) — the decide-and-apply half of
+    * [[domainStats]]: a document survives only if its HOST's aggregate
+    * verdict does (mean trained-quality score above the cut and enough
+    * docs to trust the mean) — the curation rule that drops a spam
+    * domain wholesale even when individual pages sneak past the
+    * per-doc scorer. Two-pass shape: the domains-sized stats frame
+    * (millions of rows at 100 TB, vs billions of docs) BROADCASTS onto
+    * the corpus scan — the corpus itself never shuffles (PlanSpec
+    * pins broadcast + no corpus exchange). */
+  def domainFilter(docs: DataFrame, minDocs: Long): DataFrame = {
+    val stats = domainStatsOf(docs)
+    // RELATIVE cut — keep hosts at or above the integer mean of host
+    // means: splits the domain population at any corpus scale or score
+    // calibration (an absolute threshold is a config decision; the
+    // witness needs a rule that is never vacuous). The cut is one more
+    // domains-sized aggregate; exact integer arithmetic keeps the
+    // boundary engine-portable.
+    val cut = stats.agg(
+      expr("sum(mean_score_milli) div count(*)").as("cut"))
+    val verdict = stats.crossJoin(broadcast(cut))
+      .filter(col("mean_score_milli") >= col("cut") &&
+        col("n_docs") >= minDocs)
+      .select("host")
+    canonicalized(docs)
+      .join(broadcast(verdict), Seq("host"))
+      .select("doc_id", "host")
+  }
+
+  val domainFilterQ = QueryDef(
+    "url_domain_filter",
+    (s, dir) => domainFilter(Tables(s, dir, "documents"), minDocs = 10L),
+    Some(s"""
+      WITH ${CanonCtesSql},
+      ${TextAnalysis.qsScoreSql("documents")},
+      stats AS (
+        SELECT host, count(*) AS n_docs,
+               CAST((sum(score) * 1000) // count(*) AS BIGINT) AS m
+        FROM c JOIN qss USING (doc_id)
+        GROUP BY host),
+      verdict AS (
+        SELECT host FROM stats
+        WHERE m >= (SELECT CAST(sum(m) // count(*) AS BIGINT) FROM stats)
+          AND n_docs >= 10)
+      SELECT c.doc_id, c.host
+      FROM c JOIN verdict USING (host)"""))
+
+  val all: Seq[QueryDef] =
+    Seq(urlNormalize, urlDedup, domainStats, domainFilterQ)
 }

@@ -380,6 +380,20 @@ class PlanSpec extends SparkSpec {
       "mixture aggregate must combine map-side:\n" + mFinal.take(2000))
   }
 
+  test("url_domain_filter: the domain verdict broadcasts onto the " +
+      "corpus scan — the corpus itself never shuffles") {
+    // two-pass curation shape: stats are domains-sized (millions at
+    // 100 TB) vs billions of docs — the apply pass must be a broadcast
+    // join over the scan, with the only exchanges inside the
+    // domains-keyed stats aggregate
+    val s = planString(graft.ext.UrlOps.domainFilterQ.fn(spark, sf))
+    val sFinal = s.split("== Initial Plan ==").head
+    assert(sFinal.contains("BroadcastHashJoin"),
+      "verdict must broadcast:\n" + sFinal.take(2000))
+    assert(!sFinal.contains("SortMergeJoin"),
+      "corpus must not sort-merge:\n" + sFinal.take(2000))
+  }
+
   test("shingle sets: the non-empty guard reaches the scan as a NATIVE " +
       "predicate and the shingle UDF never clones into a filter") {
     // r13 profile finding: filtering on size(shs) — the UDF output —
