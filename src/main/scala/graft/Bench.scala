@@ -63,7 +63,7 @@ object Bench {
         }.map(_.group(1).toDouble).toSeq.sorted
         if (secs.isEmpty) None else Some(secs((secs.size - 1) / 2))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-query medians from line 1 of a committed bench artifact (the exact
    *  format `main` writes: `"queries":{"name":sec,…}` with flat numeric
@@ -100,7 +100,9 @@ object Bench {
       } catch {
         case _: java.nio.file.NoSuchFileException =>
           absent = true; Map.empty
-        case _: Throwable => Map.empty
+        // NonFatal only (r13 ADVICE on the canary twin): an OOM or
+        // interrupt must propagate, not silently disarm the detector
+        case scala.util.control.NonFatal(_) => Map.empty
       }
     if (!absent && parsed.isEmpty)
       warn(s"[bench] WARNING: reference artifact $path exists but parsed " +

@@ -53,6 +53,29 @@ object Work {
   val jvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Publish tag for the per-sf-dir SHARED tables (bm25 idf, codec
+    * rasters, BPE merges, DSIR log-ratios): the dir's basename plus 8
+    * hex chars of the SHA-256 of its canonical path. The basename
+    * keeps paths human-readable; the hash makes the key injective —
+    * two different corpus dirs that happen to share a basename
+    * (`/a/sf0.01` vs `/b/sf0.01`) previously collided on one published
+    * table, and the `_SUCCESS` short-circuit then silently served one
+    * corpus STALE statistics computed from the other (r13 ADVICE; one
+    * helper now covers every publish site). Canonicalization folds
+    * symlinks/trailing-slash spellings of the SAME dir onto one tag so
+    * concurrent JVMs still share, which is the design for the raster
+    * tables the DuckDB oracle reads by fixed path. */
+  def publishTag(dir: String): String = {
+    val f = new java.io.File(dir)
+    val canon =
+      try f.getCanonicalPath
+      catch { case _: java.io.IOException => f.getAbsolutePath }
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"${f.getName}_$h"
+  }
+
   /** Per-JVM scratch subdir for a query's intermediate files (CSV/log
     * sinks the query itself re-reads). Tagged with [[jvmTag]] so two
     * concurrent graft JVMs sharing this work dir (driver Verify beside

@@ -49,10 +49,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // @SF@ token: oracle strings are static but the codec-raster parquet
-    // paths (ext/Multimodal) embed the sf-dir basename — substitute it
-    // here, the one place the sf dir and the dump meet
-    val sfBase = new java.io.File(sfDir).getName
+    // @SF@ token: oracle strings are static but the published-table
+    // parquet paths (codec rasters, bm25 idf, BPE merges, DSIR ratios)
+    // embed the per-sf-dir publish tag — substitute it here, the one
+    // place the sf dir and the dump meet. The tag is basename + a
+    // canonical-path hash (Work.publishTag) so same-basename corpus
+    // dirs can't serve each other stale published stats.
+    val sfBase = Work.publishTag(sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF@", sfBase))}" }
       .mkString("{", ",", "}")

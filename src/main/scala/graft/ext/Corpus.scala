@@ -456,7 +456,7 @@ object Corpus {
   }
 
   private def mergesPath(dir: String): String =
-    s"${graft.Work.dir}/bpe_merges_${new java.io.File(dir).getName}"
+    s"${graft.Work.dir}/bpe_merges_${graft.Work.publishTag(dir)}"
 
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), Seq[(String, String)]]

@@ -77,8 +77,14 @@ object Dedup {
   def shingleSets(corpus: DataFrame, n: Int = 4): DataFrame =
     corpus
       // The non-empty guard as a NATIVE word-count predicate —
-      // size(tokens) >= n iff the UDF's shingle array is non-empty
-      // (both split trimmed text on \s+; null text fails both). The
+      // size(tokensWs) >= n iff the UDF's shingle array is non-empty:
+      // both sides regex-trim with the identical Java `\s` class and
+      // split on `\s+`, so the token counts are EQUAL for every input
+      // (r14, closing the r13 ADVICE hole where the guard's space-only
+      // trim passed tab-bordered docs whose UDF shingle set was empty
+      // — an empty set minhashes to all-Long.MaxValue and collides in
+      // every band). Null text fails both (size(null) = -1; the UDF's
+      // [""] has 1 < n tokens for every shingle width used here). The
       // old spelling filtered on the UDF column itself, which let
       // PushDownPredicates clone the UDF below plantedCorpus's spread
       // exchange (r13 profile: DataFilters [size(UDF(text))>0] on the
@@ -86,7 +92,7 @@ object Dedup {
       // the filter and again, spread, for the projection. The native
       // predicate is cheap wherever pushdown puts it, and the UDF now
       // evaluates exactly once, above the exchange.
-      .filter(size(TextAnalysis.tokens(col("text"))) >= n)
+      .filter(size(TextAnalysis.tokensWs(col("text"))) >= n)
       .withColumn("shs", TextAnalysis.shinglesUdf(n)(col("text")))
       .drop("text")
       .withColumn("n", size(col("shs")))

@@ -52,9 +52,19 @@ object Dsir {
   /** All hashed feature buckets of a document: one per token
     * OCCURRENCE (unigrams) plus one per adjacent pair (bigrams,
     * space-joined — same string DuckDB rebuilds with `|| ' ' ||`).
-    * Bag semantics, not set: DSIR weights count repeated features. */
+    * Bag semantics, not set: DSIR weights count repeated features.
+    *
+    * Tokenization is pinned CROSS-ENGINE to the explicit whitespace
+    * class `[ \t\n\r\f\x0B]` (≡ Java regex `\s`): the engine
+    * regex-trims and splits with Java `\s`, and the oracle SQL spells
+    * the identical class out for RE2 — so tab/newline-bordered text
+    * tokenizes the same on both sides, not just space-bordered
+    * testdata (r13 ADVICE: `String.trim` vs DuckDB space-only `trim`
+    * disagreed on such docs, undermining the bit-identical integer
+    * dot-product claim). */
   private[graft] def featureBuckets(text: String): Array[Int] = {
-    val w = Option(text).getOrElse("").trim.split("\\s+")
+    val w = Option(text).getOrElse("")
+      .replaceAll("^\\s+|\\s+$", "").split("\\s+")
     val out = new Array[Int](w.length + math.max(0, w.length - 1))
     var i = 0
     while (i < w.length) { out(i) = bucketOf(w(i)); i += 1 }
@@ -81,16 +91,36 @@ object Dsir {
     * with StrictMath.log (plus the publish below, this pins one result
     * across JVMs/libms). */
   def logRatioRows(raw: DataFrame, target: DataFrame): Seq[(Int, Long)] = {
-    def collectCounts(df: DataFrame): Map[Int, Long] =
-      bucketCounts(df).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    ratiosOf(collectCounts(raw), collectCounts(target))
+    // union-with-tag: ONE explode + ONE ≤Buckets-row aggregate instead
+    // of two independent count jobs (r13 verdict #7). Each input is
+    // still scanned once — that is inherent to two distinct frames; for
+    // the target-IS-subset-of-raw case use [[logRatioRowsFused]], which
+    // reads the corpus exactly once (see the choice pin on its doc).
+    val rows = graft.Tables.spread(raw.select(col("text")))
+      .select(lit(false).as("t"), col("text"))
+      .unionByName(graft.Tables.spread(target.select(col("text")))
+        .select(lit(true).as("t"), col("text")))
+      .select(col("t"), explode(bucketsUdf(col("text"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(!col("t"), 1L).otherwise(0L)).as("q"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("p"))
+      .collect()
+    ratiosOf(
+      rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getInt(0) -> r.getLong(2)).toMap)
   }
 
   /** One-pass variant for the common case where the target is a
     * PREDICATE over the raw corpus (the publish path): one explode,
-    * one aggregate emitting both counts per bucket — halves the
-    * corpus scans of [[logRatioRows]] (r13 review). */
+    * one aggregate emitting both counts per bucket — ONE corpus scan.
+    * Choice pin (r13 verdict #7): when the target is a subset of raw
+    * expressible as a predicate, use THIS (q counts every raw doc
+    * including the target rows — identical to handing
+    * [[logRatioRows]] `raw` and `raw.filter(pred)`, ExtSpec-pinned);
+    * when the target is a genuinely separate corpus (a curated
+    * external sample not stored inside raw), use [[logRatioRows]],
+    * whose union-with-tag aggregate still runs one job but must read
+    * each frame once. */
   def logRatioRowsFused(raw: DataFrame,
       targetPred: org.apache.spark.sql.Column): Seq[(Int, Long)] = {
     val rows = graft.Tables.spread(
@@ -119,8 +149,11 @@ object Dsir {
 
   // --- published ratio table (the bm25-idf publish contract) ---------
 
+  // path keyed on Work.publishTag (basename + canonical-path hash),
+  // not the bare basename: two corpus dirs sharing a basename must
+  // never reuse one ratio table via the _SUCCESS short-circuit
   private def lrPath(dir: String): String =
-    s"${Work.dir}/dsir_lr_v1_${new java.io.File(dir).getName}"
+    s"${Work.dir}/dsir_lr_v1_${Work.publishTag(dir)}"
 
   private val lrDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -203,9 +236,16 @@ object Dsir {
         -- coalesce pins the null-text contract to the engine's
         -- (featureBuckets treats null as empty → one ''-token feature);
         -- without it unnest(NULL) would DROP a null-text doc here while
-        -- the engine still weights it (r13 review)
+        -- the engine still weights it (r13 review). Trim and split use
+        -- the explicit class [ \\t\\n\\r\\f\\x0b] == Java regex \\s,
+        -- matching featureBuckets exactly on tab/newline-bordered text
+        -- (RE2's \\s and DuckDB's space-only trim() differ from Java).
         SELECT doc_id,
-               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
+               regexp_split_to_array(
+                 regexp_replace(coalesce(text, ''),
+                   '^[ \\t\\n\\r\\f\\x0b]+|[ \\t\\n\\r\\f\\x0b]+$$',
+                   '', 'g'),
+                 '[ \\t\\n\\r\\f\\x0b]+') AS ws
         FROM documents),
       feats AS (
         SELECT doc_id, unnest(ws) AS f FROM toks

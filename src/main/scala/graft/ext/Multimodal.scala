@@ -101,7 +101,7 @@ object Multimodal {
     * (decode of deterministic renders), so a session-level rebuild
     * overwrites with identical bytes. */
   private def rasterPath(dir: String, kind: String): String =
-    s"${graft.Work.dir}/raster_${kind}_${new java.io.File(dir).getName}"
+    s"${graft.Work.dir}/raster_${kind}_${graft.Work.publishTag(dir)}"
 
   /** The same path as a static oracle-SQL fragment: the sf-dir basename
     * is unknown until Verify runs, so the SQL carries the `@SF@` token,

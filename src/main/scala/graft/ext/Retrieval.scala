@@ -83,7 +83,7 @@ object Retrieval {
   // table must version its path, or a stale 3-column parquet from an
   // earlier build would satisfy the _SUCCESS check and fail the read
   private def idfPath(dir: String): String =
-    s"${graft.Work.dir}/bm25_idf_v2_${new java.io.File(dir).getName}"
+    s"${graft.Work.dir}/bm25_idf_v2_${graft.Work.publishTag(dir)}"
 
   private val idfDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]

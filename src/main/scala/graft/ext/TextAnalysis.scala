@@ -13,14 +13,32 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text (codegen'd split). */
+  /** Whitespace tokens of trimmed text (codegen'd split). Spark's
+    * `trim` strips ASCII SPACE only — the same default as the DuckDB
+    * `trim` the oracle SQL uses, so this is the spelling for columns
+    * whose oracle contract is `regexp_split_to_array(trim(text), ..)`.
+    * For the shingle/dedup path use [[tokensWs]], whose trim matches
+    * the UDF tokenizer on tab/newline-bordered text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace-ROBUST tokens: regex-trims all `\s` (tab, newline, CR,
+    * FF, VT — Java regex semantics, identical on executor and in
+    * [[shinglesUdf]]'s `replaceAll`) before splitting. This is the
+    * exact native twin of the UDF tokenization: for every input,
+    * `size(tokensWs(text)) == shinglesUdf-token-count`, which is what
+    * makes the shingle guard in [[Dedup.shingleSets]] provably
+    * equivalent to "the shingle array is non-empty" (r13 ADVICE: the
+    * space-only `trim` let a tab-bordered doc with n-1 real words pass
+    * the guard while the UDF produced an EMPTY shingle set, whose
+    * all-MaxValue minhash signature collides in every band). */
+  def tokensWs(c: Column): Column =
+    split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
 
   /** Word n-gram shingles (distinct), empty below n words — declarative
     * form. NOTE: the chained higher-order array functions cost ~1ms/doc
     * (measured); use [[shinglesUdf]] on hot paths. */
   def shingles(c: Column, n: Int): Column = {
-    val w = tokens(c)
+    val w = tokensWs(c)
     array_distinct(
       when(size(w) >= n,
         transform(sequence(lit(1), size(w) - (n - 1)),
@@ -28,14 +46,19 @@ object TextAnalysis {
         .otherwise(array().cast(ArrayType(StringType))))
   }
 
-  /** Same semantics as [[shingles]] (split on \s+ of trimmed text,
-    * space-joined n-grams, distinct) as one compact UDF — ~100× faster
-    * than the interpreted higher-order expression chain. */
+  /** Same semantics as [[shingles]] (split on \s+ of regex-trimmed
+    * text, space-joined n-grams, distinct) as one compact UDF — ~100×
+    * faster than the interpreted higher-order expression chain. Trims
+    * via the SAME Java `\s` regex as [[tokensWs]] (NOT `String.trim`,
+    * which also strips control chars < U+0009 — r13 ADVICE: the two
+    * trims disagreed on which docs shingle to empty, breaking the
+    * native-guard ⟺ non-empty-shingles equivalence). */
   def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      // null text behaves like empty text (built-in split/trim would
-      // null-propagate; a raw .trim would NPE the whole job)
-      val w = Option(text).getOrElse("").trim.split("\\s+")
+      // null text behaves like empty text (built-in split/regexp would
+      // null-propagate; a raw .replaceAll would NPE the whole job)
+      val w = Option(text).getOrElse("")
+        .replaceAll("^\\s+|\\s+$", "").split("\\s+")
       if (w.length < n) Array.empty[String]
       else w.sliding(n).map(_.mkString(" ")).toArray.distinct
     }
@@ -671,10 +694,24 @@ object TextAnalysis {
     * scan-side projection that AQE/pushdown never have to work around.
     */
   def qualityScoreOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    withQualityScore(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0L, "keep").otherwise("drop").as("quality"))
+
+  /** Bolt the trained `score` column onto ANY frame carrying `text`,
+    * preserving every other caller column (and dropping `text` plus
+    * the feature temps). This is the composition face of
+    * [[qualityScoreOf]]: a consumer that already has a projection in
+    * flight (e.g. [[UrlOps]]' canonical columns) scores it in the SAME
+    * map-only pass instead of a doc_id self-join between two scans of
+    * the corpus (r13 verdict #3 — the join was the only non-map step
+    * in the domain-stats pipeline). */
+  def withQualityScore(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val stopArr = array(QsStop.map(lit): _*)
     val w = qsWeights
-    docs.select(col("doc_id"), col("text"))
+    docs
       .withColumn("__toks",
         filter(split(trim(col("text")), "\\s+"), t => length(t) > 0))
       .withColumn("__ntoks", size(col("__toks")).cast("long"))
@@ -695,8 +732,8 @@ object TextAnalysis {
           s" + (${w(5)}) * ((__ndigit * 1000L) div greatest(__nchars, 1L))" +
           s" + (${w(6)}) * ((__nupper * 1000L) div greatest(__nchars, 1L))" +
           " AS BIGINT)"))
-      .select(col("doc_id"), col("score"),
-        when(col("score") > 0L, "keep").otherwise("drop").as("quality"))
+      .drop("text", "__toks", "__ntoks", "__nchars", "__nstop",
+        "__npunct", "__ndigit", "__nupper")
   }
 
   /** The trained-scorer replay as reusable DuckDB CTEs over a named

@@ -143,6 +143,18 @@ object UrlOps {
                      AS url_canon
             FROM h)"""
 
+  /** The curation projection both domain passes consume: canonical
+    * columns AND the trained quality score from one map-only pass over
+    * (doc_id, text) — zero joins, zero shuffles, 4 narrow columns. */
+  private[graft] def canonScored(docs: DataFrame): DataFrame = {
+    val raw = plantedUrl(col("doc_id"))
+    TextAnalysis.withQualityScore(
+      docs.select(col("doc_id"), col("text"),
+        canonicalUrl(raw).as("url_canon"),
+        canonicalHost(raw).as("host")))
+      .select("doc_id", "host", "url_canon", "score")
+  }
+
   /** df-in core: per-doc canonicalized frame over any frame with a
     * doc_id column (the planted URL derives from it) — the library
     * API; QueryDefs and the StressMain growth harness both bind it. */
@@ -197,11 +209,19 @@ object UrlOps {
     * DOMAINS, which at 100 TB is millions of rows where the corpus is
     * billions, so the shuffle carries per-(host, partition) partials
     * only. Composes the canonicalizer with the trained quality scorer
-    * ([[TextAnalysis.qualityScoreOf]]). */
+    * in ONE map-only projection ([[canonScored]] — r14: the previous
+    * spelling joined `canonicalized(docs)` with `qualityScoreOf(docs)`
+    * on doc_id, a self-join between two scans of the same corpus; both
+    * column families derive row-locally from (doc_id, text), so the
+    * join bought nothing but an exchange). */
   def domainStatsOf(docs: DataFrame): DataFrame =
-    canonicalized(docs)
-      .join(TextAnalysis.qualityScoreOf(docs).select("doc_id", "score"),
-        "doc_id")
+    statsOver(canonScored(docs))
+
+  /** The domains-sized aggregate over an already-built [[canonScored]]
+    * projection (shared with [[domainFilter]], whose materialized
+    * projection feeds this AND the apply join). */
+  private def statsOver(proj: DataFrame): DataFrame =
+    proj
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_canon")).as("n_urls"),
@@ -235,9 +255,21 @@ object UrlOps {
     * per-doc scorer. Two-pass shape: the domains-sized stats frame
     * (millions of rows at 100 TB, vs billions of docs) BROADCASTS onto
     * the corpus scan — the corpus itself never shuffles (PlanSpec
-    * pins broadcast + no corpus exchange). */
+    * pins broadcast + no corpus exchange).
+    *
+    * Scan economy (r13 verdict #3): the `(doc_id, host, url_canon,
+    * score)` projection is MATERIALIZED once and consumed by both the
+    * stats aggregate and the apply join — previously each pass
+    * re-scanned the corpus and re-ran canonicalization + scoring. At
+    * 100 TB the trade is decisive: the raw corpus is dominated by the
+    * `text` column the projection drops, so one text scan + one write
+    * of a ~50-byte/row projection + two column-pruned re-reads (stats
+    * touches host/url_canon/score, apply touches doc_id/host) beats
+    * two full text scans each paying the regex/scoring chain again.
+    * Local measurement in SCALE.md (r14). */
   def domainFilter(docs: DataFrame, minDocs: Long): DataFrame = {
-    val stats = domainStatsOf(docs)
+    val proj = graft.Work.materialize("url_domain_proj", canonScored(docs))
+    val stats = statsOver(proj)
     // RELATIVE cut — keep hosts at or above the integer mean of host
     // means: splits the domain population at any corpus scale or score
     // calibration (an absolute threshold is a config decision; the
@@ -250,7 +282,7 @@ object UrlOps {
       .filter(col("mean_score_milli") >= col("cut") &&
         col("n_docs") >= minDocs)
       .select("host")
-    canonicalized(docs)
+    proj
       .join(broadcast(verdict), Seq("host"))
       .select("doc_id", "host")
   }

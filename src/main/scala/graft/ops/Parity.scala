@@ -201,7 +201,36 @@ object Parity {
     },
     Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"))
 
+  /** Avro ARRAY round-trip on the LLM-pipeline table (r13 verdict #4):
+    * the embeddings table's `array<float>` vectors through the
+    * engine's own Avro container path — `Schema.createArray` with a
+    * nullable-union element. Output follows the repo's float
+    * discipline: the vector re-emerges as exact fixed-point micro
+    * units (round(v·1e6) on the float→double widening, which is exact
+    * and engine-portable), so the compare hashes integers, never raw
+    * floats. dim pins the array LENGTH survived too. */
+  val avroArrayRoundtrip = QueryDef(
+    "avro_array_roundtrip",
+    (s, dir) => {
+      val path = Work.scratch("avro_array_roundtrip")
+      Work.clean(path)
+      val src = Tables(s, dir, "embeddings")
+      graft.sources.AvroIO.write(src, path)
+      graft.sources.AvroIO.read(s, path, src.schema)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          array_join(transform(col("embedding"),
+            x => round(x.cast(DoubleType) * 1e6).cast(LongType)), ",")
+            .as("e6"))
+    },
+    Some("""
+      SELECT vec_id, label, len(embedding) AS dim,
+             array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(round(v * 1000000) AS BIGINT)), ',') AS e6
+      FROM embeddings"""))
+
   val all: Seq[QueryDef] = Seq(
     csvScan, csvSink, streamSinkJson, streamScanBounded, collectQuery,
-    labelSplit, orcRoundtrip, jsonRoundtrip, xmlRoundtrip, avroRoundtrip)
+    labelSplit, orcRoundtrip, jsonRoundtrip, xmlRoundtrip, avroRoundtrip,
+    avroArrayRoundtrip)
 }

@@ -1531,17 +1531,36 @@ object Relational {
     * would diverge by one on any negative refund-heavy week. Plain
     * `div` is the matching spelling; RelationalSpec pins the measured
     * truncation constant so a DuckDB semantics change (back) to floor
-    * fails loudly instead of silently shifting ratios. */
+    * fails loudly instead of silently shifting ratios.
+    *
+    * Planted probe weeks (r13 ADVICE): the synthetic events table has
+    * no refund-heavy week, so the trunc-vs-floor choice was pinned only
+    * by Spark-side spec constants — the e2e oracle never exercised a
+    * negative numerator. Both engines now UNION three literal weeks of
+    * a synthetic 'wow_probe' type (+700, −701, +9 cents): the −701 week
+    * divides −701000000 by 700 NON-exactly, so trunc (−1001428) and
+    * floor (−1001429) give DIFFERENT hashes — a DuckDB semantics drift
+    * back to floor now fails THIS key, end-to-end. The +9 week pins the
+    * `prev > 0` guard (prev = −701 → NULL, not a division). Probe weeks
+    * are negative so no real epoch week (~2900) can ever collide, and
+    * the window partitions by event_type, so real types are untouched. */
   val q44WeekOverWeek = QueryDef(
     "q44_week_over_week",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val probe = Seq(
+        ("wow_probe", -3L, 1L, 700L),
+        ("wow_probe", -2L, 1L, -701L),
+        ("wow_probe", -1L, 1L, 9L))
+        .toDF("event_type", "wk", "n", "sum_cents")
       val weekly = Tables(s, dir, "events")
         .select(col("event_type"),
           expr("(ts div 1000) div 604800000000").as("wk"),
           cents(col("value")).as("c"))
         .groupBy("event_type", "wk")
         .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"))
+        .union(probe)
       val w = Window.partitionBy("event_type").orderBy("wk")
       weekly
         .withColumn("prev_cents", lag(col("sum_cents"), 1).over(w))
@@ -1555,7 +1574,14 @@ object Relational {
                count(*) AS n,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS sum_cents
-        FROM events GROUP BY 1, 2),
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT v.event_type, CAST(v.wk AS BIGINT), CAST(v.n AS BIGINT),
+               CAST(v.sum_cents AS BIGINT)
+        FROM (VALUES ('wow_probe', -3, 1, 700),
+                     ('wow_probe', -2, 1, -701),
+                     ('wow_probe', -1, 1, 9))
+             v(event_type, wk, n, sum_cents)),
       l AS (
         SELECT *, lag(sum_cents) OVER (PARTITION BY event_type
                                        ORDER BY wk) AS prev_cents

@@ -31,26 +31,39 @@ import scala.jdk.CollectionConverters._
   *    roundtrip in [[graft.ops.Parity]].
   *
   * Type surface (declared, not inferred — same policy as the CSV/XML
-  * witnesses): long, int, double, float, boolean, string, binary;
-  * nullable columns map to `union(null, T)`. That covers every column
-  * the testdata tables carry except nested arrays, which parquet/orc
-  * already witness. Unsupported types fail loudly at schema build.
+  * witnesses): long, int, double, float, boolean, string, binary, and
+  * one-level ARRAYS of those (`Schema.createArray` — the embeddings
+  * table's `array<float>` vectors, the LLM-pipeline column, round-trip
+  * through this path; r13 verdict #4). Nullable columns and nullable
+  * array ELEMENTS map to `union(null, T)`. Nested arrays-of-arrays
+  * stay out of scope (parquet/orc already witness deep nesting);
+  * unsupported types fail loudly at schema build.
   */
 object AvroIO {
+
+  private def scalarSchema(dt: DataType, col: String): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case other => throw new IllegalArgumentException(
+      s"AvroIO: unsupported type $other for column $col")
+  }
 
   /** Spark → Avro record schema (JSON-serializable, parsed per task). */
   def avroSchema(schema: StructType, record: String = "row"): Schema = {
     val fields = schema.fields.map { f =>
       val base = f.dataType match {
-        case LongType => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case dt => throw new IllegalArgumentException(
-          s"AvroIO: unsupported type $dt for column ${f.name}")
+        case ArrayType(et, containsNull) =>
+          val e = scalarSchema(et, s"${f.name}[]")
+          Schema.createArray(
+            if (containsNull)
+              Schema.createUnion(Schema.create(Schema.Type.NULL), e)
+            else e)
+        case dt => scalarSchema(dt, f.name)
       }
       val t = if (f.nullable)
         Schema.createUnion(Schema.create(Schema.Type.NULL), base)
@@ -58,6 +71,25 @@ object AvroIO {
       new Schema.Field(f.name, t, null, null)
     }
     Schema.createRecord(record, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** Spark row value → Avro generic value (recursive one level for
+    * arrays; bytes wrap, everything else passes boxed). */
+  private def toAvro(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case seq: scala.collection.Seq[_] => seq.map(toAvro).asJava
+    case other => other
+  }
+
+  /** Avro generic value → Spark row value (Utf8 → String, ByteBuffer
+    * → Array[Byte], GenericData.Array/List → Seq). */
+  private def fromAvro(v: Any): Any = v match {
+    case u: Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    case l: java.util.List[_] => l.asScala.map(fromAvro).toSeq
+    case other => other
   }
 
   /** Write `df` as `part-<idx>.avro` container files under `dir`
@@ -83,12 +115,7 @@ object AvroIO {
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < sparkSchema.length) {
-            val v = row.get(i) match {
-              case null => null
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case other => other
-            }
-            rec.put(i, v)
+            rec.put(i, toAvro(row.get(i)))
             i += 1
           }
           w.append(rec)
@@ -130,14 +157,7 @@ object AvroIO {
           }
           def next(): Row = {
             val rec = r.next()
-            Row.fromSeq((0 until n).map { i =>
-              rec.get(i) match {
-                case u: Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](bb.remaining()); bb.get(a); a
-                case other => other
-              }
-            })
+            Row.fromSeq((0 until n).map(i => fromAvro(rec.get(i))))
           }
         }
       }

@@ -1445,4 +1445,52 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(s2.toSeq == s1.toSeq)
   }
+
+  test("DSIR: fused predicate-target ratios equal the generic " +
+      "two-frame pass on the same subset; tokenization is " +
+      "whitespace-robust at the edges") {
+    import graft.ext.Dsir
+    val docs = Tables(spark, sf, "documents")
+    val pred = col("doc_id") % 7 === 0
+    // the choice pin (r13 verdict #7): for a target that IS a subset
+    // of raw, the one-corpus-scan fused pass and the generic
+    // union-with-tag pass must produce the identical ratio table
+    assert(Dsir.logRatioRowsFused(docs, pred) ==
+      Dsir.logRatioRows(docs, docs.filter(pred)))
+    // r13 ADVICE: edge tab/newline must not change the feature bag
+    // (regex trim on the engine, explicit [ \t\n\r\f\x0B] class in the
+    // oracle SQL — not String.trim vs DuckDB space-only trim)
+    assert(Dsir.featureBuckets("\tfoo bar\n").toSeq ==
+      Dsir.featureBuckets("foo bar").toSeq)
+    assert(Dsir.featureBuckets("foo bar\r").toSeq ==
+      Dsir.featureBuckets("foo bar").toSeq)
+  }
+
+  test("shingle guard is exactly the UDF's non-empty condition: " +
+      "tab/newline-bordered docs with n-1 words neither shingle nor " +
+      "emit spurious minhash pairs") {
+    // r13 ADVICE (medium): the old space-only trim counted a phantom
+    // edge token on "\talpha beta gamma", passed the >= n guard, and
+    // the UDF's EMPTY shingle set minhashed to all-Long.MaxValue —
+    // every such doc collided in all 16 bands and verifyJaccard's
+    // 0 >= 0 passed trivially, emitting spurious near-dup pairs.
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "\talpha beta gamma"),
+      (2L, "alpha beta gamma\n"),
+      (3L, " alpha beta gamma "), // space-bordered control, 3 words
+      (4L, "one two three four five"),
+      (5L, "one two three four five") // exact dup of 4 → 1 true pair
+    ).toDF("doc_id", "text")
+    val rows = Dedup.shingleSets(docs).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(4L, 5L),
+      "guard must drop every sub-n doc whatever whitespace borders it")
+    assert(rows.forall(_.getSeq[String](1).nonEmpty),
+      "no empty shingle set may survive the guard")
+    val pairs = Dedup.minhashDedup(docs)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)), s"spurious pairs: $pairs")
+  }
 }

@@ -405,7 +405,9 @@ class PlanSpec extends SparkSpec {
     val df = graft.ext.Dedup.shingleSets(
       graft.ext.Dedup.plantedCorpus(Tables(spark, sf, "documents")))
     val s = planString(df)
-    assert(s.contains("size(split(trim("),
+    // regexp_replace trim (tokensWs), not space-only trim — the guard
+    // must count tokens exactly like the shingle UDF (r13 ADVICE)
+    assert(s.contains("size(split(regexp_replace("),
       "native word-count guard missing:\n" + s.take(2000))
     assert(!s.contains("size(UDF"),
       "shingle UDF cloned into a filter:\n" + s.take(2000))
@@ -465,6 +467,54 @@ class PlanSpec extends SparkSpec {
       // end-to-end: the df-API spelling stays correct under the conf
       // (whichever normalization path handles it first)
       val got = aliased.select(col("grp"), col("id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == expect)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
+  test("top-k rewrite negative space: a CHAINED Project between the " +
+      "window and the rank filter must not match — the alias " +
+      "substitution contract is exactly ONE Project deep") {
+    // r13 punch #8: the matcher substitutes one Project's aliases into
+    // the filter condition. Across TWO stacked Projects (or an
+    // alias-of-alias) a single substitution pass no longer reaches the
+    // window's attributes, so the rule must leave the plan alone and
+    // let plain window execution answer — this pin keeps a future
+    // refactor from silently widening the match without extending the
+    // substitution to a fixpoint. (CollapseProject normally erases this
+    // shape; the rule is applied to the RAW analyzed plan on purpose.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      Project => LProject, Window => LWindow, LogicalPlan}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 40).map(i => (i % 4, (i * 7 % 11).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val ranked = df.withColumn("rank", row_number().over(w))
+    val expect = ranked.filter(col("rank") <= 2)
+      .select(col("g"), col("id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    def hasWindow(p: LogicalPlan) = p.exists(_.isInstanceOf[LWindow])
+    spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "true")
+    try {
+      val chained = ranked
+        .select(col("rank").as("rnk"), col("id"), col("g"))
+        .select(col("rnk"), col("id"), col("g").as("grp"))
+        .filter(col("rnk") <= 2)
+      val shape = chained.queryExecution.analyzed
+      shape match { // precondition: at least two Projects under the Filter
+        case LFilter(_, LProject(_, LProject(_, _))) =>
+        case other => fail("test shape drifted: " + other.treeString.take(800))
+      }
+      assert(hasWindow(graft.plans.TopKRewrite(shape)),
+        "chained Project must NOT rewrite:\n" +
+          graft.plans.TopKRewrite(shape).treeString.take(2000))
+      // and the spelling stays CORRECT end-to-end under the conf,
+      // whichever normalization path (CollapseProject + one-deep match,
+      // or plain window exec) handles it
+      val got = chained.select(col("grp"), col("id")).collect()
         .map(r => (r.getInt(0), r.getLong(1))).toSet
       assert(got == expect)
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)

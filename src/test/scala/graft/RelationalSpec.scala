@@ -555,10 +555,32 @@ class RelationalSpec extends SparkSpec {
     // a second write REPLACES prior content (mode=overwrite semantics)
     graft.sources.AvroIO.write(df.limit(1), dir)
     assert(graft.sources.AvroIO.read(spark, dir, schema).count() == 1)
-    // unsupported type: loud at schema build, naming the column
+    // one-level arrays are supported (r13 verdict #4) — including
+    // null elements and a null array through the union schemas
+    val aschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = true))))
+    val arows = Seq(
+      Row(1L, Seq(1.5f, -2.25f, 0f)),
+      Row(2L, Seq(null, 3.75f)),
+      Row(3L, null),
+      Row(4L, Seq.empty[Float]))
+    val adf = spark.createDataFrame(
+      spark.sparkContext.parallelize(arows, 2), aschema)
+    val adir = java.nio.file.Files.createTempDirectory("graft_avro_a")
+      .toString
+    graft.sources.AvroIO.write(adf, adir)
+    val aback = graft.sources.AvroIO.read(spark, adir, aschema)
+    assert(aback.schema == aschema)
+    def akey(r: Row) = (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getSeq[Any](1))
+    assert(aback.collect().map(akey).toSet == arows.map(akey).toSet)
+    // unsupported type: loud at schema build, naming the column —
+    // NESTED arrays stay out of scope (parquet/orc witness deep
+    // nesting; the Avro surface is scalars + one-level arrays)
     val e = intercept[IllegalArgumentException](
       graft.sources.AvroIO.avroSchema(StructType(Seq(
-        StructField("nested", ArrayType(LongType))))))
+        StructField("nested", ArrayType(ArrayType(LongType)))))))
     assert(e.getMessage.contains("nested"))
     // no files: loud, naming the dir
     val empty = java.nio.file.Files.createTempDirectory("graft_avro_e")
