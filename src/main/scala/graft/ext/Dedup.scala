@@ -511,9 +511,11 @@ object Dedup {
       // nodes = docs with >= 1 shingle (>= 4 words) — computed with the
       // cheap codegen'd split instead of re-running the shingle UDF pass
       // for the isolated-node attach (jaccardPairs frees the shared
-      // shingle cache before connectedComponents evaluates `nodes`)
+      // shingle cache before connectedComponents evaluates `nodes`).
+      // tokensWs, not tokens: the node set must equal the shingled set
+      // exactly, including tab/newline-bordered edge cases (r14)
       val nodes = corpus
-        .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
+        .filter(size(TextAnalysis.tokensWs(col("text"))) >= 4)
         .select("doc_id")
       // NOTE: the materializing jaccardPairs is deliberate — feeding
       // the un-materialized pair plan (jaccardPairsOn) into CC's
@@ -567,12 +569,37 @@ object Dedup {
     "dedup_keep_best",
     (s, dir) => {
       val corpus = plantedCorpus(Tables(s, dir, "documents"))
-      val nodes = corpus
-        .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
-        .select("doc_id")
-      val labels = connectedComponents(nodes,
-        jaccardPairs(shingleSets(corpus)).select("a", "b"))
-      keepBestPerCluster(labels, TextAnalysis.qualityScoreOf(corpus))
+      val pairs = jaccardPairs(shingleSets(corpus)).select("a", "b")
+      // r14 (verdict #2 profile): CC runs on the ACTIVE node set only —
+      // docs appearing in >= 1 near-dup pair — so its per-round frames,
+      // its isolated-node attach, and its final materialized label
+      // table are all dup-subset-sized, never corpus-sized. The (vast)
+      // singleton remainder is handled INSIDE the argmax pass:
+      // left-join the scored corpus with the active labels and group by
+      // coalesce(cluster, doc_id) — a singleton cluster's keep row IS
+      // the doc itself, and the coalesce key makes that fall out of the
+      // SAME single map-side-combined aggregate (no anti-join branch,
+      // no union, no second corpus scan — a branched spelling was
+      // built and measured: +6 jobs, net slower at sf0.1). The old
+      // shape instead paid two corpus-sized joins (CC attach + argmax)
+      // and a corpus-sized label materialization; at 100 TB the active
+      // label side broadcasts or shuffles at dup-subset size while the
+      // corpus takes exactly one scan, one join, one aggregate.
+      val active = pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id")))
+        .distinct()
+      val labels = connectedComponents(active, pairs)
+      // score only docs that can BE nodes (>= 1 shingle — the exact
+      // tokensWs twin of the shingleSets guard, so node set == scored set)
+      val scores = TextAnalysis.qualityScoreOf(
+          corpus.filter(size(TextAnalysis.tokensWs(col("text"))) >= 4))
+        .select("doc_id", "score")
+      scores.join(labels, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+        .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
+          col("best.score").as("best_score"))
     },
     Some(s"""
       WITH RECURSIVE corpus AS ($plantedCorpusSql),

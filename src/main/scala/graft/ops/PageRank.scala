@@ -66,26 +66,40 @@ object PageRank {
     // materialize the node-sized result and free the cache (the same
     // leak-free loop shape as the connected-components fixed point)
     val edges = edgesIn.persist()
+    // node-sized, reused by the initial scores AND every round's
+    // contribution join — r14 (verdict #6 profile): the old shape
+    // joined outdeg onto every EDGE up front (`withDeg`), building and
+    // caching an edge-sized 3-column frame whose join+persist cost as
+    // much as all three rounds together (~1.6 s of the 4 s key). The
+    // per-edge outdeg is only ever consumed as score/outdeg, which is
+    // a NODE-level quantity: fold it into the node-sized contribution
+    // frame below and the edge list stays 2 columns, cached once,
+    // joined per round against a node-sized (broadcast at test SF,
+    // co-partitioned at scale) side.
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(outdeg, "src").persist()
+      .persist()
     var scores = outdeg.select(col("src").as("node"),
       lit(Scale).as("score_fp"))
     for (_ <- 1 to rounds) {
+      // per-round contribution per NODE: node-sized join (scores and
+      // outdeg are both one-row-per-node; either side broadcasts)
+      val contrib = scores
+        .join(outdeg, col("node") === col("src"))
+        .select(col("node"),
+          expr(s"score_fp * 85 DIV 100 DIV outdeg").as("c"))
       // edges are symmetric, so EVERY node has an in-edge: contrib's
       // dst set IS the node set, and no keep-the-zeros left join is
-      // needed — each round is one equi-join (scores are node-sized;
-      // AQE broadcasts them at test SF, co-partitioned at scale) plus
-      // one map-side-combined sum
-      scores = withDeg
-        .join(scores, col("src") === col("node"))
-        .select(col("dst"),
-          expr(s"score_fp * 85 DIV 100 DIV outdeg").as("c"))
+      // needed — each round is one equi-join over the cached 2-column
+      // edge list plus one map-side-combined sum
+      scores = edges
+        .join(contrib, col("src") === col("node"))
+        .select(col("dst"), col("c"))
         .groupBy("dst").agg(sum("c").as("in_fp"))
         .select(col("dst").as("node"),
           (lit(Scale * 15 / 100) + col("in_fp")).as("score_fp"))
     }
     val out = Work.materialize("pagerank", scores)
-    withDeg.unpersist()
+    outdeg.unpersist()
     edges.unpersist()
     out
   }
