@@ -324,5 +324,45 @@ object Dsir {
       FROM w JOIN documents d USING (doc_id)
       GROUP BY d.source"""))
 
-  val all: Seq[QueryDef] = Seq(dsirWeights, dsirSample, dsirMixture)
+  /** Per-source selection QUOTA (r14) — the balanced-mixture variant
+    * of [[dsirSample]]: instead of one global top-k (which a single
+    * target-like crawl source can monopolize), take the [[QuotaK]]
+    * most target-like docs from EACH source — the per-source cap every
+    * mixture-controlled selection run applies so the output keeps the
+    * source diversity the mixture weights were tuned for. Total order
+    * (weight desc, doc_id asc) keeps it deterministic and oracle-able.
+    *
+    * 100 TB shape: `source` rides the map-only weight projection (no
+    * join back to the corpus), and the per-group rank is the exact
+    * row_number()-bound window filter [[graft.plans.TopKRewrite]]
+    * matches — under the rules-on posture the window becomes a
+    * bounded per-group heap carrying ≤ sources×k rows per partition
+    * into one exchange, never a corpus sort. */
+  val QuotaK = 25
+
+  val dsirQuota = QueryDef(
+    "corpus_dsir_quota",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("weight_fp").desc, col("doc_id").asc)
+      weights(Tables(s, dir, "documents"),
+          loadLr(s, ensureLogRatios(s, dir)), extras = Seq("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= QuotaK)
+        .select("source", "doc_id", "weight_fp", "rn")
+    },
+    Some(s"""
+      WITH w AS ($weightsSql),
+      j AS (SELECT d.source, w.doc_id, w.weight_fp
+            FROM w JOIN documents d USING (doc_id)),
+      r AS (SELECT source, doc_id, weight_fp,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY weight_fp DESC, doc_id) AS rn
+            FROM j)
+      SELECT source, doc_id, weight_fp, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= $QuotaK"""))
+
+  val all: Seq[QueryDef] =
+    Seq(dsirWeights, dsirSample, dsirMixture, dsirQuota)
 }

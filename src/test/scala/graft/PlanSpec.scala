@@ -378,6 +378,21 @@ class PlanSpec extends SparkSpec {
         mFinal.take(2000))
     assert(mFinal.contains("partial_sum"),
       "mixture aggregate must combine map-side:\n" + mFinal.take(2000))
+    // the per-source quota (r14): source rides the map-only weight
+    // pass (no join), and under the rewrite the row_number window
+    // becomes the bounded per-group heap — ≤ sources×k rows per
+    // partition into one exchange, never a corpus sort
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val q = graft.GraftSession.withScopedConfs(spark,
+        graft.plans.TopKRewrite.EnabledConf -> "true") {
+      graft.ext.Dsir.dsirQuota.fn(spark, sf)
+    }
+    val qstr = planString(q)
+    assert(!qstr.contains("Join"),
+      "quota must not join back to the corpus:\n" + qstr.take(2000))
+    val qFinal = qstr.split("== Initial Plan ==").head
+    assert(qFinal.contains("partial_row_topk") && !qFinal.contains("Window"),
+      "quota must plan as the bounded per-group heap:\n" + qFinal.take(2000))
   }
 
   test("url_domain_filter: the domain verdict broadcasts onto the " +
