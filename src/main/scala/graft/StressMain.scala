@@ -142,18 +142,11 @@ object StressMain {
         graft.ops.PipelineOps.splitByCluster(labels).count()
       },
       n => repDocs(docs, n))
-    // r13: keep-best composition (clusters + quality argmax) — the
-    // composed growth must track clusters_cc's, the argmax adds one
-    // label-keyed aggregate
+    // r13/r14: keep-best composition (active-only CC + coalesce-argmax
+    // over the scored corpus — the exact QueryDef core) — the composed
+    // growth must track clusters_cc's, the argmax adds one aggregate
     pair("keep_best")(
-      { c =>
-        val corpus = Dedup.plantedCorpus(c)
-        val sh = Dedup.shingleSets(corpus)
-        Dedup.keepBestPerCluster(
-          Dedup.connectedComponents(sh.select("doc_id"),
-            Dedup.jaccardPairs(sh).select("a", "b")),
-          graft.ext.TextAnalysis.qualityScoreOf(corpus)).count()
-      },
+      c => Dedup.keepBestOf(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))
     pair("ngram_jaccard")(
       c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),

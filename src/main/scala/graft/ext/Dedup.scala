@@ -565,10 +565,9 @@ object Dedup {
       .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
         col("best.score").as("best_score"))
 
-  val keepBest = QueryDef(
-    "dedup_keep_best",
-    (s, dir) => {
-      val corpus = plantedCorpus(Tables(s, dir, "documents"))
+  /** df-in core of dedup_keep_best over any (doc_id, text) corpus —
+    * the QueryDef and the StressMain growth harness both bind it. */
+  def keepBestOf(corpus: DataFrame): DataFrame = {
       val pairs = jaccardPairs(shingleSets(corpus)).select("a", "b")
       // r14 (verdict #2 profile): CC runs on the ACTIVE node set only —
       // docs appearing in >= 1 near-dup pair — so its per-round frames,
@@ -600,7 +599,11 @@ object Dedup {
           .as("best"))
         .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
           col("best.score").as("best_score"))
-    },
+  }
+
+  val keepBest = QueryDef(
+    "dedup_keep_best",
+    (s, dir) => keepBestOf(plantedCorpus(Tables(s, dir, "documents"))),
     Some(s"""
       WITH RECURSIVE corpus AS ($plantedCorpusSql),
       sh AS (SELECT doc_id,
