@@ -656,4 +656,86 @@ class PropertySpec extends SparkSpec {
       assert(all.toSet.subsetOf(keys.toSet))
     }
   }
+
+  test("shinglesUdf equals the declarative shingles for arbitrary " +
+      "whitespace-riddled text (the r14 tokensWs alignment)") {
+    // r13 ADVICE closed: the UDF and the native spelling must tokenize
+    // IDENTICALLY for every input — including edge/internal tabs,
+    // newlines, CR, FF, VT — or the shingle guard's equivalence proof
+    // breaks. Generator: words over a tiny alphabet joined by random
+    // runs of mixed whitespace, with random whitespace padding.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val ws = Gen.nonEmptyListOf(
+      Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B')).map(_.mkString)
+    val word = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val textGen = for {
+      lead <- Gen.oneOf(Gen.const(""), ws)
+      words <- Gen.listOfN(6, word)
+      seps <- Gen.listOfN(6, ws)
+      trail <- Gen.oneOf(Gen.const(""), ws)
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }
+      .mkString.dropRight(seps.last.length) + trail
+    val texts = samples(textGen, 60) ++
+      Seq("", " ", "\t", "\n\n", "a", "\ta b c", "a b c\n", "a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.shinglesUdf(3)(col("text")).as("u"),
+        graft.ext.TextAnalysis.shingles(col("text"), 3).as("n"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1).toSet == r.getSeq[String](2).toSet,
+        s"doc ${r.getLong(0)} (${texts(r.getLong(0).toInt).map(_.toInt)}): " +
+          s"udf=${r.getSeq[String](1)} native=${r.getSeq[String](2)}")
+    }
+    // and the guard equivalence itself: size(tokensWs) >= n iff the
+    // UDF's shingle array is non-empty — for EVERY generated input
+    val g = df.select(col("doc_id"),
+        (org.apache.spark.sql.functions
+          .size(graft.ext.TextAnalysis.tokensWs(col("text"))) >= 3).as("p"),
+        graft.ext.TextAnalysis.shinglesUdf(3)(col("text")).as("u"))
+      .collect()
+    g.foreach(r => assert(r.getBoolean(1) == r.getSeq[String](2).nonEmpty,
+      s"guard mismatch on doc ${r.getLong(0)}"))
+  }
+
+  test("DSIR featureBuckets ignores edge whitespace and counts " +
+      "2w-1 features for w words, for arbitrary padding") {
+    val ws = Gen.nonEmptyListOf(
+      Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B')).map(_.mkString)
+    val word = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val gen = for {
+      lead <- Gen.oneOf(Gen.const(""), ws)
+      words <- Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word))
+      trail <- Gen.oneOf(Gen.const(""), ws)
+    } yield (words, lead + words.mkString(" ") + trail)
+    samples(gen, 80).foreach { case (words, padded) =>
+      val bare = graft.ext.Dsir.featureBuckets(words.mkString(" ")).toSeq
+      val pad = graft.ext.Dsir.featureBuckets(padded).toSeq
+      assert(pad == bare, s"padding changed the feature bag: '$padded'")
+      assert(bare.length == 2 * words.length - 1,
+        s"expected ${2 * words.length - 1} features for ${words.length} words")
+    }
+  }
+
+  test("publishTag is injective across distinct dirs and stable across " +
+      "spellings of the same dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ptag").toString
+    new java.io.File(s"$tmp/a/sf0.01").mkdirs()
+    new java.io.File(s"$tmp/b/sf0.01").mkdirs()
+    val ta = Work.publishTag(s"$tmp/a/sf0.01")
+    val tb = Work.publishTag(s"$tmp/b/sf0.01")
+    // same basename, different dirs → DIFFERENT tags (the r13 ADVICE
+    // collision class: _SUCCESS short-circuit serving stale stats)
+    assert(ta != tb, s"same-basename dirs collided: $ta")
+    assert(ta.startsWith("sf0.01_") && tb.startsWith("sf0.01_"))
+    // trailing-slash / dot spellings of the SAME dir → same tag
+    // (concurrent JVMs must still share one published table)
+    assert(Work.publishTag(s"$tmp/a/sf0.01/") == ta)
+    assert(Work.publishTag(s"$tmp/a/./sf0.01") == ta)
+  }
 }
