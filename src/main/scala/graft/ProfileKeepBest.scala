@@ -34,24 +34,32 @@ object ProfileKeepBest {
         println(s"[keepbest]   n_pairs=${p.count()}")
         p
       }
-      val nodes = corpus
-        .filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 4)
-        .select("doc_id")
-      val labels = t("connectedComponents") {
-        val l = graft.ext.Dedup.connectedComponents(nodes, pairs).persist()
+      // r14 shape: CC over the ACTIVE node set only, then the
+      // singleton-folding coalesce-argmax (the exact key core)
+      val active = pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+      val labels = t("connectedComponents (active)") {
+        val l = graft.ext.Dedup.connectedComponents(active, pairs).persist()
         println(s"[keepbest]   n_labels=${l.count()}")
         l
       }
-      t("score+argmax (labels ⋈ score)") {
-        graft.ext.Dedup.keepBestPerCluster(labels,
-            graft.ext.TextAnalysis.qualityScoreOf(corpus))
-          .write.format("noop").mode("overwrite").save()
+      def argmax = {
+        val scores = graft.ext.TextAnalysis.qualityScoreOf(corpus
+            .filter(size(graft.ext.TextAnalysis.tokensWs(col("text"))) >= 4))
+          .select("doc_id", "score")
+        scores.join(labels, Seq("doc_id"), "left")
+          .groupBy(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+          .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
+            col("best.score").as("best_score"))
+      }
+      t("score+coalesce-argmax") {
+        argmax.write.format("noop").mode("overwrite").save()
       }
       if (rep == reps && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         println("[keepbest] argmax plan:\n" +
-          graft.ext.Dedup.keepBestPerCluster(labels,
-              graft.ext.TextAnalysis.qualityScoreOf(corpus))
-            .queryExecution.executedPlan.toString.take(8000))
+          argmax.queryExecution.executedPlan.toString.take(8000))
       labels.unpersist()
       sh.unpersist()
       val j0 = jobs()
