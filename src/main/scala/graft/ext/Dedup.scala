@@ -73,7 +73,15 @@ object Dedup {
   /** Distinct word-n-gram shingle sets per doc: (doc_id, shs, n).
     * Default n=4: with the synthetic corpus's 31-word vocabulary, 3-gram
     * df² explosion is 8× larger (measured 11M vs 1.4M pair rows at
-    * sf0.1) — larger shingles keep the inverted index sparse. */
+    * sf0.1) — larger shingles keep the inverted index sparse.
+    *
+    * Oracle-dialect note: the ENGINE-internal guard⟺UDF equivalence
+    * below is exact for all whitespace (both sides share one Java `\s`
+    * regex — PropertySpec pins it); the DuckDB oracle SQL for the
+    * shingle keys still spells `trim(text)` (space-only), so the
+    * CROSS-ENGINE contract additionally assumes the committed
+    * testdata's edge whitespace is plain spaces — which it is, and
+    * which the oracle hash would catch if it drifted. */
   def shingleSets(corpus: DataFrame, n: Int = 4): DataFrame =
     corpus
       // The non-empty guard as a NATIVE word-count predicate —
