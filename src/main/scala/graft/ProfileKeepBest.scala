@@ -45,7 +45,8 @@ object ProfileKeepBest {
       }
       def argmax = {
         val scores = graft.ext.TextAnalysis.qualityScoreOf(corpus
-            .filter(size(graft.ext.TextAnalysis.tokensWs(col("text"))) >= 4))
+            .filter(size(graft.ext.TextAnalysis.tokensWs(col("text")))
+              >= graft.ext.Dedup.ShingleN))
           .select("doc_id", "score")
         scores.join(labels, Seq("doc_id"), "left")
           .groupBy(coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -8,9 +8,9 @@ package graft
   * suite-level totals (±8% run-to-run) cannot give.
   *
   * Design: B blocks; each block runs every key ONCE per posture,
-  * back-to-back (scoped then rules-on on even blocks, reversed on odd
-  * blocks to cancel ordering/cache effects), with the Bench canary
-  * probe timed at every block edge. Adjacent A/B runs of the same key
+  * back-to-back (blocks count from 1: scoped-first on odd blocks,
+  * rules-on-first on even, cancelling ordering/cache effects), with
+  * the Bench canary probe timed at every block edge. Adjacent A/B runs of the same key
   * land on the same instantaneous box state, so the per-block ratio
   * rulesOn/scoped is box-free by construction; the canary series
   * additionally exposes any drift for post-hoc normalization. Reports
@@ -52,6 +52,11 @@ object SoakAb {
       recs((k, true)) = scala.collection.mutable.ArrayBuffer.empty
     }
     def runOnce(name: String, rulesOn: Boolean): Unit = {
+      // drain the async listener bus so queued JobStart events from the
+      // PREVIOUS run can't bleed into this run's [j0, jobs] window and
+      // fabricate a cross-posture job delta (r14 review)
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
       GraftSession.resetQueryConfs(spark)
       if (rulesOn) {
         spark.conf.set(plans.RangeJoinRewrite.EnabledConf, "true")
@@ -63,6 +68,8 @@ object SoakAb {
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       GraftSession.dropAllCaches(spark)
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
       recs((name, rulesOn)) += Run(sec, jobs.get() - j0)
       (): Unit
     }

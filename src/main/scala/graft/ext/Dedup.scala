@@ -22,6 +22,15 @@ object Dedup {
 
   val PlantedOffset = 10000000L
 
+  /** Default word-shingle width — the ONE constant the shingle guard,
+    * the clusters/keep-best node guards, and the oracle SQL's
+    * `len(ws) >= 4` literals must agree on (the SQL literals are
+    * inlined strings; a retune of this value must update them with it,
+    * and the oracle hash fails loudly if one side drifts). n=4 is the
+    * measured df² sweet spot for the synthetic 31-word vocabulary —
+    * see [[shingleSets]]. */
+  val ShingleN = 4
+
   /** documents ∪ perturbed copies (drop last word). */
   def plantedCorpus(docs: DataFrame): DataFrame = {
     val dropLast = udf { (text: String) =>
@@ -82,7 +91,7 @@ object Dedup {
     * CROSS-ENGINE contract additionally assumes the committed
     * testdata's edge whitespace is plain spaces — which it is, and
     * which the oracle hash would catch if it drifted. */
-  def shingleSets(corpus: DataFrame, n: Int = 4): DataFrame =
+  def shingleSets(corpus: DataFrame, n: Int = ShingleN): DataFrame =
     corpus
       // The non-empty guard as a NATIVE word-count predicate —
       // size(tokensWs) >= n iff the UDF's shingle array is non-empty:
@@ -516,14 +525,14 @@ object Dedup {
     "dedup_clusters",
     (s, dir) => {
       val corpus = plantedCorpus(Tables(s, dir, "documents"))
-      // nodes = docs with >= 1 shingle (>= 4 words) — computed with the
+      // nodes = docs with >= 1 shingle (>= ShingleN words) — computed with the
       // cheap codegen'd split instead of re-running the shingle UDF pass
       // for the isolated-node attach (jaccardPairs frees the shared
       // shingle cache before connectedComponents evaluates `nodes`).
       // tokensWs, not tokens: the node set must equal the shingled set
       // exactly, including tab/newline-bordered edge cases (r14)
       val nodes = corpus
-        .filter(size(TextAnalysis.tokensWs(col("text"))) >= 4)
+        .filter(size(TextAnalysis.tokensWs(col("text"))) >= ShingleN)
         .select("doc_id")
       // NOTE: the materializing jaccardPairs is deliberate — feeding
       // the un-materialized pair plan (jaccardPairsOn) into CC's
@@ -557,24 +566,15 @@ object Dedup {
       SELECT node AS doc_id, min(label) AS cluster
       FROM reach GROUP BY 1"""))
 
-  /** Canonical-per-cluster selection by QUALITY (r13): production
-    * dedup keeps the BEST document of each duplicate cluster, not the
-    * lowest id — the quality scorer decides which near-copy survives
-    * (the CCNet/RefinedWeb keep rule). One aggregate: argmax by
-    * (score desc, doc_id asc) via `max(struct(score, -doc_id))` — a
-    * plain algebraic max with map-side combine, one shuffle on the
-    * cluster label, never a window over the corpus. Total order makes
-    * the pick deterministic and oracle-able. */
-  def keepBestPerCluster(labels: DataFrame, scores: DataFrame): DataFrame =
-    labels.join(scores.select(col("doc_id"), col("score")), "doc_id")
-      .groupBy("cluster")
-      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id")))
-        .as("best"))
-      .select(col("cluster"), (-col("best.neg_id")).as("keep_id"),
-        col("best.score").as("best_score"))
-
   /** df-in core of dedup_keep_best over any (doc_id, text) corpus —
-    * the QueryDef and the StressMain growth harness both bind it. */
+    * the QueryDef and the StressMain growth harness both bind it.
+    * Canonical-per-cluster selection by QUALITY: production dedup
+    * keeps the BEST document of each duplicate cluster, not the
+    * lowest id — the quality scorer decides which near-copy survives
+    * (the CCNet/RefinedWeb keep rule), argmax by (score desc, doc_id
+    * asc) via `max(struct(score, -doc_id))` — a plain algebraic max
+    * with map-side combine, never a window over the corpus; total
+    * order makes the pick deterministic and oracle-able. */
   def keepBestOf(corpus: DataFrame): DataFrame = {
       val pairs = jaccardPairs(shingleSets(corpus)).select("a", "b")
       // r14 (verdict #2 profile): CC runs on the ACTIVE node set only —
@@ -599,7 +599,8 @@ object Dedup {
       // score only docs that can BE nodes (>= 1 shingle — the exact
       // tokensWs twin of the shingleSets guard, so node set == scored set)
       val scores = TextAnalysis.qualityScoreOf(
-          corpus.filter(size(TextAnalysis.tokensWs(col("text"))) >= 4))
+          corpus.filter(
+            size(TextAnalysis.tokensWs(col("text"))) >= ShingleN))
         .select("doc_id", "score")
       scores.join(labels, Seq("doc_id"), "left")
         .groupBy(coalesce(col("cluster"), col("doc_id")).as("cluster"))

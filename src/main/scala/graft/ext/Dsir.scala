@@ -63,8 +63,9 @@ object Dsir {
     * disagreed on such docs, undermining the bit-identical integer
     * dot-product claim). */
   private[graft] def featureBuckets(text: String): Array[Int] = {
-    val w = Option(text).getOrElse("")
-      .replaceAll("^\\s+|\\s+$", "").split("\\s+")
+    // TextAnalysis.wsTokens: the shared once-compiled trim/split — this
+    // runs per document inside the weights UDF (r14 review)
+    val w = TextAnalysis.wsTokens(text)
     val out = new Array[Int](w.length + math.max(0, w.length - 1))
     var i = 0
     while (i < w.length) { out(i) = bucketOf(w(i)); i += 1 }

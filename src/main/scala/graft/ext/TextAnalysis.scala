@@ -34,6 +34,19 @@ object TextAnalysis {
   def tokensWs(c: Column): Column =
     split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
 
+  // compiled ONCE: these run per ROW inside the hottest UDFs (the
+  // shingle pass, DSIR featureBuckets) — String.replaceAll/split would
+  // Pattern.compile on every document (r14 review). Pattern is
+  // thread-safe; only Matchers are per-call.
+  private[graft] val WsEdge =
+    java.util.regex.Pattern.compile("^\\s+|\\s+$")
+  private[graft] val WsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** JVM-side twin of [[tokensWs]] (null ⇒ like empty text; empty
+    * text ⇒ one "" token, exactly like String.split). */
+  private[graft] def wsTokens(text: String): Array[String] =
+    WsRun.split(WsEdge.matcher(Option(text).getOrElse("")).replaceAll(""))
+
   /** Word n-gram shingles (distinct), empty below n words — declarative
     * form. NOTE: the chained higher-order array functions cost ~1ms/doc
     * (measured); use [[shinglesUdf]] on hot paths. */
@@ -55,10 +68,9 @@ object TextAnalysis {
     * native-guard ⟺ non-empty-shingles equivalence). */
   def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      // null text behaves like empty text (built-in split/regexp would
-      // null-propagate; a raw .replaceAll would NPE the whole job)
-      val w = Option(text).getOrElse("")
-        .replaceAll("^\\s+|\\s+$", "").split("\\s+")
+      // wsTokens: null text behaves like empty text, and the trim/split
+      // Patterns are compiled once, not per document
+      val w = wsTokens(text)
       if (w.length < n) Array.empty[String]
       else w.sliding(n).map(_.mkString(" ")).toArray.distinct
     }
