@@ -378,18 +378,23 @@ object Corpus {
     * combine for the frequency table, one shuffle back on doc_id —
     * the decontamination/vocab shape, never per-doc LM inference.
     */
+  /** df-in core of [[bigramLm]] — per-doc bigram LM statistics;
+    * [[ccnetBuckets]] composes it with the tercile split. */
+  def lmStatsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val inv = docs
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+    val freq = inv.groupBy("bg").agg(count(lit(1)).as("c"))
+    inv.join(freq, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("sum_df"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"))
+  }
+
   val bigramLm = QueryDef(
     "text_bigram_lm",
-    (s, dir) => {
-      val inv = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
-      val freq = inv.groupBy("bg").agg(count(lit(1)).as("c"))
-      inv.join(freq, "bg")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("c")).as("sum_df"),
-          sum((col("c") === 1).cast("long")).as("n_hapax"))
-    },
+    (s, dir) => lmStatsOf(Tables(s, dir, "documents")),
     Some("""
       WITH inv AS (
         SELECT doc_id, unnest(list_transform(
@@ -405,6 +410,88 @@ object Corpus {
                AS n_hapax
       FROM inv JOIN freq USING (bg)
       GROUP BY doc_id"""))
+
+  /** CCNet-style fluency TERCILES (r14) — the head/middle/tail split
+    * CCNet (Wenzek et al. 2020) applies with a KenLM perplexity: rank
+    * every document by a corpus-relative fluency statistic and bucket
+    * the corpus into thirds, so downstream training keeps head+middle
+    * and drops the gibberish tail. The statistic here is the exact
+    * integer mean bigram document-frequency in milli-units
+    * (higher = built from more common constructions — the repo's
+    * oracle-able stand-in for inverse perplexity, from [[lmStatsOf]]).
+    *
+    * Exactness: tercile thresholds are COUNT-based, not approximate —
+    * t1/t2 are the smallest fluency values whose cumulative doc count
+    * reaches ceil(N/3) / ceil(2N/3); ties at a boundary all land in
+    * the lower bucket on both engines (the `<=` CASE), so the split is
+    * deterministic and hash-oracle-able even when bucket sizes deviate
+    * from N/3 under ties.
+    *
+    * 100 TB shape: one bigram explode + two doc_id/bg-keyed combines
+    * (the [[bigramLm]] shape), then the threshold pass runs on the
+    * VALUE-DOMAIN histogram — groupBy(fluency_milli) is bounded by
+    * distinct statistic values, not corpus rows, and the cumulative
+    * window runs over that bounded frame (the same bounded-input
+    * global-window class as the KS statistic, ops/Quality.scala). The
+    * two thresholds broadcast back onto a map-only bucket projection —
+    * the corpus itself never sorts. */
+  val ccnetBuckets = QueryDef(
+    "corpus_ccnet_buckets",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = lmStatsOf(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
+            .as("fluency_milli"))
+      val hist = scored.groupBy("fluency_milli").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy("fluency_milli")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val th = cum
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .agg(
+          min(when(col("cum") >= expr("(n + 2) div 3"),
+            col("fluency_milli"))).as("t1"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+            col("fluency_milli"))).as("t2"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("fluency_milli"),
+          when(col("fluency_milli") <= col("t1"), "tail")
+            .when(col("fluency_milli") <= col("t2"), "middle")
+            .otherwise("head").as("bucket"))
+    },
+    Some("""
+      WITH inv AS (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2),
+      freq AS (SELECT bg, count(*) AS c FROM inv GROUP BY bg),
+      lm AS (SELECT doc_id, count(*) AS n_bigrams,
+                    sum(c) AS sum_df
+             FROM inv JOIN freq USING (bg) GROUP BY doc_id),
+      scored AS (SELECT doc_id,
+                        CAST((sum_df * 1000) // n_bigrams AS BIGINT)
+                          AS fluency_milli
+                 FROM lm),
+      hist AS (SELECT fluency_milli, count(*) AS c
+               FROM scored GROUP BY 1),
+      cum AS (SELECT fluency_milli,
+                     sum(c) OVER (ORDER BY fluency_milli) AS cum
+              FROM hist),
+      n AS (SELECT count(*) AS n FROM scored),
+      t AS (SELECT
+              (SELECT min(fluency_milli) FROM cum, n
+               WHERE cum >= (n + 2) // 3) AS t1,
+              (SELECT min(fluency_milli) FROM cum, n
+               WHERE cum >= (2 * n + 2) // 3) AS t2)
+      SELECT s.doc_id, s.fluency_milli,
+             CASE WHEN s.fluency_milli <= t.t1 THEN 'tail'
+                  WHEN s.fluency_milli <= t.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket
+      FROM scored s, t"""))
 
   // --- BPE training + encoding ----------------------------------------
 
@@ -747,5 +834,5 @@ object Corpus {
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
       mixSample, mixTemperature, quotaSample, invertedIndex, bpePairCounts, bigramLm,
-      bpeEncodeQuery, heavyHitters, oovRate, tokenDrift)
+      ccnetBuckets, bpeEncodeQuery, heavyHitters, oovRate, tokenDrift)
 }

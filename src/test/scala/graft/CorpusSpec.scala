@@ -426,4 +426,40 @@ class CorpusSpec extends SparkSpec {
     assert(copies.exists(c => docSplit(c) != docSplit(c - 20000000L)),
       "planted ids no longer demonstrate the per-doc leak — re-plant")
   }
+
+  test("ccnet buckets: count-based terciles, ties land low, every " +
+      "scored doc bucketed exactly once") {
+    val rows = Corpus.ccnetBuckets.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = rows.length
+    assert(n > 0)
+    // partition: every doc in exactly one bucket
+    assert(rows.map(_._1).distinct.length == n)
+    val byB = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet.subsetOf(Set("tail", "middle", "head")))
+    // ordering invariant: max(tail) <= min(middle) <= ... with ties
+    // allowed ONLY at the shared threshold values
+    for {
+      lo <- byB.get("tail"); hi <- byB.get("middle")
+    } assert(lo.max <= hi.min, "tail fluency must not exceed middle")
+    for {
+      lo <- byB.get("middle"); hi <- byB.get("head")
+    } assert(lo.max < hi.min, "middle <= t2 < head by the CASE rule")
+    // threshold replay: t1/t2 are the smallest values whose cumulative
+    // count reaches ceil(n/3)/ceil(2n/3); the engine's split must equal
+    // this driver-side reference exactly
+    val sortedF = rows.map(_._2).sorted
+    def thr(target: Long): Long = {
+      var cum = 0L
+      sortedF.distinct.map { v =>
+        v -> { cum += sortedF.count(_ == v); cum }
+      }.collectFirst { case (v, c) if c >= target => v }.get
+    }
+    val t1 = thr((n + 2L) / 3L)
+    val t2 = thr((2L * n + 2L) / 3L)
+    rows.foreach { case (id, f, b) =>
+      val want = if (f <= t1) "tail" else if (f <= t2) "middle" else "head"
+      assert(b == want, s"doc $id f=$f got $b want $want (t1=$t1 t2=$t2)")
+    }
+  }
 }
