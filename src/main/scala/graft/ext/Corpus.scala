@@ -358,12 +358,15 @@ object Corpus {
     * documents), ~100× slower than this sliding window. */
   private val bigramsUdf =
     udf { (text: String) =>
-      val w = Option(text).getOrElse("").trim.split("\\s+")
+      // wsTokens: shared once-compiled trim/split (r14) — occurrence
+      // list, NOT distinct (an LM statistic counts every occurrence)
+      val w = TextAnalysis.wsTokens(text)
       if (w.length < 2) Array.empty[String]
       else w.sliding(2).map(_.mkString(" ")).toArray
     }
 
-  private def bigrams(text: org.apache.spark.sql.Column) = bigramsUdf(text)
+  private[graft] def bigrams(text: org.apache.spark.sql.Column) =
+    bigramsUdf(text)
 
   /** Bigram language-model quality signal — the KenLM-style fluency
     * filter in integer arithmetic: per doc, its bigram occurrence
@@ -492,6 +495,47 @@ object Corpus {
                   WHEN s.fluency_milli <= t.t2 THEN 'middle'
                   ELSE 'head' END AS bucket
       FROM scored s, t"""))
+
+  /** Ingest-time fluency gate — the streaming twin of [[ccnetBuckets]]
+    * and the actual CCNet deployment shape: the language model is a
+    * FIXED published artifact (there: a trained KenLM binary; here:
+    * the reference corpus's bigram frequency table) broadcast to every
+    * worker together with the tercile thresholds, and each incoming
+    * document is scored and bucketed in one stateless map — no
+    * shuffle, no state store, so the SAME function runs on batch and
+    * streaming frames (StreamingSpec pins stream == batch). Docs with
+    * fewer than two words carry no bigram signal and are dropped,
+    * matching the batch key's domain. */
+  def fluencyGate(docs: org.apache.spark.sql.DataFrame,
+      freq: Map[String, Long], t1: Long, t2: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val statUdf = udf { (text: String) =>
+      val w = TextAnalysis.wsTokens(text)
+      // boxed Long: the <2-word case is SQL NULL (dropped below), and
+      // an unboxed branch would type the lambda Any → no encoder
+      if (w.length < 2) null.asInstanceOf[java.lang.Long]
+      else {
+        var i = 0
+        var s = 0L
+        while (i < w.length - 1) {
+          s += freq.getOrElse(w(i) + " " + w(i + 1), 0L)
+          i += 1
+        }
+        val n = (w.length - 1).toLong
+        // trunc(s·1000/n) without the s·1000 overflow — the JVM twin
+        // of Relational.meanMilli (s, n are non-negative here)
+        java.lang.Long.valueOf(
+          (s / n) * 1000L + ((s - (s / n) * n) * 1000L) / n)
+      }
+    }
+    docs
+      .withColumn("fluency_milli", statUdf(col("text")))
+      .filter(col("fluency_milli").isNotNull)
+      .select(col("doc_id"), col("fluency_milli"),
+        when(col("fluency_milli") <= t1, "tail")
+          .when(col("fluency_milli") <= t2, "middle")
+          .otherwise("head").as("bucket"))
+  }
 
   // --- BPE training + encoding ----------------------------------------
 

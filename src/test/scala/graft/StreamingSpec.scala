@@ -2077,4 +2077,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("streaming fluency gate equals the batch ccnet buckets — the " +
+      "published LM + thresholds gate new docs stateless, map-only") {
+    // CCNet deployment shape: the LM (here the bigram df table) and
+    // the tercile thresholds are FIXED published artifacts; incoming
+    // docs are scored and bucketed per-row. Feeding the reference
+    // corpus itself through the gate must reproduce the batch key.
+    import org.apache.spark.sql.functions.{col, explode}
+    val docsDf = Tables(spark, sf, "documents")
+    // the published artifacts, derived once from the reference corpus
+    val freq = docsDf
+      .select(explode(graft.ext.Corpus.bigrams(col("text"))).as("bg"))
+      .groupBy("bg").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ext.Corpus.ccnetBuckets.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // thresholds replayed from the batch output (max stat per bucket)
+    val byB = batch.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val t1 = byB("tail")
+    val t2 = byB.getOrElse("middle", t1) // t1 == t2 when ties empty it
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.ext.Corpus.fluencyGate(
+        ms.toDF().toDF("doc_id", "text"), freq, t1, t2)
+      .writeStream.format("memory").queryName("t_fluencygate")
+      .option("checkpointLocation", s"${freshDir("fluencygate")}/ckpt")
+      .start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    ms.addData(b1.toSeq)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_fluencygate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == batch.toSet,
+      s"missing=${(batch.toSet -- got).take(3)} " +
+        s"extra=${(got -- batch.toSet).take(3)}")
+  }
 }
