@@ -766,6 +766,79 @@ object Dedup {
     (s, dir) => minhashDedup(plantedCorpus(Tables(s, dir, "documents"))),
     Some(jaccardOracleSql))
 
+  /** INCREMENTAL cross-corpus near-dup (r14) — the daily-crawl shape:
+    * a new batch of documents is deduplicated AGAINST an existing
+    * historical corpus without ever re-pairing history with itself.
+    * Candidates come from equal MinHash band buckets ACROSS the two
+    * sides only (history × increment — never history², the quadratic
+    * term a full re-dedup would pay), then exact Jaccard verification
+    * gives precision 1.0 as in [[minhashDedup]], so the brute-force
+    * cross-slice oracle applies exactly.
+    *
+    * 100 TB shape: in production the history side's banded bucket
+    * table is a PUBLISHED artifact (the bm25-idf pattern — computed
+    * once when history was ingested, stored keyed on
+    * [[graft.Work.publishTag]]); each increment only shingles itself,
+    * bands, and joins buckets — work ∝ increment, not corpus. The
+    * in-query spelling here computes both sides so the DuckDB oracle
+    * sees one deterministic closure; the join/verify plan is identical
+    * either way. One (band, bucket) shuffle for candidates; the verify
+    * chain is the adjudicated [[verifyJaccard]] shape. */
+  def incrementalPairs(history: DataFrame,
+      increment: DataFrame): DataFrame = {
+    val shH = shingleSets(history).persist()
+    shH.count(): Unit
+    val shI = shingleSets(increment).persist()
+    shI.count(): Unit
+    // persist the banded sides: the cross join broadcasts one side
+    // when small, and an unpersisted frame would recompute the 64-hash
+    // signature UDF per consumer (the lshCandidates finding)
+    val bH = bandBuckets(minhashSignatures(shH)).persist()
+    bH.count(): Unit
+    val bI = bandBuckets(minhashSignatures(shI)).persist()
+    bI.count(): Unit
+    val cands = bH.alias("x").join(bI.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // ids are disjoint across the slices, so verifying against the
+    // union keeps the adjudicated chained-join verify shape
+    val out = Work.materialize("incremental_pairs",
+      verifyJaccard(cands, shH.unionByName(shI)))
+    bI.unpersist(); bH.unpersist(); shI.unpersist(); shH.unpersist()
+    out
+  }
+
+  val incremental = QueryDef(
+    "dedup_incremental",
+    (s, dir) => {
+      val corpus = plantedCorpus(Tables(s, dir, "documents"))
+      // history = the original docs; increment = the planted perturbed
+      // recrawls (+PlantedOffset ids) — every increment doc is a
+      // near-dup of exactly its original, so the cross-dedup has a
+      // rich, deterministic match set
+      incrementalPairs(
+        corpus.filter(col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset))
+    },
+    Some(s"""
+      WITH corpus AS ($plantedCorpusSql),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - 3),
+                      i -> array_to_string(ws[i:i+3], ' '))) AS shs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM corpus)
+             WHERE len(ws) >= 4),
+      inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common,
+             a.n AS n_a, b.n AS n_b
+      FROM inv a JOIN inv b ON a.sh = b.sh
+      WHERE a.doc_id < ${PlantedOffset} AND b.doc_id >= ${PlantedOffset}
+      GROUP BY 1, 2, 4, 5
+      HAVING count(*) * 3 >= a.n + b.n"""))
+
   /** Decontamination — the eval-leakage check every LLM pipeline runs:
     * flag evaluation documents sharing at least one word n-gram with
     * the training corpus. Inverted-index equi-join on the shingle (the
@@ -1777,7 +1850,8 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, containment, minhash,
-      simhash, simhashNearDup, simhashWideNearDup, embeddingCosine,
-      semantic, semanticHier, clusters, keepBest, decontam, contamScore,
-      curate, lineDedup, repeatedSpansQ, removeSpansQ)
+      incremental, simhash, simhashNearDup, simhashWideNearDup,
+      embeddingCosine, semantic, semanticHier, clusters, keepBest,
+      decontam, contamScore, curate, lineDedup, repeatedSpansQ,
+      removeSpansQ)
 }

@@ -1446,6 +1446,25 @@ class ExtSpec extends SparkSpec {
     assert(s2.toSeq == s1.toSeq)
   }
 
+  test("incremental cross-corpus dedup equals the cross-slice " +
+      "restriction of the full near-dup pair set") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents"))
+    val off = Dedup.PlantedOffset
+    val full = Dedup.jaccardPairs(Dedup.shingleSets(corpus)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.filter { case (a, b) => a < off && b >= off }
+    assert(cross.nonEmpty, "planted recrawls must produce cross pairs")
+    val got = Dedup.incrementalPairs(
+        corpus.filter(col("doc_id") < off),
+        corpus.filter(col("doc_id") >= off))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == cross,
+      s"missing=${(cross -- got).take(3)} extra=${(got -- cross).take(3)}")
+    // directionality: never a within-history or within-increment pair
+    assert(got.forall { case (a, b) => a < off && b >= off })
+  }
+
   test("DSIR: fused predicate-target ratios equal the generic " +
       "two-frame pass on the same subset; tokenization is " +
       "whitespace-robust at the edges") {
