@@ -148,6 +148,23 @@ object StressMain {
     pair("keep_best")(
       c => Dedup.keepBestOf(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))
+    // r14: cross-corpus incremental dedup — candidate volume is
+    // history×increment band hits (never history²); disjoint replicas
+    // grow both slices n×, cross matches stay per-replica
+    pair("dedup_incremental")(
+      { c =>
+        val corpus = Dedup.plantedCorpus(c)
+        Dedup.incrementalPairs(
+          corpus.filter(col("doc_id") % 100000000L < Dedup.PlantedOffset),
+          corpus.filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset))
+          .count()
+      },
+      n => repDocs(docs, n))
+    // r14: fluency terciles — the bigram passes grow with rows; the
+    // threshold pass is value-domain-sized and must stay flat
+    pair("ccnet_buckets")(
+      c => graft.ext.Corpus.ccnetBucketsOf(c).count(),
+      n => repDocs(docs, n))
     pair("ngram_jaccard")(
       c => Dedup.jaccardPairs(Dedup.shingleSets(Dedup.plantedCorpus(c))).count(),
       n => repDocs(docs, n))

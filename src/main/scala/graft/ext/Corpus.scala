@@ -438,11 +438,12 @@ object Corpus {
     * global-window class as the KS statistic, ops/Quality.scala). The
     * two thresholds broadcast back onto a map-only bucket projection —
     * the corpus itself never sorts. */
-  val ccnetBuckets = QueryDef(
-    "corpus_ccnet_buckets",
-    (s, dir) => {
+  /** df-in core of [[ccnetBuckets]] — the QueryDef and the StressMain
+    * growth harness both bind it. */
+  def ccnetBucketsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val scored = lmStatsOf(Tables(s, dir, "documents"))
+      val scored = lmStatsOf(docs)
         .select(col("doc_id"),
           graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
             .as("fluency_milli"))
@@ -462,7 +463,11 @@ object Corpus {
           when(col("fluency_milli") <= col("t1"), "tail")
             .when(col("fluency_milli") <= col("t2"), "middle")
             .otherwise("head").as("bucket"))
-    },
+  }
+
+  val ccnetBuckets = QueryDef(
+    "corpus_ccnet_buckets",
+    (s, dir) => ccnetBucketsOf(Tables(s, dir, "documents")),
     Some("""
       WITH inv AS (
         SELECT doc_id, unnest(list_transform(
