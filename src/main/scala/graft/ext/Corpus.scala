@@ -52,6 +52,66 @@ object Corpus {
       ORDER BY cnt DESC, token
       LIMIT $VocabSize"""))
 
+  /** UNK-replacement normalization (r14) — the vocabulary-closing pass
+    * classic tokenizer/embedding training runs: every token outside
+    * the top-[[UnkVocabK]] corpus vocabulary is replaced with the
+    * `<unk>` sentinel, preserving token order, and each doc reports
+    * its OOV count. [[UnkVocabK]] = 20 sits BELOW the synthetic
+    * corpus's ~31-word vocabulary so the replacement genuinely fires;
+    * the boundary is deterministic (count desc, token asc — the
+    * [[vocabOf]] tie rule both engines share).
+    *
+    * 100 TB shape: the vocab is a bounded top-N (TakeOrderedAndProject
+    * over one map-side-combined token count) that BROADCASTS onto the
+    * exploded corpus as a left join — membership never shuffles the
+    * corpus; the rebuild is the boilerplate-removal pattern, one
+    * groupBy(doc_id) whose state is a single document (position-sorted
+    * struct collect), no window. */
+  val UnkVocabK = 20
+
+  val unkReplace = QueryDef(
+    "text_unk_replace",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val vocab = vocabOf(docs, UnkVocabK)
+        .select(col("token").as("tok"), lit(true).as("inv"))
+      val ex = docs
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      ex.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          col("inv").isNotNull.as("kept"),
+          when(col("inv").isNotNull, col("tok"))
+            .otherwise(lit("<unk>")).as("out"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_unk"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("out")))),
+            x => x.getField("out")), " ").as("text_unk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents),
+      ex AS (SELECT doc_id,
+                    unnest(generate_series(1, len(ws))) AS pos,
+                    unnest(ws) AS tok
+             FROM toks),
+      exf AS (SELECT * FROM ex WHERE length(tok) > 0),
+      vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt
+                                 FROM exf GROUP BY tok)
+                ORDER BY cnt DESC, tok LIMIT $UnkVocabK)
+      SELECT e.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+             string_agg(CASE WHEN v.tok IS NULL THEN '<unk>' ELSE e.tok END,
+                        ' ' ORDER BY e.pos) AS text_unk
+      FROM exf e LEFT JOIN vocab v ON e.tok = v.tok
+      GROUP BY e.doc_id"""))
+
   /** Per-document top-k salient terms, TF-IDF-style but with a purely
     * integer deterministic ranking: high term frequency first, then LOW
     * document frequency (the IDF signal), then the term string. Floats
@@ -883,5 +943,6 @@ object Corpus {
   val all: Seq[QueryDef] =
     Seq(buildVocab, tfidfTopTerms, shuffleDeterministic, statsBySource,
       mixSample, mixTemperature, quotaSample, invertedIndex, bpePairCounts, bigramLm,
-      ccnetBuckets, bpeEncodeQuery, heavyHitters, oovRate, tokenDrift)
+      ccnetBuckets, unkReplace, bpeEncodeQuery, heavyHitters, oovRate,
+      tokenDrift)
 }
