@@ -503,16 +503,27 @@ object Corpus {
   def ccnetBucketsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val scored = lmStatsOf(docs)
-        .select(col("doc_id"),
-          graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
-            .as("fluency_milli"))
+      // materialize the (doc_id, fluency_milli) projection ONCE: it
+      // feeds the histogram branch AND the final bucket projection,
+      // and both would otherwise recompute the heavy bigram-LM pass
+      // (the histogram sits behind a broadcast, which defeats
+      // ReuseExchange — the r13 self-join finding; r14 review). The
+      // url_domain_proj trade: one heavy pass + one ~16-byte/row
+      // parquet round-trip beats 2-3 bigram-explode passes at any
+      // scale.
+      val scored = graft.Work.materialize("ccnet_scored",
+        lmStatsOf(docs)
+          .select(col("doc_id"),
+            graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
+              .as("fluency_milli")))
       val hist = scored.groupBy("fluency_milli").agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum",
         sum(col("c")).over(Window.orderBy("fluency_milli")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // n = max(cum) — the total doc count falls out of the histogram
+      // itself; no separate corpus-count branch (r14 review)
       val th = cum
-        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .crossJoin(broadcast(cum.agg(max(col("cum")).as("n"))))
         .agg(
           min(when(col("cum") >= expr("(n + 2) div 3"),
             col("fluency_milli"))).as("t1"),
@@ -574,7 +585,13 @@ object Corpus {
   def fluencyGate(docs: org.apache.spark.sql.DataFrame,
       freq: Map[String, Long], t1: Long, t2: Long)
       : org.apache.spark.sql.DataFrame = {
+    // genuinely broadcast, not closure-captured: a closure Map ships
+    // inside EVERY serialized task; the published LM table (millions
+    // of bigrams at the documented scale) must go out once per
+    // executor (r14 review)
+    val bc = docs.sparkSession.sparkContext.broadcast(freq)
     val statUdf = udf { (text: String) =>
+      val freq = bc.value
       val w = TextAnalysis.wsTokens(text)
       // boxed Long: the <2-word case is SQL NULL (dropped below), and
       // an unboxed branch would type the lambda Any → no encoder

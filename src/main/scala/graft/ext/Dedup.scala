@@ -790,13 +790,14 @@ object Dedup {
     shH.count(): Unit
     val shI = shingleSets(increment).persist()
     shI.count(): Unit
-    // persist the banded sides: the cross join broadcasts one side
-    // when small, and an unpersisted frame would recompute the 64-hash
-    // signature UDF per consumer (the lshCandidates finding)
-    val bH = bandBuckets(minhashSignatures(shH)).persist()
-    bH.count(): Unit
-    val bI = bandBuckets(minhashSignatures(shI)).persist()
-    bI.count(): Unit
+    // the banded sides are NOT persisted: unlike lshCandidates' SELF
+    // join (one frame feeding both sides), each frame here has exactly
+    // one consumer — one side of the cross-side join — so the 64-hash
+    // signature UDF runs once per side with no cache (r14 review; the
+    // shingle frames above DO persist: signatures + verify both read
+    // them)
+    val bH = bandBuckets(minhashSignatures(shH))
+    val bI = bandBuckets(minhashSignatures(shI))
     val cands = bH.alias("x").join(bI.alias("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket"))
@@ -806,7 +807,7 @@ object Dedup {
     // union keeps the adjudicated chained-join verify shape
     val out = Work.materialize("incremental_pairs",
       verifyJaccard(cands, shH.unionByName(shI)))
-    bI.unpersist(); bH.unpersist(); shI.unpersist(); shH.unpersist()
+    shI.unpersist(); shH.unpersist()
     out
   }
 
