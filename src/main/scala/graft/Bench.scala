@@ -178,10 +178,9 @@ object Bench {
         pass: Int): Unit = {
       org.apache.spark.sql.graftbridge.ListenerBridge
         .drain(spark.sparkContext)
-      // opt-in rewrite confs are scoped per key: a key that enables a
-      // whole-plan rewrite must not change the plans later keys measure
-      // (SPARK_GRAFT_RULES_ON=1 instead forces both rules globally on —
-      // the rules-on soak posture, r11 punch #3)
+      // per-key conf policy: tuning confs reset per key, whole-plan
+      // rewrites ambient-ON by default since r15 (SOAK_r14-adjudicated;
+      // SPARK_GRAFT_RULES_ON=0 reverts to the old scoped posture)
       GraftSession.applyQueryConfPolicy(spark)
       val (j0, s0, k0, g0) = (jobs.get(), stages.get(), tasks.get(), gcMs())
       val at = (System.nanoTime() - benchT0) / 1e9

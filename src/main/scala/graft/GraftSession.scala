@@ -42,16 +42,34 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
 
+  /** Whether the whole-plan rewrites are ambient-on for engine
+    * sessions. DEFAULT TRUE since r15: SOAK_r14's paired A/B
+    * adjudicated the rules-on posture safe (geomean ratio 0.96, no key
+    * loses beyond noise, 197/197 oracle-green ambient, 12/12 intended
+    * plan matches, zero unintended) — so the real deployment posture
+    * IS the default posture, and the scoped/rules-on double
+    * bookkeeping is retired. Kill switch: `SPARK_GRAFT_RULES_ON=0`
+    * (env, for harness runs) or setting the per-rule EnabledConf to
+    * false on the session (per-conf, for a user session). `=1` still
+    * means on (the old soak spelling, now a no-op). */
+  def rulesOnByDefault: Boolean =
+    !sys.env.get("SPARK_GRAFT_RULES_ON").contains("0")
+
   /** Build (or reuse) the session and register graft's SQL functions. */
   def get(cores: Int): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(s)
-    // whole-plan optimizer extensions (no-ops until their hint conf is
-    // set — see RangeJoinRewrite.BinConf/EnabledConf,
-    // TopKRewrite.EnabledConf)
+    // whole-plan optimizer extensions — registered always, and since
+    // r15 ENABLED ambiently by default (adjudication in
+    // [[rulesOnByDefault]]); a session that wants a rule off sets its
+    // EnabledConf to false
     graft.plans.RangeJoinRewrite.ensureRegistered(s)
     graft.plans.TopKRewrite.ensureRegistered(s)
+    if (rulesOnByDefault) {
+      s.conf.set(plans.RangeJoinRewrite.EnabledConf, "true")
+      s.conf.set(plans.TopKRewrite.EnabledConf, "true")
+    }
     s
   }
 
@@ -76,19 +94,20 @@ object GraftSession {
   def resetQueryConfs(s: SparkSession): Unit =
     queryScopedConfs.foreach(s.conf.unset)
 
-  /** Per-key conf policy for the harness mains (Bench/Verify): scope
-    * the opt-in rewrite confs per key as documented above — UNLESS the
-    * rules-on soak is requested (`SPARK_GRAFT_RULES_ON=1`, round-11
-    * punch #3), in which case every key runs with BOTH whole-plan
-    * rewrites globally enabled: the real `spark.sql.extensions`
-    * deployment posture, where a user sets the confs session-wide and
-    * every matching plan in the suite must take either a correct
-    * rewrite or a safe skip path. The soak artifact (SOAK_r12.md)
-    * records the oracle result and per-key bench deltas of that run.
+  /** Per-key conf policy for the harness mains (Bench/Verify): reset
+    * the TUNING confs (bin width, max-k, max-cells) per key so a key
+    * that tunes a rewrite cannot change the plans later keys measure,
+    * then restore the AMBIENT posture — since r15 that posture is
+    * rules-ON by default (adjudicated in [[rulesOnByDefault]]; the
+    * real `spark.sql.extensions` deployment shape, where every
+    * matching plan in the suite must take either a correct rewrite or
+    * a safe skip path — SOAK_r14 measured exactly that, 197/197
+    * green). `SPARK_GRAFT_RULES_ON=0` reverts the harness to the old
+    * scoped posture for A/B regression runs (SoakAb/SoakPlanDiff).
     */
   def applyQueryConfPolicy(s: SparkSession): Unit = {
     resetQueryConfs(s)
-    if (sys.env.get("SPARK_GRAFT_RULES_ON").contains("1")) {
+    if (rulesOnByDefault) {
       s.conf.set(plans.RangeJoinRewrite.EnabledConf, "true")
       s.conf.set(plans.TopKRewrite.EnabledConf, "true")
     }

@@ -25,8 +25,8 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // scope opt-in rewrite confs per key — or force both rewrites
-      // globally on under SPARK_GRAFT_RULES_ON=1 (the soak posture)
+      // per-key conf policy: tuning confs reset per key, rewrites
+      // ambient-ON by default since r15 (SPARK_GRAFT_RULES_ON=0 reverts)
       GraftSession.applyQueryConfPolicy(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
