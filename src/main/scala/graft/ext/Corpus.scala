@@ -458,12 +458,12 @@ object Corpus {
   val bigramLm = QueryDef(
     "text_bigram_lm",
     (s, dir) => lmStatsOf(Tables(s, dir, "documents")),
-    Some("""
+    Some(s"""
       WITH inv AS (
         SELECT doc_id, unnest(list_transform(
                  generate_series(1, len(ws) - 1),
                  i -> ws[i] || ' ' || ws[i + 1])) AS bg
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
               FROM documents)
         WHERE len(ws) >= 2),
       freq AS (SELECT bg, count(*) AS c FROM inv GROUP BY bg)
@@ -539,12 +539,12 @@ object Corpus {
   val ccnetBuckets = QueryDef(
     "corpus_ccnet_buckets",
     (s, dir) => ccnetBucketsOf(Tables(s, dir, "documents")),
-    Some("""
+    Some(s"""
       WITH inv AS (
         SELECT doc_id, unnest(list_transform(
                  generate_series(1, len(ws) - 1),
                  i -> ws[i] || ' ' || ws[i + 1])) AS bg
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
               FROM documents)
         WHERE len(ws) >= 2),
       freq AS (SELECT bg, count(*) AS c FROM inv GROUP BY bg),

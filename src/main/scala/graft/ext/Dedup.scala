@@ -34,7 +34,11 @@ object Dedup {
   /** documents ∪ perturbed copies (drop last word). */
   def plantedCorpus(docs: DataFrame): DataFrame = {
     val dropLast = udf { (text: String) =>
-      val w = Option(text).getOrElse("").trim.split("\\s+")
+      // wsTokens, not String.trim: String.trim also strips control
+      // chars < U+0009 that no SQL spelling can express — with the
+      // shared Java-\s tokenizer the oracle's explicit-class split
+      // (TextAnalysis.wsSplitSql) is exact on EVERY input (r14 ADVICE)
+      val w = TextAnalysis.wsTokens(text)
       w.take(w.length - 1).mkString(" ")
     }
     val perturbed = docs.select(
@@ -47,12 +51,12 @@ object Dedup {
     graft.Tables.spread(docs.select("doc_id", "text").unionAll(perturbed))
   }
 
-  private val plantedCorpusSql = """
+  private val plantedCorpusSql = s"""
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 10000000 AS doc_id,
              array_to_string(ws[1:len(ws)-1], ' ') AS text
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
             FROM documents)"""
 
   /** Exact dedup on a corpus with planted exact copies (doc_id%10==0
@@ -86,11 +90,11 @@ object Dedup {
     *
     * Oracle-dialect note: the ENGINE-internal guard⟺UDF equivalence
     * below is exact for all whitespace (both sides share one Java `\s`
-    * regex — PropertySpec pins it); the DuckDB oracle SQL for the
-    * shingle keys still spells `trim(text)` (space-only), so the
-    * CROSS-ENGINE contract additionally assumes the committed
-    * testdata's edge whitespace is plain spaces — which it is, and
-    * which the oracle hash would catch if it drifted. */
+    * regex — PropertySpec pins it); since r15 the DuckDB oracle SQL
+    * for every shingle key also spells the explicit
+    * `[ \t\n\r\f\x0b]` class ([[TextAnalysis.wsSplitSql]]), so the
+    * CROSS-ENGINE contract no longer assumes space-only edge
+    * whitespace in the committed testdata (r14 ADVICE). */
   def shingleSets(corpus: DataFrame, n: Int = ShingleN): DataFrame =
     corpus
       // The non-empty guard as a NATIVE word-count predicate —
@@ -186,7 +190,7 @@ object Dedup {
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM corpus)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
@@ -246,7 +250,7 @@ object Dedup {
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM corpus)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
@@ -548,7 +552,7 @@ object Dedup {
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM corpus)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh),
@@ -619,7 +623,7 @@ object Dedup {
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM corpus)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh),
@@ -829,7 +833,7 @@ object Dedup {
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM corpus)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh)
@@ -888,12 +892,12 @@ object Dedup {
         train = docs.filter(col("doc_id") % 10 =!= 0),
         test = docs.filter(col("doc_id") % 10 === 0))
     },
-    Some("""
+    Some(s"""
       WITH sh AS (SELECT doc_id,
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM documents)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, unnest(shs) AS sh FROM sh)
@@ -941,12 +945,12 @@ object Dedup {
         train = docs.filter(col("doc_id") % 10 =!= 0),
         test = docs.filter(col("doc_id") % 10 === 0))
     },
-    Some("""
+    Some(s"""
       WITH sh AS (SELECT doc_id,
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM documents)
              WHERE len(ws) >= 4),
       trs AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 10 <> 0),
@@ -1627,7 +1631,7 @@ object Dedup {
                     list_distinct(list_transform(
                       generate_series(1, len(ws) - 3),
                       i -> array_to_string(ws[i:i+3], ' '))) AS shs
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
                    FROM ek)
              WHERE len(ws) >= 4),
       inv AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh),

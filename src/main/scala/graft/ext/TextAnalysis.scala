@@ -18,8 +18,37 @@ object TextAnalysis {
     * `trim` the oracle SQL uses, so this is the spelling for columns
     * whose oracle contract is `regexp_split_to_array(trim(text), ..)`.
     * For the shingle/dedup path use [[tokensWs]], whose trim matches
-    * the UDF tokenizer on tab/newline-bordered text. */
+    * the UDF tokenizer on tab/newline-bordered text.
+    *
+    * ==Which tokenizer does my operator use? (r14 ADVICE)==
+    * Two regimes coexist, each pinned to its oracle's trim spelling; a
+    * new caller MUST pick the variant its oracle (and any native-guard
+    * ⟺ UDF equivalence) is written against:
+    *
+    * | family | variant | oracle trim spelling |
+    * |---|---|---|
+    * | text stats / quality / curation gates | [[tokens]] | `trim(text)` (space-only) |
+    * | vocab / TF-IDF / token-count / OOV / UNK | [[tokens]] | `trim(text)` |
+    * | SimHash token frequencies | [[tokens]] | `trim(text)` |
+    * | shingles / all near-dup (MinHash, Jaccard, containment, clusters, keep-best, incremental, decontam) | [[tokensWs]]/[[wsTokens]] | explicit class via [[wsSplitSql]] |
+    * | bigram LM / ccnet fluency | [[wsTokens]] (via `Corpus.bigrams`) | [[wsSplitSql]] |
+    * | DSIR feature buckets | [[wsTokens]] | explicit class (Dsir.weightsSql) |
+    */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** DuckDB oracle spelling of [[tokensWs]]/[[wsTokens]]: trim + split
+    * on the EXPLICIT whitespace class `[ \t\n\r\f\x0b]` (== Java regex
+    * `\s`). RE2's `\s` lacks `\x0b` and DuckDB's `trim()` is
+    * space-only, so both sides of the cross-engine contract spell the
+    * class out — the oracle then matches the engine on tab/newline/
+    * VT-bordered text too, instead of resting on the committed
+    * testdata having space-only edge whitespace (r14 ADVICE; the same
+    * spelling Dsir.weightsSql already used). */
+  def wsSplitSql(expr: String): String = {
+    val c = "[ \\t\\n\\r\\f\\x0b]"
+    s"regexp_split_to_array(" +
+      s"regexp_replace($expr, '^$c+|$c+$$', '', 'g'), '$c+')"
+  }
 
   /** Whitespace-ROBUST tokens: regex-trims all `\s` (tab, newline, CR,
     * FF, VT — Java regex semantics, identical on executor and in
