@@ -152,14 +152,36 @@ object StressMain {
     // history×increment band hits (never history²); disjoint replicas
     // grow both slices n×, cross matches stay per-replica
     pair("dedup_incremental")(
-      { c =>
-        val corpus = Dedup.plantedCorpus(c)
-        Dedup.incrementalPairs(
-          corpus.filter(col("doc_id") % 100000000L < Dedup.PlantedOffset),
-          corpus.filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset))
-          .count()
-      },
+      c => Dedup.incrementalPairsFused(Dedup.plantedCorpus(c),
+          col("doc_id") % 100000000L < Dedup.PlantedOffset).count(),
       n => repDocs(docs, n))
+    // r15: published-history incremental — the index publish happens
+    // OUTSIDE the timed region (it is history-ingest-time work);
+    // history grows n× while the increment stays FIXED, so the
+    // increment-side JOB COUNT must stay flat and wall must grow far
+    // sub-linearly (only the stored-table scans and the verify join
+    // grow; shingling/hashing work is ∝ increment). Replicas >0 are
+    // shingle-disjoint from replica 0, so the candidate set stays flat.
+    if (only.isEmpty || only.contains("incremental_pub_hist")) {
+      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+      val inc1 = Dedup.plantedCorpus(repDocs(docs, 1))
+        .filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset)
+      def runAt(n: Int, label: String): Double = {
+        val path = s"${Work.dir}/stress_histidx_${Work.jvmTag}_$n"
+        Work.clean(path)
+        Dedup.publishHistoryIndex(spark, path,
+          Dedup.plantedCorpus(repDocs(docs, n)).filter(histPred))
+        val sec = t(s"incremental_pub_hist $label")(
+          Dedup.incrementalAgainstIndex(spark, path, inc1).count())
+        Work.clean(path)
+        sec
+      }
+      val base = runAt(1, "1x")
+      GraftSession.dropAllCaches(spark)
+      val big = runAt(mult, s"${mult}x")
+      GraftSession.dropAllCaches(spark)
+      results("incremental_pub_hist") = (base, big)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(

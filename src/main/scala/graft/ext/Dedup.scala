@@ -779,55 +779,92 @@ object Dedup {
     * gives precision 1.0 as in [[minhashDedup]], so the brute-force
     * cross-slice oracle applies exactly.
     *
-    * 100 TB shape: in production the history side's banded bucket
-    * table is a PUBLISHED artifact (the bm25-idf pattern — computed
-    * once when history was ingested, stored keyed on
-    * [[graft.Work.publishTag]]); each increment only shingles itself,
-    * bands, and joins buckets — work ∝ increment, not corpus. The
-    * in-query spelling here computes both sides so the DuckDB oracle
-    * sees one deterministic closure; the join/verify plan is identical
-    * either way. One (band, bucket) shuffle for candidates; the verify
-    * chain is the adjudicated [[verifyJaccard]] shape. */
+    * Recall bound (r14 ADVICE): a pair at Jaccard J shares any given
+    * band with probability J⁴ (4 signature rows per band), so
+    * P(missed by all 16 bands) = (1 − J⁴)¹⁶ — ≈4e-8 at J=0.9, 5.7e-3
+    * at J=0.8, but 0.36 at the 0.5 verify threshold. Equality with
+    * the brute-force cross-pair oracle is therefore DATA-contingent:
+    * the planted recrawl pairs sit at J = (L−4)/(L−3) ≥ 6/7 ≈ 0.857
+    * for the committed corpora's ≥10-word docs (per-pair miss ≤ 4e-6,
+    * and the fixed permutations make it deterministic, not per-run
+    * luck), and ExtSpec asserts SET EQUALITY with the brute-force
+    * cross-pairs — the pin that fails loudly if the corpus ever grows
+    * a near-threshold pair the banding can miss (the same pin
+    * [[minhashDedup]] carries).
+    *
+    * 100 TB shape: in production the history side's index is a
+    * PUBLISHED artifact — [[publishHistoryIndex]] writes it once at
+    * history-ingest time, [[incrementalAgainstIndex]] joins each
+    * increment against the stored tables, so per-increment compute is
+    * ∝ increment, not corpus (witnessed by `dedup_incremental_pub` and
+    * the StressMain flat-jobs growth row). The in-query spelling here
+    * computes both sides in one union-tagged shingle pass (ONE
+    * persist+count barrier and ONE corpus scan via
+    * [[incrementalPairsFused]] — r14 verdict: the two serial
+    * materializations and double corpus scan were its #5 cost center);
+    * the cross-side join/verify plan is identical either way. One
+    * (band, bucket) shuffle for candidates; the verify chain is the
+    * adjudicated [[verifyJaccard]] shape. */
   def incrementalPairs(history: DataFrame,
-      increment: DataFrame): DataFrame = {
-    val shH = shingleSets(history).persist()
-    shH.count(): Unit
-    val shI = shingleSets(increment).persist()
-    shI.count(): Unit
+      increment: DataFrame): DataFrame =
+    // union-with-tag (the logRatioRows pattern): each input frame is
+    // read once — inherent to two distinct frames; the predicate-split
+    // witness shape goes through incrementalPairsFused instead, which
+    // reads its one corpus once
+    incrementalFromTagged(shingleSets(
+      history.select(col("doc_id"), col("text"), lit(true).as("hist"))
+        .unionByName(increment.select(col("doc_id"), col("text"),
+          lit(false).as("hist")))))
+
+  /** One-corpus-scan variant for the common case where history and
+    * increment are a PREDICATE split of one frame (the
+    * [[Dsir.logRatioRowsFused]] choice pin): the tag is computed on
+    * the shingled rows, so the corpus is scanned and shingled exactly
+    * once where `incrementalPairs(c.filter(p), c.filter(!p))` would
+    * recompute the corpus once per side. */
+  def incrementalPairsFused(corpus: DataFrame, histPred: Column): DataFrame =
+    incrementalFromTagged(
+      shingleSets(corpus.select(col("doc_id"), col("text")))
+        .withColumn("hist", histPred))
+
+  /** Shared core over a (doc_id, shs, n, hist) frame: ONE persist+count
+    * barrier (vs r14's two serial per-side materializations), then the
+    * cross-side candidate join and chained verify read the cache. */
+  private def incrementalFromTagged(tagged: DataFrame): DataFrame = {
+    val sh = tagged.persist()
+    sh.count(): Unit
     // the banded sides are NOT persisted: unlike lshCandidates' SELF
-    // join (one frame feeding both sides), each frame here has exactly
-    // one consumer — one side of the cross-side join — so the 64-hash
-    // signature UDF runs once per side with no cache (r14 review; the
-    // shingle frames above DO persist: signatures + verify both read
-    // them)
-    val bH = bandBuckets(minhashSignatures(shH))
-    val bI = bandBuckets(minhashSignatures(shI))
-    val cands = bH.alias("x").join(bI.alias("y"),
+    // join (one frame feeding both sides), each has exactly one
+    // consumer — its side of the cross-side join — so the 64-hash
+    // signature UDF runs once per side straight off the cached
+    // shingle frame (r14 review)
+    val cands = crossSideCandidates(
+      bandBuckets(minhashSignatures(sh.filter(col("hist")).drop("hist"))),
+      bandBuckets(minhashSignatures(sh.filter(!col("hist")).drop("hist"))))
+    // ids are disjoint across the slices, so verifying against the
+    // whole tagged frame keeps the adjudicated chained-join verify
+    // shape (equivalent to the union of the two sides)
+    val out = Work.materialize("incremental_pairs",
+      verifyJaccard(cands, sh.drop("hist")))
+    sh.unpersist()
+    out
+  }
+
+  /** Candidate pairs from equal (band, bucket) ACROSS the two sides
+    * only — never within a side (that quadratic term is what the
+    * incremental contract avoids). */
+  private def crossSideCandidates(bH: DataFrame, bI: DataFrame): DataFrame =
+    bH.alias("x").join(bI.alias("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // ids are disjoint across the slices, so verifying against the
-    // union keeps the adjudicated chained-join verify shape
-    val out = Work.materialize("incremental_pairs",
-      verifyJaccard(cands, shH.unionByName(shI)))
-    shI.unpersist(); shH.unpersist()
-    out
-  }
 
-  val incremental = QueryDef(
-    "dedup_incremental",
-    (s, dir) => {
-      val corpus = plantedCorpus(Tables(s, dir, "documents"))
-      // history = the original docs; increment = the planted perturbed
-      // recrawls (+PlantedOffset ids) — every increment doc is a
-      // near-dup of exactly its original, so the cross-dedup has a
-      // rich, deterministic match set
-      incrementalPairs(
-        corpus.filter(col("doc_id") < PlantedOffset),
-        corpus.filter(col("doc_id") >= PlantedOffset))
-    },
-    Some(s"""
+  // --- published history index (the production daily-crawl shape) ----
+
+  /** Both `dedup_incremental` spellings share one oracle: the
+    * brute-force cross-slice inverted-index join. */
+  private val incrementalOracleSql = s"""
       WITH corpus AS ($plantedCorpusSql),
       sh AS (SELECT doc_id,
                     list_distinct(list_transform(
@@ -842,7 +879,104 @@ object Dedup {
       FROM inv a JOIN inv b ON a.sh = b.sh
       WHERE a.doc_id < ${PlantedOffset} AND b.doc_id >= ${PlantedOffset}
       GROUP BY 1, 2, 4, 5
-      HAVING count(*) * 3 >= a.n + b.n"""))
+      HAVING count(*) * 3 >= a.n + b.n"""
+
+  val incremental = QueryDef(
+    "dedup_incremental",
+    (s, dir) => {
+      // history = the original docs; increment = the planted perturbed
+      // recrawls (+PlantedOffset ids) — every increment doc is a
+      // near-dup of exactly its original, so the cross-dedup has a
+      // rich, deterministic match set. Fused: one corpus scan.
+      incrementalPairsFused(plantedCorpus(Tables(s, dir, "documents")),
+        col("doc_id") < PlantedOffset)
+    },
+    Some(incrementalOracleSql))
+
+  /** Write the history-side near-dup index — shingle sets (`sh/`, the
+    * verify side) and banded MinHash buckets (`bb/`, the candidate
+    * side) — to `path` under the _SUCCESS-gated, jvm-tagged-rename
+    * publish discipline of [[Dsir.ensureLogRatios]]. Runs ONCE at
+    * history-ingest time; every later increment only READS the two
+    * tables. The parent `_SUCCESS` marker is created only after both
+    * subtables landed, so a reader can never observe a half-published
+    * index; a completed index is never rewritten. */
+  def publishHistoryIndex(s: SparkSession, path: String,
+      history: DataFrame): Unit = {
+    val target = new java.io.File(path)
+    def done = new java.io.File(target, "_SUCCESS").exists()
+    if (done) return
+    val sh = shingleSets(history.select(col("doc_id"), col("text")))
+      .persist()
+    sh.count(): Unit
+    val tmp = s"${path}__${Work.jvmTag}"
+    Work.clean(tmp)
+    sh.write.mode("overwrite").parquet(s"$tmp/sh")
+    bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
+      .parquet(s"$tmp/bb")
+    sh.unpersist()
+    new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
+    if (!new java.io.File(tmp).renameTo(target)) {
+      if (!done) throw new IllegalStateException(
+        s"history-index publish lost the rename race AND $path is " +
+          "incomplete — inspect the work dir")
+      Work.clean(tmp)
+    }
+  }
+
+  private def histIdxPath(dir: String): String =
+    s"${Work.dir}/inc_hist_v1_${Work.publishTag(dir)}"
+
+  private val histIdxDone = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  /** Publish the witness history index for an sf dir once (history =
+    * the `documents` table itself — exactly the `dedup_incremental`
+    * witness's history slice), keyed on [[graft.Work.publishTag]] so
+    * two corpus dirs sharing a basename never reuse one index. */
+  def ensureHistoryIndex(s: SparkSession, dir: String): String = {
+    graft.SessionCaches.evictStopped(histIdxDone)(_._1)
+    histIdxDone.computeIfAbsent((s, dir), { _ =>
+      val path = histIdxPath(dir)
+      publishHistoryIndex(s, path,
+        Tables(s, dir, "documents").select("doc_id", "text"))
+      path
+    })
+  }
+
+  /** Near-dup pairs of `increment` against a PUBLISHED history index —
+    * the production entry point: history is never re-shingled or
+    * re-hashed; the increment shingles/bands only ITSELF and joins the
+    * stored bucket table, so per-increment compute is ∝ increment
+    * (StressMain's `incremental_pub_hist` row pins increment-side
+    * jobs FLAT as history scales 8×). Bit-identical output to
+    * [[incrementalPairs]] on the same slices (ExtSpec pins set
+    * equality); the verify join against the stored shingle sets still
+    * shuffles ∝ history scan at 100 TB — the index would be bucketed
+    * by doc_id on publish to make that co-located, the compute saving
+    * (shingling + 64 hashes per history doc, per day) is the headline.
+    */
+  def incrementalAgainstIndex(s: SparkSession, indexPath: String,
+      increment: DataFrame): DataFrame = {
+    val shH = s.read.parquet(s"$indexPath/sh")
+    val bH = s.read.parquet(s"$indexPath/bb")
+    val shI = shingleSets(increment.select(col("doc_id"), col("text")))
+      .persist()
+    shI.count(): Unit
+    val cands = crossSideCandidates(bH,
+      bandBuckets(minhashSignatures(shI)))
+    val out = Work.materialize("incremental_pub",
+      verifyJaccard(cands, shH.unionByName(shI)))
+    shI.unpersist()
+    out
+  }
+
+  val incrementalPub = QueryDef(
+    "dedup_incremental_pub",
+    (s, dir) => incrementalAgainstIndex(s, ensureHistoryIndex(s, dir),
+      plantedCorpus(Tables(s, dir, "documents"))
+        .filter(col("doc_id") >= PlantedOffset)),
+    Some(incrementalOracleSql))
 
   /** Decontamination — the eval-leakage check every LLM pipeline runs:
     * flag evaluation documents sharing at least one word n-gram with
@@ -1855,7 +1989,8 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, containment, minhash,
-      incremental, simhash, simhashNearDup, simhashWideNearDup,
+      incremental, incrementalPub, simhash, simhashNearDup,
+      simhashWideNearDup,
       embeddingCosine, semantic, semanticHier, clusters, keepBest,
       decontam, contamScore, curate, lineDedup, repeatedSpansQ,
       removeSpansQ)

@@ -1465,6 +1465,40 @@ class ExtSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < off && b >= off })
   }
 
+  test("published-history incremental dedup: fused == generic == " +
+      "stored-index entry point, and a completed index is never " +
+      "rewritten") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents")
+    val corpus = Dedup.plantedCorpus(docs)
+    val off = Dedup.PlantedOffset
+    val inc = corpus.filter(col("doc_id") >= off)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    val fused = rows(Dedup.incrementalPairsFused(corpus,
+      col("doc_id") < off))
+    assert(fused.nonEmpty, "planted recrawls must produce cross pairs")
+    // choice pin: the one-corpus-scan fused spelling and the generic
+    // two-frame union-with-tag spelling produce identical rows
+    assert(fused == rows(Dedup.incrementalPairs(
+      corpus.filter(col("doc_id") < off), inc)))
+    // the production path: publish history once, join the increment
+    // against the STORED tables — bit-equal to the in-query spelling
+    val path = Work.scratch("histidx_spec")
+    Work.clean(path)
+    Dedup.publishHistoryIndex(spark, path, docs.select("doc_id", "text"))
+    val pub = rows(Dedup.incrementalAgainstIndex(spark, path, inc))
+    assert(pub == fused, s"missing=${(fused -- pub).take(3)} " +
+      s"extra=${(pub -- fused).take(3)}")
+    // publish is _SUCCESS-gated: a second publish with DIFFERENT input
+    // must be a no-op on a completed index
+    Dedup.publishHistoryIndex(spark, path,
+      docs.limit(1).select("doc_id", "text"))
+    assert(rows(Dedup.incrementalAgainstIndex(spark, path, inc)) == fused)
+    Work.clean(path)
+  }
+
   test("DSIR: fused predicate-target ratios equal the generic " +
       "two-frame pass on the same subset; tokenization is " +
       "whitespace-robust at the edges") {
