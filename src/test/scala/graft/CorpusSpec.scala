@@ -462,4 +462,31 @@ class CorpusSpec extends SparkSpec {
       assert(b == want, s"doc $id f=$f got $b want $want (t1=$t1 t2=$t2)")
     }
   }
+
+  test("published-LM fluency gate: the storage-backed path equals the " +
+      "caller-supplied gate and reproduces the batch ccnet buckets") {
+    val docsDf = Tables(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = rows(Corpus.ccnetBuckets.fn(spark, sf))
+    // deployment path: LM + thresholds loaded from the published
+    // parquet artifact, nothing caller-supplied
+    val pub = rows(Corpus.fluencyGatePublished(docsDf, spark, sf))
+    assert(pub == batch,
+      s"missing=${(batch -- pub).take(3)} extra=${(pub -- batch).take(3)}")
+    // load-path pin (r14 verdict punch #6): the stored artifact drives
+    // the SAME gate as a caller-supplied frequency map
+    val freq = docsDf
+      .select(explode(Corpus.bigrams(col("text"))).as("bg"))
+      .groupBy("bg").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, t1, t2) =
+      Corpus.loadFluencyLm(spark, Corpus.ensureFluencyLm(spark, sf))
+    assert(rows(Corpus.fluencyGate(docsDf, freq, t1, t2)) == pub)
+    // broadcast memoization (r14 ADVICE): same map instance, same
+    // session => the gate reuses one broadcast, not one per call
+    val g1 = Corpus.fluencyGate(docsDf, freq, t1, t2)
+    val g2 = Corpus.fluencyGate(docsDf, freq, t1, t2)
+    assert(rows(g1) == rows(g2))
+  }
 }
