@@ -40,6 +40,19 @@ object Bench {
     refMedian.exists(r => r > 0 && median > 2.0 * r) &&
       jobCounts.nonEmpty && jobCounts.distinct.size == 1
 
+  /** Noisy-box guard threshold (r14 verdict #7): BENCH_r14 shipped at
+    * box_factor 2.738 and stayed inside the gate's 2× bar only because
+    * the bar has slack. Past this factor — in EITHER direction: a
+    * too-fast canary is the r14 outlier-baseline trap — the run's raw
+    * totals are box noise; the artifact carries `box_warn`, stderr
+    * says so loudly, and `total_box_normalized` is printed next to the
+    * raw total so a regression can neither hide behind nor be faked by
+    * box noise. */
+  val BoxWarnFactor = 1.5
+
+  def boxWarn(boxFactor: Option[Double]): Boolean =
+    boxFactor.exists(f => f > BoxWarnFactor || f < 1.0 / BoxWarnFactor)
+
   /** Committed quiet-box canary median from line 2 of a bench artifact
    *  (round-12 verdict #3): the canary probes already bracket every
    *  pass; dividing this run's canary median by the committed one gives
@@ -336,8 +349,25 @@ object Bench {
       mine <- runCanaryMedian
     } yield mine / rc
     val boxField = boxFactor.map(f => s""","box_factor":${n3(f)}""").getOrElse("")
+    // normalized total + loud warning on a noisy box (r14 verdict #7):
+    // the r14 gate stamped box_factor 2.738 and its +21% raw move was
+    // pure box noise — the normalized figure and the warning make that
+    // one read instead of a postmortem
+    val normField = boxFactor.filter(_ > 0)
+      .map(f => s""","total_box_normalized":${n3(total / f)}""")
+      .getOrElse("")
+    val warnField = if (boxWarn(boxFactor)) ""","box_warn":true""" else ""
     def line(qs: String): String =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs$boxField}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs$boxField$normField$warnField}"""
+    if (boxWarn(boxFactor)) boxFactor.foreach { f =>
+      System.err.println(
+        f"[bench] WARNING: box_factor $f%.3f is outside " +
+          f"[${1.0 / BoxWarnFactor}%.2f, $BoxWarnFactor%.2f] — this box's " +
+          f"canary ran $f%.2fx the committed quiet-box canary; RAW totals " +
+          f"are box noise (total=${total}%.1f s, normalized=${
+            total / f}%.1f s). Compare total_box_normalized or re-run " +
+          "on a quiet box.")
+    }
     println(line(mapJson(shown)))
     // full artifact to a file the driver/devs can parse directly (stdout
     // is wrapped in sbt's [info] decoration and tail-truncated):

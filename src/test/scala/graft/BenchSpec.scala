@@ -131,4 +131,19 @@ class BenchSpec extends AnyFunSuite {
       warnings += _).isEmpty)
     assert(warnings.isEmpty, s"absent file must not warn: $warnings")
   }
+
+  test("noisy-box guard: box_warn flags factors outside [1/1.5, 1.5] " +
+      "in both directions (r14 verdict #7)") {
+    // the r14 gate case: 2.738x hot box must warn
+    assert(Bench.boxWarn(Some(2.738)))
+    assert(Bench.boxWarn(Some(1.51)))
+    // the r14 outlier-baseline trap: a too-FAST canary also warns
+    assert(Bench.boxWarn(Some(0.60)))
+    // quiet band: no warning
+    assert(!Bench.boxWarn(Some(1.0)))
+    assert(!Bench.boxWarn(Some(1.49)))
+    assert(!Bench.boxWarn(Some(0.70)))
+    // no canary/reference: reporting disarms, never warns
+    assert(!Bench.boxWarn(None))
+  }
 }
