@@ -126,9 +126,21 @@ object Triangles {
         col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
       .select(col("x.src").as("a"), col("x.dst").as("b"),
         col("y.dst").as("c"))
-    wedges.repartition(parts, col("b"), col("c"))
-      .join(oriented.repartition(parts, col("src"), col("dst")).as("z"),
-        col("b") === col("z.src") && col("c") === col("z.dst"))
+    // closing join against the RAW materialized edge list, not the
+    // oriented frame (r15 profile): closure only needs UNDIRECTED
+    // membership of {b, c} — the wedge already fixed the triangle's
+    // unique apex, and edge {b,c} is in the u<v-by-id edge list as
+    // (least, greatest) — so the z side is a bare parquet scan instead
+    // of a full recompute of the deg-aggregate + two rank joins
+    // (persisting `oriented` across its two consumers was measured
+    // WORSE: the InMemoryRelation blocks AQE, same as the r11
+    // materialize finding; recompute-vs-persist numbers in SCALE.md).
+    wedges
+      .withColumn("bb", least(col("b"), col("c")))
+      .withColumn("cc", greatest(col("b"), col("c")))
+      .repartition(parts, col("bb"), col("cc"))
+      .join(edges.repartition(parts, col("u"), col("v")).as("z"),
+        col("bb") === col("z.u") && col("cc") === col("z.v"))
       .select("a", "b", "c")
   }
 
