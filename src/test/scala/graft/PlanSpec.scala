@@ -1028,4 +1028,29 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window ["),
       "doc rebuild must aggregate, not window-sort:\n" + s.take(2000))
   }
+
+  test("rules-on ambient default (r15): applyQueryConfPolicy restores " +
+      "both rewrite confs after resetting the tuning confs; " +
+      "SPARK_GRAFT_RULES_ON=0 is the only harness kill switch") {
+    val tk = graft.plans.TopKRewrite.EnabledConf
+    val rj = graft.plans.RangeJoinRewrite.EnabledConf
+    try {
+      // simulate a key leaving tuning + enablement state behind
+      spark.conf.set(graft.plans.TopKRewrite.MaxKConf, "7")
+      spark.conf.set(tk, "false")
+      GraftSession.applyQueryConfPolicy(spark)
+      // ambient default: both rules ON (the SOAK_r14-adjudicated
+      // deployment posture), tuning confs back to defaults
+      assert(spark.conf.get(tk) == "true")
+      assert(spark.conf.get(rj) == "true")
+      assert(spark.conf.getOption(graft.plans.TopKRewrite.MaxKConf).isEmpty)
+      assert(GraftSession.rulesOnByDefault,
+        "test environment must not set SPARK_GRAFT_RULES_ON=0")
+    } finally {
+      // restore the suite's scoped posture: every other PlanSpec test
+      // pins the rules-off plan unless it opts in explicitly
+      spark.conf.unset(tk)
+      spark.conf.unset(rj)
+    }
+  }
 }
