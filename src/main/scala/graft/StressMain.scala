@@ -167,7 +167,10 @@ object StressMain {
       val inc1 = Dedup.plantedCorpus(repDocs(docs, 1))
         .filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset)
       def runAt(n: Int, label: String): Double = {
-        val path = s"${Work.dir}/stress_histidx_${Work.jvmTag}_$n"
+        // Work.scratch, not a bare Work.dir path: scr_-prefixed dirs
+        // are swept by the 6h stale sweep, so a crashed run can't leak
+        // the replicated index in the shared work dir (r15 review)
+        val path = Work.scratch(s"histidx_$n")
         Work.clean(path)
         Dedup.publishHistoryIndex(spark, path,
           Dedup.plantedCorpus(repDocs(docs, n)).filter(histPred))

@@ -600,12 +600,12 @@ object Corpus {
   def fluencyGate(docs: org.apache.spark.sql.DataFrame,
       freq: Map[String, Long], t1: Long, t2: Long)
       : org.apache.spark.sql.DataFrame =
-    // the broadcast is memoized per (session, map instance): a
-    // long-lived session reconstructing the gate (restarted streams)
-    // previously leaked one executor-side copy of the
-    // millions-of-bigrams table per construction (r14 ADVICE); the
-    // deployment path [[fluencyGatePublished]] memoizes per published
-    // artifact the way the DSIR ratio table does
+    // per-call broadcast, reclaimed by ContextCleaner once the gate is
+    // dropped (see gateBcFor). A long-lived session that reconstructs
+    // gates repeatedly against ONE published LM (restarted streams —
+    // the r14 ADVICE scenario) should use [[fluencyGatePublished]],
+    // which memoizes one broadcast per (session, artifact) the way the
+    // DSIR ratio table does.
     fluencyGateBc(docs, gateBcFor(docs.sparkSession, freq), t1, t2)
 
   private def fluencyGateBc(docs: org.apache.spark.sql.DataFrame,
@@ -641,28 +641,21 @@ object Corpus {
   }
 
   // genuinely broadcast, not closure-captured (a closure Map ships
-  // inside EVERY serialized task — r14 review), and ONE broadcast per
-  // (session, map instance) — identity key: value-hashing a
-  // millions-of-entries map per gate construction would cost more
-  // than the duplicate broadcast it prevents
-  private final class IdentKey(val m: AnyRef) {
-    override def hashCode: Int = System.identityHashCode(m)
-    override def equals(o: Any): Boolean = o match {
-      case k: IdentKey => k.m eq m
-      case _ => false
-    }
-  }
-  private val gateBcCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, IdentKey),
-    org.apache.spark.broadcast.Broadcast[Map[String, Long]]]
-
+  // inside EVERY serialized task — r14 review). The broadcast is
+  // per-CALL and deliberately NOT cached here: once the returned gate
+  // is dropped the Broadcast becomes unreachable and Spark's
+  // ContextCleaner reclaims the executor copies, so an ad-hoc caller
+  // leaks nothing lasting — whereas an identity-keyed cache (the first
+  // r15 spelling) pinned every re-collected map + broadcast until
+  // session stop, turning the r14 transient-copy concern into
+  // unbounded growth (r15 review). Long-lived callers that want ONE
+  // broadcast per artifact go through [[fluencyGatePublished]], whose
+  // lmLoaded memoization is bounded by the number of published
+  // artifacts.
   private def gateBcFor(s: org.apache.spark.sql.SparkSession,
       freq: Map[String, Long])
-      : org.apache.spark.broadcast.Broadcast[Map[String, Long]] = {
-    graft.SessionCaches.evictStopped(gateBcCache)(_._1)
-    gateBcCache.computeIfAbsent((s, new IdentKey(freq)),
-      _ => s.sparkContext.broadcast(freq))
-  }
+      : org.apache.spark.broadcast.Broadcast[Map[String, Long]] =
+    s.sparkContext.broadcast(freq)
 
   // --- published CCNet LM (the deployment artifact, r15) --------------
 
@@ -684,29 +677,43 @@ object Corpus {
     * [[fluencyGatePublished]] gate (r14 verdict: the gate's LM was
     * caller-supplied only, the deployment shape unexercised). The
     * parent marker is created only after BOTH subtables landed. */
+  private val lmDone = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]
+
   def ensureFluencyLm(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val path = lmArtifactPath(dir)
-    val target = new java.io.File(path)
-    def done = new java.io.File(target, "_SUCCESS").exists()
-    if (!done) {
-      val docs = Tables(s, dir, "documents")
-      val tmp = s"${path}__${graft.Work.jvmTag}"
-      graft.Work.clean(tmp)
-      docs.select(explode(bigrams(col("text"))).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c"))
-        .write.mode("overwrite").parquet(s"$tmp/freq")
-      fluencyTerciles(fluencyScoredOf(docs)).coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/th")
-      new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
-      if (!new java.io.File(tmp).renameTo(target)) {
-        if (!done) throw new IllegalStateException(
-          s"ccnet LM publish lost the rename race AND $path is " +
-            "incomplete — inspect the work dir")
+    // the publish itself is serialized per (session, dir) — the full
+    // lrDone pattern, not just the load memoization: two unguarded
+    // same-JVM threads previously shared ONE tmp dir and their
+    // concurrent overwrite writes could rename a half-written freq/
+    // table into place forever (r15 review). The tmp is additionally
+    // uniquified per call so even two SESSIONS in one JVM can't stage
+    // into the same dir.
+    graft.SessionCaches.evictStopped(lmDone)(_._1)
+    lmDone.computeIfAbsent((s, dir), { _ =>
+      val path = lmArtifactPath(dir)
+      val target = new java.io.File(path)
+      def done = new java.io.File(target, "_SUCCESS").exists()
+      if (!done) {
+        val docs = Tables(s, dir, "documents")
+        val tmp = s"${path}__${graft.Work.jvmTag}_${
+          java.util.UUID.randomUUID().toString.take(8)}"
         graft.Work.clean(tmp)
+        docs.select(explode(bigrams(col("text"))).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$tmp/freq")
+        fluencyTerciles(fluencyScoredOf(docs)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/th")
+        new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
+        if (!new java.io.File(tmp).renameTo(target)) {
+          if (!done) throw new IllegalStateException(
+            s"ccnet LM publish lost the rename race AND $path is " +
+              "incomplete — inspect the work dir")
+          graft.Work.clean(tmp)
+        }
       }
-    }
-    path
+      path
+    })
   }
 
   /** Load the published LM + thresholds, memoized per session × path:

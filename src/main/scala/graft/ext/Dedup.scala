@@ -909,7 +909,13 @@ object Dedup {
     val sh = shingleSets(history.select(col("doc_id"), col("text")))
       .persist()
     sh.count(): Unit
-    val tmp = s"${path}__${Work.jvmTag}"
+    // tmp uniquified per CALL, not just per JVM: this is a public
+    // entry point, so two same-JVM threads publishing the same path
+    // must never stage into one tmp dir (r15 review; the witness
+    // wrapper ensureHistoryIndex additionally serializes via
+    // computeIfAbsent)
+    val tmp = s"${path}__${Work.jvmTag}_${
+      java.util.UUID.randomUUID().toString.take(8)}"
     Work.clean(tmp)
     sh.write.mode("overwrite").parquet(s"$tmp/sh")
     bandBuckets(minhashSignatures(sh)).write.mode("overwrite")

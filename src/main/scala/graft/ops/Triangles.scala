@@ -129,18 +129,23 @@ object Triangles {
     // closing join against the RAW materialized edge list, not the
     // oriented frame (r15 profile): closure only needs UNDIRECTED
     // membership of {b, c} — the wedge already fixed the triangle's
-    // unique apex, and edge {b,c} is in the u<v-by-id edge list as
-    // (least, greatest) — so the z side is a bare parquet scan instead
-    // of a full recompute of the deg-aggregate + two rank joins
-    // (persisting `oriented` across its two consumers was measured
-    // WORSE: the InMemoryRelation blocks AQE, same as the r11
-    // materialize finding; recompute-vs-persist numbers in SCALE.md).
+    // unique apex — so the z side is a bare parquet scan instead of a
+    // full recompute of the deg-aggregate + two rank joins (persisting
+    // `oriented` across its two consumers was measured WORSE: the
+    // InMemoryRelation blocks AQE, same as the r11 materialize
+    // finding; recompute-vs-persist numbers in SCALE.md). BOTH sides
+    // are least/greatest-normalized: the in-repo edge builder emits
+    // u < v by id, but triangleList's contract is any distinct
+    // undirected edge set, and an un-normalized z side would silently
+    // drop triangles whose closing edge arrived as (v, u) (r15 review).
     wedges
       .withColumn("bb", least(col("b"), col("c")))
       .withColumn("cc", greatest(col("b"), col("c")))
       .repartition(parts, col("bb"), col("cc"))
-      .join(edges.repartition(parts, col("u"), col("v")).as("z"),
-        col("bb") === col("z.u") && col("cc") === col("z.v"))
+      .join(edges.select(least(col("u"), col("v")).as("zu"),
+          greatest(col("u"), col("v")).as("zv"))
+          .repartition(parts, col("zu"), col("zv")),
+        col("bb") === col("zu") && col("cc") === col("zv"))
       .select("a", "b", "c")
   }
 

@@ -1039,13 +1039,16 @@ class PlanSpec extends SparkSpec {
       spark.conf.set(graft.plans.TopKRewrite.MaxKConf, "7")
       spark.conf.set(tk, "false")
       GraftSession.applyQueryConfPolicy(spark)
+      // environment guard FIRST: under SPARK_GRAFT_RULES_ON=0 the
+      // confs below are unset and conf.get would throw an opaque
+      // NoSuchElementException before this diagnostic (r15 review)
+      assert(GraftSession.rulesOnByDefault,
+        "test environment must not set SPARK_GRAFT_RULES_ON=0")
       // ambient default: both rules ON (the SOAK_r14-adjudicated
       // deployment posture), tuning confs back to defaults
       assert(spark.conf.get(tk) == "true")
       assert(spark.conf.get(rj) == "true")
       assert(spark.conf.getOption(graft.plans.TopKRewrite.MaxKConf).isEmpty)
-      assert(GraftSession.rulesOnByDefault,
-        "test environment must not set SPARK_GRAFT_RULES_ON=0")
     } finally {
       // restore the suite's scoped posture: every other PlanSpec test
       // pins the rules-off plan unless it opts in explicitly
