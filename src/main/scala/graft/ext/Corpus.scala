@@ -632,8 +632,15 @@ object Corpus {
       }
     }
     docs
+      // the <2-word guard as a NATIVE predicate, not isNotNull on the
+      // UDF column: PushDownPredicates clones a UDF-output filter into
+      // the scan's DataFilters, running the whole LM fold TWICE per
+      // row (r15 plan audit — the r13 shingle-guard finding again).
+      // Exact equivalence: statUdf returns null iff wsTokens(text) has
+      // < 2 tokens, and tokensWs is its pinned native twin (null text
+      // fails both: size(null) = -1, the UDF's [""] has 1 token).
+      .filter(size(TextAnalysis.tokensWs(col("text"))) >= 2)
       .withColumn("fluency_milli", statUdf(col("text")))
-      .filter(col("fluency_milli").isNotNull)
       .select(col("doc_id"), col("fluency_milli"),
         when(col("fluency_milli") <= t1, "tail")
           .when(col("fluency_milli") <= t2, "middle")
