@@ -67,8 +67,15 @@ object GraftSession {
     graft.plans.RangeJoinRewrite.ensureRegistered(s)
     graft.plans.TopKRewrite.ensureRegistered(s)
     if (rulesOnByDefault) {
-      s.conf.set(plans.RangeJoinRewrite.EnabledConf, "true")
-      s.conf.set(plans.TopKRewrite.EnabledConf, "true")
+      // default, not force: getOrCreate can return a REUSED session on
+      // which the user already set EnabledConf=false — the documented
+      // per-conf kill switch — and an unconditional set would silently
+      // revert that opt-out on the next get() (r15 review). Only an
+      // UNSET conf receives the default.
+      Seq(plans.RangeJoinRewrite.EnabledConf,
+          plans.TopKRewrite.EnabledConf).foreach { k =>
+        if (s.conf.getOption(k).isEmpty) s.conf.set(k, "true")
+      }
     }
     s
   }

@@ -132,6 +132,40 @@ object Work {
     heartbeat.start()
   }
 
+  /** ONE `_SUCCESS`-gated publish discipline for the shared
+    * per-corpus artifacts (DSIR log-ratios, BPE merges, the r15
+    * history index and CCNet LM): if `path` is already complete this
+    * is a no-op; otherwise `stage` writes the content into a UNIQUE
+    * `scr_`-prefixed staging dir — unique per call (two same-JVM
+    * threads can never share a staging dir) AND swept by the >6h
+    * stale sweep if a crash strands it (r15 review: the hand-rolled
+    * per-publisher tmp spellings either collided across threads or,
+    * once uniquified, leaked index-sized dirs forever on crash) — a
+    * parent `_SUCCESS` marker is created only after `stage` returns
+    * (a reader can never observe a half-published artifact), and the
+    * dir renames atomically into place. Losing the rename race to a
+    * COMPLETED publish is fine; losing it with `path` still
+    * incomplete throws. `path` must live under [[dir]] so the rename
+    * stays one-filesystem. */
+  def publish(path: String)(stage: String => Unit): String = {
+    val target = new java.io.File(path)
+    def done = new java.io.File(target, "_SUCCESS").exists()
+    if (!done) {
+      val tmp = scratch(
+        s"pub${matSeq.incrementAndGet()}_${new java.io.File(path).getName}")
+      clean(tmp)
+      stage(tmp)
+      new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
+      if (!new java.io.File(tmp).renameTo(target)) {
+        if (!done) throw new IllegalStateException(
+          s"publish lost the rename race AND $path is incomplete — " +
+            "inspect the work dir")
+        clean(tmp)
+      }
+    }
+    path
+  }
+
   def materialize(name: String, df: DataFrame): DataFrame = {
     // unique path per call AND per process: a second materialize under
     // the same name must not clean files a previously returned (lazy)

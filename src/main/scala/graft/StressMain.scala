@@ -387,7 +387,11 @@ object StressMain {
           val sec = t(s"$name $tag")(
             ext.Similarity.bruteForceTopKWindow(q, r, 5).count())
           GraftSession.dropAllCaches(spark)
-          spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+          // restore the AMBIENT posture, not a bare unset: since the
+          // r15 rules-on default a bare unset left every LATER growth
+          // row in a hybrid posture (TopK off, RangeJoin on) that is
+          // neither scoped nor rules-on (r15 review)
+          GraftSession.applyQueryConfPolicy(spark)
           sec
         }
         results(s"$name:naive") = (run(1, false, "naive 1x"),
@@ -424,7 +428,11 @@ object StressMain {
               .filter(col("rnk") <= 5)
               .count())
           GraftSession.dropAllCaches(spark)
-          spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+          // restore the AMBIENT posture, not a bare unset: since the
+          // r15 rules-on default a bare unset left every LATER growth
+          // row in a hybrid posture (TopK off, RangeJoin on) that is
+          // neither scoped nor rules-on (r15 review)
+          GraftSession.applyQueryConfPolicy(spark)
           sec
         }
         results(s"$name:naive") = (run(1, false, "naive 1x"),

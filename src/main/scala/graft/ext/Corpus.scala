@@ -691,35 +691,35 @@ object Corpus {
       dir: String): String = {
     // the publish itself is serialized per (session, dir) — the full
     // lrDone pattern, not just the load memoization: two unguarded
-    // same-JVM threads previously shared ONE tmp dir and their
-    // concurrent overwrite writes could rename a half-written freq/
-    // table into place forever (r15 review). The tmp is additionally
-    // uniquified per call so even two SESSIONS in one JVM can't stage
-    // into the same dir.
+    // same-JVM threads could otherwise stage concurrently (r15
+    // review); Work.publish additionally uniquifies the sweepable
+    // staging dir per call.
     graft.SessionCaches.evictStopped(lmDone)(_._1)
     lmDone.computeIfAbsent((s, dir), { _ =>
-      val path = lmArtifactPath(dir)
-      val target = new java.io.File(path)
-      def done = new java.io.File(target, "_SUCCESS").exists()
-      if (!done) {
+      graft.Work.publish(lmArtifactPath(dir)) { tmp =>
         val docs = Tables(s, dir, "documents")
-        val tmp = s"${path}__${graft.Work.jvmTag}_${
-          java.util.UUID.randomUUID().toString.take(8)}"
-        graft.Work.clean(tmp)
         docs.select(explode(bigrams(col("text"))).as("bg"))
           .groupBy("bg").agg(count(lit(1)).as("c"))
           .write.mode("overwrite").parquet(s"$tmp/freq")
-        fluencyTerciles(fluencyScoredOf(docs)).coalesce(1)
+        // thresholds derive from the exact freq BYTES just staged
+        // (read back and joined), and the corpus pays TWO bigram
+        // passes total instead of three — fluencyScoredOf/lmStatsOf
+        // would rebuild the identical inv and freq frames from
+        // scratch (r15 review). Same values either way: lmStatsOf's
+        // internal freq is this aggregate; CorpusSpec pins published
+        // == batch.
+        val freqStored = s.read.parquet(s"$tmp/freq")
+        val scored = docs
+          .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+          .join(freqStored, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("c").as("sum_df"))
+          .select(col("doc_id"),
+            graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
+              .as("fluency_milli"))
+        fluencyTerciles(scored).coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/th")
-        new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
-        if (!new java.io.File(tmp).renameTo(target)) {
-          if (!done) throw new IllegalStateException(
-            s"ccnet LM publish lost the rename race AND $path is " +
-              "incomplete — inspect the work dir")
-          graft.Work.clean(tmp)
-        }
       }
-      path
     })
   }
 

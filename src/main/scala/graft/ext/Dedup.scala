@@ -781,7 +781,7 @@ object Dedup {
     *
     * Recall bound (r14 ADVICE): a pair at Jaccard J shares any given
     * band with probability J⁴ (4 signature rows per band), so
-    * P(missed by all 16 bands) = (1 − J⁴)¹⁶ — ≈4e-8 at J=0.9, 5.7e-3
+    * P(missed by all 16 bands) = (1 − J⁴)¹⁶ — ≈4e-8 at J=0.9, ≈2.2e-4
     * at J=0.8, but 0.36 at the 0.5 verify threshold. Equality with
     * the brute-force cross-pair oracle is therefore DATA-contingent:
     * the planted recrawl pairs sit at J = (L−4)/(L−3) ≥ 6/7 ≈ 0.857
@@ -903,31 +903,19 @@ object Dedup {
     * index; a completed index is never rewritten. */
   def publishHistoryIndex(s: SparkSession, path: String,
       history: DataFrame): Unit = {
-    val target = new java.io.File(path)
-    def done = new java.io.File(target, "_SUCCESS").exists()
-    if (done) return
-    val sh = shingleSets(history.select(col("doc_id"), col("text")))
-      .persist()
-    sh.count(): Unit
-    // tmp uniquified per CALL, not just per JVM: this is a public
-    // entry point, so two same-JVM threads publishing the same path
-    // must never stage into one tmp dir (r15 review; the witness
-    // wrapper ensureHistoryIndex additionally serializes via
-    // computeIfAbsent)
-    val tmp = s"${path}__${Work.jvmTag}_${
-      java.util.UUID.randomUUID().toString.take(8)}"
-    Work.clean(tmp)
-    sh.write.mode("overwrite").parquet(s"$tmp/sh")
-    bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
-      .parquet(s"$tmp/bb")
-    sh.unpersist()
-    new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
-    if (!new java.io.File(tmp).renameTo(target)) {
-      if (!done) throw new IllegalStateException(
-        s"history-index publish lost the rename race AND $path is " +
-          "incomplete — inspect the work dir")
-      Work.clean(tmp)
-    }
+    // Work.publish: _SUCCESS-gated, staged in a per-call UNIQUE
+    // sweepable scr_ dir (two same-JVM threads can never share a
+    // staging dir, and a crashed publish is reclaimed by the stale
+    // sweep instead of leaking an index-sized dir — r15 review)
+    Work.publish(path) { tmp =>
+      val sh = shingleSets(history.select(col("doc_id"), col("text")))
+        .persist()
+      sh.count(): Unit
+      sh.write.mode("overwrite").parquet(s"$tmp/sh")
+      bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
+        .parquet(s"$tmp/bb")
+      sh.unpersist(): Unit
+    }: Unit
   }
 
   private def histIdxPath(dir: String): String =

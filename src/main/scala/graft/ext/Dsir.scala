@@ -173,25 +173,15 @@ object Dsir {
   def ensureLogRatios(s: SparkSession, dir: String): String = {
     graft.SessionCaches.evictStopped(lrDone)(_._1)
     lrDone.computeIfAbsent((s, dir), { _ =>
-      val path = lrPath(dir)
-      val target = new java.io.File(path)
-      def done = new java.io.File(target, "_SUCCESS").exists()
-      if (!done) {
+      // Work.publish carries the shared _SUCCESS-gated staging/rename
+      // discipline (r15: one helper for every artifact publisher)
+      Work.publish(lrPath(dir)) { tmp =>
         val docs = Tables(s, dir, "documents")
         val rows = logRatioRowsFused(docs, col("doc_id") % 7 === 0)
-        val tmp = s"${path}__${Work.jvmTag}"
-        Work.clean(tmp)
         import s.implicits._
         rows.toDF("bucket", "lr_fp").coalesce(1)
           .write.mode("overwrite").parquet(tmp)
-        if (!new java.io.File(tmp).renameTo(target)) {
-          if (!done) throw new IllegalStateException(
-            s"dsir ratio publish lost the rename race AND $path is " +
-              "incomplete — inspect the work dir")
-          Work.clean(tmp)
-        }
       }
-      path
     })
   }
 

@@ -99,10 +99,11 @@ object Triangles {
     * explicit wedge-join partition count. Both wedge-join inputs are
     * repartitioned by src into `parts` (one exchange, reused by both
     * sides of the self-join; EnsureRequirements adds none on top), and
-    * the closing join's two sides by their (b, c)/(src, dst) keys —
-    * explicit-numPartitions repartitions that AQE never coalesces, so
-    * the per-partition wedge working set stays ~bounded regardless of
-    * the session default. */
+    * the closing join's two sides by their least/greatest-normalized
+    * undirected keys — (bb, cc) on the wedge side, (zu, zv) on the raw
+    * edge list (r15) — explicit-numPartitions repartitions that AQE
+    * never coalesces, so the per-partition wedge working set stays
+    * ~bounded regardless of the session default. */
   private[ops] def triangleListOn(edges: DataFrame,
       parts: Int): DataFrame = {
     val deg = edges.select(col("u").as("node"))
