@@ -606,4 +606,39 @@ class GuardSpec extends SparkSpec {
       "a caller's own conf value must be restored, not unset")
     spark.conf.unset(tk)
   }
+
+  test("Work.publish: a failed stage leaves only sweepable scr_ " +
+      "staging, a retry completes, and a completed path never " +
+      "re-stages (r15)") {
+    val path = s"${Work.dir}/test_guard_publish_${Work.jvmTag}"
+    Work.clean(path)
+    def pubStages() = Option(new java.io.File(Work.dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("scr_") &&
+        f.getName.contains("test_guard_publish"))
+    // crash mid-stage: no _SUCCESS, no target, and the stranded
+    // staging dir is scr_-prefixed so the >6h stale sweep reclaims it
+    intercept[RuntimeException] {
+      Work.publish(path) { tmp =>
+        new java.io.File(tmp).mkdirs()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!new java.io.File(path, "_SUCCESS").exists())
+    assert(pubStages().nonEmpty, "staging dir must exist and be sweepable")
+    // retry from the failure completes normally
+    Work.publish(path) { tmp =>
+      new java.io.File(tmp).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "content"), "1"): Unit
+    }
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    assert(new java.io.File(path, "content").exists())
+    // a completed path is _SUCCESS-gated: stage must not run again
+    var ran = false
+    Work.publish(path) { _ => ran = true }
+    assert(!ran, "stage ran on a completed publish")
+    Work.clean(path)
+    pubStages().foreach(f => Work.clean(f.getAbsolutePath))
+  }
 }
