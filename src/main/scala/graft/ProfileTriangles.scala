@@ -75,14 +75,21 @@ object ProfileTriangles {
             col("b") === col("z.src") && col("c") === col("z.dst"))
           .select("a", "b", "c")
       // the r15 spelling: closure is undirected membership — the z
-      // side is the bare materialized edge list
+      // side is the bare materialized edge list, least/greatest-
+      // normalized EXACTLY like Triangles.triangleListOn (r15 ADVICE:
+      // the unnormalized z side here was correct only because
+      // coPurchaseEdges emits u < v; this profiler must stay
+      // byte-equivalent to the shipped plan even if the edge builder
+      // changes)
       def triangles(oriented: org.apache.spark.sql.DataFrame) =
         wedgesOf(oriented)
           .withColumn("bb", least(col("b"), col("c")))
           .withColumn("cc", greatest(col("b"), col("c")))
           .repartition(parts, col("bb"), col("cc"))
-          .join(mat.repartition(parts, col("u"), col("v")).as("z"),
-            col("bb") === col("z.u") && col("cc") === col("z.v"))
+          .join(mat.select(least(col("u"), col("v")).as("zu"),
+              greatest(col("u"), col("v")).as("zv"))
+              .repartition(parts, col("zu"), col("zv")),
+            col("bb") === col("zu") && col("cc") === col("zv"))
           .select("a", "b", "c")
       t("wedge join only (noop)") {
         wedgesOf(orientedOf(mat))

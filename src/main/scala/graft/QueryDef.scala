@@ -155,6 +155,12 @@ object Work {
         s"pub${matSeq.incrementAndGet()}_${new java.io.File(path).getName}")
       clean(tmp)
       stage(tmp)
+      // a no-op stage (empty artifact) may complete without creating
+      // tmp; mkdirs makes the marker creation well-defined instead of a
+      // bare contextless IOException from createNewFile (r15 ADVICE)
+      if (!new java.io.File(tmp).isDirectory && !new java.io.File(tmp).mkdirs())
+        throw new IllegalStateException(
+          s"publish staging dir $tmp could not be created after stage()")
       new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
       if (!new java.io.File(tmp).renameTo(target)) {
         if (!done) throw new IllegalStateException(

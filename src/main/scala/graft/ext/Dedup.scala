@@ -949,6 +949,17 @@ object Dedup {
     * shuffles ∝ history scan at 100 TB — the index would be bucketed
     * by doc_id on publish to make that co-located, the compute saving
     * (shingling + 64 hashes per history doc, per day) is the headline.
+    *
+    * PRECONDITION (r15 ADVICE): increment doc_ids must be DISJOINT
+    * from the stored history index's doc_ids — the verify side unions
+    * the two shingle frames, so a re-crawled doc that keeps its
+    * history id would contribute duplicate doc_id rows and corrupt the
+    * verify join (assign the re-crawl a fresh id instead; the in-query
+    * twin [[incrementalPairsFused]] gets this for free from its
+    * predicate split). External callers supply the increment
+    * independently of the published index, so a cheap debug check is
+    * available: set `spark.graft.dedup.checkDisjointIds=true` to pay
+    * one ids-only semi-join per call that fails fast on overlap.
     */
   def incrementalAgainstIndex(s: SparkSession, indexPath: String,
       increment: DataFrame): DataFrame = {
@@ -957,6 +968,19 @@ object Dedup {
     val shI = shingleSets(increment.select(col("doc_id"), col("text")))
       .persist()
     shI.count(): Unit
+    if (s.conf.getOption("spark.graft.dedup.checkDisjointIds")
+        .contains("true")) {
+      val overlap = shH.select("doc_id")
+        .join(shI.select("doc_id"), "doc_id").limit(5)
+        .collect().map(_.getLong(0))
+      if (overlap.nonEmpty) {
+        shI.unpersist(): Unit
+        throw new IllegalArgumentException(
+          s"incrementalAgainstIndex: increment doc_ids overlap the " +
+            s"history index at $indexPath (e.g. ${overlap.mkString(", ")}) " +
+            "— re-crawled docs must carry fresh ids")
+      }
+    }
     val cands = crossSideCandidates(bH,
       bandBuckets(minhashSignatures(shI)))
     val out = Work.materialize("incremental_pub",

@@ -1496,6 +1496,18 @@ class ExtSpec extends SparkSpec {
     Dedup.publishHistoryIndex(spark, path,
       docs.limit(1).select("doc_id", "text"))
     assert(rows(Dedup.incrementalAgainstIndex(spark, path, inc)) == fused)
+    // disjoint-id precondition (r15 ADVICE): with the debug check on,
+    // an increment that reuses a history doc_id fails fast instead of
+    // silently duplicating verify-side rows; a disjoint increment
+    // still passes through the check unchanged
+    spark.conf.set("spark.graft.dedup.checkDisjointIds", "true")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.incrementalAgainstIndex(spark, path,
+          corpus.filter(col("doc_id") < off).limit(3)))
+      assert(e.getMessage.contains("overlap the"))
+      assert(rows(Dedup.incrementalAgainstIndex(spark, path, inc)) == fused)
+    } finally spark.conf.unset("spark.graft.dedup.checkDisjointIds")
     Work.clean(path)
   }
 
