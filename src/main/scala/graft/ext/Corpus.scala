@@ -545,10 +545,11 @@ object Corpus {
           col("fluency_milli"))).as("t2"))
   }
 
-  /** Shared by `corpus_ccnet_buckets` and `corpus_fluency_gate`: the
-    * gate fed the reference corpus itself MUST reproduce the batch
-    * split (that equivalence is what makes the published-LM artifact
-    * a faithful stand-in for the in-query thresholds). */
+  /** Oracle for `corpus_ccnet_buckets` (the in-query, UNPRUNED
+    * operator). `corpus_fluency_gate` oracles the PRUNED published-LM
+    * semantics separately since r16 (`prunedGateOracleSql`); the two
+    * coincide exactly when no bigram falls under [[LmMinCount]] —
+    * CorpusSpec pins that equality on a planted corpus. */
   private val ccnetOracleSql = s"""
       WITH inv AS (
         SELECT doc_id, unnest(list_transform(
@@ -664,10 +665,30 @@ object Corpus {
       : org.apache.spark.broadcast.Broadcast[Map[String, Long]] =
     s.sparkContext.broadcast(freq)
 
-  // --- published CCNet LM (the deployment artifact, r15) --------------
+  // --- published CCNet LM (the deployment artifact, r15; pruned r16) --
 
+  /** KenLM-style min-count pruning threshold for the PUBLISHED bigram
+    * LM (r15 verdict #1): bigrams with corpus frequency below this are
+    * dropped from the artifact, so the driver/executor copy of the LM
+    * is bounded by the ≥2-df vocabulary instead of every hapax the
+    * crawl ever produced — under Zipf, hapax bigrams are roughly half
+    * of all DISTINCT bigrams, and they are exactly the mass that grows
+    * fastest under Heaps' law. Gate semantics absorb pruning for free:
+    * a bigram absent from the LM already scores 0 (the unseen-bigram
+    * rule), so pruning only moves each hapax occurrence's contribution
+    * from 1 to 0; the published THRESHOLDS are derived from the same
+    * pruned scoring, keeping the tercile split a true tercile of the
+    * reference corpus under the deployed statistic. At real crawl
+    * scale this threshold is a tuning knob (KenLM ships --prune; raise
+    * it or switch to top-N until the table fits the driver comfortably)
+    * — [[publishFluencyLm]] takes it as a parameter. */
+  val LmMinCount = 2
+
+  // v2: v1 published the UNPRUNED table and derived thresholds from
+  // unpruned scores — a v1 artifact in a shared work dir must never be
+  // served to the pruned gate/oracle
   private def lmArtifactPath(dir: String): String =
-    s"${graft.Work.dir}/ccnet_lm_v1_${graft.Work.publishTag(dir)}"
+    s"${graft.Work.dir}/ccnet_lm_v2_${graft.Work.publishTag(dir)}"
 
   private val lmLoaded = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
@@ -696,40 +717,59 @@ object Corpus {
     // staging dir per call.
     graft.SessionCaches.evictStopped(lmDone)(_._1)
     lmDone.computeIfAbsent((s, dir), { _ =>
-      graft.Work.publish(lmArtifactPath(dir)) { tmp =>
-        val docs = Tables(s, dir, "documents")
-        docs.select(explode(bigrams(col("text"))).as("bg"))
-          .groupBy("bg").agg(count(lit(1)).as("c"))
-          .write.mode("overwrite").parquet(s"$tmp/freq")
-        // thresholds derive from the exact freq BYTES just staged
-        // (read back and joined), and the corpus pays TWO bigram
-        // passes total instead of three — fluencyScoredOf/lmStatsOf
-        // would rebuild the identical inv and freq frames from
-        // scratch (r15 review). Same values either way: lmStatsOf's
-        // internal freq is this aggregate; CorpusSpec pins published
-        // == batch.
-        val freqStored = s.read.parquet(s"$tmp/freq")
-        val scored = docs
-          .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
-          .join(freqStored, "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("c").as("sum_df"))
-          .select(col("doc_id"),
-            graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
-              .as("fluency_milli"))
-        fluencyTerciles(scored).coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/th")
-      }
+      publishFluencyLm(s, lmArtifactPath(dir), Tables(s, dir, "documents"))
     })
   }
+
+  /** Stage the pruned LM artifact for an arbitrary reference corpus —
+    * the publish core of [[ensureFluencyLm]], exposed so CorpusSpec
+    * can pin pruned-vs-full behavior on PLANTED corpora (the testdata
+    * witness goes through the memoized per-sf-dir wrapper).
+    *
+    * `freq/` carries only bigrams with corpus frequency >= `minCount`
+    * ([[LmMinCount]]); `th/` carries tercile thresholds derived from
+    * the PRUNED scoring (left join + coalesce-0 — bigrams pruned from
+    * the table contribute 0, exactly like bigrams the reference corpus
+    * never saw, so publish-time scoring and gate-time scoring agree by
+    * construction). Thresholds derive from the exact freq BYTES just
+    * staged (read back and joined), and the corpus pays TWO bigram
+    * passes total instead of three (r15 review). */
+  def publishFluencyLm(s: org.apache.spark.sql.SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame,
+      minCount: Long = LmMinCount): String =
+    graft.Work.publish(path) { tmp =>
+      docs.select(explode(bigrams(col("text"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCount)
+        .write.mode("overwrite").parquet(s"$tmp/freq")
+      val freqStored = s.read.parquet(s"$tmp/freq")
+      val scored = docs
+        .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+        // LEFT join: a pruned-away bigram still counts a POSITION
+        // (n_bigrams) but contributes 0 mass — the gate UDF's
+        // getOrElse(0) twin; an inner join would silently shrink the
+        // denominator and diverge from the deployed gate
+        .join(freqStored, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("c"), lit(0L))).as("sum_df"))
+        .select(col("doc_id"),
+          graft.ops.Relational.meanMilli("sum_df", "n_bigrams")
+            .as("fluency_milli"))
+      fluencyTerciles(scored).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/th")
+    }
 
   /** Load the published LM + thresholds, memoized per session × path:
     * the freq broadcast goes out ONCE per (session, artifact) however
     * many gates a long-lived session constructs (r14 ADVICE — the
     * lrDone/idfDone pattern). The driver-side collect of the freq
     * table is the documented deployment shape (CCNet workers each load
-    * the full KenLM artifact); at 100 TB the table is
-    * vocabulary-bounded, not corpus-bounded. */
+    * the full KenLM artifact); since r16 the artifact is min-count
+    * PRUNED at publish ([[LmMinCount]]), so the collected map is
+    * bounded by the ≥minCount vocabulary — the hapax tail that made
+    * this the repo's last driver-memory-shaped query-path risk (r15
+    * verdict #1) never reaches the driver. */
   def loadFluencyLm(s: org.apache.spark.sql.SparkSession, path: String)
       : (org.apache.spark.broadcast.Broadcast[Map[String, Long]],
         Long, Long) = {
@@ -743,12 +783,15 @@ object Corpus {
     })
   }
 
-  /** The deployment entry point: gate `docs` with the PUBLISHED LM of
-    * the reference corpus at `dir` — storage-backed end to end, no
-    * caller-supplied statistics. Fed the reference corpus itself this
-    * reproduces [[ccnetBuckets]] exactly (CorpusSpec pins equality
-    * with the caller-supplied path; the `corpus_fluency_gate` key
-    * oracles it against DuckDB every round). */
+  /** The deployment entry point: gate `docs` with the PUBLISHED
+    * (pruned, [[LmMinCount]]) LM of the reference corpus at `dir` —
+    * storage-backed end to end, no caller-supplied statistics. Fed the
+    * reference corpus itself this reproduces [[ccnetBuckets]] exactly
+    * WHEN pruning removes nothing (every bigram df >= minCount —
+    * CorpusSpec pins that equality on a planted corpus); on a corpus
+    * with hapax bigrams the deployed statistic deliberately zeroes
+    * their contribution, and the `corpus_fluency_gate` key oracles the
+    * pruned semantics against DuckDB every round. */
   def fluencyGatePublished(docs: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
@@ -756,10 +799,48 @@ object Corpus {
     fluencyGateBc(docs, bc, t1, t2)
   }
 
+  /** The pruned twin of [[ccnetOracleSql]] — frequency table cut at
+    * [[LmMinCount]], scoring via LEFT join + coalesce-0 so pruned
+    * bigrams count a position with zero mass (the gate's unseen-bigram
+    * rule), thresholds re-derived from pruned scores. */
+  private val prunedGateOracleSql = s"""
+      WITH inv AS (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM (SELECT doc_id, ${TextAnalysis.wsSplitSql("text")} AS ws
+              FROM documents)
+        WHERE len(ws) >= 2),
+      freq AS (SELECT bg, count(*) AS c FROM inv GROUP BY bg
+               HAVING count(*) >= $LmMinCount),
+      lm AS (SELECT i.doc_id, count(*) AS n_bigrams,
+                    CAST(sum(coalesce(f.c, 0)) AS BIGINT) AS sum_df
+             FROM inv i LEFT JOIN freq f USING (bg) GROUP BY i.doc_id),
+      scored AS (SELECT doc_id,
+                        CAST((sum_df * 1000) // n_bigrams AS BIGINT)
+                          AS fluency_milli
+                 FROM lm),
+      hist AS (SELECT fluency_milli, count(*) AS c
+               FROM scored GROUP BY 1),
+      cum AS (SELECT fluency_milli,
+                     sum(c) OVER (ORDER BY fluency_milli) AS cum
+              FROM hist),
+      n AS (SELECT count(*) AS n FROM scored),
+      t AS (SELECT
+              (SELECT min(fluency_milli) FROM cum, n
+               WHERE cum >= (n + 2) // 3) AS t1,
+              (SELECT min(fluency_milli) FROM cum, n
+               WHERE cum >= (2 * n + 2) // 3) AS t2)
+      SELECT s.doc_id, s.fluency_milli,
+             CASE WHEN s.fluency_milli <= t.t1 THEN 'tail'
+                  WHEN s.fluency_milli <= t.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket
+      FROM scored s, t"""
+
   val fluencyGateQ = QueryDef(
     "corpus_fluency_gate",
     (s, dir) => fluencyGatePublished(Tables(s, dir, "documents"), s, dir),
-    Some(ccnetOracleSql))
+    Some(prunedGateOracleSql))
 
   // --- BPE training + encoding ----------------------------------------
 

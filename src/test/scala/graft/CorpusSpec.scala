@@ -463,28 +463,120 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("published-LM fluency gate: the storage-backed path equals the " +
-      "caller-supplied gate and reproduces the batch ccnet buckets") {
+  test("published-LM fluency gate: the artifact is min-count PRUNED, " +
+      "the stored tables drive the same gate as a caller-supplied " +
+      "pruned map, and the load is memoized") {
     val docsDf = Tables(spark, sf, "documents")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    val batch = rows(Corpus.ccnetBuckets.fn(spark, sf))
+    val path = Corpus.ensureFluencyLm(spark, sf)
+    // the published freq table carries NO below-threshold bigram — the
+    // r15-verdict driver-memory bound is a property of the BYTES on
+    // disk, not of the loader
+    val freqTbl = spark.read.parquet(s"$path/freq")
+    assert(freqTbl.filter(col("c") < Corpus.LmMinCount).count() == 0,
+      s"published LM must be pruned at min-count ${Corpus.LmMinCount}")
+    // ...and pruning is REAL on this corpus (hapax bigrams exist): the
+    // pruned table is strictly smaller than the full one
+    val fullDistinct = docsDf
+      .select(explode(Corpus.bigrams(col("text"))).as("bg"))
+      .groupBy("bg").count()
+    assert(freqTbl.count() < fullDistinct.count(),
+      "testdata has hapax bigrams; the pruned table must be smaller")
     // deployment path: LM + thresholds loaded from the published
     // parquet artifact, nothing caller-supplied
     val pub = rows(Corpus.fluencyGatePublished(docsDf, spark, sf))
-    assert(pub == batch,
-      s"missing=${(batch -- pub).take(3)} extra=${(pub -- batch).take(3)}")
+    assert(pub.nonEmpty)
     // load-path pin (r14 verdict punch #6): the stored artifact drives
-    // the SAME gate as a caller-supplied frequency map
-    val freq = docsDf
-      .select(explode(Corpus.bigrams(col("text"))).as("bg"))
-      .groupBy("bg").count()
+    // the SAME gate as a caller-supplied map of the same pruned table
+    val prunedMap = freqTbl
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (_, t1, t2) =
-      Corpus.loadFluencyLm(spark, Corpus.ensureFluencyLm(spark, sf))
-    assert(rows(Corpus.fluencyGate(docsDf, freq, t1, t2)) == pub)
+    val (_, t1, t2) = Corpus.loadFluencyLm(spark, path)
+    assert(rows(Corpus.fluencyGate(docsDf, prunedMap, t1, t2)) == pub)
     // the published-path load is memoized (r14 ADVICE): a second gate
     // against the same artifact reuses the loaded LM + one broadcast
     assert(rows(Corpus.fluencyGatePublished(docsDf, spark, sf)) == pub)
+    // threshold semantics survive pruning: buckets still partition the
+    // scored docs into a valid count-based tercile split of the PRUNED
+    // statistic (replayed driver-side, the ccnet-buckets discipline)
+    val all = pub.toSeq
+    val n = all.length
+    val sortedF = all.map(_._2).sorted
+    def thr(target: Long): Long = {
+      var cum = 0L
+      sortedF.distinct.map { v =>
+        v -> { cum += sortedF.count(_ == v); cum }
+      }.collectFirst { case (v, c) if c >= target => v }.get
+    }
+    assert(t1 == thr((n + 2L) / 3L) && t2 == thr((2L * n + 2L) / 3L),
+      "published thresholds must be the terciles of the PRUNED scores")
+    all.foreach { case (id, f, b) =>
+      val want = if (f <= t1) "tail" else if (f <= t2) "middle" else "head"
+      assert(b == want, s"doc $id f=$f got $b want $want")
+    }
+  }
+
+  test("pruned fluency gate == full gate when nothing is below " +
+      "min-count, and hapax-only docs score exactly 0 (r15 verdict #1)") {
+    val sp = spark
+    import sp.implicits._
+    // planted corpus A: every text appears twice → every bigram df >= 2
+    // → pruning removes NOTHING and the published gate must reproduce
+    // the unpruned in-query ccnet buckets bit-for-bit
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",
+      "common words repeat common words repeat",
+      "spark shuffles partitions across the cluster",
+      "one two three four five six seven eight",
+      "data quality gates keep the corpus clean")
+    val corpusA = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong * 2, t), (i.toLong * 2 + 1, t))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val pathA = Work.scratch("lm_planted_nohapax")
+    Work.clean(pathA)
+    Corpus.publishFluencyLm(spark, pathA, corpusA)
+    val (bcA, t1A, t2A) = Corpus.loadFluencyLm(spark, pathA)
+    val gated = rows(Corpus.fluencyGate(corpusA,
+      spark.read.parquet(s"$pathA/freq").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap, t1A, t2A))
+    assert(bcA.value.nonEmpty)
+    assert(gated == rows(Corpus.ccnetBucketsOf(corpusA)),
+      "pruned == full bucket assignment when no bigram is under min-count")
+    Work.clean(pathA)
+    // planted corpus B: two fluent docs sharing every bigram plus one
+    // gibberish doc whose bigrams are all hapax → under the PRUNED LM
+    // the gibberish doc's statistic is exactly 0 (every bigram pruned)
+    // and it lands in the tail; the shared docs score 2000 (each
+    // bigram df=2, mean 2.000)
+    val corpusB = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zxq wvu tsr qpo")).toDF("doc_id", "text")
+    val pathB = Work.scratch("lm_planted_hapax")
+    Work.clean(pathB)
+    Corpus.publishFluencyLm(spark, pathB, corpusB)
+    val freqB = spark.read.parquet(s"$pathB/freq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hapax bigrams of doc 3 are NOT in the published table
+    assert(freqB.keySet == Set("alpha beta", "beta gamma", "gamma delta"))
+    val (_, t1B, t2B) = Corpus.loadFluencyLm(spark, pathB)
+    val gatedB = rows(Corpus.fluencyGate(corpusB, freqB, t1B, t2B))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // hand-computed replay: scores are {doc1: 2000, doc2: 2000,
+    // doc3: 0} (each shared bigram has df 2, mean 2.000 in milli;
+    // the gibberish doc's bigrams are all pruned → 0). Terciles over
+    // n=3: t1 = smallest value whose cum count >= ceil(5/3)=1 → 0,
+    // t2 = smallest with cum >= ceil(8/3)=2 → 2000. CASE: 0 <= t1 →
+    // tail; 2000 <= t2 → middle (ties land low, the pinned rule).
+    assert(t1B == 0L && t2B == 2000L, s"got t1=$t1B t2=$t2B")
+    assert(gatedB(3L) == ((0L, "tail")),
+      "an all-hapax doc must score 0 under the pruned LM and land tail")
+    assert(gatedB(1L) == ((2000L, "middle")) &&
+      gatedB(2L) == ((2000L, "middle")),
+      s"shared-bigram docs must score 2000 and land middle, got $gatedB")
+    Work.clean(pathB)
   }
 }
