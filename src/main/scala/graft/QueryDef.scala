@@ -64,14 +64,28 @@ object Work {
     * helper now covers every publish site). Canonicalization folds
     * symlinks/trailing-slash spellings of the SAME dir onto one tag so
     * concurrent JVMs still share, which is the design for the raster
-    * tables the DuckDB oracle reads by fixed path. */
-  def publishTag(dir: String): String = {
+    * tables the DuckDB oracle reads by fixed path.
+    *
+    * `fingerprint` (r15 verdict #6) is the escape hatch for a LIVING
+    * corpus: path-keyed publish serves stale artifacts forever if the
+    * corpus mutates in place under the same dir (deliberate — and
+    * correct — for the immutable testdata). A caller that re-crawls
+    * into the same path supplies a version/content component (a crawl
+    * date, snapshot id, or input summary hash); it is folded into the
+    * tag's hash, so a new fingerprint republishes under a NEW artifact
+    * path while readers of the old artifact are untouched. Default
+    * None keeps every existing tag byte-identical (the DuckDB oracle
+    * reads several published tables by fixed path). */
+  def publishTag(dir: String, fingerprint: Option[String] = None): String = {
     val f = new java.io.File(dir)
     val canon =
       try f.getCanonicalPath
       catch { case _: java.io.IOException => f.getAbsolutePath }
+    // NUL separator: (dir="a", fp="bc") and (dir="ab", fp="c") must
+    // never collide on one hashed key
+    val keyed = canon + fingerprint.fold("")("\u0000" + _)
     val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(keyed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"$b%02x").mkString
     s"${f.getName}_$h"
   }

@@ -687,8 +687,9 @@ object Corpus {
   // v2: v1 published the UNPRUNED table and derived thresholds from
   // unpruned scores — a v1 artifact in a shared work dir must never be
   // served to the pruned gate/oracle
-  private def lmArtifactPath(dir: String): String =
-    s"${graft.Work.dir}/ccnet_lm_v2_${graft.Work.publishTag(dir)}"
+  private def lmArtifactPath(dir: String,
+      fingerprint: Option[String]): String =
+    s"${graft.Work.dir}/ccnet_lm_v2_${graft.Work.publishTag(dir, fingerprint)}"
 
   private val lmLoaded = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
@@ -709,15 +710,18 @@ object Corpus {
     (org.apache.spark.sql.SparkSession, String), String]
 
   def ensureFluencyLm(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    // the publish itself is serialized per (session, dir) — the full
-    // lrDone pattern, not just the load memoization: two unguarded
-    // same-JVM threads could otherwise stage concurrently (r15
-    // review); Work.publish additionally uniquifies the sweepable
-    // staging dir per call.
+      dir: String, fingerprint: Option[String] = None): String = {
+    // the publish itself is serialized per (session, artifact path) —
+    // the full lrDone pattern, not just the load memoization: two
+    // unguarded same-JVM threads could otherwise stage concurrently
+    // (r15 review); Work.publish additionally uniquifies the sweepable
+    // staging dir per call. Keyed on the artifact PATH (which folds
+    // dir + fingerprint) so a fingerprinted republish of a mutated
+    // corpus is a distinct entry (r15 verdict #6).
     graft.SessionCaches.evictStopped(lmDone)(_._1)
-    lmDone.computeIfAbsent((s, dir), { _ =>
-      publishFluencyLm(s, lmArtifactPath(dir), Tables(s, dir, "documents"))
+    val path = lmArtifactPath(dir, fingerprint)
+    lmDone.computeIfAbsent((s, path), { _ =>
+      publishFluencyLm(s, path, Tables(s, dir, "documents"))
     })
   }
 
@@ -891,8 +895,9 @@ object Corpus {
     out.toSeq
   }
 
-  private def mergesPath(dir: String): String =
-    s"${graft.Work.dir}/bpe_merges_${graft.Work.publishTag(dir)}"
+  private def mergesPath(dir: String,
+      fingerprint: Option[String]): String =
+    s"${graft.Work.dir}/bpe_merges_${graft.Work.publishTag(dir, fingerprint)}"
 
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), Seq[(String, String)]]
@@ -904,9 +909,11 @@ object Corpus {
     * (_SUCCESS) is always valid, a merge-semantics change must rename
     * the path. */
   def bpeMergesFor(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(String, String)] = {
+      dir: String, fingerprint: Option[String] = None)
+      : Seq[(String, String)] = {
     graft.SessionCaches.evictStopped(mergesCache)(_._1)
-    mergesCache.computeIfAbsent((s, dir), { _ =>
+    val path = mergesPath(dir, fingerprint)
+    mergesCache.computeIfAbsent((s, path), { _ =>
       val wc = Tables(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
@@ -915,7 +922,6 @@ object Corpus {
         .limit(BpeDictCap)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val merges = trainBpeMerges(wc, BpeNumMerges)
-      val path = mergesPath(dir)
       val target = new java.io.File(path)
       def done = new java.io.File(target, "_SUCCESS").exists()
       if (!done) {

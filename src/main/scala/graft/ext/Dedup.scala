@@ -918,8 +918,9 @@ object Dedup {
     }: Unit
   }
 
-  private def histIdxPath(dir: String): String =
-    s"${Work.dir}/inc_hist_v1_${Work.publishTag(dir)}"
+  private def histIdxPath(dir: String,
+      fingerprint: Option[String]): String =
+    s"${Work.dir}/inc_hist_v1_${Work.publishTag(dir, fingerprint)}"
 
   private val histIdxDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -928,10 +929,15 @@ object Dedup {
     * the `documents` table itself — exactly the `dedup_incremental`
     * witness's history slice), keyed on [[graft.Work.publishTag]] so
     * two corpus dirs sharing a basename never reuse one index. */
-  def ensureHistoryIndex(s: SparkSession, dir: String): String = {
+  def ensureHistoryIndex(s: SparkSession, dir: String,
+      fingerprint: Option[String] = None): String = {
     graft.SessionCaches.evictStopped(histIdxDone)(_._1)
-    histIdxDone.computeIfAbsent((s, dir), { _ =>
-      val path = histIdxPath(dir)
+    // keyed on the artifact PATH (dir + optional fingerprint, r15
+    // verdict #6): a re-crawled history published under a new
+    // fingerprint gets a fresh index; default None keeps the
+    // immutable-testdata tag byte-identical
+    val path = histIdxPath(dir, fingerprint)
+    histIdxDone.computeIfAbsent((s, path), { _ =>
       publishHistoryIndex(s, path,
         Tables(s, dir, "documents").select("doc_id", "text"))
       path

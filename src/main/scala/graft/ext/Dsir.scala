@@ -153,8 +153,8 @@ object Dsir {
   // path keyed on Work.publishTag (basename + canonical-path hash),
   // not the bare basename: two corpus dirs sharing a basename must
   // never reuse one ratio table via the _SUCCESS short-circuit
-  private def lrPath(dir: String): String =
-    s"${Work.dir}/dsir_lr_v1_${Work.publishTag(dir)}"
+  private def lrPath(dir: String, fingerprint: Option[String]): String =
+    s"${Work.dir}/dsir_lr_v1_${Work.publishTag(dir, fingerprint)}"
 
   private val lrDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -170,12 +170,16 @@ object Dsir {
     * content (StrictMath + fixed hashing), jvm-tagged temp dir renamed
     * into place, a completed table (_SUCCESS) is always valid. Engine
     * weight pass and DuckDB oracle both read THESE bytes. */
-  def ensureLogRatios(s: SparkSession, dir: String): String = {
+  def ensureLogRatios(s: SparkSession, dir: String,
+      fingerprint: Option[String] = None): String = {
     graft.SessionCaches.evictStopped(lrDone)(_._1)
-    lrDone.computeIfAbsent((s, dir), { _ =>
+    // keyed on the artifact PATH (dir + optional fingerprint, r15
+    // verdict #6): a fingerprinted republish of a mutated corpus is a
+    // distinct entry; default None keeps the immutable-testdata tag
+    lrDone.computeIfAbsent((s, lrPath(dir, fingerprint)), { _ =>
       // Work.publish carries the shared _SUCCESS-gated staging/rename
       // discipline (r15: one helper for every artifact publisher)
-      Work.publish(lrPath(dir)) { tmp =>
+      Work.publish(lrPath(dir, fingerprint)) { tmp =>
         val docs = Tables(s, dir, "documents")
         val rows = logRatioRowsFused(docs, col("doc_id") % 7 === 0)
         import s.implicits._

@@ -641,4 +641,59 @@ class GuardSpec extends SparkSpec {
     Work.clean(path)
     pubStages().foreach(f => Work.clean(f.getAbsolutePath))
   }
+
+  test("Work.publish: a no-op stage (empty artifact) still completes " +
+      "with a _SUCCESS marker instead of a bare IOException (r15 ADVICE)") {
+    val path = s"${Work.dir}/test_guard_publish_noop_${Work.jvmTag}"
+    Work.clean(path)
+    // the stage writes NOTHING — tmp is never created by the callback;
+    // publish must mkdirs it for the marker rather than throw
+    Work.publish(path) { _ => () }
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    Work.clean(path)
+  }
+
+  test("publishTag fingerprint: a mutated corpus dir republishes under " +
+      "a NEW artifact path while old readers are unaffected (r15 #6)") {
+    val sp = spark
+    import sp.implicits._
+    // default unchanged: no fingerprint == the historical tag
+    assert(Work.publishTag(sf) == Work.publishTag(sf, None))
+    assert(Work.publishTag(sf, Some("v2")) != Work.publishTag(sf))
+    assert(Work.publishTag(sf, Some("v2")) != Work.publishTag(sf, Some("v3")))
+    // end-to-end through a real publisher: a corpus dir whose
+    // documents.parquet is MUTATED IN PLACE
+    val dir = Work.scratch("fp_corpus")
+    Work.clean(dir)
+    Seq((1L, "alpha beta alpha beta"), (2L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pathA = graft.ext.Corpus.ensureFluencyLm(spark, dir)
+    def freqKeys(p: String): Set[String] =
+      spark.read.parquet(s"$p/freq").collect().map(_.getString(0)).toSet
+    val keysA = freqKeys(pathA)
+    assert(keysA.contains("alpha beta"))
+    // mutate the corpus under the SAME dir (the living-corpus hazard)
+    Seq((1L, "gamma delta gamma delta"), (2L, "gamma delta gamma delta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // default path-keyed publish: the _SUCCESS short-circuit serves the
+    // STALE artifact — the documented immutable-corpus posture
+    assert(graft.ext.Corpus.ensureFluencyLm(spark, dir) == pathA)
+    assert(freqKeys(pathA) == keysA)
+    // fingerprint escape hatch: a distinct artifact path, fresh content
+    // (the trailing-slash dir spelling canonicalizes to the same tag
+    // component but gets a fresh Tables cache entry — a stand-in for
+    // the new-session reader of the re-crawled corpus)
+    val pathB = graft.ext.Corpus.ensureFluencyLm(spark, s"$dir/",
+      Some("crawl-2026-08-15"))
+    assert(pathB != pathA)
+    assert(freqKeys(pathB).contains("gamma delta"))
+    assert(!freqKeys(pathB).contains("alpha beta"))
+    // old readers unaffected: the v1 artifact is intact byte-for-byte
+    assert(freqKeys(pathA) == keysA)
+    Work.clean(dir)
+    Work.clean(pathA)
+    Work.clean(pathB)
+  }
 }
