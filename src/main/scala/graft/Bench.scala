@@ -40,6 +40,25 @@ object Bench {
     refMedian.exists(r => r > 0 && median > 2.0 * r) &&
       jobCounts.nonEmpty && jobCounts.distinct.size == 1
 
+  /** Sub-half-second jitter rule (r15 verdict #3): keys whose COMMITTED
+   *  local median is under this line swing ±2-3× run-to-run on pure
+   *  GC/AQE/fs-cache noise, so a 2× move there is usually jitter, not a
+   *  regression — r15's only bench_compare flag was
+   *  `stream_session_window` at exactly 2.0× (0.300→0.610 s) with
+   *  samples 0.83/0.35/0.61, flat job counts, key code untouched. */
+  val JitterRefCeiling = 0.5
+
+  /** A sub-[[JitterRefCeiling]] key whose median crossed 2× its
+   *  committed local median earns extra samples REGARDLESS of job-count
+   *  flatness (unlike [[isSubFloorSuspect]]): at this cost class even a
+   *  job-count wobble is noise-dominated, and two more samples convert
+   *  a would-be cross-round bench_compare flag into a median that
+   *  absorbs the outlier. Effectively "widen runs 3→5, but only for
+   *  sub-half-second keys that would otherwise flag" — the cheap half
+   *  of the verdict's two options. */
+  def isJitterSuspect(median: Double, refMedian: Option[Double]): Boolean =
+    refMedian.exists(r => r > 0 && r < JitterRefCeiling && median > 2.0 * r)
+
   /** Noisy-box guard threshold (r14 verdict #7): BENCH_r14 shipped at
     * box_factor 2.738 and stayed inside the gate's 2× bar only because
     * the bar has slack. Past this factor — in EITHER direction: a
@@ -126,7 +145,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // harness-scoped (r15 verdict #7): the suite's four bounded global
+    // windows otherwise bury the gate-log tail in benign WARNs. AFTER
+    // get(): setLogLevel inside get() reconfigures logger levels and
+    // would undo an earlier package-level override
     val spark = GraftSession.get(cpus)
+    GraftSession.muteBenignGlobalWindowWarn()
     // Session warmup: JIT + codegen + filesystem caches, so the first
     // timed query measures its plan, not JVM cold start.
     spark.range(1000000).selectExpr("sum(id * 2)").collect(): Unit
@@ -272,14 +296,18 @@ object Bench {
     def subFloor(name: String): Boolean = recs(name).nonEmpty &&
       isSubFloorSuspect(medianOf(name), ref.get(name),
         recs(name).map(_.jobs).toSeq)
+    // r15 verdict #3: sub-half-second keys re-sample on a 2× median
+    // move even without flat job counts — the class where 2× is jitter
+    def jitter(name: String): Boolean = recs(name).nonEmpty &&
+      isJitterSuspect(medianOf(name), ref.get(name))
     for (((name, fn), _) <- keyList
-         if recs(name).exists(_.suspect) || subFloor(name)) {
+         if recs(name).exists(_.suspect) || subFloor(name) || jitter(name)) {
       runOnce(name, fn, runs + 1)
       // second extra: the stall outlived the first resample (run-level
       // suspect) OR the median — now including the extra run — is still
-      // over the 2× sub-floor line for a flat-plan key
+      // over the 2× sub-floor/jitter line
       if (recs(name).lastOption.exists(r => r.pass == runs + 1 && r.suspect)
-          || subFloor(name))
+          || subFloor(name) || jitter(name))
         runOnce(name, fn, runs + 2)
     }
     val results: Map[String, Double] = keyList.flatMap { case ((name, _), _) =>

@@ -55,6 +55,24 @@ object GraftSession {
   def rulesOnByDefault: Boolean =
     !sys.env.get("SPARK_GRAFT_RULES_ON").contains("0")
 
+  /** Silence the benign `WindowExec: No Partition Defined` warning in
+    * HARNESS mains only (Bench/Verify/StressMain/Soak — r15 verdict
+    * #7). The suite's four unpartitioned windows are all value-domain-
+    * or k-bounded by construction (Quality KS cumulative, Dedup span
+    * windows, Embeddings quantile frame, Corpus tercile cumulative —
+    * each documented at its site and pinned in PlanSpec), so the
+    * warning fires 100+ times per gate run on frames of a few hundred
+    * rows and buries the log tail a REAL corpus-sized unpartitioned
+    * window would need to surface in. Deliberately NOT called from
+    * [[get]]: a user session keeps Spark's warning; the harness's
+    * regression guard is PlanSpec's bounded-window pins, not the log.
+    * Package-level (log4j2 hierarchy) because Spark's Logging trait
+    * names loggers by concrete class. */
+  def muteBenignGlobalWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Build (or reuse) the session and register graft's SQL functions. */
   def get(cores: Int): SparkSession = {
     val s = builder(cores).getOrCreate()

@@ -23,6 +23,7 @@ object SoakAb {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    GraftSession.muteBenignGlobalWindowWarn()
     val blocks = sys.env.getOrElse("SPARK_GRAFT_AB_BLOCKS", "7").toInt
     val keys = if (args.nonEmpty) args.toSeq else Seq(
       "q5_window_topn", "q34_latest_by_key", "asof_join",

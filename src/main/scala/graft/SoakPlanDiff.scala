@@ -8,6 +8,7 @@ object SoakPlanDiff {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.get(8)
+    GraftSession.muteBenignGlobalWindowWarn()
     def fingerprint(p: String): String = {
       // operator-name multiset: stable under exprId/alias churn
       "[A-Za-z]+Exec|RowTopK|RankTopK|row_topk|rank_topk|Window\\b".r

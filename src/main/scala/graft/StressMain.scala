@@ -30,6 +30,7 @@ object StressMain {
     val mult = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "8").toInt
     val spark = GraftSession.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    GraftSession.muteBenignGlobalWindowWarn()
 
     // job counter: growth rows report (rows, jobs, wall) — a jobs
     // blowup with flat wall is the local[32] tell of a plan that

@@ -8,6 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.get(cpus)
+    GraftSession.muteBenignGlobalWindowWarn()
     new java.io.File(outDir).mkdirs()
     // dev-only filter: dump a comma-separated subset for a quick local
     // oracle check on one key (driver runs unset → full dump; stale-dir

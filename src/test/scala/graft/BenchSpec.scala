@@ -51,6 +51,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isSubFloorSuspect(9.1, Some(3.0), Seq(7, 7, 7)))
   }
 
+  test("jitter rule: sub-half-second keys re-sample on a 2x median " +
+      "move regardless of job counts (r15 verdict #3)") {
+    // the stream_session_window case: 0.300 s local median, run medians
+    // 0.610 s (exactly 2.03x) — jitter on a 0.3 s key; must earn
+    // resamples even though isSubFloorSuspect would also fire here
+    assert(Bench.isJitterSuspect(0.610, Some(0.300)))
+    // ...and crucially WITHOUT the flat-job-count requirement the
+    // sub-floor rule imposes (a job wobble on a 0.3 s key is noise)
+    assert(!Bench.isSubFloorSuspect(0.610, Some(0.300), Seq(2, 3, 2)))
+    // keys at/above the 0.5 s reference line are NOT jitter class —
+    // they stay governed by the sub-floor rule's plan-flatness logic
+    assert(!Bench.isJitterSuspect(1.2, Some(0.5)))
+    assert(!Bench.isJitterSuspect(4.0, Some(1.0)))
+    // in-band sub-second medians stay quiet (strict > 2x)
+    assert(!Bench.isJitterSuspect(0.60, Some(0.300)))
+    assert(!Bench.isJitterSuspect(0.45, Some(0.300)))
+    // no / degenerate reference: never flags
+    assert(!Bench.isJitterSuspect(0.9, None))
+    assert(!Bench.isJitterSuspect(0.9, Some(0.0)))
+  }
+
   test("synthetic stall: a sleeping run trips the suspect flag") {
     // Exercise the rule through a real timed stall, the way Bench.main
     // times a run — a 1.2 s sleep against a 0.2 s committed median must

@@ -1056,4 +1056,48 @@ class PlanSpec extends SparkSpec {
       spark.conf.unset(rj)
     }
   }
+
+  test("bounded global windows: exactly the four documented " +
+      "unpartitioned-window sites, no growth (r15 verdict #7)") {
+    // The harness mains mute WindowExec's single-partition WARN
+    // (GraftSession.muteBenignGlobalWindowWarn), so THIS pin is the
+    // regression guard the log line used to be: each witness key's
+    // optimized plan must contain exactly its documented number of
+    // partition-free Window nodes — every one over a value-domain- or
+    // k-bounded frame (KS cumulative over distinct statistic values,
+    // quantizer ranking over k centroids, PQ codebook over PqK rows,
+    // tercile cumulative over distinct fluency values). A NEW
+    // unpartitioned window — which at corpus scale means one executor
+    // sorting the world — fails this count instead of scrolling past
+    // in a muted log.
+    // identify each global window by its ORDER column: the documented
+    // bounded frames order on a value-domain/k-bounded key (a count is
+    // too brittle — shared subtrees duplicate Window nodes in the
+    // logical tree), so any NEW unpartitioned window orders on
+    // something else and fails the subset check
+    def globalWindowOrderCols(df: org.apache.spark.sql.DataFrame)
+        : Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty =>
+          w.orderSpec.flatMap(_.references.map(_.name)).toSet
+      }.flatten.toSet
+    val expected = Seq(
+      ("dist_drift_ks", graft.ops.Quality.ksDrift,
+        Set("v")), // distinct metric values
+      ("dedup_semantic_hier", graft.ext.Dedup.semanticHier,
+        Set("cid")), // k quantizer centroids
+      ("topk_pq_adc", graft.ext.Embeddings.pqTopK,
+        Set("rid")), // PqK codebook rows
+      ("corpus_ccnet_buckets", graft.ext.Corpus.ccnetBuckets,
+        Set("fluency_milli"))) // distinct statistic values
+    expected.foreach { case (name, q, allowed) =>
+      val got = globalWindowOrderCols(q.fn(spark, sf))
+      assert(got.nonEmpty, s"$name must still plan its bounded global window")
+      assert(got.subsetOf(allowed),
+        s"$name grew an UNDOCUMENTED unpartitioned window ordering on " +
+          s"${got -- allowed} — at corpus scale that is one executor " +
+          "sorting the world; bound it or partition it")
+    }
+  }
 }
