@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stage breakdown of dedup_incremental_pub (dev tool, r15 verdict
+  * #4): the published-history incremental is increment-proportional by
+  * contract, so this main times what an increment PAYS once the index
+  * `_SUCCESS` short-circuit holds — increment shingling, the 64-hash
+  * banding, the candidate join against the stored bucket table, and
+  * the verify join — and A/Bs the verify spelling:
+  *
+  *   (union)  cands ⋈ (shH ∪ shI) on a, then on b  — the shipped r15
+  *            shape: BOTH joins scan the history-sized union;
+  *   (split)  cands ⋈ shH on a, then ⋈ shI on b    — history scanned
+  *            once, and the b-side is increment-sized (AQE can
+  *            broadcast it at daily-crawl scale).
+  *
+  * With disjoint doc_ids (the documented precondition) the two are
+  * value-identical: `a` ids only ever match shH rows and `b` ids only
+  * shI rows, so the union join's extra scan finds nothing the split
+  * join misses. The split additionally removes the union's
+  * duplicate-row corruption mode for an id that violates the
+  * precondition on ONE side only.
+  */
+object ProfileIncPub {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[incpub] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_HOT_REPS", "2").toInt
+    // publish once, outside the reps — ingest-time work by contract
+    val idxPath = t("publishHistoryIndex (ingest-time)") {
+      graft.ext.Dedup.ensureHistoryIndex(spark, dir)
+    }
+    (1 to reps).foreach { rep =>
+      println(s"[incpub] --- rep $rep ---")
+      val increment = graft.ext.Dedup
+        .plantedCorpus(Tables(spark, dir, "documents"))
+        .filter(col("doc_id") >= graft.ext.Dedup.PlantedOffset)
+      val shH = spark.read.parquet(s"$idxPath/sh")
+      val bH = spark.read.parquet(s"$idxPath/bb")
+      val shI = graft.ext.Dedup
+        .shingleSets(increment.select(col("doc_id"), col("text"))).persist()
+      t("increment shingle+persist+count")(shI.count())
+      val bI = t("increment 64-hash banding (noop)") {
+        val b = graft.ext.Dedup.bandBuckets(
+          graft.ext.Dedup.minhashSignatures(shI))
+        noop(b); b
+      }
+      val cands = t("candidate join vs stored bb") {
+        val c = graft.ext.Dedup.crossSideCandidates(bH, bI)
+        println(s"[incpub]   n_cands=${c.count()}")
+        c
+      }
+      t("verify UNION spelling (r15)") {
+        noop(graft.ext.Dedup.verifyJaccard(cands, shH.unionByName(shI)))
+      }
+      t("verify SPLIT spelling (r16 shipped)") {
+        noop(graft.ext.Dedup.verifyJaccardSplit(cands, shH, shI))
+      }
+      t("verify SPLIT + broadcast(b side)") {
+        val sets = (f: DataFrame) => f.select(col("doc_id"), col("shs"), col("n"))
+        noop(cands
+          .join(sets(shH).select(col("doc_id").as("a"),
+            col("shs").as("shs_a"), col("n").as("n_a")), "a")
+          .join(broadcast(sets(shI).select(col("doc_id").as("b"),
+            col("shs").as("shs_b"), col("n").as("n_b"))), "b")
+          .withColumn("n_common",
+            size(array_intersect(col("shs_a"), col("shs_b"))))
+          .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
+          .select("a", "b", "n_common", "n_a", "n_b"))
+      }
+      shI.unpersist()
+      val j0 = jobs()
+      t("full key (end-to-end)") {
+        noop(SparkEntry.queries("dedup_incremental_pub")(spark, dir))
+      }
+      println(s"[incpub]   full-key jobs=${jobs() - j0}")
+      GraftSession.dropAllCaches(spark)
+    }
+    spark.stop()
+  }
+}

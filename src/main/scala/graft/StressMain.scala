@@ -149,6 +149,32 @@ object StressMain {
     pair("keep_best")(
       c => Dedup.keepBestOf(Dedup.plantedCorpus(c)).count(),
       n => repDocs(docs, n))
+    // r16 (r15 verdict #2): the capped-df posture measured THROUGH the
+    // flagship consumer (dedup_clusters shares the identical pair-gen
+    // prefix). Every 16th doc gets ONE fixed UNSALTED 4-word phrase
+    // prepended — unlike everything else it is shared ACROSS replicas,
+    // so that single shingle's df grows with the corpus (≈630 at 1×,
+    // ≈5,000 at 8× on sf0.1) while every organic shingle stays at its
+    // within-replica df (measured max 12). The uncapped index pays
+    // df² candidate rows for it — pure shuffle waste, the hot-only
+    // pairs fail the Jaccard verify — which is the quadratic term
+    // boilerplate introduces at crawl scale; cap=256 clears every
+    // organic df (lossless for real pairs, the ExtSpec pin) and drops
+    // exactly the hot key. The 1×/N× ratio pair locates the crossover:
+    // cap overhead (df aggregate + anti-join) vs the df² saving.
+    val hotPhrase = "hotshingle0 hotshingle1 hotshingle2 hotshingle3 "
+    def repDocsHot(n: Int): DataFrame =
+      repDocs(docs, n).select(col("doc_id"),
+        when(col("doc_id") % 16 === 0,
+          concat(lit(hotPhrase), col("text"))).otherwise(col("text"))
+          .as("text"))
+    pair("keep_best_hot_cap0")(
+      c => Dedup.keepBestOf(Dedup.plantedCorpus(c)).count(),
+      repDocsHot)
+    pair("keep_best_hot_cap256")(
+      c => Dedup.keepBestOf(Dedup.plantedCorpus(c),
+        shingleDfCap = 256).count(),
+      repDocsHot)
     // r14: cross-corpus incremental dedup — candidate volume is
     // history×increment band hits (never history²); disjoint replicas
     // grow both slices n×, cross matches stay per-replica

@@ -657,6 +657,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom/rotating dedup state is EXACTLY mBits/64 words per shard, " +
+      "flat as distinct keys scale 100x (the 2·G·m contract)") {
+    // r15 verdict #5: StreamingDedup documents permanently-bounded
+    // state (G·m bits fixed / 2·G·m rotating) — pin it as a property
+    // so an edit can't silently reintroduce per-key state (e.g. an
+    // exact-set fallback or a growable side map). Batches of
+    // geometrically growing key counts fold through the SAME carried
+    // state the way flatMapGroupsWithState drives it; after EVERY
+    // batch the stored value is the fixed word count, independent of
+    // how many distinct keys the shard has absorbed.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val mBits = 4096
+    val words = mBits / 64
+    // plain bloom: Seq[Long] state
+    var bState: Seq[Long] = null
+    Seq(10, 100, 1000, 10000).foldLeft(0L) { (base, n) =>
+      val st = TestGroupState.create[Seq[Long]](
+        if (bState == null) Optional.empty() else Optional.of(bState),
+        GroupStateTimeout.NoTimeout, 0L, Optional.empty(),
+        hasTimedOut = false)
+      graft.streaming.StreamingDedup.updateBloomShard(mBits)(
+        0, (base until base + n).map(k =>
+          graft.streaming.ShardKey(0, k)).iterator, st).size: Unit
+      bState = st.get
+      assert(bState.length == words,
+        s"bloom state grew to ${bState.length} words after ${base + n} keys")
+      base + n
+    }
+    // rotating: epoch + two generations, each exactly `words` longs,
+    // across batches that also ROTATE epochs (ts advances past the
+    // retention) — rotation must swap arrays, never accumulate them
+    val R = 1000L
+    var rState: graft.streaming.BloomEpochState = null
+    Seq(10, 100, 1000, 10000).zipWithIndex.foldLeft(0L) {
+      case (base, (n, i)) =>
+        val st = TestGroupState.create[graft.streaming.BloomEpochState](
+          if (rState == null) Optional.empty() else Optional.of(rState),
+          GroupStateTimeout.NoTimeout, 0L, Optional.empty(),
+          hasTimedOut = false)
+        graft.streaming.StreamingDedup.updateRotatingShard(mBits, R)(
+          0, (base until base + n).map(k =>
+            graft.streaming.TsKey(0, k, i * R + 5L)).iterator, st).size: Unit
+        rState = st.get
+        assert(rState.active.length == words && rState.prev.length == words,
+          s"rotating state grew (${rState.active.length}/" +
+            s"${rState.prev.length} words) after ${base + n} keys")
+        base + n
+    }: Unit
+  }
+
   test("shinglesUdf equals the declarative shingles for arbitrary " +
       "whitespace-riddled text (the r14 tokensWs alignment)") {
     // r13 ADVICE closed: the UDF and the native spelling must tokenize

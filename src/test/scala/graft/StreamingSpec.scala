@@ -1569,6 +1569,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch2New.size >= 495, s"fresh keys dropped: ${500 - batch2New.size}")
   }
 
+  test("bloom-state dedup: state-store rows stay EXACTLY at shard count " +
+      "as distinct keys scale 16x across batches") {
+    // r15 verdict #5 (query-level face of the PropertySpec word-count
+    // pin): the state STORE must hold one fixed-size row per shard —
+    // never per key — so numRowsTotal is flat at `shards` while the
+    // key volume grows 16x batch over batch.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shards = 4
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.streaming.StreamingDedup
+      .bloomDedupStream(ms.toDF().toDF("key"), mBits = 64 * 256, shards)
+      .writeStream.format("memory").queryName("t_bloomflat")
+      .outputMode("append")
+      .option("checkpointLocation", s"${freshDir("bloomflat")}/ckpt")
+      .start()
+    var base = 0L
+    Seq(250L, 1000L, 4000L).foreach { n =>
+      ms.addData(base until base + n)
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(rows == shards,
+        s"state rows $rows != $shards after ${base + n} distinct keys")
+      base += n
+    }
+    q.stop()
+  }
+
   test("rotating-bloom dedup: in-window dups suppressed, long-idle keys " +
       "re-emitted, fresh keys always pass") {
     val sp = spark
