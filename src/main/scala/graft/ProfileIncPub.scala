@@ -58,8 +58,13 @@ object ProfileIncPub {
           graft.ext.Dedup.minhashSignatures(shI))
         noop(b); b
       }
+      // persist the candidate set before the A/B arms: cands is
+      // otherwise a plain plan, so every timed verify would RE-RUN the
+      // banding + candidate join inside its measurement and the stage
+      // table would not decompose additively (r16 review) — the arms
+      // must time ONLY the verify join
       val cands = t("candidate join vs stored bb") {
-        val c = graft.ext.Dedup.crossSideCandidates(bH, bI)
+        val c = graft.ext.Dedup.crossSideCandidates(bH, bI).persist()
         println(s"[incpub]   n_cands=${c.count()}")
         c
       }
@@ -69,18 +74,13 @@ object ProfileIncPub {
       t("verify SPLIT spelling (r16 shipped)") {
         noop(graft.ext.Dedup.verifyJaccardSplit(cands, shH, shI))
       }
+      // same shared helper, hint on the increment frame: ResolvedHint
+      // survives the helper's projections, so this arm is guaranteed
+      // the shipped query modulo the hint (r16 review)
       t("verify SPLIT + broadcast(b side)") {
-        val sets = (f: DataFrame) => f.select(col("doc_id"), col("shs"), col("n"))
-        noop(cands
-          .join(sets(shH).select(col("doc_id").as("a"),
-            col("shs").as("shs_a"), col("n").as("n_a")), "a")
-          .join(broadcast(sets(shI).select(col("doc_id").as("b"),
-            col("shs").as("shs_b"), col("n").as("n_b"))), "b")
-          .withColumn("n_common",
-            size(array_intersect(col("shs_a"), col("shs_b"))))
-          .filter(col("n_common") * 3 >= col("n_a") + col("n_b"))
-          .select("a", "b", "n_common", "n_a", "n_b"))
+        noop(graft.ext.Dedup.verifyJaccardSplit(cands, shH, broadcast(shI)))
       }
+      cands.unpersist()
       shI.unpersist()
       val j0 = jobs()
       t("full key (end-to-end)") {

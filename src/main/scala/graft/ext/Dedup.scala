@@ -332,8 +332,9 @@ object Dedup {
     * ids resolve against `shA` only and the `b` ids against `shB` only.
     * For the self-join case both sides are the same frame
     * ([[verifyJaccard]]); for the cross-corpus incremental case the
-    * split is the r16 measured cut (ProfileIncPub, sf0.1 warm: 0.78 s
-    * vs 1.32 s for joining both ids against the history-sized union —
+    * split is the r16 measured cut (ProfileIncPub, sf0.1, candidates
+    * persisted so the arms time ONLY the verify join: 0.37 s warm vs
+    * 0.75 s for joining both ids against the history-sized union —
     * history is scanned once instead of twice, and the `b` side is
     * increment-sized so AQE broadcasts it at daily-crawl scale; an
     * explicit broadcast hint measured no further win, so it is left to

@@ -273,15 +273,21 @@ class ExtSpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val uncapped = rows(Dedup.keepBestOf(corpus))
     assert(rows(Dedup.keepBestOf(corpus, shingleDfCap = maxDf)) == uncapped)
-    // an aggressive cap still yields a REFINEMENT: every capped keep
-    // row's cluster is a (possibly split) subset, so the kept ids of
-    // the uncapped run all survive or are replaced by same-cluster
-    // members — pin the cheap invariant that capping never invents a
-    // cluster key outside the doc-id domain and never emits more rows
-    // than docs
+    // an aggressive cap still yields a REFINEMENT: capping only
+    // removes pairs, so clusters can only split — more keep rows,
+    // every cluster key still a real (scored) doc id, never more rows
+    // than scored docs
     val aggressive = rows(Dedup.keepBestOf(corpus, shingleDfCap = 2))
     assert(aggressive.size >= uncapped.size,
       "splitting clusters can only increase keep rows")
+    val scoredIds = corpus
+      .filter(size(graft.ext.TextAnalysis.tokensWs(col("text"))) >=
+        Dedup.ShingleN)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aggressive.map(_._1).subsetOf(scoredIds),
+      "capping invented a cluster key outside the scored doc-id domain")
+    assert(aggressive.size <= scoredIds.size,
+      "more keep rows than scored docs")
   }
 
   test("simhash banded near-dup equals brute-force hamming filter") {
