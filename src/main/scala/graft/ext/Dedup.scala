@@ -998,9 +998,17 @@ object Dedup {
     * semi-join per call that fails fast on overlap.
     */
   def incrementalAgainstIndex(s: SparkSession, indexPath: String,
-      increment: DataFrame): DataFrame = {
-    val shH = s.read.parquet(s"$indexPath/sh")
-    val bH = s.read.parquet(s"$indexPath/bb")
+      increment: DataFrame): DataFrame =
+    incrementalAgainstFrames(s,
+      s.read.parquet(s"$indexPath/sh"),
+      s.read.parquet(s"$indexPath/bb"),
+      increment, indexPath)
+
+  /** Shared increment-vs-stored-index core: both the plain-parquet and
+    * the bucketed index entry points bind it, differing only in how
+    * the two stored frames are scanned. */
+  private def incrementalAgainstFrames(s: SparkSession, shH: DataFrame,
+      bH: DataFrame, increment: DataFrame, indexDesc: String): DataFrame = {
     val shI = shingleSets(increment.select(col("doc_id"), col("text")))
       .persist()
     shI.count(): Unit
@@ -1013,7 +1021,7 @@ object Dedup {
         shI.unpersist(): Unit
         throw new IllegalArgumentException(
           s"incrementalAgainstIndex: increment doc_ids overlap the " +
-            s"history index at $indexPath (e.g. ${overlap.mkString(", ")}) " +
+            s"history index at $indexDesc (e.g. ${overlap.mkString(", ")}) " +
             "— re-crawled docs must carry fresh ids")
       }
     }
@@ -1030,6 +1038,117 @@ object Dedup {
     shI.unpersist()
     out
   }
+
+  // --- bucketed history index (the 100 TB co-location layout) --------
+
+  /** Bucket count of the published bucketed index. Local default sized
+    * to the test session's cores; at 100 TB this is thousands — the
+    * layout knob, not a semantic one (readers pass the same value). */
+  val HistIdxBuckets = 32
+
+  /** Bucketed twin of [[publishHistoryIndex]] — the co-location move
+    * the plain index's scaladoc narrates: the stored shingle table is
+    * written CLUSTERED BY doc_id and the band-bucket table CLUSTERED BY
+    * (band, bucket), so every later increment's candidate join and
+    * verify join read the HISTORY side pre-partitioned on their join
+    * keys — no history-sized exchange per increment, ever; only the
+    * (small) increment/candidate sides shuffle into the bucket layout
+    * (PlanSpec pins exactly 2 exchanges fewer than the plain-parquet
+    * plan). Bucketed layout is an ingest-time storage decision, paid
+    * once where the plain publish is paid once.
+    *
+    * Mechanics: Spark's bucketed layout is only writable through the
+    * catalog (`bucketBy.saveAsTable`), so the stage writes EXTERNAL
+    * tables into the publish staging dir under throwaway names, drops
+    * the catalog entries (files stay — DROP on an external table never
+    * deletes data), and lets [[graft.Work.publish]] rename the staged
+    * dir into place under the same `_SUCCESS` discipline as the plain
+    * index. Readers re-declare the table over the published files
+    * ([[bucketedHistoryIndex]]); a production deployment would hold
+    * that DDL in a shared metastore instead of per-session.
+    */
+  def publishHistoryIndexBucketed(s: SparkSession, path: String,
+      history: DataFrame, buckets: Int = HistIdxBuckets): Unit = {
+    Work.publish(path) { tmp =>
+      val sh = shingleSets(history.select(col("doc_id"), col("text")))
+        .persist()
+      sh.count(): Unit
+      def stageBucketed(df: DataFrame, sub: String,
+          keys: Seq[String]): Unit = {
+        val t = s"graft_hidx_stage_${Work.jvmTag}_$sub"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("path", s"$tmp/$sub")
+          .saveAsTable(t)
+        s.sql(s"DROP TABLE IF EXISTS $t")
+      }
+      stageBucketed(sh, "sh", Seq("doc_id"))
+      stageBucketed(bandBuckets(minhashSignatures(sh)), "bb",
+        Seq("band", "bucket"))
+      sh.unpersist(): Unit
+    }: Unit
+  }
+
+  /** Frames over a published bucketed index: per-session DDL declares
+    * the two external bucketed tables over the published files (names
+    * keyed on the canonical path, idempotent per session), and the
+    * returned scans carry the bucket layout — joining them on their
+    * cluster keys needs no exchange on the stored side. `buckets` must
+    * match the publish-time value (the layout is in the FILES; a
+    * mismatched declaration would mis-assign rows to buckets). */
+  def bucketedHistoryIndex(s: SparkSession, path: String,
+      buckets: Int = HistIdxBuckets): (DataFrame, DataFrame) = {
+    require(new java.io.File(path, "_SUCCESS").exists(),
+      s"bucketed history index at $path is absent or incomplete")
+    val tag = Work.publishTag(path).replaceAll("[^A-Za-z0-9_]", "_")
+    def declare(sub: String, schema: String, keys: String): String = {
+      val t = s"graft_hidx_${sub}_$tag"
+      if (!s.catalog.tableExists(t))
+        s.sql(s"""CREATE TABLE $t ($schema) USING PARQUET
+          CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
+          LOCATION '$path/$sub'""")
+      t
+    }
+    (s.table(declare("sh", "doc_id BIGINT, shs ARRAY<STRING>, n INT",
+        "doc_id")),
+      s.table(declare("bb", "doc_id BIGINT, band INT, bucket BIGINT",
+        "band, bucket")))
+  }
+
+  /** [[incrementalAgainstIndex]] over a BUCKETED index: identical
+    * output (same shared core, ExtSpec pins row equality with the
+    * plain path), but the stored tables join exchange-free. */
+  def incrementalAgainstIndexBucketed(s: SparkSession, indexPath: String,
+      increment: DataFrame,
+      buckets: Int = HistIdxBuckets): DataFrame = {
+    val (shH, bH) = bucketedHistoryIndex(s, indexPath, buckets)
+    incrementalAgainstFrames(s, shH, bH, increment, indexPath)
+  }
+
+  private val histIdxBDone = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  /** Witness twin of [[ensureHistoryIndex]] for the bucketed layout. */
+  def ensureHistoryIndexBucketed(s: SparkSession, dir: String,
+      fingerprint: Option[String] = None): String = {
+    graft.SessionCaches.evictStopped(histIdxBDone)(_._1)
+    val path = s"${Work.dir}/inc_hidxb_v1_${Work.publishTag(dir, fingerprint)}"
+    histIdxBDone.computeIfAbsent((s, path), { _ =>
+      publishHistoryIndexBucketed(s, path,
+        Tables(s, dir, "documents").select("doc_id", "text"))
+      path
+    })
+  }
+
+  val incrementalPubBucketed = QueryDef(
+    "dedup_incremental_pub_bucketed",
+    (s, dir) => incrementalAgainstIndexBucketed(s,
+      ensureHistoryIndexBucketed(s, dir),
+      plantedCorpus(Tables(s, dir, "documents"))
+        .filter(col("doc_id") >= PlantedOffset)),
+    Some(incrementalOracleSql))
 
   val incrementalPub = QueryDef(
     "dedup_incremental_pub",
@@ -2049,7 +2168,8 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, containment, minhash,
-      incremental, incrementalPub, simhash, simhashNearDup,
+      incremental, incrementalPub, incrementalPubBucketed,
+      simhash, simhashNearDup,
       simhashWideNearDup,
       embeddingCosine, semantic, semanticHier, clusters, keepBest,
       decontam, contamScore, curate, lineDedup, repeatedSpansQ,

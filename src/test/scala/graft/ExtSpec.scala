@@ -1543,6 +1543,16 @@ class ExtSpec extends SparkSpec {
       assert(rows(Dedup.incrementalAgainstIndex(spark, path, inc)) == fused)
     } finally spark.conf.unset("spark.graft.dedup.checkDisjointIds")
     Work.clean(path)
+    // bucketed layout (r16): same shared core over CLUSTERED BY
+    // (doc_id) / (band, bucket) stored tables — rows must be
+    // bit-identical to the plain-parquet path
+    val bpath = Work.scratch("histidxb_spec")
+    Work.clean(bpath)
+    Dedup.publishHistoryIndexBucketed(spark, bpath,
+      docs.select("doc_id", "text"))
+    assert(rows(Dedup.incrementalAgainstIndexBucketed(spark, bpath, inc))
+      == fused)
+    Work.clean(bpath)
   }
 
   test("DSIR: fused predicate-target ratios equal the generic " +
