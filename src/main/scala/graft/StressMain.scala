@@ -212,6 +212,32 @@ object StressMain {
       GraftSession.dropAllCaches(spark)
       results("incremental_pub_hist") = (base, big)
     }
+    // r16: the bucketed-layout twin — same contract (increment fixed,
+    // history grows), stored sides pre-partitioned on their join keys.
+    // Locally the stored sides broadcast below ~10 MB so the 1x row
+    // matches the plain twin; the N× rows exercise the layout once the
+    // stored side crosses the threshold (the 100 TB regime PlanSpec
+    // pins with broadcast disabled).
+    if (only.isEmpty || only.contains("incremental_pub_bucketed")) {
+      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+      val inc1 = Dedup.plantedCorpus(repDocs(docs, 1))
+        .filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset)
+      def runAt(n: Int, label: String): Double = {
+        val path = Work.scratch(s"histidxb_$n")
+        Work.clean(path)
+        Dedup.publishHistoryIndexBucketed(spark, path,
+          Dedup.plantedCorpus(repDocs(docs, n)).filter(histPred))
+        val sec = t(s"incremental_pub_bucketed $label")(
+          Dedup.incrementalAgainstIndexBucketed(spark, path, inc1).count())
+        Work.clean(path)
+        sec
+      }
+      val base = runAt(1, "1x")
+      GraftSession.dropAllCaches(spark)
+      val big = runAt(mult, s"${mult}x")
+      GraftSession.dropAllCaches(spark)
+      results("incremental_pub_bucketed") = (base, big)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(

@@ -979,9 +979,11 @@ object Dedup {
     * jobs FLAT as history scales 8×). Bit-identical output to
     * [[incrementalPairs]] on the same slices (ExtSpec pins set
     * equality); the verify join against the stored shingle sets still
-    * shuffles ∝ history scan at 100 TB — the index would be bucketed
-    * by doc_id on publish to make that co-located, the compute saving
-    * (shingling + 64 hashes per history doc, per day) is the headline.
+    * shuffles ∝ history scan at 100 TB under THIS plain layout — use
+    * [[publishHistoryIndexBucketed]]/[[incrementalAgainstIndexBucketed]]
+    * (r16) to co-locate both stored-side joins; the compute saving
+    * (shingling + 64 hashes per history doc, per day) is the headline
+    * either way.
     *
     * PRECONDITION (r15 ADVICE): increment doc_ids must be DISJOINT
     * from the stored history index's doc_ids (assign a re-crawl a
