@@ -958,17 +958,15 @@ object Dedup {
     * two corpus dirs sharing a basename never reuse one index. */
   def ensureHistoryIndex(s: SparkSession, dir: String,
       fingerprint: Option[String] = None): String = {
-    graft.SessionCaches.evictStopped(histIdxDone)(_._1)
     // keyed on the artifact PATH (dir + optional fingerprint, r15
     // verdict #6): a re-crawled history published under a new
     // fingerprint gets a fresh index; default None keeps the
     // immutable-testdata tag byte-identical
     val path = histIdxPath(dir, fingerprint)
-    histIdxDone.computeIfAbsent((s, path), { _ =>
+    ensureIdx(histIdxDone, s, path) {
       publishHistoryIndex(s, path,
         Tables(s, dir, "documents").select("doc_id", "text"))
-      path
-    })
+    }
   }
 
   /** Near-dup pairs of `increment` against a PUBLISHED history index —
@@ -1022,7 +1020,7 @@ object Dedup {
       if (overlap.nonEmpty) {
         shI.unpersist(): Unit
         throw new IllegalArgumentException(
-          s"incrementalAgainstIndex: increment doc_ids overlap the " +
+          s"incremental dedup: increment doc_ids overlap the " +
             s"history index at $indexDesc (e.g. ${overlap.mkString(", ")}) " +
             "— re-crawled docs must carry fresh ids")
       }
@@ -1075,42 +1073,98 @@ object Dedup {
       val sh = shingleSets(history.select(col("doc_id"), col("text")))
         .persist()
       sh.count(): Unit
-      def stageBucketed(df: DataFrame, sub: String,
-          keys: Seq[String]): Unit = {
-        val t = s"graft_hidx_stage_${Work.jvmTag}_$sub"
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        df.write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, keys.head, keys.tail: _*)
-          .sortBy(keys.head, keys.tail: _*)
-          .option("path", s"$tmp/$sub")
-          .saveAsTable(t)
-        s.sql(s"DROP TABLE IF EXISTS $t")
-      }
-      stageBucketed(sh, "sh", Seq("doc_id"))
-      stageBucketed(bandBuckets(minhashSignatures(sh)), "bb",
-        Seq("band", "bucket"))
+      stageBucketedIndex(s, tmp, buckets, sh,
+        bandBuckets(minhashSignatures(sh)))
       sh.unpersist(): Unit
     }: Unit
+  }
+
+  /** Re-LAYOUT an already-published plain index as a bucketed one: the
+    * stored `sh/` and `bb/` parquet are read back and rewritten
+    * CLUSTERED BY their join keys — no re-shingling, no re-hashing
+    * (the ingest-time headline cost is paid once, in whichever publish
+    * ran first). This is the production "migrate the layout" move, and
+    * what the witness uses so a gate run holding BOTH index flavors
+    * computes the shingle/MinHash passes exactly once. */
+  def publishHistoryIndexBucketedFrom(s: SparkSession, path: String,
+      plainIndexPath: String, buckets: Int = HistIdxBuckets): Unit = {
+    Work.publish(path) { tmp =>
+      stageBucketedIndex(s, tmp, buckets,
+        s.read.parquet(s"$plainIndexPath/sh"),
+        s.read.parquet(s"$plainIndexPath/bb"))
+    }: Unit
+  }
+
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Stage the two bucketed tables + the bucket-count record into a
+    * publish staging dir. Staging table names carry a per-call unique
+    * token: Work.publish guarantees same-JVM concurrent publishes
+    * unique staging DIRS, and the throwaway catalog entries must not
+    * undercut that by colliding on a shared name (r16 review). */
+  private def stageBucketedIndex(s: SparkSession, tmp: String,
+      buckets: Int, sh: DataFrame, bb: DataFrame): Unit = {
+    val token = s"${Work.jvmTag}_${stageSeq.incrementAndGet()}"
+    def stage(df: DataFrame, sub: String, keys: Seq[String]): Unit = {
+      val t = s"graft_hidx_stage_${token}_$sub"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("path", s"$tmp/$sub")
+        .saveAsTable(t)
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    stage(sh, "sh", Seq("doc_id"))
+    stage(bb, "bb", Seq("band", "bucket"))
+    // record the layout IN the artifact: the bucket count is a property
+    // of the published files, and a reader declaring a different count
+    // would silently scan half the buckets or mis-co-locate the join
+    // (r16 review) — readers derive it from here instead of trusting a
+    // parameter to match. The unique publish id keys each reader's
+    // per-session table NAME to this exact publish: a clean+republish
+    // at the same path (possibly with a different layout) gets fresh
+    // declarations instead of a stale catalog entry whose bucket spec
+    // and cached file listing describe the deleted artifact
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "buckets"),
+      s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    : Unit
   }
 
   /** Frames over a published bucketed index: per-session DDL declares
     * the two external bucketed tables over the published files (names
     * keyed on the canonical path, idempotent per session), and the
     * returned scans carry the bucket layout — joining them on their
-    * cluster keys needs no exchange on the stored side. `buckets` must
-    * match the publish-time value (the layout is in the FILES; a
-    * mismatched declaration would mis-assign rows to buckets). */
-  def bucketedHistoryIndex(s: SparkSession, path: String,
-      buckets: Int = HistIdxBuckets): (DataFrame, DataFrame) = {
+    * cluster keys needs no exchange on the stored side. The bucket
+    * count is read from the artifact's own `buckets` record, never
+    * trusted from the caller (a mismatched declaration would silently
+    * scan a subset of the bucket files). */
+  def bucketedHistoryIndex(s: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
     require(new java.io.File(path, "_SUCCESS").exists(),
       s"bucketed history index at $path is absent or incomplete")
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "buckets")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+    val buckets = rec(0).toInt
+    val pubId = rec(1)
+    // table names keyed on (path tag, publish id): a clean+republish at
+    // the same path declares FRESH tables, so a session can never serve
+    // a previous artifact's bucket spec or cached file listing (r16
+    // review — the plain path is immune because read.parquet re-lists
+    // every call); refreshTable still guards the name's own relation
+    // cache across a re-entrant declare
     val tag = Work.publishTag(path).replaceAll("[^A-Za-z0-9_]", "_")
     def declare(sub: String, schema: String, keys: String): String = {
-      val t = s"graft_hidx_${sub}_$tag"
-      if (!s.catalog.tableExists(t))
-        s.sql(s"""CREATE TABLE $t ($schema) USING PARQUET
-          CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
-          LOCATION '$path/$sub'""")
+      val t = s"graft_hidx_${sub}_${tag}_$pubId"
+      // IF NOT EXISTS, not a tableExists probe: two concurrent callers
+      // of the same index must not race check-then-create
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $t ($schema) USING PARQUET
+        CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
+        LOCATION '$path/$sub'""")
+      s.catalog.refreshTable(t)
       t
     }
     (s.table(declare("sh", "doc_id BIGINT, shs ARRAY<STRING>, n INT",
@@ -1123,25 +1177,36 @@ object Dedup {
     * output (same shared core, ExtSpec pins row equality with the
     * plain path), but the stored tables join exchange-free. */
   def incrementalAgainstIndexBucketed(s: SparkSession, indexPath: String,
-      increment: DataFrame,
-      buckets: Int = HistIdxBuckets): DataFrame = {
-    val (shH, bH) = bucketedHistoryIndex(s, indexPath, buckets)
+      increment: DataFrame): DataFrame = {
+    val (shH, bH) = bucketedHistoryIndex(s, indexPath)
     incrementalAgainstFrames(s, shH, bH, increment, indexPath)
   }
 
   private val histIdxBDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
 
-  /** Witness twin of [[ensureHistoryIndex]] for the bucketed layout. */
+  /** Shared once-per-(session, path) publish memo of the two ensure
+    * entry points — the eviction/keying semantics live in ONE place. */
+  private def ensureIdx(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String],
+      s: SparkSession, path: String)(publishFn: => Unit): String = {
+    graft.SessionCaches.evictStopped(cache)(_._1)
+    cache.computeIfAbsent((s, path), { _ => publishFn; path })
+  }
+
+  /** Witness twin of [[ensureHistoryIndex]] for the bucketed layout:
+    * ensures the PLAIN index first, then re-layouts its stored tables
+    * ([[publishHistoryIndexBucketedFrom]]) — a gate run exercising
+    * both flavors shingles and MinHashes the corpus exactly once. */
   def ensureHistoryIndexBucketed(s: SparkSession, dir: String,
       fingerprint: Option[String] = None): String = {
-    graft.SessionCaches.evictStopped(histIdxBDone)(_._1)
-    val path = s"${Work.dir}/inc_hidxb_v1_${Work.publishTag(dir, fingerprint)}"
-    histIdxBDone.computeIfAbsent((s, path), { _ =>
-      publishHistoryIndexBucketed(s, path,
-        Tables(s, dir, "documents").select("doc_id", "text"))
-      path
-    })
+    // v2: v1 predates the in-artifact layout record — the version bump
+    // guarantees a stale v1 dir in a shared work dir is never read
+    val path = s"${Work.dir}/inc_hidxb_v2_${Work.publishTag(dir, fingerprint)}"
+    ensureIdx(histIdxBDone, s, path) {
+      publishHistoryIndexBucketedFrom(s, path,
+        ensureHistoryIndex(s, dir, fingerprint))
+    }
   }
 
   val incrementalPubBucketed = QueryDef(

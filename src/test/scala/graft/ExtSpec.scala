@@ -1552,6 +1552,17 @@ class ExtSpec extends SparkSpec {
       docs.select("doc_id", "text"))
     assert(rows(Dedup.incrementalAgainstIndexBucketed(spark, bpath, inc))
       == fused)
+    // clean + REPUBLISH at the same path with different history and a
+    // NON-DEFAULT bucket count: the reader must serve the new files
+    // (refreshTable, not a stale cached listing of deleted parts) and
+    // derive the count from the artifact's own record (r16 review)
+    Work.clean(bpath)
+    Dedup.publishHistoryIndexBucketed(spark, bpath,
+      docs.limit(20).select("doc_id", "text"), buckets = 8)
+    val small = rows(Dedup.incrementalAgainstIndexBucketed(spark, bpath, inc))
+    assert(small.subsetOf(fused) && small.size < fused.size,
+      s"20-doc history must yield a strict pair subset " +
+        s"(${small.size} vs ${fused.size})")
     Work.clean(bpath)
   }
 
