@@ -171,9 +171,11 @@ object StressMain {
     pair("keep_best_hot_cap0")(
       c => Dedup.keepBestOf(Dedup.plantedCorpus(c)).count(),
       repDocsHot)
-    pair("keep_best_hot_cap256")(
+    // cap value env-tunable for the crossover sweep (SCALE.md r16)
+    val dfCap = sys.env.getOrElse("SPARK_GRAFT_STRESS_DFCAP", "256").toInt
+    pair(s"keep_best_hot_cap$dfCap")(
       c => Dedup.keepBestOf(Dedup.plantedCorpus(c),
-        shingleDfCap = 256).count(),
+        shingleDfCap = dfCap).count(),
       repDocsHot)
     // r14: cross-corpus incremental dedup — candidate volume is
     // history×increment band hits (never history²); disjoint replicas

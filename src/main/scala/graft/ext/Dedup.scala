@@ -1230,10 +1230,24 @@ object Dedup {
     * same shape as near-dup candidate generation, but cross-corpus and
     * any-overlap); output is per-test-doc with the collision count.
     * Scale: shuffle ∝ Σ df(shingle) over the two sides, never
-    * |train|×|test|; a shingle-df cap applies as in [[jaccardPairs]].
-    */
-  def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4): DataFrame =
-    decontaminateAgainst(test, shingleDf(train, n), n)
+    * |train|×|test| (the train side pre-aggregates to one row per
+    * distinct shingle, so hot shingles cannot explode the join the way
+    * they do in [[jaccardPairsOn]]).
+    *
+    * @param shingleDfCap here a SIGNAL filter, not a shuffle bound
+    *   (the scale story above holds either way): shingles occurring in
+    *   more than this many training docs are excluded from collision
+    *   counting — boilerplate n-grams ("all rights reserved …") hit
+    *   every eval doc and drown the genuine leakage signal, the same
+    *   reason the GPT-3 appendix counts only rare-enough n-grams.
+    *   0 = count every shared shingle (the oracle-checked default). */
+  def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4,
+      shingleDfCap: Int = 0): DataFrame = {
+    val trainDf = shingleDf(train, n)
+    decontaminateAgainst(test,
+      if (shingleDfCap > 0) trainDf.filter(col("df") <= shingleDfCap)
+      else trainDf, n)
+  }
 
 
   /** Per-shingle document frequencies of a corpus — the pre-aggregated

@@ -290,6 +290,42 @@ class ExtSpec extends SparkSpec {
       "more keep rows than scored docs")
   }
 
+  test("decontamination df-cap: boilerplate shingles stop counting, " +
+      "genuine rare leaks survive") {
+    val sp = spark
+    import sp.implicits._
+    // 10 train docs share one boilerplate 4-gram; train doc 0 also
+    // leaks a genuine 4-gram that test doc 1 contains. Unique per-doc
+    // prefixes make every boundary-spanning shingle unmatchable, so
+    // the shared shingles are EXACTLY the pure boilerplate (df 10) and
+    // the pure leak (df 1).
+    val boiler = "all rights reserved here"
+    val leak = "zebra quasar nimbus forge"
+    val train = (0 until 10).map { i =>
+      val extra = if (i == 0) s" $leak" else ""
+      (i.toLong, s"t${i}a t${i}b t${i}c $boiler$extra")
+    }.toDF("doc_id", "text")
+    val test = Seq(
+      (100L, s"q1a q1b q1c $leak $boiler"),
+      (101L, s"q2a q2b q2c $boiler")).toDF("doc_id", "text")
+    def counts(cap: Int) = Dedup.decontaminate(train, test,
+        shingleDfCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // uncapped: both test docs collide via boilerplate (df 10); doc
+    // 100 additionally via the leak (df 1) — the leak sits BEFORE the
+    // boilerplate in the test doc but AFTER it in train doc 0, so no
+    // boundary shingle matches
+    val un = counts(0)
+    assert(un(101L) == 10L, s"expected pure-boilerplate df 10: $un")
+    assert(un(100L) == 11L, s"leak must add exactly its df-1 count: $un")
+    // capped at 5: boilerplate (df 10) stops counting; only doc 100's
+    // genuine rare leak survives, and doc 101 drops out entirely
+    val capped = counts(5)
+    assert(!capped.contains(101L), s"boilerplate-only doc must drop: $capped")
+    assert(capped(100L) == un(100L) - 10L,
+      s"cap must remove exactly the df-10 boilerplate count: $capped vs $un")
+  }
+
   test("simhash banded near-dup equals brute-force hamming filter") {
     val sigs = Dedup.simhashSignatures(
       Dedup.plantedCorpus(Tables(spark, sf, "documents")))
