@@ -1145,6 +1145,10 @@ object Dedup {
       path: String): (DataFrame, DataFrame) = {
     require(new java.io.File(path, "_SUCCESS").exists(),
       s"bucketed history index at $path is absent or incomplete")
+    require(new java.io.File(path, "buckets").exists(),
+      s"bucketed history index at $path has no layout record — " +
+        "a plain-parquet index or a pre-record (v1) artifact cannot be " +
+        "read as bucketed; republish with publishHistoryIndexBucketed")
     val rec = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, "buckets")),
       java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
