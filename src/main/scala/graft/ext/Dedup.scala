@@ -1108,7 +1108,15 @@ object Dedup {
     def stage(df: DataFrame, sub: String, keys: Seq[String]): Unit = {
       val t = s"graft_hidx_stage_${token}_$sub"
       s.sql(s"DROP TABLE IF EXISTS $t")
-      df.write.mode("overwrite").format("parquet")
+      // repartition on the bucket keys BEFORE the bucketed write: a
+      // bucketBy write otherwise emits one file per (task, bucket) —
+      // tasks × buckets files, the small-files explosion at crawl
+      // scale. Spark's repartition hash and its bucket-id hash are the
+      // same Murmur3 pmod, so each shuffled partition holds exactly
+      // one bucket and the write lands ONE file per bucket (ExtSpec
+      // counts them).
+      df.repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .option("path", s"$tmp/$sub")

@@ -1588,6 +1588,15 @@ class ExtSpec extends SparkSpec {
       docs.select("doc_id", "text"))
     assert(rows(Dedup.incrementalAgainstIndexBucketed(spark, bpath, inc))
       == fused)
+    // file economy: the pre-write repartition must land ONE file per
+    // bucket, not one per (task, bucket) — the small-files explosion a
+    // naive bucketBy write produces at crawl scale
+    Seq("sh", "bb").foreach { sub =>
+      val parts = new java.io.File(s"$bpath/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts <= Dedup.HistIdxBuckets,
+        s"$sub wrote $parts part files for ${Dedup.HistIdxBuckets} buckets")
+    }
     // clean + REPUBLISH at the same path with different history and a
     // NON-DEFAULT bucket count: the reader must serve the new files
     // (refreshTable, not a stale cached listing of deleted parts) and
