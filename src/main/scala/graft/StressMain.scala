@@ -240,6 +240,31 @@ object StressMain {
       GraftSession.dropAllCaches(spark)
       results("incremental_pub_bucketed") = (base, big)
     }
+    // r16: segmented daily steady state — day d's increment joins the
+    // base segment plus the (d) already-folded daily segments; per-day
+    // wall must stay ~flat (the increment work is fixed, the union
+    // scan grows by one increment-sized segment per day). The pair
+    // reports (day0, day3): a daily pipeline whose cost grew with the
+    // number of folded days would be re-paying history.
+    if (only.isEmpty || only.contains("incremental_seg_steady")) {
+      val one = Dedup.plantedCorpus(repDocs(docs, 1))
+      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+      def incDay(d: Int) = one.filter(!histPred &&
+        col("doc_id") % 4 === d)
+      val path = Work.scratch("histidxseg_steady")
+      Work.clean(path)
+      Dedup.publishHistorySegment(spark, path, "base", one.filter(histPred))
+      val walls = (0 until 4).map { d =>
+        val w = t(s"incremental_seg_steady day$d")(
+          Dedup.incrementalAgainstSegmentedIndex(spark, path,
+            incDay(d)).count())
+        Dedup.publishHistorySegment(spark, path, s"day$d", incDay(d))
+        GraftSession.dropAllCaches(spark)
+        w
+      }
+      Work.clean(path)
+      results("incremental_seg_steady") = (walls.head, walls.last)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(

@@ -1597,6 +1597,32 @@ class ExtSpec extends SparkSpec {
       assert(parts <= Dedup.HistIdxBuckets,
         s"$sub wrote $parts part files for ${Dedup.HistIdxBuckets} buckets")
     }
+    // segmented layout (r16): the daily-fold discipline — yesterday's
+    // deduped increment becomes a new SEGMENT, today's increment joins
+    // the union of all complete segments. Split the planted copies by
+    // parity into two "days"; after day-1's fold, day-2's dedup must
+    // equal the generic two-frame run over the concatenated history.
+    val spath = Work.scratch("histidxseg_spec")
+    Work.clean(spath)
+    val inc1 = inc.filter((col("doc_id") - Dedup.PlantedOffset) % 2 === 0)
+    val inc2 = inc.filter((col("doc_id") - Dedup.PlantedOffset) % 2 =!= 0)
+    Dedup.publishHistorySegment(spark, spath, "day0",
+      docs.select("doc_id", "text"))
+    assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath, inc1))
+      == rows(Dedup.incrementalPairs(corpus.filter(col("doc_id") < off),
+        inc1)), "day-1 dedup against the base segment")
+    Dedup.publishHistorySegment(spark, spath, "day1", inc1)
+    assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath, inc2))
+      == rows(Dedup.incrementalPairs(
+        corpus.filter(col("doc_id") < off).unionByName(inc1), inc2)),
+      "day-2 dedup against base + folded day-1 increment")
+    // retrying a day's append is a no-op on a completed segment: the
+    // result is unchanged even with a DIFFERENT batch supplied
+    Dedup.publishHistorySegment(spark, spath, "day1", docs.limit(1))
+    assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath, inc2))
+      == rows(Dedup.incrementalPairs(
+        corpus.filter(col("doc_id") < off).unionByName(inc1), inc2)))
+    Work.clean(spath)
     // clean + REPUBLISH at the same path with different history and a
     // NON-DEFAULT bucket count: the reader must serve the new files
     // (refreshTable, not a stale cached listing of deleted parts) and
