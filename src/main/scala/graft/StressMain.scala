@@ -263,7 +263,11 @@ object StressMain {
         w
       }
       Work.clean(path)
-      results("incremental_seg_steady") = (walls.head, walls.last)
+      // summary pair = (day1, day3), NOT day0: day0 carries session
+      // warm-up (measured 3.3 vs 1.8 s), and a baseline inflated by
+      // warm-up would mask genuine per-day growth — the exact
+      // regression this row exists to catch (r16 review)
+      results("incremental_seg_steady") = (walls(1), walls.last)
     }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat

@@ -970,12 +970,29 @@ object Dedup {
     * a completed segment is never rewritten), two different days never
     * collide, and the id carries the provenance a JVM-unique tag would
     * lose. Ordering is irrelevant to the union semantics. Returns the
-    * segment path. */
+    * segment path.
+    *
+    * PRECONDITION (the segmented face of the disjoint-id contract):
+    * doc_ids must be disjoint ACROSS segments — the monolithic publish
+    * gets this for free from being one batch, but a batch folded twice
+    * under two different ids (a retry spelled '2026-08-15' then
+    * '20260815' defeats the same-id short-circuit) duplicates its rows
+    * in the union and the verify join fans out over them. The
+    * `spark.graft.dedup.checkDisjointIds` debug check also scans the
+    * assembled history side for duplicate doc_ids, so the segmented
+    * reader fails fast on a double-fold, not just on an
+    * increment-vs-history overlap. */
   def publishHistorySegment(s: SparkSession, indexDir: String,
       segmentId: String, batch: DataFrame): String = {
     require(segmentId.matches("[A-Za-z0-9._-]+"),
       s"segment id must be a plain file-name token, got '$segmentId'")
-    new java.io.File(indexDir).mkdirs()
+    val dir = new java.io.File(indexDir)
+    dir.mkdirs()
+    // fail BEFORE the shingle/MinHash work, not after it with a
+    // misleading rename-race error from Work.publish (r16 review)
+    require(dir.isDirectory,
+      s"segment index dir $indexDir cannot be created (a file in the " +
+        "way, or an unwritable parent)")
     Work.publish(s"$indexDir/seg_$segmentId")(stagePlainIndex(_, batch))
   }
 
@@ -1115,6 +1132,19 @@ object Dedup {
           s"incremental dedup: increment doc_ids overlap the " +
             s"history index at $indexDesc (e.g. ${overlap.mkString(", ")}) " +
             "— re-crawled docs must carry fresh ids")
+      }
+      // segmented face of the same contract: a batch folded into TWO
+      // segments (a retry under a differently-spelled id defeats the
+      // same-id short-circuit) duplicates its rows in the history
+      // union and the verify join fans out over them (r16 review)
+      val dup = shH.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(5).collect().map(_.getLong(0))
+      if (dup.nonEmpty) {
+        shI.unpersist(): Unit
+        throw new IllegalArgumentException(
+          s"incremental dedup: the history index at $indexDesc carries " +
+            s"duplicate doc_ids (e.g. ${dup.mkString(", ")}) — was one " +
+            "batch folded into two segments under different ids?")
       }
     }
     val cands = crossSideCandidates(bH,

@@ -1622,6 +1622,16 @@ class ExtSpec extends SparkSpec {
     assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath, inc2))
       == rows(Dedup.incrementalPairs(
         corpus.filter(col("doc_id") < off).unionByName(inc1), inc2)))
+    // a DOUBLE-FOLD (same batch under a second id — the retry spelled
+    // differently) duplicates history rows; the debug check must catch
+    // the segment-vs-segment case, not just increment-vs-history
+    Dedup.publishHistorySegment(spark, spath, "day1-retry", inc1)
+    spark.conf.set("spark.graft.dedup.checkDisjointIds", "true")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.incrementalAgainstSegmentedIndex(spark, spath, inc2))
+      assert(e.getMessage.contains("duplicate doc_ids"))
+    } finally spark.conf.unset("spark.graft.dedup.checkDisjointIds")
     Work.clean(spath)
     // clean + REPUBLISH at the same path with different history and a
     // NON-DEFAULT bucket count: the reader must serve the new files
