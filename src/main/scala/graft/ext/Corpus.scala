@@ -922,26 +922,19 @@ object Corpus {
         .limit(BpeDictCap)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val merges = trainBpeMerges(wc, BpeNumMerges)
-      val target = new java.io.File(path)
-      def done = new java.io.File(target, "_SUCCESS").exists()
-      if (!done) {
+      // unified onto Work.publish (one _SUCCESS-gated, Hadoop-FS
+      //-portable commit discipline; this site predated it, r16
+      // verdict #1); the merges themselves are computed above
+      // regardless — the session memo returns them — only the fixed
+      // oracle-read table is publish-gated
+      graft.Work.publish(path) { tmp =>
         val sp = s
         import sp.implicits._
-        val tmp = s"${path}__${graft.Work.jvmTag}"
-        graft.Work.clean(tmp)
         merges.zipWithIndex
           .map { case ((a, b), i) => (i + 1, a, b) }
           .toDF("rank", "a", "b")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        if (!new java.io.File(tmp).renameTo(target)) {
-          if (!done) {
-            graft.Work.clean(path)
-            new java.io.File(tmp).renameTo(target): Unit
-          }
-          if (!done) sys.error(s"bpe merge table publish failed: $path")
-          graft.Work.clean(tmp)
-        }
-      }
+      }: Unit
       merges
     })
   }

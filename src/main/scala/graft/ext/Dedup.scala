@@ -986,11 +986,15 @@ object Dedup {
       segmentId: String, batch: DataFrame): String = {
     require(segmentId.matches("[A-Za-z0-9._-]+"),
       s"segment id must be a plain file-name token, got '$segmentId'")
-    val dir = new java.io.File(indexDir)
-    dir.mkdirs()
+    val (fsys, dirPath) = Work.fs(indexDir)
+    fsys.mkdirs(dirPath): Unit
     // fail BEFORE the shingle/MinHash work, not after it with a
-    // misleading rename-race error from Work.publish (r16 review)
-    require(dir.isDirectory,
+    // misleading rename-race error from Work.publish (r16 review).
+    // NOTE the index dir must live on the same filesystem as
+    // GRAFT_WORK_DIR — Work.publish stages there and rename-commits,
+    // and renames never cross filesystems (it enforces this).
+    require(fsys.exists(dirPath) &&
+        fsys.getFileStatus(dirPath).isDirectory,
       s"segment index dir $indexDir cannot be created (a file in the " +
         "way, or an unwritable parent)")
     Work.publish(s"$indexDir/seg_$segmentId")(stagePlainIndex(_, batch))
@@ -1006,12 +1010,23 @@ object Dedup {
     * addendum: an LSM-style periodic compaction of old segments keeps
     * the FILE count bounded too — the scan shape here makes that an
     * economy knob, not a correctness one. */
+  /** Complete (`_SUCCESS`-gated) segment paths of a segmented index,
+    * sorted by segment name — the shared listing of the plain reader,
+    * the composed reader and the compactor, through the Hadoop FS API
+    * (a 100 TB index lives on HDFS/object storage, where
+    * `File.listFiles` returns null). */
+  def completeSegments(indexDir: String): Seq[String] = {
+    val (fsys, dirPath) = Work.fs(indexDir)
+    if (!fsys.exists(dirPath)) Seq.empty
+    else fsys.listStatus(dirPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_")
+        && fsys.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
+  }
+
   def segmentedIndexFrames(s: SparkSession,
       indexDir: String): (DataFrame, DataFrame) = {
-    val segs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && d.getName.startsWith("seg_") &&
-        new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getPath).sorted
+    val segs = completeSegments(indexDir)
     require(segs.nonEmpty,
       s"segmented history index at $indexDir has no complete segment")
     (s.read.parquet(segs.map(p => s"$p/sh"): _*),
@@ -1256,11 +1271,13 @@ object Dedup {
     // at the same path (possibly with a different layout) gets fresh
     // declarations instead of a stale catalog entry whose bucket spec
     // and cached file listing describe the deleted artifact
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(tmp, "buckets"),
+    val (fsys, tmpPath) = Work.fs(tmp)
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(tmpPath, "buckets"), true)
+    try out.write(
       s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    : Unit
+    finally out.close()
   }
 
   /** Frames over a published bucketed index: per-session DDL declares
@@ -1273,15 +1290,26 @@ object Dedup {
     * scan a subset of the bucket files). */
   def bucketedHistoryIndex(s: SparkSession,
       path: String): (DataFrame, DataFrame) = {
-    require(new java.io.File(path, "_SUCCESS").exists(),
+    val (fsys, idxPath) = Work.fs(path)
+    def sub(n: String) = new org.apache.hadoop.fs.Path(idxPath, n)
+    require(Work.isComplete(path),
       s"bucketed history index at $path is absent or incomplete")
-    require(new java.io.File(path, "buckets").exists(),
+    require(fsys.exists(sub("buckets")),
       s"bucketed history index at $path has no layout record — " +
         "a plain-parquet index or a pre-record (v1) artifact cannot be " +
         "read as bucketed; republish with publishHistoryIndexBucketed")
-    val rec = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "buckets")),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+    val recIn = fsys.open(sub("buckets"))
+    val recStr =
+      try scala.io.Source.fromInputStream(recIn, "UTF-8").mkString
+      finally recIn.close()
+    // shape-validate BEFORE parsing: a truncated or corrupt record must
+    // fail with an artifact-format error naming the path, not an opaque
+    // NumberFormat/ArrayIndexOutOfBounds (r16 ADVICE)
+    val rec = recStr.trim.split(" ")
+    require(rec.length == 2 && rec(0).forall(_.isDigit) && rec(0).nonEmpty,
+      s"bucketed history index at $path has a corrupt layout record " +
+        s"('${recStr.trim.take(64)}' — expected '<buckets> <publishId>'); " +
+        "republish with publishHistoryIndexBucketed")
     val buckets = rec(0).toInt
     val pubId = rec(1)
     // table names keyed on (path tag, publish id): a clean+republish at

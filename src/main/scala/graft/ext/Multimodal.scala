@@ -130,27 +130,13 @@ object Multimodal {
       // only while decode semantics are frozen — a decoder change must
       // bump the `kind` token (new path) or the skip serves stale
       // rasters to the oracle.
-      val path = rasterPath(dir, kind)
-      val target = new java.io.File(path)
-      def done = new java.io.File(target, "_SUCCESS").exists()
-      if (!done) {
-        val tmp = s"${path}__${graft.Work.jvmTag}"
-        graft.Work.clean(tmp)
+      // Work.publish carries the shared _SUCCESS-gated staging/rename
+      // (and, since r17, the Hadoop-FS portability): this site
+      // predated it with a hand-rolled clone — one discipline, one
+      // place to port/audit (r16 verdict #1).
+      graft.Work.publish(rasterPath(dir, kind)) { tmp =>
         build.write.mode("overwrite").parquet(tmp)
-        if (!new java.io.File(tmp).renameTo(target)) {
-          if (!done) {
-            // stale partial dir (crashed writer) blocks the rename:
-            // replace it; losing this second race still means a
-            // completed raster exists, which is all the caller needs
-            graft.Work.clean(path)
-            new java.io.File(tmp).renameTo(target): Unit
-          }
-          if (!done)
-            sys.error(s"raster publish failed: $path (kind=$kind)")
-          graft.Work.clean(tmp)
-        }
       }
-      path
     })
   }
 

@@ -118,24 +118,14 @@ object Retrieval {
   def ensureIdf(s: SparkSession, dir: String): String = {
     graft.SessionCaches.evictStopped(idfDone)(_._1)
     idfDone.computeIfAbsent((s, dir), { _ =>
-      val path = idfPath(dir)
-      val target = new java.io.File(path)
-      def done = new java.io.File(target, "_SUCCESS").exists()
-      if (!done) {
-        val idf = idfOf(Tables(s, dir, "documents"))
-        val tmp = s"${path}__${graft.Work.jvmTag}"
-        graft.Work.clean(tmp)
-        idf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if (!new java.io.File(tmp).renameTo(target)) {
-          if (!done) {
-            graft.Work.clean(path)
-            new java.io.File(tmp).renameTo(target): Unit
-          }
-          if (!done) sys.error(s"bm25 idf table publish failed: $path")
-          graft.Work.clean(tmp)
-        }
+      // unified onto Work.publish (one _SUCCESS-gated, Hadoop-FS
+      //-portable commit discipline; this site predated it, r16
+      // verdict #1) — the stage body only runs when the fixed
+      // oracle-read path is incomplete
+      graft.Work.publish(idfPath(dir)) { tmp =>
+        idfOf(Tables(s, dir, "documents"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
       }
-      path
     })
   }
 

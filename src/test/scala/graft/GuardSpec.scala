@@ -642,6 +642,34 @@ class GuardSpec extends SparkSpec {
     pubStages().foreach(f => Work.clean(f.getAbsolutePath))
   }
 
+  test("Work.publish + segment listing through a file: URI spelling — " +
+      "the Hadoop-FS path carries a scheme end-to-end (r16 verdict #1)") {
+    val sp = spark
+    import sp.implicits._
+    // a URI-spelled target must flow through FileSystem resolution,
+    // not java.io.File (which would mangle 'file:/x' into a relative
+    // path): publish, _SUCCESS gate, segment listing and read-back all
+    // behave exactly as with the plain spelling
+    val plain = s"${Work.dir}/test_guard_fsuri_${Work.jvmTag}"
+    val uri = s"file:$plain"
+    Work.clean(uri)
+    val docs = Seq((1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "ii jj kk ll mm nn oo pp")).toDF("doc_id", "text")
+    graft.ext.Dedup.publishHistorySegment(spark, uri, "day0", docs)
+    assert(Work.isComplete(s"$uri/seg_day0"))
+    // the SAME artifact is visible under the plain spelling — one
+    // filesystem, two spellings
+    assert(Work.isComplete(s"$plain/seg_day0"))
+    val (sh, bb) = graft.ext.Dedup.segmentedIndexFrames(spark, uri)
+    assert(sh.count() == 2 && bb.count() > 0)
+    // retry-idempotence holds through the URI spelling too
+    graft.ext.Dedup.publishHistorySegment(spark, uri, "day0",
+      docs.limit(0)): Unit
+    assert(graft.ext.Dedup.segmentedIndexFrames(spark, uri)._1.count() == 2,
+      "a completed segment must never be re-staged")
+    Work.clean(uri)
+  }
+
   test("Work.publish: a no-op stage (empty artifact) still completes " +
       "with a _SUCCESS marker instead of a bare IOException (r15 ADVICE)") {
     val path = s"${Work.dir}/test_guard_publish_noop_${Work.jvmTag}"
