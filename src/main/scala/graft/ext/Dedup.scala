@@ -1010,6 +1010,30 @@ object Dedup {
     * addendum: an LSM-style periodic compaction of old segments keeps
     * the FILE count bounded too — the scan shape here makes that an
     * economy knob, not a correctness one. */
+  /** Write a small in-artifact metadata record (the bucket layout, a
+    * compaction's fold list) through the Hadoop FS API. Lives beside
+    * the data it describes so a publish/rename moves them together. */
+  private def writeRecord(dir: String, name: String,
+      content: String): Unit = {
+    val (fsys, dirPath) = Work.fs(dir)
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(dirPath, name), true)
+    try out.write(
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readRecordOpt(dir: String, name: String): Option[String] = {
+    val (fsys, dirPath) = Work.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dirPath, name)
+    if (!fsys.exists(p)) None
+    else {
+      val in = fsys.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** Complete (`_SUCCESS`-gated) segment paths of a segmented index,
     * sorted by segment name — the shared listing of the plain reader,
     * the composed reader and the compactor, through the Hadoop FS API
@@ -1024,9 +1048,30 @@ object Dedup {
       .map(_.getPath.toString).sorted
   }
 
+  /** The segments a reader should scan RIGHT NOW: the complete ones,
+    * minus any named in a complete compacted segment's `folds` record.
+    * This filter is what makes compaction atomic for readers — one
+    * listing sees either the old set (compacted segment incomplete →
+    * not listed, victims still present) or the new set (compacted
+    * segment complete → its fold record excludes every victim whether
+    * or not retirement has deleted them yet), never both, never
+    * neither. Fold records are written TRANSITIVE at compaction time
+    * (a compaction of compactions carries its victims' victims), so
+    * one record-read level is always enough. */
+  def activeSegments(indexDir: String): Seq[String] = {
+    val complete = completeSegments(indexDir)
+    val folded = complete
+      .flatMap(p => readRecordOpt(p, "folds"))
+      .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty).toSet
+    complete.filterNot(p => folded.contains(segName(p)))
+  }
+
+  private def segName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
   def segmentedIndexFrames(s: SparkSession,
       indexDir: String): (DataFrame, DataFrame) = {
-    val segs = completeSegments(indexDir)
+    val segs = activeSegments(indexDir)
     require(segs.nonEmpty,
       s"segmented history index at $indexDir has no complete segment")
     (s.read.parquet(segs.map(p => s"$p/sh"): _*),
@@ -1034,14 +1079,116 @@ object Dedup {
   }
 
   /** [[incrementalAgainstIndex]] over a segmented index: the increment
-    * joins the union of all complete segments — identical rows to a
+    * joins the union of all ACTIVE segments — identical rows to a
     * monolithic index over the concatenated history (ExtSpec pins it),
-    * with per-day ingest ∝ batch instead of ∝ history. */
+    * with per-day ingest ∝ batch instead of ∝ history. Flavor-aware:
+    * plain segments are one multi-path scan, bucketed (compacted)
+    * segments keep their exchange-free join plan
+    * ([[incrementalAgainstFlavors]]). */
   def incrementalAgainstSegmentedIndex(s: SparkSession, indexDir: String,
-      increment: DataFrame): DataFrame = {
-    val (shH, bH) = segmentedIndexFrames(s, indexDir)
-    incrementalAgainstFrames(s, shH, bH, increment, indexDir)
+      increment: DataFrame): DataFrame =
+    incrementalAgainstFlavors(s, segmentedIndexFlavors(s, indexDir),
+      increment, indexDir)
+
+  /** The stored-side frames of a segmented index, grouped by layout
+    * flavor: all plain segments as ONE multi-path (sh, bb) scan pair,
+    * plus one bucketed pair PER compacted-bucketed segment (each
+    * carries its own bucket spec; a cross-segment union would shed
+    * it). The steady-state 100 TB shape is one big bucketed compacted
+    * segment plus a small plain tail of recent days (r16 verdict #3). */
+  def segmentedIndexFlavors(s: SparkSession,
+      indexDir: String): Seq[(DataFrame, DataFrame)] = {
+    val segs = activeSegments(indexDir)
+    require(segs.nonEmpty,
+      s"segmented history index at $indexDir has no complete segment")
+    val (bucketedSegs, plainSegs) =
+      segs.partition(p => readRecordOpt(p, "buckets").isDefined)
+    val plain =
+      if (plainSegs.isEmpty) Seq.empty
+      else Seq((s.read.parquet(plainSegs.map(p => s"$p/sh"): _*),
+        s.read.parquet(plainSegs.map(p => s"$p/bb"): _*)))
+    plain ++ bucketedSegs.map(p => bucketedHistoryIndex(s, p))
   }
+
+  /** LSM-fold `victims` (complete, active segments; default = every
+    * currently active one) into ONE compacted segment `seg_<compactId>`
+    * — re-LAYOUT only: the stored sh/bb parquet is read back and
+    * rewritten, nothing is re-shingled or re-hashed. `bucketed=true`
+    * (the steady-state default) writes the compacted segment in the
+    * CLUSTERED-BY layout of [[publishHistoryIndexBucketed]], so the
+    * one big history segment joins exchange-free while fresh daily
+    * segments keep landing plain beside it.
+    *
+    * Commit/race discipline: the compacted segment publishes under the
+    * same `_SUCCESS` gate as any segment, carrying a `folds` record
+    * that names every victim (transitively — a victim's own fold
+    * record is folded in, so [[activeSegments]] never needs to chase
+    * chains). A reader listing BEFORE the publish completes sees the
+    * old set; listing AFTER sees the new set ([[activeSegments]]'s
+    * fold filter — victims are excluded the instant the compacted
+    * segment is complete, deleted or not); there is no listing that
+    * sees both or neither. Victim dirs are then retired; a crash
+    * between publish and retire leaves a correct index (victims
+    * present but fold-filtered) and RETRYING the same compactId
+    * finishes the retirement (`_SUCCESS` short-circuit, then
+    * [[retireSegments]] of the recorded folds). Production note: an
+    * in-flight SCAN that pinned victim paths before the fold can still
+    * be reading them — retire after the longest query deadline (the
+    * standard LSM grace window), which is a deployment knob, not an
+    * index-format one; `retire=false` leaves retirement to the caller.
+    */
+  def compactSegments(s: SparkSession, indexDir: String, compactId: String,
+      victims: Seq[String] = Seq.empty, bucketed: Boolean = true,
+      retire: Boolean = true): String = {
+    require(compactId.matches("[A-Za-z0-9._-]+"),
+      s"compaction id must be a plain file-name token, got '$compactId'")
+    val target = s"$indexDir/seg_$compactId"
+    if (Work.isComplete(target)) {
+      // retry of a crashed compaction: the fold already committed;
+      // finish the retirement its record names and return
+      val folded = readRecordOpt(target, "folds").toSeq
+        .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
+      if (retire)
+        retireSegments(indexDir, folded.filterNot(_ == s"seg_$compactId"))
+      return target
+    }
+    val active = activeSegments(indexDir)
+    val chosen = if (victims.isEmpty) active else victims.map { v =>
+      val n = if (v.startsWith("seg_")) v else s"seg_$v"
+      val p = active.find(segName(_) == n)
+      require(p.isDefined, s"victim $n is not a complete, active " +
+        s"segment of $indexDir — already folded, incomplete, or absent")
+      p.get
+    }
+    require(chosen.nonEmpty,
+      s"segmented history index at $indexDir has nothing to compact")
+    // transitive fold set: victims + everything they already folded
+    val folds = (chosen.map(segName) ++ chosen.flatMap(p =>
+      readRecordOpt(p, "folds").toSeq.flatMap(_.split("\n"))
+        .map(_.trim).filter(_.nonEmpty))).distinct.sorted
+    Work.publish(target) { tmp =>
+      val sh = s.read.parquet(chosen.map(p => s"$p/sh"): _*)
+      val bb = s.read.parquet(chosen.map(p => s"$p/bb"): _*)
+      if (bucketed) stageBucketedIndex(s, tmp, HistIdxBuckets, sh, bb)
+      else {
+        sh.write.mode("overwrite").parquet(s"$tmp/sh")
+        bb.write.mode("overwrite").parquet(s"$tmp/bb")
+      }
+      writeRecord(tmp, "folds", folds.mkString("\n"))
+    }: Unit
+    if (retire) retireSegments(indexDir, folds)
+    target
+  }
+
+  /** Delete retired segment dirs (by name) from a segmented index —
+    * safe any time after the compaction that folded them is complete,
+    * because [[activeSegments]] already excludes them; see the grace-
+    * window note on [[compactSegments]]. Idempotent. */
+  def retireSegments(indexDir: String, segNames: Seq[String]): Unit =
+    segNames.foreach { n =>
+      require(n.startsWith("seg_"), s"not a segment name: $n")
+      Work.clean(s"$indexDir/$n")
+    }
 
   private val histIdxSegDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -1062,6 +1209,43 @@ object Dedup {
           docs.filter(col("doc_id") % 2 === 0))
         publishHistorySegment(s, path, "day1",
           docs.filter(col("doc_id") % 2 =!= 0)): Unit
+      }
+      incrementalAgainstSegmentedIndex(s, path,
+        plantedCorpus(Tables(s, dir, "documents"))
+          .filter(col("doc_id") >= PlantedOffset))
+    },
+    Some(incrementalOracleSql))
+
+  private val histIdxSegCDone = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  /** Witness of the composed steady-state layout (r16 verdict #2-3):
+    * history ingested as three daily segments, the two oldest
+    * LSM-folded into ONE bucketed compacted segment (re-layout only,
+    * no re-shingle), the newest left as the plain tail — the reader
+    * unions both flavors and the increment dedups against the same
+    * logical history as the plain segmented twin (same oracle, and
+    * the driver's hash gate pins row identity). Victims are NOT
+    * retired here: the artifact is shared across concurrent sessions
+    * at a fixed path, and deleting folded dirs under a sibling JVM
+    * mid-scan is the exact race the retirement grace window exists
+    * for — the fold filter already hides them from every reader, so
+    * retirement is pure disk economy (pinned on scratch paths in
+    * ExtSpec instead). */
+  val incrementalSegCompacted = QueryDef(
+    "dedup_incremental_seg_compacted",
+    (s, dir) => {
+      val path = s"${Work.dir}/inc_hidxsegc_v1_${Work.publishTag(dir)}"
+      ensureIdx(histIdxSegCDone, s, path) {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        publishHistorySegment(s, path, "day0",
+          docs.filter(col("doc_id") % 3 === 0))
+        publishHistorySegment(s, path, "day1",
+          docs.filter(col("doc_id") % 3 === 1))
+        compactSegments(s, path, "hist",
+          victims = Seq("day0", "day1"), retire = false)
+        publishHistorySegment(s, path, "day2",
+          docs.filter(col("doc_id") % 3 === 2)): Unit
       }
       incrementalAgainstSegmentedIndex(s, path,
         plantedCorpus(Tables(s, dir, "documents"))
@@ -1132,13 +1316,31 @@ object Dedup {
     * the bucketed index entry points bind it, differing only in how
     * the two stored frames are scanned. */
   private def incrementalAgainstFrames(s: SparkSession, shH: DataFrame,
-      bH: DataFrame, increment: DataFrame, indexDesc: String): DataFrame = {
+      bH: DataFrame, increment: DataFrame, indexDesc: String): DataFrame =
+    incrementalAgainstFlavors(s, Seq((shH, bH)), increment, indexDesc)
+
+  /** Increment-vs-stored-index core over one OR SEVERAL stored-side
+    * flavors — the several-flavor case is the composed steady-state
+    * layout (r16 verdict #3): bucketed compacted history plus a plain
+    * tail of recent segments. Every history doc lives in exactly ONE
+    * flavor (segments partition the crawl), so per-flavor candidate +
+    * verify joins unioned are row-identical to the single-frame
+    * spelling — and each flavor keeps ITS OWN join plan: the bucketed
+    * side joins exchange-free on its cluster keys while the plain tail
+    * shuffles only tail-sized data. A unioned stored side would
+    * instead shuffle EVERYTHING (a union scan carries no bucketing),
+    * re-paying the history-sized exchange the bucketed layout exists
+    * to delete. */
+  private def incrementalAgainstFlavors(s: SparkSession,
+      flavors: Seq[(DataFrame, DataFrame)], increment: DataFrame,
+      indexDesc: String): DataFrame = {
     val shI = shingleSets(increment.select(col("doc_id"), col("text")))
       .persist()
     shI.count(): Unit
     if (s.conf.getOption("spark.graft.dedup.checkDisjointIds")
         .contains("true")) {
-      val overlap = shH.select("doc_id")
+      val shH = flavors.map(_._1.select("doc_id")).reduce(_ unionByName _)
+      val overlap = shH
         .join(shI.select("doc_id"), "doc_id").limit(5)
         .collect().map(_.getLong(0))
       if (overlap.nonEmpty) {
@@ -1162,8 +1364,12 @@ object Dedup {
             "batch folded into two segments under different ids?")
       }
     }
-    val cands = crossSideCandidates(bH,
-      bandBuckets(minhashSignatures(shI)))
+    // the increment's banded buckets are persisted too: with several
+    // flavors each one probes this (small) frame, and re-running the
+    // 64-hash MinHash pass per flavor would charge the increment k
+    // times for one day's crawl
+    val bI = bandBuckets(minhashSignatures(shI)).persist()
+    bI.count(): Unit
     // split verify (r16, ProfileIncPub-measured): `a` ids are history
     // ids and `b` ids increment ids, so each side joins only its own
     // shingle frame — the stored history table is scanned once instead
@@ -1171,7 +1377,10 @@ object Dedup {
     // history+increment), and the increment side stays
     // AQE-broadcastable at daily-crawl scale
     val out = Work.materialize("incremental_pub",
-      verifyJaccardSplit(cands, shH, shI))
+      flavors.map { case (shH, bH) =>
+        verifyJaccardSplit(crossSideCandidates(bH, bI), shH, shI)
+      }.reduce(_ unionByName _))
+    bI.unpersist(): Unit
     shI.unpersist()
     out
   }
@@ -1271,13 +1480,8 @@ object Dedup {
     // at the same path (possibly with a different layout) gets fresh
     // declarations instead of a stale catalog entry whose bucket spec
     // and cached file listing describe the deleted artifact
-    val (fsys, tmpPath) = Work.fs(tmp)
-    val out = fsys.create(
-      new org.apache.hadoop.fs.Path(tmpPath, "buckets"), true)
-    try out.write(
-      s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeRecord(tmp, "buckets",
+      s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
   }
 
   /** Frames over a published bucketed index: per-session DDL declares
@@ -1321,6 +1525,21 @@ object Dedup {
     val tag = Work.publishTag(path).replaceAll("[^A-Za-z0-9_]", "_")
     def declare(sub: String, schema: String, keys: String): String = {
       val t = s"graft_hidx_${sub}_${tag}_$pubId"
+      // retire catalog entries of SUPERSEDED publishes of this same
+      // path tag (r16 verdict #6 / ADVICE): a clean+republish cycle
+      // otherwise leaks one external-table pair per publish id into a
+      // long-lived shared metastore, the stale ones pointing at
+      // deleted locations. DROP on an external table never touches
+      // files, and any frame still lazily bound to the old name was
+      // already invalid — its artifact was cleaned. Best-effort: a
+      // racing DROP of the same stale entry is a no-op (IF EXISTS).
+      val prefix = s"graft_hidx_${sub}_${tag}_"
+      // SHOW TABLES LIKE pushes the prefix filter to the catalog — a
+      // shared metastore is never list-scanned wholesale
+      try s.sql(s"SHOW TABLES LIKE '$prefix*'").collect()
+        .map(_.getString(1)).filter(_ != t)
+        .foreach(old => s.sql(s"DROP TABLE IF EXISTS $old"))
+      catch { case scala.util.control.NonFatal(_) => () }
       // IF NOT EXISTS, not a tableExists probe: two concurrent callers
       // of the same index must not race check-then-create
       s.sql(s"""CREATE TABLE IF NOT EXISTS $t ($schema) USING PARQUET
@@ -2412,7 +2631,7 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardPrefix, containment, minhash,
       incremental, incrementalPub, incrementalPubBucketed,
-      incrementalSeg, simhash, simhashNearDup,
+      incrementalSeg, incrementalSegCompacted, simhash, simhashNearDup,
       simhashWideNearDup,
       embeddingCosine, semantic, semanticHier, clusters, keepBest,
       decontam, contamScore, curate, lineDedup, repeatedSpansQ,

@@ -239,6 +239,56 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
+  test("composed segmented index: the compacted-bucketed flavor keeps " +
+      "its exchange-free stored-side joins beside the plain tail (r17)") {
+    // the steady-state 100 TB layout (r16 verdict #3): one big
+    // bucketed COMPACTED segment + a small plain tail. The composed
+    // reader must hand each flavor to its own per-flavor join — a
+    // unioned stored side would shed the bucket spec and re-pay the
+    // history-sized exchange. Pinned exactly like the r16 monolithic
+    // twin: with broadcast disabled, the compacted flavor's verify
+    // plan carries 2 fewer exchanges than the SAME data read plain,
+    // and the plain-tail flavor is planned separately (flavor count).
+    import graft.ext.Dedup
+    import org.apache.spark.sql.functions.col
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables(spark, sf, "documents")
+      val inc = Dedup.plantedCorpus(docs)
+        .filter(col("doc_id") >= Dedup.PlantedOffset)
+      val spath = graft.Work.scratch("hidx_plan_composed")
+      graft.Work.clean(spath)
+      Dedup.publishHistorySegment(spark, spath, "day0",
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"))
+      Dedup.compactSegments(spark, spath, "c0")
+      Dedup.publishHistorySegment(spark, spath, "day1",
+        docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"))
+      val flavors = Dedup.segmentedIndexFlavors(spark, spath)
+      assert(flavors.size == 2,
+        "expected one plain-tail flavor + one bucketed-compacted flavor")
+      def verifyPlan(shH: DataFrame, bH: DataFrame): String = {
+        val shI = Dedup.shingleSets(inc.select("doc_id", "text"))
+        val cands = Dedup.crossSideCandidates(bH,
+          Dedup.bandBuckets(Dedup.minhashSignatures(shI)))
+        planString(Dedup.verifyJaccardSplit(cands, shH, shI))
+          .split("== Initial Plan ==").head
+      }
+      def exchanges(s: String): Int =
+        "Exchange hashpartitioning".r.findAllIn(s).length
+      // flavor order: plain tail first, then bucketed segments
+      val plainPlan = verifyPlan(flavors.head._1, flavors.head._2)
+      val buckPlan = verifyPlan(flavors(1)._1, flavors(1)._2)
+      assert(buckPlan.contains("Bucketed: true"), buckPlan.take(3000))
+      assert(!plainPlan.contains("Bucketed: true"))
+      assert(exchanges(buckPlan) == exchanges(plainPlan) - 2,
+        s"plain=${exchanges(plainPlan)} bucketed=${exchanges(buckPlan)}\n" +
+          buckPlan.take(3000))
+      graft.Work.clean(spath)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("partitioned_prune_scan: the year filter prunes partitions at the scan") {
     val s = planString(graft.ops.PipelineOps.partitionedPrune.fn(spark, sf))
     assert(s.contains("PartitionFilters: ["), s.take(2000))
