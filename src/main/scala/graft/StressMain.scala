@@ -269,6 +269,63 @@ object StressMain {
       // regression this row exists to catch (r16 review)
       results("incremental_seg_steady") = (walls(1), walls.last)
     }
+    // r17 (verdict #4): DEEP-grow the daily fold to 30 segments — the
+    // 4-day steady row is too short to surface per-segment listing/
+    // scan overhead or a file-count knee. History carries 31 salted
+    // replicas (disjoint shingle vocabularies); day d folds replica
+    // d's planted increment, so every day's batch is CONSTANT size
+    // with real verify matches against its own replica, and ids stay
+    // disjoint across segments (the fold contract). Per-day wall and
+    // jobs must stay flat through day 29. Then (verdict #2): LSM-fold
+    // everything into ONE bucketed compacted segment and re-run an
+    // unfolded replica's query — file count collapses, wall/jobs must
+    // not grow.
+    if (only.isEmpty || only.contains("incremental_seg_deep")) {
+      val reps = 31
+      val all = Dedup.plantedCorpus(repDocs(docs, reps))
+      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+      def dayBatch(d: Int) = all.filter(!histPred &&
+        col("doc_id").divide(lit(100000000L)).cast("long") === d)
+      val path = Work.scratch("histidxseg_deep")
+      Work.clean(path)
+      t("incremental_seg_deep base-ingest")(
+        { Dedup.publishHistorySegment(spark, path, "base",
+            all.filter(histPred)); 0L })
+      GraftSession.dropAllCaches(spark)
+      val walls = (0 until 30).map { d =>
+        val b = dayBatch(d)
+        val w = t(f"incremental_seg_deep day$d%02d")(
+          Dedup.incrementalAgainstSegmentedIndex(spark, path, b).count())
+        Dedup.publishHistorySegment(spark, path, f"day$d%02d", b)
+        GraftSession.dropAllCaches(spark)
+        w
+      }
+      results("incremental_seg_deep") = (walls(1), walls.last)
+      def fileCount(p: String): Long = {
+        val (fsys, root) = Work.fs(p)
+        val it = fsys.listFiles(root, true)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+      val preFiles = fileCount(path)
+      val wPre = t("seg_deep query 30-seg")(
+        Dedup.incrementalAgainstSegmentedIndex(spark, path,
+          dayBatch(30)).count())
+      GraftSession.dropAllCaches(spark)
+      t("seg_deep compact(31 segs)")(
+        { Dedup.compactSegments(spark, path, "c0"); 0L })
+      GraftSession.dropAllCaches(spark)
+      val postFiles = fileCount(path)
+      val wPost = t("seg_deep query compacted")(
+        Dedup.incrementalAgainstSegmentedIndex(spark, path,
+          dayBatch(30)).count())
+      GraftSession.dropAllCaches(spark)
+      println(s"[stress] seg_deep files: pre-compaction $preFiles -> " +
+        s"post $postFiles (one bucketed segment)")
+      results("incremental_seg_compact") = (wPre, wPost)
+      Work.clean(path)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(

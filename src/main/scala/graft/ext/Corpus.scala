@@ -725,6 +725,16 @@ object Corpus {
     })
   }
 
+  /** Ensure-and-REGISTER the fluency LM (r16 verdict #7): same
+    * registry contract as [[graft.ext.Dedup.registerHistoryIndex]] —
+    * bare `name` tracks the current publish, `name@fingerprint`
+    * pins each historical one. */
+  def registerFluencyLm(reg: graft.registry.Registry,
+      s: org.apache.spark.sql.SparkSession, name: String, dir: String,
+      fingerprint: Option[String] = None): graft.registry.ArtifactMeta =
+    reg.registerVersionedArtifact(name,
+      ensureFluencyLm(s, dir, fingerprint), fingerprint)
+
   /** Stage the pruned LM artifact for an arbitrary reference corpus —
     * the publish core of [[ensureFluencyLm]], exposed so CorpusSpec
     * can pin pruned-vs-full behavior on PLANTED corpora (the testdata

@@ -1277,6 +1277,20 @@ object Dedup {
     }
   }
 
+  /** Ensure-and-REGISTER (r16 verdict #7, the O6 tie-in): publish the
+    * history index for `dir` (optionally fingerprinted — a re-crawl
+    * republishes under a new path) and record it in the workflow
+    * [[graft.registry.Registry]] under `name`, versioned by the
+    * fingerprint. Pipelines then resolve indexes exactly like model
+    * versions — `resolveArtifact(name)` is the current publish,
+    * `resolveArtifact(name, Some(oldFp))` the historical one — instead
+    * of depending on the path convention. */
+  def registerHistoryIndex(reg: graft.registry.Registry, s: SparkSession,
+      name: String, dir: String, fingerprint: Option[String] = None)
+      : graft.registry.ArtifactMeta =
+    reg.registerVersionedArtifact(name,
+      ensureHistoryIndex(s, dir, fingerprint), fingerprint)
+
   /** Near-dup pairs of `increment` against a PUBLISHED history index —
     * the production entry point: history is never re-shingled or
     * re-hashed; the increment shingles/bands only ITSELF and joins the

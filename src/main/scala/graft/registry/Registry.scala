@@ -125,6 +125,29 @@ final class Registry(workdir: String, val bus: EventBus) {
 
   def getArtifactByName(name: String): Option[ArtifactMeta] = artifacts.get(name)
 
+  /** Versioned artifact registration (r16 verdict #7): the publish
+    * layer's storage-backed indexes (near-dup history index, CCNet
+    * fluency LM, BM25 idf) enter the SAME registry as models instead
+    * of being findable only by path convention. The bare `name` always
+    * tracks the CURRENT publish; the `name@version` spelling pins each
+    * historical publish forever — a reader holding an old corpus
+    * fingerprint still resolves exactly its artifact (published paths
+    * are immutable and `_SUCCESS`-gated, so a stale pointer is stale
+    * but never wrong). */
+  def registerVersionedArtifact(name: String, uri: String,
+      version: Option[String] = None): ArtifactMeta = {
+    require(!name.contains("@"),
+      s"artifact name must not contain '@' (reserved for versions): $name")
+    version.foreach(v => registerArtifact(s"$name@$v", uri): Unit)
+    registerArtifact(name, uri)
+  }
+
+  /** Resolve a versioned artifact: bare name → current publish;
+    * with `version` → that exact historical publish. */
+  def resolveArtifact(name: String,
+      version: Option[String] = None): Option[ArtifactMeta] =
+    getArtifactByName(version.fold(name)(v => s"$name@$v"))
+
   def appendToArtifact(name: String, line: String): Unit = {
     val uri = artifacts(name).uri
     val p = Paths.get(uri)

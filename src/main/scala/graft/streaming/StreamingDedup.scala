@@ -640,6 +640,60 @@ object StreamingDedup {
     out.iterator
   }
 
+  /** Streaming twin of the segmented daily fold (r16 verdict #5) —
+    * the production shape of [[graft.ext.Dedup.publishHistorySegment]]:
+    * each micro-batch of (doc_id, text) dedups against the CURRENT
+    * segmented index, lands its near-dup pairs under a per-batch
+    * parquet dir, and folds itself into the index as segment
+    * `seg_b<batchId>`.
+    *
+    * Exactly-once discipline (the `stream_dedup_exactly_once` family):
+    * the segment name is the BATCH ID, so a replayed batch (sink
+    * failure before the checkpoint commit) is retry-idempotent for
+    * free — crash before the pairs landed → recompute against the
+    * identical history view (its own fold had not committed);
+    * crash between pairs and fold → pairs overwrite bit-identically,
+    * fold completes; crash after the fold committed → the
+    * `_SUCCESS` short-circuit skips ALL re-work, because re-deduping
+    * would now see the batch's own docs in history (self-pairs). The
+    * three windows cover the whole body, so N micro-batches produce
+    * exactly the segments + pairs of N batch folds (StreamingSpec
+    * pins set equality).
+    *
+    * Scale: identical to the batch fold — per-batch compute ∝ batch,
+    * history never re-shingled, and the index can carry LSM-compacted
+    * bucketed segments ([[graft.ext.Dedup.compactSegments]]) under a
+    * running stream: the fold filter swap is atomic for this reader
+    * too. */
+  def segmentedFoldBatch(indexDir: String, pairsDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val seg = f"b$batchId%09d"
+    if (!graft.Work.isComplete(s"$indexDir/seg_$seg")) {
+      val pairs =
+        if (Dedup.completeSegments(indexDir).nonEmpty)
+          Dedup.incrementalAgainstSegmentedIndex(s, indexDir, batch)
+        else
+          // very first fold of a fresh index: nothing to join yet
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "a BIGINT, b BIGINT, n_common INT, n_a INT, n_b INT"))
+      // per-batch dir + overwrite = replay-idempotent pair sink
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_$seg")
+      Dedup.publishHistorySegment(s, indexDir, seg, batch): Unit
+    }
+  }
+
+  /** Wire [[segmentedFoldBatch]] to a streaming source: the running
+    * daily-crawl pipeline as one `writeStream`. */
+  def segmentedFoldStream(docs: DataFrame, indexDir: String,
+      pairsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(segmentedFoldBatch(indexDir, pairsDir) _)
+      .start()
+
   private[graft] def updateBloomShard(mBits: Int)(
       g: Int, batch: Iterator[ShardKey],
       state: GroupState[Seq[Long]]): Iterator[Long] = {

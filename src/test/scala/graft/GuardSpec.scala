@@ -681,6 +681,53 @@ class GuardSpec extends SparkSpec {
     Work.clean(path)
   }
 
+  test("published indexes resolve through the Registry like model " +
+      "versions: bare name = current publish, name@fingerprint = the " +
+      "exact historical one (r16 verdict #7)") {
+    val wd = Work.scratch("guard_idxreg")
+    Work.clean(wd)
+    val reg = new graft.registry.Registry(wd, new graft.workflow.EventBus)
+    // crawl 1: fingerprinted publish registers BOTH spellings
+    val v1 = graft.ext.Dedup.registerHistoryIndex(reg, spark,
+      "neardup_history", sf, Some("crawl1"))
+    assert(reg.resolveArtifact("neardup_history").map(_.uri)
+      .contains(v1.uri))
+    assert(reg.resolveArtifact("neardup_history", Some("crawl1"))
+      .map(_.uri).contains(v1.uri))
+    assert(Work.isComplete(v1.uri), "registered uri must be a complete publish")
+    // crawl 2 (the corpus re-crawled in place): the CURRENT pointer
+    // moves to the new artifact path; the stale fingerprint still
+    // resolves the old, immutable publish
+    val v2 = graft.ext.Dedup.registerHistoryIndex(reg, spark,
+      "neardup_history", sf, Some("crawl2"))
+    assert(v2.uri != v1.uri, "a new fingerprint must publish a NEW path")
+    assert(reg.resolveArtifact("neardup_history").map(_.uri)
+      .contains(v2.uri))
+    assert(reg.resolveArtifact("neardup_history", Some("crawl1"))
+      .map(_.uri).contains(v1.uri),
+      "a reader holding the old fingerprint must resolve its artifact")
+    // the registry file round-trips the pointers (a fresh process
+    // resolves the same artifacts)
+    val reloaded = new graft.registry.Registry(wd, new graft.workflow.EventBus)
+    assert(reloaded.resolveArtifact("neardup_history").map(_.uri)
+      .contains(v2.uri))
+    assert(reloaded.resolveArtifact("neardup_history", Some("crawl1"))
+      .map(_.uri).contains(v1.uri))
+    // '@' is reserved for the version spelling
+    intercept[IllegalArgumentException](
+      reg.registerVersionedArtifact("bad@name", "u", None))
+    // the LM registrar shares the contract
+    val lm = graft.ext.Corpus.registerFluencyLm(reg, spark,
+      "ccnet_lm", sf)
+    assert(reg.resolveArtifact("ccnet_lm").map(_.uri).contains(lm.uri))
+    assert(Work.isComplete(lm.uri))
+    // registered fingerprinted artifacts are scratch-external (the
+    // fixed-path sf publishes): clean only the registry dir itself
+    Work.clean(wd)
+    Work.clean(v1.uri)
+    Work.clean(v2.uri)
+  }
+
   test("publishTag fingerprint: a mutated corpus dir republishes under " +
       "a NEW artifact path while old readers are unaffected (r15 #6)") {
     val sp = spark

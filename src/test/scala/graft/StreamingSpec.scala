@@ -2150,4 +2150,79 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch.toSet -- got).take(3)} " +
         s"extra=${(got -- batch.toSet).take(3)}")
   }
+
+  test("streaming segmented fold: N micro-batches produce the same " +
+      "segments + pairs as N batch folds, and a replayed batch is a " +
+      "no-op (r16 verdict #5)") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.{functions => fns}
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents"))
+    val off = Dedup.PlantedOffset
+    val inc = corpus.filter(fns.col("doc_id") >= off)
+    def day(k: Int) = inc.filter((fns.col("doc_id") - off) % 3 === k)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    // batch arm: the r16 daily fold, three days against a seeded base
+    val bIdx = freshDir("segfold_batch")
+    Dedup.publishHistorySegment(spark, bIdx, "base", docs)
+    val batchPairs = (0 until 3).flatMap { d =>
+      val p = rows(Dedup.incrementalAgainstSegmentedIndex(spark, bIdx,
+        day(d)))
+      Dedup.publishHistorySegment(spark, bIdx, s"day$d", day(d))
+      p
+    }.toSet
+    assert(batchPairs.nonEmpty)
+    // stream arm: same base, the three days as three micro-batches
+    val sIdx = freshDir("segfold_stream")
+    val sPairs = freshDir("segfold_pairs")
+    Dedup.publishHistorySegment(spark, sIdx, "base", docs)
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.segmentedFoldStream(
+      ms.toDF().toDF("doc_id", "text"), sIdx, sPairs,
+      s"${freshDir("segfold_ckpt")}/ckpt")
+    (0 until 3).foreach { d =>
+      ms.addData(day(d).collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // pairs: the streamed per-batch sinks union to exactly the batch
+    // arm's pairs
+    val streamed = rows(spark.read.parquet(s"$sPairs/batch_b*"))
+    assert(streamed == batchPairs,
+      s"missing=${(batchPairs -- streamed).take(3)} " +
+        s"extra=${(streamed -- batchPairs).take(3)}")
+    // segments: base + one per micro-batch, and the assembled history
+    // is row-identical to the batch arm's
+    val segNames = Dedup.completeSegments(sIdx)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(segNames == Seq("seg_b000000000", "seg_b000000001",
+      "seg_b000000002", "seg_base"), s"got $segNames")
+    def hist(idx: String) = Dedup.segmentedIndexFrames(spark, idx)._1
+      .select("doc_id", "n").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hist(sIdx) == hist(bIdx),
+      "streamed and batch-folded history must be row-identical")
+    // replay of a COMMITTED batch (crash after fold, before checkpoint
+    // commit): the _SUCCESS short-circuit skips all re-work — even a
+    // different payload under the replayed id changes nothing
+    graft.streaming.StreamingDedup.segmentedFoldBatch(sIdx, sPairs)(
+      docs.limit(5), 1L)
+    assert(rows(spark.read.parquet(s"$sPairs/batch_b*")) == streamed)
+    assert(hist(sIdx) == hist(bIdx))
+    // very first fold of a FRESH index: empty pair frame, batch folds
+    val fIdx = freshDir("segfold_fresh")
+    val fPairs = freshDir("segfold_freshpairs")
+    graft.streaming.StreamingDedup.segmentedFoldBatch(fIdx, fPairs)(
+      day(0), 0L)
+    assert(spark.read.parquet(s"$fPairs/batch_b000000000").count() == 0)
+    assert(Work.isComplete(s"$fIdx/seg_b000000000"))
+    Seq(bIdx, sIdx, sPairs, fIdx, fPairs).foreach(Work.clean)
+  }
 }
