@@ -38,8 +38,14 @@ object Work {
     * session's (so a deployment's `fs.*`/credential settings apply to
     * the publish layer exactly as to the data layer) — falling back to
     * a vanilla `Configuration` for the class-init stale sweep, which
-    * runs before any session exists. Local-path resolution is
-    * identical either way. */
+    * runs before any session exists. CAVEAT (r17 review): the fallback
+    * resolves scheme-LESS paths against the default `fs.defaultFS`
+    * (file:///), not the session's — identical on this sandbox, but on
+    * a cluster whose defaultFS is HDFS, a scheme-less GRAFT_WORK_DIR
+    * would make the pre-session sweep look at the wrong store and
+    * never reclaim crashed staging dirs. Deployment rule: spell
+    * GRAFT_WORK_DIR with an explicit scheme (`hdfs://nn/graft/work`)
+    * so every resolution, pre- or post-session, is unambiguous. */
   private def hconf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
@@ -248,13 +254,32 @@ object Work {
           s"publish staging dir $tmpStr could not be created after stage()")
       tf.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true)
         .close()
-      // pre-checking exists() keeps HDFS's rename-INTO-existing-dir
-      // semantics out of the race: a target that appeared since the
-      // `done` probe is another publisher's commit, never a nest
-      // target. The residual exists→rename window is benign on the
-      // local FS (renameTo onto an existing dir fails → handled below)
-      // and vanishingly small elsewhere.
-      if (f.exists(target) || !f.rename(tmp, target)) {
+      // no-overwrite rename: FileContext.rename (default Rename.NONE)
+      // FAILS if the target exists, on every store — FileSystem.rename
+      // on HDFS would instead move tmp INSIDE a target that appeared
+      // since the `done` probe, silently nesting a stray staging dir
+      // into another publisher's committed artifact (r17 review). For
+      // schemes with no AbstractFileSystem binding (S3A out of the
+      // box), fall back to exists+rename — those stores need the
+      // marker-last commit documented above anyway.
+      val renamed =
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            f.getUri, hconf)
+          try { fc.rename(tmp, target); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException => false
+            case e: java.io.IOException =>
+              // a real I/O failure only counts as "lost the race" if
+              // someone else actually committed; otherwise surface it
+              if (done) false else throw e
+          }
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            !f.exists(target) && f.rename(tmp, target)
+        }
+      if (!renamed) {
         if (!done) throw new IllegalStateException(
           s"publish lost the rename race AND $path is incomplete — " +
             "inspect the work dir")

@@ -341,6 +341,15 @@ object Dedup {
     * AQE's threshold). The split also removes the union spelling's
     * corruption mode for an id present on BOTH sides: each candidate id
     * matches exactly its own side's row instead of two union rows. */
+  /** Output schema of every near-dup pair producer
+    * ([[verifyJaccard]]/[[verifyJaccardSplit]] and the incremental
+    * family) — THE shared constant, so a sink that must materialize an
+    * empty pair frame (the streaming fold's first batch) can never
+    * drift from the real producers' shape. */
+  val PairSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "a BIGINT, b BIGINT, n_common INT, n_a INT, n_b INT")
+
   private[graft] def verifyJaccardSplit(cands: DataFrame,
       shA: DataFrame, shB: DataFrame): DataFrame = {
     def sets(f: DataFrame) = f.select(col("doc_id"), col("shs"), col("n"))
@@ -1034,36 +1043,88 @@ object Dedup {
     }
   }
 
+  /** One (path, children) snapshot per segment dir of a segmented
+    * index — a single `listStatus` per segment resolves `_SUCCESS`,
+    * `folds` and `buckets` presence in ONE metadata call instead of
+    * three sequential probes (on the object-storage target of the
+    * Hadoop-FS port, per-call latency × segments is the reader's whole
+    * metadata bill; r17 review). Retries bounded times when a listed
+    * segment dir VANISHES mid-pass: that only happens when a
+    * concurrent compaction just retired it, in which case the next
+    * pass sees the compacted segment complete and the fold filter
+    * takes over — without the retry, the racing reader could observe
+    * a set that is neither the old one nor the new one (r17 review of
+    * the r16-#2 atomicity claim). */
+  private def segSnapshots(
+      indexDir: String): Seq[(String, Set[String])] = {
+    val (fsys, dirPath) = Work.fs(indexDir)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val segs =
+        if (!fsys.exists(dirPath)) Seq.empty
+        else fsys.listStatus(dirPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("seg_"))
+          .map(_.getPath)
+      try {
+        return segs.map { p =>
+          // local paths come back in the historical PLAIN spelling
+          // (file:/x → /x): every tag/table-name derivation downstream
+          // (Work.publishTag in bucketedHistoryIndex) then agrees with
+          // a caller addressing the same artifact by plain path;
+          // non-local schemes stay fully qualified
+          val spelled =
+            if (p.toUri.getScheme == "file") p.toUri.getPath
+            else p.toString
+          (spelled, fsys.listStatus(p).map(_.getPath.getName).toSet)
+        }.sortBy(_._1)
+      } catch {
+        case _: java.io.FileNotFoundException => () // retired mid-pass
+      }
+    }
+    throw new IllegalStateException(
+      s"segment listing of $indexDir kept racing concurrent " +
+        "retirements after 5 attempts — is something deleting " +
+        "segments outside compactSegments/retireSegments?")
+  }
+
   /** Complete (`_SUCCESS`-gated) segment paths of a segmented index,
     * sorted by segment name — the shared listing of the plain reader,
     * the composed reader and the compactor, through the Hadoop FS API
     * (a 100 TB index lives on HDFS/object storage, where
     * `File.listFiles` returns null). */
-  def completeSegments(indexDir: String): Seq[String] = {
-    val (fsys, dirPath) = Work.fs(indexDir)
-    if (!fsys.exists(dirPath)) Seq.empty
-    else fsys.listStatus(dirPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_")
-        && fsys.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.toString).sorted
-  }
+  def completeSegments(indexDir: String): Seq[String] =
+    segSnapshots(indexDir).filter(_._2("_SUCCESS")).map(_._1)
 
   /** The segments a reader should scan RIGHT NOW: the complete ones,
     * minus any named in a complete compacted segment's `folds` record.
-    * This filter is what makes compaction atomic for readers — one
-    * listing sees either the old set (compacted segment incomplete →
-    * not listed, victims still present) or the new set (compacted
-    * segment complete → its fold record excludes every victim whether
-    * or not retirement has deleted them yet), never both, never
-    * neither. Fold records are written TRANSITIVE at compaction time
-    * (a compaction of compactions carries its victims' victims), so
-    * one record-read level is always enough. */
-  def activeSegments(indexDir: String): Seq[String] = {
-    val complete = completeSegments(indexDir)
-    val folded = complete
-      .flatMap(p => readRecordOpt(p, "folds"))
+    * This filter is what makes compaction atomic for readers — a
+    * CONSISTENT listing sees either the old set (compacted segment
+    * incomplete → not listed, victims still present) or the new set
+    * (compacted segment complete → its fold record excludes every
+    * victim whether or not retirement has deleted them yet), never
+    * both, never neither; and [[segSnapshots]] retries a listing a
+    * concurrent retirement made INconsistent (a listed segment dir
+    * vanishing mid-pass), so the guarantee covers the
+    * list-while-retiring race too (r17 review). The one remaining
+    * race — a SCAN that pinned victim file paths before the fold and
+    * executes after retirement — is the retirement grace window
+    * documented on [[compactSegments]]. Fold records are written
+    * TRANSITIVE at compaction time (a compaction of compactions
+    * carries its victims' victims), so one record-read level is
+    * always enough. */
+  def activeSegments(indexDir: String): Seq[String] =
+    activeSnapshots(indexDir).map(_._1)
+
+  private def activeSnapshots(
+      indexDir: String): Seq[(String, Set[String])] = {
+    val snaps = segSnapshots(indexDir).filter(_._2("_SUCCESS"))
+    val folded = snaps
+      .filter(_._2("folds"))
+      .flatMap { case (p, _) => readRecordOpt(p, "folds") }
       .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty).toSet
-    complete.filterNot(p => folded.contains(segName(p)))
+    snaps.filterNot { case (p, _) => folded.contains(segName(p)) }
   }
 
   private def segName(path: String): String =
@@ -1098,11 +1159,15 @@ object Dedup {
     * segment plus a small plain tail of recent days (r16 verdict #3). */
   def segmentedIndexFlavors(s: SparkSession,
       indexDir: String): Seq[(DataFrame, DataFrame)] = {
-    val segs = activeSegments(indexDir)
-    require(segs.nonEmpty,
+    val snaps = activeSnapshots(indexDir)
+    require(snaps.nonEmpty,
       s"segmented history index at $indexDir has no complete segment")
-    val (bucketedSegs, plainSegs) =
-      segs.partition(p => readRecordOpt(p, "buckets").isDefined)
+    // flavor split straight off the listing snapshot — no extra
+    // per-segment metadata probe (r17 review)
+    val (bucketedSegs, plainSegs) = {
+      val (b, p) = snaps.partition(_._2("buckets"))
+      (b.map(_._1), p.map(_._1))
+    }
     val plain =
       if (plainSegs.isEmpty) Seq.empty
       else Seq((s.read.parquet(plainSegs.map(p => s"$p/sh"): _*),
@@ -1143,30 +1208,38 @@ object Dedup {
     require(compactId.matches("[A-Za-z0-9._-]+"),
       s"compaction id must be a plain file-name token, got '$compactId'")
     val target = s"$indexDir/seg_$compactId"
-    if (Work.isComplete(target)) {
-      // retry of a crashed compaction: the fold already committed;
-      // finish the retirement its record names and return
+    // retry of a crashed compaction — or a SIBLING JVM committing the
+    // same compactId first (the shared fixed-path witness does exactly
+    // this): the fold already committed; finish the retirement its own
+    // record names and return. Checked again below after any
+    // victim-lookup or staging failure, so a loser of the race lands
+    // here instead of surfacing a spurious error (r17 review).
+    def committed(): String = {
       val folded = readRecordOpt(target, "folds").toSeq
         .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
       if (retire)
         retireSegments(indexDir, folded.filterNot(_ == s"seg_$compactId"))
-      return target
+      target
     }
+    if (Work.isComplete(target)) return committed()
     val active = activeSegments(indexDir)
     val chosen = if (victims.isEmpty) active else victims.map { v =>
       val n = if (v.startsWith("seg_")) v else s"seg_$v"
-      val p = active.find(segName(_) == n)
-      require(p.isDefined, s"victim $n is not a complete, active " +
-        s"segment of $indexDir — already folded, incomplete, or absent")
-      p.get
+      active.find(segName(_) == n).getOrElse {
+        if (Work.isComplete(target)) return committed()
+        throw new IllegalArgumentException(
+          s"victim $n is not a complete, active segment of $indexDir " +
+            "— already folded, incomplete, or absent")
+      }
     }
+    if (chosen.isEmpty && Work.isComplete(target)) return committed()
     require(chosen.nonEmpty,
       s"segmented history index at $indexDir has nothing to compact")
     // transitive fold set: victims + everything they already folded
     val folds = (chosen.map(segName) ++ chosen.flatMap(p =>
       readRecordOpt(p, "folds").toSeq.flatMap(_.split("\n"))
         .map(_.trim).filter(_.nonEmpty))).distinct.sorted
-    Work.publish(target) { tmp =>
+    try Work.publish(target) { tmp =>
       val sh = s.read.parquet(chosen.map(p => s"$p/sh"): _*)
       val bb = s.read.parquet(chosen.map(p => s"$p/bb"): _*)
       if (bucketed) stageBucketedIndex(s, tmp, HistIdxBuckets, sh, bb)
@@ -1176,18 +1249,40 @@ object Dedup {
       }
       writeRecord(tmp, "folds", folds.mkString("\n"))
     }: Unit
-    if (retire) retireSegments(indexDir, folds)
-    target
+    catch {
+      // a sibling's commit can fail OUR staging mid-read (it may
+      // retire the victim files under us) or our rename — if the
+      // target is complete the fold happened, and that is the outcome
+      // the caller asked for
+      case scala.util.control.NonFatal(e) =>
+        if (!Work.isComplete(target)) throw e
+    }
+    committed()
   }
 
   /** Delete retired segment dirs (by name) from a segmented index —
     * safe any time after the compaction that folded them is complete,
     * because [[activeSegments]] already excludes them; see the grace-
-    * window note on [[compactSegments]]. Idempotent. */
+    * window note on [[compactSegments]]. Idempotent. Any catalog
+    * entries a [[bucketedHistoryIndex]] reader declared over a retired
+    * BUCKETED segment are dropped too (best-effort): the per-path-tag
+    * DROP in declare() only covers republishes at the SAME path, and a
+    * compaction-of-compactions retires whole segment paths — without
+    * this, a long-lived metastore would accumulate one external-table
+    * pair per retired compacted segment, each pointing at a deleted
+    * location (r17 review). */
   def retireSegments(indexDir: String, segNames: Seq[String]): Unit =
     segNames.foreach { n =>
       require(n.startsWith("seg_"), s"not a segment name: $n")
-      Work.clean(s"$indexDir/$n")
+      val path = s"$indexDir/$n"
+      SparkSession.getActiveSession.foreach { s =>
+        val tag = Work.publishTag(path).replaceAll("[^A-Za-z0-9_]", "_")
+        try s.sql(s"SHOW TABLES LIKE 'graft_hidx_*_$tag*'").collect()
+          .map(_.getString(1))
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      Work.clean(path)
     }
 
   private val histIdxSegDone = new java.util.concurrent.ConcurrentHashMap[
@@ -1378,12 +1473,19 @@ object Dedup {
             "batch folded into two segments under different ids?")
       }
     }
-    // the increment's banded buckets are persisted too: with several
-    // flavors each one probes this (small) frame, and re-running the
+    // with SEVERAL flavors the increment's banded buckets are persisted
+    // too: each flavor probes this (small) frame, and re-running the
     // 64-hash MinHash pass per flavor would charge the increment k
-    // times for one day's crawl
-    val bI = bandBuckets(minhashSignatures(shI)).persist()
-    bI.count(): Unit
+    // times for one day's crawl. Single-flavor callers (the whole
+    // monolithic family — the bench hot path) keep the lazy one-pass
+    // pipeline: a persist+count there is a pure extra job (r17 review)
+    val multi = flavors.size > 1
+    val bI =
+      if (multi) {
+        val b = bandBuckets(minhashSignatures(shI)).persist()
+        b.count(): Unit
+        b
+      } else bandBuckets(minhashSignatures(shI))
     // split verify (r16, ProfileIncPub-measured): `a` ids are history
     // ids and `b` ids increment ids, so each side joins only its own
     // shingle frame — the stored history table is scanned once instead
@@ -1394,7 +1496,7 @@ object Dedup {
       flavors.map { case (shH, bH) =>
         verifyJaccardSplit(crossSideCandidates(bH, bI), shH, shI)
       }.reduce(_ unionByName _))
-    bI.unpersist(): Unit
+    if (multi) bI.unpersist(): Unit
     shI.unpersist()
     out
   }

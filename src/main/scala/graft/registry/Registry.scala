@@ -138,7 +138,22 @@ final class Registry(workdir: String, val bus: EventBus) {
       version: Option[String] = None): ArtifactMeta = {
     require(!name.contains("@"),
       s"artifact name must not contain '@' (reserved for versions): $name")
-    version.foreach(v => registerArtifact(s"$name@$v", uri): Unit)
+    version.foreach { v =>
+      // pin-forever means PIN: re-registering an existing version is a
+      // no-op when the uri agrees (publish retries do this) and an
+      // ERROR when it differs — silently repointing a version would
+      // hand a reader holding the old fingerprint someone else's
+      // artifact (r17 review)
+      artifacts.get(s"$name@$v") match {
+        case Some(a) if a.uri != uri =>
+          throw new IllegalArgumentException(
+            s"artifact $name@$v is already pinned to ${a.uri}; " +
+              s"refusing to repoint it to $uri — versions are immutable, " +
+              "register a new version instead")
+        case Some(_) => ()
+        case None => registerArtifact(s"$name@$v", uri): Unit
+      }
+    }
     registerArtifact(name, uri)
   }
 

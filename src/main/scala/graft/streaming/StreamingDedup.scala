@@ -674,10 +674,12 @@ object StreamingDedup {
         if (Dedup.completeSegments(indexDir).nonEmpty)
           Dedup.incrementalAgainstSegmentedIndex(s, indexDir, batch)
         else
-          // very first fold of a fresh index: nothing to join yet
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "a BIGINT, b BIGINT, n_common INT, n_a INT, n_b INT"))
+          // very first fold of a fresh index: nothing to join yet —
+          // the shared schema constant keeps this frame from drifting
+          // if the pair producers' shape ever changes
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Dedup.PairSchema)
       // per-batch dir + overwrite = replay-idempotent pair sink
       pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_$seg")
       Dedup.publishHistorySegment(s, indexDir, seg, batch): Unit

@@ -1752,6 +1752,20 @@ class ExtSpec extends SparkSpec {
     assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath,
       third(2))) == composed,
       "pairs must be bit-identical across the second-level fold")
+    // retiring a DECLARED bucketed compacted segment drops its catalog
+    // pair too (r17 review): seg_c0's tables were declared by the
+    // composed reads above and would otherwise outlive the files
+    val tagC0 = Work.publishTag(s"$spath/seg_c0")
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    def c0Tables = spark.sql(s"SHOW TABLES LIKE 'graft_hidx_*_$tagC0*'")
+      .collect().map(_.getString(1)).toSeq
+    assert(c0Tables.nonEmpty, "composed reads must have declared seg_c0")
+    Dedup.retireSegments(spath, Seq("seg_c0", "seg_day2"))
+    assert(c0Tables.isEmpty,
+      "retirement must drop the retired segment's catalog entries")
+    assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath,
+      third(2))) == composed,
+      "seg_c1 alone must serve the same pairs after retirement")
     Work.clean(spath)
   }
 

@@ -716,6 +716,14 @@ class GuardSpec extends SparkSpec {
     // '@' is reserved for the version spelling
     intercept[IllegalArgumentException](
       reg.registerVersionedArtifact("bad@name", "u", None))
+    // versions are IMMUTABLE: re-registering the same version with the
+    // same uri is a no-op (publish retries), a different uri throws
+    reg.registerVersionedArtifact("neardup_history", v1.uri,
+      Some("crawl1")): Unit
+    intercept[IllegalArgumentException](reg.registerVersionedArtifact(
+      "neardup_history", s"${v1.uri}_other", Some("crawl1")))
+    assert(reg.resolveArtifact("neardup_history", Some("crawl1"))
+      .map(_.uri).contains(v1.uri))
     // the LM registrar shares the contract
     val lm = graft.ext.Corpus.registerFluencyLm(reg, spark,
       "ccnet_lm", sf)
