@@ -326,6 +326,52 @@ object StressMain {
       results("incremental_seg_compact") = (wPre, wPost)
       Work.clean(path)
     }
+    // r17: the PRODUCTION cadence the composed layout exists for —
+    // fold daily, compact WEEKLY (every 7th fold LSM-folds everything
+    // active, including the previous compacted segment, into one
+    // bucketed segment; the tail stays <= 7 plain segments). Per-day
+    // wall/jobs must stay flat across the whole month and the index
+    // file count stays bounded by the cadence instead of growing with
+    // crawl age. Same salted-replica fixture as the deep row, so the
+    // two adjudicate against each other: deep = never compact,
+    // cadence = compact weekly.
+    if (only.isEmpty || only.contains("incremental_seg_cadence")) {
+      val reps = 31
+      val all = Dedup.plantedCorpus(repDocs(docs, reps))
+      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+      def dayBatch(d: Int) = all.filter(!histPred &&
+        col("doc_id").divide(lit(100000000L)).cast("long") === d)
+      def fileCount(p: String): Long = {
+        val (fsys, root) = Work.fs(p)
+        val it = fsys.listFiles(root, true)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+      val path = Work.scratch("histidxseg_cadence")
+      Work.clean(path)
+      t("incremental_seg_cadence base")(
+        { Dedup.publishHistorySegment(spark, path, "base",
+            all.filter(histPred)); 0L })
+      GraftSession.dropAllCaches(spark)
+      val walls = (0 until 30).map { d =>
+        val b = dayBatch(d)
+        val w = t(f"incremental_seg_cadence day$d%02d")(
+          Dedup.incrementalAgainstSegmentedIndex(spark, path, b).count())
+        Dedup.publishHistorySegment(spark, path, f"day$d%02d", b)
+        if ((d + 1) % 7 == 0) {
+          t(f"incremental_seg_cadence compact-w${(d + 1) / 7}")(
+            { Dedup.compactSegments(spark, path, f"c${(d + 1) / 7}")
+              fileCount(path) })
+        }
+        GraftSession.dropAllCaches(spark)
+        w
+      }
+      println(s"[stress] seg_cadence files at day 29: ${fileCount(path)}" +
+        " (bounded by the weekly cadence, not crawl age)")
+      results("incremental_seg_cadence") = (walls(1), walls.last)
+      Work.clean(path)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(

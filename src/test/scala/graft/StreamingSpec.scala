@@ -2225,4 +2225,56 @@ class StreamingSpec extends SparkSpec {
     assert(Work.isComplete(s"$fIdx/seg_b000000000"))
     Seq(bIdx, sIdx, sPairs, fIdx, fPairs).foreach(Work.clean)
   }
+
+  test("compaction under a LIVE streaming fold: the fold-filter swap " +
+      "is atomic for the running stream — pairs identical to the " +
+      "never-compacted twin (r17)") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.{functions => fns}
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents"))
+    val off = Dedup.PlantedOffset
+    val inc = corpus.filter(fns.col("doc_id") >= off)
+    def day(k: Int) = inc.filter((fns.col("doc_id") - off) % 2 === k)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    // twin WITHOUT compaction
+    val bIdx = freshDir("segfoldc_batch")
+    Dedup.publishHistorySegment(spark, bIdx, "base", docs)
+    val p1 = rows(Dedup.incrementalAgainstSegmentedIndex(spark, bIdx,
+      day(0)))
+    Dedup.publishHistorySegment(spark, bIdx, "day0", day(0))
+    val p2 = rows(Dedup.incrementalAgainstSegmentedIndex(spark, bIdx,
+      day(1)))
+    // the streamed index gets COMPACTED between micro-batches — the
+    // running query's next foreachBatch must read the swapped layout
+    // transparently (bucketed compacted segment + its own fold)
+    val sIdx = freshDir("segfoldc_stream")
+    val sPairs = freshDir("segfoldc_pairs")
+    Dedup.publishHistorySegment(spark, sIdx, "base", docs)
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.segmentedFoldStream(
+      ms.toDF().toDF("doc_id", "text"), sIdx, sPairs,
+      s"${freshDir("segfoldc_ckpt")}/ckpt")
+    ms.addData(day(0).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq)
+    q.processAllAvailable()
+    Dedup.compactSegments(spark, sIdx, "c0")
+    assert(Dedup.completeSegments(sIdx)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("seg_c0"),
+      "mid-stream compaction must fold base + the streamed segment")
+    ms.addData(day(1).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(rows(spark.read.parquet(s"$sPairs/batch_b*")) == (p1 ++ p2),
+      "pairs across a mid-stream compaction must equal the " +
+        "never-compacted twin")
+    Seq(bIdx, sIdx, sPairs).foreach(Work.clean)
+  }
 }
