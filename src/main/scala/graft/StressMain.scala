@@ -372,6 +372,59 @@ object StressMain {
       results("incremental_seg_cadence") = (walls(1), walls.last)
       Work.clean(path)
     }
+    // r17: the TIERED cadence (classic LSM minor/major): weekly MINOR
+    // compaction folds ONLY the 7-day plain tail (cost ∝ tail — the
+    // full-fold cadence row's weekly cost is ∝ history), accumulating
+    // one bucketed segment per week; a MAJOR compaction at day 28
+    // folds everything. The row measures the tradeoff the two knobs
+    // buy: minor bounds fold cost but grows reader flavor fan-out
+    // (+1 bucketed flavor per week → jobs/day climb), major resets the
+    // fan-out at a once-a-month history-sized cost. Victims selection
+    // is the existing compactSegments parameter — no special API.
+    if (only.isEmpty || only.contains("incremental_seg_tiered")) {
+      val reps = 31
+      val all = Dedup.plantedCorpus(repDocs(docs, reps))
+      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+      def dayBatch(d: Int) = all.filter(!histPred &&
+        col("doc_id").divide(lit(100000000L)).cast("long") === d)
+      def fileCount(p: String): Long = {
+        val (fsys, root) = Work.fs(p)
+        val it = fsys.listFiles(root, true)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+      val path = Work.scratch("histidxseg_tiered")
+      Work.clean(path)
+      t("incremental_seg_tiered base")(
+        { Dedup.publishHistorySegment(spark, path, "base",
+            all.filter(histPred)); 0L })
+      GraftSession.dropAllCaches(spark)
+      val walls = (0 until 30).map { d =>
+        val b = dayBatch(d)
+        val w = t(f"incremental_seg_tiered day$d%02d")(
+          Dedup.incrementalAgainstSegmentedIndex(spark, path, b).count())
+        Dedup.publishHistorySegment(spark, path, f"day$d%02d", b)
+        if (d == 27) {
+          // MAJOR: everything active → one bucketed segment
+          t("incremental_seg_tiered MAJOR")(
+            { Dedup.compactSegments(spark, path, "major1")
+              fileCount(path) })
+        } else if ((d + 1) % 7 == 0) {
+          // MINOR: only this week's plain tail (base stays put)
+          val tail = (d - 6 to d).map(i => f"day$i%02d")
+          t(f"incremental_seg_tiered minor-w${(d + 1) / 7}")(
+            { Dedup.compactSegments(spark, path, f"w${(d + 1) / 7}",
+                victims = tail)
+              fileCount(path) })
+        }
+        GraftSession.dropAllCaches(spark)
+        w
+      }
+      println(s"[stress] seg_tiered files at day 29: ${fileCount(path)}")
+      results("incremental_seg_tiered") = (walls(1), walls.last)
+      Work.clean(path)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(

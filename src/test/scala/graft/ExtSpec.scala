@@ -1735,6 +1735,21 @@ class ExtSpec extends SparkSpec {
       corpus.filter(col("doc_id") < off).unionByName(third(0))
         .unionByName(third(1)), third(2))),
       "bucketed-compacted + plain-tail must equal the generic run")
+    // PARTIAL-victims fold (the tiered cadence's minor compaction):
+    // only the named tail folds; other active segments stay put, and
+    // the composed result is unchanged
+    Dedup.publishHistorySegment(spark, spath, "day3", third(2))
+    val afterTail = rows(Dedup.incrementalAgainstSegmentedIndex(spark,
+      spath, third(2).select((col("doc_id") + 3000000000L).as("doc_id"),
+        col("text"))))
+    Dedup.compactSegments(spark, spath, "w1", victims = Seq("day2", "day3"))
+    assert(names(Dedup.activeSegments(spath)).toSet
+      == Set("seg_c0", "seg_w1"),
+      "a partial fold must leave non-victims active")
+    assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark,
+      spath, third(2).select((col("doc_id") + 3000000000L).as("doc_id"),
+        col("text")))) == afterTail,
+      "pairs must be unchanged across a tail-only fold")
     // compaction of a compaction: fold records are TRANSITIVE, so one
     // reader-side record level suffices and retirement reaches the
     // original victims' names too
@@ -1746,11 +1761,14 @@ class ExtSpec extends SparkSpec {
       finally in.close()
     }
     assert(foldRec.split("\n").toSet ==
-      Set("seg_day0", "seg_day1", "seg_c0", "seg_day2"),
+      Set("seg_day0", "seg_day1", "seg_c0", "seg_day2", "seg_day3",
+        "seg_w1"),
       s"fold record must carry victims' victims, got: $foldRec")
     assert(names(Dedup.activeSegments(spath)) == Seq("seg_c1"))
+    def shiftedQuery = third(2)
+      .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
     assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath,
-      third(2))) == composed,
+      shiftedQuery)) == afterTail,
       "pairs must be bit-identical across the second-level fold")
     // retiring a DECLARED bucketed compacted segment drops its catalog
     // pair too (r17 review): seg_c0's tables were declared by the
@@ -1760,11 +1778,11 @@ class ExtSpec extends SparkSpec {
     def c0Tables = spark.sql(s"SHOW TABLES LIKE 'graft_hidx_*_$tagC0*'")
       .collect().map(_.getString(1)).toSeq
     assert(c0Tables.nonEmpty, "composed reads must have declared seg_c0")
-    Dedup.retireSegments(spath, Seq("seg_c0", "seg_day2"))
+    Dedup.retireSegments(spath, Seq("seg_c0", "seg_w1"))
     assert(c0Tables.isEmpty,
       "retirement must drop the retired segment's catalog entries")
     assert(rows(Dedup.incrementalAgainstSegmentedIndex(spark, spath,
-      third(2))) == composed,
+      shiftedQuery)) == afterTail,
       "seg_c1 alone must serve the same pairs after retirement")
     Work.clean(spath)
   }
