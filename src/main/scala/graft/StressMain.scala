@@ -280,12 +280,26 @@ object StressMain {
     // everything into ONE bucketed compacted segment and re-run an
     // unfolded replica's query — file count collapses, wall/jobs must
     // not grow.
+    // ONE shared fixture for the three month-long rows (deep /
+    // cadence / tiered — r17 review: triplicated definitions drift):
+    // 31 salted replicas, day d's batch = replica d's planted
+    // increment — constant size, real verify matches against its own
+    // replica, ids disjoint across segments.
+    lazy val segAll = Dedup.plantedCorpus(repDocs(docs, 31))
+    val segHistPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
+    def segDayBatch(d: Int) = segAll.filter(!segHistPred &&
+      col("doc_id").divide(lit(100000000L)).cast("long") === d)
+    def segFileCount(p: String): Long = {
+      val (fsys, root) = Work.fs(p)
+      val it = fsys.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
     if (only.isEmpty || only.contains("incremental_seg_deep")) {
-      val reps = 31
-      val all = Dedup.plantedCorpus(repDocs(docs, reps))
-      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
-      def dayBatch(d: Int) = all.filter(!histPred &&
-        col("doc_id").divide(lit(100000000L)).cast("long") === d)
+      val all = segAll
+      val histPred = segHistPred
+      def dayBatch(d: Int) = segDayBatch(d)
       val path = Work.scratch("histidxseg_deep")
       Work.clean(path)
       t("incremental_seg_deep base-ingest")(
@@ -301,14 +315,7 @@ object StressMain {
         w
       }
       results("incremental_seg_deep") = (walls(1), walls.last)
-      def fileCount(p: String): Long = {
-        val (fsys, root) = Work.fs(p)
-        val it = fsys.listFiles(root, true)
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        n
-      }
-      val preFiles = fileCount(path)
+      val preFiles = segFileCount(path)
       val wPre = t("seg_deep query 30-seg")(
         Dedup.incrementalAgainstSegmentedIndex(spark, path,
           dayBatch(30)).count())
@@ -316,7 +323,7 @@ object StressMain {
       t("seg_deep compact(31 segs)")(
         { Dedup.compactSegments(spark, path, "c0"); 0L })
       GraftSession.dropAllCaches(spark)
-      val postFiles = fileCount(path)
+      val postFiles = segFileCount(path)
       val wPost = t("seg_deep query compacted")(
         Dedup.incrementalAgainstSegmentedIndex(spark, path,
           dayBatch(30)).count())
@@ -336,18 +343,10 @@ object StressMain {
     // two adjudicate against each other: deep = never compact,
     // cadence = compact weekly.
     if (only.isEmpty || only.contains("incremental_seg_cadence")) {
-      val reps = 31
-      val all = Dedup.plantedCorpus(repDocs(docs, reps))
-      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
-      def dayBatch(d: Int) = all.filter(!histPred &&
-        col("doc_id").divide(lit(100000000L)).cast("long") === d)
-      def fileCount(p: String): Long = {
-        val (fsys, root) = Work.fs(p)
-        val it = fsys.listFiles(root, true)
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        n
-      }
+      val all = segAll
+      val histPred = segHistPred
+      def dayBatch(d: Int) = segDayBatch(d)
+      def fileCount(p: String): Long = segFileCount(p)
       val path = Work.scratch("histidxseg_cadence")
       Work.clean(path)
       t("incremental_seg_cadence base")(
@@ -361,8 +360,8 @@ object StressMain {
         Dedup.publishHistorySegment(spark, path, f"day$d%02d", b)
         if ((d + 1) % 7 == 0) {
           t(f"incremental_seg_cadence compact-w${(d + 1) / 7}")(
-            { Dedup.compactSegments(spark, path, f"c${(d + 1) / 7}")
-              fileCount(path) })
+            { Dedup.compactSegments(spark, path, f"c${(d + 1) / 7}"); 0L })
+          println(s"[stress]   files after compact: ${fileCount(path)}")
         }
         GraftSession.dropAllCaches(spark)
         w
@@ -382,18 +381,10 @@ object StressMain {
     // fan-out at a once-a-month history-sized cost. Victims selection
     // is the existing compactSegments parameter — no special API.
     if (only.isEmpty || only.contains("incremental_seg_tiered")) {
-      val reps = 31
-      val all = Dedup.plantedCorpus(repDocs(docs, reps))
-      val histPred = col("doc_id") % 100000000L < Dedup.PlantedOffset
-      def dayBatch(d: Int) = all.filter(!histPred &&
-        col("doc_id").divide(lit(100000000L)).cast("long") === d)
-      def fileCount(p: String): Long = {
-        val (fsys, root) = Work.fs(p)
-        val it = fsys.listFiles(root, true)
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        n
-      }
+      val all = segAll
+      val histPred = segHistPred
+      def dayBatch(d: Int) = segDayBatch(d)
+      def fileCount(p: String): Long = segFileCount(p)
       val path = Work.scratch("histidxseg_tiered")
       Work.clean(path)
       t("incremental_seg_tiered base")(
@@ -408,15 +399,15 @@ object StressMain {
         if (d == 27) {
           // MAJOR: everything active → one bucketed segment
           t("incremental_seg_tiered MAJOR")(
-            { Dedup.compactSegments(spark, path, "major1")
-              fileCount(path) })
+            { Dedup.compactSegments(spark, path, "major1"); 0L })
+          println(s"[stress]   files after MAJOR: ${fileCount(path)}")
         } else if ((d + 1) % 7 == 0) {
           // MINOR: only this week's plain tail (base stays put)
           val tail = (d - 6 to d).map(i => f"day$i%02d")
           t(f"incremental_seg_tiered minor-w${(d + 1) / 7}")(
             { Dedup.compactSegments(spark, path, f"w${(d + 1) / 7}",
-                victims = tail)
-              fileCount(path) })
+                victims = tail); 0L })
+          println(s"[stress]   files after minor: ${fileCount(path)}")
         }
         GraftSession.dropAllCaches(spark)
         w

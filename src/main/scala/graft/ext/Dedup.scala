@@ -328,6 +328,15 @@ object Dedup {
       sh: DataFrame): DataFrame =
     verifyJaccardSplit(cands, sh, sh)
 
+  /** Output schema of every near-dup pair producer
+    * ([[verifyJaccard]]/[[verifyJaccardSplit]] and the incremental
+    * family) — THE shared constant, so a sink that must materialize an
+    * empty pair frame (the streaming fold's first batch) can never
+    * drift from the real producers' shape. */
+  val PairSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "a BIGINT, b BIGINT, n_common INT, n_a INT, n_b INT")
+
   /** Exact-Jaccard verification with PER-SIDE shingle frames: the `a`
     * ids resolve against `shA` only and the `b` ids against `shB` only.
     * For the self-join case both sides are the same frame
@@ -341,15 +350,6 @@ object Dedup {
     * AQE's threshold). The split also removes the union spelling's
     * corruption mode for an id present on BOTH sides: each candidate id
     * matches exactly its own side's row instead of two union rows. */
-  /** Output schema of every near-dup pair producer
-    * ([[verifyJaccard]]/[[verifyJaccardSplit]] and the incremental
-    * family) — THE shared constant, so a sink that must materialize an
-    * empty pair frame (the streaming fold's first batch) can never
-    * drift from the real producers' shape. */
-  val PairSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType.fromDDL(
-      "a BIGINT, b BIGINT, n_common INT, n_a INT, n_b INT")
-
   private[graft] def verifyJaccardSplit(cands: DataFrame,
       shA: DataFrame, shB: DataFrame): DataFrame = {
     def sets(f: DataFrame) = f.select(col("doc_id"), col("shs"), col("n"))
@@ -1055,32 +1055,37 @@ object Dedup {
     * takes over — without the retry, the racing reader could observe
     * a set that is neither the old one nor the new one (r17 review of
     * the r16-#2 atomicity claim). */
+  /** Canonical string spelling of a segment path: local paths come
+    * back in the historical PLAIN spelling (file:/x → /x), so every
+    * tag/table-name derivation downstream (Work.publishTag in
+    * bucketedHistoryIndex AND retireSegments' catalog cleanup — they
+    * must agree, r17 review #1) matches a caller addressing the same
+    * artifact by plain path; non-local schemes stay fully qualified. */
+  private def segSpelling(p: org.apache.hadoop.fs.Path): String =
+    if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+
   private def segSnapshots(
       indexDir: String): Seq[(String, Set[String])] = {
     val (fsys, dirPath) = Work.fs(indexDir)
     var attempt = 0
     while (attempt < 5) {
       attempt += 1
-      val segs =
-        if (!fsys.exists(dirPath)) Seq.empty
-        else fsys.listStatus(dirPath).toSeq
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("seg_"))
-          .map(_.getPath)
       try {
+        val segs =
+          if (!fsys.exists(dirPath)) Seq.empty
+          else fsys.listStatus(dirPath).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("seg_"))
+            .map(_.getPath)
         return segs.map { p =>
-          // local paths come back in the historical PLAIN spelling
-          // (file:/x → /x): every tag/table-name derivation downstream
-          // (Work.publishTag in bucketedHistoryIndex) then agrees with
-          // a caller addressing the same artifact by plain path;
-          // non-local schemes stay fully qualified
-          val spelled =
-            if (p.toUri.getScheme == "file") p.toUri.getPath
-            else p.toString
-          (spelled, fsys.listStatus(p).map(_.getPath.getName).toSet)
+          (segSpelling(p), fsys.listStatus(p).map(_.getPath.getName).toSet)
         }.sortBy(_._1)
       } catch {
-        case _: java.io.FileNotFoundException => () // retired mid-pass
+        // the whole pass retries — a concurrent retirement (or a
+        // sibling's Work.clean of the whole shared index) can delete a
+        // listed dir, or the ROOT itself, between any two calls here;
+        // the next attempt sees the post-delete state (r17 review #2)
+        case _: java.io.FileNotFoundException => ()
       }
     }
     throw new IllegalStateException(
@@ -1218,7 +1223,8 @@ object Dedup {
       val folded = readRecordOpt(target, "folds").toSeq
         .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
       if (retire)
-        retireSegments(indexDir, folded.filterNot(_ == s"seg_$compactId"))
+        retireSegments(Some(s), indexDir,
+          folded.filterNot(_ == s"seg_$compactId"))
       target
     }
     if (Work.isComplete(target)) return committed()
@@ -1272,10 +1278,25 @@ object Dedup {
     * pair per retired compacted segment, each pointing at a deleted
     * location (r17 review). */
   def retireSegments(indexDir: String, segNames: Seq[String]): Unit =
+    retireSegments(
+      SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession),
+      indexDir, segNames)
+
+  /** Session-explicit twin — [[compactSegments]] passes its own
+    * session through so the catalog cleanup cannot silently no-op on
+    * a thread with no active session (r17 review #2). */
+  def retireSegments(session: Option[SparkSession], indexDir: String,
+      segNames: Seq[String]): Unit =
     segNames.foreach { n =>
       require(n.startsWith("seg_"), s"not a segment name: $n")
-      val path = s"$indexDir/$n"
-      SparkSession.getActiveSession.foreach { s =>
+      // normalize to the same spelling the reader declared tables
+      // under ([[segSpelling]]) — a caller-spelled 'file:/...' or a
+      // scheme-less path on a non-local defaultFS would otherwise
+      // derive a DIFFERENT tag and the DROP would match nothing
+      // (r17 review #1)
+      val path = segSpelling(Work.fs(s"$indexDir/$n")._2)
+      session.foreach { s =>
         val tag = Work.publishTag(path).replaceAll("[^A-Za-z0-9_]", "_")
         try s.sql(s"SHOW TABLES LIKE 'graft_hidx_*_$tag*'").collect()
           .map(_.getString(1))
@@ -1637,8 +1658,12 @@ object Dedup {
     // a previous artifact's bucket spec or cached file listing (r16
     // review — the plain path is immune because read.parquet re-lists
     // every call); refreshTable still guards the name's own relation
-    // cache across a re-entrant declare
-    val tag = Work.publishTag(path).replaceAll("[^A-Za-z0-9_]", "_")
+    // cache across a re-entrant declare. The tag derives from the
+    // NORMALIZED spelling ([[segSpelling]]) so a file:-qualified
+    // caller and the plain-path reader/retirement derive ONE tag
+    // (r17 review #1)
+    val tag = Work.publishTag(segSpelling(idxPath))
+      .replaceAll("[^A-Za-z0-9_]", "_")
     def declare(sub: String, schema: String, keys: String): String = {
       val t = s"graft_hidx_${sub}_${tag}_$pubId"
       // retire catalog entries of SUPERSEDED publishes of this same

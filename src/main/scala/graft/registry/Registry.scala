@@ -138,23 +138,29 @@ final class Registry(workdir: String, val bus: EventBus) {
       version: Option[String] = None): ArtifactMeta = {
     require(!name.contains("@"),
       s"artifact name must not contain '@' (reserved for versions): $name")
-    version.foreach { v =>
-      // pin-forever means PIN: re-registering an existing version is a
-      // no-op when the uri agrees (publish retries do this) and an
-      // ERROR when it differs — silently repointing a version would
-      // hand a reader holding the old fingerprint someone else's
-      // artifact (r17 review)
-      artifacts.get(s"$name@$v") match {
-        case Some(a) if a.uri != uri =>
-          throw new IllegalArgumentException(
-            s"artifact $name@$v is already pinned to ${a.uri}; " +
-              s"refusing to repoint it to $uri — versions are immutable, " +
-              "register a new version instead")
-        case Some(_) => ()
-        case None => registerArtifact(s"$name@$v", uri): Unit
-      }
+    version match {
+      // pin-forever means PIN: re-registering an existing version with
+      // the same uri is a FULL no-op — the version pointer stays, and
+      // the bare "current" pointer is NOT touched either (a retried
+      // registration of an OLD version must not silently roll the
+      // current pointer backward; an explicit rollback goes through
+      // registerArtifact directly). A differing uri is an ERROR —
+      // silently repointing a version would hand a reader holding the
+      // old fingerprint someone else's artifact (r17 review ×2).
+      case Some(v) =>
+        artifacts.get(s"$name@$v") match {
+          case Some(a) if a.uri != uri =>
+            throw new IllegalArgumentException(
+              s"artifact $name@$v is already pinned to ${a.uri}; " +
+                s"refusing to repoint it to $uri — versions are " +
+                "immutable, register a new version instead")
+          case Some(a) => a
+          case None =>
+            registerArtifact(s"$name@$v", uri): Unit
+            registerArtifact(name, uri)
+        }
+      case None => registerArtifact(name, uri)
     }
-    registerArtifact(name, uri)
   }
 
   /** Resolve a versioned artifact: bare name → current publish;

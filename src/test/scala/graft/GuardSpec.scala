@@ -717,9 +717,15 @@ class GuardSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       reg.registerVersionedArtifact("bad@name", "u", None))
     // versions are IMMUTABLE: re-registering the same version with the
-    // same uri is a no-op (publish retries), a different uri throws
+    // same uri is a FULL no-op (publish retries) — including the bare
+    // current pointer, which must NOT roll back to the old artifact;
+    // a different uri throws
     reg.registerVersionedArtifact("neardup_history", v1.uri,
       Some("crawl1")): Unit
+    assert(reg.resolveArtifact("neardup_history").map(_.uri)
+      .contains(v2.uri),
+      "a retried old-version registration must not move the current " +
+        "pointer backward")
     intercept[IllegalArgumentException](reg.registerVersionedArtifact(
       "neardup_history", s"${v1.uri}_other", Some("crawl1")))
     assert(reg.resolveArtifact("neardup_history", Some("crawl1"))
