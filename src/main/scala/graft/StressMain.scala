@@ -416,6 +416,43 @@ object StressMain {
       results("incremental_seg_tiered") = (walls(1), walls.last)
       Work.clean(path)
     }
+    // r17: N× growth for the COMPOSED layout — the r16 64× table
+    // (plain 1.21 / bucketed 1.14 wall ratio) extended to the r17
+    // steady-state shape: history at N× lands as ONE bucketed
+    // compacted segment (publish + re-layout OUTSIDE the timed
+    // region), a constant replica-sized plain tail sits beside it, and
+    // the FIXED increment queries the composed reader. The contract:
+    // increment-side work pinned, wall ratio tracks the bucketed
+    // twin's (the tail adds a constant flavor, never an N×-sized
+    // stage).
+    if (only.isEmpty || only.contains("incremental_composed")) {
+      val inc1 = Dedup.plantedCorpus(repDocs(docs, 1))
+        .filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset)
+      def replicaAt(r: Int) = docs.select(
+        (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$r"))), " ").as("text"))
+      def runAt(n: Int, label: String): Double = {
+        val path = Work.scratch(s"histidxcg_$n")
+        Work.clean(path)
+        Dedup.publishHistorySegment(spark, path, "hist",
+          Dedup.plantedCorpus(repDocs(docs, n)).filter(segHistPred))
+        Dedup.compactSegments(spark, path, "c0")
+        // constant tail: replica N's (unmatched, disjoint-id) docs —
+        // flavor presence and tail-sized join work, no N×-anything
+        Dedup.publishHistorySegment(spark, path, "tail", replicaAt(n))
+        val sec = t(s"incremental_composed $label")(
+          Dedup.incrementalAgainstSegmentedIndex(spark, path,
+            inc1).count())
+        Work.clean(path)
+        sec
+      }
+      val base = runAt(1, "1x")
+      GraftSession.dropAllCaches(spark)
+      val big = runAt(mult, s"${mult}x")
+      GraftSession.dropAllCaches(spark)
+      results("incremental_composed") = (base, big)
+    }
     // r14: fluency terciles — the bigram passes grow with rows; the
     // threshold pass is value-domain-sized and must stay flat
     pair("ccnet_buckets")(
