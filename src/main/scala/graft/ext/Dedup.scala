@@ -1032,6 +1032,31 @@ object Dedup {
     finally out.close()
   }
 
+  /** Aligned-fold file dial: a bucketed victim already carrying this
+    * many files per bucket is folded through the full repartition
+    * rewrite (collapses to one file per bucket) instead of the
+    * shuffle-free aligned path (which would append one more). At 3,
+    * a weekly cadence pays the history-sized shuffle roughly monthly
+    * and the standing segment never exceeds 3 files per bucket. */
+  val AlignedFoldMaxFilesPerBucket = 3
+
+  /** Files per bucket of a published bucketed segment's sh table —
+    * the aligned-fold dial's input. */
+  private def filesPerBucket(path: String): Int = {
+    val (fsys, shDir) = Work.fs(s"$path/sh")
+    val parts = fsys.listStatus(shDir)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    math.ceil(parts.toDouble / HistIdxBuckets).toInt
+  }
+
+  /** Bucket count of a published bucketed segment/index, None for a
+    * plain one (or a corrupt record — the strict validation lives in
+    * [[bucketedHistoryIndex]], which is the read path that matters). */
+  private def bucketCountOf(path: String): Option[Int] =
+    readRecordOpt(path, "buckets")
+      .map(_.trim.split(" ")(0)).filter(t => t.nonEmpty && t.forall(_.isDigit))
+      .map(_.toInt)
+
   private def readRecordOpt(dir: String, name: String): Option[String] = {
     val (fsys, dirPath) = Work.fs(dir)
     val p = new org.apache.hadoop.fs.Path(dirPath, name)
@@ -1246,10 +1271,34 @@ object Dedup {
       readRecordOpt(p, "folds").toSeq.flatMap(_.split("\n"))
         .map(_.trim).filter(_.nonEmpty))).distinct.sorted
     try Work.publish(target) { tmp =>
-      val sh = s.read.parquet(chosen.map(p => s"$p/sh"): _*)
-      val bb = s.read.parquet(chosen.map(p => s"$p/bb"): _*)
-      if (bucketed) stageBucketedIndex(s, tmp, HistIdxBuckets, sh, bb)
-      else {
+      if (bucketed) {
+        // bucket-ALIGNED victims (already published with the target
+        // spec — the standing compacted segment of a weekly/major
+        // fold) are folded through their scans with NO repartition:
+        // the fold's shuffle cost is ∝ the plain/misaligned victims
+        // (the tail), never ∝ the whole history. The aligned rewrite
+        // preserves the victim's per-bucket FILE multiplicity (+1
+        // file/bucket per folded tail part), so once the standing
+        // segment reaches [[AlignedFoldMaxFilesPerBucket]] the fold
+        // degrades to the full repartition rewrite, collapsing back to
+        // one file per bucket — the shuffle-vs-file-count dial of any
+        // LSM (both regimes measured in SCALE.md r17).
+        val (aligned, rest) = chosen.partition(p =>
+          bucketCountOf(p).contains(HistIdxBuckets) &&
+            filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
+        val alignedFrames = aligned.map(p => bucketedHistoryIndex(s, p))
+        val restSh =
+          if (rest.isEmpty) Seq.empty
+          else Seq((s.read.parquet(rest.map(p => s"$p/sh"): _*), false))
+        val restBb =
+          if (rest.isEmpty) Seq.empty
+          else Seq((s.read.parquet(rest.map(p => s"$p/bb"): _*), false))
+        stageBucketedIndexParts(s, tmp, HistIdxBuckets,
+          alignedFrames.map(f => (f._1, true)) ++ restSh,
+          alignedFrames.map(f => (f._2, true)) ++ restBb)
+      } else {
+        val sh = s.read.parquet(chosen.map(p => s"$p/sh"): _*)
+        val bb = s.read.parquet(chosen.map(p => s"$p/bb"): _*)
         sh.write.mode("overwrite").parquet(s"$tmp/sh")
         bb.write.mode("overwrite").parquet(s"$tmp/bb")
       }
@@ -1586,24 +1635,48 @@ object Dedup {
     * unique staging DIRS, and the throwaway catalog entries must not
     * undercut that by colliding on a shared name (r16 review). */
   private def stageBucketedIndex(s: SparkSession, tmp: String,
-      buckets: Int, sh: DataFrame, bb: DataFrame): Unit = {
+      buckets: Int, sh: DataFrame, bb: DataFrame): Unit =
+    stageBucketedIndexParts(s, tmp, buckets,
+      Seq((sh, false)), Seq((bb, false)))
+
+  /** Stage the two bucketed tables from PARTS — each part is
+    * (frame, bucketAligned). UNALIGNED parts (plain scans, arbitrary
+    * partitioning) are repartitioned on the bucket keys BEFORE the
+    * bucketed write: a bucketBy write otherwise emits one file per
+    * (task, bucket) — tasks × buckets files, the small-files
+    * explosion at crawl scale; Spark's repartition hash and its
+    * bucket-id hash are the same Murmur3 pmod, so each shuffled
+    * partition holds exactly one bucket and the part lands ONE file
+    * per bucket (ExtSpec counts them). ALIGNED parts (scans of an
+    * already-bucketed segment with the SAME spec) skip the
+    * repartition entirely: a bucketed scan already holds exactly one
+    * bucket per task, so the write emits one file per bucket with NO
+    * shuffle — which is what makes a major compaction's shuffle cost
+    * ∝ the plain tail instead of ∝ the whole history (r17; ExtSpec
+    * pins the shuffle-bytes cut and bit-identical output). Parts
+    * append to one staging table (first part overwrites), so the
+    * published table carries ≤ parts files per bucket. */
+  private def stageBucketedIndexParts(s: SparkSession, tmp: String,
+      buckets: Int, sh: Seq[(DataFrame, Boolean)],
+      bb: Seq[(DataFrame, Boolean)]): Unit = {
     val token = s"${Work.jvmTag}_${stageSeq.incrementAndGet()}"
-    def stage(df: DataFrame, sub: String, keys: Seq[String]): Unit = {
+    def stage(parts: Seq[(DataFrame, Boolean)], sub: String,
+        keys: Seq[String]): Unit = {
+      require(parts.nonEmpty, s"no parts to stage for $sub")
       val t = s"graft_hidx_stage_${token}_$sub"
       s.sql(s"DROP TABLE IF EXISTS $t")
-      // repartition on the bucket keys BEFORE the bucketed write: a
-      // bucketBy write otherwise emits one file per (task, bucket) —
-      // tasks × buckets files, the small-files explosion at crawl
-      // scale. Spark's repartition hash and its bucket-id hash are the
-      // same Murmur3 pmod, so each shuffled partition holds exactly
-      // one bucket and the write lands ONE file per bucket (ExtSpec
-      // counts them).
-      df.repartition(buckets, keys.map(col): _*)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .option("path", s"$tmp/$sub")
-        .saveAsTable(t)
+      parts.zipWithIndex.foreach { case ((df, aligned), i) =>
+        val src =
+          if (aligned) df
+          else df.repartition(buckets, keys.map(col): _*)
+        val w = src.write
+          .mode(if (i == 0) "overwrite" else "append")
+          .format("parquet")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+        (if (i == 0) w.option("path", s"$tmp/$sub") else w)
+          .saveAsTable(t)
+      }
       s.sql(s"DROP TABLE IF EXISTS $t")
     }
     stage(sh, "sh", Seq("doc_id"))

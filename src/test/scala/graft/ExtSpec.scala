@@ -1787,6 +1787,105 @@ class ExtSpec extends SparkSpec {
     Work.clean(spath)
   }
 
+  test("aligned bucketed fold: folding the standing bucketed segment " +
+      "shuffles ~tail bytes, not history bytes, with bit-identical " +
+      "output (r17)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val tail = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+    def measured(body: => Unit): Long = {
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
+      bytes.set(0)
+      body
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
+      bytes.get
+    }
+    def indexRows(idx: String) = {
+      val (sh, bb) = Dedup.segmentedIndexFrames(spark, idx)
+      (sh.select("doc_id", "n").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet,
+        bb.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .toSet)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // arm A (fast path): history already bucketed (the standing
+      // weekly segment), tail plain — the measured fold
+      val a = Work.scratch("alignedfold_a")
+      Work.clean(a)
+      Dedup.publishHistorySegment(spark, a, "hist", docs)
+      Dedup.compactSegments(spark, a, "c0") // outside the measurement
+      Dedup.publishHistorySegment(spark, a, "tail", tail)
+      val fastBytes = measured {
+        Dedup.compactSegments(spark, a, "c1"): Unit
+      }
+      // arm B (baseline): SAME data, history still plain — full
+      // re-shuffle fold
+      val b = Work.scratch("alignedfold_b")
+      Work.clean(b)
+      Dedup.publishHistorySegment(spark, b, "hist", docs)
+      Dedup.publishHistorySegment(spark, b, "tail", tail)
+      val slowBytes = measured {
+        Dedup.compactSegments(spark, b, "c1"): Unit
+      }
+      // bit-identical artifacts either way
+      assert(indexRows(a) == indexRows(b),
+        "aligned and full-shuffle folds must publish identical indexes")
+      // the fast path's shuffle is tail-sized: with history ≈ 50× the
+      // tail, a generous 2× bar cannot pass by noise. Self-calibrated:
+      // both arms fold the same data in the same session.
+      assert(fastBytes * 2 < slowBytes,
+        s"aligned fold shuffled $fastBytes bytes vs full fold's " +
+          s"$slowBytes — the bucketed victim should not re-shuffle")
+      // file economy: aligned part + tail part land ≤ 2 files/bucket
+      def shParts(idx: String, seg: String) = {
+        val (fsys, shDir) = Work.fs(s"$idx/$seg/sh")
+        fsys.listStatus(shDir)
+          .count(_.getPath.getName.endsWith(".parquet"))
+      }
+      assert(shParts(a, "seg_c1") <= 2 * Dedup.HistIdxBuckets,
+        s"aligned fold wrote ${shParts(a, "seg_c1")} part files")
+      // the file DIAL: aligned folds append one file/bucket per tail
+      // part, so at AlignedFoldMaxFilesPerBucket the fold degrades to
+      // the full rewrite and the file count COLLAPSES — keep folding
+      // fresh tails and watch the count never exceed the dial
+      var expect = indexRows(a)
+      (2 to Dedup.AlignedFoldMaxFilesPerBucket + 2).foreach { i =>
+        val t2 = docs.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + (40000000L * i)).as("doc_id"),
+            col("text"))
+        Dedup.publishHistorySegment(spark, a, s"tail$i", t2)
+        Dedup.compactSegments(spark, a, s"c${i}"): Unit
+        val parts = shParts(a, s"seg_c$i")
+        assert(parts <=
+          (Dedup.AlignedFoldMaxFilesPerBucket + 1) * Dedup.HistIdxBuckets,
+          s"fold $i wrote $parts part files — the file dial must cap " +
+            "aligned-append growth")
+      }
+      // after the dial fired at least once, the standing segment is
+      // back to a small file count and the data is intact
+      val finalSeg = s"seg_c${Dedup.AlignedFoldMaxFilesPerBucket + 2}"
+      assert(Dedup.activeSegments(a)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq(finalSeg))
+      assert(indexRows(a)._1.size > expect._1.size,
+        "each folded tail must add rows")
+      Work.clean(a)
+      Work.clean(b)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("DSIR: fused predicate-target ratios equal the generic " +
       "two-frame pass on the same subset; tokenization is " +
       "whitespace-robust at the edges") {
