@@ -223,68 +223,104 @@ object Work {
     * (r16 ADVICE). Commit semantics per store class: on the local FS
     * and on HDFS, directory rename is ATOMIC — a reader sees the
     * complete artifact (marker included) or nothing, which is the
-    * strongest commit. On S3-class object stores "rename" is a
-    * non-atomic server-side copy, so a reader racing the commit could
-    * in principle list the marker before the last data object; a
-    * deployment on such a store must EITHER front the artifact root
-    * with a consistent rename layer (HBoss/EMRFS-style) or swap this
-    * one method for a marker-LAST commit (copy data, then create
-    * `_SUCCESS` at the target). The reader contract — gate every read
-    * on [[isComplete]] — is already the one that makes either commit
-    * correct, which is why only this method would change. */
-  def publish(path: String)(stage: String => Unit): String = {
+    * strongest commit (the default mode here). On S3-class object
+    * stores "rename" is a non-atomic server-side copy, so a reader
+    * racing the commit could in principle list the marker before the
+    * last data object; a deployment on such a store EITHER fronts the
+    * artifact root with a consistent rename layer (HBoss/EMRFS-style)
+    * or passes `markerLast = true`: `stage` then writes data objects
+    * DIRECTLY into `path` and the `_SUCCESS` marker is the LAST object
+    * created — no rename anywhere, and since single-object PUTs are
+    * atomic and readers gate every read on [[isComplete]], a reader
+    * that sees the marker sees every data object (built r18, was
+    * documented-only; GuardSpec pins it against a store whose rename
+    * is non-atomic). Marker-last trades away the rename mode's
+    * multi-writer arbitration: a crashed attempt's partial,
+    * marker-less target is cleaned and restarted on retry (no reader
+    * can be gated on it), but two LIVE writers publishing the same
+    * path concurrently must be excluded by the deployment (one
+    * publisher per artifact path — the same single-writer rule object
+    * stores impose on any last-write-wins layout).
+    *
+    * Self-heal (r17 ADVICE): in rename mode, a pre-existing INCOMPLETE
+    * target (a crashed writer on a store where the half-rename left
+    * the dir, or external interference) would block the no-overwrite
+    * rename forever. Since an incomplete target has no `_SUCCESS`, no
+    * reader is gated on it — the lost-race branch cleans it ONCE and
+    * re-renames before giving up, restoring the clean+retry behavior
+    * the hand-rolled publish sites had before they were unified here. */
+  def publish(path: String, markerLast: Boolean = false)(
+      stage: String => Unit): String = {
     val (f, target) = fs(path)
     def done = f.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
-    if (!done) {
-      val tmpStr = scratch(
-        s"pub${matSeq.incrementAndGet()}_${target.getName}")
-      val (tf, tmp) = fs(tmpStr)
-      require(tf.getUri == f.getUri,
-        s"publish target $path resolves to filesystem ${f.getUri} but " +
-          s"staging (GRAFT_WORK_DIR=$dir) lives on ${tf.getUri} — the " +
-          "rename-commit must stay one-filesystem; point GRAFT_WORK_DIR " +
-          "at the same store as the target")
-      clean(tmpStr)
-      stage(tmpStr)
-      // a no-op stage (empty artifact) may complete without creating
-      // tmp; mkdirs makes the marker creation well-defined instead of a
-      // bare contextless IOException from create (r15 ADVICE)
-      if (!tf.exists(tmp) && !tf.mkdirs(tmp))
+    if (done) return path
+    if (markerLast) {
+      // a partial, marker-less target is a crashed prior attempt (or
+      // junk) — no reader can be gated on it; restart clean
+      if (f.exists(target)) clean(path)
+      stage(path)
+      if (!f.exists(target) && !f.mkdirs(target))
         throw new IllegalStateException(
-          s"publish staging dir $tmpStr could not be created after stage()")
-      tf.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true)
+          s"publish target dir $path could not be created after stage()")
+      f.create(new org.apache.hadoop.fs.Path(target, "_SUCCESS"), true)
         .close()
-      // no-overwrite rename: FileContext.rename (default Rename.NONE)
-      // FAILS if the target exists, on every store — FileSystem.rename
-      // on HDFS would instead move tmp INSIDE a target that appeared
-      // since the `done` probe, silently nesting a stray staging dir
-      // into another publisher's committed artifact (r17 review). For
-      // schemes with no AbstractFileSystem binding (S3A out of the
-      // box), fall back to exists+rename — those stores need the
-      // marker-last commit documented above anyway.
-      val renamed =
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            f.getUri, hconf)
-          try { fc.rename(tmp, target); true }
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.nio.file.FileAlreadyExistsException => false
-            case e: java.io.IOException =>
-              // a real I/O failure only counts as "lost the race" if
-              // someone else actually committed; otherwise surface it
-              if (done) false else throw e
-          }
-        } catch {
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            !f.exists(target) && f.rename(tmp, target)
+      return path
+    }
+    val tmpStr = scratch(
+      s"pub${matSeq.incrementAndGet()}_${target.getName}")
+    val (tf, tmp) = fs(tmpStr)
+    require(tf.getUri == f.getUri,
+      s"publish target $path resolves to filesystem ${f.getUri} but " +
+        s"staging (GRAFT_WORK_DIR=$dir) lives on ${tf.getUri} — the " +
+        "rename-commit must stay one-filesystem; point GRAFT_WORK_DIR " +
+        "at the same store as the target")
+    clean(tmpStr)
+    stage(tmpStr)
+    // a no-op stage (empty artifact) may complete without creating
+    // tmp; mkdirs makes the marker creation well-defined instead of a
+    // bare contextless IOException from create (r15 ADVICE)
+    if (!tf.exists(tmp) && !tf.mkdirs(tmp))
+      throw new IllegalStateException(
+        s"publish staging dir $tmpStr could not be created after stage()")
+    tf.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true)
+      .close()
+    // no-overwrite rename: FileContext.rename (default Rename.NONE)
+    // FAILS if the target exists, on every store — FileSystem.rename
+    // on HDFS would instead move tmp INSIDE a target that appeared
+    // since the `done` probe, silently nesting a stray staging dir
+    // into another publisher's committed artifact (r17 review). For
+    // schemes with no AbstractFileSystem binding (S3A out of the
+    // box), fall back to exists+rename — those stores use
+    // markerLast=true anyway.
+    def tryRename(): Boolean =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, hconf)
+        try { fc.rename(tmp, target); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            // a real I/O failure only counts as "lost the race" if
+            // someone else actually committed; otherwise surface it
+            if (done) false else throw e
         }
-      if (!renamed) {
-        if (!done) throw new IllegalStateException(
-          s"publish lost the rename race AND $path is incomplete — " +
-            "inspect the work dir")
-        clean(tmpStr)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          !f.exists(target) && f.rename(tmp, target)
       }
+    var renamed = tryRename()
+    if (!renamed && !done) {
+      // self-heal: the blocker is an INCOMPLETE target — clean it once
+      // and retry the rename (see scaladoc)
+      clean(path)
+      renamed = tryRename()
+    }
+    if (!renamed) {
+      if (!done) throw new IllegalStateException(
+        s"publish lost the rename race AND $path is incomplete — " +
+          "inspect the work dir")
+      clean(tmpStr)
     }
     path
   }

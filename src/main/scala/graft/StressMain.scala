@@ -296,7 +296,12 @@ object StressMain {
       while (it.hasNext) { it.next(); n += 1 }
       n
     }
-    if (only.isEmpty || only.contains("incremental_seg_deep")) {
+    // the compact row RIDES the deep row (it compacts the 31 segments
+    // the deep loop just built), so asking for either runs the block —
+    // only=incremental_seg_compact alone would otherwise silently run
+    // nothing and never set its results key (r17 ADVICE)
+    if (only.isEmpty || only.contains("incremental_seg_deep") ||
+        only.contains("incremental_seg_compact")) {
       val all = segAll
       val histPred = segHistPred
       def dayBatch(d: Int) = segDayBatch(d)

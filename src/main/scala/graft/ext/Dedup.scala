@@ -1062,9 +1062,15 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(dirPath, name)
     if (!fsys.exists(p)) None
     else {
-      val in = fsys.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
+      // a record vanishing between exists() and open() (concurrent
+      // retirement of the whole segment dir) is the same outcome as
+      // not existing — callers treat None as "gone", and
+      // activeSnapshots retries its whole pass on it
+      try {
+        val in = fsys.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 
@@ -1149,12 +1155,31 @@ object Dedup {
 
   private def activeSnapshots(
       indexDir: String): Seq[(String, Set[String])] = {
-    val snaps = segSnapshots(indexDir).filter(_._2("_SUCCESS"))
-    val folded = snaps
-      .filter(_._2("folds"))
-      .flatMap { case (p, _) => readRecordOpt(p, "folds") }
-      .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty).toSet
-    snaps.filterNot { case (p, _) => folded.contains(segName(p)) }
+    // the fold-record reads live INSIDE the retry with the listing
+    // they came from: a newer compaction can retire a superseded
+    // compacted segment between segSnapshots and readRecordOpt, in
+    // which case the record read of a segment the listing said was
+    // complete-with-folds returns None — silently dropping its victims
+    // from the folded set and sending the reader at retired dirs. That
+    // vanish is the same retryable inconsistency segSnapshots handles;
+    // the whole active-set computation retries as ONE consistent pass
+    // (r17 ADVICE low).
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val snaps = segSnapshots(indexDir).filter(_._2("_SUCCESS"))
+      val reads = snaps.filter(_._2("folds"))
+        .map { case (p, _) => readRecordOpt(p, "folds") }
+      if (!reads.contains(None)) {
+        val folded = reads.flatten
+          .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty).toSet
+        return snaps.filterNot { case (p, _) => folded.contains(segName(p)) }
+      }
+    }
+    throw new IllegalStateException(
+      s"active-segment computation over $indexDir kept racing " +
+        "concurrent retirements after 5 attempts — is something " +
+        "deleting fold records outside compactSegments/retireSegments?")
   }
 
   private def segName(path: String): String =
@@ -1231,7 +1256,33 @@ object Dedup {
     * be reading them — retire after the longest query deadline (the
     * standard LSM grace window), which is a deployment knob, not an
     * index-format one; `retire=false` leaves retirement to the caller.
-    */
+    *
+    * Concurrent compactors: every guard above serializes on the
+    * TARGET path, i.e. the compactId. Two compactors racing with the
+    * SAME id converge (one commits, the other lands in `committed()`);
+    * two compactors with DIFFERENT ids over overlapping victim sets
+    * are NOT safe — both can commit, two active compacted segments
+    * then carry the same history docs, and incremental queries emit
+    * duplicated pairs (r17 ADVICE). Run one compactor per index (the
+    * deployment default — [[CompactionPolicy]] is single-writer by
+    * construction), or derive the id with [[compactIdFor]] so
+    * independent compactors that picked the same victim set converge
+    * on one target. */
+  /** Deterministic compaction id for a victim set: independent
+    * compactors that each decided to fold the same segments derive
+    * the SAME id, so the race collapses onto [[compactSegments]]'s
+    * same-compactId ladder (one commits, the rest find `committed()`)
+    * instead of double-publishing the history under two ids. Stable
+    * across orderings and `seg_` spelling. */
+  def compactIdFor(victims: Seq[String]): String = {
+    val canon = victims.map(v =>
+      if (v.startsWith("seg_")) v else s"seg_$v").distinct.sorted
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "fold_" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
   def compactSegments(s: SparkSession, indexDir: String, compactId: String,
       victims: Seq[String] = Seq.empty, bucketed: Boolean = true,
       retire: Boolean = true): String = {

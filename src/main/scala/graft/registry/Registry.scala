@@ -156,8 +156,18 @@ final class Registry(workdir: String, val bus: EventBus) {
                 "immutable, register a new version instead")
           case Some(a) => a
           case None =>
-            registerArtifact(s"$name@$v", uri): Unit
-            registerArtifact(name, uri)
+            // Both pointers land in ONE persist: two separate
+            // registerArtifact calls would each persist, and a crash
+            // between them leaves the version pinned with the bare
+            // "current" pointer stale — the retry then hits the
+            // Some(a)/same-uri no-op above and current serves the OLD
+            // publish forever (r17 ADVICE medium). Atomically, a retry
+            // sees either nothing or both pointers.
+            artifacts(s"$name@$v") = ArtifactMeta(s"$name@$v", uri)
+            val cur = ArtifactMeta(name, uri)
+            artifacts(name) = cur
+            persist()
+            cur
         }
       case None => registerArtifact(name, uri)
     }

@@ -785,4 +785,156 @@ class GuardSpec extends SparkSpec {
     Work.clean(pathA)
     Work.clean(pathB)
   }
+
+  test("Work.publish(markerLast) on a store whose rename is NON-atomic: " +
+      "the rename commit can be half-read, marker-last never is " +
+      "(r17 verdict #4)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val base = s"${Work.dir}/test_guard_flaky_${Work.jvmTag}"
+    Work.clean(base)
+    def write(p: String, s: String): Unit = {
+      val (f, q) = Work.fs(p)
+      val out = f.create(q, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // --- the hazard, demonstrated: a rename-commit on this store moves
+    // children one object at a time with the marker landing first (the
+    // worst legal interleaving of an S3-style copy loop) and dies
+    // mid-copy — the reader gate says COMPLETE while the data is gone
+    val src = s"flaky://$base/stage"
+    val dst = s"flaky://$base/renamed"
+    write(s"$src/part-0.bin", "data")
+    write(s"$src/_SUCCESS", "")
+    val (ff, _) = Work.fs(dst)
+    intercept[java.io.IOException] {
+      ff.rename(Work.fs(src)._2, Work.fs(dst)._2): Unit
+    }
+    assert(Work.isComplete(dst),
+      "half-rename must have surfaced the marker (the hazard)")
+    assert(!ff.exists(Work.fs(s"$dst/part-0.bin")._2),
+      "…while the data object is still missing: a half-read artifact")
+    // --- marker-last on the same store: no rename anywhere, and the
+    // gate stays closed until every data object is in place
+    val pub = s"flaky://$base/artifact"
+    val renamesBefore = FlakyRenameFs.renames.get()
+    Work.publish(pub, markerLast = true) { p =>
+      write(s"$p/a.bin", "aaaa")
+      assert(!Work.isComplete(pub),
+        "gate must stay closed while data objects are landing")
+      write(s"$p/b.bin", "bbbb")
+      assert(!Work.isComplete(pub))
+    }
+    assert(FlakyRenameFs.renames.get() == renamesBefore,
+      "marker-last must never call rename on this store")
+    assert(Work.isComplete(pub))
+    assert(ff.exists(Work.fs(s"$pub/a.bin")._2) &&
+      ff.exists(Work.fs(s"$pub/b.bin")._2))
+    // --- crashed attempt: partial, marker-less target; retry restarts
+    // CLEAN (the junk object from the dead writer is not inherited)
+    val pub2 = s"flaky://$base/artifact2"
+    intercept[RuntimeException] {
+      Work.publish(pub2, markerLast = true) { p =>
+        write(s"$p/junk.bin", "x")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!Work.isComplete(pub2))
+    Work.publish(pub2, markerLast = true) { p => write(s"$p/real.bin", "y") }
+    assert(Work.isComplete(pub2))
+    assert(!ff.exists(Work.fs(s"$pub2/junk.bin")._2),
+      "retry must clean the crashed attempt's partial objects")
+    // --- completed marker-last path is _SUCCESS-gated like any publish
+    var ran = false
+    Work.publish(pub2, markerLast = true) { _ => ran = true }
+    assert(!ran, "stage ran on a completed marker-last publish")
+    Work.clean(base)
+  }
+
+  test("Work.publish self-heals a pre-existing INCOMPLETE target: one " +
+      "clean+re-rename instead of throwing forever (r17 ADVICE)") {
+    val path = s"${Work.dir}/test_guard_publish_heal_${Work.jvmTag}"
+    Work.clean(path)
+    // a crashed writer (on a store where the failed commit left the
+    // dir) or external interference: the target EXISTS but carries no
+    // _SUCCESS — the no-overwrite rename is blocked by it on every
+    // retry, yet no reader can be gated on it
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "stale.bin"), "junk"): Unit
+    assert(!Work.isComplete(path))
+    Work.publish(path) { tmp =>
+      new java.io.File(tmp).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "content"), "1"): Unit
+    }
+    assert(Work.isComplete(path), "publish must heal the blocked target")
+    assert(new java.io.File(path, "content").exists())
+    assert(!new java.io.File(path, "stale.bin").exists(),
+      "the incomplete blocker must be gone, not merged into")
+    Work.clean(path)
+  }
+
+  test("registerVersionedArtifact is atomic: a reloaded registry sees " +
+      "BOTH the version pin and the current pointer or neither " +
+      "(r17 ADVICE medium)") {
+    val wd = Work.scratch("guard_regatomic")
+    Work.clean(wd)
+    val bus = new graft.workflow.EventBus
+    val reg = new graft.registry.Registry(wd, bus)
+    reg.registerVersionedArtifact("idx", "/pub/a", Some("v1")): Unit
+    // both pointers land in ONE persist — a registry reloaded from
+    // disk (the crash-then-restart reader) can never observe the
+    // version pinned with the current pointer stale
+    val re1 = new graft.registry.Registry(wd, bus)
+    assert(re1.resolveArtifact("idx").map(_.uri).contains("/pub/a"))
+    assert(re1.resolveArtifact("idx", Some("v1")).map(_.uri)
+      .contains("/pub/a"))
+    // second publish rolls current, pins v2, leaves v1 immutable
+    reg.registerVersionedArtifact("idx", "/pub/b", Some("v2")): Unit
+    val re2 = new graft.registry.Registry(wd, bus)
+    assert(re2.resolveArtifact("idx").map(_.uri).contains("/pub/b"))
+    assert(re2.resolveArtifact("idx", Some("v1")).map(_.uri)
+      .contains("/pub/a"))
+    assert(re2.resolveArtifact("idx", Some("v2")).map(_.uri)
+      .contains("/pub/b"))
+    // retried registration of the OLD version is a full no-op: the
+    // current pointer must not roll backward
+    reg.registerVersionedArtifact("idx", "/pub/a", Some("v1")): Unit
+    assert(reg.resolveArtifact("idx").map(_.uri).contains("/pub/b"))
+    Work.clean(wd)
+  }
+}
+
+/** Test-only FileSystem whose rename is deliberately NON-ATOMIC: it
+  * moves the source's children one at a time — `_SUCCESS` FIRST (the
+  * worst interleaving a reader can observe from an S3-style server-side
+  * copy loop) — and crashes after the first object when there is more
+  * than one. Exists to pin [[graft.Work.publish]]'s `markerLast` mode:
+  * on a store like this the rename commit is provably half-readable
+  * and marker-last provably is not. */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    FlakyRenameFs.renames.incrementAndGet(): Unit
+    val kids = listStatus(src).sortBy(st =>
+      if (st.getPath.getName == "_SUCCESS") 0 else 1)
+    mkdirs(dst): Unit
+    var moved = 0
+    kids.foreach { st =>
+      if (moved >= 1)
+        throw new java.io.IOException("flaky rename crashed mid-copy")
+      super.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dst, st.getPath.getName)): Unit
+      moved += 1
+    }
+    delete(src, true): Unit
+    true
+  }
+}
+
+object FlakyRenameFs {
+  val renames = new java.util.concurrent.atomic.AtomicInteger(0)
 }
