@@ -46,7 +46,7 @@ object Work {
     * never reclaim crashed staging dirs. Deployment rule: spell
     * GRAFT_WORK_DIR with an explicit scheme (`hdfs://nn/graft/work`)
     * so every resolution, pre- or post-session, is unambiguous. */
-  private def hconf: org.apache.hadoop.conf.Configuration =
+  private[graft] def hconf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
@@ -333,5 +333,53 @@ object Work {
     clean(path)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
+  }
+
+  /** Adopt a published dir's DATA files into a staging dir at the raw
+    * file level: hard-LINK on the local filesystem (one O(1) metadata
+    * op per file — zero data bytes moved), raw stream copy where links
+    * aren't possible (HDFS; an object-store deployment would swap the
+    * copy for the store's server-side copy, which is likewise a
+    * per-object metadata-speed call). This is what makes an LSM fold's
+    * history cost ∝ FILE COUNT instead of ∝ history bytes: the standing
+    * segment's parquet is adopted verbatim — no decode, no shuffle, no
+    * re-encode — and only the new tail is ever written through Spark.
+    * Skips markers, records and dotfiles (`_SUCCESS`, `.crc`); file
+    * names (which carry Spark's bucket-id suffix) are preserved, so an
+    * adopted bucketed table keeps its layout. Hard-linked data is safe
+    * under retirement: deleting the victim dir unlinks ITS directory
+    * entries only, never the shared bytes. Returns the file count. */
+  def adoptDataFiles(src: String, dst: String): Long = {
+    val (sfs, sp) = fs(src)
+    val (dfs, dp) = fs(dst)
+    if (!dfs.exists(dp) && !dfs.mkdirs(dp))
+      throw new IllegalStateException(s"could not create $dst to adopt files")
+    var n = 0L
+    sfs.listStatus(sp).filter(_.isFile).map(_.getPath)
+      .filter { p =>
+        val nm = p.getName
+        !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      .foreach { p =>
+        val t = new org.apache.hadoop.fs.Path(dp, p.getName)
+        val linked = sfs.getUri.getScheme == "file" &&
+          dfs.getUri.getScheme == "file" &&
+          (try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(t.toUri.getPath),
+              java.nio.file.Paths.get(p.toUri.getPath)): Unit
+            true
+          } catch {
+            // cross-device, FS without link support, or a leftover
+            // target — the raw copy below covers every case
+            case _: UnsupportedOperationException => false
+            case _: java.io.IOException => false
+          })
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(sfs, p, dfs, t,
+            false, hconf): Unit
+        n += 1
+      }
+    n
   }
 }

@@ -949,7 +949,7 @@ object Dedup {
   /** Shingle + MinHash-band a corpus batch and write the two plain
     * parquet subtables into a staging dir — the shared ingest core of
     * [[publishHistoryIndex]] and [[publishHistorySegment]]. */
-  private def stagePlainIndex(tmp: String, batch: DataFrame): Unit = {
+  private[graft] def stagePlainIndex(tmp: String, batch: DataFrame): Unit = {
     val sh = shingleSets(batch.select(col("doc_id"), col("text")))
       .persist()
     sh.count(): Unit
@@ -1006,7 +1006,14 @@ object Dedup {
         fsys.getFileStatus(dirPath).isDirectory,
       s"segment index dir $indexDir cannot be created (a file in the " +
         "way, or an unwritable parent)")
-    Work.publish(s"$indexDir/seg_$segmentId")(stagePlainIndex(_, batch))
+    val seg = Work.publish(
+      s"$indexDir/seg_$segmentId")(stagePlainIndex(_, batch))
+    // manifest update AFTER the commit, and also on the _SUCCESS
+    // short-circuit: the idempotent retry of a publish that crashed
+    // between its commit and its manifest update is what repairs the
+    // manifest (r17 verdict #5)
+    updateManifest(indexDir)
+    seg
   }
 
   /** Union frames over every complete segment of a segmented index,
@@ -1095,8 +1102,15 @@ object Dedup {
   private def segSpelling(p: org.apache.hadoop.fs.Path): String =
     if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
 
+  /** Test-visible count of full segment-listing passes — the pin that
+    * manifest-backed reads cost O(1) metadata calls, not O(segments)
+    * (r17 verdict #5). */
+  private[graft] val listingPasses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def segSnapshots(
       indexDir: String): Seq[(String, Set[String])] = {
+    listingPasses.incrementAndGet(): Unit
     val (fsys, dirPath) = Work.fs(indexDir)
     var attempt = 0
     while (attempt < 5) {
@@ -1153,7 +1167,23 @@ object Dedup {
   def activeSegments(indexDir: String): Seq[String] =
     activeSnapshots(indexDir).map(_._1)
 
+  /** Reader-side active set: the MANIFEST when the index carries one
+    * (ONE metadata read however many segments exist — on object
+    * stores LIST is the slow call, and a year of tiered cadence holds
+    * 10-30 segments = that many listStatus round-trips per query
+    * without it; r17 verdict #5), else the listing fold-filter pass.
+    * The manifest is only ever written FROM a fresh listing by the
+    * mutators (publish/compact/retire), so it can lag a crashed
+    * mutation by exactly that mutation — which reads as "the mutation
+    * hasn't happened yet", the same state a pre-mutation listing
+    * reader saw, and the idempotent retry of the mutation repairs it
+    * (ExtSpec pins the repair). */
   private def activeSnapshots(
+      indexDir: String): Seq[(String, Set[String])] =
+    manifestSnapshots(indexDir)
+      .getOrElse(activeSnapshotsByListing(indexDir))
+
+  private def activeSnapshotsByListing(
       indexDir: String): Seq[(String, Set[String])] = {
     // the fold-record reads live INSIDE the retry with the listing
     // they came from: a newer compaction can retire a superseded
@@ -1181,6 +1211,72 @@ object Dedup {
         "concurrent retirements after 5 attempts — is something " +
         "deleting fold records outside compactSegments/retireSegments?")
   }
+
+  private val ManifestName = "manifest"
+
+  /** Parse the index manifest if present and well-formed. Returns the
+    * same (path, children) shape as the listing pass — the manifest
+    * lists only ACTIVE segments, so `_SUCCESS` is implied and `folds`
+    * never appears. An unknown version header or a malformed line
+    * falls back to the listing (a FUTURE format must not be
+    * mis-read by an old reader; a corrupt record must not wedge the
+    * index — the listing is ground truth and the next mutation
+    * rewrites the manifest). */
+  private def manifestSnapshots(
+      indexDir: String): Option[Seq[(String, Set[String])]] =
+    readRecordOpt(indexDir, ManifestName).flatMap { txt =>
+      val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
+      if (!lines.headOption.contains("v1")) None
+      else {
+        val parsed = lines.drop(1).map { l =>
+          l.split(" ") match {
+            case Array(n, flavor)
+                if n.startsWith("seg_") &&
+                  (flavor == "bucketed" || flavor == "plain") =>
+              val kids = if (flavor == "bucketed")
+                Set("_SUCCESS", "buckets") else Set("_SUCCESS")
+              Some((segSpelling(Work.fs(s"$indexDir/$n")._2), kids))
+            case _ => None
+          }
+        }
+        if (parsed.contains(None)) None
+        else Some(parsed.flatten.toSeq.sortBy(_._1))
+      }
+    }
+
+  /** Rewrite the index manifest from a FRESH listing — called by every
+    * mutator (segment publish, compaction, retirement) after its own
+    * commit. Deriving the content from the listing (never
+    * incrementally) means any successful mutation repairs any earlier
+    * crash's staleness, and two racing mutators both write a correct
+    * snapshot (the rename-overwrite is atomic; last writer wins).
+    * Never throws: a manifest write failure leaves a stale-or-absent
+    * manifest and readers fall back — the manifest is an economy, the
+    * listing is the truth. */
+  private def updateManifest(indexDir: String): Unit =
+    try {
+      val active = activeSnapshotsByListing(indexDir)
+      val body = ("v1" +: active.map { case (p, kids) =>
+        s"${segName(p)} ${if (kids("buckets")) "bucketed" else "plain"}"
+      }).mkString("\n")
+      val (fsys, dirPath) = Work.fs(indexDir)
+      val tmp = new org.apache.hadoop.fs.Path(dirPath,
+        s".manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fsys.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fsys.getUri, Work.hconf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fsys.delete(target, false): Unit
+          fsys.rename(tmp, target): Unit
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def segName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
@@ -1285,7 +1381,7 @@ object Dedup {
 
   def compactSegments(s: SparkSession, indexDir: String, compactId: String,
       victims: Seq[String] = Seq.empty, bucketed: Boolean = true,
-      retire: Boolean = true): String = {
+      retire: Boolean = true, graceMs: Long = 0L): String = {
     require(compactId.matches("[A-Za-z0-9._-]+"),
       s"compaction id must be a plain file-name token, got '$compactId'")
     val target = s"$indexDir/seg_$compactId"
@@ -1296,11 +1392,22 @@ object Dedup {
     // victim-lookup or staging failure, so a loser of the race lands
     // here instead of surfacing a spurious error (r17 review).
     def committed(): String = {
-      val folded = readRecordOpt(target, "folds").toSeq
-        .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
-      if (retire)
-        retireSegments(Some(s), indexDir,
-          folded.filterNot(_ == s"seg_$compactId"))
+      if (retire) {
+        if (graceMs <= 0L) {
+          val folded = readRecordOpt(target, "folds").toSeq
+            .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
+          retireSegments(Some(s), indexDir,
+            folded.filterNot(_ == s"seg_$compactId"))
+        } else
+          // grace window (r17 verdict #7): defer each victim until its
+          // fold's marker is older than graceMs — the sweep also
+          // finishes any EARLIER fold's deferred retirement
+          retireFolded(Some(s), indexDir, graceMs)
+      }
+      // retireSegments updated the manifest if it deleted anything;
+      // this covers retire=false and the already-everything-retired
+      // retry, where the fold itself still changed the active set
+      updateManifest(indexDir)
       target
     }
     if (Work.isComplete(target)) return committed()
@@ -1325,19 +1432,21 @@ object Dedup {
       if (bucketed) {
         // bucket-ALIGNED victims (already published with the target
         // spec — the standing compacted segment of a weekly/major
-        // fold) are folded through their scans with NO repartition:
-        // the fold's shuffle cost is ∝ the plain/misaligned victims
-        // (the tail), never ∝ the whole history. The aligned rewrite
-        // preserves the victim's per-bucket FILE multiplicity (+1
-        // file/bucket per folded tail part), so once the standing
+        // fold) are folded by ADOPTING their data files verbatim
+        // (hard link / raw copy — r18, the append spelling): the
+        // standing history costs the fold no scan, no shuffle, no
+        // rewrite — only the plain/misaligned tail is ever staged
+        // through Spark, so the weekly fold's wall is ∝ tail. The
+        // adoption preserves the victim's per-bucket FILE multiplicity
+        // (+1 file/bucket per folded tail part), so once the standing
         // segment reaches [[AlignedFoldMaxFilesPerBucket]] the fold
         // degrades to the full repartition rewrite, collapsing back to
-        // one file per bucket — the shuffle-vs-file-count dial of any
-        // LSM (both regimes measured in SCALE.md r17).
+        // one file per bucket — the IO-vs-file-count dial of any LSM
+        // (the r17 aligned SCAN-rewrite removed the history shuffle;
+        // ExtSpec pins this spelling cuts the history read too).
         val (aligned, rest) = chosen.partition(p =>
           bucketCountOf(p).contains(HistIdxBuckets) &&
             filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
-        val alignedFrames = aligned.map(p => bucketedHistoryIndex(s, p))
         val restSh =
           if (rest.isEmpty) Seq.empty
           else Seq((s.read.parquet(rest.map(p => s"$p/sh"): _*), false))
@@ -1345,8 +1454,7 @@ object Dedup {
           if (rest.isEmpty) Seq.empty
           else Seq((s.read.parquet(rest.map(p => s"$p/bb"): _*), false))
         stageBucketedIndexParts(s, tmp, HistIdxBuckets,
-          alignedFrames.map(f => (f._1, true)) ++ restSh,
-          alignedFrames.map(f => (f._2, true)) ++ restBb)
+          restSh, restBb, linkFrom = aligned)
       } else {
         val sh = s.read.parquet(chosen.map(p => s"$p/sh"): _*)
         val bb = s.read.parquet(chosen.map(p => s"$p/bb"): _*)
@@ -1387,7 +1495,7 @@ object Dedup {
     * session through so the catalog cleanup cannot silently no-op on
     * a thread with no active session (r17 review #2). */
   def retireSegments(session: Option[SparkSession], indexDir: String,
-      segNames: Seq[String]): Unit =
+      segNames: Seq[String]): Unit = {
     segNames.foreach { n =>
       require(n.startsWith("seg_"), s"not a segment name: $n")
       // normalize to the same spelling the reader declared tables
@@ -1405,6 +1513,97 @@ object Dedup {
       }
       Work.clean(path)
     }
+    if (segNames.nonEmpty) updateManifest(indexDir)
+  }
+
+  /** Retire every GRACE-ELIGIBLE folded victim of a segmented index:
+    * for each complete compacted segment whose `_SUCCESS` marker is
+    * older than `graceMs`, delete the victims its fold record names
+    * (those still present). This makes the retirement grace window an
+    * executable knob instead of a scaladoc note (r17 verdict #7): an
+    * in-flight scan that pinned victim FILE PATHS before a fold
+    * committed can still be reading them after the fold filter hides
+    * the victims from new listings — size `graceMs` past the longest
+    * query deadline and a fold+retire can never pull files out from
+    * under a running query. `graceMs = 0` retires everything folded,
+    * immediately. Idempotent; safe on any cadence (each compaction
+    * with a grace also sweeps its predecessors' now-eligible victims
+    * via [[compactSegments]]'s committed path). */
+  def retireFolded(session: Option[SparkSession], indexDir: String,
+      graceMs: Long = 0L): Unit = {
+    val (fsys, dirPath) = Work.fs(indexDir)
+    if (!fsys.exists(dirPath)) return
+    val snaps = segSnapshots(indexDir).filter(_._2("_SUCCESS"))
+    val present = snaps.map { case (p, _) => segName(p) }.toSet
+    val now = System.currentTimeMillis()
+    snaps.filter(_._2("folds")).foreach { case (p, _) =>
+      val marker = new org.apache.hadoop.fs.Path(
+        Work.fs(p)._2, "_SUCCESS")
+      // a vanished marker (concurrent retirement of p itself) reads as
+      // ineligible this pass — the next sweep sees the settled state
+      val age =
+        try now - fsys.getFileStatus(marker).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
+      if (age >= 0L && age >= graceMs) {
+        val victims = readRecordOpt(p, "folds").toSeq
+          .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
+          .filter(_ != segName(p)).filter(present.contains)
+        retireSegments(session, indexDir, victims)
+      }
+    }
+  }
+
+  /** Declarative compaction cadence for a segmented index — the
+    * measured StressMain orchestrations (SCALE.md r17: daily append,
+    * weekly fold, tiered minor/major) as default production behavior
+    * instead of hand-called compact steps (r17 verdict #8). Consulted
+    * after each fold by [[graft.streaming.StreamingDedup
+    * .segmentedFoldBatch]] (or any caller, via [[maybeCompact]]):
+    *
+    *  - `minorTail`: when the index holds ≥ this many PLAIN segments,
+    *    fold them — plus the standing bucketed segment while it is
+    *    still under the file dial, which the append-spelling link fold
+    *    adopts for free — into one bucketed segment. Wall ∝ tail.
+    *  - `majorFlavors`: when the index holds ≥ this many BUCKETED
+    *    segments (dial-tripped standings accumulate one per
+    *    collapse cycle), fold EVERYTHING into one — the ∝-history
+    *    major that resets both file count and flavor count. ≤0
+    *    disables majors.
+    *  - `graceMs`: retirement grace window, passed through.
+    *
+    * Compaction ids derive from [[compactIdFor]] over the victim set,
+    * so two siblings applying the same policy to the same index
+    * converge on one target instead of double-committing (single
+    * writer per index remains the deployment default). */
+  final case class CompactionPolicy(minorTail: Int = 7,
+      majorFlavors: Int = 4, graceMs: Long = 0L) {
+    require(minorTail >= 1, "minorTail must be >= 1")
+  }
+
+  /** Apply `policy` to the index if a threshold is crossed; returns
+    * the compacted segment path if a fold ran. Majors win over minors
+    * when both trip (one pass folds everything anyway). */
+  def maybeCompact(s: SparkSession, indexDir: String,
+      policy: CompactionPolicy): Option[String] = {
+    val snaps = activeSnapshots(indexDir)
+    val (bucketedSegs, plainSegs) = snaps.partition(_._2("buckets"))
+    if (policy.majorFlavors > 0 &&
+        bucketedSegs.size >= policy.majorFlavors) {
+      val victims = snaps.map { case (p, _) => segName(p) }
+      Some(compactSegments(s, indexDir, compactIdFor(victims),
+        victims, graceMs = policy.graceMs))
+    } else if (plainSegs.size >= policy.minorTail) {
+      // the under-dial standing segment rides along for free (adopted,
+      // never read); dial-tripped ones are left to accumulate toward
+      // the major — folding them here would pay the ∝-history rewrite
+      // on a MINOR, which is exactly what the tiered cadence avoids
+      val standing = bucketedSegs.map(_._1)
+        .filter(p => filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
+      val victims = (plainSegs.map(_._1) ++ standing).map(segName)
+      Some(compactSegments(s, indexDir, compactIdFor(victims),
+        victims, graceMs = policy.graceMs))
+    } else None
+  }
 
   private val histIdxSegDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -1706,14 +1905,31 @@ object Dedup {
     * ∝ the plain tail instead of ∝ the whole history (r17; ExtSpec
     * pins the shuffle-bytes cut and bit-identical output). Parts
     * append to one staging table (first part overwrites), so the
-    * published table carries ≤ parts files per bucket. */
+    * published table carries ≤ parts files per bucket.
+    *
+    * `linkFrom` (r18, the APPEND spelling of the weekly fold): paths
+    * of already-bucketed segments with the SAME spec whose data files
+    * are adopted verbatim ([[graft.Work.adoptDataFiles]] — hard links
+    * locally, raw/server-side copy elsewhere) instead of being read
+    * and rewritten through Spark. The standing segment's history costs
+    * the fold NOTHING but per-file metadata ops: no scan, no decode,
+    * no shuffle, no re-encode — the r17 aligned fold removed the
+    * history SHUFFLE, this removes the history IO, and the fold's wall
+    * is genuinely ∝ tail bytes. File names keep Spark's bucket-id
+    * suffix, so the adopted files ARE the bucket layout; per-bucket
+    * file multiplicity accumulates exactly as the aligned rewrite's
+    * did (+1 file/bucket per folded tail part), and the same
+    * [[AlignedFoldMaxFilesPerBucket]] dial collapses it back through
+    * the full rewrite. */
   private def stageBucketedIndexParts(s: SparkSession, tmp: String,
       buckets: Int, sh: Seq[(DataFrame, Boolean)],
-      bb: Seq[(DataFrame, Boolean)]): Unit = {
+      bb: Seq[(DataFrame, Boolean)],
+      linkFrom: Seq[String] = Seq.empty): Unit = {
     val token = s"${Work.jvmTag}_${stageSeq.incrementAndGet()}"
     def stage(parts: Seq[(DataFrame, Boolean)], sub: String,
         keys: Seq[String]): Unit = {
-      require(parts.nonEmpty, s"no parts to stage for $sub")
+      require(parts.nonEmpty || linkFrom.nonEmpty,
+        s"no parts to stage for $sub")
       val t = s"graft_hidx_stage_${token}_$sub"
       s.sql(s"DROP TABLE IF EXISTS $t")
       parts.zipWithIndex.foreach { case ((df, aligned), i) =>
@@ -1729,6 +1945,9 @@ object Dedup {
           .saveAsTable(t)
       }
       s.sql(s"DROP TABLE IF EXISTS $t")
+      // adopt AFTER the staged write: mode=overwrite on the first part
+      // would delete pre-linked files. UUID file names cannot collide.
+      linkFrom.foreach(p => Work.adoptDataFiles(s"$p/$sub", s"$tmp/$sub"))
     }
     stage(sh, "sh", Seq("doc_id"))
     stage(bb, "bb", Seq("band", "bucket"))

@@ -666,6 +666,22 @@ object StreamingDedup {
     * running stream: the fold filter swap is atomic for this reader
     * too. */
   def segmentedFoldBatch(indexDir: String, pairsDir: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    segmentedFoldBatch(indexDir, pairsDir, None)(batch, batchId)
+
+  /** [[segmentedFoldBatch]] under a [[graft.ext.Dedup
+    * .CompactionPolicy]] (r17 verdict #8): after each batch folds,
+    * the policy is consulted and minor/major compactions fire
+    * AUTOMATICALLY at the measured cadence — the long-running stream
+    * maintains its own steady-state layout (bounded plain tail,
+    * bounded flavor count, dial-bounded files) with no manual compact
+    * calls. Replay-safe: a replayed batch short-circuits before the
+    * policy runs, and a compaction the crash skipped simply fires
+    * after the next fresh batch (the thresholds are level-based, not
+    * edge-based). Compaction under the live stream is the already-
+    * pinned atomic swap. */
+  def segmentedFoldBatch(indexDir: String, pairsDir: String,
+      policy: Option[Dedup.CompactionPolicy])(
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val seg = f"b$batchId%09d"
@@ -683,17 +699,19 @@ object StreamingDedup {
       // per-batch dir + overwrite = replay-idempotent pair sink
       pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_$seg")
       Dedup.publishHistorySegment(s, indexDir, seg, batch): Unit
+      policy.foreach(p => Dedup.maybeCompact(s, indexDir, p): Unit)
     }
   }
 
   /** Wire [[segmentedFoldBatch]] to a streaming source: the running
     * daily-crawl pipeline as one `writeStream`. */
   def segmentedFoldStream(docs: DataFrame, indexDir: String,
-      pairsDir: String, checkpoint: String)
+      pairsDir: String, checkpoint: String,
+      policy: Option[Dedup.CompactionPolicy] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(segmentedFoldBatch(indexDir, pairsDir) _)
+      .foreachBatch(segmentedFoldBatch(indexDir, pairsDir, policy) _)
       .start()
 
   private[graft] def updateBloomShard(mBits: Int)(

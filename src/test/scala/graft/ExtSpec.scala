@@ -1716,6 +1716,11 @@ class ExtSpec extends SparkSpec {
       fsys.mkdirs(p): Unit
       val out = fsys.create(new org.apache.hadoop.fs.Path(p, "folds"), true)
       out.write("seg_c0".getBytes("UTF-8")); out.close()
+      // drop the manifest so this pins the LISTING fold-filter (the
+      // manifest would hide seg_cbad trivially — it lists active
+      // segments, not directories); the next mutation rebuilds it
+      val (mfs, mp) = Work.fs(s"$spath/manifest")
+      mfs.delete(mp, false): Unit
       assert(names(Dedup.activeSegments(spath)) == Seq("seg_c0"),
         "an un-committed compaction must hide nothing")
       Work.clean(s"$spath/seg_cbad")
@@ -1787,30 +1792,34 @@ class ExtSpec extends SparkSpec {
     Work.clean(spath)
   }
 
-  test("aligned bucketed fold: folding the standing bucketed segment " +
-      "shuffles ~tail bytes, not history bytes, with bit-identical " +
-      "output (r17)") {
+  test("append-spelling bucketed fold: folding the standing bucketed " +
+      "segment neither shuffles nor READS history bytes — its files " +
+      "are adopted verbatim — with bit-identical output (r17/r18)") {
     import org.apache.spark.sql.functions.col
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val tail = docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
     val bytes = new java.util.concurrent.atomic.AtomicLong
+    val readBytes = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null)
+        if (m != null) {
           bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          readBytes.addAndGet(m.inputMetrics.bytesRead): Unit
+        }
       }
     }
-    def measured(body: => Unit): Long = {
+    def measured(body: => Unit): (Long, Long) = {
       org.apache.spark.sql.graftbridge.ListenerBridge
         .drain(spark.sparkContext)
       bytes.set(0)
+      readBytes.set(0)
       body
       org.apache.spark.sql.graftbridge.ListenerBridge
         .drain(spark.sparkContext)
-      bytes.get
+      (bytes.get, readBytes.get)
     }
     def indexRows(idx: String) = {
       val (sh, bb) = Dedup.segmentedIndexFrames(spark, idx)
@@ -1828,7 +1837,15 @@ class ExtSpec extends SparkSpec {
       Dedup.publishHistorySegment(spark, a, "hist", docs)
       Dedup.compactSegments(spark, a, "c0") // outside the measurement
       Dedup.publishHistorySegment(spark, a, "tail", tail)
-      val fastBytes = measured {
+      // the append spelling adopts the standing segment's files
+      // verbatim — record their names to prove it below
+      def shFiles(idx: String, seg: String): Set[String] = {
+        val (fsys, shDir) = Work.fs(s"$idx/$seg/sh")
+        fsys.listStatus(shDir).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val standingFiles = shFiles(a, "seg_c0")
+      val (fastBytes, fastRead) = measured {
         Dedup.compactSegments(spark, a, "c1"): Unit
       }
       // arm B (baseline): SAME data, history still plain — full
@@ -1837,7 +1854,7 @@ class ExtSpec extends SparkSpec {
       Work.clean(b)
       Dedup.publishHistorySegment(spark, b, "hist", docs)
       Dedup.publishHistorySegment(spark, b, "tail", tail)
-      val slowBytes = measured {
+      val (slowBytes, slowRead) = measured {
         Dedup.compactSegments(spark, b, "c1"): Unit
       }
       // bit-identical artifacts either way
@@ -1849,6 +1866,18 @@ class ExtSpec extends SparkSpec {
       assert(fastBytes * 2 < slowBytes,
         s"aligned fold shuffled $fastBytes bytes vs full fold's " +
           s"$slowBytes — the bucketed victim should not re-shuffle")
+      // r18 (the append spelling): the standing segment's bytes are
+      // never READ either — the fold adopts its files at the raw file
+      // level, so Spark's input bytes are tail-sized too
+      assert(fastRead * 2 < slowRead,
+        s"append-spelling fold read $fastRead bytes vs full fold's " +
+          s"$slowRead — the standing segment must be adopted, not read")
+      // ...and the adopted files ARE the standing segment's files,
+      // byte-identical by construction (same names, hard-linked or
+      // raw-copied — never re-encoded)
+      assert(standingFiles.subsetOf(shFiles(a, "seg_c1")),
+        "standing segment's data files must be adopted verbatim " +
+          "into the folded segment")
       // file economy: aligned part + tail part land ≤ 2 files/bucket
       def shParts(idx: String, seg: String) = {
         val (fsys, shDir) = Work.fs(s"$idx/$seg/sh")
@@ -1884,6 +1913,154 @@ class ExtSpec extends SparkSpec {
       Work.clean(a)
       Work.clean(b)
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("segment manifest: reads cost one record instead of O(segments) " +
+      "listings, equal the listing pass exactly, and a crashed " +
+      "publish's staleness is repaired by the idempotent retry " +
+      "(r17 verdict #5)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val spath = Work.scratch("histidxmanifest_spec")
+    Work.clean(spath)
+    def day(k: Int) = docs.filter(col("doc_id") % 4 === k)
+    (0 until 3).foreach(k =>
+      Dedup.publishHistorySegment(spark, spath, s"d$k", day(k)))
+    // equality: the manifest answer IS the listing answer
+    val viaManifest = Dedup.activeSegments(spath)
+    val manifestFile = s"$spath/manifest"
+    val (fsys, mPath) = Work.fs(manifestFile)
+    assert(fsys.exists(mPath), "mutators must maintain a manifest")
+    fsys.delete(mPath, false): Unit
+    val viaListing = Dedup.activeSegments(spath)
+    assert(viaManifest == viaListing,
+      s"manifest=$viaManifest listing=$viaListing")
+    // restore the manifest through a no-op mutation (idempotent
+    // republish), then pin the O(1) read: an active-set computation
+    // with a manifest does ZERO listing passes
+    Dedup.publishHistorySegment(spark, spath, "d0", day(0)): Unit
+    assert(fsys.exists(mPath), "the retry must rebuild the manifest")
+    val before = Dedup.listingPasses.get()
+    assert(Dedup.activeSegments(spath) == viaListing)
+    assert(Dedup.listingPasses.get() == before,
+      "a manifest-backed read must not list the segment dirs")
+    // crash between publish and manifest update: the new segment is
+    // committed but the manifest doesn't know it — readers see the
+    // pre-publish set (the documented staleness window)...
+    Work.publish(s"$spath/seg_d3")(Dedup.stagePlainIndex(_, day(3))): Unit
+    assert(!Dedup.activeSegments(spath).exists(_.endsWith("seg_d3")),
+      "a crashed publish is invisible until repaired (stale manifest)")
+    // ...and the pipeline's idempotent RETRY of that publish repairs
+    // it: the _SUCCESS short-circuit skips the staging but rewrites
+    // the manifest from the listing
+    Dedup.publishHistorySegment(spark, spath, "d3", day(3)): Unit
+    assert(Dedup.activeSegments(spath).exists(_.endsWith("seg_d3")),
+      "the retry must repair the manifest")
+    // compaction + retirement keep it coherent too
+    Dedup.compactSegments(spark, spath, "m0")
+    val after = Dedup.activeSegments(spath)
+    assert(after.map(p => p.substring(p.lastIndexOf('/') + 1))
+      == Seq("seg_m0"))
+    fsys.delete(mPath, false): Unit
+    assert(Dedup.activeSegments(spath) == after,
+      "post-compaction manifest must equal the listing")
+    // a CORRUPT manifest falls back to the listing instead of wedging
+    val out = fsys.create(mPath, true)
+    out.write("v999 something-else\n".getBytes("UTF-8")); out.close()
+    assert(Dedup.activeSegments(spath) == after,
+      "an unknown manifest version must fall back to the listing")
+    Work.clean(spath)
+  }
+
+  test("retirement grace window: an in-flight reader that pinned victim " +
+      "paths survives a fold+retire under grace; grace 0 retires " +
+      "immediately (r17 verdict #7)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val spath = Work.scratch("histidxgrace_spec")
+    Work.clean(spath)
+    Dedup.publishHistorySegment(spark, spath, "day0",
+      docs.filter(col("doc_id") % 2 === 0))
+    Dedup.publishHistorySegment(spark, spath, "day1",
+      docs.filter(col("doc_id") % 2 =!= 0))
+    // the in-flight reader: a LAZY frame whose file paths were pinned
+    // from the pre-fold listing — exactly the scan the grace window
+    // protects (it will execute only after the fold+retire below)
+    val (pinnedSh, _) = Dedup.segmentedIndexFrames(spark, spath)
+    val want = docs.count()
+    // fold + retire under a 1-hour grace: victims are hidden from new
+    // listings instantly but their FILES must survive retirement
+    Dedup.compactSegments(spark, spath, "g0",
+      graceMs = 3600L * 1000)
+    def names(paths: Seq[String]) =
+      paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(names(Dedup.activeSegments(spath)) == Seq("seg_g0"),
+      "fold filter must hide victims from new readers instantly")
+    assert(names(Dedup.completeSegments(spath)).toSet
+      == Set("seg_day0", "seg_day1", "seg_g0"),
+      "grace must defer the victim deletion")
+    assert(pinnedSh.count() == want,
+      "the pre-fold reader must still execute against its pinned paths")
+    // grace elapsed (sweep with grace 0 = everything eligible): the
+    // deferred victims go now
+    Dedup.retireFolded(Some(spark), spath, graceMs = 0L)
+    assert(names(Dedup.completeSegments(spath)) == Seq("seg_g0"),
+      "an eligible sweep must finish the deferred retirement")
+    // post-retirement readers are fine — seg_g0 carries everything
+    assert(Dedup.segmentedIndexFrames(spark, spath)._1.count() == want)
+    Work.clean(spath)
+  }
+
+  test("CompactionPolicy: level-based minor/major thresholds with " +
+      "deterministic fold ids — the tiered cadence without manual " +
+      "compact calls (r17 verdict #8)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    def day(k: Int) = docs.filter(col("doc_id") % 6 === k)
+      .select((col("doc_id") + 50000000L * k).as("doc_id"), col("text"))
+    val spath = Work.scratch("histidxpolicy_spec")
+    Work.clean(spath)
+    val policy = Dedup.CompactionPolicy(minorTail = 2, majorFlavors = 3)
+    def names = Dedup.activeSegments(spath)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    // day 0: one plain segment — below every threshold, no fold
+    Dedup.publishHistorySegment(spark, spath, "d0", day(0))
+    assert(Dedup.maybeCompact(spark, spath, policy).isEmpty)
+    assert(names == Seq("seg_d0"))
+    // day 1: minorTail trips — the two plain days fold into one
+    // bucketed segment whose id derives from the victim set
+    Dedup.publishHistorySegment(spark, spath, "d1", day(1))
+    val minor1 = Dedup.maybeCompact(spark, spath, policy)
+    val wantId1 = Dedup.compactIdFor(Seq("seg_d0", "seg_d1"))
+    assert(minor1.map(p => p.substring(p.lastIndexOf('/') + 1))
+      .contains(s"seg_$wantId1"), s"got $minor1")
+    assert(names == Seq(s"seg_$wantId1"))
+    // a SIBLING applying the same policy to the same state is a no-op
+    // convergence, not a second compacted segment (deterministic id +
+    // level-based thresholds)
+    assert(Dedup.maybeCompact(spark, spath, policy).isEmpty)
+    // day 2+3: next minor adopts the under-dial standing segment for
+    // free (append spelling) — ONE bucketed flavor, not two
+    Dedup.publishHistorySegment(spark, spath, "d2", day(2))
+    assert(Dedup.maybeCompact(spark, spath, policy).isEmpty,
+      "one plain day must stay below minorTail")
+    Dedup.publishHistorySegment(spark, spath, "d3", day(3))
+    assert(Dedup.maybeCompact(spark, spath, policy).isDefined)
+    assert(names.length == 1,
+      s"minor must fold the standing segment along, got $names")
+    // results remain bit-identical to the never-compacted twin
+    val inc = day(5)
+    val got = Dedup.incrementalAgainstSegmentedIndex(spark, spath, inc)
+      .collect().map(_.toSeq).toSet
+    val twin = Work.scratch("histidxpolicy_twin")
+    Work.clean(twin)
+    (0 to 3).foreach(k =>
+      Dedup.publishHistorySegment(spark, twin, s"d$k", day(k)))
+    assert(got == Dedup.incrementalAgainstSegmentedIndex(spark, twin, inc)
+      .collect().map(_.toSeq).toSet,
+      "policy compaction must never change query results")
+    Work.clean(spath)
+    Work.clean(twin)
   }
 
   test("DSIR: fused predicate-target ratios equal the generic " +
