@@ -55,6 +55,66 @@ object LogSourceV2 {
   val schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = true)))
 
+  // --- Hadoop-FS plumbing (r18, the r17-verdict #3 port) --------------
+  // The log store is the engine's identity component (the Pravega-
+  // analog inter-job transport); with the artifact layer already on the
+  // Hadoop FS API since r17, these helpers move the TRANSPORT off
+  // java.io.File too, so a stream directory can live on HDFS/object
+  // storage like any other 100 TB artifact. Local paths keep their
+  // historical PLAIN spelling (file:/x → /x) so serialized offsets,
+  // stream-cuts and tombstones written before the port keep resolving.
+
+  /** Canonical string spelling of a store path (see above). */
+  private[connector] def spell(p: org.apache.hadoop.fs.Path): String =
+    if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+
+  private[connector] def pathExists(p: String): Boolean = {
+    val (fsys, q) = graft.Work.fs(p)
+    fsys.exists(q)
+  }
+
+  /** Read a small control record (marker/tombstone) whole; None when
+    * absent (or vanishing mid-read — same thing for these). */
+  private def readSmall(dir: String, name: String): Option[String] = {
+    val (fsys, d) = graft.Work.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(d, name)
+    if (!fsys.exists(p)) None
+    else
+      try {
+        val in = fsys.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Replace a small control record atomically (tmp + overwrite-
+    * rename): a reader concurrent with the rewrite sees the old or the
+    * new content, never a truncated middle — the property the previous
+    * java.nio APPEND gave the tombstone file for free. */
+  private def replaceSmall(dir: String, name: String,
+      content: String): Unit = {
+    val (fsys, d) = graft.Work.fs(dir)
+    fsys.mkdirs(d): Unit
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fsys.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new org.apache.hadoop.fs.Path(d, name)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fsys.getUri, graft.Work.hconf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fsys.delete(target, false): Unit
+        if (!fsys.rename(tmp, target))
+          throw new java.io.IOException(
+            s"control record replace failed: $tmp -> $target")
+    }
+  }
+
   /** Marker left by [[LogStore.compact]] recording the last compaction
     * stamp. Underscore-prefixed, so invisible to segment listings; its
     * presence lets readers/appenders distinguish "stream was compacted
@@ -64,16 +124,11 @@ object LogSourceV2 {
   val CompactionMarker = "_graft_compaction"
 
   /** Stamp of the last compaction of `dir`, 0 if never compacted. */
-  def compactionStamp(dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir, CompactionMarker)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toLong
-    else 0L
-  }
+  def compactionStamp(dir: String): Long =
+    readSmall(dir, CompactionMarker).map(_.trim.toLong).getOrElse(0L)
 
   private[connector] def writeCompactionStamp(dir: String, stamp: Long): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, CompactionMarker), stamp.toString): Unit
+    replaceSmall(dir, CompactionMarker, stamp.toString)
 
   /** Tombstone of retention-deleted segment paths (one per line, the
     * vacuum stamp tab-prefixed; legacy lines are bare paths = stamp 0).
@@ -93,11 +148,9 @@ object LogSourceV2 {
     vacuumedStamped(dir).map(_._1).toSet
 
   /** (path, vacuum stamp) pairs from the tombstone file. */
-  def vacuumedStamped(dir: String): Seq[(String, Long)] = {
-    val p = java.nio.file.Paths.get(dir, VacuumTombstone)
-    if (!java.nio.file.Files.exists(p)) Nil
-    else java.nio.file.Files.readAllLines(p).asScala.toSeq
-      .filter(_.nonEmpty)
+  def vacuumedStamped(dir: String): Seq[(String, Long)] =
+    readSmall(dir, VacuumTombstone).toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
       .map { line =>
         line.split("\t", 2) match {
           case Array(st, path) if st.forall(_.isDigit) && st.nonEmpty =>
@@ -105,30 +158,43 @@ object LogSourceV2 {
           case _ => (line, 0L) // legacy bare-path line
         }
       }
-  }
 
   def maxVacuumStamp(dir: String): Long =
     vacuumedStamped(dir).map(_._2).maxOption.getOrElse(0L)
 
+  /** Append tombstone entries: read-extend-swap (the atomic
+    * [[replaceSmall]]) — FileSystem.append is unsupported on several
+    * stores (the checksummed local fs among them), and the swap gives
+    * concurrent readers old-or-new instead of a truncated middle. The
+    * maintenance ops that call this are single-coordinator (documented
+    * on truncate/compact), so read-modify-write lost updates are
+    * outside the contract. */
   private[connector] def recordVacuumed(dir: String, segs: Seq[String],
-      stamp: Long): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, VacuumTombstone),
-      segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND): Unit
+      stamp: Long): Unit = {
+    val prior = readSmall(dir, VacuumTombstone).getOrElse("")
+    replaceSmall(dir, VacuumTombstone,
+      prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"))
+  }
+
+  /** Data segment files in `dir` with their FileStatus (one listStatus
+    * resolves names, sizes and mtimes for every consumer), sorted by
+    * the canonical path spelling — the same order the old name sort
+    * gave. */
+  def listSegmentStatuses(
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (fsys, d) = graft.Work.fs(dir)
+    if (!fsys.exists(d)) Nil
+    else fsys.listStatus(d).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .sortBy(st => spell(st.getPath))
+  }
 
   /** Data segment files in `dir`, sorted by name (no _SUCCESS/hidden). */
-  def listSegments(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles())
-      .map(_.toSeq
-        .filter(f => f.isFile && !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_"))
-        .map(_.getAbsolutePath)
-        .sorted)
-      .getOrElse(Nil)
-  }
+  def listSegments(dir: String): Seq[String] =
+    listSegmentStatuses(dir).map(st => spell(st.getPath))
 
   // --- stamped segment names ------------------------------------------
 
@@ -146,7 +212,7 @@ object LogSourceV2 {
   def isStamped(path: String): Boolean = stampOf(path) >= 0L
 
   def stampOf(path: String): Long =
-    new java.io.File(path).getName match {
+    path.substring(path.lastIndexOf('/') + 1) match {
       // 20 digits can exceed Long.MaxValue — a foreign writer's name
       // must degrade to "unstamped" (explicit-list routing), not crash
       // every listing-driven path with a NumberFormatException
@@ -228,12 +294,17 @@ final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
     // existing target — a tag collision would be silent data loss, so
     // it must be practically impossible, same as LogStore.append
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    val (fsys, dirPath) = graft.Work.fs(path)
     messages.zipWithIndex.foreach {
       case (LogCommitMessage(tmp), i) if tmp.nonEmpty =>
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(path,
-            f"segment-$stamp%020d-$i%05d-$tag%s.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        val dst = new org.apache.hadoop.fs.Path(dirPath,
+          f"segment-$stamp%020d-$i%05d-$tag%s.json")
+        // target names are collision-free by construction (fresh tag
+        // per commit), so a plain no-overwrite rename is the atomic
+        // publish; a false return is a real failure, surfaced
+        if (!fsys.rename(graft.Work.fs(tmp)._2, dst))
+          throw new java.io.IOException(
+            s"log segment commit rename failed: $tmp -> $dst")
       case _ => ()
     }
   }
@@ -241,7 +312,8 @@ final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case LogCommitMessage(tmp) if tmp.nonEmpty =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)): Unit
+        val (fsys, p) = graft.Work.fs(tmp)
+        fsys.delete(p, false): Unit
       case _ => ()
     }
 }
@@ -255,17 +327,25 @@ final case class LogWriterFactory(path: String, queryId: String)
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // lazily created: an empty partition commits no segment; the
-      // FINAL (stamped) name is assigned by the driver-side commit
+      // FINAL (stamped) name is assigned by the driver-side commit.
+      // EXECUTOR-side FS resolution: no SparkSession exists here, so
+      // Work.fs falls back to a classpath Configuration — which is how
+      // any Hadoop job's tasks resolve their store (core-site.xml on
+      // the executor classpath); file: and hdfs: resolve either way
       private var out: java.io.Writer = _
-      private var tmp: java.nio.file.Path = _
+      private var fsys: org.apache.hadoop.fs.FileSystem = _
+      private var tmp: org.apache.hadoop.fs.Path = _
 
       override def write(record: InternalRow): Unit = {
         if (out == null) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-          tmp = java.nio.file.Paths.get(path,
+          val (f, dirPath) = graft.Work.fs(path)
+          fsys = f
+          fsys.mkdirs(dirPath): Unit
+          tmp = new org.apache.hadoop.fs.Path(dirPath,
             s".tmp-$queryId-$partitionId-$taskId")
-          out = java.nio.file.Files.newBufferedWriter(tmp,
-            java.nio.charset.StandardCharsets.UTF_8)
+          out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fsys.create(tmp, true),
+            java.nio.charset.StandardCharsets.UTF_8))
         }
         // the schema's value column is nullable: a NULL payload round-
         // trips as the JSON literal `null` (from_json decodes it to a
@@ -277,12 +357,12 @@ final case class LogWriterFactory(path: String, queryId: String)
 
       override def commit(): WriterCommitMessage = {
         if (out == null) LogCommitMessage("")
-        else { out.close(); LogCommitMessage(tmp.toString) }
+        else { out.close(); LogCommitMessage(LogSourceV2.spell(tmp)) }
       }
 
       override def abort(): Unit = if (out != null) {
         out.close()
-        java.nio.file.Files.deleteIfExists(tmp): Unit
+        fsys.delete(tmp, false): Unit
       }
 
       override def close(): Unit = ()
@@ -299,8 +379,8 @@ final class LogScan(path: String, failOnDataLoss: Boolean = true,
     * broadcast decisions for small streams read through the V2 path
     * (a stats-less V2 table defaults to "huge", never broadcast). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = LogSourceV2.listSegments(path)
-      .map(f => new java.io.File(f).length()).sum
+    private val bytes = LogSourceV2.listSegmentStatuses(path)
+      .map(_.getLen).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -448,7 +528,7 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
     */
   private def requireConsumedIntact(off: LogOffsetV2): Unit = {
     var missing = off.livenessWitnesses
-      .filterNot(f => new java.io.File(f).exists())
+      .filterNot(LogSourceV2.pathExists)
     if (missing.nonEmpty)
       missing = missing.filterNot(LogSourceV2.vacuumedSegments(path))
     if (missing.nonEmpty) fail("checkpoint (consumed-set)", missing)
@@ -656,7 +736,13 @@ object LogSegmentReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[LogSegmentPartition].file
     new PartitionReader[InternalRow] {
-      private val source = scala.io.Source.fromFile(file, "UTF-8")
+      // executor-side open through the Hadoop FS API (classpath
+      // Configuration — same note as the writer factory)
+      private val in = {
+        val (fsys, p) = graft.Work.fs(file)
+        fsys.open(p)
+      }
+      private val source = scala.io.Source.fromInputStream(in, "UTF-8")
       private val lines = source.getLines()
       private var current: String = _
 

@@ -19,6 +19,14 @@ import org.apache.spark.sql.Row
   * task, so there is no single-writer bottleneck. A production deployment
   * swaps the directory for the real stream store behind these same four
   * methods.
+  *
+  * Storage: every path resolves through the Hadoop FileSystem API
+  * (r18, completing the r17 artifact-layer port) — `baseDir` may be a
+  * plain local path, a `file:` URI, or any `scheme://` the deployment's
+  * Hadoop config binds (HDFS, object stores), with local paths keeping
+  * their historical plain spelling so offsets/stream-cuts serialized
+  * before the port keep resolving (GuardSpec pins the `file:` URI
+  * round-trip).
   */
 final case class LogStore(baseDir: String) {
 
@@ -43,12 +51,15 @@ final case class LogStore(baseDir: String) {
     // other's segments (same-stamp siblings are what the offset's
     // boundary-stamp rule exists for)
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    val (fsys, dirPath) = graft.Work.fs(dir)
     parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(java.nio.file.Paths.get(f),
-        java.nio.file.Paths.get(dir, f"segment-$stamp%020d-$i%05d-$tag.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      val dst = new org.apache.hadoop.fs.Path(dirPath,
+        f"segment-$stamp%020d-$i%05d-$tag.json")
+      if (!fsys.rename(graft.Work.fs(f)._2, dst))
+        throw new java.io.IOException(
+          s"log segment rename failed: $f -> $dst")
     }
-    deleteRecursively(new java.io.File(tmp))
+    graft.Work.clean(tmp)
   }
 
   /** Bounded scan of everything currently in the stream — the reference's
@@ -107,9 +118,16 @@ final case class LogStore(baseDir: String) {
   def appendStream(df: DataFrame, scope: String, stream: String,
       checkpoint: String): DataStreamWriter[Row] = {
     val marker = LogSourceV2.compactionStamp(path(scope, stream))
-    val stampFile = java.nio.file.Paths.get(checkpoint, "graft-compaction-stamp")
-    if (java.nio.file.Files.exists(stampFile)) {
-      val recorded = java.nio.file.Files.readString(stampFile).trim.toLong
+    val (cfs, cp) = graft.Work.fs(checkpoint)
+    val stampFile = new org.apache.hadoop.fs.Path(cp,
+      "graft-compaction-stamp")
+    if (cfs.exists(stampFile)) {
+      val recorded = {
+        val in = cfs.open(stampFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong
+        finally in.close()
+      }
       if (marker > recorded)
         throw new IllegalStateException(
           s"graft log stream $scope/$stream was compacted (stamp $marker) " +
@@ -117,14 +135,17 @@ final case class LogStore(baseDir: String) {
             "its sink commit log is gone and resuming would duplicate the " +
             "last batch — start streaming appends with a fresh checkpoint.")
     } else {
-      if (new java.io.File(checkpoint).exists() && marker > 0)
+      if (cfs.exists(cp) && marker > 0)
         throw new IllegalStateException(
           s"graft log stream $scope/$stream has been compacted but " +
             s"pre-existing checkpoint $checkpoint carries no compaction " +
             "stamp (created before the stream was compacted) — resuming " +
             "would duplicate its last batch; use a fresh checkpoint.")
-      java.nio.file.Files.createDirectories(stampFile.getParent): Unit
-      java.nio.file.Files.writeString(stampFile, marker.toString): Unit
+      cfs.mkdirs(cp): Unit
+      val out = cfs.create(stampFile, true)
+      try out.write(marker.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     encode(df).writeStream
       .format("text")
@@ -148,7 +169,10 @@ final case class LogStore(baseDir: String) {
     */
   def readBoundedCut(spark: SparkSession, scope: String, stream: String,
       schema: StructType, cut: Seq[String]): DataFrame = {
-    val missing = cut.filterNot(f => new java.io.File(f).exists())
+    val missing = cut.filterNot(f => {
+      val (fsys, p) = graft.Work.fs(f)
+      fsys.exists(p)
+    })
     if (missing.nonEmpty) {
       val stamp = LogSourceV2.compactionStamp(path(scope, stream))
       throw new IllegalStateException(
@@ -178,10 +202,6 @@ final case class LogStore(baseDir: String) {
     math.max(LogSourceV2.compactionStamp(dir) + 1,
       System.currentTimeMillis())
 
-  private def deleteRecursively(p: java.io.File): Unit = {
-    Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
-    p.delete(): Unit
-  }
 
   /** Truncate at a [[streamCut]]: delete exactly the cut's segments —
     * Pravega's truncate-at-StreamCut, the deterministic retention
@@ -211,12 +231,14 @@ final case class LogStore(baseDir: String) {
     val stamp = nextStamp(dir)
     LogSourceV2.recordVacuumed(dir, targets, stamp)
     LogSourceV2.writeCompactionStamp(dir, stamp)
-    targets.foreach(f => java.nio.file.Files.delete(
-      java.nio.file.Paths.get(f)))
+    targets.foreach { f =>
+      val (fsys, p) = graft.Work.fs(f)
+      fsys.delete(p, false): Unit
+    }
     // a streaming sink's commit log names deleted files — remove it so
     // directory-path readers can't resolve a stale view (same rule as
     // compact(); old appendStream checkpoints are refused via the stamp)
-    deleteRecursively(new java.io.File(s"$dir/_spark_metadata"))
+    graft.Work.clean(s"$dir/_spark_metadata")
     targets
   }
 
@@ -230,11 +252,11 @@ final case class LogStore(baseDir: String) {
   def vacuum(scope: String, stream: String, keepSegments: Int): Seq[String] = {
     require(keepSegments >= 0, "keepSegments must be >= 0")
     val dir = path(scope, stream)
-    val segs = LogSourceV2.listSegments(dir)
-      .map(f => new java.io.File(f))
-      .sortBy(f => (f.lastModified(), f.getName))
+    val segs = LogSourceV2.listSegmentStatuses(dir)
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
     if (segs.size <= keepSegments) return Nil
-    truncate(scope, stream, segs.dropRight(keepSegments).map(_.getAbsolutePath))
+    truncate(scope, stream, segs.dropRight(keepSegments)
+      .map(st => LogSourceV2.spell(st.getPath)))
   }
 
   /** Compact a stream's segments into `target` merged segments — the
@@ -277,24 +299,31 @@ final case class LogStore(baseDir: String) {
     // in between leaves transient duplication (at-least-once, the log
     // contract), never data loss — the delete-first order would strand
     // the only copy in the hidden scratch dir.
+    val (fsys, dirPath) = graft.Work.fs(dir)
     merged.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(java.nio.file.Paths.get(f),
-        java.nio.file.Paths.get(dir, s"compacted-$stamp-$i")): Unit
+      val dst = new org.apache.hadoop.fs.Path(dirPath,
+        s"compacted-$stamp-$i")
+      if (!fsys.rename(graft.Work.fs(f)._2, dst))
+        throw new java.io.IOException(
+          s"compacted segment rename failed: $f -> $dst")
     }
-    segs.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    segs.foreach { f =>
+      val (sfs, p) = graft.Work.fs(f)
+      sfs.delete(p, false): Unit
+    }
     // clear scratch (now only _SUCCESS markers and empty dirs), and any
     // streaming-sink commit log: it names only the deleted pre-compaction
     // files, so leaving it would shadow the compacted segments from
     // directory-path readers. Re-attaching an OLD appendStream checkpoint
     // to a compacted stream is unsupported (its sink log is gone) — start
     // streaming appends to a compacted stream with a fresh checkpoint.
-    deleteRecursively(new java.io.File(tmp))
-    deleteRecursively(new java.io.File(s"$dir/_spark_metadata"))
+    graft.Work.clean(tmp)
+    graft.Work.clean(s"$dir/_spark_metadata")
     // prune the vacuum tombstones (round-4 advice: the file grew without
     // bound): compaction already invalidates every checkpoint via the
     // stamp guard, so no surviving reader can reference the entries
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, LogSourceV2.VacuumTombstone)): Unit
+    fsys.delete(new org.apache.hadoop.fs.Path(dirPath,
+      LogSourceV2.VacuumTombstone), false): Unit
   }
 
   private def encode(df: DataFrame): DataFrame =

@@ -308,20 +308,30 @@ object StreamOps {
     * crash-recovery path).
     *
     * `rename` is a test seam (GuardSpec forces a failure through it);
-    * production callers use the default File.renameTo.
+    * production callers use the default Hadoop-FS rename (r18: the
+    * rotation ran on java.io.File until the r17-verdict #3 port — the
+    * snapshot can now live wherever the log store does).
     */
+  private[graft] def fsRename(src: String, dst: String): Boolean = {
+    val (fsys, s) = Work.fs(src)
+    fsys.rename(s, Work.fs(dst)._2)
+  }
+
+  private[graft] def fsExists(p: String): Boolean = {
+    val (fsys, q) = Work.fs(p)
+    fsys.exists(q)
+  }
+
   private[graft] def mergeCountsSnapshot(updates: DataFrame,
       snapshotDir: String,
-      rename: (java.io.File, java.io.File) => Boolean =
-        (a, b) => a.renameTo(b)): Unit = {
+      rename: (String, String) => Boolean = fsRename): Unit = {
     val sp = updates.sparkSession
-    val dir = new java.io.File(snapshotDir)
-    val old = new java.io.File(snapshotDir + ".old")
+    val oldDir = snapshotDir + ".old"
     // prior-run crash between the renames: current is gone, .old is
     // the surviving truth — recover from it
     val base =
-      if (dir.exists()) Some(snapshotDir)
-      else if (old.exists()) Some(old.getPath)
+      if (fsExists(snapshotDir)) Some(snapshotDir)
+      else if (fsExists(oldDir)) Some(oldDir)
       else None
     val merged = base match {
       case Some(p) =>
@@ -331,19 +341,19 @@ object StreamOps {
           .unionByName(updates)
       case None => updates
     }
-    val tmp = new java.io.File(snapshotDir + ".tmp")
-    Work.clean(tmp.getPath)
-    merged.write.parquet(tmp.getPath)
-    if (dir.exists()) {
-      Work.clean(old.getPath)
-      if (!rename(dir, old))
+    val tmp = snapshotDir + ".tmp"
+    Work.clean(tmp)
+    merged.write.parquet(tmp)
+    if (fsExists(snapshotDir)) {
+      Work.clean(oldDir)
+      if (!rename(snapshotDir, oldDir))
         throw new java.io.IOException(
-          s"leaderboard snapshot retire failed: $dir -> $old")
+          s"leaderboard snapshot retire failed: $snapshotDir -> $oldDir")
     }
-    if (!rename(tmp, dir))
+    if (!rename(tmp, snapshotDir))
       throw new java.io.IOException(
-        s"leaderboard snapshot swap failed: $tmp -> $dir")
-    Work.clean(old.getPath)
+        s"leaderboard snapshot swap failed: $tmp -> $snapshotDir")
+    Work.clean(oldDir)
   }
 
   /** Per-window bucket-exact quantiles — the order-statistics face of
@@ -1284,14 +1294,13 @@ object StreamOps {
     */
   def mergeLatestSnapshot(updates: DataFrame, snapshotDir: String): Unit = {
     val s = updates.sparkSession
-    val dir = new java.io.File(snapshotDir)
-    val old = new java.io.File(snapshotDir + ".old")
-    val tmp = new java.io.File(snapshotDir + ".tmp")
+    val oldDir = snapshotDir + ".old"
+    val tmp = snapshotDir + ".tmp"
     // prior-run crash between the renames: current is gone, .old is
     // the surviving truth — recover from it
     val base =
-      if (dir.exists()) Some(snapshotDir)
-      else if (old.exists()) Some(old.getPath)
+      if (fsExists(snapshotDir)) Some(snapshotDir)
+      else if (fsExists(oldDir)) Some(oldDir)
       else None
     val merged = base match {
       case Some(p) =>
@@ -1299,16 +1308,18 @@ object StreamOps {
           s.read.parquet(p).unionByName(updates))
       case None => updates
     }
-    Work.clean(tmp.getPath)
-    merged.write.mode("overwrite").parquet(tmp.getPath)
-    if (dir.exists()) {
-      Work.clean(old.getPath)
-      if (!dir.renameTo(old))
-        throw new java.io.IOException(s"snapshot retire failed: $dir -> $old")
+    Work.clean(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    if (fsExists(snapshotDir)) {
+      Work.clean(oldDir)
+      if (!fsRename(snapshotDir, oldDir))
+        throw new java.io.IOException(
+          s"snapshot retire failed: $snapshotDir -> $oldDir")
     }
-    if (!tmp.renameTo(dir))
-      throw new java.io.IOException(s"snapshot swap failed: $tmp -> $dir")
-    Work.clean(old.getPath)
+    if (!fsRename(tmp, snapshotDir))
+      throw new java.io.IOException(
+        s"snapshot swap failed: $tmp -> $snapshotDir")
+    Work.clean(oldDir)
   }
 
   /** The materialized streaming upsert view: log stream → keyed latest

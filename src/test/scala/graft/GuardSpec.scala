@@ -312,12 +312,21 @@ class GuardSpec extends SparkSpec {
     store.append(Tables(spark, sf, "events").limit(50), "scope", "trunc")
     val seg = graft.connector.LogSourceV2
       .listSegments(store.path("scope", "trunc")).head
-    val p = java.nio.file.Paths.get(seg)
-    val bytes = java.nio.file.Files.readAllBytes(p)
+    // corrupt THROUGH the filesystem API (segments carry checksum
+    // siblings since the Hadoop-FS port — an out-of-band java.nio edit
+    // would trip the checksum, not the JSON guard this test pins)
+    val (fsys, p) = Work.fs(seg)
+    val bytes = {
+      val in = fsys.open(p)
+      try in.readAllBytes() finally in.close()
+    }
     assert(bytes.length > 5)
     // cut into the final JSON line — a crashed writer's partial flush
-    java.nio.file.Files.write(p,
-      java.util.Arrays.copyOf(bytes, bytes.length - 5))
+    locally {
+      val out = fsys.create(p, true)
+      try out.write(java.util.Arrays.copyOf(bytes, bytes.length - 5))
+      finally out.close()
+    }
     val e = intercept[Exception](
       store.readBounded(spark, "scope", "trunc",
         graft.streaming.StreamOps.eventSchema).count())
@@ -331,9 +340,20 @@ class GuardSpec extends SparkSpec {
     store.append(Tables(spark, sf, "events").limit(10), "scope", "fj")
     val seg = graft.connector.LogSourceV2
       .listSegments(store.path("scope", "fj")).head
-    java.nio.file.Files.write(java.nio.file.Paths.get(seg),
-      "this is not json\n".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.APPEND)
+    // corrupt through the FS API (checksum siblings — see the
+    // truncation test)
+    locally {
+      val (fsys, p) = Work.fs(seg)
+      val bytes = {
+        val in = fsys.open(p)
+        try in.readAllBytes() finally in.close()
+      }
+      val out = fsys.create(p, true)
+      try {
+        out.write(bytes)
+        out.write("this is not json\n".getBytes("UTF-8"))
+      } finally out.close()
+    }
     val e1 = intercept[Exception](
       store.readBounded(spark, "scope", "fj",
         graft.streaming.StreamOps.eventSchema).count())
@@ -784,6 +804,48 @@ class GuardSpec extends SparkSpec {
     Work.clean(dir)
     Work.clean(pathA)
     Work.clean(pathB)
+  }
+
+  test("log store through a file: URI spelling — append, bounded read, " +
+      "stream-cut, vacuum and compact all resolve through the Hadoop " +
+      "FS API end-to-end (r17 verdict #3)") {
+    val sp = spark
+    import sp.implicits._
+    val plain = s"${Work.dir}/test_guard_loguri_${Work.jvmTag}"
+    Work.clean(plain)
+    val store = graft.connector.LogStore(s"file:$plain")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "sc", "st")
+    store.append(Seq((3L, "c")).toDF("k", "v"), "sc", "st")
+    def got = store.readBounded(spark, "sc", "st", schema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the same stream is visible under the PLAIN spelling — one
+    // filesystem, two spellings (the segment paths normalize)
+    val plainStore = graft.connector.LogStore(plain)
+    assert(plainStore.readBounded(spark, "sc", "st", schema).count() == 3)
+    // stream-cut capture + read-back through the URI spelling
+    val cut = store.streamCut("sc", "st")
+    store.append(Seq((4L, "d")).toDF("k", "v"), "sc", "st")
+    assert(store.readBoundedCut(spark, "sc", "st", schema, cut)
+      .count() == 3, "cut must pin the pre-append prefix")
+    // V2 bounded read resolves through the same FS plumbing
+    assert(store.readBoundedV2(spark, "sc", "st", schema).count() == 4)
+    // maintenance ops: vacuum tombstones + compaction stamp round-trip
+    val dropped = store.vacuum("sc", "st", keepSegments = 3)
+    assert(dropped.nonEmpty)
+    assert(graft.connector.LogSourceV2
+      .vacuumedSegments(store.path("sc", "st")).nonEmpty)
+    store.compact(spark, "sc", "st")
+    assert(graft.connector.LogSourceV2
+      .compactionStamp(store.path("sc", "st")) > 0L)
+    assert(plainStore.readBounded(spark, "sc", "st", schema).count() == 3,
+      "compaction must preserve the surviving rows")
+    Work.clean(plain)
   }
 
   test("Work.publish(markerLast) on a store whose rename is NON-atomic: " +
