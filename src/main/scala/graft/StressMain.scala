@@ -321,9 +321,17 @@ object StressMain {
       }
       results("incremental_seg_deep") = (walls(1), walls.last)
       val preFiles = segFileCount(path)
+      // r18 (r17 verdict #5): the MANIFEST makes the reader's active-
+      // set resolution O(1) metadata reads however many segments the
+      // index holds — count the full listing passes the 31-segment
+      // query needs (0 with a manifest; one listStatus per segment
+      // per query without it)
+      val lp0 = Dedup.listingPasses.get()
       val wPre = t("seg_deep query 30-seg")(
         Dedup.incrementalAgainstSegmentedIndex(spark, path,
           dayBatch(30)).count())
+      println(s"[stress] seg_deep listing passes during the 31-seg " +
+        s"query: ${Dedup.listingPasses.get() - lp0} (manifest-backed)")
       GraftSession.dropAllCaches(spark)
       t("seg_deep compact(31 segs)")(
         { Dedup.compactSegments(spark, path, "c0"); 0L })
@@ -420,6 +428,41 @@ object StressMain {
       println(s"[stress] seg_tiered files at day 29: ${fileCount(path)}")
       results("incremental_seg_tiered") = (walls(1), walls.last)
       Work.clean(path)
+    }
+    // r18 (r17 verdict #1): the append-spelling fold's headline claim —
+    // the weekly fold's WALL is ∝ tail, independent of history size. A
+    // standing bucketed segment is built from history at 1× and at
+    // mult× (outside the timed region), the SAME-sized plain tail is
+    // published beside each, and the timed fold ADOPTS the standing
+    // files verbatim (hard link) while staging only the tail. Flat
+    // wall across the growth is the claim; the r17 aligned
+    // SCAN-rewrite re-read and re-encoded history, so its wall grew
+    // with it even though its shuffle didn't.
+    if (only.isEmpty || only.contains("fold_append_scaling")) {
+      val tail = Dedup.plantedCorpus(repDocs(docs, 1))
+        .filter(col("doc_id") % 100000000L >= Dedup.PlantedOffset)
+        .select((col("doc_id") + 900000000000L).as("doc_id"), col("text"))
+      def runAt(n: Int): Double = {
+        val path = Work.scratch(s"histidxfoldx$n")
+        Work.clean(path)
+        val hist = Dedup.plantedCorpus(repDocs(docs, n))
+          .filter(col("doc_id") % 100000000L < Dedup.PlantedOffset)
+        Dedup.publishHistorySegment(spark, path, "hist", hist)
+        // standing bucketed segment — built OUTSIDE the timed region
+        Dedup.compactSegments(spark, path, "c0")
+        Dedup.publishHistorySegment(spark, path, "tail", tail)
+        GraftSession.dropAllCaches(spark)
+        val w = t(s"fold_append x$n")(
+          { Dedup.compactSegments(spark, path, "c1"); 0L })
+        Work.clean(path)
+        GraftSession.dropAllCaches(spark)
+        w
+      }
+      val w1 = runAt(1)
+      val wN = runAt(mult)
+      println(f"[stress] fold_append wall ratio ${mult}x/1x: ${wN / w1}%.2f" +
+        " (flat = fold wall ∝ tail; history adopted, never read)")
+      results("fold_append_scaling") = (w1, wN)
     }
     // r17: N× growth for the COMPOSED layout — the r16 64× table
     // (plain 1.21 / bucketed 1.14 wall ratio) extended to the r17
