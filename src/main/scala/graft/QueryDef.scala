@@ -242,13 +242,18 @@ object Work {
     * publisher per artifact path — the same single-writer rule object
     * stores impose on any last-write-wins layout).
     *
-    * Self-heal (r17 ADVICE): in rename mode, a pre-existing INCOMPLETE
-    * target (a crashed writer on a store where the half-rename left
-    * the dir, or external interference) would block the no-overwrite
-    * rename forever. Since an incomplete target has no `_SUCCESS`, no
-    * reader is gated on it — the lost-race branch cleans it ONCE and
-    * re-renames before giving up, restoring the clean+retry behavior
-    * the hand-rolled publish sites had before they were unified here. */
+    * Self-heal (r17 ADVICE, hardened r18): in rename mode, a
+    * pre-existing INCOMPLETE target (a crashed writer on a store where
+    * the half-rename left the dir, or external interference) would
+    * block the no-overwrite rename forever. Since an incomplete target
+    * has no `_SUCCESS`, no reader is gated on it — the lost-race
+    * branch QUARANTINES it aside (one atomic rename into a swept scr_
+    * dir) and re-renames before giving up. Quarantine, not delete: a
+    * racing writer could have committed a COMPLETE artifact between
+    * the probe and the heal, and moving it aside keeps it readable for
+    * any reader that pinned its paths (sweep-window grace) while this
+    * writer's equivalent staged content commits — an in-place delete
+    * would destroy a committed artifact under that reader. */
   def publish(path: String, markerLast: Boolean = false)(
       stage: String => Unit): String = {
     val (f, target) = fs(path)
@@ -311,9 +316,22 @@ object Work {
       }
     var renamed = tryRename()
     if (!renamed && !done) {
-      // self-heal: the blocker is an INCOMPLETE target — clean it once
-      // and retry the rename (see scaladoc)
-      clean(path)
+      // self-heal: the blocker is an INCOMPLETE target. QUARANTINE it
+      // aside with an atomic rename rather than deleting in place
+      // (r18 review): if a racing writer committed a COMPLETE artifact
+      // in the window since the `done` probe, a delete would destroy
+      // it under any reader that already gated on the marker — the
+      // quarantine rename instead moves it whole into a swept scr_
+      // dir, where a reader that pinned its file paths keeps reading
+      // it for the sweep window, and our own commit below supplies the
+      // equivalent staged content (publishers of one path stage the
+      // same logical artifact — the discipline's contract). A failed
+      // quarantine (blocker vanished, another healer won) just falls
+      // through to the rename retry.
+      val quarantine = scratch(
+        s"heal${matSeq.incrementAndGet()}_${target.getName}")
+      try f.rename(target, fs(quarantine)._2): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
       renamed = tryRename()
     }
     if (!renamed) {
@@ -334,6 +352,75 @@ object Work {
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Canonical string spelling of an artifact path: paths on the
+    * DEFAULT filesystem come back plain (scheme stripped — `file:/x`
+    * → `/x` on a local-default box, `hdfs://nn/x` → `/x` on that
+    * cluster), because a plain string re-resolves against defaultFS to
+    * the same store; paths on any OTHER filesystem stay fully
+    * qualified, because stripping their scheme would re-resolve them
+    * against the WRONG store (r18 review: a `file:`-spelled stream dir
+    * on an hdfs-default cluster must not serialize plain). One
+    * canonical spelling per filesystem is what keeps string-keyed sets
+    * (offsets, tags, fold records) stable across caller spellings. */
+  def spell(p: org.apache.hadoop.fs.Path): String = {
+    val defUri = org.apache.hadoop.fs.FileSystem.getDefaultUri(hconf)
+    val u = p.toUri
+    val sameScheme = u.getScheme == null || u.getScheme == defUri.getScheme
+    val sameAuth = u.getAuthority == null || defUri.getAuthority == null ||
+      u.getAuthority == defUri.getAuthority
+    if (sameScheme && sameAuth) u.getPath else p.toString
+  }
+
+  def pathExists(p: String): Boolean = {
+    val (f, q) = fs(p)
+    f.exists(q)
+  }
+
+  /** Read a small control record (`dir/name`) whole; None when absent
+    * or vanishing mid-read (the same thing, for these). */
+  def readSmallRecord(dir: String, name: String): Option[String] = {
+    val (f, d) = fs(dir)
+    val p = new org.apache.hadoop.fs.Path(d, name)
+    if (!f.exists(p)) None
+    else
+      try {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Replace a small control record atomically: unique tmp +
+    * overwrite-rename (FileContext Rename.OVERWRITE; delete+rename
+    * fallback for schemes with no AbstractFileSystem binding) — a
+    * concurrent reader sees the old or the new content, never a
+    * truncated middle. Returns false instead of throwing when the
+    * replace could not land (callers decide whether staleness is the
+    * safe direction). */
+  def replaceSmallRecord(dir: String, name: String,
+      content: String): Boolean =
+    try {
+      val (f, d) = fs(dir)
+      f.mkdirs(d): Unit
+      val tmp = new org.apache.hadoop.fs.Path(d,
+        s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new org.apache.hadoop.fs.Path(d, name)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, hconf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          f.delete(target, false): Unit
+          f.rename(tmp, target)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Adopt a published dir's DATA files into a staging dir at the raw
     * file level: hard-LINK on the local filesystem (one O(1) metadata

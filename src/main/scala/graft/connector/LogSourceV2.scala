@@ -58,62 +58,23 @@ object LogSourceV2 {
   // --- Hadoop-FS plumbing (r18, the r17-verdict #3 port) --------------
   // The log store is the engine's identity component (the Pravega-
   // analog inter-job transport); with the artifact layer already on the
-  // Hadoop FS API since r17, these helpers move the TRANSPORT off
-  // java.io.File too, so a stream directory can live on HDFS/object
-  // storage like any other 100 TB artifact. Local paths keep their
-  // historical PLAIN spelling (file:/x → /x) so serialized offsets,
-  // stream-cuts and tombstones written before the port keep resolving.
+  // Hadoop FS API since r17, the TRANSPORT is off java.io.File too, so
+  // a stream directory can live on HDFS/object storage like any other
+  // 100 TB artifact. Small-record IO and path spelling are the SHARED
+  // Work helpers (r18 review: one implementation of the canonical
+  // spelling and the atomic record-replace for every module).
+  // Default-filesystem paths spell PLAIN — which preserves the
+  // pre-port spelling of serialized offsets/stream-cuts/tombstones on
+  // a local-default box — and other-filesystem paths stay qualified
+  // (a `file:`-spelled stream on an hdfs-default cluster must not
+  // serialize a string that re-resolves against HDFS).
 
   /** Canonical string spelling of a store path (see above). */
   private[connector] def spell(p: org.apache.hadoop.fs.Path): String =
-    if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+    graft.Work.spell(p)
 
-  private[connector] def pathExists(p: String): Boolean = {
-    val (fsys, q) = graft.Work.fs(p)
-    fsys.exists(q)
-  }
-
-  /** Read a small control record (marker/tombstone) whole; None when
-    * absent (or vanishing mid-read — same thing for these). */
-  private def readSmall(dir: String, name: String): Option[String] = {
-    val (fsys, d) = graft.Work.fs(dir)
-    val p = new org.apache.hadoop.fs.Path(d, name)
-    if (!fsys.exists(p)) None
-    else
-      try {
-        val in = fsys.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      } catch { case _: java.io.FileNotFoundException => None }
-  }
-
-  /** Replace a small control record atomically (tmp + overwrite-
-    * rename): a reader concurrent with the rewrite sees the old or the
-    * new content, never a truncated middle — the property the previous
-    * java.nio APPEND gave the tombstone file for free. */
-  private def replaceSmall(dir: String, name: String,
-      content: String): Unit = {
-    val (fsys, d) = graft.Work.fs(dir)
-    fsys.mkdirs(d): Unit
-    val tmp = new org.apache.hadoop.fs.Path(d,
-      s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fsys.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new org.apache.hadoop.fs.Path(d, name)
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fsys.getUri, graft.Work.hconf)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fsys.delete(target, false): Unit
-        if (!fsys.rename(tmp, target))
-          throw new java.io.IOException(
-            s"control record replace failed: $tmp -> $target")
-    }
-  }
+  private[connector] def pathExists(p: String): Boolean =
+    graft.Work.pathExists(p)
 
   /** Marker left by [[LogStore.compact]] recording the last compaction
     * stamp. Underscore-prefixed, so invisible to segment listings; its
@@ -125,10 +86,16 @@ object LogSourceV2 {
 
   /** Stamp of the last compaction of `dir`, 0 if never compacted. */
   def compactionStamp(dir: String): Long =
-    readSmall(dir, CompactionMarker).map(_.trim.toLong).getOrElse(0L)
+    graft.Work.readSmallRecord(dir, CompactionMarker).map(_.trim.toLong).getOrElse(0L)
 
+  /** A failed stamp write must SURFACE: the stamp arms the checkpoint
+    * guards BEFORE the destructive phase of compact/truncate, and
+    * proceeding unstamped would disarm them silently. */
   private[connector] def writeCompactionStamp(dir: String, stamp: Long): Unit =
-    replaceSmall(dir, CompactionMarker, stamp.toString)
+    if (!graft.Work.replaceSmallRecord(dir, CompactionMarker, stamp.toString))
+      throw new java.io.IOException(
+        s"could not write the compaction stamp under $dir — aborting " +
+          "before any destructive step")
 
   /** Tombstone of retention-deleted segment paths (one per line, the
     * vacuum stamp tab-prefixed; legacy lines are bare paths = stamp 0).
@@ -149,7 +116,7 @@ object LogSourceV2 {
 
   /** (path, vacuum stamp) pairs from the tombstone file. */
   def vacuumedStamped(dir: String): Seq[(String, Long)] =
-    readSmall(dir, VacuumTombstone).toSeq
+    graft.Work.readSmallRecord(dir, VacuumTombstone).toSeq
       .flatMap(_.split("\n")).filter(_.nonEmpty)
       .map { line =>
         line.split("\t", 2) match {
@@ -163,17 +130,22 @@ object LogSourceV2 {
     vacuumedStamped(dir).map(_._2).maxOption.getOrElse(0L)
 
   /** Append tombstone entries: read-extend-swap (the atomic
-    * [[replaceSmall]]) — FileSystem.append is unsupported on several
-    * stores (the checksummed local fs among them), and the swap gives
-    * concurrent readers old-or-new instead of a truncated middle. The
-    * maintenance ops that call this are single-coordinator (documented
-    * on truncate/compact), so read-modify-write lost updates are
-    * outside the contract. */
+    * [[graft.Work.replaceSmallRecord]]) — FileSystem.append is
+    * unsupported on several stores (the checksummed local fs among
+    * them), and the swap gives concurrent readers old-or-new instead
+    * of a truncated middle. The maintenance ops that call this are
+    * single-coordinator (documented on truncate/compact), so
+    * read-modify-write lost updates are outside the contract. A failed
+    * replace must SURFACE (data deletion follows the tombstone —
+    * fail-safe ordering), hence the throw on false. */
   private[connector] def recordVacuumed(dir: String, segs: Seq[String],
       stamp: Long): Unit = {
-    val prior = readSmall(dir, VacuumTombstone).getOrElse("")
-    replaceSmall(dir, VacuumTombstone,
-      prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"))
+    val prior = graft.Work.readSmallRecord(dir, VacuumTombstone).getOrElse("")
+    if (!graft.Work.replaceSmallRecord(dir, VacuumTombstone,
+        prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n")))
+      throw new java.io.IOException(
+        s"could not record vacuum tombstones under $dir — aborting " +
+          "before any segment deletion")
   }
 
   /** Data segment files in `dir` with their FileStatus (one listStatus

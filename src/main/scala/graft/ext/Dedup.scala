@@ -1064,22 +1064,13 @@ object Dedup {
       .map(_.trim.split(" ")(0)).filter(t => t.nonEmpty && t.forall(_.isDigit))
       .map(_.toInt)
 
-  private def readRecordOpt(dir: String, name: String): Option[String] = {
-    val (fsys, dirPath) = Work.fs(dir)
-    val p = new org.apache.hadoop.fs.Path(dirPath, name)
-    if (!fsys.exists(p)) None
-    else {
-      // a record vanishing between exists() and open() (concurrent
-      // retirement of the whole segment dir) is the same outcome as
-      // not existing — callers treat None as "gone", and
-      // activeSnapshots retries its whole pass on it
-      try {
-        val in = fsys.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      } catch { case _: java.io.FileNotFoundException => None }
-    }
-  }
+  /** A record vanishing mid-read (concurrent retirement of the whole
+    * segment dir) is the same outcome as not existing — callers treat
+    * None as "gone", and activeSnapshots retries its whole pass on it.
+    * One shared implementation with every other small control record
+    * ([[graft.Work.readSmallRecord]], r18 review). */
+  private def readRecordOpt(dir: String, name: String): Option[String] =
+    Work.readSmallRecord(dir, name)
 
   /** One (path, children) snapshot per segment dir of a segmented
     * index — a single `listStatus` per segment resolves `_SUCCESS`,
@@ -1093,14 +1084,17 @@ object Dedup {
     * takes over — without the retry, the racing reader could observe
     * a set that is neither the old one nor the new one (r17 review of
     * the r16-#2 atomicity claim). */
-  /** Canonical string spelling of a segment path: local paths come
-    * back in the historical PLAIN spelling (file:/x → /x), so every
-    * tag/table-name derivation downstream (Work.publishTag in
-    * bucketedHistoryIndex AND retireSegments' catalog cleanup — they
-    * must agree, r17 review #1) matches a caller addressing the same
-    * artifact by plain path; non-local schemes stay fully qualified. */
+  /** Canonical string spelling of a segment path — the shared
+    * [[graft.Work.spell]] (r18 review: one spelling rule for every
+    * string-keyed artifact path): default-filesystem paths come back
+    * PLAIN, so every tag/table-name derivation downstream
+    * (Work.publishTag in bucketedHistoryIndex AND retireSegments'
+    * catalog cleanup — they must agree, r17 review #1) matches a
+    * caller addressing the same artifact by plain path; paths on any
+    * other filesystem stay fully qualified (stripping their scheme
+    * would re-resolve them against the wrong store). */
   private def segSpelling(p: org.apache.hadoop.fs.Path): String =
-    if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+    Work.spell(p)
 
   /** Test-visible count of full segment-listing passes — the pin that
     * manifest-backed reads cost O(1) metadata calls, not O(segments)
@@ -1146,6 +1140,29 @@ object Dedup {
     * `File.listFiles` returns null). */
   def completeSegments(indexDir: String): Seq[String] =
     segSnapshots(indexDir).filter(_._2("_SUCCESS")).map(_._1)
+
+  /** True when segment `name` is COMMITTED in the index — present as a
+    * complete segment, or named (the records are transitive) in a
+    * complete segment's fold record, i.e. folded and possibly retired.
+    * THE replay guard for idempotent per-batch folds (r18 review): a
+    * policy compaction can fold and retire a batch's segment before
+    * the stream checkpoint commits the batch, so a bare `_SUCCESS`
+    * probe on a replay would say "never ran" and the replayed batch
+    * would re-dedup against a history that already contains its own
+    * docs — emitting a self-pair per doc and overwriting the batch's
+    * correct pair sink. Cost: one exists() on the common paths (fresh
+    * or still-present segment); the fold-record sweep only runs for a
+    * name that is absent AND the index has compacted segments. */
+  def segmentCommitted(indexDir: String, name: String): Boolean = {
+    val n = if (name.startsWith("seg_")) name else s"seg_$name"
+    Work.isComplete(s"$indexDir/$n") || {
+      val snaps = segSnapshots(indexDir)
+        .filter(s => s._2("_SUCCESS") && s._2("folds"))
+      snaps.nonEmpty && snaps
+        .flatMap { case (p, _) => readRecordOpt(p, "folds") }
+        .flatMap(_.split("\n")).map(_.trim).contains(n)
+    }
+  }
 
   /** The segments a reader should scan RIGHT NOW: the complete ones,
     * minus any named in a complete compacted segment's `folds` record.
@@ -1244,39 +1261,23 @@ object Dedup {
       }
     }
 
-  /** Rewrite the index manifest from a FRESH listing — called by every
-    * mutator (segment publish, compaction, retirement) after its own
-    * commit. Deriving the content from the listing (never
-    * incrementally) means any successful mutation repairs any earlier
-    * crash's staleness, and two racing mutators both write a correct
-    * snapshot (the rename-overwrite is atomic; last writer wins).
-    * Never throws: a manifest write failure leaves a stale-or-absent
-    * manifest and readers fall back — the manifest is an economy, the
-    * listing is the truth. */
-  private def updateManifest(indexDir: String): Unit =
+  /** Rewrite the index manifest from a FRESH listing — called by the
+    * mutators (segment publish; compaction, BEFORE it retires).
+    * Deriving the content from the listing (never incrementally) means
+    * any successful mutation repairs any earlier crash's staleness,
+    * and two racing mutators both write a correct snapshot (the
+    * rename-overwrite is atomic; last writer wins). Never throws:
+    * false = the manifest could not be refreshed — readers fall back
+    * or serve the stale (victims-still-on-disk) view, and the caller
+    * decides what to gate on it (compaction skips retirement). */
+  private def updateManifest(indexDir: String): Boolean =
     try {
       val active = activeSnapshotsByListing(indexDir)
       val body = ("v1" +: active.map { case (p, kids) =>
         s"${segName(p)} ${if (kids("buckets")) "bucketed" else "plain"}"
       }).mkString("\n")
-      val (fsys, dirPath) = Work.fs(indexDir)
-      val tmp = new org.apache.hadoop.fs.Path(dirPath,
-        s".manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fsys.create(tmp, true)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val target = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          fsys.getUri, Work.hconf)
-        fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          fsys.delete(target, false): Unit
-          fsys.rename(tmp, target): Unit
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+      Work.replaceSmallRecord(indexDir, ManifestName, body)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def segName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
@@ -1392,7 +1393,19 @@ object Dedup {
     // victim-lookup or staging failure, so a loser of the race lands
     // here instead of surfacing a spurious error (r17 review).
     def committed(): String = {
-      if (retire) {
+      // manifest BEFORE retirement (r18 review): the fold already
+      // excludes the victims from the active set, so the manifest must
+      // stop naming them before their dirs can be deleted — a reader
+      // resolving through a manifest that names deleted dirs would
+      // crash instead of falling back (the manifest parses fine; only
+      // its content is stale). If the manifest update itself failed,
+      // retirement is SKIPPED this pass: staleness with victims still
+      // on disk is the safe direction, and the next mutation's update
+      // repairs both. Retirement itself never changes the active set
+      // (victims are fold-filtered whether present or deleted), so no
+      // post-retire update is needed.
+      val manifestFresh = updateManifest(indexDir)
+      if (retire && manifestFresh) {
         if (graceMs <= 0L) {
           val folded = readRecordOpt(target, "folds").toSeq
             .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
@@ -1404,10 +1417,6 @@ object Dedup {
           // finishes any EARLIER fold's deferred retirement
           retireFolded(Some(s), indexDir, graceMs)
       }
-      // retireSegments updated the manifest if it deleted anything;
-      // this covers retire=false and the already-everything-retired
-      // retry, where the fold itself still changed the active set
-      updateManifest(indexDir)
       target
     }
     if (Work.isComplete(target)) return committed()
@@ -1513,7 +1522,14 @@ object Dedup {
       }
       Work.clean(path)
     }
-    if (segNames.nonEmpty) updateManifest(indexDir)
+    // no manifest update here: retirement only ever deletes segments
+    // the active set ALREADY excludes (fold-filtered), so the manifest
+    // content is unchanged by it — compactSegments refreshed the
+    // manifest before any retirement ran (r18 review: the former
+    // post-delete update here both doubled the per-mutation metadata
+    // bill and left a window where a well-formed manifest named
+    // deleted dirs). Retiring an ACTIVE segment out-of-band is not a
+    // supported operation.
   }
 
   /** Retire every GRACE-ELIGIBLE folded victim of a segmented index:

@@ -317,10 +317,7 @@ object StreamOps {
     fsys.rename(s, Work.fs(dst)._2)
   }
 
-  private[graft] def fsExists(p: String): Boolean = {
-    val (fsys, q) = Work.fs(p)
-    fsys.exists(q)
-  }
+  private[graft] def fsExists(p: String): Boolean = Work.pathExists(p)
 
   private[graft] def mergeCountsSnapshot(updates: DataFrame,
       snapshotDir: String,

@@ -685,7 +685,12 @@ object StreamingDedup {
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val seg = f"b$batchId%09d"
-    if (!graft.Work.isComplete(s"$indexDir/seg_$seg")) {
+    // segmentCommitted, not a bare _SUCCESS probe (r18 review): under a
+    // policy, this batch's own segment may have been FOLDED AND RETIRED
+    // before the checkpoint committed — the replay must still
+    // short-circuit, or it would re-dedup against a history containing
+    // its own docs (self-pairs) and overwrite its correct pair sink
+    if (!Dedup.segmentCommitted(indexDir, seg)) {
       val pairs =
         if (Dedup.completeSegments(indexDir).nonEmpty)
           Dedup.incrementalAgainstSegmentedIndex(s, indexDir, batch)

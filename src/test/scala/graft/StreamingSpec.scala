@@ -2422,6 +2422,25 @@ class StreamingSpec extends SparkSpec {
     assert(parts <=
       (Dedup.AlignedFoldMaxFilesPerBucket + 1) * Dedup.HistIdxBuckets,
       s"major must collapse files, got $parts")
+    // REPLAY after fold+retire (r18 review): batch 0's segment was
+    // folded into a compacted segment and its dir RETIRED by the
+    // policy — a replay (sink crash before the checkpoint commit)
+    // must still short-circuit. A bare _SUCCESS probe would say
+    // "never ran" and re-dedup batch 0 against a history containing
+    // its own docs: one self-pair per doc, overwriting the correct
+    // pair sink. segmentCommitted consults the fold records.
+    assert(!Work.isComplete(s"$sIdx/seg_b000000000"),
+      "precondition: batch 0's segment dir must be retired")
+    assert(Dedup.segmentCommitted(sIdx, "b000000000"),
+      "a folded+retired segment is still COMMITTED")
+    graft.streaming.StreamingDedup.segmentedFoldBatch(sIdx, sPairs,
+      Some(Dedup.CompactionPolicy(minorTail = 2, majorFlavors = 2)))(
+      day(0).toDF("doc_id", "text"), 0L)
+    assert(rows(spark.read.parquet(s"$sPairs/batch_b*")) == streamed,
+      "a replayed folded batch must be a no-op — no self-pairs, " +
+        "no overwritten sink")
+    assert(names.length == 1, "a replayed folded batch must not " +
+      "republish its segment")
     Seq(bIdx, sIdx, sPairs).foreach(Work.clean)
   }
 }
