@@ -848,6 +848,30 @@ class GuardSpec extends SparkSpec {
     Work.clean(plain)
   }
 
+  test("Work.spell: default-filesystem paths spell plain, any other " +
+      "filesystem stays fully qualified (r18 review — a qualified " +
+      "path must never re-resolve against the wrong store)") {
+    // this box's default fs is file:// — both spellings of a local
+    // path canonicalize to the plain one (pre-port offsets/tags keep
+    // resolving)...
+    val p1 = Work.spell(new org.apache.hadoop.fs.Path("/x/y"))
+    val p2 = Work.spell(new org.apache.hadoop.fs.Path("file:/x/y"))
+    assert(p1 == "/x/y" && p2 == "/x/y")
+    // ...while a NON-default scheme keeps its scheme: stripping it
+    // would hand the string back to defaultFS resolution — the wrong
+    // store (the hazard on an hdfs-default cluster with file:-spelled
+    // artifacts, mirrored here by a custom scheme on a file-default
+    // box)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val q = Work.spell(new org.apache.hadoop.fs.Path("flaky:///x/y"))
+    assert(q.startsWith("flaky:"), s"non-default scheme lost: $q")
+    // round-trip: the canonical spelling resolves back to the SAME
+    // filesystem it came from
+    assert(Work.fs(q)._1.getUri.getScheme == "flaky")
+    assert(Work.fs(p2)._1.getUri.getScheme == "file")
+  }
+
   test("Work.publish(markerLast) on a store whose rename is NON-atomic: " +
       "the rename commit can be half-read, marker-last never is " +
       "(r17 verdict #4)") {
