@@ -330,8 +330,16 @@ object Work {
       // through to the rename retry.
       val quarantine = scratch(
         s"heal${matSeq.incrementAndGet()}_${target.getName}")
-      try f.rename(target, fs(quarantine)._2): Unit
-      catch { case scala.util.control.NonFatal(_) => () }
+      val quarantined =
+        try f.rename(target, fs(quarantine)._2)
+        catch { case scala.util.control.NonFatal(_) => false }
+      // quarantine couldn't land (rename-restricted scratch root,
+      // cross-zone) — fall back to the pre-r18 delete, but ONLY while
+      // the target is still marker-less: a delete must never take a
+      // committed artifact (r18 review — without this fallback a store
+      // where rename fails but delete works turns the old clean+retry
+      // recovery into a permanent publish failure)
+      if (!quarantined && !done) clean(path)
       renamed = tryRename()
     }
     if (!renamed) {
@@ -362,12 +370,25 @@ object Work {
     * against the WRONG store (r18 review: a `file:`-spelled stream dir
     * on an hdfs-default cluster must not serialize plain). One
     * canonical spelling per filesystem is what keeps string-keyed sets
-    * (offsets, tags, fold records) stable across caller spellings. */
+    * (offsets, tags, fold records) stable across caller spellings.
+    *
+    * Migration note: on a local-default box (every run of this engine
+    * to date) this rule is byte-identical to the historical one
+    * (file:/x → /x). On a NON-local-default deployment the historical
+    * rule spelled defaultFS paths fully qualified where this spells
+    * them plain — catalog tags and table names derived from
+    * pre-existing segment paths re-derive on upgrade (the per-path
+    * catalog cleanup is best-effort economy, not correctness), and
+    * log-store offsets predate the Hadoop-FS port nowhere but local. */
   def spell(p: org.apache.hadoop.fs.Path): String = {
     val defUri = org.apache.hadoop.fs.FileSystem.getDefaultUri(hconf)
     val u = p.toUri
     val sameScheme = u.getScheme == null || u.getScheme == defUri.getScheme
-    val sameAuth = u.getAuthority == null || defUri.getAuthority == null ||
+    // a path with NO authority inherits the default's; a path WITH one
+    // must match it exactly — file://host/x on an authority-less
+    // file:/// default must stay qualified, or the plain spelling
+    // would re-resolve against the local root (r18 review)
+    val sameAuth = u.getAuthority == null ||
       u.getAuthority == defUri.getAuthority
     if (sameScheme && sameAuth) u.getPath else p.toString
   }
@@ -395,16 +416,18 @@ object Work {
     * overwrite-rename (FileContext Rename.OVERWRITE; delete+rename
     * fallback for schemes with no AbstractFileSystem binding) — a
     * concurrent reader sees the old or the new content, never a
-    * truncated middle. Returns false instead of throwing when the
-    * replace could not land (callers decide whether staleness is the
-    * safe direction). */
+    * truncated middle. THROWS the underlying failure (r18 review:
+    * callers that must abort a destructive sequence need the root
+    * cause, not a fresh context-free IOException; callers for whom
+    * staleness is the safe direction catch it) and best-effort deletes
+    * its tmp file on the way out (the dot-name is not scr_-swept). */
   def replaceSmallRecord(dir: String, name: String,
-      content: String): Boolean =
+      content: String): Unit = {
+    val (f, d) = fs(dir)
+    f.mkdirs(d): Unit
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val (f, d) = fs(dir)
-      f.mkdirs(d): Unit
-      val tmp = new org.apache.hadoop.fs.Path(d,
-        s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, true)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -414,13 +437,20 @@ object Work {
           f.getUri, hconf)
         fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        true
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
           f.delete(target, false): Unit
-          f.rename(tmp, target)
+          if (!f.rename(tmp, target))
+            throw new java.io.IOException(
+              s"control record replace failed: $tmp -> $target")
       }
-    } catch { case scala.util.control.NonFatal(_) => false }
+    } catch {
+      case e: Throwable =>
+        try f.delete(tmp, false): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
 
   /** Adopt a published dir's DATA files into a staging dir at the raw
     * file level: hard-LINK on the local filesystem (one O(1) metadata

@@ -88,14 +88,12 @@ object LogSourceV2 {
   def compactionStamp(dir: String): Long =
     graft.Work.readSmallRecord(dir, CompactionMarker).map(_.trim.toLong).getOrElse(0L)
 
-  /** A failed stamp write must SURFACE: the stamp arms the checkpoint
-    * guards BEFORE the destructive phase of compact/truncate, and
-    * proceeding unstamped would disarm them silently. */
+  /** A failed stamp write SURFACES (replaceSmallRecord propagates the
+    * root cause): the stamp arms the checkpoint guards BEFORE the
+    * destructive phase of compact/truncate, and proceeding unstamped
+    * would disarm them silently. */
   private[connector] def writeCompactionStamp(dir: String, stamp: Long): Unit =
-    if (!graft.Work.replaceSmallRecord(dir, CompactionMarker, stamp.toString))
-      throw new java.io.IOException(
-        s"could not write the compaction stamp under $dir — aborting " +
-          "before any destructive step")
+    graft.Work.replaceSmallRecord(dir, CompactionMarker, stamp.toString)
 
   /** Tombstone of retention-deleted segment paths (one per line, the
     * vacuum stamp tab-prefixed; legacy lines are bare paths = stamp 0).
@@ -141,11 +139,10 @@ object LogSourceV2 {
   private[connector] def recordVacuumed(dir: String, segs: Seq[String],
       stamp: Long): Unit = {
     val prior = graft.Work.readSmallRecord(dir, VacuumTombstone).getOrElse("")
-    if (!graft.Work.replaceSmallRecord(dir, VacuumTombstone,
-        prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n")))
-      throw new java.io.IOException(
-        s"could not record vacuum tombstones under $dir — aborting " +
-          "before any segment deletion")
+    // a failed replace propagates from replaceSmallRecord with its root
+    // cause — data deletion follows the tombstone (fail-safe ordering)
+    graft.Work.replaceSmallRecord(dir, VacuumTombstone,
+      prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"))
   }
 
   /** Data segment files in `dir` with their FileStatus (one listStatus

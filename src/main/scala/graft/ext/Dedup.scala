@@ -1153,15 +1153,37 @@ object Dedup {
     * correct pair sink. Cost: one exists() on the common paths (fresh
     * or still-present segment); the fold-record sweep only runs for a
     * name that is absent AND the index has compacted segments. */
-  def segmentCommitted(indexDir: String, name: String): Boolean = {
+  def segmentCommitted(indexDir: String, name: String): Boolean =
+    foldGate(indexDir, name)._1
+
+  /** One CONSISTENT pass serving the streaming fold's whole pre-batch
+    * decision: (is `name` committed?, the complete segment paths). The
+    * fold-record reads retry WITH the listing they came from — a
+    * concurrent retirement vanishing a listed record would otherwise
+    * silently drop its victims from the folded set and turn a
+    * committed replay into a re-run (r18 review: the same vanish race
+    * activeSnapshotsByListing retries, re-introduced un-retried). One
+    * listing serves both answers, so the fresh-batch hot path pays
+    * ONE O(segments) pass, not two (r18 review). */
+  private[graft] def foldGate(indexDir: String,
+      name: String): (Boolean, Seq[String]) = {
     val n = if (name.startsWith("seg_")) name else s"seg_$name"
-    Work.isComplete(s"$indexDir/$n") || {
-      val snaps = segSnapshots(indexDir)
-        .filter(s => s._2("_SUCCESS") && s._2("folds"))
-      snaps.nonEmpty && snaps
-        .flatMap { case (p, _) => readRecordOpt(p, "folds") }
-        .flatMap(_.split("\n")).map(_.trim).contains(n)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val snaps = segSnapshots(indexDir).filter(_._2("_SUCCESS"))
+      val complete = snaps.map(_._1)
+      if (complete.exists(segName(_) == n)) return (true, complete)
+      val reads = snaps.filter(_._2("folds"))
+        .map { case (p, _) => readRecordOpt(p, "folds") }
+      if (!reads.contains(None))
+        return (reads.flatten.flatMap(_.split("\n")).map(_.trim)
+          .contains(n), complete)
     }
+    throw new IllegalStateException(
+      s"fold-gate computation over $indexDir kept racing concurrent " +
+        "retirements after 5 attempts — is something deleting fold " +
+        "records outside compactSegments/retireSegments?")
   }
 
   /** The segments a reader should scan RIGHT NOW: the complete ones,
@@ -1277,6 +1299,7 @@ object Dedup {
         s"${segName(p)} ${if (kids("buckets")) "bucketed" else "plain"}"
       }).mkString("\n")
       Work.replaceSmallRecord(indexDir, ManifestName, body)
+      true
     } catch { case scala.util.control.NonFatal(_) => false }
 
   private def segName(path: String): String =
@@ -1409,13 +1432,15 @@ object Dedup {
         if (graceMs <= 0L) {
           val folded = readRecordOpt(target, "folds").toSeq
             .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
-          retireSegments(Some(s), indexDir,
-            folded.filterNot(_ == s"seg_$compactId"))
+          retireSegmentsImpl(Some(s), indexDir,
+            folded.filterNot(_ == s"seg_$compactId"),
+            refreshManifest = false)
         } else
           // grace window (r17 verdict #7): defer each victim until its
           // fold's marker is older than graceMs — the sweep also
           // finishes any EARLIER fold's deferred retirement
-          retireFolded(Some(s), indexDir, graceMs)
+          retireFoldedImpl(Some(s), indexDir, graceMs,
+            refreshManifest = false)
       }
       target
     }
@@ -1504,7 +1529,24 @@ object Dedup {
     * session through so the catalog cleanup cannot silently no-op on
     * a thread with no active session (r17 review #2). */
   def retireSegments(session: Option[SparkSession], indexDir: String,
-      segNames: Seq[String]): Unit = {
+      segNames: Seq[String]): Unit =
+    retireSegmentsImpl(session, indexDir, segNames,
+      refreshManifest = true)
+
+  private def retireSegmentsImpl(session: Option[SparkSession],
+      indexDir: String, segNames: Seq[String],
+      refreshManifest: Boolean): Unit = {
+    if (segNames.isEmpty) return
+    // manifest BEFORE deletion, the same ordering rule as
+    // compactSegments (r18 review): the active set already excludes
+    // folded victims, so a fresh rewrite here stops a STALE manifest
+    // (a crashed fold's, or one whose in-compactor refresh failed)
+    // from naming dirs this call is about to delete — and when even
+    // this refresh fails, deletion is SKIPPED: victims-on-disk under a
+    // stale manifest is the safe direction, deleted-under-a-manifest-
+    // that-names-them is a reader crash. The in-compactor path passes
+    // refreshManifest=false (it refreshed an instant ago).
+    if (refreshManifest && !updateManifest(indexDir)) return
     segNames.foreach { n =>
       require(n.startsWith("seg_"), s"not a segment name: $n")
       // normalize to the same spelling the reader declared tables
@@ -1522,14 +1564,13 @@ object Dedup {
       }
       Work.clean(path)
     }
-    // no manifest update here: retirement only ever deletes segments
-    // the active set ALREADY excludes (fold-filtered), so the manifest
-    // content is unchanged by it — compactSegments refreshed the
-    // manifest before any retirement ran (r18 review: the former
-    // post-delete update here both doubled the per-mutation metadata
-    // bill and left a window where a well-formed manifest named
-    // deleted dirs). Retiring an ACTIVE segment out-of-band is not a
-    // supported operation.
+    // no POST-delete update: retirement only ever deletes segments the
+    // active set already excludes (fold-filtered), so the manifest
+    // content is unchanged by the deletions themselves (the former
+    // trailing update doubled the per-mutation metadata bill and left
+    // a window where a well-formed manifest named deleted dirs).
+    // Retiring an ACTIVE segment out-of-band is not a supported
+    // operation.
   }
 
   /** Retire every GRACE-ELIGIBLE folded victim of a segmented index:
@@ -1546,13 +1587,18 @@ object Dedup {
     * with a grace also sweeps its predecessors' now-eligible victims
     * via [[compactSegments]]'s committed path). */
   def retireFolded(session: Option[SparkSession], indexDir: String,
-      graceMs: Long = 0L): Unit = {
+      graceMs: Long = 0L): Unit =
+    retireFoldedImpl(session, indexDir, graceMs, refreshManifest = true)
+
+  private def retireFoldedImpl(session: Option[SparkSession],
+      indexDir: String, graceMs: Long,
+      refreshManifest: Boolean): Unit = {
     val (fsys, dirPath) = Work.fs(indexDir)
     if (!fsys.exists(dirPath)) return
     val snaps = segSnapshots(indexDir).filter(_._2("_SUCCESS"))
     val present = snaps.map { case (p, _) => segName(p) }.toSet
     val now = System.currentTimeMillis()
-    snaps.filter(_._2("folds")).foreach { case (p, _) =>
+    val eligible = snaps.filter(_._2("folds")).flatMap { case (p, _) =>
       val marker = new org.apache.hadoop.fs.Path(
         Work.fs(p)._2, "_SUCCESS")
       // a vanished marker (concurrent retirement of p itself) reads as
@@ -1560,13 +1606,20 @@ object Dedup {
       val age =
         try now - fsys.getFileStatus(marker).getModificationTime
         catch { case _: java.io.FileNotFoundException => -1L }
-      if (age >= 0L && age >= graceMs) {
-        val victims = readRecordOpt(p, "folds").toSeq
+      if (age >= 0L && age >= graceMs)
+        readRecordOpt(p, "folds").toSeq
           .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
           .filter(_ != segName(p)).filter(present.contains)
-        retireSegments(session, indexDir, victims)
-      }
-    }
+      else Seq.empty
+    }.distinct
+    if (eligible.isEmpty) return
+    // one refresh covers the whole sweep (victims are fold-excluded,
+    // so the manifest content is the same before and after deletion);
+    // a failed refresh skips the sweep — the deletion-under-a-stale-
+    // manifest rule of retireSegmentsImpl
+    if (refreshManifest && !updateManifest(indexDir)) return
+    retireSegmentsImpl(session, indexDir, eligible,
+      refreshManifest = false)
   }
 
   /** Declarative compaction cadence for a segmented index — the

@@ -685,14 +685,17 @@ object StreamingDedup {
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val seg = f"b$batchId%09d"
-    // segmentCommitted, not a bare _SUCCESS probe (r18 review): under a
+    // foldGate, not a bare _SUCCESS probe (r18 review): under a
     // policy, this batch's own segment may have been FOLDED AND RETIRED
     // before the checkpoint committed — the replay must still
     // short-circuit, or it would re-dedup against a history containing
-    // its own docs (self-pairs) and overwrite its correct pair sink
-    if (!Dedup.segmentCommitted(indexDir, seg)) {
+    // its own docs (self-pairs) and overwrite its correct pair sink.
+    // One consistent listing pass answers both "committed?" and "is
+    // there history yet?".
+    val (committed, complete) = Dedup.foldGate(indexDir, seg)
+    if (!committed) {
       val pairs =
-        if (Dedup.completeSegments(indexDir).nonEmpty)
+        if (complete.nonEmpty)
           Dedup.incrementalAgainstSegmentedIndex(s, indexDir, batch)
         else
           // very first fold of a fresh index: nothing to join yet —
