@@ -410,9 +410,11 @@ object StressMain {
           Dedup.incrementalAgainstSegmentedIndex(spark, path, b).count())
         Dedup.publishHistorySegment(spark, path, f"day$d%02d", b)
         if (d == 27) {
-          // MAJOR: everything active → one bucketed segment
+          // MAJOR: everything active → one bucketed segment; the
+          // full rewrite (no adoption) is the point — reset files
           t("incremental_seg_tiered MAJOR")(
-            { Dedup.compactSegments(spark, path, "major1"); 0L })
+            { Dedup.compactSegments(spark, path, "major1",
+                adoptAligned = false); 0L })
           println(s"[stress]   files after MAJOR: ${fileCount(path)}")
         } else if ((d + 1) % 7 == 0) {
           // MINOR: only this week's plain tail (base stays put)

@@ -1377,6 +1377,15 @@ object Dedup {
     * standard LSM grace window), which is a deployment knob, not an
     * index-format one; `retire=false` leaves retirement to the caller.
     *
+    * `adoptAligned` (default true): bucket-aligned victims under the
+    * file dial are adopted at the raw file level (the append spelling
+    * — zero history IO), with the dial bounding the RESULT's
+    * per-bucket multiplicity (largest victims win the budget; the
+    * overflow is demoted to the rewrite). `adoptAligned = false`
+    * forces the full collapsing rewrite for every victim — what a
+    * MAJOR compaction wants (reset file count, pay the ∝-history
+    * rewrite), and what [[maybeCompact]]'s major passes.
+    *
     * Concurrent compactors: every guard above serializes on the
     * TARGET path, i.e. the compactId. Two compactors racing with the
     * SAME id converge (one commits, the other lands in `committed()`);
@@ -1405,7 +1414,8 @@ object Dedup {
 
   def compactSegments(s: SparkSession, indexDir: String, compactId: String,
       victims: Seq[String] = Seq.empty, bucketed: Boolean = true,
-      retire: Boolean = true, graceMs: Long = 0L): String = {
+      retire: Boolean = true, graceMs: Long = 0L,
+      adoptAligned: Boolean = true): String = {
     require(compactId.matches("[A-Za-z0-9._-]+"),
       s"compaction id must be a plain file-name token, got '$compactId'")
     val target = s"$indexDir/seg_$compactId"
@@ -1478,9 +1488,31 @@ object Dedup {
         // one file per bucket — the IO-vs-file-count dial of any LSM
         // (the r17 aligned SCAN-rewrite removed the history shuffle;
         // ExtSpec pins this spelling cuts the history read too).
-        val (aligned, rest) = chosen.partition(p =>
-          bucketCountOf(p).contains(HistIdxBuckets) &&
-            filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
+        val (alignedCand, rest0) =
+          if (!adoptAligned) (Seq.empty[String], chosen)
+          else chosen.partition(p =>
+            bucketCountOf(p).contains(HistIdxBuckets) &&
+              filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
+        // the dial bounds the RESULT's per-bucket multiplicity, not
+        // just each victim's (r18 tiered re-run: a MAJOR adopting
+        // three 1-file/bucket weeklies landed sum+1 files per bucket —
+        // 262 files where the rewrite collapsed to ~70, regrowing the
+        // small-files problem the dial exists to bound). Greedy by
+        // SIZE, largest victim first — adoption's savings are the
+        // victim's bytes, and the weekly cadence's one big standing
+        // segment is exactly what wins the budget; one multiplicity
+        // slot stays reserved for the staged part. Victims that don't
+        // fit are demoted to the rewrite side (collapsing).
+        val (aligned, demoted) = {
+          var sum = 0
+          val budget = AlignedFoldMaxFilesPerBucket - 1
+          val (a, d) = alignedCand.map(p => (p, filesPerBucket(p)))
+            .sortBy(-_._2).partition { case (_, f) =>
+              if (sum + f <= budget) { sum += f; true } else false
+            }
+          (a.map(_._1), d.map(_._1))
+        }
+        val rest = rest0 ++ demoted
         val restSh =
           if (rest.isEmpty) Seq.empty
           else Seq((s.read.parquet(rest.map(p => s"$p/sh"): _*), false))
@@ -1659,8 +1691,12 @@ object Dedup {
     if (policy.majorFlavors > 0 &&
         bucketedSegs.size >= policy.majorFlavors) {
       val victims = snaps.map { case (p, _) => segName(p) }
+      // adoptAligned=false: a MAJOR exists to RESET file count and
+      // flavor fan-out — adopting the small under-dial weeklies would
+      // save marginal IO and keep their file multiplicity; the
+      // ∝-history rewrite IS the major's documented price
       Some(compactSegments(s, indexDir, compactIdFor(victims),
-        victims, graceMs = policy.graceMs))
+        victims, graceMs = policy.graceMs, adoptAligned = false))
     } else if (plainSegs.size >= policy.minorTail) {
       // the under-dial standing segment rides along for free (adopted,
       // never read); dial-tripped ones are left to accumulate toward

@@ -1915,6 +1915,51 @@ class ExtSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("multi-victim adoption is dial-BUDGETED and a major's " +
+      "adoptAligned=false collapses: the result's per-bucket file " +
+      "multiplicity never exceeds the dial (r18 tiered regression)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    def slice(k: Int) = docs.filter(col("doc_id") % 5 === k)
+      .select((col("doc_id") + 60000000L * k).as("doc_id"), col("text"))
+    val spath = Work.scratch("histidxbudget_spec")
+    Work.clean(spath)
+    // three separate 1-file/bucket bucketed segments (the tiered
+    // cadence's weekly minors) + one plain tail
+    (0 until 3).foreach { k =>
+      Dedup.publishHistorySegment(spark, spath, s"w$k", slice(k))
+      Dedup.compactSegments(spark, spath, s"cw$k",
+        victims = Seq(s"w$k")): Unit
+    }
+    Dedup.publishHistorySegment(spark, spath, "tail", slice(3))
+    def shParts(seg: String): Int = {
+      val (fsys, shDir) = Work.fs(s"$spath/$seg/sh")
+      fsys.listStatus(shDir)
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    def rows = Dedup.segmentedIndexFrames(spark, spath)._1
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = rows
+    // a fold over THREE under-dial victims must not adopt them all:
+    // sum(1,1,1)+1 staged would exceed the dial — the budget demotes
+    // the overflow to the rewrite, so the result stays ≤ dial
+    Dedup.compactSegments(spark, spath, "m1")
+    assert(shParts("seg_m1") <=
+      Dedup.AlignedFoldMaxFilesPerBucket * Dedup.HistIdxBuckets,
+      s"budgeted fold wrote ${shParts("seg_m1")} sh files — the dial " +
+        "must bound the RESULT, not just each victim")
+    assert(rows == want, "budgeted fold must preserve rows")
+    // the MAJOR spelling: adoptAligned=false rewrites everything —
+    // full collapse to one file per bucket
+    Dedup.publishHistorySegment(spark, spath, "tail2", slice(4))
+    Dedup.compactSegments(spark, spath, "m2", adoptAligned = false)
+    assert(shParts("seg_m2") <= Dedup.HistIdxBuckets,
+      s"major must collapse to 1 file/bucket, got ${shParts("seg_m2")}")
+    assert(Dedup.segmentedIndexFrames(spark, spath)._1.count()
+      == want.size + slice(4).count(), "major must preserve rows")
+    Work.clean(spath)
+  }
+
   test("segment manifest: reads cost one record instead of O(segments) " +
       "listings, equal the listing pass exactly, and a crashed " +
       "publish's staleness is repaired by the idempotent retry " +
