@@ -48,9 +48,55 @@ object Work {
     * so every resolution, pre- or post-session, is unambiguous. */
   private[graft] def hconf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case None => new org.apache.hadoop.conf.Configuration()
+      case Some(s) =>
+        val base = s.sparkContext.hadoopConfiguration
+        // SESSION-level overlay (r18 verdict #1): a deployment that
+        // registers an fs scheme or credential per-session
+        // (`spark.conf.set("fs.x.impl", …)`) expects the artifact layer
+        // to resolve it exactly like Spark's own file sources, which
+        // read through `sessionState.newHadoopConf()`. That call clones
+        // the whole context Configuration per invocation — far too hot
+        // for the per-path metadata helpers here — so the overlay is
+        // applied only when the session actually CARRIES non-SQL
+        // settings (newHadoopConf copies session entries verbatim;
+        // `spark.sql.*` keys cannot affect filesystem resolution and
+        // are skipped so the common case stays the shared zero-copy
+        // context conf, live under direct hadoopConfiguration.set()).
+        val overrides = s.sessionState.conf.getAllConfs
+          .filterNot(k => k._1.startsWith("spark.sql.") ||
+            k._1.startsWith("spark.graft."))
+        if (overrides.isEmpty) base
+        else {
+          val c = new org.apache.hadoop.conf.Configuration(base)
+          overrides.foreach { case (k, v) => if (v != null) c.set(k, v) }
+          c
+        }
+    }
+
+  /** Driver-side capture of the FULL session Hadoop conf for shipment
+    * into executor tasks (r18 verdict #1): tasks have no SparkSession,
+    * so any session-registered scheme/credential must travel in the
+    * task factory — the standard DSv2 `SerializableConfiguration`
+    * move. Called once per scan/write (driver), never per record. */
+  private[graft] def taskConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  /** [[fs]] against an EXPLICIT Configuration — the executor-task face
+    * (the shipped [[taskConf]] value), where the session-derived
+    * [[hconf]] is unavailable. */
+  def fsWith(c: org.apache.hadoop.conf.Configuration,
+      p: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val f = path.getFileSystem(c)
+    (f, f.makeQualified(path))
+  }
 
   /** Resolve an artifact path string to its (FileSystem, qualified
     * Path). Callers keep passing plain strings (local paths or
@@ -380,8 +426,15 @@ object Work {
     * pre-existing segment paths re-derive on upgrade (the per-path
     * catalog cleanup is best-effort economy, not correctness), and
     * log-store offsets predate the Hadoop-FS port nowhere but local. */
-  def spell(p: org.apache.hadoop.fs.Path): String = {
-    val defUri = org.apache.hadoop.fs.FileSystem.getDefaultUri(hconf)
+  def spell(p: org.apache.hadoop.fs.Path): String = spellWith(hconf, p)
+
+  /** [[spell]] against an explicit Configuration — the executor-task
+    * face (the shipped [[taskConf]]), so "default filesystem" means the
+    * DRIVER session's default, not whatever the task JVM's classpath
+    * conf happens to resolve. */
+  def spellWith(c: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): String = {
+    val defUri = org.apache.hadoop.fs.FileSystem.getDefaultUri(c)
     val u = p.toUri
     val sameScheme = u.getScheme == null || u.getScheme == defUri.getScheme
     // a path with NO authority inherits the default's; a path WITH one

@@ -249,7 +249,13 @@ final class LogTable(path: String) extends Table
 final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    LogWriterFactory(path, queryId)
+    // DRIVER-side capture of the session Hadoop conf (r18 verdict #1):
+    // the factory ships it into every task, so a scheme/credential
+    // registered only on the session (spark.conf.set("fs.x.impl", …))
+    // resolves inside executors exactly as it does on the driver —
+    // previously tasks fell back to the classpath Configuration, which
+    // silently lacks session-level registrations on a real cluster
+    LogWriterFactory(path, queryId, graft.Work.taskConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // driver-side rename into STAMPED names (see LogSourceV2.isStamped):
@@ -290,24 +296,26 @@ final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
 final case class LogCommitMessage(tmpPath: String)
     extends WriterCommitMessage
 
-final case class LogWriterFactory(path: String, queryId: String)
+final case class LogWriterFactory(path: String, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // lazily created: an empty partition commits no segment; the
       // FINAL (stamped) name is assigned by the driver-side commit.
-      // EXECUTOR-side FS resolution: no SparkSession exists here, so
-      // Work.fs falls back to a classpath Configuration — which is how
-      // any Hadoop job's tasks resolve their store (core-site.xml on
-      // the executor classpath); file: and hdfs: resolve either way
+      // EXECUTOR-side FS resolution goes through the SHIPPED driver
+      // session conf (r18 verdict #1) — no SparkSession exists in a
+      // task, and the classpath Configuration fallback Work.fs would
+      // use covers file:/hdfs:/core-site stores but silently lacks any
+      // scheme or credential registered only on the driver's session.
       private var out: java.io.Writer = _
       private var fsys: org.apache.hadoop.fs.FileSystem = _
       private var tmp: org.apache.hadoop.fs.Path = _
 
       override def write(record: InternalRow): Unit = {
         if (out == null) {
-          val (f, dirPath) = graft.Work.fs(path)
+          val (f, dirPath) = graft.Work.fsWith(conf.value, path)
           fsys = f
           fsys.mkdirs(dirPath): Unit
           tmp = new org.apache.hadoop.fs.Path(dirPath,
@@ -325,8 +333,13 @@ final case class LogWriterFactory(path: String, queryId: String)
       }
 
       override def commit(): WriterCommitMessage = {
+        // spelled against the SHIPPED conf's defaultFS (the driver's),
+        // not the task's fallback default — an executor whose local
+        // default differs from the cluster's would otherwise serialize
+        // a plain path that re-resolves against the wrong store
         if (out == null) LogCommitMessage("")
-        else { out.close(); LogCommitMessage(LogSourceV2.spell(tmp)) }
+        else { out.close()
+          LogCommitMessage(graft.Work.spellWith(conf.value, tmp)) }
       }
 
       override def abort(): Unit = if (out != null) {
@@ -361,7 +374,8 @@ final class LogScan(path: String, failOnDataLoss: Boolean = true,
       LogSourceV2.listSegments(path).map(LogSegmentPartition(_): InputPartition)
         .toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      LogSegmentReaderFactory
+      // driver-side conf capture, shipped to every reader task
+      LogSegmentReaderFactory(graft.Work.taskConf())
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -693,7 +707,8 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LogSegmentReaderFactory
+    // driver-side conf capture, shipped to every reader task
+    LogSegmentReaderFactory(graft.Work.taskConf())
 
   /** Segments are immutable and retained; nothing to release. */
   override def commit(end: Offset): Unit = ()
@@ -701,14 +716,18 @@ final class LogMicroBatchStream(path: String, failOnDataLoss: Boolean = true,
   override def stop(): Unit = ()
 }
 
-object LogSegmentReaderFactory extends PartitionReaderFactory {
+final case class LogSegmentReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[LogSegmentPartition].file
     new PartitionReader[InternalRow] {
-      // executor-side open through the Hadoop FS API (classpath
-      // Configuration — same note as the writer factory)
+      // executor-side open through the Hadoop FS API against the
+      // SHIPPED driver session conf (r18 verdict #1 — same note as the
+      // writer factory: session-registered schemes/credentials must
+      // resolve inside tasks)
       private val in = {
-        val (fsys, p) = graft.Work.fs(file)
+        val (fsys, p) = graft.Work.fsWith(conf.value, file)
         fsys.open(p)
       }
       private val source = scala.io.Source.fromInputStream(in, "UTF-8")

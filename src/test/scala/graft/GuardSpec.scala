@@ -990,6 +990,89 @@ class GuardSpec extends SparkSpec {
     assert(reg.resolveArtifact("idx").map(_.uri).contains("/pub/b"))
     Work.clean(wd)
   }
+
+  test("log connector resolves a scheme registered ONLY on the session " +
+      "conf, through real executor tasks (r18 verdict #1: the shipped " +
+      "SerializableConfiguration)") {
+    // register the custom scheme at SESSION level only — never on the
+    // context hadoopConfiguration, never on the classpath — and disable
+    // the FileSystem cache for it, so every resolution (driver helper
+    // or executor task) must find the impl in the Configuration it was
+    // actually handed; a cached instance can't mask a missing conf
+    spark.conf.set("fs.sessfs.impl", classOf[SessionOnlyFs].getName)
+    spark.conf.set("fs.sessfs.impl.disable.cache", "true")
+    try {
+      assert(spark.sparkContext.hadoopConfiguration
+        .get("fs.sessfs.impl") == null,
+        "precondition: the scheme must NOT be on the context conf")
+      val base = s"sessfs://${Work.dir}/test_guard_sessfs_${Work.jvmTag}"
+      Work.clean(base)
+      val store = graft.connector.LogStore(base)
+      val ev = Tables(spark, sf, "events").limit(12)
+      // batch append: Spark's text sink resolves via the session conf;
+      // the driver-side stamping renames via Work.hconf's session
+      // overlay
+      store.append(ev, "sc", "st")
+      assert(store.readBounded(spark, "sc", "st",
+        graft.streaming.StreamOps.eventSchema).count() == 12)
+      // V2 batch write + read: writer/reader FACTORIES ship the session
+      // conf into tasks (no SparkSession exists in a task — on a real
+      // cluster this is the only way the scheme resolves there)
+      ev.select(to_json(struct(ev.columns.map(col).toSeq: _*)).as("value"))
+        .write.format(classOf[graft.connector.LogSourceProvider].getName)
+        .option("path", store.path("sc", "st")).mode("append").save()
+      assert(store.readBoundedV2(spark, "sc", "st",
+        graft.streaming.StreamOps.eventSchema).count() == 24)
+      // streaming read from the session-only scheme, through V2 reader
+      // tasks
+      val ckpt = Work.scratch("guard_sessfs_ckpt")
+      val out = Work.scratch("guard_sessfs_out")
+      store.readStream(spark, "sc", "st",
+          graft.streaming.StreamOps.eventSchema)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      assert(spark.read.parquet(out).count() == 24)
+      // the shipped-conf pin that survives local mode's shared JVM
+      // (where a task could fall back to the default session and pass
+      // by accident): the serialized factories CARRY the session conf
+      def roundTrip[T <: AnyRef](x: T): T = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(x); oos.close()
+        new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+          .readObject().asInstanceOf[T]
+      }
+      val wf = roundTrip(graft.connector.LogWriterFactory(
+        store.path("sc", "st"), "q1", Work.taskConf()))
+      assert(wf.conf.value.get("fs.sessfs.impl") ==
+        classOf[SessionOnlyFs].getName,
+        "writer factory must ship the session-registered scheme")
+      val rf = roundTrip(
+        graft.connector.LogSegmentReaderFactory(Work.taskConf()))
+      assert(rf.conf.value.get("fs.sessfs.impl") ==
+        classOf[SessionOnlyFs].getName,
+        "reader factory must ship the session-registered scheme")
+      Work.clean(base)
+      Work.clean(ckpt)
+      Work.clean(out)
+    } finally {
+      spark.conf.unset("fs.sessfs.impl")
+      spark.conf.unset("fs.sessfs.impl.disable.cache")
+    }
+  }
+}
+
+/** Test-only FileSystem registered ONLY at session level — exists to
+  * pin that the artifact layer and the log connector resolve
+  * session-registered schemes, on the driver (Work.hconf overlay) and
+  * inside executor tasks (the factories' shipped
+  * SerializableConfiguration). */
+class SessionOnlyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "sessfs"
+  override def getUri: java.net.URI = java.net.URI.create("sessfs:///")
 }
 
 /** Test-only FileSystem whose rename is deliberately NON-ATOMIC: it
