@@ -131,34 +131,78 @@ object LogSourceV2 {
     * [[graft.Work.replaceSmallRecord]]) — FileSystem.append is
     * unsupported on several stores (the checksummed local fs among
     * them), and the swap gives concurrent readers old-or-new instead
-    * of a truncated middle. The maintenance ops that call this are
-    * single-coordinator (documented on truncate/compact), so
-    * read-modify-write lost updates are outside the contract. A failed
-    * replace must SURFACE (data deletion follows the tombstone —
-    * fail-safe ordering), hence the throw on false. */
+    * of a truncated middle. The read-modify-replace runs under an
+    * exclusive lock record (r18 ADVICE: the single-coordinator
+    * contract was comment-only — two concurrent truncate/vacuum calls
+    * could silently lose each other's entries BEFORE the data files
+    * are deleted, stranding a resumed checkpoint on the generic
+    * consumed-set error instead of the vacuumed-segment route). A
+    * failed replace must SURFACE (data deletion follows the tombstone
+    * — fail-safe ordering), hence the propagation. */
   private[connector] def recordVacuumed(dir: String, segs: Seq[String],
-      stamp: Long): Unit = {
-    val prior = graft.Work.readSmallRecord(dir, VacuumTombstone).getOrElse("")
-    // a failed replace propagates from replaceSmallRecord with its root
-    // cause — data deletion follows the tombstone (fail-safe ordering)
-    graft.Work.replaceSmallRecord(dir, VacuumTombstone,
-      prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"))
-  }
+      stamp: Long): Unit =
+    graft.Work.withExclusiveRecord(dir, "_graft_vacuum_lock") {
+      val prior = graft.Work.readSmallRecord(dir, VacuumTombstone)
+        .getOrElse("")
+      // a failed replace propagates from replaceSmallRecord with its
+      // root cause — data deletion follows the tombstone (fail-safe
+      // ordering)
+      graft.Work.replaceSmallRecord(dir, VacuumTombstone,
+        prior + segs.map(s => s"$stamp\t$s").mkString("", "\n", "\n"))
+    }
+
+  // --- put-commit mode (r18 verdict #2) --------------------------------
+  // On S3-class object stores FileSystem.rename is a copy — a reader
+  // listing mid-copy can open a PARTIALLY-copied segment (GuardSpec
+  // demonstrates it against a test FS whose file rename dies half-way).
+  // The put commit mode mirrors the artifact layer's markerLast: tasks
+  // still stage invisibly, but the driver then writes each segment to
+  // its FINAL name through one output stream (a single-object PUT is
+  // atomic on the stores that need this mode) and publishes the whole
+  // append with ONE marker object, `_put-<stamp>-<tag>` — no rename
+  // anywhere on the visible path. Put-named segments
+  // (`segment-<stamp>-<i>-<tag>-p.json`) are GATED in the listing on
+  // their append's marker, so even on a store whose create() is
+  // visible mid-write (local fs, HDFS) a reader can never observe a
+  // partial or uncommitted segment: the marker is written strictly
+  // after every data stream closed. A crashed put append leaves
+  // marker-less files that stay invisible forever and are swept by the
+  // next [[LogStore.compact]].
+  private[connector] val PutMarkerPrefix = "_put-"
+
+  private val PutPendingName =
+    """segment-(\d{20})-\d{5}-([0-9a-f]{8})-p\.json""".r
+
+  /** The `<stamp>-<tag>` commit key of a put-mode segment name, None
+    * for rename-committed/foreign names. */
+  private[graft] def putKey(name: String): Option[String] =
+    name match {
+      case PutPendingName(stamp, tag) => Some(s"$stamp-$tag")
+      case _ => None
+    }
 
   /** Data segment files in `dir` with their FileStatus (one listStatus
-    * resolves names, sizes and mtimes for every consumer), sorted by
-    * the canonical path spelling — the same order the old name sort
-    * gave. */
+    * resolves names, sizes, mtimes AND put-commit markers for every
+    * consumer), sorted by the canonical path spelling — the same order
+    * the old name sort gave. Put-mode segments are included only when
+    * their append's `_put-` marker exists (see above): the gate that
+    * makes a put-committed append atomic for readers. */
   def listSegmentStatuses(
       dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val (fsys, d) = graft.Work.fs(dir)
     if (!fsys.exists(d)) Nil
-    else fsys.listStatus(d).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith(".") && !n.startsWith("_")
-      }
-      .sortBy(st => spell(st.getPath))
+    else {
+      val all = fsys.listStatus(d).toSeq
+      val markers = all.iterator.map(_.getPath.getName)
+        .filter(_.startsWith(PutMarkerPrefix)).toSet
+      all
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+            putKey(n).forall(k => markers.contains(PutMarkerPrefix + k))
+        }
+        .sortBy(st => spell(st.getPath))
+    }
   }
 
   /** Data segment files in `dir`, sorted by name (no _SUCCESS/hidden). */
@@ -232,21 +276,30 @@ final class LogTable(path: String) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new LogBatchWrite(path, info.queryId())
+        override def toBatch: BatchWrite = new LogBatchWrite(path,
+          info.queryId(),
+          Option(info.options.get("commitMode"))
+            .getOrElse(LogStore.defaultCommitMode))
       }
     }
 }
 
 /** V2 batch append with a two-phase commit: tasks write dot-prefixed
   * temp files (invisible to [[LogSourceV2.listSegments]]), the driver's
-  * commit renames the committed tasks' files into visible segments —
+  * commit publishes the committed tasks' files as visible segments —
   * readers never observe a partial write, task retries/speculation
   * leave only the one committed attempt, and abort deletes the temps.
   * This is the `INSERT INTO` face of the log store; the DataFrame
   * `append` keeps the built-in text sink (same commit discipline via
-  * Spark's file commit protocol).
+  * Spark's file commit protocol). `commitMode` mirrors
+  * [[LogStore.append]]'s (option `commitMode` on the write): `rename`
+  * is one atomic rename per file; `put` streams each file to its final
+  * put-named segment and gates visibility on one trailing `_put-`
+  * marker — the object-store mode where rename is a half-readable
+  * copy (r18 verdict #2).
   */
-final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
+final class LogBatchWrite(path: String, queryId: String,
+    commitMode: String = LogStore.defaultCommitMode) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     // DRIVER-side capture of the session Hadoop conf (r18 verdict #1):
@@ -270,7 +323,12 @@ final class LogBatchWrite(path: String, queryId: String) extends BatchWrite {
     // it must be practically impossible, same as LogStore.append
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val (fsys, dirPath) = graft.Work.fs(path)
-    messages.zipWithIndex.foreach {
+    if (commitMode == "put")
+      LogStore.putCommit(fsys, dirPath,
+        messages.collect {
+          case LogCommitMessage(tmp) if tmp.nonEmpty => tmp
+        }.toSeq, stamp, tag)
+    else messages.zipWithIndex.foreach {
       case (LogCommitMessage(tmp), i) if tmp.nonEmpty =>
         val dst = new org.apache.hadoop.fs.Path(dirPath,
           f"segment-$stamp%020d-$i%05d-$tag%s.json")

@@ -28,18 +28,37 @@ import org.apache.spark.sql.Row
   * before the port keep resolving (GuardSpec pins the `file:` URI
   * round-trip).
   */
-final case class LogStore(baseDir: String) {
+final case class LogStore(baseDir: String,
+    commitMode: String = LogStore.defaultCommitMode) {
+  require(commitMode == "rename" || commitMode == "put",
+    s"log store commitMode must be 'rename' or 'put', got '$commitMode'")
 
   def path(scope: String, stream: String): String = s"$baseDir/$scope/$stream"
 
   /** Append `df` to the stream as JSON lines — the reference's
     * stream-store JSON sink (processor.py:67-90). Tasks write through
     * the text sink into a hidden scratch dir (one file per task, no
-    * single-writer bottleneck); the driver then renames the files into
-    * STAMPED segment names (LogSourceV2.isStamped) — a per-commit
-    * metadata-only loop, the same shape as any file-commit protocol —
-    * so streaming offsets can watermark over them instead of
-    * enumerating every consumed name. */
+    * single-writer bottleneck); the driver then COMMITS the files into
+    * STAMPED segment names (LogSourceV2.isStamped) so streaming
+    * offsets can watermark over them instead of enumerating every
+    * consumed name. The commit itself is per [[commitMode]]:
+    *
+    *  - `rename` (default): one metadata-only rename per file — atomic
+    *    on the local FS and HDFS, the strongest commit there.
+    *  - `put` (r18 verdict #2, for S3-class stores where rename is a
+    *    non-atomic copy a reader can half-read): each segment is
+    *    written to its FINAL name through one output stream (a
+    *    single-object PUT is atomic) and the whole append is published
+    *    by ONE `_put-` marker object written last —
+    *    [[LogSourceV2.listSegmentStatuses]] hides the segments until
+    *    the marker exists, so no reader ever observes a partial or
+    *    uncommitted segment, even on stores whose create() is visible
+    *    mid-write. A crashed attempt's marker-less files stay
+    *    invisible forever (swept by [[compact]]). The driver-side
+    *    stream copy moves the segment bytes once more than rename
+    *    does; a deployment whose store offers a server-side copy with
+    *    atomic visibility can swap it in behind the same marker gate.
+    */
   def append(df: DataFrame, scope: String, stream: String): Unit = {
     val dir = path(scope, stream)
     val tmp = s"$dir/.append-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -52,7 +71,9 @@ final case class LogStore(baseDir: String) {
     // boundary-stamp rule exists for)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val (fsys, dirPath) = graft.Work.fs(dir)
-    parts.zipWithIndex.foreach { case (f, i) =>
+    if (commitMode == "put")
+      LogStore.putCommit(fsys, dirPath, parts, stamp, tag)
+    else parts.zipWithIndex.foreach { case (f, i) =>
       val dst = new org.apache.hadoop.fs.Path(dirPath,
         f"segment-$stamp%020d-$i%05d-$tag.json")
       if (!fsys.rename(graft.Work.fs(f)._2, dst))
@@ -72,7 +93,10 @@ final case class LogStore(baseDir: String) {
       schema: StructType): DataFrame = {
     val dir = path(scope, stream)
     val files = LogSourceV2.listSegments(dir)
-    val raw = if (files.isEmpty) spark.read.text(dir) // not-found/empty-dir behavior
+    // empty-list directory read keeps the not-found error behavior but
+    // must stay EMPTY even when the dir holds a crashed put append's
+    // marker-less (invisible) files — hence the constant-false filter
+    val raw = if (files.isEmpty) spark.read.text(dir).filter(lit(false))
               else spark.read.text(files: _*)
     decode(raw, schema, s"$scope/$stream")
   }
@@ -324,10 +348,24 @@ final case class LogStore(baseDir: String) {
     // stamp guard, so no surviving reader can reference the entries
     fsys.delete(new org.apache.hadoop.fs.Path(dirPath,
       LogSourceV2.VacuumTombstone), false): Unit
+    // sweep put-commit residue (r18 verdict #2): every live put-mode
+    // segment was just compacted away, so its `_put-` marker gates
+    // nothing, and any marker-LESS put-named file is a crashed
+    // append's invisible residue — compaction is the maintenance
+    // window where both classes of junk are reclaimed
+    fsys.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile &&
+          (n.startsWith(LogSourceV2.PutMarkerPrefix) ||
+            LogSourceV2.putKey(n).isDefined))
+        fsys.delete(st.getPath, false): Unit
+    }
   }
 
   private def encode(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+
+  // (companion holds the shared put-commit implementation)
 
   /** JSON-line decode with a LOUD malformed-line guard: a truncated
     * segment tail or a non-JSON line must fail naming the stream, not
@@ -354,5 +392,37 @@ final case class LogStore(baseDir: String) {
             substring(col(s"r.$corrupt"), 1, 120))).cast("boolean"))
           .otherwise(lit(true)))
       .select("r.*").drop(corrupt)
+  }
+}
+
+object LogStore {
+  /** Deployment-level default commit mode: `-Dgraft.log.commitMode=put`
+    * flips every store constructed without an explicit mode — the knob
+    * an object-store deployment sets once. */
+  def defaultCommitMode: String =
+    sys.props.getOrElse("graft.log.commitMode", "rename")
+
+  /** The put commit (r18 verdict #2), shared by [[LogStore.append]]
+    * and the V2 [[LogBatchWrite]]: stream each staged file to its
+    * final put-named segment (one create per segment — a single-object
+    * PUT on the stores this mode targets), close every stream, THEN
+    * write the append's `_put-` marker. The marker is the atomic
+    * publish: [[LogSourceV2.listSegmentStatuses]] hides put-named
+    * segments until it exists. Staged sources are deleted as they are
+    * copied. */
+  private[connector] def putCommit(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path,
+      staged: Seq[String], stamp: Long, tag: String): Unit = {
+    staged.zipWithIndex.foreach { case (f, i) =>
+      val dst = new org.apache.hadoop.fs.Path(dirPath,
+        f"segment-$stamp%020d-$i%05d-$tag-p.json")
+      val (sfs, sp) = graft.Work.fs(f)
+      org.apache.hadoop.fs.FileUtil.copy(sfs, sp, fsys, dst,
+        true, true, fsys.getConf): Unit
+    }
+    if (staged.nonEmpty)
+      fsys.create(new org.apache.hadoop.fs.Path(dirPath,
+        f"${LogSourceV2.PutMarkerPrefix}$stamp%020d-$tag"), true).close()
   }
 }
