@@ -380,12 +380,19 @@ object Work {
         try f.rename(target, fs(quarantine)._2)
         catch { case scala.util.control.NonFatal(_) => false }
       // quarantine couldn't land (rename-restricted scratch root,
-      // cross-zone) — fall back to the pre-r18 delete, but ONLY while
-      // the target is still marker-less: a delete must never take a
-      // committed artifact (r18 review — without this fallback a store
-      // where rename fails but delete works turns the old clean+retry
-      // recovery into a permanent publish failure)
-      if (!quarantined && !done) clean(path)
+      // cross-zone): THROW rather than delete (r18 ADVICE — the former
+      // delete fallback re-probed `done` but a racing writer committing
+      // between that re-probe and the delete would lose its freshly
+      // committed artifact, the exact hazard the quarantine branch was
+      // added to avoid; on a store where even the quarantine rename
+      // cannot land, destroying a possibly-committed target is worse
+      // than surfacing the blocker for the operator to inspect)
+      if (!quarantined && !done)
+        throw new IllegalStateException(
+          s"publish target $path is blocked by a pre-existing " +
+            "INCOMPLETE artifact that could not be quarantined aside " +
+            s"(rename to $quarantine failed) — inspect and remove the " +
+            "marker-less blocker, then retry the publish")
       renamed = tryRename()
     }
     if (!renamed) {
@@ -502,6 +509,87 @@ object Work {
         try f.delete(tmp, false): Unit
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
+    }
+  }
+
+  /** Create a small control record EXCLUSIVELY: returns true iff THIS
+    * call created it (false = it already existed). Unique tmp + a
+    * no-overwrite `FileContext.rename` (Rename.NONE fails on every
+    * store when the target exists — the same commit primitive
+    * [[publish]] uses), with an exists+rename fallback for schemes
+    * lacking an AbstractFileSystem binding. The create-no-overwrite is
+    * what lock/lease records are made of (r18 verdict #3). */
+  def createSmallRecordExclusive(dir: String, name: String,
+      content: String): Boolean = {
+    val (f, d) = fs(dir)
+    f.mkdirs(d): Unit
+    val target = new org.apache.hadoop.fs.Path(d, name)
+    if (f.exists(target)) return false
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, hconf)
+        try { fc.rename(fc.makeQualified(tmp), fc.makeQualified(target)); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            if (f.exists(target)) false else throw e
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          !f.exists(target) && f.rename(tmp, target)
+      }
+    } finally {
+      try f.delete(tmp, false): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Run `body` under an exclusive wall-clock-stamped lock record
+    * `dir/name` — the enforcement teeth behind every "single
+    * coordinator" maintenance contract (r18 ADVICE: two concurrent
+    * vacuum/truncate calls could silently lose each other's tombstone
+    * entries through the read-modify-replace). A held lock younger
+    * than `staleMs` is waited on up to `waitMs`, then surfaced as an
+    * error naming the lock; one older than `staleMs` is a crashed
+    * holder's residue and is TAKEN OVER (delete + re-create — two
+    * racing takeovers collapse onto the create-no-overwrite, one
+    * wins). The lock is best-effort-deleted on exit. */
+  def withExclusiveRecord[T](dir: String, name: String,
+      staleMs: Long = 15L * 60 * 1000, waitMs: Long = 10000L)(
+      body: => T): T = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      acquired = createSmallRecordExclusive(dir, name,
+        System.currentTimeMillis().toString)
+      if (!acquired) {
+        val stamp = readSmallRecord(dir, name)
+          .flatMap(_.trim.toLongOption).getOrElse(0L)
+        if (System.currentTimeMillis() - stamp > staleMs) {
+          // crashed holder — reclaim; the retry's create arbitrates
+          // racing reclaimers
+          val (f, d) = fs(dir)
+          f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"lock $dir/$name is held (stamp $stamp) — a concurrent " +
+              "maintenance call is running; retry after it finishes " +
+              "or remove the lock if its holder crashed")
+        else Thread.sleep(50L)
+      }
+    }
+    try body
+    finally {
+      val (f, d) = fs(dir)
+      try f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -1047,14 +1047,25 @@ object Dedup {
     * and the standing segment never exceeds 3 files per bucket. */
   val AlignedFoldMaxFilesPerBucket = 3
 
+  /** (files per bucket, total data bytes) of a published bucketed
+    * segment's sh table, from ONE listStatus — the aligned-fold dial's
+    * input (file count = the budget COST) and the adoption greedy's
+    * ordering key (bytes = the adoption SAVINGS; r18 ADVICE: ordering
+    * by file count inverted the intent — a just-collapsed
+    * 1-file/bucket standing segment, the largest-bytes intended
+    * winner, sorted LAST and could be demoted by several many-file
+    * small victims). */
+  private def shLayout(path: String): (Int, Long) = {
+    val (fsys, shDir) = Work.fs(s"$path/sh")
+    val parts = fsys.listStatus(shDir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    (math.ceil(parts.size.toDouble / HistIdxBuckets).toInt,
+      parts.map(_.getLen).sum)
+  }
+
   /** Files per bucket of a published bucketed segment's sh table —
     * the aligned-fold dial's input. */
-  private def filesPerBucket(path: String): Int = {
-    val (fsys, shDir) = Work.fs(s"$path/sh")
-    val parts = fsys.listStatus(shDir)
-      .count(_.getPath.getName.endsWith(".parquet"))
-    math.ceil(parts.toDouble / HistIdxBuckets).toInt
-  }
+  private def filesPerBucket(path: String): Int = shLayout(path)._1
 
   /** Bucket count of a published bucketed segment/index, None for a
     * plain one (or a corrupt record — the strict validation lives in
@@ -1150,11 +1161,16 @@ object Dedup {
     * probe on a replay would say "never ran" and the replayed batch
     * would re-dedup against a history that already contains its own
     * docs — emitting a self-pair per doc and overwriting the batch's
-    * correct pair sink. Cost: one exists() on the common paths (fresh
-    * or still-present segment); the fold-record sweep only runs for a
-    * name that is absent AND the index has compacted segments. */
-  def segmentCommitted(indexDir: String, name: String): Boolean =
-    foldGate(indexDir, name)._1
+    * correct pair sink. Cost (r18 ADVICE): one exists() for the
+    * committed-and-still-present common case (sufficient — a complete
+    * segment dir IS committed); a name that is absent pays one
+    * O(segments) listing pass fused with the fold-record sweep
+    * ([[foldGate]] — the streaming fold calls that directly so the
+    * same pass also serves its history probe). */
+  def segmentCommitted(indexDir: String, name: String): Boolean = {
+    val n = if (name.startsWith("seg_")) name else s"seg_$name"
+    Work.isComplete(s"$indexDir/$n") || foldGate(indexDir, name)._1
+  }
 
   /** One CONSISTENT pass serving the streaming fold's whole pre-batch
     * decision: (is `name` committed?, the complete segment paths). The
@@ -1260,12 +1276,33 @@ object Dedup {
     * falls back to the listing (a FUTURE format must not be
     * mis-read by an old reader; a corrupt record must not wedge the
     * index — the listing is ground truth and the next mutation
-    * rewrites the manifest). */
+    * rewrites the manifest). The header is `v1` or `v1 <stamp>` —
+    * the stamp is [[updateManifest]]'s lost-update guard, ignored on
+    * read.
+    *
+    * STALENESS verification (r18 ADVICE medium): a well-formed
+    * manifest can still name RETIRED dirs — a publisher's write
+    * derived from a pre-fold listing landing after a concurrent
+    * compactor's refresh+retirement (the conditional replace in
+    * [[updateManifest]] closes all but a microsecond window of that).
+    * Every manifest read therefore verifies its entries against ONE
+    * root listStatus (a single LIST call — the per-segment child
+    * listings segSnapshots pays stay skipped, so reader metadata
+    * remains O(1) calls): any named dir missing ⇒ fall back to the
+    * listing pass, whose fold filter serves the correct post-fold
+    * view, and the next successful mutation rewrites the manifest. */
   private def manifestSnapshots(
       indexDir: String): Option[Seq[(String, Set[String])]] =
     readRecordOpt(indexDir, ManifestName).flatMap { txt =>
       val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
-      if (!lines.headOption.contains("v1")) None
+      val headOk = lines.headOption.exists { h =>
+        h.split(" ") match {
+          case Array("v1") => true
+          case Array("v1", st) if st.nonEmpty && st.forall(_.isDigit) => true
+          case _ => false
+        }
+      }
+      if (!headOk) None
       else {
         val parsed = lines.drop(1).map { l =>
           l.split(" ") match {
@@ -1274,32 +1311,72 @@ object Dedup {
                   (flavor == "bucketed" || flavor == "plain") =>
               val kids = if (flavor == "bucketed")
                 Set("_SUCCESS", "buckets") else Set("_SUCCESS")
-              Some((segSpelling(Work.fs(s"$indexDir/$n")._2), kids))
+              Some((n, (segSpelling(Work.fs(s"$indexDir/$n")._2), kids)))
             case _ => None
           }
         }
         if (parsed.contains(None)) None
-        else Some(parsed.flatten.toSeq.sortBy(_._1))
+        else {
+          val entries = parsed.flatten.toSeq
+          val present =
+            try {
+              val (fsys, dirPath) = Work.fs(indexDir)
+              if (!fsys.exists(dirPath)) Set.empty[String]
+              else fsys.listStatus(dirPath).iterator
+                .filter(_.isDirectory).map(_.getPath.getName).toSet
+            } catch {
+              case _: java.io.FileNotFoundException => Set.empty[String]
+            }
+          if (entries.exists(e => !present.contains(e._1))) None
+          else Some(entries.map(_._2).sortBy(_._1))
+        }
       }
     }
 
   /** Rewrite the index manifest from a FRESH listing — called by the
     * mutators (segment publish; compaction, BEFORE it retires).
     * Deriving the content from the listing (never incrementally) means
-    * any successful mutation repairs any earlier crash's staleness,
-    * and two racing mutators both write a correct snapshot (the
-    * rename-overwrite is atomic; last writer wins). Never throws:
-    * false = the manifest could not be refreshed — readers fall back
-    * or serve the stale (victims-still-on-disk) view, and the caller
-    * decides what to gate on it (compaction skips retirement). */
+    * any successful mutation repairs any earlier crash's staleness.
+    *
+    * Lost-update guard (r18 ADVICE medium): "two racing mutators both
+    * write a correct snapshot" only holds when each write postdates
+    * all prior MUTATIONS — a publisher whose listing predates a
+    * concurrent compactor's fold could land its (now-stale, victims
+    * included) snapshot AFTER the compactor's refresh and retirement.
+    * The manifest therefore carries a monotonically increasing stamp,
+    * and the replace is CONDITIONAL: re-read immediately before the
+    * swap, and if the record changed since this derivation's start,
+    * re-derive from a fresh listing instead of overwriting newer
+    * content. The listing+derive window (the long one) is closed; the
+    * residual re-read→rename microsecond window is covered by the
+    * reader-side staleness verification in [[manifestSnapshots]].
+    * Never throws: false = the manifest could not be refreshed —
+    * readers fall back or serve the stale (victims-still-on-disk)
+    * view, and the caller decides what to gate on it (compaction
+    * skips retirement). */
   private def updateManifest(indexDir: String): Boolean =
     try {
-      val active = activeSnapshotsByListing(indexDir)
-      val body = ("v1" +: active.map { case (p, kids) =>
-        s"${segName(p)} ${if (kids("buckets")) "bucketed" else "plain"}"
-      }).mkString("\n")
-      Work.replaceSmallRecord(indexDir, ManifestName, body)
-      true
+      var attempt = 0
+      while (attempt < 5) {
+        attempt += 1
+        val before = readRecordOpt(indexDir, ManifestName)
+        val s0 = before.flatMap(_.split("\n").headOption)
+          .map(_.trim.split(" "))
+          .collect { case Array("v1", st) if st.forall(_.isDigit) &&
+            st.nonEmpty => st.toLong }
+          .getOrElse(0L)
+        val active = activeSnapshotsByListing(indexDir)
+        val body = (s"v1 ${s0 + 1}" +: active.map { case (p, kids) =>
+          s"${segName(p)} ${if (kids("buckets")) "bucketed" else "plain"}"
+        }).mkString("\n")
+        if (readRecordOpt(indexDir, ManifestName) == before) {
+          Work.replaceSmallRecord(indexDir, ManifestName, body)
+          return true
+        }
+        // the record moved under us — our listing may predate the
+        // mutation that moved it; loop re-derives
+      }
+      false
     } catch { case scala.util.control.NonFatal(_) => false }
 
   private def segName(path: String): String =
@@ -1381,22 +1458,38 @@ object Dedup {
     * file dial are adopted at the raw file level (the append spelling
     * — zero history IO), with the dial bounding the RESULT's
     * per-bucket multiplicity (largest victims win the budget; the
-    * overflow is demoted to the rewrite). `adoptAligned = false`
-    * forces the full collapsing rewrite for every victim — what a
-    * MAJOR compaction wants (reset file count, pay the ∝-history
-    * rewrite), and what [[maybeCompact]]'s major passes.
+    * overflow is demoted to the collapse). `adoptAligned = false`
+    * forces the collapse for every victim — what a MAJOR compaction
+    * wants (reset file count), and what [[maybeCompact]]'s major
+    * passes.
     *
-    * Concurrent compactors: every guard above serializes on the
-    * TARGET path, i.e. the compactId. Two compactors racing with the
-    * SAME id converge (one commits, the other lands in `committed()`);
-    * two compactors with DIFFERENT ids over overlapping victim sets
-    * are NOT safe — both can commit, two active compacted segments
-    * then carry the same history docs, and incremental queries emit
-    * duplicated pairs (r17 ADVICE). Run one compactor per index (the
-    * deployment default — [[CompactionPolicy]] is single-writer by
-    * construction), or derive the id with [[compactIdFor]] so
-    * independent compactors that picked the same victim set converge
-    * on one target. */
+    * `concatAligned` (default false; r18 verdict #4): the collapse of
+    * bucket-ALIGNED victims runs as a raw per-bucket row-group CONCAT
+    * ([[concatBucketedSub]] — byte copy, no decode/shuffle/re-encode)
+    * instead of the Spark rewrite; plain/misaligned victims still
+    * rewrite (they need the shuffle into the bucket layout anyway).
+    * The merged files lose whole-file sort order, so the segment
+    * publishes with the `unsorted` layout flag and readers declare it
+    * without SORTED BY — plans that need an order sort explicitly
+    * (correct always; in the broadcast regime the flag is moot). The
+    * tradeoff is the LSM classic: byte-copy-speed majors against a
+    * possible stored-side sort in sort-merge-join plans.
+    *
+    * Concurrent compactors (r18 verdict #3 — enforced, not
+    * convention): every compaction runs under an index-level LEASE
+    * record (`_lease_compact`, created with the same no-overwrite
+    * rename primitive as the publish commit). Two compactors racing
+    * with the SAME id converge — the loser waits on the lease and
+    * lands in `committed()` when the winner's target appears; two
+    * compactors with DIFFERENT ids (the overlapping-victims hazard:
+    * both could commit, two active compacted segments would carry the
+    * same history docs, and incremental queries would emit duplicated
+    * pairs — r17 ADVICE) now FAIL CLEANLY: the second acquirer gets a
+    * pointed error naming the holder instead of double-publishing. A
+    * crashed holder's lease goes stale after
+    * `-Dgraft.dedup.compactLeaseMs` (default 15 min) and is taken
+    * over. [[compactIdFor]] remains the way independent compactors
+    * that picked the same victim set converge on one target. */
   /** Deterministic compaction id for a victim set: independent
     * compactors that each decided to fold the same segments derive
     * the SAME id, so the race collapses onto [[compactSegments]]'s
@@ -1412,10 +1505,76 @@ object Dedup {
     "fold_" + d.take(8).map(b => f"$b%02x").mkString
   }
 
+  private val CompactLease = "_lease_compact"
+
+  /** Stale-lease horizon: a lease older than this belongs to a crashed
+    * compactor and is taken over. Size it past the longest expected
+    * fold wall. */
+  private def compactLeaseStaleMs: Long =
+    sys.props.get("graft.dedup.compactLeaseMs").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+
+  /** Acquire the index-level compaction lease (see [[compactSegments]]
+    * scaladoc). Returns true when acquired; false when the wait
+    * resolved by CONVERGENCE (our target became complete under a
+    * same-id sibling). Throws, pointedly, when a DIFFERENT live
+    * compaction holds the lease — the overlapping-victims double-commit
+    * hazard this lease exists to exclude. */
+  private def acquireCompactLease(indexDir: String, compactId: String,
+      target: String): Boolean = {
+    while (true) {
+      if (Work.createSmallRecordExclusive(indexDir, CompactLease,
+          s"$compactId ${System.currentTimeMillis()}"))
+        return true
+      if (Work.isComplete(target)) return false
+      Work.readSmallRecord(indexDir, CompactLease) match {
+        case None => () // freed between probe and read — retry create
+        case Some(txt) =>
+          val parts = txt.trim.split(" ")
+          val holder = parts.headOption.getOrElse("")
+          val stamp = parts.lift(1).flatMap(_.toLongOption).getOrElse(0L)
+          if (System.currentTimeMillis() - stamp > compactLeaseStaleMs) {
+            // crashed holder — reclaim; racing reclaimers collapse
+            // onto the create-no-overwrite retry (one wins)
+            val (f, d) = Work.fs(indexDir)
+            f.delete(new org.apache.hadoop.fs.Path(d, CompactLease),
+              false): Unit
+          } else if (holder == compactId)
+            // a live sibling is folding OUR victim set — wait for its
+            // commit (convergence) or its release
+            Thread.sleep(100L)
+          else
+            throw new IllegalStateException(
+              s"compaction of $indexDir: a concurrent compactor " +
+                s"'$holder' holds the lease (stamp $stamp) and this " +
+                s"fold's id '$compactId' differs — overlapping victim " +
+                "sets under different ids would double-publish the " +
+                "history; wait for the holder, or remove " +
+                s"$indexDir/$CompactLease if it crashed")
+      }
+    }
+    false // unreachable
+  }
+
+  /** Best-effort release: delete the lease only while it is still OURS
+    * (a stale takeover may have replaced it — never delete the
+    * taker's). */
+  private def releaseCompactLease(indexDir: String,
+      compactId: String): Unit =
+    try {
+      if (Work.readSmallRecord(indexDir, CompactLease)
+          .exists(_.startsWith(compactId + " "))) {
+        val (f, d) = Work.fs(indexDir)
+        f.delete(new org.apache.hadoop.fs.Path(d, CompactLease),
+          false): Unit
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def compactSegments(s: SparkSession, indexDir: String, compactId: String,
       victims: Seq[String] = Seq.empty, bucketed: Boolean = true,
       retire: Boolean = true, graceMs: Long = 0L,
-      adoptAligned: Boolean = true): String = {
+      adoptAligned: Boolean = true,
+      concatAligned: Boolean = false): String = {
     require(compactId.matches("[A-Za-z0-9._-]+"),
       s"compaction id must be a plain file-name token, got '$compactId'")
     val target = s"$indexDir/seg_$compactId"
@@ -1455,6 +1614,14 @@ object Dedup {
       target
     }
     if (Work.isComplete(target)) return committed()
+    // lease BEFORE reading the active set (r18 verdict #3): victim
+    // selection and staging must not interleave with another
+    // compactor's fold/retire; a false return means a same-id sibling
+    // completed our target while we waited — pure convergence
+    if (!acquireCompactLease(indexDir, compactId, target))
+      return committed()
+    try {
+    if (Work.isComplete(target)) return committed()
     val active = activeSegments(indexDir)
     val chosen = if (victims.isEmpty) active else victims.map { v =>
       val n = if (v.startsWith("seg_")) v else s"seg_$v"
@@ -1472,7 +1639,7 @@ object Dedup {
     val folds = (chosen.map(segName) ++ chosen.flatMap(p =>
       readRecordOpt(p, "folds").toSeq.flatMap(_.split("\n"))
         .map(_.trim).filter(_.nonEmpty))).distinct.sorted
-    try Work.publish(target) { tmp =>
+    def stageAll(useConcat: Boolean): Unit = Work.publish(target) { tmp =>
       if (bucketed) {
         // bucket-ALIGNED victims (already published with the target
         // spec — the standing compacted segment of a weekly/major
@@ -1484,35 +1651,49 @@ object Dedup {
         // adoption preserves the victim's per-bucket FILE multiplicity
         // (+1 file/bucket per folded tail part), so once the standing
         // segment reaches [[AlignedFoldMaxFilesPerBucket]] the fold
-        // degrades to the full repartition rewrite, collapsing back to
-        // one file per bucket — the IO-vs-file-count dial of any LSM
-        // (the r17 aligned SCAN-rewrite removed the history shuffle;
-        // ExtSpec pins this spelling cuts the history read too).
-        val (alignedCand, rest0) =
-          if (!adoptAligned) (Seq.empty[String], chosen)
-          else chosen.partition(p =>
-            bucketCountOf(p).contains(HistIdxBuckets) &&
-              filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
+        // degrades to a COLLAPSE back to one file per bucket — the
+        // IO-vs-file-count dial of any LSM. The collapse itself is the
+        // decoding rewrite, or — `concatAligned` (r18 verdict #4) —
+        // the raw row-group concat of [[concatBucketedSub]], which
+        // resets the file count at byte-copy cost instead of
+        // decode+shuffle+re-encode cost.
+        val alignedAll = chosen.filter(p =>
+          bucketCountOf(p).contains(HistIdxBuckets))
+        val adoptCand =
+          if (!adoptAligned) Seq.empty[String]
+          else alignedAll.filter(p =>
+            filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
         // the dial bounds the RESULT's per-bucket multiplicity, not
         // just each victim's (r18 tiered re-run: a MAJOR adopting
         // three 1-file/bucket weeklies landed sum+1 files per bucket —
         // 262 files where the rewrite collapsed to ~70, regrowing the
         // small-files problem the dial exists to bound). Greedy by
-        // SIZE, largest victim first — adoption's savings are the
-        // victim's bytes, and the weekly cadence's one big standing
-        // segment is exactly what wins the budget; one multiplicity
-        // slot stays reserved for the staged part. Victims that don't
-        // fit are demoted to the rewrite side (collapsing).
-        val (aligned, demoted) = {
+        // BYTES, largest victim first — adoption's savings are the
+        // victim's bytes, so the weekly cadence's one big standing
+        // segment wins the budget even when a gaggle of many-file
+        // small victims competes (r18 ADVICE: the former file-count
+        // ordering put the 1-file standing segment LAST); file count
+        // remains the budget COST, and one multiplicity slot stays
+        // reserved for the staged part. Victims that don't fit are
+        // demoted to the collapse side.
+        val aligned = {
           var sum = 0
           val budget = AlignedFoldMaxFilesPerBucket - 1
-          val (a, d) = alignedCand.map(p => (p, filesPerBucket(p)))
-            .sortBy(-_._2).partition { case (_, f) =>
+          adoptCand
+            .map { p => val (f, bytes) = shLayout(p); (p, f, bytes) }
+            .sortBy(-_._3).filter { case (_, f, _) =>
               if (sum + f <= budget) { sum += f; true } else false
-            }
-          (a.map(_._1), d.map(_._1))
+            }.map(_._1)
         }
-        val rest = rest0 ++ demoted
+        // collapse routing: aligned victims not adopted (over-dial, or
+        // an adoptAligned=false major) go through the raw concat when
+        // asked; everything else — plain segments, misaligned bucket
+        // counts — must be rewritten through Spark (they need the
+        // shuffle into the bucket layout anyway)
+        val concatFrom =
+          if (!useConcat) Seq.empty[String]
+          else alignedAll.filterNot(aligned.toSet)
+        val rest = chosen.filterNot((aligned ++ concatFrom).toSet)
         val restSh =
           if (rest.isEmpty) Seq.empty
           else Seq((s.read.parquet(rest.map(p => s"$p/sh"): _*), false))
@@ -1520,7 +1701,7 @@ object Dedup {
           if (rest.isEmpty) Seq.empty
           else Seq((s.read.parquet(rest.map(p => s"$p/bb"): _*), false))
         stageBucketedIndexParts(s, tmp, HistIdxBuckets,
-          restSh, restBb, linkFrom = aligned)
+          restSh, restBb, linkFrom = aligned, concatFrom = concatFrom)
       } else {
         val sh = s.read.parquet(chosen.map(p => s"$p/sh"): _*)
         val bb = s.read.parquet(chosen.map(p => s"$p/bb"): _*)
@@ -1529,7 +1710,20 @@ object Dedup {
       }
       writeRecord(tmp, "folds", folds.mkString("\n"))
     }: Unit
+    try stageAll(concatAligned)
     catch {
+      // schema drift across victims: the raw row-group concat is
+      // undefined there — fall back to the decoding rewrite (correct
+      // for any schema mix), loudly
+      case e: ConcatUnsupported if concatAligned =>
+        System.err.println(s"[graft] WARNING concat collapse of " +
+          s"$indexDir unavailable (${e.getMessage}) — falling back to " +
+          "the decoding rewrite")
+        try stageAll(false)
+        catch {
+          case scala.util.control.NonFatal(e2) =>
+            if (!Work.isComplete(target)) throw e2
+        }
       // a sibling's commit can fail OUR staging mid-read (it may
       // retire the victim files under us) or our rename — if the
       // target is complete the fold happened, and that is the outcome
@@ -1538,6 +1732,7 @@ object Dedup {
         if (!Work.isComplete(target)) throw e
     }
     committed()
+    } finally releaseCompactLease(indexDir, compactId)
   }
 
   /** Delete retired segment dirs (by name) from a segmented index —
@@ -1671,13 +1866,19 @@ object Dedup {
     *    major that resets both file count and flavor count. ≤0
     *    disables majors.
     *  - `graceMs`: retirement grace window, passed through.
+    *  - `majorConcat`: majors collapse bucket-aligned victims by raw
+    *    row-group concat (byte copy, no decode — r18 verdict #4)
+    *    instead of the Spark rewrite; the result publishes with the
+    *    `unsorted` layout flag. Off by default (the rewrite keeps
+    *    whole-file sort order for SMJ-regime readers).
     *
     * Compaction ids derive from [[compactIdFor]] over the victim set,
     * so two siblings applying the same policy to the same index
     * converge on one target instead of double-committing (single
     * writer per index remains the deployment default). */
   final case class CompactionPolicy(minorTail: Int = 7,
-      majorFlavors: Int = 4, graceMs: Long = 0L) {
+      majorFlavors: Int = 4, graceMs: Long = 0L,
+      majorConcat: Boolean = false) {
     require(minorTail >= 1, "minorTail must be >= 1")
   }
 
@@ -1693,10 +1894,13 @@ object Dedup {
       val victims = snaps.map { case (p, _) => segName(p) }
       // adoptAligned=false: a MAJOR exists to RESET file count and
       // flavor fan-out — adopting the small under-dial weeklies would
-      // save marginal IO and keep their file multiplicity; the
-      // ∝-history rewrite IS the major's documented price
+      // save marginal IO and keep their file multiplicity. The
+      // collapse itself is the ∝-history rewrite, or — majorConcat —
+      // the raw row-group concat (∝-history BYTE COPY, no decode;
+      // r18 verdict #4)
       Some(compactSegments(s, indexDir, compactIdFor(victims),
-        victims, graceMs = policy.graceMs, adoptAligned = false))
+        victims, graceMs = policy.graceMs, adoptAligned = false,
+        concatAligned = policy.majorConcat))
     } else if (plainSegs.size >= policy.minorTail) {
       // the under-dial standing segment rides along for free (adopted,
       // never read); dial-tripped ones are left to accumulate toward
@@ -1984,6 +2188,100 @@ object Dedup {
 
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Bucket id parsed from a bucketed-table file name — Spark's
+    * `_(\d+)` suffix convention (the same pattern its reader uses to
+    * route files to buckets), so adopted and concat-merged names keep
+    * their bucket routing. */
+  private val BucketIdName = """.*_(\d+)(?:\..*)?$""".r
+
+  private[graft] def bucketIdOf(name: String): Option[Int] =
+    name match {
+      case BucketIdName(d) => d.toIntOption
+      case _ => None
+    }
+
+  /** True when `path`'s layout record carries the `unsorted` flag —
+    * set by the concat collapse, whose raw row-group merge preserves
+    * within-row-group order but not whole-file order. */
+  private def segmentSorted(path: String): Boolean =
+    !readRecordOpt(path, "buckets").exists(_.trim.endsWith(" unsorted"))
+
+  /** Merge `victims`' bucketed `sub` tables into ONE file per bucket by
+    * RAW ROW-GROUP COPY (r18 verdict #4): parquet-mr's
+    * `ParquetFileWriter.appendFile` streams each source file's row
+    * groups into the destination verbatim and writes one merged footer
+    * — no decode, no shuffle, no re-encode; the collapse's cost drops
+    * from a CPU-bound rewrite to an IO-bound byte copy (and on stores
+    * with server-side copy, toward metadata speed). File names keep the
+    * `_<bucket>` suffix so the merged files ARE the bucket layout.
+    *
+    * The merged file is NOT whole-file sorted (row groups from k
+    * sorted files interleave), so the caller must publish the segment
+    * with the `unsorted` layout flag — [[bucketedHistoryIndex]] then
+    * declares the table without SORTED BY and Spark plans an explicit
+    * sort where a plan needs one, instead of trusting an order the
+    * files no longer have (the silent-wrong-join hazard at exactly
+    * one file per bucket).
+    *
+    * Schema safety: every source footer's schema must equal the
+    * first's — parquet row-group copy is only defined across identical
+    * schemas. A mismatch throws [[ConcatUnsupported]]; the caller
+    * demotes the victims to the decoding rewrite. */
+  private def concatBucketedSub(victims: Seq[String], sub: String,
+      tmp: String, token: String): Unit = {
+    if (victims.isEmpty) return
+    val hc = Work.hconf
+    val byBucket = scala.collection.mutable.LinkedHashMap
+      .empty[Int, Vector[org.apache.hadoop.fs.Path]]
+    victims.foreach { v =>
+      val (fsys, d) = Work.fs(s"$v/$sub")
+      fsys.listStatus(d).toSeq.filter(_.isFile).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .foreach { p =>
+          bucketIdOf(p.getName).foreach { b =>
+            byBucket(b) = byBucket.getOrElse(b, Vector.empty) :+ p
+          }
+        }
+    }
+    val (dfs, dstDir) = Work.fs(s"$tmp/$sub")
+    if (!dfs.exists(dstDir) && !dfs.mkdirs(dstDir))
+      throw new IllegalStateException(s"could not create $tmp/$sub")
+    byBucket.foreach { case (b, files) =>
+      def footer(p: org.apache.hadoop.fs.Path) = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hc))
+        try r.getFooter finally r.close()
+      }
+      val head = footer(files.head).getFileMetaData
+      files.tail.foreach { p =>
+        if (footer(p).getFileMetaData.getSchema != head.getSchema)
+          throw new ConcatUnsupported(
+            s"parquet schemas differ across victims at bucket $b " +
+              s"($sub): ${files.head} vs $p")
+      }
+      val dst = new org.apache.hadoop.fs.Path(dstDir,
+        f"concat-$token%s_$b%05d.parquet")
+      val w = new org.apache.parquet.hadoop.ParquetFileWriter(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(dst, hc),
+        head.getSchema,
+        org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE,
+        128L * 1024 * 1024, 8 * 1024 * 1024)
+      w.start()
+      files.foreach(p => w.appendFile(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hc)))
+      // first footer's key-value metadata carries the Spark schema —
+      // identical across victims of one engine version, and only
+      // advisory here (readers declare explicit schemas)
+      w.end(head.getKeyValueMetaData)
+    }
+  }
+
+  /** Concat collapse unavailable for these victims (schema drift) —
+    * the caller falls back to the decoding rewrite. */
+  private[graft] final class ConcatUnsupported(msg: String)
+    extends RuntimeException(msg)
+
   /** Stage the two bucketed tables + the bucket-count record into a
     * publish staging dir. Staging table names carry a per-call unique
     * token: Work.publish guarantees same-JVM concurrent publishes
@@ -2029,11 +2327,15 @@ object Dedup {
   private def stageBucketedIndexParts(s: SparkSession, tmp: String,
       buckets: Int, sh: Seq[(DataFrame, Boolean)],
       bb: Seq[(DataFrame, Boolean)],
-      linkFrom: Seq[String] = Seq.empty): Unit = {
+      linkFrom: Seq[String] = Seq.empty,
+      concatFrom: Seq[String] = Seq.empty): Unit = {
     val token = s"${Work.jvmTag}_${stageSeq.incrementAndGet()}"
+    // dash-joined token for file names: the bucket id must stay the
+    // only `_<digits>` group Spark's bucket routing can parse
+    val fileToken = token.replace("_", "-")
     def stage(parts: Seq[(DataFrame, Boolean)], sub: String,
         keys: Seq[String]): Unit = {
-      require(parts.nonEmpty || linkFrom.nonEmpty,
+      require(parts.nonEmpty || linkFrom.nonEmpty || concatFrom.nonEmpty,
         s"no parts to stage for $sub")
       val t = s"graft_hidx_stage_${token}_$sub"
       s.sql(s"DROP TABLE IF EXISTS $t")
@@ -2050,9 +2352,11 @@ object Dedup {
           .saveAsTable(t)
       }
       s.sql(s"DROP TABLE IF EXISTS $t")
-      // adopt AFTER the staged write: mode=overwrite on the first part
-      // would delete pre-linked files. UUID file names cannot collide.
+      // adopt/concat AFTER the staged write: mode=overwrite on the
+      // first part would delete pre-placed files. UUID file names
+      // cannot collide.
       linkFrom.foreach(p => Work.adoptDataFiles(s"$p/$sub", s"$tmp/$sub"))
+      concatBucketedSub(concatFrom, sub, tmp, fileToken)
     }
     stage(sh, "sh", Seq("doc_id"))
     stage(bb, "bb", Seq("band", "bucket"))
@@ -2064,9 +2368,15 @@ object Dedup {
     // per-session table NAME to this exact publish: a clean+republish
     // at the same path (possibly with a different layout) gets fresh
     // declarations instead of a stale catalog entry whose bucket spec
-    // and cached file listing describe the deleted artifact
+    // and cached file listing describe the deleted artifact.
+    // `unsorted` (r18 verdict #4): set when the artifact carries
+    // concat-merged files — or adopts files from a victim that did —
+    // so readers never declare SORTED BY over data that lost
+    // whole-file order (see [[concatBucketedSub]]).
+    val sorted = concatFrom.isEmpty && linkFrom.forall(segmentSorted)
     writeRecord(tmp, "buckets",
-      s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
+      s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}" +
+        (if (sorted) "" else " unsorted"))
   }
 
   /** Frames over a published bucketed index: per-session DDL declares
@@ -2093,14 +2403,19 @@ object Dedup {
       finally recIn.close()
     // shape-validate BEFORE parsing: a truncated or corrupt record must
     // fail with an artifact-format error naming the path, not an opaque
-    // NumberFormat/ArrayIndexOutOfBounds (r16 ADVICE)
+    // NumberFormat/ArrayIndexOutOfBounds (r16 ADVICE). The optional
+    // third token `unsorted` marks a concat-collapsed layout (r18
+    // verdict #4).
     val rec = recStr.trim.split(" ")
-    require(rec.length == 2 && rec(0).forall(_.isDigit) && rec(0).nonEmpty,
+    require((rec.length == 2 || (rec.length == 3 && rec(2) == "unsorted"))
+        && rec(0).forall(_.isDigit) && rec(0).nonEmpty,
       s"bucketed history index at $path has a corrupt layout record " +
-        s"('${recStr.trim.take(64)}' — expected '<buckets> <publishId>'); " +
+        s"('${recStr.trim.take(64)}' — expected " +
+        "'<buckets> <publishId>[ unsorted]'); " +
         "republish with publishHistoryIndexBucketed")
     val buckets = rec(0).toInt
     val pubId = rec(1)
+    val sorted = rec.length == 2
     // table names keyed on (path tag, publish id): a clean+republish at
     // the same path declares FRESH tables, so a session can never serve
     // a previous artifact's bucket spec or cached file listing (r16
@@ -2130,9 +2445,14 @@ object Dedup {
         .foreach(old => s.sql(s"DROP TABLE IF EXISTS $old"))
       catch { case scala.util.control.NonFatal(_) => () }
       // IF NOT EXISTS, not a tableExists probe: two concurrent callers
-      // of the same index must not race check-then-create
+      // of the same index must not race check-then-create. SORTED BY
+      // only when the artifact's record says the files still carry
+      // whole-file order — a concat-collapsed segment must not tempt
+      // Spark into skipping a sort it needs (the one-file-per-bucket
+      // case trusts the declaration; r18 verdict #4)
+      val sortedBy = if (sorted) s"SORTED BY ($keys)" else ""
       s.sql(s"""CREATE TABLE IF NOT EXISTS $t ($schema) USING PARQUET
-        CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
+        CLUSTERED BY ($keys) $sortedBy INTO $buckets BUCKETS
         LOCATION '$path/$sub'""")
       s.catalog.refreshTable(t)
       t

@@ -2014,7 +2014,117 @@ class ExtSpec extends SparkSpec {
     out.write("v999 something-else\n".getBytes("UTF-8")); out.close()
     assert(Dedup.activeSegments(spath) == after,
       "an unknown manifest version must fall back to the listing")
+    // a WELL-FORMED but STALE manifest naming a RETIRED dir — the
+    // write that lost the r18 ADVICE race (derived from a pre-fold
+    // listing, landed after retirement): readers verify entries
+    // against the root listing and fall back, never a FileNotFound
+    // crash on the ghost path
+    val out2 = fsys.create(mPath, true)
+    out2.write("v1 9999\nseg_ghost plain\n".getBytes("UTF-8"))
+    out2.close()
+    assert(Dedup.activeSegments(spath) == after,
+      "a manifest naming deleted dirs must fall back to the listing")
+    // ...and the next mutation repairs it with a STAMPED header (the
+    // lost-update guard's monotonic counter)
+    Dedup.publishHistorySegment(spark, spath, "d9",
+      day(0).limit(3)): Unit
+    val head = {
+      val in = fsys.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next()
+      finally in.close()
+    }
+    assert(head.matches("v1 \\d+"), s"stamped header expected: $head")
+    assert(head.split(" ")(1).toLong > 9999L,
+      "the repair must write a stamp ABOVE the stale record's")
     Work.clean(spath)
+  }
+
+  test("concat collapse: a major folding aligned victims by raw " +
+      "row-group concat is row-identical to the decoding rewrite, " +
+      "collapses the file count, and publishes the unsorted flag " +
+      "(r18 verdict #4)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    def slice(k: Int) = docs.filter(col("doc_id") % 5 === k)
+      .select((col("doc_id") + 60000000L * k).as("doc_id"), col("text"))
+    def build(tag: String): String = {
+      val p = Work.scratch(s"histidxconcat_$tag")
+      Work.clean(p)
+      (0 until 3).foreach { k =>
+        Dedup.publishHistorySegment(spark, p, s"w$k", slice(k))
+        Dedup.compactSegments(spark, p, s"cw$k",
+          victims = Seq(s"w$k")): Unit
+      }
+      Dedup.publishHistorySegment(spark, p, "tail", slice(3)): Unit
+      p
+    }
+    def shRows(p: String): Set[(Long, Seq[String], Int)] =
+      Dedup.segmentedIndexFrames(spark, p)._1.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2))).toSet
+    def bbRows(p: String): Set[(Long, Int, Long)] =
+      Dedup.segmentedIndexFrames(spark, p)._2.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = build("rewrite")
+    val b = build("concat")
+    Dedup.compactSegments(spark, a, "m", adoptAligned = false)
+    Dedup.compactSegments(spark, b, "m", adoptAligned = false,
+      concatAligned = true)
+    // ROW identity vs the rewrite, both subtables, full rows
+    assert(shRows(b) == shRows(a), "concat sh rows must equal the rewrite")
+    assert(bbRows(b) == bbRows(a), "concat bb rows must equal the rewrite")
+    // file-count collapse: 3 aligned victims concat to ONE file per
+    // bucket; the plain tail rewrites to one more — 2/bucket, under
+    // the dial (the rewrite side lands 1/bucket)
+    def shParts(p: String): Int = {
+      val (fsys, shDir) = Work.fs(s"$p/seg_m/sh")
+      fsys.listStatus(shDir).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(shParts(b) <= 2 * Dedup.HistIdxBuckets,
+      s"concat major must collapse files, got ${shParts(b)}")
+    // the unsorted layout flag is published...
+    val rec = {
+      val (fsys, rp) = Work.fs(s"$b/seg_m/buckets")
+      val in = fsys.open(rp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    assert(rec.endsWith(" unsorted"),
+      s"concat-merged segment must declare unsorted, got '$rec'")
+    // ...and the BUCKETED read path stays correct under it, in the
+    // exchange-free (sort-merge) regime where a wrong bucket routing
+    // or a trusted-but-absent sort order would corrupt the join:
+    // broadcast disabled on the concat side, default conf on the
+    // rewrite side — identical pairs
+    val inc = Dedup.plantedCorpus(docs)
+      .filter(col("doc_id") >= Dedup.PlantedOffset)
+    def pairs(p: String): Set[(Long, Long)] =
+      Dedup.incrementalAgainstSegmentedIndex(spark, p, inc)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = pairs(a)
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(pairs(b) == wantPairs,
+        "incremental dedup over the concat-collapsed index must match " +
+          "the rewrite (SMJ regime)")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+    // a FURTHER fold that ADOPTS the unsorted segment propagates the
+    // flag (adoption keeps the merged files verbatim)
+    Dedup.publishHistorySegment(spark, b, "tail2", slice(4)): Unit
+    Dedup.compactSegments(spark, b, "m2")
+    val rec2 = {
+      val (fsys, rp) = Work.fs(s"$b/seg_m2/buckets")
+      val in = fsys.open(rp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    assert(rec2.endsWith(" unsorted"),
+      s"adopting an unsorted victim must keep the flag, got '$rec2'")
+    Work.clean(a)
+    Work.clean(b)
   }
 
   test("retirement grace window: an in-flight reader that pinned victim " +
@@ -2154,5 +2264,76 @@ class ExtSpec extends SparkSpec {
       .select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((4L, 5L)), s"spurious pairs: $pairs")
+  }
+
+  test("compaction lease: a different-id live compactor excludes the " +
+      "fold cleanly, a stale lease is taken over, same-id racers " +
+      "converge on one target with row-identical output " +
+      "(r18 verdict #3)") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").limit(60)
+    def freshIdx(tag: String): String = {
+      val p = Work.scratch(s"lease_$tag")
+      Work.clean(p)
+      Dedup.publishHistorySegment(spark, p, "day0",
+        docs.filter(col("doc_id") % 2 === 0))
+      Dedup.publishHistorySegment(spark, p, "day1",
+        docs.filter(col("doc_id") % 2 =!= 0)): Unit
+      p
+    }
+    def shIds(p: String): Set[Long] =
+      Dedup.segmentedIndexFrames(spark, p)._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // --- different-id LIVE holder: the fold must fail with a pointed
+    // error naming the holder, and the index must be untouched
+    val idx = freshIdx("diff")
+    val before = shIds(idx)
+    assert(Work.createSmallRecordExclusive(idx, "_lease_compact",
+      s"fold_other ${System.currentTimeMillis()}"))
+    val e = intercept[IllegalStateException](
+      Dedup.compactSegments(spark, idx, "fold_mine",
+        victims = Seq("day0", "day1")))
+    assert(e.getMessage.contains("fold_other"),
+      s"error must name the holder: ${e.getMessage}")
+    assert(Dedup.activeSegments(idx).size == 2 &&
+      !Work.isComplete(s"$idx/seg_fold_mine"),
+      "a lease-excluded fold must leave the index untouched")
+    // --- stale lease (crashed holder, stamp far past the horizon):
+    // taken over, fold completes, lease released
+    Work.replaceSmallRecord(idx, "_lease_compact",
+      s"fold_other ${System.currentTimeMillis() - 10L * 60 * 60 * 1000}")
+    val t = Dedup.compactSegments(spark, idx, "fold_mine",
+      victims = Seq("day0", "day1"))
+    assert(Work.isComplete(t))
+    assert(!Work.pathExists(s"$idx/_lease_compact"),
+      "the lease must be released after the fold")
+    assert(Dedup.activeSegments(idx).size == 1 && shIds(idx) == before,
+      "takeover fold must be row-identical")
+    Work.clean(idx)
+    // --- same-id CONCURRENT racers: one wins the lease, the waiter
+    // converges on the winner's committed target — one active
+    // compacted segment, victims retired exactly once, rows identical
+    val idx2 = freshIdx("same")
+    val before2 = shIds(idx2)
+    val outcomes =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        outcomes.add(
+          try Right(Dedup.compactSegments(spark, idx2, "c0",
+            victims = Seq("day0", "day1")))
+          catch { case ex: Throwable => Left(ex) }): Unit)
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val res = outcomes.asScala.toSeq
+    assert(res.size == 2 && res.forall(_.isRight),
+      s"both same-id compactors must converge: $res")
+    assert(res.flatMap(_.toOption).toSet.size == 1, "one target")
+    assert(Dedup.activeSegments(idx2).size == 1 && shIds(idx2) == before2,
+      "converged fold must be row-identical")
+    assert(!Work.pathExists(s"$idx2/_lease_compact"))
+    Work.clean(idx2)
   }
 }
