@@ -2015,6 +2015,84 @@ object Dedup {
     reg.registerVersionedArtifact(name,
       ensureHistoryIndex(s, dir, fingerprint), fingerprint)
 
+  // --- registry-backed segmented-index discovery (r18 verdict #7) ----
+
+  /** Serialize a [[CompactionPolicy]] as a registry token — explicit
+    * key=value pairs, so a future field is an unknown-key ERROR on an
+    * old reader instead of a silently-dropped setting. */
+  private def policyToken(p: CompactionPolicy): String =
+    s"minorTail=${p.minorTail};majorFlavors=${p.majorFlavors};" +
+      s"graceMs=${p.graceMs};majorConcat=${p.majorConcat}"
+
+  private def parsePolicy(token: String, where: String): CompactionPolicy = {
+    val kv = token.split(";").map(_.trim).filter(_.nonEmpty).map { t =>
+      t.split("=", 2) match {
+        case Array(k, v) => (k, v)
+        case _ => throw new IllegalArgumentException(
+          s"malformed compaction-policy token '$token' at $where")
+      }
+    }.toMap
+    val known = Set("minorTail", "majorFlavors", "graceMs", "majorConcat")
+    val unknown = kv.keySet -- known
+    require(unknown.isEmpty,
+      s"compaction-policy token at $where carries unknown keys " +
+        s"${unknown.mkString(", ")} — written by a newer engine? " +
+        "Upgrade before consuming this registration")
+    def long(k: String, dflt: Long) = kv.get(k).map(_.toLong).getOrElse(dflt)
+    CompactionPolicy(
+      minorTail = long("minorTail", 7).toInt,
+      majorFlavors = long("majorFlavors", 4).toInt,
+      graceMs = long("graceMs", 0L),
+      majorConcat = kv.get("majorConcat").exists(_.toBoolean))
+  }
+
+  /** Register a SEGMENTED index root and its [[CompactionPolicy]] in
+    * the workflow [[graft.registry.Registry]] under `name` (r18
+    * verdict #7): pipelines and maintenance jobs then resolve the
+    * index BY NAME — `resolveSegmentedIndex` → (root, policy) — and
+    * fold it with [[maybeCompactRegistered]], instead of threading raw
+    * `indexDir` strings and hand-built policies through every caller.
+    * The policy registers as the versioned artifact `<name>.policy`:
+    * the bare entry always serves the CURRENT policy, and each
+    * `policyVersion` pins its setting forever — an audit trail of
+    * retention/cadence changes, resolvable the same way model versions
+    * are. Re-registering the same version with a DIFFERENT policy is
+    * the registry's immutable-version error. */
+  def registerSegmentedIndex(reg: graft.registry.Registry, name: String,
+      indexDir: String, policy: CompactionPolicy,
+      policyVersion: Option[String] = None): graft.registry.ArtifactMeta = {
+    reg.registerVersionedArtifact(s"$name.policy", policyToken(policy),
+      policyVersion): Unit
+    reg.registerVersionedArtifact(name, indexDir)
+  }
+
+  /** Resolve a registered segmented index: (index root, policy).
+    * `policyVersion` pins a historical policy; default = current. */
+  def resolveSegmentedIndex(reg: graft.registry.Registry, name: String,
+      policyVersion: Option[String] = None)
+      : (String, CompactionPolicy) = {
+    val root = reg.resolveArtifact(name).getOrElse(
+      throw new NoSuchElementException(
+        s"no segmented index registered under '$name' — " +
+          "registerSegmentedIndex first")).uri
+    val pol = reg.resolveArtifact(s"$name.policy", policyVersion)
+      .getOrElse(throw new NoSuchElementException(
+        s"segmented index '$name' has no " +
+          policyVersion.fold("current")(v => s"'$v'") +
+          " compaction policy registered"))
+    (root, parsePolicy(pol.uri, s"registry artifact ${pol.name}"))
+  }
+
+  /** [[maybeCompact]] under the REGISTERED policy — the maintenance
+    * job's whole body: resolve by name, fold if a threshold is
+    * crossed. Retirement safety is [[compactSegments]]'s (grace
+    * window, manifest-before-delete, lease). */
+  def maybeCompactRegistered(reg: graft.registry.Registry,
+      s: SparkSession, name: String): Option[String] = {
+    val (root, policy) = resolveSegmentedIndex(reg, name)
+    maybeCompact(s, root, policy)
+  }
+
   /** Near-dup pairs of `increment` against a PUBLISHED history index —
     * the production entry point: history is never re-shingled or
     * re-hashed; the increment shingles/bands only ITSELF and joins the
@@ -3268,13 +3346,21 @@ object Dedup {
     * fixed-point filter (min-label propagation labels every cluster
     * with its min doc_id, so the canonical survivors are exactly the
     * rows whose label is themselves). */
-  def curateCorpus(corpus: DataFrame): DataFrame = {
+  /** The curation quality predicate — shared by the batch pipeline and
+    * the ingest-time stream ([[graft.streaming.StreamingDedup
+    * .curateFoldBatch]]): one definition, so the two faces can never
+    * drift on what "good" means. Per-row, stateless, no shuffle. */
+  def curationGate(corpus: DataFrame): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     val nTok = size(t)
     val nStop = size(filter(t, w => w.isin(TextAnalysis.stopwords: _*)))
-    val good = corpus.filter(
+    corpus.filter(
       nTok.between(10, 10000) && nStop * 20 >= nTok &&
         length(col("text")) <= nTok * 15)
+  }
+
+  def curateCorpus(corpus: DataFrame): DataFrame = {
+    val good = curationGate(corpus)
     // cached: referenced by BOTH the near-dup pair generation and the
     // isolated-node attach inside connectedComponents — uncached, the
     // quality gate + exact-dedup shuffle would run twice. Safe to free
