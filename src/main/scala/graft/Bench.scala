@@ -72,6 +72,28 @@ object Bench {
   def boxWarn(boxFactor: Option[Double]): Boolean =
     boxFactor.exists(f => f > BoxWarnFactor || f < 1.0 / BoxWarnFactor)
 
+  /** Canary SELF-AGREEMENT line (r18 verdict #5): SOAK_r18's five
+    * siblings banded ±4% on raw totals while their box_factors ranged
+    * 0.86–1.27 — the normalization instrument was noisier than the
+    * quantity it normalizes. The canary population is now much larger
+    * (triple samples per probe point, probe points interleaved through
+    * every pass, not just the edges), and the run reports its
+    * inter-quartile spread: when q75/q25 exceeds this factor the
+    * canary disagrees with itself, `box_factor` is stamped unreliable,
+    * the normalized total is WITHHELD, and the warning says to trust
+    * raw totals compared across sibling runs instead. */
+  val CanaryAgreeFactor = 1.25
+
+  /** q75/q25 of the canary samples; 1.0 when too few to judge. */
+  def canarySpread(samples: Seq[Double]): Double = {
+    val cs = samples.sorted
+    if (cs.size < 4) 1.0
+    else {
+      def pct(p: Double) = cs(((cs.size - 1) * p).round.toInt)
+      if (pct(0.25) <= 0) 1.0 else pct(0.75) / pct(0.25)
+    }
+  }
+
   /** Committed quiet-box canary median from line 2 of a bench artifact
    *  (round-12 verdict #3): the canary probes already bracket every
    *  pass; dividing this run's canary median by the committed one gives
@@ -259,14 +281,19 @@ object Bench {
     // normalized post-hoc against its canary.
     val canaries = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Double, Long)] // (pass, edge, sec, gcMs)
-    def canary(pass: Int, edge: String): Unit = {
-      val g0 = gcMs()
-      val t0 = System.nanoTime()
-      spark.range(1000000).selectExpr("sum(id * 2)").collect(): Unit
-      canaries += ((pass, edge, (System.nanoTime() - t0) / 1e9,
-        gcMs() - g0))
-      (): Unit
-    }
+    // TRIPLE samples per probe point (r18 verdict #5): a single canary
+    // run can sample a hot moment the suite around it never saw; the
+    // median-of-population box factor below needs enough samples that
+    // one such moment cannot move it
+    def canary(pass: Int, edge: String): Unit =
+      (1 to 3).foreach { _ =>
+        val g0 = gcMs()
+        val t0 = System.nanoTime()
+        spark.range(1000000).selectExpr("sum(id * 2)").collect(): Unit
+        canaries += ((pass, edge, (System.nanoTime() - t0) / 1e9,
+          gcMs() - g0))
+        (): Unit
+      }
     // Whole-suite passes (round-7 verdict #1): run pass 1 of every key,
     // then pass 2, then pass 3, taking per-key medians ACROSS passes.
     // Back-to-back per-key runs handed all 3 samples of a key to one
@@ -274,9 +301,19 @@ object Bench {
     // 67/68 both spiked >20× local, healthy head and tail of session);
     // interleaved, a 20 s stall inflates one sample of a few keys and no
     // medians. Cold-cache drops between runs are unchanged.
+    // Canaries INTERLEAVE through each pass (r18 verdict #5): probe
+    // points at the start, end and three interior quartile marks, so
+    // the canary population samples the same minutes the keys ran in —
+    // an edge-only canary could bracket a quiet start/end around a hot
+    // middle (or vice versa) and misstate the whole pass.
+    val midStep = math.max(1, keyList.size / 4)
     for (pass <- 1 to runs) {
       canary(pass, "start")
-      for (((name, fn), _) <- keyList) runOnce(name, fn, pass)
+      for ((((name, fn), _), i) <- keyList.zipWithIndex) {
+        if (i > 0 && i % midStep == 0 && i / midStep <= 3)
+          canary(pass, s"mid${i / midStep}")
+        runOnce(name, fn, pass)
+      }
       canary(pass, "end")
     }
     // Up to TWO extra samples per suspect key, AFTER the final pass —
@@ -377,24 +414,42 @@ object Bench {
       mine <- runCanaryMedian
     } yield mine / rc
     val boxField = boxFactor.map(f => s""","box_factor":${n3(f)}""").getOrElse("")
+    // canary self-agreement (r18 verdict #5): a box factor is only as
+    // trustworthy as its instrument's internal agreement — when the
+    // canary samples disagree past CanaryAgreeFactor, the normalized
+    // total is WITHHELD (it would be noise normalized by noise) and
+    // the run says which number to trust
+    val spread = canarySpread(canaries.map(_._3).toSeq)
+    val canaryAgree = spread <= CanaryAgreeFactor
+    val spreadField = s""","canary_spread":${n3(spread)}""" +
+      (if (canaryAgree) "" else ""","box_factor_unreliable":true""")
     // normalized total + loud warning on a noisy box (r14 verdict #7):
     // the r14 gate stamped box_factor 2.738 and its +21% raw move was
     // pure box noise — the normalized figure and the warning make that
-    // one read instead of a postmortem
-    val normField = boxFactor.filter(_ > 0)
+    // one read instead of a postmortem. Printed ONLY under canary
+    // self-agreement (r18 verdict #5).
+    val normField = boxFactor.filter(_ > 0 && canaryAgree)
       .map(f => s""","total_box_normalized":${n3(total / f)}""")
       .getOrElse("")
     val warnField = if (boxWarn(boxFactor)) ""","box_warn":true""" else ""
     def line(qs: String): String =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs$boxField$normField$warnField}"""
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$fs$boxField$spreadField$normField$warnField}"""
     if (boxWarn(boxFactor)) boxFactor.foreach { f =>
-      System.err.println(
-        f"[bench] WARNING: box_factor $f%.3f is outside " +
-          f"[${1.0 / BoxWarnFactor}%.2f, $BoxWarnFactor%.2f] — this box's " +
-          f"canary ran $f%.2fx the committed quiet-box canary; RAW totals " +
-          f"are box noise (total=${total}%.1f s, normalized=${
-            total / f}%.1f s). Compare total_box_normalized or re-run " +
-          "on a quiet box.")
+      if (canaryAgree)
+        System.err.println(
+          f"[bench] WARNING: box_factor $f%.3f is outside " +
+            f"[${1.0 / BoxWarnFactor}%.2f, $BoxWarnFactor%.2f] — this box's " +
+            f"canary ran $f%.2fx the committed quiet-box canary (canary " +
+            f"self-agreement OK, spread $spread%.2f); RAW totals are box " +
+            f"noise (total=${total}%.1f s, normalized=${total / f}%.1f s). " +
+            "TRUST total_box_normalized, or re-run on a quiet box.")
+      else
+        System.err.println(
+          f"[bench] WARNING: box_factor $f%.3f is outside the quiet band " +
+            f"BUT the canary disagrees with itself (spread $spread%.2f > " +
+            f"$CanaryAgreeFactor%.2f) — the normalization instrument is " +
+            "noisier than the totals; total_box_normalized is withheld. " +
+            "TRUST raw totals compared across sibling runs on this box.")
     }
     println(line(mapJson(shown)))
     // full artifact to a file the driver/devs can parse directly (stdout

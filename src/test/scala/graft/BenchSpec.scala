@@ -167,4 +167,25 @@ class BenchSpec extends AnyFunSuite {
     // no canary/reference: reporting disarms, never warns
     assert(!Bench.boxWarn(None))
   }
+
+  test("canary self-agreement: q75/q25 spread over the sample " +
+      "population; disagreement past 1.25 withholds normalization " +
+      "(r18 verdict #5)") {
+    // tight population: spread ~1, agreement holds
+    val tight = Seq.fill(18)(0.020) ++ Seq(0.021, 0.019)
+    assert(Bench.canarySpread(tight) <= Bench.CanaryAgreeFactor)
+    // the SOAK_r18 failure mode: samples banding 0.86x-1.27x of each
+    // other — the instrument disagrees with itself
+    val wild = Seq(0.017, 0.018, 0.020, 0.022, 0.025, 0.026,
+      0.017, 0.026, 0.018, 0.025, 0.024, 0.016)
+    assert(Bench.canarySpread(wild) > Bench.CanaryAgreeFactor)
+    // one hot outlier in an otherwise tight population must NOT break
+    // agreement (quartiles, not max/min — the whole point of the
+    // larger interleaved population)
+    val oneHot = Seq.fill(16)(0.020) ++ Seq(0.021, 0.019, 0.060)
+    assert(Bench.canarySpread(oneHot) <= Bench.CanaryAgreeFactor)
+    // too few samples to judge: neutral
+    assert(Bench.canarySpread(Seq(0.02, 0.09)) == 1.0)
+    assert(Bench.canarySpread(Nil) == 1.0)
+  }
 }
