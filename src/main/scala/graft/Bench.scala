@@ -367,7 +367,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_ngram_jaccard_prefix", "dedup_clusters",
       "dedup_embedding_cosine", "dedup_semantic", "dedup_semantic_hier",
-      "dedup_repeated_spans", "corpus_curate", "topk_pq_adc",
+      "dedup_repeated_spans", "corpus_curate", "corpus_curate_stream",
+      "topk_pq_adc",
       "decontaminate", "topk_cosine", "topk_cosine_lsh", "topk_cosine_ivf",
       "knn_train", "knn_score", "knn_predict", "workflow_e2e",
       "stream_window_agg", "stream_sessionize", "stream_interval_join",

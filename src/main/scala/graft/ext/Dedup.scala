@@ -3376,6 +3376,47 @@ object Dedup {
     labels.filter(col("doc_id") === col("cluster")).select("doc_id")
   }
 
+  /** Witness of the INGEST-TIME curation stream (r18 verdict #6): the
+    * worst-case corpus arrives as three ordered micro-batches through
+    * the log store (originals, then the near-dup crawl, then the
+    * exact-copy crawl — the re-crawl reality where originals predate
+    * their copies), runs [[graft.streaming.StreamingDedup
+    * .curateStream]] to completion, and the accumulated kept sinks are
+    * the result — oracled by the SAME SQL as the batch pipeline
+    * (stream == batch on this corpus; the chain caveat is on
+    * curateFoldBatch's scaladoc, and StreamingSpec additionally pins
+    * the equality across a mid-stream checkpoint kill). */
+  val curateStreamQ = QueryDef(
+    "corpus_curate_stream",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = plantedCorpus(docs).unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      val base = Work.scratch("curate_stream")
+      Work.clean(base)
+      val store = graft.connector.LogStore(base)
+      Seq(
+        corpus.filter(col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset &&
+          col("doc_id") < 20000000L),
+        corpus.filter(col("doc_id") >= 20000000L)
+      ).foreach(sl => store.append(sl.coalesce(1), "scope", "cu"))
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val q = graft.streaming.StreamingDedup.curateStream(
+        store.readStream(s, "scope", "cu", docSchema,
+          maxFilesPerTrigger = 1),
+        s"$base/idx", s"$base/kept", s"$base/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$base/kept/batch_c*").select("doc_id")
+    },
+    None) // oracle assigned below — the batch pipeline's SQL, verbatim
+
   val curate = QueryDef(
     "corpus_curate",
     (s, dir) => {
@@ -3629,6 +3670,7 @@ object Dedup {
       incrementalSeg, incrementalSegCompacted, simhash, simhashNearDup,
       simhashWideNearDup,
       embeddingCosine, semantic, semanticHier, clusters, keepBest,
-      decontam, contamScore, curate, lineDedup, repeatedSpansQ,
-      removeSpansQ)
+      decontam, contamScore, curate,
+      curateStreamQ.copy(oracle = curate.oracle),
+      lineDedup, repeatedSpansQ, removeSpansQ)
 }
