@@ -431,6 +431,62 @@ object StressMain {
       results("incremental_seg_tiered") = (walls(1), walls.last)
       Work.clean(path)
     }
+    // r19 (r18 verdict #4): the MAJOR collapse A/B — the decoding
+    // rewrite vs the raw row-group CONCAT of bucket-aligned victims
+    // (ParquetFileWriter.appendFile: byte copy, no decode/shuffle/
+    // re-encode; the plain tail rewrites in both arms). Same pre-MAJOR
+    // state built twice (3 one-file/bucket bucketed weeklies + a plain
+    // tail, history = mult doc replicas), each arm timed fresh-cache.
+    // The row's pair is (rewrite wall, concat wall) — ratio << 1 is
+    // the win; the file counts after each MAJOR must BOTH be
+    // dial-bounded, and the two results must agree on (rows, content
+    // hash). Read beside incremental_seg_tiered's MAJOR, this is the
+    // knob that turns the monthly ∝-history rewrite into an IO-bound
+    // copy where the store allows it (CompactionPolicy.majorConcat).
+    if (only.isEmpty || only.contains("major_concat")) {
+      val hist = repDocs(docs, mult)
+      def build(tag: String): String = {
+        val p = Work.scratch(s"histidx_majcc_$tag")
+        Work.clean(p)
+        (0 until 3).foreach { k =>
+          Dedup.publishHistorySegment(spark, p, s"w$k",
+            hist.filter(col("doc_id") % 3 === k))
+          Dedup.compactSegments(spark, p, s"cw$k",
+            victims = Seq(s"w$k")): Unit
+        }
+        Dedup.publishHistorySegment(spark, p, "tail", docs): Unit
+        p
+      }
+      val a = build("rw")
+      val b = build("cc")
+      GraftSession.dropAllCaches(spark)
+      val wRw = t("major_concat MAJOR-rewrite")(
+        { Dedup.compactSegments(spark, a, "m",
+            adoptAligned = false); 0L })
+      GraftSession.dropAllCaches(spark)
+      val wCc = t("major_concat MAJOR-concat")(
+        { Dedup.compactSegments(spark, b, "m", adoptAligned = false,
+            concatAligned = true); 0L })
+      GraftSession.dropAllCaches(spark)
+      def shSig(p: String): (Long, Long) = {
+        val df = spark.read.parquet(s"$p/seg_m/sh")
+        // bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+        val r = df.agg(count(lit(1)),
+          expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val (sa, sb) = (shSig(a), shSig(b))
+      println(s"[stress]   rewrite files=${segFileCount(s"$a/seg_m")} " +
+        s"concat files=${segFileCount(s"$b/seg_m")} " +
+        s"sh_rows=${sa._1} rows/hash equal=${sa == sb} " +
+        f"wall rewrite=$wRw%.2f s concat=$wCc%.2f s " +
+        f"cut=${(1 - wCc / wRw) * 100}%.0f%%")
+      require(sa == sb,
+        s"concat MAJOR diverged from the rewrite: $sa vs $sb")
+      results("major_concat") = (wRw, wCc)
+      Work.clean(a)
+      Work.clean(b)
+    }
     // r18 (r17 verdict #1): the append-spelling fold's headline claim —
     // the weekly fold's WALL is ∝ tail, independent of history size. A
     // standing bucketed segment is built from history at 1× and at

@@ -2325,7 +2325,8 @@ object Dedup {
     val (dfs, dstDir) = Work.fs(s"$tmp/$sub")
     if (!dfs.exists(dstDir) && !dfs.mkdirs(dstDir))
       throw new IllegalStateException(s"could not create $tmp/$sub")
-    byBucket.foreach { case (b, files) =>
+    def mergeBucket(b: Int,
+        files: Vector[org.apache.hadoop.fs.Path]): Unit = {
       def footer(p: org.apache.hadoop.fs.Path) = {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hc))
@@ -2353,6 +2354,28 @@ object Dedup {
       // advisory here (readers declare explicit schemas)
       w.end(head.getKeyValueMetaData)
     }
+    // buckets merge INDEPENDENTLY — a driver-side pool gives the
+    // byte copy the same parallelism the rewrite's write stage gets
+    // (sequential, the per-file fixed cost made concat LOSE to the
+    // 32-core rewrite at small scale); ConcatUnsupported (and any
+    // other failure) propagates after the pool drains
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(byBucket.size,
+        Runtime.getRuntime.availableProcessors())))
+    try {
+      val futures = byBucket.toSeq.map { case (b, files) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = mergeBucket(b, files)
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally { pool.shutdownNow(): Unit }
   }
 
   /** Concat collapse unavailable for these victims (schema drift) —
