@@ -504,7 +504,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val artifact =
       line(mapJson(results)) + "\n" +
-        s"""{"metric":"detail","runs":$runs,"sf":"$sfDir","ref":"${if (ref.isEmpty) "" else refPath}","canary":$canaryJson,"queries":$detailJson}""" +
+        s"""{"metric":"detail","runs":$runs,"sf":"$sfDir","ref":"${if (ref.isEmpty) "" else refPath}","canary_scheme":"interleaved-3x","canary":$canaryJson,"queries":$detailJson}""" +
         "\n"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench.json")

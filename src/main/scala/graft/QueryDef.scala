@@ -54,19 +54,29 @@ object Work {
         val base = s.sparkContext.hadoopConfiguration
         // SESSION-level overlay (r18 verdict #1): a deployment that
         // registers an fs scheme or credential per-session
-        // (`spark.conf.set("fs.x.impl", …)`) expects the artifact layer
-        // to resolve it exactly like Spark's own file sources, which
-        // read through `sessionState.newHadoopConf()`. That call clones
-        // the whole context Configuration per invocation — far too hot
-        // for the per-path metadata helpers here — so the overlay is
-        // applied only when the session actually CARRIES non-SQL
-        // settings (newHadoopConf copies session entries verbatim;
-        // `spark.sql.*` keys cannot affect filesystem resolution and
-        // are skipped so the common case stays the shared zero-copy
-        // context conf, live under direct hadoopConfiguration.set()).
+        // (`spark.conf.set("fs.x.impl", …)` or the
+        // `spark.hadoop.`-prefixed spelling) expects the artifact
+        // layer to resolve it exactly like Spark's own file sources,
+        // which read through `sessionState.newHadoopConf()`. That call
+        // clones the whole context Configuration per invocation — far
+        // too hot for the per-path metadata helpers here — so the
+        // overlay applies ONLY the session entries that can reach
+        // Hadoop: bare non-`spark.` keys (fs.*, dfs.*, io.*, …) and
+        // `spark.hadoop.*` (prefix stripped, SparkContext's own
+        // convention). Every session carries merged core-Spark entries
+        // (spark.app.id, spark.master, …) in its SQLConf, so a
+        // blanket "any non-SQL key" test made the zero-copy fast path
+        // dead code and cloned the Configuration on EVERY Work.fs —
+        // including 50 ms lock-poll loops (r19 review). A hadoop
+        // property literally named `spark.*` is the one spelling
+        // newHadoopConf would carry and this overlay does not; use the
+        // spark.hadoop. prefix for it.
         val overrides = s.sessionState.conf.getAllConfs
-          .filterNot(k => k._1.startsWith("spark.sql.") ||
-            k._1.startsWith("spark.graft."))
+          .collect {
+            case (k, v) if !k.startsWith("spark.") => (k, v)
+            case (k, v) if k.startsWith("spark.hadoop.") =>
+              (k.stripPrefix("spark.hadoop."), v)
+          }
         if (overrides.isEmpty) base
         else {
           val c = new org.apache.hadoop.conf.Configuration(base)
@@ -565,13 +575,19 @@ object Work {
       staleMs: Long = 15L * 60 * 1000, waitMs: Long = 10000L)(
       body: => T): T = {
     val deadline = System.currentTimeMillis() + waitMs
+    // owner token (r19 review): the exit delete must only ever remove
+    // OUR lock — a holder stalled past staleMs whose lock was taken
+    // over would otherwise delete the taker's LIVE lock on resume,
+    // re-opening the mutual exclusion for a third caller
+    val token =
+      s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
     var acquired = false
     while (!acquired) {
-      acquired = createSmallRecordExclusive(dir, name,
-        System.currentTimeMillis().toString)
+      acquired = createSmallRecordExclusive(dir, name, token)
       if (!acquired) {
         val stamp = readSmallRecord(dir, name)
-          .flatMap(_.trim.toLongOption).getOrElse(0L)
+          .flatMap(_.trim.split(" ").headOption)
+          .flatMap(_.toLongOption).getOrElse(0L)
         if (System.currentTimeMillis() - stamp > staleMs) {
           // crashed holder — reclaim; the retry's create arbitrates
           // racing reclaimers
@@ -587,9 +603,12 @@ object Work {
     }
     try body
     finally {
-      val (f, d) = fs(dir)
-      try f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        if (readSmallRecord(dir, name).map(_.trim).contains(token)) {
+          val (f, d) = fs(dir)
+          f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

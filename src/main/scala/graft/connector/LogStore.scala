@@ -299,6 +299,15 @@ final case class LogStore(baseDir: String,
     val dir = path(scope, stream)
     val segs = LogSourceV2.listSegments(dir)
     if (segs.size <= target) return
+    // RAW pre-compaction name snapshot (r19 review): the put-residue
+    // sweep at the end must only ever touch names that existed BEFORE
+    // this compaction started — a concurrent put append's fresh
+    // segments and marker land after this listing and survive intact
+    val rawBefore: Set[String] = {
+      val (f0, d0) = graft.Work.fs(dir)
+      f0.listStatus(d0).iterator.filter(_.isFile)
+        .map(_.getPath.getName).toSet
+    }
     val tmp = s"$dir/.compact-tmp"
     // read the EXPLICIT segment list (a directory read would honor a
     // streaming sink's _spark_metadata log and miss batch-appended
@@ -319,12 +328,19 @@ final case class LogStore(baseDir: String,
     // across compactions.
     val stamp = nextStamp(dir)
     LogSourceV2.writeCompactionStamp(dir, stamp)
-    // rename the merged segments IN before deleting the olds: a crash
+    // publish the merged segments IN before deleting the olds: a crash
     // in between leaves transient duplication (at-least-once, the log
     // contract), never data loss — the delete-first order would strand
-    // the only copy in the hidden scratch dir.
+    // the only copy in the hidden scratch dir. The publish honors
+    // [[commitMode]] (r19 review): in put mode the merged files are
+    // single-streamed to final put-gated names — a rename here would
+    // re-open the exact half-readable-copy hazard put mode exists to
+    // close ("no rename anywhere on the visible path").
     val (fsys, dirPath) = graft.Work.fs(dir)
-    merged.zipWithIndex.foreach { case (f, i) =>
+    if (commitMode == "put")
+      LogStore.putCommit(fsys, dirPath, merged, stamp,
+        java.util.UUID.randomUUID().toString.take(8))
+    else merged.zipWithIndex.foreach { case (f, i) =>
       val dst = new org.apache.hadoop.fs.Path(dirPath,
         s"compacted-$stamp-$i")
       if (!fsys.rename(graft.Work.fs(f)._2, dst))
@@ -348,17 +364,27 @@ final case class LogStore(baseDir: String,
     // stamp guard, so no surviving reader can reference the entries
     fsys.delete(new org.apache.hadoop.fs.Path(dirPath,
       LogSourceV2.VacuumTombstone), false): Unit
-    // sweep put-commit residue (r18 verdict #2): every live put-mode
-    // segment was just compacted away, so its `_put-` marker gates
-    // nothing, and any marker-LESS put-named file is a crashed
-    // append's invisible residue — compaction is the maintenance
-    // window where both classes of junk are reclaimed
-    fsys.listStatus(dirPath).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile &&
-          (n.startsWith(LogSourceV2.PutMarkerPrefix) ||
-            LogSourceV2.putKey(n).isDefined))
-        fsys.delete(st.getPath, false): Unit
+    // sweep put-commit residue (r18 verdict #2): every PRE-compaction
+    // put-mode segment was just compacted away, so its `_put-` marker
+    // gates nothing, and a PRE-compaction marker-less put-named file
+    // is a crashed append's invisible residue. Scoped STRICTLY to the
+    // rawBefore snapshot, and a pending file is only reclaimed while
+    // its marker is STILL absent (r19 review: the former unscoped
+    // sweep deleted a concurrent put append's freshly committed
+    // segments — data loss the rename mode's snapshot-bounded delete
+    // never had; markers committed mid-compaction now also keep their
+    // pending files alive).
+    val markersNow = fsys.listStatus(dirPath).iterator
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith(LogSourceV2.PutMarkerPrefix)).toSet
+    rawBefore.foreach { n =>
+      val sweep =
+        if (n.startsWith(LogSourceV2.PutMarkerPrefix)) true
+        else LogSourceV2.putKey(n).exists(k =>
+          !markersNow.contains(LogSourceV2.PutMarkerPrefix + k))
+      if (sweep)
+        fsys.delete(new org.apache.hadoop.fs.Path(dirPath, n),
+          false): Unit
     }
   }
 

@@ -1281,11 +1281,10 @@ object Dedup {
     * read.
     *
     * STALENESS verification (r18 ADVICE medium): a well-formed
-    * manifest can still name RETIRED dirs — a publisher's write
-    * derived from a pre-fold listing landing after a concurrent
-    * compactor's refresh+retirement (the conditional replace in
-    * [[updateManifest]] closes all but a microsecond window of that).
-    * Every manifest read therefore verifies its entries against ONE
+    * manifest could in principle name RETIRED dirs — writers now
+    * serialize on a lock in [[updateManifest]], so this guards
+    * out-of-band tampering and pre-lock-era records rather than a
+    * live race. Every manifest read verifies its entries against ONE
     * root listStatus (a single LIST call — the per-segment child
     * listings segSnapshots pays stay skipped, so reader metadata
     * remains O(1) calls): any named dir missing ⇒ fall back to the
@@ -1338,29 +1337,30 @@ object Dedup {
     * Deriving the content from the listing (never incrementally) means
     * any successful mutation repairs any earlier crash's staleness.
     *
-    * Lost-update guard (r18 ADVICE medium): "two racing mutators both
-    * write a correct snapshot" only holds when each write postdates
-    * all prior MUTATIONS — a publisher whose listing predates a
-    * concurrent compactor's fold could land its (now-stale, victims
-    * included) snapshot AFTER the compactor's refresh and retirement.
-    * The manifest therefore carries a monotonically increasing stamp,
-    * and the replace is CONDITIONAL: re-read immediately before the
-    * swap, and if the record changed since this derivation's start,
-    * re-derive from a fresh listing instead of overwriting newer
-    * content. The listing+derive window (the long one) is closed; the
-    * residual re-read→rename microsecond window is covered by the
-    * reader-side staleness verification in [[manifestSnapshots]].
-    * Never throws: false = the manifest could not be refreshed —
+    * Lost-update guard (r18 ADVICE medium, hardened r19 review):
+    * "two racing mutators both write a correct snapshot" only holds
+    * when each write postdates all prior MUTATIONS — a writer whose
+    * listing predates a concurrent mutation could land a snapshot that
+    * either NAMES retired dirs (reader crash) or OMITS a just-published
+    * segment (silently missing history until the next mutation).
+    * Manifest writers therefore SERIALIZE on an exclusive lock record:
+    * the listing, the stamp bump and the replace all happen inside it,
+    * so no write can be derived from a listing older than another
+    * writer's mutation in either direction (the first r19 spelling —
+    * a stamp-conditional replace — closed only the listing-long window
+    * and only the retired-dir direction survived the residual one;
+    * reader-side verification in [[manifestSnapshots]] remains as the
+    * belt for out-of-band manifest tampering). Never throws: false =
+    * the manifest could not be refreshed (lock wait exhausted, IO) —
     * readers fall back or serve the stale (victims-still-on-disk)
     * view, and the caller decides what to gate on it (compaction
     * skips retirement). */
   private def updateManifest(indexDir: String): Boolean =
     try {
-      var attempt = 0
-      while (attempt < 5) {
-        attempt += 1
-        val before = readRecordOpt(indexDir, ManifestName)
-        val s0 = before.flatMap(_.split("\n").headOption)
+      Work.withExclusiveRecord(indexDir, "_lock_manifest",
+        staleMs = 60000L, waitMs = 10000L) {
+        val s0 = readRecordOpt(indexDir, ManifestName)
+          .flatMap(_.split("\n").headOption)
           .map(_.trim.split(" "))
           .collect { case Array("v1", st) if st.forall(_.isDigit) &&
             st.nonEmpty => st.toLong }
@@ -1369,14 +1369,9 @@ object Dedup {
         val body = (s"v1 ${s0 + 1}" +: active.map { case (p, kids) =>
           s"${segName(p)} ${if (kids("buckets")) "bucketed" else "plain"}"
         }).mkString("\n")
-        if (readRecordOpt(indexDir, ManifestName) == before) {
-          Work.replaceSmallRecord(indexDir, ManifestName, body)
-          return true
-        }
-        // the record moved under us — our listing may predate the
-        // mutation that moved it; loop re-derives
+        Work.replaceSmallRecord(indexDir, ManifestName, body)
       }
-      false
+      true
     } catch { case scala.util.control.NonFatal(_) => false }
 
   private def segName(path: String): String =
@@ -1515,18 +1510,22 @@ object Dedup {
       .getOrElse(15L * 60 * 1000)
 
   /** Acquire the index-level compaction lease (see [[compactSegments]]
-    * scaladoc). Returns true when acquired; false when the wait
+    * scaladoc). Returns Some(ownerToken) when acquired — the exact
+    * record content, which [[releaseCompactLease]] compares WHOLE
+    * (r19 review: a compactId-prefix match let a stalled holder delete
+    * a same-id taker's live lease on resume) — or None when the wait
     * resolved by CONVERGENCE (our target became complete under a
     * same-id sibling). Throws, pointedly, when a DIFFERENT live
-    * compaction holds the lease — the overlapping-victims double-commit
-    * hazard this lease exists to exclude. */
+    * compaction holds the lease — the overlapping-victims
+    * double-commit hazard this lease exists to exclude. */
   private def acquireCompactLease(indexDir: String, compactId: String,
-      target: String): Boolean = {
+      target: String): Option[String] = {
     while (true) {
-      if (Work.createSmallRecordExclusive(indexDir, CompactLease,
-          s"$compactId ${System.currentTimeMillis()}"))
-        return true
-      if (Work.isComplete(target)) return false
+      val token = s"$compactId ${System.currentTimeMillis()} " +
+        java.util.UUID.randomUUID().toString.take(8)
+      if (Work.createSmallRecordExclusive(indexDir, CompactLease, token))
+        return Some(token)
+      if (Work.isComplete(target)) return None
       Work.readSmallRecord(indexDir, CompactLease) match {
         case None => () // freed between probe and read — retry create
         case Some(txt) =>
@@ -1553,17 +1552,17 @@ object Dedup {
                 s"$indexDir/$CompactLease if it crashed")
       }
     }
-    false // unreachable
+    None // unreachable
   }
 
-  /** Best-effort release: delete the lease only while it is still OURS
-    * (a stale takeover may have replaced it — never delete the
-    * taker's). */
+  /** Best-effort release: delete the lease only while its content is
+    * EXACTLY our token (a stale takeover — even a same-id one — may
+    * have replaced it; never delete the taker's). */
   private def releaseCompactLease(indexDir: String,
-      compactId: String): Unit =
+      token: String): Unit =
     try {
       if (Work.readSmallRecord(indexDir, CompactLease)
-          .exists(_.startsWith(compactId + " "))) {
+          .map(_.trim).contains(token)) {
         val (f, d) = Work.fs(indexDir)
         f.delete(new org.apache.hadoop.fs.Path(d, CompactLease),
           false): Unit
@@ -1616,10 +1615,12 @@ object Dedup {
     if (Work.isComplete(target)) return committed()
     // lease BEFORE reading the active set (r18 verdict #3): victim
     // selection and staging must not interleave with another
-    // compactor's fold/retire; a false return means a same-id sibling
-    // completed our target while we waited — pure convergence
-    if (!acquireCompactLease(indexDir, compactId, target))
-      return committed()
+    // compactor's fold/retire; None means a same-id sibling completed
+    // our target while we waited — pure convergence
+    val leaseToken = acquireCompactLease(indexDir, compactId, target) match {
+      case None => return committed()
+      case Some(tok) => tok
+    }
     try {
     if (Work.isComplete(target)) return committed()
     val active = activeSegments(indexDir)
@@ -1659,10 +1660,15 @@ object Dedup {
         // decode+shuffle+re-encode cost.
         val alignedAll = chosen.filter(p =>
           bucketCountOf(p).contains(HistIdxBuckets))
+        // ONE shLayout listing per aligned victim serves both the dial
+        // filter and the greedy's byte ordering (r19 review: the
+        // filter's filesPerBucket re-listed what the greedy's shLayout
+        // had already fetched — two LIST round-trips per victim)
+        val layouts = alignedAll.map(p => (p, shLayout(p))).toMap
         val adoptCand =
           if (!adoptAligned) Seq.empty[String]
           else alignedAll.filter(p =>
-            filesPerBucket(p) < AlignedFoldMaxFilesPerBucket)
+            layouts(p)._1 < AlignedFoldMaxFilesPerBucket)
         // the dial bounds the RESULT's per-bucket multiplicity, not
         // just each victim's (r18 tiered re-run: a MAJOR adopting
         // three 1-file/bucket weeklies landed sum+1 files per bucket —
@@ -1680,7 +1686,7 @@ object Dedup {
           var sum = 0
           val budget = AlignedFoldMaxFilesPerBucket - 1
           adoptCand
-            .map { p => val (f, bytes) = shLayout(p); (p, f, bytes) }
+            .map { p => val (f, bytes) = layouts(p); (p, f, bytes) }
             .sortBy(-_._3).filter { case (_, f, _) =>
               if (sum + f <= budget) { sum += f; true } else false
             }.map(_._1)
@@ -1732,7 +1738,7 @@ object Dedup {
         if (!Work.isComplete(target)) throw e
     }
     committed()
-    } finally releaseCompactLease(indexDir, compactId)
+    } finally releaseCompactLease(indexDir, leaseToken)
   }
 
   /** Delete retired segment dirs (by name) from a segmented index —
@@ -2317,9 +2323,15 @@ object Dedup {
         .filter(_.getName.endsWith(".parquet"))
         .sortBy(_.getName)
         .foreach { p =>
-          bucketIdOf(p.getName).foreach { b =>
-            byBucket(b) = byBucket.getOrElse(b, Vector.empty) :+ p
-          }
+          // an unparseable bucket name must DEMOTE to the rewrite, not
+          // silently drop the file's rows from the compacted segment
+          // (r19 review — the rewrite reads every file regardless of
+          // its name, so it is always the safe fallback)
+          val b = bucketIdOf(p.getName).getOrElse(
+            throw new ConcatUnsupported(
+              s"victim data file $p carries no parseable _<bucket> " +
+                "suffix — cannot route it for the raw concat"))
+          byBucket(b) = byBucket.getOrElse(b, Vector.empty) :+ p
         }
     }
     val (dfs, dstDir) = Work.fs(s"$tmp/$sub")

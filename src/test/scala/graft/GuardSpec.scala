@@ -1120,15 +1120,23 @@ class GuardSpec extends SparkSpec {
       f"_put-${99999999999999999L}%020d-deadbeef"), true).close()
     assert(graft.connector.LogSourceV2.listSegments(dir).size == before + 1,
       "…and become visible the instant its marker exists")
-    // compaction sweeps put residue (markers + any marker-less junk)
+    // compaction in put mode: the merged output itself publishes via
+    // put-commit (a rename here would re-open the half-read hazard —
+    // r19 review), and the sweep reclaims exactly the PRE-compaction
+    // residue (stale markers, marker-less junk) — never anything that
+    // landed after the snapshot
     putStore.compact(spark, "sc", "st")
-    val names = ffs.listStatus(dp).map(_.getPath.getName)
-    assert(!names.exists(_.startsWith("_put-")),
-      "compact must sweep stale put markers")
-    assert(!names.exists(n =>
-        graft.connector.LogSourceV2.putKey(n).isDefined),
-      "compact must sweep put-named residue")
+    val names = ffs.listStatus(dp).map(_.getPath.getName).toSeq
+    assert(!names.exists(_.startsWith("compacted-")),
+      "put-mode compact must not rename merged segments into visibility")
+    assert(names.count(_.startsWith("_put-")) == 1,
+      s"exactly the merged output's marker must remain, got " +
+        names.filter(_.startsWith("_put-")).mkString(", "))
+    assert(!names.contains(pendName),
+      "pre-compaction put residue must be swept")
     assert(putStore.readBounded(spark, "sc", "st", schema).count() == 17)
+    assert(PartialCopyFs.segmentRenames.get() == renamesBefore,
+      "put-mode compact must never rename a segment either")
     Work.clean(base)
   }
 }
