@@ -3448,7 +3448,15 @@ object Dedup {
         s"$base/idx", s"$base/kept", s"$base/ckpt")
       q.processAllAvailable()
       q.stop()
-      s.read.parquet(s"$base/kept/batch_c*").select("doc_id")
+      // explicit per-batch dirs, not a glob: Spark's FileStreamSink
+      // metadata probe getFileStatus()es a glob string literally and
+      // logs a scary-looking (benign) WARN+stack for it on every read
+      val (kfs, kp) = Work.fs(s"$base/kept")
+      val batchDirs = kfs.listStatus(kp).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_c"))
+        .map(st => Work.spell(st.getPath)).sorted
+      s.read.parquet(batchDirs: _*).select("doc_id")
     },
     None) // oracle assigned below — the batch pipeline's SQL, verbatim
 
