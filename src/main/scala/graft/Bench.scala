@@ -81,8 +81,19 @@ object Bench {
     * inter-quartile spread: when q75/q25 exceeds this factor the
     * canary disagrees with itself, `box_factor` is stamped unreliable,
     * the normalized total is WITHHELD, and the warning says to trust
-    * raw totals compared across sibling runs instead. */
-  val CanaryAgreeFactor = 1.25
+    * raw totals compared across sibling runs instead.
+    *
+    * CALIBRATION (SOAK_r19): four full-suite siblings measured a
+    * SYSTEMATIC within-run spread of 1.245–1.285 — mid-suite probes
+    * sample under key load by design, so the population's IQR is
+    * wider than an idle box's jitter even when the instrument is
+    * healthy; on those same siblings the box-factor normalization
+    * TIGHTENED the cross-sibling total band from 1.159× (raw) to
+    * 1.068× (normalized), i.e. the instrument demonstrably works at
+    * that spread. The line sits above the measured systematic band
+    * and below genuine-disagreement territory (the r18 pathology was
+    * a 1.48× cross-run ratio). */
+  val CanaryAgreeFactor = 1.4
 
   /** q75/q25 of the canary samples; 1.0 when too few to judge. */
   def canarySpread(samples: Seq[Double]): Double = {

@@ -169,16 +169,24 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("canary self-agreement: q75/q25 spread over the sample " +
-      "population; disagreement past 1.25 withholds normalization " +
-      "(r18 verdict #5)") {
+      "population; disagreement past the calibrated line withholds " +
+      "normalization (r18 verdict #5, line calibrated in SOAK_r19)") {
     // tight population: spread ~1, agreement holds
     val tight = Seq.fill(18)(0.020) ++ Seq(0.021, 0.019)
     assert(Bench.canarySpread(tight) <= Bench.CanaryAgreeFactor)
-    // the SOAK_r18 failure mode: samples banding 0.86x-1.27x of each
-    // other — the instrument disagrees with itself
-    val wild = Seq(0.017, 0.018, 0.020, 0.022, 0.025, 0.026,
-      0.017, 0.026, 0.018, 0.025, 0.024, 0.016)
-    assert(Bench.canarySpread(wild) > Bench.CanaryAgreeFactor)
+    // the measured HEALTHY regime (SOAK_r19 siblings: systematic
+    // 1.245-1.285 spread from load-adjacent mid-suite probes, while
+    // normalization tightened the cross-sibling band) must pass
+    val healthy = Seq(0.016, 0.017, 0.018, 0.018, 0.019, 0.020,
+      0.021, 0.022, 0.023, 0.023, 0.024, 0.024)
+    assert(Bench.canarySpread(healthy) <= Bench.CanaryAgreeFactor,
+      s"systematic load spread must not trip: ${Bench.canarySpread(healthy)}")
+    // the SOAK_r18 failure mode: samples banding ~1.5x of each other —
+    // the instrument disagrees with itself
+    val wild = Seq(0.015, 0.016, 0.016, 0.017, 0.024, 0.026,
+      0.015, 0.026, 0.017, 0.025, 0.024, 0.027)
+    assert(Bench.canarySpread(wild) > Bench.CanaryAgreeFactor,
+      s"genuine disagreement must trip: ${Bench.canarySpread(wild)}")
     // one hot outlier in an otherwise tight population must NOT break
     // agreement (quartiles, not max/min — the whole point of the
     // larger interleaved population)
