@@ -3411,6 +3411,24 @@ object Dedup {
     labels.filter(col("doc_id") === col("cluster")).select("doc_id")
   }
 
+  /** OFFLINE repair of online keep-first curation — the periodic pass
+    * that closes the documented semantic gap between
+    * [[graft.streaming.StreamingDedup.curateFoldBatch]] (ingest-time,
+    * keep-first: a doc is rejected iff it near-dups a previously KEPT
+    * doc) and this batch pipeline (global min-label clustering): on a
+    * similarity CHAIN a~b~c with a≁c spanning batches, keep-first
+    * keeps both a and c while the global clustering keeps only a.
+    * Rerun over the RAW corpus archive (the chain's middle is not in
+    * the kept set, so the kept set alone cannot see it), this returns
+    * exactly the docs the online pass kept that a global clustering
+    * retires — the streaming spec pins chain → retire → equality with
+    * the batch pipeline. Scale: one batch-curation pass (the measured
+    * corpus_curate shape) + an anti-join keyed on doc_id. */
+  def curationRetireList(corpus: DataFrame,
+      keptIds: DataFrame): DataFrame =
+    keptIds.select("doc_id")
+      .join(curateCorpus(corpus), Seq("doc_id"), "left_anti")
+
   /** Witness of the INGEST-TIME curation stream (r18 verdict #6): the
     * worst-case corpus arrives as three ordered micro-batches through
     * the log store (originals, then the near-dup crawl, then the

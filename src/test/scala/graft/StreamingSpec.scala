@@ -2371,6 +2371,68 @@ class StreamingSpec extends SparkSpec {
     Seq(base, idx, kept).foreach(Work.clean)
   }
 
+  test("online keep-first vs offline clustering: a similarity CHAIN " +
+      "spanning batches is the documented divergence, and " +
+      "curationRetireList repairs it to batch equality (r19)") {
+    import graft.ext.Dedup
+    val sp = spark
+    import sp.implicits._
+    // a ~ b ~ c but a !~ c: sliding 14-token windows over a 20-token
+    // vocabulary — 11 shingles each; a∩b and b∩c share 8 (3*8 >= 22),
+    // a∩c shares 5 (3*5 < 22). Token 10 is a stopword so every doc
+    // passes the quality gate's stopword-ratio line.
+    def txt(from: Int): String =
+      (from until from + 14).map(i => if (i == 10) "the" else s"t$i")
+        .mkString(" ")
+    val docs = Seq((1L, txt(1)), (2L, txt(4)), (3L, txt(7)))
+    val corpus = docs.toDF("doc_id", "text")
+    // the batch pipeline keeps ONLY the cluster min
+    val batchKept = Dedup.curateCorpus(corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L), s"batch canonical: $batchKept")
+    // the stream ingests the chain one doc per batch, in id order:
+    // 1 kept; 2 rejected (pairs kept 1); 3 near-dups only the REJECTED
+    // 2, so keep-first KEEPS it — the documented chain divergence
+    val base = freshDir("curatechain")
+    val store = LogStore(base)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    docs.foreach { case (id, t) =>
+      store.append(Seq((id, t)).toDF("doc_id", "text").coalesce(1),
+        "scope", "ch")
+    }
+    val idx = freshDir("curatechain_idx")
+    val kept = freshDir("curatechain_kept")
+    val q = graft.streaming.StreamingDedup.curateStream(
+      store.readStream(spark, "scope", "ch", docSchema,
+        maxFilesPerTrigger = 1),
+      idx, kept, s"${freshDir("curatechain_ckpt")}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val onlineKept = spark.read.parquet(s"$kept/batch_c*")
+      .collect().map(_.getLong(0)).toSet
+    assert(onlineKept == Set(1L, 3L),
+      s"keep-first must keep the chain end: $onlineKept")
+    // the OFFLINE repair: rerun over the raw corpus, retire the
+    // keep-first survivors a global clustering rejects
+    val retire = Dedup.curationRetireList(corpus,
+      spark.read.parquet(s"$kept/batch_c*"))
+      .collect().map(_.getLong(0)).toSet
+    assert(retire == Set(3L), s"retire list: $retire")
+    assert(onlineKept -- retire == batchKept,
+      "online kept minus the retire list must equal the batch canonical")
+    // no-divergence case: the worst-case star corpus from the equality
+    // test yields an EMPTY retire list (keep-first == batch there)
+    val star = Dedup.plantedCorpus(
+      Tables(spark, sf, "documents").limit(50))
+    val starKept = Dedup.curateCorpus(star)
+    assert(Dedup.curationRetireList(star, starKept).isEmpty)
+    Seq(base, idx, kept).foreach(Work.clean)
+  }
+
   test("compaction under a LIVE streaming fold: the fold-filter swap " +
       "is atomic for the running stream — pairs identical to the " +
       "never-compacted twin (r17)") {
