@@ -3415,19 +3415,43 @@ object Dedup {
     * that closes the documented semantic gap between
     * [[graft.streaming.StreamingDedup.curateFoldBatch]] (ingest-time,
     * keep-first: a doc is rejected iff it near-dups a previously KEPT
-    * doc) and this batch pipeline (global min-label clustering): on a
-    * similarity CHAIN a~b~c with a≁c spanning batches, keep-first
-    * keeps both a and c while the global clustering keeps only a.
-    * Rerun over the RAW corpus archive (the chain's middle is not in
-    * the kept set, so the kept set alone cannot see it), this returns
-    * exactly the docs the online pass kept that a global clustering
-    * retires — the streaming spec pins chain → retire → equality with
-    * the batch pipeline. Scale: one batch-curation pass (the measured
-    * corpus_curate shape) + an anti-join keyed on doc_id. */
-  def curationRetireList(corpus: DataFrame,
-      keptIds: DataFrame): DataFrame =
-    keptIds.select("doc_id")
-      .join(curateCorpus(corpus), Seq("doc_id"), "left_anti")
+    * doc) and this batch pipeline (global min-label clustering).
+    * Rerun over the RAW corpus archive (a chain's middle is not in
+    * the kept set, so the kept set alone cannot see it), it returns
+    * BOTH correction directions as (doc_id, action) rows:
+    *
+    *  - `retire`: online kept docs a global clustering rejects — the
+    *    chain case (a~b~c, a≁c spanning batches: keep-first keeps
+    *    both ends, the global clustering keeps only the min);
+    *  - `reinstate`: batch-canonical docs the online pass rejected —
+    *    the OUT-OF-ORDER-arrival case (r19 review #2: a cluster's min
+    *    arriving AFTER a kept sibling is rejected online, and a
+    *    retire-only repair would empty the cluster instead of
+    *    converging). Under id-ordered ingest this side is provably
+    *    empty (a cluster min can only be rejected by a smaller kept
+    *    near-dup — contradicting minimality), which is why the
+    *    retire-only spelling looked sufficient.
+    *
+    * Applying both (kept ∖ retire ∪ reinstate) equals the batch
+    * pipeline's canonical set EXACTLY, for any arrival order — the
+    * streaming spec pins the chain, the out-of-order cluster, and the
+    * no-divergence case on a stream-produced kept set. Scale: one
+    * batch-curation pass (the measured corpus_curate shape) + two
+    * anti-joins keyed on doc_id. */
+  def curationRepair(corpus: DataFrame, keptIds: DataFrame): DataFrame = {
+    val canonical = curateCorpus(corpus).persist()
+    val kept = keptIds.select("doc_id")
+    val out = Work.materialize("curation_repair",
+      kept.join(canonical, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("retire").as("action"))
+        .unionAll(canonical.join(kept, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("reinstate").as("action"))))
+    // materialize executed both anti-joins off the one cached
+    // canonical pass; the returned frame is a clean scan, so the
+    // cache releases here instead of leaking across the session
+    canonical.unpersist(): Unit
+    out
+  }
 
   /** Witness of the INGEST-TIME curation stream (r18 verdict #6): the
     * worst-case corpus arrives as three ordered micro-batches through
@@ -3466,15 +3490,8 @@ object Dedup {
         s"$base/idx", s"$base/kept", s"$base/ckpt")
       q.processAllAvailable()
       q.stop()
-      // explicit per-batch dirs, not a glob: Spark's FileStreamSink
-      // metadata probe getFileStatus()es a glob string literally and
-      // logs a scary-looking (benign) WARN+stack for it on every read
-      val (kfs, kp) = Work.fs(s"$base/kept")
-      val batchDirs = kfs.listStatus(kp).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch_c"))
-        .map(st => Work.spell(st.getPath)).sorted
-      s.read.parquet(batchDirs: _*).select("doc_id")
+      graft.streaming.StreamingDedup.readKept(s, s"$base/kept")
+        .select("doc_id")
     },
     None) // oracle assigned below — the batch pipeline's SQL, verbatim
 

@@ -813,6 +813,25 @@ object StreamingDedup {
       .foreachBatch(curateFoldBatch(indexDir, keptDir, policy) _)
       .start()
 
+  /** The accumulated kept sinks of a curation stream, read back as
+    * ONE frame over explicitly LISTED per-batch dirs — the shared
+    * reader of the witness and the specs (r19 review: the listing was
+    * duplicated, and the glob spelling it replaced makes Spark's
+    * FileStreamSink metadata probe stat the literal glob string and
+    * log a benign but alarming WARN+stacktrace on every read). */
+  def readKept(s: org.apache.spark.sql.SparkSession,
+      keptDir: String): DataFrame = {
+    val (kfs, kp) = graft.Work.fs(keptDir)
+    val dirs = kfs.listStatus(kp).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_c"))
+      .map(st => graft.Work.spell(st.getPath)).sorted
+    require(dirs.nonEmpty,
+      s"no kept batch sinks under $keptDir — has the curation stream " +
+        "committed any batch yet?")
+    s.read.parquet(dirs: _*)
+  }
+
   private[graft] def updateBloomShard(mBits: Int)(
       g: Int, batch: Iterator[ShardKey],
       state: GroupState[Seq[Long]]): Iterator[Long] = {

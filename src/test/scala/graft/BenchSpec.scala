@@ -187,6 +187,18 @@ class BenchSpec extends AnyFunSuite {
       0.015, 0.026, 0.017, 0.025, 0.024, 0.027)
     assert(Bench.canarySpread(wild) > Bench.CanaryAgreeFactor,
       s"genuine disagreement must trip: ${Bench.canarySpread(wild)}")
+    // the BOUNDARY, pinned on both sides (r19 review: the calibration
+    // opened a 1.285-1.4 gray zone — deliberate tolerance between the
+    // measured healthy band and the r18 pathology; these vectors keep
+    // the line from drifting silently)
+    val gray = Seq(0.016, 0.017, 0.017, 0.018, 0.019, 0.020,
+      0.021, 0.022, 0.0248, 0.025, 0.025, 0.026) // q75/q25 ~ 1.38
+    assert(Bench.canarySpread(gray) <= Bench.CanaryAgreeFactor,
+      s"inside the calibrated tolerance: ${Bench.canarySpread(gray)}")
+    val past = Seq(0.016, 0.017, 0.017, 0.018, 0.019, 0.020,
+      0.021, 0.022, 0.0263, 0.027, 0.027, 0.028) // q75/q25 ~ 1.46
+    assert(Bench.canarySpread(past) > Bench.CanaryAgreeFactor,
+      s"past the line must trip: ${Bench.canarySpread(past)}")
     // one hot outlier in an otherwise tight population must NOT break
     // agreement (quartiles, not max/min — the whole point of the
     // larger interleaved population)

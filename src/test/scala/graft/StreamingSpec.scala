@@ -2358,8 +2358,8 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$kept/batch_c*")
       .collect().map(_.getLong(0)).toSet == keptBefore,
       "a replayed batch must not re-curate or overwrite its sink")
-    val got = spark.read.parquet(s"$kept/batch_c*")
-      .collect().map(_.getLong(0)).toSet
+    val keptDf = graft.streaming.StreamingDedup.readKept(spark, kept)
+    val got = keptDf.collect().map(_.getLong(0)).toSet
     assert(got == want,
       s"stream curation must equal the batch pipeline: " +
         s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
@@ -2368,6 +2368,12 @@ class StreamingSpec extends SparkSpec {
     assert(Dedup.segmentedIndexFrames(spark, idx)._1
       .select("doc_id").collect().map(_.getLong(0)).toSet == want,
       "history must hold exactly the curated survivors")
+    // no-divergence pin for the offline repair, on a STREAM-produced
+    // kept set (r19 review: the former star assertion fed curateCorpus
+    // its own output — a tautology): with keep-first == batch on this
+    // corpus, the repair has nothing to say in either direction
+    assert(Dedup.curationRepair(corpus, keptDf).isEmpty,
+      "repair must be empty when the stream already equals the batch")
     Seq(base, idx, kept).foreach(Work.clean)
   }
 
@@ -2412,25 +2418,53 @@ class StreamingSpec extends SparkSpec {
       idx, kept, s"${freshDir("curatechain_ckpt")}/ckpt")
     q.processAllAvailable()
     q.stop()
-    val onlineKept = spark.read.parquet(s"$kept/batch_c*")
-      .collect().map(_.getLong(0)).toSet
+    def keptSet(dir: String): Set[Long] =
+      graft.streaming.StreamingDedup.readKept(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+    val onlineKept = keptSet(kept)
     assert(onlineKept == Set(1L, 3L),
       s"keep-first must keep the chain end: $onlineKept")
-    // the OFFLINE repair: rerun over the raw corpus, retire the
-    // keep-first survivors a global clustering rejects
-    val retire = Dedup.curationRetireList(corpus,
-      spark.read.parquet(s"$kept/batch_c*"))
-      .collect().map(_.getLong(0)).toSet
-    assert(retire == Set(3L), s"retire list: $retire")
-    assert(onlineKept -- retire == batchKept,
+    // the OFFLINE repair: rerun over the raw corpus — retire the
+    // keep-first survivors a global clustering rejects (no reinstates
+    // here: arrival was id-ordered, so every cluster min was kept)
+    def repairOf(c: org.apache.spark.sql.DataFrame,
+        dir: String): Set[(Long, String)] =
+      Dedup.curationRepair(c,
+        graft.streaming.StreamingDedup.readKept(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rep = repairOf(corpus, kept)
+    assert(rep == Set((3L, "retire")), s"repair: $rep")
+    assert(onlineKept -- rep.collect { case (d, "retire") => d }
+      == batchKept,
       "online kept minus the retire list must equal the batch canonical")
-    // no-divergence case: the worst-case star corpus from the equality
-    // test yields an EMPTY retire list (keep-first == batch there)
-    val star = Dedup.plantedCorpus(
-      Tables(spark, sf, "documents").limit(50))
-    val starKept = Dedup.curateCorpus(star)
-    assert(Dedup.curationRetireList(star, starKept).isEmpty)
-    Seq(base, idx, kept).foreach(Work.clean)
+    // OUT-OF-ORDER arrival (r19 review): a cluster's min lands AFTER
+    // a kept sibling — keep-first rejects the min, and a retire-only
+    // repair would empty the cluster; the reinstate side converges it
+    val corpus2 = Seq((1L, txt(1)), (2L, txt(4))).toDF("doc_id", "text")
+    val base2 = freshDir("curatechain2")
+    val store2 = LogStore(base2)
+    Seq(2L -> txt(4), 1L -> txt(1)).foreach { case (id, t) =>
+      store2.append(Seq((id, t)).toDF("doc_id", "text").coalesce(1),
+        "scope", "ch2")
+    }
+    val idx2 = freshDir("curatechain2_idx")
+    val kept2 = freshDir("curatechain2_kept")
+    val q2 = graft.streaming.StreamingDedup.curateStream(
+      store2.readStream(spark, "scope", "ch2", docSchema,
+        maxFilesPerTrigger = 1),
+      idx2, kept2, s"${freshDir("curatechain2_ckpt")}/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(keptSet(kept2) == Set(2L),
+      "out-of-order: the later-arriving cluster min is rejected online")
+    val rep2 = repairOf(corpus2, kept2)
+    assert(rep2 == Set((2L, "retire"), (1L, "reinstate")),
+      s"repair must carry BOTH directions: $rep2")
+    assert((keptSet(kept2) -- rep2.collect { case (d, "retire") => d })
+        ++ rep2.collect { case (d, "reinstate") => d }
+      == Set(1L),
+      "kept minus retires plus reinstates must equal the batch canonical")
+    Seq(base, idx, kept, base2, idx2, kept2).foreach(Work.clean)
   }
 
   test("compaction under a LIVE streaming fold: the fold-filter swap " +
