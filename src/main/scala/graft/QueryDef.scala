@@ -561,6 +561,68 @@ object Work {
     }
   }
 
+  /** Content-conditional delete of a small lock/lease record — the
+    * compare-and-delete a filesystem does not natively offer, emulated
+    * under a short-lived reclaim mutex (`<name>.reclaim`,
+    * create-no-overwrite). Returns true iff the record was observed
+    * EXACTLY equal to `expected` (trimmed) under the mutex and
+    * deleted; false when the mutex was busy or the content moved on
+    * (callers loop — their create retry arbitrates).
+    *
+    * Why a bare delete was wrong (r19 ADVICE): two reclaimers racing
+    * on a stale lock — A deletes and re-creates; B, whose staleness
+    * judgment predates A's create, then deletes A's FRESH live lock
+    * and creates its own: both believe they hold, re-opening exactly
+    * the double-publish/lost-update the lock exists to exclude. Why
+    * rename-to-tombstone alone is not enough either: B's rename can
+    * just as well steal A's live lock (the TOCTOU is on src, whatever
+    * the operation), and the restore rename can fail because a third
+    * waiter create-no-overwrote the freed name inside the window —
+    * double-held again. The mutex + verify closes both: the record
+    * content carries a UUID, so equality identifies the exact
+    * incident the caller judged stale, no other reclaimer can
+    * interleave between the verify and the delete, and creators
+    * cannot either (the record exists, so create-no-overwrite fails
+    * for them). A crashed reclaimer's mutex goes stale after
+    * `reclaimStaleMs` (the guarded window is two metadata RPCs) and
+    * is swept; the residual exposure needs a reclaimer suspended
+    * inside that two-RPC window for the whole horizon AND resuming
+    * inside a sibling's verify-delete gap with the content changed in
+    * between — orders narrower than the bare-delete hazard, and the
+    * UUID equality still bounds what it could delete. */
+  def deleteRecordIfContent(dir: String, name: String,
+      expected: String, reclaimStaleMs: Long = 60000L): Boolean = {
+    val mutex = s"$name.reclaim"
+    val mutexToken =
+      s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
+    if (!createSmallRecordExclusive(dir, mutex, mutexToken)) {
+      // a sibling reclaimer is inside its verify-delete window; a
+      // CRASHED one's residue is swept after the (short) horizon —
+      // the sweep itself is a bare delete, accepted per above
+      val stamp = readSmallRecord(dir, mutex)
+        .flatMap(_.trim.split(" ").headOption)
+        .flatMap(_.toLongOption).getOrElse(0L)
+      if (System.currentTimeMillis() - stamp > reclaimStaleMs) {
+        val (f, d) = fs(dir)
+        f.delete(new org.apache.hadoop.fs.Path(d, mutex), false): Unit
+      }
+      return false
+    }
+    try {
+      if (readSmallRecord(dir, name).map(_.trim)
+          .contains(expected.trim)) {
+        val (f, d) = fs(dir)
+        f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
+        true
+      } else false
+    } finally {
+      try {
+        val (f, d) = fs(dir)
+        f.delete(new org.apache.hadoop.fs.Path(d, mutex), false): Unit
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Run `body` under an exclusive wall-clock-stamped lock record
     * `dir/name` — the enforcement teeth behind every "single
     * coordinator" maintenance contract (r18 ADVICE: two concurrent
@@ -585,15 +647,20 @@ object Work {
     while (!acquired) {
       acquired = createSmallRecordExclusive(dir, name, token)
       if (!acquired) {
-        val stamp = readSmallRecord(dir, name)
+        val cur = readSmallRecord(dir, name)
+        val stamp = cur
           .flatMap(_.trim.split(" ").headOption)
           .flatMap(_.toLongOption).getOrElse(0L)
-        if (System.currentTimeMillis() - stamp > staleMs) {
-          // crashed holder — reclaim; the retry's create arbitrates
-          // racing reclaimers
-          val (f, d) = fs(dir)
-          f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
-        } else if (System.currentTimeMillis() > deadline)
+        if (cur.nonEmpty &&
+            System.currentTimeMillis() - stamp > staleMs) {
+          // crashed holder — content-conditional reclaim (r19 ADVICE:
+          // a bare delete let the second of two racing reclaimers
+          // delete the first's freshly created LIVE lock; see
+          // [[deleteRecordIfContent]] for the full race ladder)
+          deleteRecordIfContent(dir, name, cur.get): Unit
+        } else if (cur.isEmpty)
+          () // freed between the create probe and the read — retry
+        else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"lock $dir/$name is held (stamp $stamp) — a concurrent " +
               "maintenance call is running; retry after it finishes " +
@@ -603,10 +670,17 @@ object Work {
     }
     try body
     finally {
+      // release through the same content-conditional delete — closes
+      // the release-side TOCTOU too (a reclaimer replacing our stale
+      // lock between the compare and the delete). Mutex-busy retries
+      // a few times, then leaves the record to the stale horizon.
       try {
-        if (readSmallRecord(dir, name).map(_.trim).contains(token)) {
-          val (f, d) = fs(dir)
-          f.delete(new org.apache.hadoop.fs.Path(d, name), false): Unit
+        var attempts = 0
+        while (attempts < 3 &&
+            readSmallRecord(dir, name).map(_.trim).contains(token) &&
+            !deleteRecordIfContent(dir, name, token)) {
+          attempts += 1
+          Thread.sleep(50L)
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }

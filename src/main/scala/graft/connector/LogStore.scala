@@ -364,28 +364,11 @@ final case class LogStore(baseDir: String,
     // stamp guard, so no surviving reader can reference the entries
     fsys.delete(new org.apache.hadoop.fs.Path(dirPath,
       LogSourceV2.VacuumTombstone), false): Unit
-    // sweep put-commit residue (r18 verdict #2): every PRE-compaction
-    // put-mode segment was just compacted away, so its `_put-` marker
-    // gates nothing, and a PRE-compaction marker-less put-named file
-    // is a crashed append's invisible residue. Scoped STRICTLY to the
-    // rawBefore snapshot, and a pending file is only reclaimed while
-    // its marker is STILL absent (r19 review: the former unscoped
-    // sweep deleted a concurrent put append's freshly committed
-    // segments — data loss the rename mode's snapshot-bounded delete
-    // never had; markers committed mid-compaction now also keep their
-    // pending files alive).
-    val markersNow = fsys.listStatus(dirPath).iterator
-      .filter(_.isFile).map(_.getPath.getName)
-      .filter(_.startsWith(LogSourceV2.PutMarkerPrefix)).toSet
-    rawBefore.foreach { n =>
-      val sweep =
-        if (n.startsWith(LogSourceV2.PutMarkerPrefix)) true
-        else LogSourceV2.putKey(n).exists(k =>
-          !markersNow.contains(LogSourceV2.PutMarkerPrefix + k))
-      if (sweep)
-        fsys.delete(new org.apache.hadoop.fs.Path(dirPath, n),
-          false): Unit
-    }
+    // sweep put-commit residue (r18 verdict #2), snapshot-scoped and
+    // re-verified against the CURRENT listing — see
+    // [[LogStore.sweepPutResidue]] for the two-direction rule and the
+    // committed-between-snapshots race it closes (r19 ADVICE).
+    LogStore.sweepPutResidue(fsys, dirPath, rawBefore)
   }
 
   private def encode(df: DataFrame): DataFrame =
@@ -447,8 +430,84 @@ object LogStore {
       org.apache.hadoop.fs.FileUtil.copy(sfs, sp, fsys, dst,
         true, true, fsys.getConf): Unit
     }
-    if (staged.nonEmpty)
+    if (staged.nonEmpty) {
+      // r19 ADVICE: the watermark grace window was sized for
+      // rename-mode commit latency, but a put append streams its full
+      // data bytes between the stamp and the marker — a large or slow
+      // copy can push the marker past the grace, and the segment would
+      // sort under an already-advanced watermark and be silently
+      // treated as consumed (the late-landing listing diff only
+      // WARNS). Detect it HERE, before visibility: withholding the
+      // marker leaves the staged bytes as invisible crashed-append
+      // residue (the next compact sweeps them) — a loud, retryable
+      // failure instead of a silent skip. Warn from half the window so
+      // deployments size -Dgraft.log.watermarkGraceMs before it trips.
+      // An inflated stamp (> wall clock, from a future-stamped
+      // predecessor) is never watermark-eligible, so negative ages are
+      // naturally exempt.
+      val age = System.currentTimeMillis() - stamp
+      val grace = LogSourceV2.WatermarkGraceMs
+      if (age >= (grace * 4) / 5)
+        throw new java.io.IOException(
+          s"put-commit to $dirPath: $age ms elapsed between the " +
+            s"segment stamp and the marker write — at or past 80% of " +
+            s"the $grace ms watermark grace, so a reader could advance " +
+            "its watermark over this stamp before the marker lands and " +
+            "silently never read the append. The staged data is left " +
+            "INVISIBLE (marker withheld; the next compact sweeps it). " +
+            "Raise -Dgraft.log.watermarkGraceMs above the worst-case " +
+            "append copy time and retry")
+      if (age >= grace / 2)
+        System.err.println(s"[graft] WARNING put-commit to $dirPath: " +
+          s"$age ms from stamp to marker — past half the $grace ms " +
+          "watermark grace; commitMode=put pays its data-copy latency " +
+          "inside the commit window, so size " +
+          "-Dgraft.log.watermarkGraceMs above the worst-case append " +
+          "copy time")
       fsys.create(new org.apache.hadoop.fs.Path(dirPath,
         f"${LogSourceV2.PutMarkerPrefix}$stamp%020d-$tag"), true).close()
+    }
+  }
+
+  /** Sweep put-commit residue after a compaction. `rawBefore` is the
+    * RAW pre-compaction name snapshot — nothing that landed after it
+    * is ever touched. Within the snapshot, BOTH directions re-verify
+    * against the CURRENT listing (r19 ADVICE — the former
+    * unconditional marker branch lost data): a put append that
+    * committed between the compaction's visible-segment listing and
+    * the rawBefore listing has its `_put-` marker inside the snapshot
+    * but its segments still LIVE — they were invisible when the
+    * victim set was taken, so they were never compacted. Deleting
+    * that marker would orphan the committed data (invisible forever)
+    * and the NEXT compact would then sweep the marker-less files as
+    * crashed residue: silent loss of a committed append. The rule is
+    * therefore:
+    *   - a `_put-` marker is swept only when NO surviving file
+    *     carries its put key (all its segments were compacted away);
+    *   - a put-named data file is swept only while its marker is
+    *     STILL absent (a crashed append's invisible residue — a
+    *     marker that landed mid-compaction keeps its files alive).
+    * One extra listStatus per compaction; all-or-nothing per key is
+    * guaranteed by the listing gate (an append's segments become
+    * visible together when their single marker lands). */
+  private[graft] def sweepPutResidue(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path,
+      rawBefore: Set[String]): Unit = {
+    val nowNames = fsys.listStatus(dirPath).iterator
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    val markersNow = nowNames.filter(_.startsWith(LogSourceV2.PutMarkerPrefix))
+    val liveKeys = nowNames.iterator
+      .flatMap(n => LogSourceV2.putKey(n)).toSet
+    rawBefore.foreach { n =>
+      val sweep =
+        if (n.startsWith(LogSourceV2.PutMarkerPrefix))
+          !liveKeys.contains(n.stripPrefix(LogSourceV2.PutMarkerPrefix))
+        else LogSourceV2.putKey(n).exists(k =>
+          !markersNow.contains(LogSourceV2.PutMarkerPrefix + k))
+      if (sweep)
+        fsys.delete(new org.apache.hadoop.fs.Path(dirPath, n),
+          false): Unit
+    }
   }
 }

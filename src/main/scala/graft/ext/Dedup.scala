@@ -1533,11 +1533,15 @@ object Dedup {
           val holder = parts.headOption.getOrElse("")
           val stamp = parts.lift(1).flatMap(_.toLongOption).getOrElse(0L)
           if (System.currentTimeMillis() - stamp > compactLeaseStaleMs) {
-            // crashed holder — reclaim; racing reclaimers collapse
-            // onto the create-no-overwrite retry (one wins)
-            val (f, d) = Work.fs(indexDir)
-            f.delete(new org.apache.hadoop.fs.Path(d, CompactLease),
-              false): Unit
+            // crashed holder — content-conditional reclaim (r19
+            // ADVICE: a bare delete let the second of two racing
+            // reclaimers delete the first's freshly created LIVE
+            // lease — a double-held compaction lease re-opens exactly
+            // the overlapping-victims double-publish this lease
+            // exists to exclude; see Work.deleteRecordIfContent for
+            // the race ladder, including why rename-to-tombstone
+            // alone is insufficient)
+            Work.deleteRecordIfContent(indexDir, CompactLease, txt): Unit
           } else if (holder == compactId)
             // a live sibling is folding OUR victim set — wait for its
             // commit (convergence) or its release
@@ -1561,11 +1565,17 @@ object Dedup {
   private def releaseCompactLease(indexDir: String,
       token: String): Unit =
     try {
-      if (Work.readSmallRecord(indexDir, CompactLease)
-          .map(_.trim).contains(token)) {
-        val (f, d) = Work.fs(indexDir)
-        f.delete(new org.apache.hadoop.fs.Path(d, CompactLease),
-          false): Unit
+      // content-conditional (r19 review kept the compare; r19 ADVICE
+      // moved the compare UNDER the reclaim mutex — the bare
+      // compare-then-delete had its own tiny steal window). Mutex-busy
+      // retries briefly, then leaves the lease to the stale horizon.
+      var attempts = 0
+      while (attempts < 3 &&
+          Work.readSmallRecord(indexDir, CompactLease)
+            .map(_.trim).contains(token) &&
+          !Work.deleteRecordIfContent(indexDir, CompactLease, token)) {
+        attempts += 1
+        Thread.sleep(50L)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 

@@ -1170,6 +1170,120 @@ class GuardSpec extends SparkSpec {
       "put-mode compact must never rename a segment either")
     Work.clean(base)
   }
+
+  test("put-residue sweep: a pre-compaction marker survives while ANY " +
+      "segment it gates survives — swept only when all were compacted " +
+      "(r19 ADVICE: committed-between-snapshots append)") {
+    val dir = s"${Work.dir}/test_guard_putsweep_${Work.jvmTag}"
+    Work.clean(dir)
+    val (f, d) = Work.fs(dir)
+    f.mkdirs(d): Unit
+    def put(name: String): Unit = {
+      val o = f.create(new org.apache.hadoop.fs.Path(d, name), true)
+      o.write("{\"x\":1}\n".getBytes("UTF-8")); o.close()
+    }
+    val s = 1700000000000L
+    // (a) the race state the r19 unconditional marker branch lost: an
+    // append that committed between the compaction's visible-segment
+    // listing and its rawBefore snapshot — marker inside the snapshot,
+    // segments still live (they were invisible at victim-set time, so
+    // never compacted)
+    val aFile = f"segment-$s%020d-00000-aaaaaaaa-p.json"
+    val aMark = f"_put-$s%020d-aaaaaaaa"
+    put(aFile); put(aMark)
+    // (b) an append fully compacted away: marker in snapshot, files gone
+    val bMark = f"_put-${s + 1}%020d-bbbbbbbb"
+    put(bMark)
+    // (c) crashed residue: marker-less put file in snapshot
+    val cFile = f"segment-${s + 2}%020d-00000-cccccccc-p.json"
+    put(cFile)
+    // (d) a post-snapshot append: neither name in rawBefore
+    val dFile = f"segment-${s + 3}%020d-00000-dddddddd-p.json"
+    val dMark = f"_put-${s + 3}%020d-dddddddd"
+    put(dFile); put(dMark)
+    graft.connector.LogStore.sweepPutResidue(f, d,
+      Set(aFile, aMark, bMark, cFile))
+    val names = f.listStatus(d).map(_.getPath.getName).toSet
+    assert(names.contains(aFile) && names.contains(aMark),
+      "a committed append with surviving segments must keep its marker " +
+        "AND its data (the unconditional sweep orphaned then lost it)")
+    assert(!names.contains(bMark),
+      "a marker whose every segment was compacted away is swept")
+    assert(!names.contains(cFile), "marker-less residue is swept")
+    assert(names.contains(dFile) && names.contains(dMark),
+      "post-snapshot names are never touched")
+    Work.clean(dir)
+  }
+
+  test("Work.deleteRecordIfContent: the second racing reclaimer can no " +
+      "longer delete the first's fresh LIVE lock (r19 ADVICE)") {
+    val dir = s"${Work.dir}/test_guard_reclaim_${Work.jvmTag}"
+    Work.clean(dir)
+    val stale = s"${System.currentTimeMillis() - 3600000L} " +
+      s"${java.util.UUID.randomUUID()}"
+    assert(Work.createSmallRecordExclusive(dir, "_lk", stale))
+    // reclaimer A judged `stale` stale and reclaims content-conditionally
+    assert(Work.deleteRecordIfContent(dir, "_lk", stale),
+      "A's reclaim of the exact stale content succeeds")
+    val live = s"${System.currentTimeMillis()} " +
+      s"${java.util.UUID.randomUUID()}"
+    assert(Work.createSmallRecordExclusive(dir, "_lk", live))
+    // reclaimer B raced A: its staleness judgment predates A's create —
+    // the bare delete here was the double-held-lock bug
+    assert(!Work.deleteRecordIfContent(dir, "_lk", stale),
+      "B's reclaim must refuse: the content moved on")
+    assert(Work.readSmallRecord(dir, "_lk").map(_.trim).contains(live),
+      "A's live lock survives B's attempted takeover")
+    // a sibling inside its verify-delete window blocks us (caller loops)
+    assert(Work.createSmallRecordExclusive(dir, "_lk.reclaim",
+      s"${System.currentTimeMillis()} x"))
+    assert(!Work.deleteRecordIfContent(dir, "_lk", live),
+      "mutex-busy refuses")
+    assert(Work.readSmallRecord(dir, "_lk").map(_.trim).contains(live))
+    // a CRASHED reclaimer's stale mutex is swept; the retry then wins
+    Work.replaceSmallRecord(dir, "_lk.reclaim",
+      s"${System.currentTimeMillis() - 3600000L} x")
+    assert(!Work.deleteRecordIfContent(dir, "_lk", live),
+      "the stale-mutex sweep itself returns false (loop)")
+    assert(Work.deleteRecordIfContent(dir, "_lk", live),
+      "and the retry acquires the mutex and deletes")
+    assert(Work.readSmallRecord(dir, "_lk").isEmpty)
+    Work.clean(dir)
+  }
+
+  test("put-commit refuses to publish a marker past the watermark " +
+      "grace: staged bytes stay INVISIBLE instead of silently skipped " +
+      "(r19 ADVICE)") {
+    val prev = sys.props.get("graft.log.watermarkGraceMs")
+    sys.props("graft.log.watermarkGraceMs") = "1"
+    try {
+      val base = s"${Work.dir}/test_guard_putgrace_${Work.jvmTag}"
+      Work.clean(base)
+      val store = graft.connector.LogStore(base, commitMode = "put")
+      val ev = Tables(spark, sf, "events").limit(3)
+      val e = intercept[java.io.IOException] {
+        store.append(ev, "sc", "st")
+      }
+      assert(e.getMessage.contains("watermark grace"),
+        s"pointed error expected, got: ${e.getMessage}")
+      // the refusal is SAFE: marker withheld, nothing visible, the
+      // staged bytes are ordinary crashed-append residue for the sweep
+      val dir = store.path("sc", "st")
+      val (f, d) = Work.fs(dir)
+      val names = f.listStatus(d).map(_.getPath.getName)
+      assert(!names.exists(_.startsWith("_put-")), "marker withheld")
+      assert(names.exists(_.startsWith("segment-")),
+        "staged residue present (sweepable)")
+      assert(graft.connector.LogSourceV2.listSegments(dir).isEmpty,
+        "nothing became visible")
+      Work.clean(base)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.log.watermarkGraceMs") = v
+        case None => sys.props -= "graft.log.watermarkGraceMs": Unit
+      }
+    }
+  }
 }
 
 /** Test-only FileSystem whose SEGMENT rename is deliberately a
