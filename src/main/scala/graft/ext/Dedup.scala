@@ -1016,6 +1016,36 @@ object Dedup {
     seg
   }
 
+  /** [[publishHistorySegment]] from an ALREADY-SHINGLED frame
+    * `(doc_id, shs, n)` — the composition face for callers that have
+    * the shingles cached (the curation stream shingles its batch once
+    * for in-batch pair generation and must not pay the UDF pass plus
+    * a persist+count AGAIN inside the fold; r19 verdict #1). The
+    * caller guarantees the frame is exactly
+    * `shingleSets(docs)`-shaped: same UDF, and rows with empty
+    * shingle sets already dropped (`n > 0` — provably the same guard,
+    * see [[shingleSets]]'s tokensWs invariant). Same `_SUCCESS` gate,
+    * same manifest refresh, same idempotent-retry discipline. */
+  def publishHistorySegmentShingled(s: SparkSession, indexDir: String,
+      segmentId: String, shingled: DataFrame): String = {
+    require(segmentId.matches("[A-Za-z0-9._-]+"),
+      s"segment id must be a plain file-name token, got '$segmentId'")
+    val (fsys, dirPath) = Work.fs(indexDir)
+    fsys.mkdirs(dirPath): Unit
+    require(fsys.exists(dirPath) &&
+        fsys.getFileStatus(dirPath).isDirectory,
+      s"segment index dir $indexDir cannot be created (a file in the " +
+        "way, or an unwritable parent)")
+    val seg = Work.publish(s"$indexDir/seg_$segmentId") { tmp =>
+      val sh = shingled.select(col("doc_id"), col("shs"), col("n"))
+      sh.write.mode("overwrite").parquet(s"$tmp/sh")
+      bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
+        .parquet(s"$tmp/bb")
+    }
+    updateManifest(indexDir)
+    seg
+  }
+
   /** Union frames over every complete segment of a segmented index,
     * as ONE multi-path parquet scan per subtable — not a unionByName
     * chain, which keeps a scan node (and its jobs) per segment: the
@@ -1398,6 +1428,28 @@ object Dedup {
     incrementalAgainstFlavors(s, segmentedIndexFlavors(s, indexDir),
       increment, indexDir)
 
+  /** Composition face of [[incrementalAgainstSegmentedIndex]] for a
+    * caller that already shingled (and CACHED) its increment: `shI`
+    * is `shingleSets(increment)`-shaped `(doc_id, shs, n)`. Fully
+    * LAZY — no internal persist, count or materialize: the caller's
+    * one materializing action runs the whole probe+verify pipeline
+    * (r19 verdict #1 — the curation stream paid a second shingle
+    * pass, a persist+count and a materialize parquet round-trip of
+    * per-batch fixed overhead through the batch face). The caller
+    * owns the `shI` cache lifetime (keep it cached until the
+    * consuming action ran). A multi-flavor index re-runs the MinHash
+    * banding per flavor — map-side CPU over the cached increment,
+    * bounded by the (micro-batch-sized) increment, the price of
+    * laziness; the batch face's persist+count spelling remains the
+    * right shape for multi-consumer batch callers. */
+  def incrementalAgainstSegmentedIndexShingled(s: SparkSession,
+      indexDir: String, shI: DataFrame): DataFrame = {
+    val bI = bandBuckets(minhashSignatures(shI))
+    segmentedIndexFlavors(s, indexDir).map { case (shH, bH) =>
+      verifyJaccardSplit(crossSideCandidates(bH, bI), shH, shI)
+    }.reduce(_ unionByName _)
+  }
+
   /** The stored-side frames of a segmented index, grouped by layout
     * flavor: all plain segments as ONE multi-path (sh, bb) scan pair,
     * plus one bucketed pair PER compacted-bucketed segment (each
@@ -1498,6 +1550,45 @@ object Dedup {
       .digest(canon.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     "fold_" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Non-canonical members of every connected component of a BOUNDED
+    * edge set, computed driver-side: collect the (a, b) pairs, run
+    * union-find with path compression, return every node whose
+    * component minimum is not itself. EXACTLY the reject set of
+    * `connectedComponents(nodes, edges).filter(doc_id != cluster)`
+    * restricted to edge-touched nodes — isolated nodes are canonical
+    * in both spellings and never appear. The caller gates on a row
+    * cap (this is the broadcast-threshold pattern: a micro-batch's
+    * verified pair set is usually tiny, and the distributed min-label
+    * fixed point pays ~12 Spark jobs of fixed overhead per batch for
+    * it; past the cap the caller falls back to the distributed CC —
+    * r19 verdict #1). The collect is bounded by the caller's cap,
+    * never by data size. */
+  private[graft] def unionFindRejects(pairs: DataFrame): Seq[Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.get(c); parent.put(c, r): Unit; c = n
+      }
+      r
+    }
+    pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          // union by MIN root: the canonical label is the component
+          // minimum, so rooting at the min makes find() return it
+          if (ra < rb) parent.put(rb, ra): Unit
+          else parent.put(ra, rb): Unit
+        }
+      }
+    import scala.jdk.CollectionConverters._
+    parent.keySet.asScala.iterator.map(_.toLong)
+      .filter(x => find(x) != x).toSeq.sorted
   }
 
   private val CompactLease = "_lease_compact"

@@ -770,36 +770,99 @@ object StreamingDedup {
     val seg = f"c$batchId%09d"
     val (committed, complete) = Dedup.foldGate(indexDir, seg)
     if (committed) return
+    def phase[A](name: String)(body: => A): A = {
+      s.sparkContext.setJobDescription(s"curate b$batchId: $name")
+      try body finally s.sparkContext.setJobDescription(null)
+    }
     val good = Dedup.curationGate(
       batch.select(col("doc_id"), col("text")))
     val exactKeep = good.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
-    // cached: the history join, the within-batch pair generation and
-    // the isolated-node attach all consume it
+    // Shingle ONCE, directly above the exact-dedup: the history
+    // probe, the in-batch pair generation, the kept sink and the
+    // index fold all derive from this one subplan, so the shingle UDF
+    // pass, a persist+count and a materialize parquet round-trip that
+    // the batch-face composition paid per micro-batch all disappear
+    // (r19 verdict #1). A sub-ShingleN doc shingles to the EMPTY
+    // array (the documented tokensWs invariant), so no guard filter
+    // is needed on the frame itself: empty sets explode to no
+    // inverted-index rows (no pairs — the doc is isolated, hence
+    // kept); the `n > 0` filters below replicate shingleSets' guard
+    // exactly where the probe and the published index need it.
+    val exactSh = exactKeep
+      .withColumn("shs",
+        graft.ext.TextAnalysis.shinglesUdf(Dedup.ShingleN)(col("text")))
+      .withColumn("n", size(col("shs")))
+    // ONE persist at the all-consumers point (r19 verdict #1): the
+    // single count below materializes the WHOLE gate + exact-dedup +
+    // history-probe pipeline as one action (the lazy probe face), and
+    // every later consumer reads the cache. The populate must run
+    // BEFORE the pair self-join: its two inverted-index sides
+    // otherwise race to compute the same uncached partitions
+    // concurrently — and here each recompute is the whole history
+    // join (measured: folding this count into the pair action cut 3
+    // jobs but cost +14 s of duplicate work across the witness).
     val fresh = (
-      if (complete.isEmpty) exactKeep
+      if (complete.isEmpty) exactSh
       else {
         val rejected = Dedup
-          .incrementalAgainstSegmentedIndex(s, indexDir, exactKeep)
+          .incrementalAgainstSegmentedIndexShingled(s, indexDir,
+            exactSh.filter(col("n") > 0).drop("text"))
           .select(col("b").as("doc_id")).distinct()
-        exactKeep.join(rejected, Seq("doc_id"), "left_anti")
+        exactSh.join(rejected, Seq("doc_id"), "left_anti")
       }).persist()
-    fresh.count(): Unit
-    val labels = Dedup.connectedComponents(
-      fresh.select("doc_id"),
-      Dedup.jaccardPairs(Dedup.shingleSets(fresh)).select("a", "b"))
-    val kept = fresh.join(
-      labels.filter(col("doc_id") === col("cluster")).select("doc_id"),
-      Seq("doc_id"))
+    phase("history join + persist")(fresh.count(): Unit)
+    // the verified pair set, persisted ONCE off the cached frame: one
+    // count() is the emptiness decision AND materializes the CC's
+    // edge input. The common production batch has NO in-batch
+    // near-dups, and the entire CC fixed point (the per-batch job
+    // multiplier) is skipped for it.
+    val pairs = Dedup.jaccardPairsOn(fresh.drop("text"))
+      .select("a", "b").persist()
+    val nPairs = phase("in-batch pairs (persist+count)")(pairs.count())
+    // in-batch clustering, sized to the pair count (r19 verdict #1 —
+    // the distributed min-label fixed point costs ~12 jobs of fixed
+    // overhead per batch): a bounded pair set union-finds on the
+    // driver (one collect off the cache, exact same reject set), past
+    // the cap the distributed CC runs as before. The cap bounds the
+    // collect, never the data.
+    val driverCcCap = s.conf
+      .getOption("spark.graft.curate.driverCcEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    val kept =
+      if (nPairs == 0) fresh // every doc isolated ⇒ all canonical
+      else if (nPairs <= driverCcCap) {
+        val rejects = phase("in-batch CC (driver union-find)")(
+          Dedup.unionFindRejects(pairs))
+        if (rejects.isEmpty) fresh
+        else {
+          import s.implicits._
+          fresh.join(
+            broadcast(rejects.toDF("doc_id")), Seq("doc_id"),
+            "left_anti")
+        }
+      } else {
+        val labels = phase("in-batch CC")(Dedup.connectedComponents(
+          fresh.select("doc_id"), pairs))
+        fresh.join(
+          labels.filter(col("doc_id") === col("cluster"))
+            .select("doc_id"),
+          Seq("doc_id"))
+      }
     // per-batch dir + overwrite = replay-idempotent kept sink; the
     // sink must be fully materialized BEFORE the fold commits (the
     // fold is the batch's commit point for the gate above)
-    kept.select("doc_id")
-      .write.mode("overwrite").parquet(s"$keptDir/batch_$seg")
-    Dedup.publishHistorySegment(s, indexDir, seg, kept): Unit
+    phase("kept sink")(kept.select("doc_id")
+      .write.mode("overwrite").parquet(s"$keptDir/batch_$seg"))
+    phase("fold publish")(
+      Dedup.publishHistorySegmentShingled(s, indexDir, seg,
+        kept.filter(col("n") > 0)
+          .select("doc_id", "shs", "n")): Unit)
+    pairs.unpersist(): Unit
     fresh.unpersist(): Unit
-    policy.foreach(p => Dedup.maybeCompact(s, indexDir, p): Unit)
+    phase("compaction policy")(
+      policy.foreach(p => Dedup.maybeCompact(s, indexDir, p): Unit))
   }
 
   /** Wire [[curateFoldBatch]] to a streaming source: the running

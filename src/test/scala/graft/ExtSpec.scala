@@ -203,6 +203,38 @@ class ExtSpec extends SparkSpec {
     } finally sp.conf.unset("spark.graft.cc.reliableCheckpoint")
   }
 
+  test("unionFindRejects equals the distributed CC's reject set " +
+      "(chains, stars, out-of-order arrival, randomized)") {
+    val sp = spark
+    import sp.implicits._
+    def ccRejects(edges: Seq[(Long, Long)]): Set[Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("doc_id")
+      Dedup.connectedComponents(nodes, edges.toDF("a", "b"))
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+          org.apache.spark.sql.functions.col("cluster"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    def ufRejects(edges: Seq[(Long, Long)]): Set[Long] =
+      Dedup.unionFindRejects(edges.toDF("a", "b")).toSet
+    // chain (transitive), star, pair — min arriving LAST in its pairs
+    val fixed = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((7L, 5L), (5L, 3L)), // descending chain: min arrives last
+      Seq((4L, 9L), (4L, 6L), (4L, 2L))) // star re-rooted onto 2
+    fixed.foreach(e => assert(ufRejects(e) == ccRejects(e),
+      s"mismatch on $e"))
+    // randomized cross-check, deterministic seed
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val e = (1 to 60).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      assert(ufRejects(e) == ccRejects(e), s"mismatch on random $e")
+    }
+    assert(Dedup.unionFindRejects(
+      Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+  }
+
   test("pointer jumping converges on a chain far longer than maxIter") {
     val sp = spark
     import sp.implicits._

@@ -2363,6 +2363,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"stream curation must equal the batch pipeline: " +
         s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the in-batch clustering is size-dispatched (r19 verdict #1):
+    // driver union-find under the edge cap, distributed CC past it.
+    // Same batches, cap forced to 0 ⇒ the distributed path must
+    // produce the identical kept set
+    val idxD = freshDir("curatestream_idx_dist")
+    val keptD = freshDir("curatestream_kept_dist")
+    spark.conf.set("spark.graft.curate.driverCcEdges", "0")
+    try {
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.StreamingDedup.curateFoldBatch(idxD, keptD)(
+          sl.select("doc_id", "text"), i.toLong)
+      }
+    } finally spark.conf.unset("spark.graft.curate.driverCcEdges")
+    val gotD = spark.read.parquet(s"$keptD/batch_c*")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotD == got,
+      "distributed-CC path must equal the driver union-find path: " +
+        s"missing=${(got -- gotD).take(5)} extra=${(gotD -- got).take(5)}")
+    Seq(idxD, keptD).foreach(Work.clean)
     // the index holds exactly the kept docs (survivors fold, rejects
     // never enter history)
     assert(Dedup.segmentedIndexFrames(spark, idx)._1
