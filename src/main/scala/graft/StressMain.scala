@@ -487,6 +487,75 @@ object StressMain {
       Work.clean(a)
       Work.clean(b)
     }
+    // r20 (r19 verdict #3): majorConcat=auto — the SAME pre-major
+    // state must rewrite when its footer row count sits below the
+    // crossover and concat when above, chosen by the policy, not the
+    // caller. Twin states, thresholds straddling the actual rows; the
+    // row also prints the rows and the default-crossover (100k) pick
+    // so SCALE.md can place this box's state against the measured
+    // crossover.
+    if (only.isEmpty || only.contains("major_auto")) {
+      val hist = repDocs(docs, mult)
+      def build(tag: String): String = {
+        val p = Work.scratch(s"histidx_majauto_$tag")
+        Work.clean(p)
+        (0 until 3).foreach { k =>
+          Dedup.publishHistorySegment(spark, p, s"w$k",
+            hist.filter(col("doc_id") % 3 === k))
+          Dedup.compactSegments(spark, p, s"cw$k",
+            victims = Seq(s"w$k")): Unit
+        }
+        p
+      }
+      def unsortedFlag(idx: String): Boolean = {
+        val seg = Dedup.activeSegments(idx) match {
+          case Seq(one) => one
+          case other => throw new IllegalStateException(
+            s"expected one active segment, got $other")
+        }
+        val (fsys, rp) = Work.fs(s"$seg/buckets")
+        val in = fsys.open(rp)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.endsWith(" unsorted")
+        finally in.close()
+      }
+      def shSigOf(idx: String): (Long, Long) = {
+        val seg = Dedup.activeSegments(idx).head
+        val df = spark.read.parquet(s"$seg/sh")
+        val r = df.agg(count(lit(1)),
+          expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val lo = build("below")
+      val hi = build("above")
+      GraftSession.dropAllCaches(spark)
+      val wLo = t("major_auto below-crossover")(
+        { Dedup.maybeCompact(spark, lo, Dedup.CompactionPolicy(
+            minorTail = 99, majorFlavors = 3, majorConcat = "auto",
+            concatRowsMin = Long.MaxValue)): Unit; 0L })
+      GraftSession.dropAllCaches(spark)
+      val wHi = t("major_auto above-crossover")(
+        { Dedup.maybeCompact(spark, hi, Dedup.CompactionPolicy(
+            minorTail = 99, majorFlavors = 3, majorConcat = "auto",
+            concatRowsMin = 1L)): Unit; 0L })
+      GraftSession.dropAllCaches(spark)
+      val (pickLo, pickHi) = (unsortedFlag(lo), unsortedFlag(hi))
+      val (sa, sb) = (shSigOf(lo), shSigOf(hi))
+      println(s"[stress]   auto below-pick=" +
+        s"${if (pickLo) "concat" else "rewrite"} above-pick=" +
+        s"${if (pickHi) "concat" else "rewrite"} sh_rows=${sa._1} " +
+        s"default_crossover_pick=" +
+        s"${if (sa._1 >= 100000L) "concat" else "rewrite"} " +
+        s"rows/hash equal=${sa == sb} " +
+        f"wall below=$wLo%.2f s above=$wHi%.2f s")
+      require(!pickLo && pickHi,
+        "auto must rewrite below the crossover and concat above it")
+      require(sa == sb,
+        s"auto modes diverged on identical states: $sa vs $sb")
+      results("major_auto") = (wLo, wHi)
+      Work.clean(lo)
+      Work.clean(hi)
+    }
     // r18 (r17 verdict #1): the append-spelling fold's headline claim —
     // the weekly fold's WALL is ∝ tail, independent of history size. A
     // standing bucketed segment is built from history at 1× and at

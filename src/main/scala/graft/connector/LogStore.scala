@@ -404,12 +404,67 @@ final case class LogStore(baseDir: String,
   }
 }
 
+/** Pluggable transport for put-commit's staging→final byte move (r19
+  * verdict #2): the default STREAMS the segment bytes through this JVM
+  * twice (read staging + write final) — correct everywhere, but on an
+  * object store the same move is a server-side, metadata-speed call
+  * (S3 CopyObject / multipart copy, GCS rewrite, HDFS concat for
+  * block-aligned files). A deployment registers a provider for its
+  * destination scheme once at startup
+  * ([[LogStore.registerCopyProvider]]); the commit DISCIPLINE —
+  * final names, trailing marker, grace guard, residue sweep — is
+  * transport-independent and stays in [[LogStore.putCommit]].
+  *
+  * Contract: when `put` returns, `dst` holds exactly `src`'s bytes
+  * and `src` is consumed (deleted). `dst` may be visible mid-write on
+  * stores without atomic create — put mode tolerates that by design
+  * (the `_put-` marker, written after every provider call returned,
+  * is the only visibility gate). A provider that fails must throw;
+  * partial `dst` bytes are then invisible crashed-append residue. */
+trait SegmentCopyProvider {
+  def put(srcFs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dstFs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit
+}
+
 object LogStore {
   /** Deployment-level default commit mode: `-Dgraft.log.commitMode=put`
     * flips every store constructed without an explicit mode — the knob
     * an object-store deployment sets once. */
   def defaultCommitMode: String =
     sys.props.getOrElse("graft.log.commitMode", "rename")
+
+  /** The default transport: stream the bytes through this JVM
+    * (read + write), delete the staging file — works on every
+    * Hadoop FileSystem. */
+  val StreamCopy: SegmentCopyProvider =
+    (srcFs, src, dstFs, dst, conf) =>
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst,
+        true, true, conf): Unit
+
+  private val copyProviders = new java.util.concurrent
+    .ConcurrentHashMap[String, SegmentCopyProvider]
+
+  /** Register the put-commit byte transport for a destination
+    * filesystem scheme (e.g. an S3 server-side CopyObject provider
+    * for "s3a"). One registration at deployment startup covers every
+    * store and compaction in the JVM. */
+  def registerCopyProvider(scheme: String,
+      p: SegmentCopyProvider): Unit =
+    copyProviders.put(scheme, p): Unit
+
+  /** Remove a registered transport (tests; falls back to
+    * [[StreamCopy]]). */
+  def clearCopyProvider(scheme: String): Unit =
+    copyProviders.remove(scheme): Unit
+
+  private def copyProviderFor(
+      dstFs: org.apache.hadoop.fs.FileSystem): SegmentCopyProvider = {
+    val scheme = Option(dstFs.getUri.getScheme).getOrElse("file")
+    copyProviders.getOrDefault(scheme, StreamCopy)
+  }
 
   /** The put commit (r18 verdict #2), shared by [[LogStore.append]]
     * and the V2 [[LogBatchWrite]]: stream each staged file to its
@@ -423,12 +478,12 @@ object LogStore {
       fsys: org.apache.hadoop.fs.FileSystem,
       dirPath: org.apache.hadoop.fs.Path,
       staged: Seq[String], stamp: Long, tag: String): Unit = {
+    val provider = copyProviderFor(fsys)
     staged.zipWithIndex.foreach { case (f, i) =>
       val dst = new org.apache.hadoop.fs.Path(dirPath,
         f"segment-$stamp%020d-$i%05d-$tag-p.json")
       val (sfs, sp) = graft.Work.fs(f)
-      org.apache.hadoop.fs.FileUtil.copy(sfs, sp, fsys, dst,
-        true, true, fsys.getConf): Unit
+      provider.put(sfs, sp, fsys, dst, fsys.getConf)
     }
     if (staged.nonEmpty) {
       // r19 ADVICE: the watermark grace window was sized for

@@ -168,7 +168,8 @@ class CatalogSpec extends SparkSpec {
     assert(Dedup.maybeCompactRegistered(reg, spark, "crawl").isEmpty)
     // policy CHANGES are versioned: v2 rolls the current pointer, p1
     // stays pinned; a reloaded registry (crash/restart) sees the same
-    val p2 = Dedup.CompactionPolicy(5, 3, 60000L, majorConcat = true)
+    val p2 = Dedup.CompactionPolicy(5, 3, 60000L, majorConcat = "on",
+      concatRowsMin = 250000L)
     Dedup.registerSegmentedIndex(reg, "crawl", idx, p2,
       policyVersion = Some("p2")): Unit
     val re = new Registry(wd, new EventBus)

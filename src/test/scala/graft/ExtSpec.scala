@@ -2198,6 +2198,55 @@ class ExtSpec extends SparkSpec {
     Work.clean(spath)
   }
 
+  test("CompactionPolicy majorConcat=auto: the same pre-major state " +
+      "rewrites below the row crossover and concats above it, " +
+      "row-identically (r19 verdict #3)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    def slice(k: Int) = docs.filter(col("doc_id") % 5 === k)
+      .select((col("doc_id") + 70000000L * k).as("doc_id"), col("text"))
+    def build(tag: String): String = {
+      val p = Work.scratch(s"histidxauto_$tag")
+      Work.clean(p)
+      (0 until 3).foreach { k =>
+        Dedup.publishHistorySegment(spark, p, s"w$k", slice(k))
+        Dedup.compactSegments(spark, p, s"cw$k",
+          victims = Seq(s"w$k")): Unit
+      }
+      p
+    }
+    def shRows(p: String): Set[(Long, Seq[String], Int)] =
+      Dedup.segmentedIndexFrames(spark, p)._1.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2))).toSet
+    def majorRec(p: String): String = {
+      val seg = Dedup.activeSegments(p) match {
+        case Seq(one) => one
+        case other => fail(s"expected ONE active segment, got $other")
+      }
+      val (fsys, rp) = Work.fs(s"$seg/buckets")
+      val in = fsys.open(rp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val lo = build("concat")
+    val hi = build("rewrite")
+    // crossover below the data size → auto picks the byte-copy concat
+    assert(Dedup.maybeCompact(spark, lo, Dedup.CompactionPolicy(
+      minorTail = 9, majorFlavors = 3, majorConcat = "auto",
+      concatRowsMin = 1L)).isDefined)
+    assert(majorRec(lo).endsWith(" unsorted"),
+      "auto above the crossover must have concatenated (unsorted flag)")
+    // crossover above the data size → auto picks the sorted rewrite
+    assert(Dedup.maybeCompact(spark, hi, Dedup.CompactionPolicy(
+      minorTail = 9, majorFlavors = 3, majorConcat = "auto",
+      concatRowsMin = Long.MaxValue)).isDefined)
+    assert(!majorRec(hi).endsWith(" unsorted"),
+      "auto below the crossover must have rewritten (sorted layout)")
+    assert(shRows(lo) == shRows(hi),
+      "both auto modes must produce identical rows")
+    Seq(lo, hi).foreach(Work.clean)
+  }
+
   test("CompactionPolicy: level-based minor/major thresholds with " +
       "deterministic fold ids — the tiered cadence without manual " +
       "compact calls (r17 verdict #8)") {

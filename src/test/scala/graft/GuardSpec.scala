@@ -1171,6 +1171,55 @@ class GuardSpec extends SparkSpec {
     Work.clean(base)
   }
 
+  test("put-commit byte transport is pluggable per destination scheme " +
+      "(the server-side-copy swap point, r19 verdict #2): a registered " +
+      "provider carries every segment bit-identically") {
+    def md5(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { d.update(buf, 0, n); n = in.read(buf) }
+        d.digest().map(b => f"$b%02x").mkString
+      } finally in.close()
+    }
+    // (dstName -> staged MD5), recorded BEFORE delegating (the
+    // transport consumes the staging file)
+    val calls = scala.collection.mutable.Map.empty[String, String]
+    val recording: graft.connector.SegmentCopyProvider =
+      (sfs, src, dfs, dst, conf) => {
+        calls(dst.getName) = md5(sfs, src)
+        graft.connector.LogStore.StreamCopy.put(sfs, src, dfs, dst, conf)
+      }
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3ish.impl", classOf[PartialCopyFs].getName)
+    val base = s"s3ish://${Work.dir}/test_guard_copyprov_${Work.jvmTag}"
+    Work.clean(base)
+    graft.connector.LogStore.registerCopyProvider("s3ish", recording)
+    try {
+      val store = graft.connector.LogStore(base, commitMode = "put")
+      val ev = Tables(spark, sf, "events").limit(6)
+      store.append(ev.coalesce(2), "sc", "st")
+      assert(calls.nonEmpty, "provider must carry the put-commit bytes")
+      val dir = store.path("sc", "st")
+      val segs = graft.connector.LogSourceV2.listSegments(dir)
+      assert(segs.map(_.split('/').last).toSet == calls.keySet,
+        "every visible segment went through the provider")
+      segs.foreach { s0 =>
+        val (f, p) = Work.fs(s0)
+        assert(md5(f, p) == calls(p.getName),
+          s"${p.getName}: landed bytes differ from staged bytes")
+      }
+      assert(store.readBounded(spark, "sc", "st",
+        graft.streaming.StreamOps.eventSchema).count() == 6)
+    } finally {
+      graft.connector.LogStore.clearCopyProvider("s3ish")
+      Work.clean(base)
+    }
+  }
+
   test("put-residue sweep: a pre-compaction marker survives while ANY " +
       "segment it gates survives — swept only when all were compacted " +
       "(r19 ADVICE: committed-between-snapshots append)") {
