@@ -813,6 +813,21 @@ object Corpus {
     fluencyGateBc(docs, bc, t1, t2)
   }
 
+  /** [[fluencyGatePublished]] resolved BY NAME through the registry
+    * (r19 verdict #4): gate `docs` with whatever LM publish the
+    * registry currently serves under `name` (or the pinned
+    * `version`) — the spelling a production pipeline uses, so a
+    * retrained LM swaps in by re-registering, with stage history,
+    * no caller code change. */
+  def fluencyGateResolved(docs: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession,
+      reg: graft.registry.Registry, name: String,
+      version: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val (bc, t1, t2) = graft.registry.DataArtifacts
+      .resolveFluencyLm(reg, s, name, version)
+    fluencyGateBc(docs, bc, t1, t2)
+  }
+
   /** The pruned twin of [[ccnetOracleSql]] — frequency table cut at
     * [[LmMinCount]], scoring via LEFT join + coalesce-0 so pruned
     * bigrams count a position with zero mass (the gate's unseen-bigram
@@ -853,7 +868,19 @@ object Corpus {
 
   val fluencyGateQ = QueryDef(
     "corpus_fluency_gate",
-    (s, dir) => fluencyGatePublished(Tables(s, dir, "documents"), s, dir),
+    (s, dir) => {
+      // THROUGH the registry (r19 verdict #4): the key registers the
+      // published LM by name and resolves it back — the deployment
+      // resolve-by-name path is what the oracle now gates, and the
+      // result is bit-identical to the direct-path spelling (same
+      // published bytes behind the pointer)
+      val reg = new graft.registry.Registry(
+        s"${graft.Work.dir}/reg_artifacts_${graft.Work.jvmTag}",
+        new graft.workflow.EventBus)
+      registerFluencyLm(reg, s, "ccnet_fluency_lm", dir): Unit
+      fluencyGateResolved(Tables(s, dir, "documents"), s, reg,
+        "ccnet_fluency_lm")
+    },
     Some(prunedGateOracleSql))
 
   // --- BPE training + encoding ----------------------------------------

@@ -213,7 +213,7 @@ object Dsir {
         col("wf")(0).as("weight_fp") :+ col("wf")(1).as("n_feats"): _*)
   }
 
-  private def loadLr(s: SparkSession, path: String): Array[Long] = {
+  private[graft] def loadLr(s: SparkSession, path: String): Array[Long] = {
     val out = new Array[Long](Buckets)
     s.read.parquet(path).collect()
       .foreach(r => out(r.getInt(0)) = r.getLong(1))

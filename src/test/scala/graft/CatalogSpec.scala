@@ -189,4 +189,72 @@ class CatalogSpec extends SparkSpec {
     Work.clean(idx)
     Work.clean(wd)
   }
+
+  test("data artifacts resolve BY NAME with version pinning: IVF " +
+      "centroids, PQ codebook, BM25 idf, DSIR ratios, fluency LM " +
+      "(r19 verdict #4)") {
+    import org.apache.spark.sql.functions.col
+    import graft.registry.DataArtifacts
+    val wd = s"${Work.dir}/test_dataartifacts_${Work.jvmTag}"
+    Work.clean(wd)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wd)): Unit
+    val reg = new Registry(wd, new EventBus)
+    val emb = Tables(spark, sf, "embeddings")
+    val refs = emb.select(col("vec_id").as("rid"),
+      col("embedding").cast("array<double>").as("re")).limit(256)
+    // IVF centroids: two versioned publishes — the bare name tracks
+    // the current one, the pin keeps serving v1 forever
+    DataArtifacts.publishCentroids(reg, spark, "ivf_q", s"$wd/cent_v1",
+      refs, k = 4, iters = 1, version = Some("v1")): Unit
+    DataArtifacts.publishCentroids(reg, spark, "ivf_q", s"$wd/cent_v2",
+      refs, k = 8, iters = 1, version = Some("v2")): Unit
+    assert(DataArtifacts.resolveCentroids(reg, spark, "ivf_q")
+      .count() == 8)
+    val v1 = DataArtifacts.resolveCentroids(reg, spark, "ivf_q",
+      Some("v1"))
+    assert(v1.columns.toSeq == Seq("cid", "ce") && v1.count() == 4)
+    // the resolved quantizer drives the IVF search end to end
+    val queries = refs.limit(3)
+      .select(col("rid").as("qid"), col("re").as("qe"))
+    assert(graft.ext.Similarity.ivfTopK(queries, refs, 2, Some(v1))
+      .count() == 6)
+    // unknown name fails pointedly, never silently retrains
+    val e2 = intercept[NoSuchElementException](
+      DataArtifacts.resolveCentroids(reg, spark, "no_such"))
+    assert(e2.getMessage.contains("no_such"))
+    // BM25 idf: resolve-by-name serves the oracle-shared publish
+    DataArtifacts.registerBm25Idf(reg, spark, "bm25_idf", sf): Unit
+    val idf = DataArtifacts.resolveBm25Idf(reg, spark, "bm25_idf")
+    assert(idf.columns.toSet ==
+      Set("term", "df", "idf_fp", "ndocs", "toks"))
+    val directIdf = spark.read
+      .parquet(graft.ext.Retrieval.ensureIdf(spark, sf))
+    assert(idf.count() == directIdf.count() && idf.count() > 0)
+    // DSIR ratios: the resolved dense array IS the published table
+    DataArtifacts.registerDsirRatios(reg, spark, "dsir_lr", sf): Unit
+    val lr = DataArtifacts.resolveDsirRatios(reg, spark, "dsir_lr")
+    assert(lr.length == graft.ext.Dsir.Buckets && lr.exists(_ != 0L))
+    assert(lr.toSeq == graft.ext.Dsir.loadLr(spark,
+      graft.ext.Dsir.ensureLogRatios(spark, sf)).toSeq)
+    // PQ codebook: publish + resolve round-trip (one-row broadcast map)
+    val scaled = emb.limit(64).select(col("vec_id"),
+      graft.ext.Embeddings.intScale(
+        col("embedding").cast("array<double>")).as("sc"))
+    DataArtifacts.publishPqCodebook(reg, spark, "pq_cb", s"$wd/pq_v1",
+      scaled, "vec_id", iters = 1, version = Some("v1")): Unit
+    val cb = DataArtifacts.resolvePqCodebook(reg, spark, "pq_cb")
+    assert(cb.count() == 1 && cb.columns.toSeq == Seq("cb"))
+    // fluency LM: the registry-resolved gate equals the direct path
+    graft.ext.Corpus.registerFluencyLm(reg, spark, "lm", sf): Unit
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val viaReg = graft.ext.Corpus
+      .fluencyGateResolved(docs, spark, reg, "lm")
+      .collect().map(_.toSeq).toSet
+    val directG = graft.ext.Corpus
+      .fluencyGatePublished(docs, spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaReg == directG && viaReg.nonEmpty,
+      "resolve-by-name must serve the exact published LM bytes")
+    Work.clean(wd)
+  }
 }
