@@ -414,34 +414,103 @@ object TextAnalysis {
     * The corpus plants a deterministic email on every 10th doc so the
     * operator is non-trivially exercised. Per-row, shuffle-free.
     */
+  /** PII scrub over four kinds — emails, card-shaped 4×4 digit runs,
+    * NANP-style phone numbers, IPv4s (r19 verdict #5: a real curation
+    * pipeline redacts more than emails). One SEQUENTIAL redaction
+    * chain (email → card → phone → ip), each stage counting on the
+    * PREVIOUS stage's output — later patterns never see text an
+    * earlier stage already redacted, so the stages compose without
+    * overlap ambiguity, and the oracle replays the identical chain.
+    * All four patterns live in the Java∩RE2 portable dialect
+    * (character classes, bounded repetition, optional escapes — no
+    * lookaround, no backreferences), the `text_html_strip` rule.
+    * Planting is deterministic per doc_id with deliberately
+    * overlapping residues (a doc can carry several kinds). */
   val piiScrub = QueryDef(
     "text_pii_scrub",
     (s, dir) => {
-      val re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val withPii = Tables(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 10 === 0,
-          concat(col("text"), lit(" contact"), col("doc_id"),
-            lit("@example.com")))
-          .otherwise(col("text")).as("text"))
-      withPii.select(
-        col("doc_id"),
-        regexp_count(col("text"), lit(re)).as("n_emails"),
-        regexp_replace(col("text"), re, "<EMAIL>").as("redacted"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val cardRe = "[0-9]{4}([ -][0-9]{4}){3}"
+      val phoneRe = "\\(?[0-9]{3}\\)?[ -][0-9]{3}-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+      val d4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val t0 = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact"), col("doc_id"),
+          lit("@example.com"))).otherwise(col("text"))
+      val t1 = when(col("doc_id") % 9 === 0,
+        concat(t0, lit(" card 4111 1111 1111 "), d4)).otherwise(t0)
+      val t2 = when(col("doc_id") % 7 === 0,
+        concat(t1, lit(" call (555) 123-"), d4)).otherwise(t1)
+      val planted = when(col("doc_id") % 11 === 0,
+        concat(t2, lit(" from 192.168."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 200 + 1).cast("string"))).otherwise(t2)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("text"))
+        .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
+        .withColumn("r1", regexp_replace(col("text"), emailRe, "<EMAIL>"))
+        .withColumn("n_cards", regexp_count(col("r1"), lit(cardRe)))
+        .withColumn("r2", regexp_replace(col("r1"), cardRe, "<CARD>"))
+        .withColumn("n_phones", regexp_count(col("r2"), lit(phoneRe)))
+        .withColumn("r3", regexp_replace(col("r2"), phoneRe, "<PHONE>"))
+        .withColumn("n_ips", regexp_count(col("r3"), lit(ipRe)))
+        .withColumn("redacted", regexp_replace(col("r3"), ipRe, "<IP>"))
+        .select("doc_id", "n_emails", "n_cards", "n_phones", "n_ips",
+          "redacted")
     },
     Some("""
       WITH withpii AS (
         SELECT doc_id,
                CASE WHEN doc_id % 10 = 0
                     THEN text || ' contact' || doc_id || '@example.com'
-                    ELSE text END AS text
-        FROM documents)
-      SELECT doc_id,
-             len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g') AS redacted
-      FROM withpii"""))
+                    ELSE text END
+               AS t0
+        FROM documents),
+      p1 AS (SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0
+                    THEN t0 || ' card 4111 1111 1111 ' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE t0 END AS t1
+             FROM withpii),
+      p2 AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN t1 || ' call (555) 123-' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE t1 END AS t2
+             FROM p1),
+      planted AS (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN t2 || ' from 192.168.' ||
+                         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                         CAST(doc_id % 200 + 1 AS VARCHAR)
+                    ELSE t2 END AS text
+             FROM p2),
+      s1 AS (SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS n_emails,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS r1
+             FROM planted),
+      s2 AS (SELECT doc_id, n_emails,
+               len(regexp_extract_all(r1, '[0-9]{4}([ -][0-9]{4}){3}'))
+                 AS n_cards,
+               regexp_replace(r1, '[0-9]{4}([ -][0-9]{4}){3}',
+                 '<CARD>', 'g') AS r2
+             FROM s1),
+      s3 AS (SELECT doc_id, n_emails, n_cards,
+               len(regexp_extract_all(r2,
+                 '\(?[0-9]{3}\)?[ -][0-9]{3}-[0-9]{4}')) AS n_phones,
+               regexp_replace(r2, '\(?[0-9]{3}\)?[ -][0-9]{3}-[0-9]{4}',
+                 '<PHONE>', 'g') AS r3
+             FROM s2)
+      SELECT doc_id, n_emails, n_cards, n_phones,
+             len(regexp_extract_all(r3, '[0-9]{1,3}(\.[0-9]{1,3}){3}'))
+               AS n_ips,
+             regexp_replace(r3, '[0-9]{1,3}(\.[0-9]{1,3}){3}',
+               '<IP>', 'g') AS redacted
+      FROM s3"""))
 
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace — the canonicalization step before exact dedup (its

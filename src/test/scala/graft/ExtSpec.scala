@@ -203,6 +203,44 @@ class ExtSpec extends SparkSpec {
     } finally sp.conf.unset("spark.graft.cc.reliableCheckpoint")
   }
 
+  test("text_pii_scrub redacts all four PII kinds through the " +
+      "sequential chain (emails, cards, phones, IPv4s — r19 verdict #5)") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ext.TextAnalysis.piiScrub.fn(spark, sf)
+    val all = rows.collect()
+    assert(all.nonEmpty)
+    // a doc_id divisible by 10·9·7·11 would carry all four; the
+    // planted corpus is smaller, so check each kind on its residue
+    val emailDoc = all.filter(r => r.getLong(0) % 10 == 0).head
+    assert(emailDoc.getAs[Int]("n_emails") >= 1 &&
+      emailDoc.getAs[String]("redacted").contains("<EMAIL>"))
+    val cardDoc = all.filter(r => r.getLong(0) % 9 == 0).head
+    assert(cardDoc.getAs[Int]("n_cards") >= 1 &&
+      cardDoc.getAs[String]("redacted").contains("<CARD>"))
+    val phoneDoc = all.filter(r => r.getLong(0) % 7 == 0).head
+    assert(phoneDoc.getAs[Int]("n_phones") >= 1 &&
+      phoneDoc.getAs[String]("redacted").contains("<PHONE>"))
+    val ipDoc = all.filter(r => r.getLong(0) % 11 == 0).head
+    assert(ipDoc.getAs[Int]("n_ips") >= 1 &&
+      ipDoc.getAs[String]("redacted").contains("<IP>"))
+    // no raw planted residue survives anywhere
+    all.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.contains("@example.com"), s"email residue in ${r.getLong(0)}")
+      assert(!red.contains("4111 1111"), s"card residue in ${r.getLong(0)}")
+      assert(!red.contains("(555) 123-"), s"phone residue in ${r.getLong(0)}")
+      assert(!red.contains(" from 192.168."), s"ip residue in ${r.getLong(0)}")
+    }
+    // a multi-kind doc (divisible by 10 and 9, e.g. 90·k) chains:
+    // both redactions present in ONE document
+    all.find(r => r.getLong(0) % 90 == 0 && r.getLong(0) % 7 != 0)
+      .foreach { r =>
+        val red = r.getAs[String]("redacted")
+        assert(red.contains("<EMAIL>") && red.contains("<CARD>"),
+          s"multi-kind doc ${r.getLong(0)} must carry both redactions")
+      }
+  }
+
   test("unionFindRejects equals the distributed CC's reject set " +
       "(chains, stars, out-of-order arrival, randomized)") {
     val sp = spark
