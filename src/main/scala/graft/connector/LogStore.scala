@@ -558,8 +558,16 @@ object LogStore {
       val sweep =
         if (n.startsWith(LogSourceV2.PutMarkerPrefix))
           !liveKeys.contains(n.stripPrefix(LogSourceV2.PutMarkerPrefix))
-        else LogSourceV2.putKey(n).exists(k =>
-          !markersNow.contains(LogSourceV2.PutMarkerPrefix + k))
+        else LogSourceV2.putKey(n).exists { k =>
+          // snapshot check, then a LIVE re-check immediately before
+          // the delete: an append slower than this whole compaction
+          // could land its marker between the listing above and here —
+          // one exists() per apparently-pending file (rare) shrinks
+          // that window to the single RPC
+          !markersNow.contains(LogSourceV2.PutMarkerPrefix + k) &&
+          !fsys.exists(new org.apache.hadoop.fs.Path(dirPath,
+            LogSourceV2.PutMarkerPrefix + k))
+        }
       if (sweep)
         fsys.delete(new org.apache.hadoop.fs.Path(dirPath, n),
           false): Unit

@@ -691,14 +691,100 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
 
-  /** Deterministic affine permutation parameters (seeded). */
+  /** Largest signature budget the seeded permutation family covers —
+    * the planner's upper bound. */
+  val MaxPlannedHashes = 256
+
+  /** Deterministic affine permutation parameters (seeded). Sized to
+    * [[MaxPlannedHashes]]; the FIRST [[NumHashes]] draws are identical
+    * to the historical 64-entry family (same seed, sequential draws),
+    * so every published signature and band-bucket table remains
+    * byte-stable under the r20 auto-planning extension. */
   private val perms: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)(
+    Array.fill(MaxPlannedHashes)(
       (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
   private val permA: Array[Long] = perms.map(_._1)
   private val permB: Array[Long] = perms.map(_._2)
+
+  /** An LSH banding plan: `bands` bands of `rowsPerBand` signature
+    * rows (total hashes = b·r). The S-curve
+    * `P(candidate | J) = 1 − (1 − J^r)^b` is the whole recall/cost
+    * tradeoff: more rows per band sharpens the curve (fewer false
+    * candidates below the threshold), more bands raises it (higher
+    * recall at the threshold). The historical fixed 16×4 is
+    * [[DefaultBandPlan]]. */
+  final case class BandPlan(bands: Int, rowsPerBand: Int) {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands x $rowsPerBand")
+    require(bands * rowsPerBand <= MaxPlannedHashes,
+      s"plan $bands x $rowsPerBand exceeds the $MaxPlannedHashes-hash " +
+        "permutation family")
+    def hashes: Int = bands * rowsPerBand
+    /** P(a pair at Jaccard j shares at least one band bucket). */
+    def candidateProb(j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, rowsPerBand.toDouble),
+        bands.toDouble)
+    /** Registry/record token; [[Dedup.parseBandPlan]] inverts it. */
+    def token: String = s"b=$bands;r=$rowsPerBand"
+  }
+
+  /** The historical fixed banding (16 bands × 4 rows = 64 hashes):
+    * every default-path signature, band-bucket table and published
+    * index uses exactly this plan. */
+  val DefaultBandPlan: BandPlan = BandPlan(Bands, RowsPerBand)
+
+  private[graft] def parseBandPlan(token: String,
+      where: String): BandPlan = {
+    val kv = token.split(";").map(_.trim).filter(_.nonEmpty).map { t =>
+      t.split("=", 2) match {
+        case Array(k, v) => (k, v)
+        case _ => throw new IllegalArgumentException(
+          s"malformed LSH-plan token '$token' at $where")
+      }
+    }.toMap
+    BandPlan(kv("b").toInt, kv("r").toInt)
+  }
+
+  /** Mean S-curve mass BELOW the threshold (fixed 99-point grid) —
+    * the banded join's false-candidate cost, which exact verification
+    * then pays to discard. The planner's minimization objective. */
+  private def fpMass(p: BandPlan, targetJ: Double): Double =
+    (1 to 99).map(i => p.candidateProb(targetJ * i / 100.0)).sum / 99.0
+
+  /** Derive (bands, rowsPerBand) from a TARGET Jaccard threshold and
+    * a signature budget (r19 verdict #7): over every (b, r) with
+    * b·r ≤ `hashBudget`, keep the plans whose S-curve recall at
+    * `targetJ` clears `recallFloor`, and among them minimize the
+    * false-positive mass below the threshold (ties → fewer hashes,
+    * then sharper curve). Deterministic — two independent planners
+    * given the same inputs derive the SAME plan, and the plan token
+    * travels with published index segments so incremental readers
+    * agree by construction ([[segmentedIndexFlavors]] validates).
+    * Fails pointedly when no plan under the budget reaches the floor
+    * (raise the budget or lower the floor — silently under-recalling
+    * is the one wrong answer). */
+  def planBands(targetJ: Double, hashBudget: Int = NumHashes,
+      recallFloor: Double = 0.95): BandPlan = {
+    require(targetJ > 0 && targetJ < 1,
+      s"targetJ must be in (0, 1), got $targetJ")
+    require(hashBudget >= 1 && hashBudget <= MaxPlannedHashes,
+      s"hashBudget must be in [1, $MaxPlannedHashes], got $hashBudget")
+    require(recallFloor > 0 && recallFloor < 1,
+      s"recallFloor must be in (0, 1), got $recallFloor")
+    val feasible = for {
+      r <- 1 to hashBudget
+      b = hashBudget / r
+      p = BandPlan(b, r)
+      if p.candidateProb(targetJ) >= recallFloor
+    } yield p
+    require(feasible.nonEmpty,
+      s"no (bands, rows) plan under $hashBudget hashes reaches " +
+        s"recall $recallFloor at J=$targetJ — raise the budget or " +
+        "lower the floor")
+    feasible.minBy(p => (fpMass(p, targetJ), p.hashes, -p.rowsPerBand))
+  }
 
   /** Per-doc MinHash signature: 64 mins over the shingle set, computed
     * in ONE pass over the per-row shingle array by a compact UDF: NO
@@ -712,8 +798,8 @@ object Dedup {
     * verified and the oracle is brute-force Jaccard, so ANY well-mixed
     * base hash preserves the LSH recall guarantee).
     */
-  private val minhashSigUdf = udf { (shs: Seq[String]) =>
-    val mins = Array.fill(NumHashes)(Long.MaxValue)
+  private def minhashSigUdfN(n: Int) = udf { (shs: Seq[String]) =>
+    val mins = Array.fill(n)(Long.MaxValue)
     shs.foreach { sh =>
       // mix the portable token hash into [0, p): the fold's low bits
       // alone are not uniform enough for affine permutations
@@ -721,7 +807,7 @@ object Dedup {
       h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
       val h0 = java.lang.Math.floorMod(h, MersennePrime)
       var i = 0
-      while (i < NumHashes) {
+      while (i < n) {
         // h0, permA < 2^31 so h0 * a + b stays well inside Long
         val p = java.lang.Math.floorMod(h0 * permA(i) + permB(i),
           MersennePrime)
@@ -731,6 +817,7 @@ object Dedup {
     }
     mins
   }
+  private val minhashSigUdf = minhashSigUdfN(NumHashes)
 
   def minhashSignatures(shingled: DataFrame): DataFrame = {
     // input columns (shs, n, any event-time the streaming dedup
@@ -741,18 +828,39 @@ object Dedup {
     sig.select((col("*") +: sigCols): _*).drop("mhsig")
   }
 
+  /** [[minhashSignatures]] under an explicit [[BandPlan]] — the same
+    * seeded permutation family (a plan's first k hashes are the fixed
+    * path's first k), just `plan.hashes` of it. */
+  def minhashSignaturesPlanned(shingled: DataFrame,
+      plan: BandPlan): DataFrame = {
+    val sig = shingled.withColumn("mhsig",
+      minhashSigUdfN(plan.hashes)(col("shs")))
+    val sigCols = (0 until plan.hashes)
+      .map(i => col("mhsig")(i).as(s"mh_$i"))
+    sig.select((col("*") +: sigCols): _*).drop("mhsig")
+  }
+
   /** (doc_id [, extras...], band, bucket) rows: each doc in each of its
     * 16 LSH band buckets — the shared banding stage of the batch
     * candidate join and the streaming incremental dedup. */
-  def bandBuckets(sigs: DataFrame, extras: Seq[String] = Nil): DataFrame = {
-    val bandCols = (0 until Bands).map { bnd =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh_${bnd * RowsPerBand + r}"))
+  def bandBuckets(sigs: DataFrame, extras: Seq[String] = Nil): DataFrame =
+    bandBucketsPlanned(sigs, DefaultBandPlan, extras)
+
+  /** [[bandBuckets]] under an explicit [[BandPlan]]: band `i` hashes
+    * signature rows `[i·r, (i+1)·r)` — the default plan reproduces
+    * the historical 16×4 banding bit-for-bit. */
+  def bandBucketsPlanned(sigs: DataFrame, plan: BandPlan,
+      extras: Seq[String] = Nil): DataFrame = {
+    val bandCols = (0 until plan.bands).map { bnd =>
+      val cols = (0 until plan.rowsPerBand)
+        .map(r => col(s"mh_${bnd * plan.rowsPerBand + r}"))
       xxhash64((lit(bnd) +: cols): _*).as(s"band_$bnd")
     }
     val banded = sigs.select(
       (col("doc_id") +: extras.map(col)) ++ bandCols: _*)
     banded.select(col("doc_id") +: extras.map(col) :+
-        posexplode(array((0 until Bands).map(bd => col(s"band_$bd")): _*)): _*)
+        posexplode(array(
+          (0 until plan.bands).map(bd => col(s"band_$bd")): _*)): _*)
       .toDF(("doc_id" +: extras) ++ Seq("band", "bucket"): _*)
   }
 
@@ -791,6 +899,25 @@ object Dedup {
     buckets.count(): Unit
     val result = verifyJaccard(lshCandidatesOn(buckets), shingled)
     val out = Work.materialize("minhash_dedup", result)
+    buckets.unpersist()
+    shingled.unpersist()
+    out
+  }
+
+  /** [[minhashDedup]] under an auto-derived or explicit [[BandPlan]]
+    * (r19 verdict #7): identical pipeline, identical exact-Jaccard
+    * verification — precision is 1.0 under ANY plan; the plan only
+    * moves the recall floor and the candidate cost, which is exactly
+    * what [[planBands]] trades off. */
+  def minhashDedupPlanned(corpus: DataFrame,
+      plan: BandPlan): DataFrame = {
+    val shingled = shingleSets(corpus).persist()
+    shingled.count(): Unit
+    val buckets = bandBucketsPlanned(
+      minhashSignaturesPlanned(shingled, plan), plan).persist()
+    buckets.count(): Unit
+    val result = verifyJaccard(lshCandidatesOn(buckets), shingled)
+    val out = Work.materialize("minhash_dedup_planned", result)
     buckets.unpersist()
     shingled.unpersist()
     out
@@ -956,6 +1083,10 @@ object Dedup {
     sh.write.mode("overwrite").parquet(s"$tmp/sh")
     bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
       .parquet(s"$tmp/bb")
+    // the banding plan travels WITH the segment (r19 verdict #7):
+    // incremental probes validate it, so two sides never band
+    // differently and silently lose recall
+    writeRecord(tmp, "lshplan", DefaultBandPlan.token)
     sh.unpersist(): Unit
   }
 
@@ -1041,6 +1172,7 @@ object Dedup {
       sh.write.mode("overwrite").parquet(s"$tmp/sh")
       bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
         .parquet(s"$tmp/bb")
+      writeRecord(tmp, "lshplan", DefaultBandPlan.token)
     }
     updateManifest(indexDir)
     seg
@@ -1461,6 +1593,24 @@ object Dedup {
     val snaps = activeSnapshots(indexDir)
     require(snaps.nonEmpty,
       s"segmented history index at $indexDir has no complete segment")
+    // LSH-plan agreement (r19 verdict #7): a segment published under a
+    // DIFFERENT banding must fail the probe POINTEDLY — equal-bucket
+    // candidates across differently-banded sides silently lose recall,
+    // the one wrong answer. One small record read per active segment
+    // (the bucketCountOf order of work; the manifest path flattens
+    // children to _SUCCESS/buckets, so presence cannot be derived from
+    // the snapshot). A segment without the record predates the plan
+    // token — all such publishes used the default plan.
+    snaps.foreach { case (p, _) =>
+      readRecordOpt(p, "lshplan").foreach { tok =>
+        val sp = parseBandPlan(tok.trim, s"$p/lshplan")
+        require(sp == DefaultBandPlan,
+          s"history segment $p was published under LSH plan " +
+            s"'${sp.token}' but this probe bands with " +
+            s"'${DefaultBandPlan.token}' — republish the segment or " +
+            "probe with the matching plan")
+      }
+    }
     // flavor split straight off the listing snapshot — no extra
     // per-segment metadata probe (r17 review)
     val (bucketedSegs, plainSegs) = {
@@ -2653,6 +2803,9 @@ object Dedup {
     writeRecord(tmp, "buckets",
       s"$buckets ${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}" +
         (if (sorted) "" else " unsorted"))
+    // banding plan travels with the segment (r19 verdict #7) — the
+    // bb table's (band, bucket) values are a function of the plan
+    writeRecord(tmp, "lshplan", DefaultBandPlan.token)
   }
 
   /** Frames over a published bucketed index: per-session DDL declares

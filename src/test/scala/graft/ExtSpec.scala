@@ -203,6 +203,59 @@ class ExtSpec extends SparkSpec {
     } finally sp.conf.unset("spark.graft.cc.reliableCheckpoint")
   }
 
+  test("MinHash band auto-planning: (b, r) derived from a target " +
+      "Jaccard threshold meets the recall floor, matches the " +
+      "brute-force pairs across two auto-planned configurations, and " +
+      "the plan token travels with published segments (r19 verdict #7)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Dedup.plantedCorpus(Tables(spark, sf, "documents"))
+    val want = Dedup.jaccardPairs(Dedup.shingleSets(corpus))
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two distinct auto-planned configurations at J* = 0.5
+    val p64 = Dedup.planBands(0.5, 64, 0.95)
+    val p128 = Dedup.planBands(0.5, 128, 0.999)
+    assert(p64 != p128, s"expected distinct plans, got ${p64.token}")
+    Seq(p64, p128).foreach { p =>
+      assert(p.hashes <= (if (p == p64) 64 else 128),
+        s"${p.token} blew its budget")
+      assert(p.candidateProb(0.5) >= 0.95,
+        s"${p.token} misses the recall floor at J*")
+      val got = Dedup.minhashDedupPlanned(corpus, p)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"plan ${p.token}: planned LSH must equal brute force, " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+    // a sharper plan never pays MORE false-candidate mass than the
+    // 1-row degenerate plan at the same budget
+    assert(p64.rowsPerBand > 1, "planner must not pick the all-pairs r=1")
+    // deterministic: two independent planners agree (the published-
+    // token contract), and infeasibility is a pointed error
+    assert(Dedup.planBands(0.5, 64, 0.95) == p64)
+    intercept[IllegalArgumentException](
+      Dedup.planBands(0.01, 2, 0.999999))
+    // the plan token round-trips and TRAVELS with published segments:
+    // a probe against a segment recorded under a different banding
+    // fails pointedly instead of silently losing recall
+    assert(Dedup.parseBandPlan(p64.token, "spec") == p64)
+    val idx = Work.scratch("lshplan_idx")
+    Work.clean(idx)
+    Dedup.publishHistorySegment(spark, idx, "d0",
+      corpus.limit(40)): Unit
+    val (fsys, rp) = Work.fs(s"$idx/seg_d0/lshplan")
+    assert(fsys.exists(rp), "published segment must carry its plan")
+    val out = fsys.create(rp, true)
+    out.write("b=8;r=8".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalAgainstSegmentedIndex(spark, idx,
+        corpus.limit(10)))
+    assert(e.getMessage.contains("b=8;r=8"),
+      s"mismatched plan must fail pointedly, got: ${e.getMessage}")
+    Work.clean(idx)
+  }
+
   test("text_pii_scrub redacts all four PII kinds through the " +
       "sequential chain (emails, cards, phones, IPv4s — r19 verdict #5)") {
     import org.apache.spark.sql.functions.col
