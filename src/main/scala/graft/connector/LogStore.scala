@@ -338,8 +338,12 @@ final case class LogStore(baseDir: String,
     // close ("no rename anywhere on the visible path").
     val (fsys, dirPath) = graft.Work.fs(dir)
     if (commitMode == "put")
+      // graceGuard = false: the compaction stamp above already
+      // invalidates checkpointed readers, and this copy moves the
+      // WHOLE merged stream — the append-sized grace cannot apply
       LogStore.putCommit(fsys, dirPath, merged, stamp,
-        java.util.UUID.randomUUID().toString.take(8))
+        java.util.UUID.randomUUID().toString.take(8),
+        graceGuard = false)
     else merged.zipWithIndex.foreach { case (f, i) =>
       val dst = new org.apache.hadoop.fs.Path(dirPath,
         s"compacted-$stamp-$i")
@@ -477,7 +481,8 @@ object LogStore {
   private[connector] def putCommit(
       fsys: org.apache.hadoop.fs.FileSystem,
       dirPath: org.apache.hadoop.fs.Path,
-      staged: Seq[String], stamp: Long, tag: String): Unit = {
+      staged: Seq[String], stamp: Long, tag: String,
+      graceGuard: Boolean = true): Unit = {
     val provider = copyProviderFor(fsys)
     staged.zipWithIndex.foreach { case (f, i) =>
       val dst = new org.apache.hadoop.fs.Path(dirPath,
@@ -499,10 +504,16 @@ object LogStore {
       // deployments size -Dgraft.log.watermarkGraceMs before it trips.
       // An inflated stamp (> wall clock, from a future-stamped
       // predecessor) is never watermark-eligible, so negative ages are
-      // naturally exempt.
+      // naturally exempt. `graceGuard = false` exempts COMPACTION
+      // (r20 review): its stamp-to-marker window contains the byte
+      // copy of the entire merged stream, not one append, and the
+      // watermark hazard cannot apply there — the compaction stamp is
+      // written BEFORE the copy and already invalidates every
+      // checkpointed reader; gating it would make put-mode compaction
+      // of any large stream fail permanently.
       val age = System.currentTimeMillis() - stamp
       val grace = LogSourceV2.WatermarkGraceMs
-      if (age >= (grace * 4) / 5)
+      if (graceGuard && age >= (grace * 4) / 5)
         throw new java.io.IOException(
           s"put-commit to $dirPath: $age ms elapsed between the " +
             s"segment stamp and the marker write — at or past 80% of " +
@@ -512,7 +523,7 @@ object LogStore {
             "INVISIBLE (marker withheld; the next compact sweeps it). " +
             "Raise -Dgraft.log.watermarkGraceMs above the worst-case " +
             "append copy time and retry")
-      if (age >= grace / 2)
+      if (graceGuard && age >= grace / 2)
         System.err.println(s"[graft] WARNING put-commit to $dirPath: " +
           s"$age ms from stamp to marker — past half the $grace ms " +
           "watermark grace; commitMode=put pays its data-copy latency " +

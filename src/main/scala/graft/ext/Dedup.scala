@@ -744,6 +744,18 @@ object Dedup {
           s"malformed LSH-plan token '$token' at $where")
       }
     }.toMap
+    // unknown keys are an ERROR, not a silent drop (the parsePolicy
+    // rule): a future writer's extra plan field (a new hash family, a
+    // seed) could make this reader band DIFFERENTLY from the
+    // publisher — exactly the silent recall loss the token exists to
+    // prevent pointedly (r20 review)
+    val unknown = kv.keySet -- Set("b", "r")
+    require(unknown.isEmpty,
+      s"LSH-plan token '$token' at $where carries unknown keys " +
+        s"${unknown.mkString(", ")} — written by a newer engine? " +
+        "Upgrade before probing this index")
+    require(kv.contains("b") && kv.contains("r"),
+      s"LSH-plan token '$token' at $where is missing b= or r=")
     BandPlan(kv("b").toInt, kv("r").toInt)
   }
 
@@ -754,17 +766,22 @@ object Dedup {
     (1 to 99).map(i => p.candidateProb(targetJ * i / 100.0)).sum / 99.0
 
   /** Derive (bands, rowsPerBand) from a TARGET Jaccard threshold and
-    * a signature budget (r19 verdict #7): over every (b, r) with
-    * b·r ≤ `hashBudget`, keep the plans whose S-curve recall at
-    * `targetJ` clears `recallFloor`, and among them minimize the
-    * false-positive mass below the threshold (ties → fewer hashes,
-    * then sharper curve). Deterministic — two independent planners
-    * given the same inputs derive the SAME plan, and the plan token
-    * travels with published index segments so incremental readers
-    * agree by construction ([[segmentedIndexFlavors]] validates).
-    * Fails pointedly when no plan under the budget reaches the floor
-    * (raise the budget or lower the floor — silently under-recalling
-    * is the one wrong answer). */
+    * a signature budget (r19 verdict #7): for every row width r, take
+    * the SMALLEST band count whose S-curve recall at `targetJ` clears
+    * `recallFloor` and still fits the budget — P is increasing in b,
+    * so the minimal feasible b dominates every larger one for that r
+    * (strictly less false-candidate mass AND fewer hashes; the r20
+    * review caught the earlier spelling pinning b to budget/r, which
+    * returned dominated ~full-budget plans) — then minimize the
+    * false-positive mass below the threshold across widths (ties →
+    * fewer hashes, then sharper curve). Deterministic — two
+    * independent planners given the same inputs derive the SAME plan,
+    * and the plan token travels with published index segments so
+    * incremental readers agree by construction
+    * ([[segmentedIndexFlavors]] validates). Fails pointedly when no
+    * plan under the budget reaches the floor (raise the budget or
+    * lower the floor — silently under-recalling is the one wrong
+    * answer). */
   def planBands(targetJ: Double, hashBudget: Int = NumHashes,
       recallFloor: Double = 0.95): BandPlan = {
     require(targetJ > 0 && targetJ < 1,
@@ -775,10 +792,9 @@ object Dedup {
       s"recallFloor must be in (0, 1), got $recallFloor")
     val feasible = for {
       r <- 1 to hashBudget
-      b = hashBudget / r
-      p = BandPlan(b, r)
-      if p.candidateProb(targetJ) >= recallFloor
-    } yield p
+      b <- (1 to hashBudget / r).find(b =>
+        BandPlan(b, r).candidateProb(targetJ) >= recallFloor)
+    } yield BandPlan(b, r)
     require(feasible.nonEmpty,
       s"no (bands, rows) plan under $hashBudget hashes reaches " +
         s"recall $recallFloor at J=$targetJ — raise the budget or " +
@@ -1076,17 +1092,26 @@ object Dedup {
   /** Shingle + MinHash-band a corpus batch and write the two plain
     * parquet subtables into a staging dir — the shared ingest core of
     * [[publishHistoryIndex]] and [[publishHistorySegment]]. */
+  /** THE single writer of the plain (sh, bb, lshplan) segment layout
+    * (r20 review: three call sites had each spelled it out — a future
+    * layout change must land exactly once). `sh` must be
+    * `shingleSets`-shaped and already cached by the caller. The
+    * banding plan record travels WITH the segment (r19 verdict #7):
+    * incremental probes validate it, so two sides never band
+    * differently and silently lose recall. */
+  private def stageShingledIndex(tmp: String, sh: DataFrame): Unit = {
+    val shc = sh.select(col("doc_id"), col("shs"), col("n"))
+    shc.write.mode("overwrite").parquet(s"$tmp/sh")
+    bandBuckets(minhashSignatures(shc)).write.mode("overwrite")
+      .parquet(s"$tmp/bb")
+    writeRecord(tmp, "lshplan", DefaultBandPlan.token)
+  }
+
   private[graft] def stagePlainIndex(tmp: String, batch: DataFrame): Unit = {
     val sh = shingleSets(batch.select(col("doc_id"), col("text")))
       .persist()
     sh.count(): Unit
-    sh.write.mode("overwrite").parquet(s"$tmp/sh")
-    bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
-      .parquet(s"$tmp/bb")
-    // the banding plan travels WITH the segment (r19 verdict #7):
-    // incremental probes validate it, so two sides never band
-    // differently and silently lose recall
-    writeRecord(tmp, "lshplan", DefaultBandPlan.token)
+    stageShingledIndex(tmp, sh)
     sh.unpersist(): Unit
   }
 
@@ -1167,13 +1192,8 @@ object Dedup {
         fsys.getFileStatus(dirPath).isDirectory,
       s"segment index dir $indexDir cannot be created (a file in the " +
         "way, or an unwritable parent)")
-    val seg = Work.publish(s"$indexDir/seg_$segmentId") { tmp =>
-      val sh = shingled.select(col("doc_id"), col("shs"), col("n"))
-      sh.write.mode("overwrite").parquet(s"$tmp/sh")
-      bandBuckets(minhashSignatures(sh)).write.mode("overwrite")
-        .parquet(s"$tmp/bb")
-      writeRecord(tmp, "lshplan", DefaultBandPlan.token)
-    }
+    val seg = Work.publish(s"$indexDir/seg_$segmentId")(
+      stageShingledIndex(_, shingled))
     updateManifest(indexDir)
     seg
   }
@@ -1576,8 +1596,30 @@ object Dedup {
     * right shape for multi-consumer batch callers. */
   def incrementalAgainstSegmentedIndexShingled(s: SparkSession,
       indexDir: String, shI: DataFrame): DataFrame = {
+    val flavors = segmentedIndexFlavors(s, indexDir)
+    // the same opt-in disjoint-id fail-fast the batch face enforces
+    // (r20 review: routing the curation stream through this face had
+    // silently dropped it): overlapping or history-duplicated ids
+    // corrupt the verify join and the callers' doc_id-keyed
+    // rejection — when the debug conf is on, fail pointedly
+    if (s.conf.getOption("spark.graft.dedup.checkDisjointIds")
+        .contains("true")) {
+      val shH = flavors.map(_._1.select("doc_id")).reduce(_ unionByName _)
+      val overlap = shH.join(shI.select("doc_id"), "doc_id").limit(5)
+        .collect().map(_.getLong(0))
+      require(overlap.isEmpty,
+        s"incremental dedup: increment doc_ids overlap the history " +
+          s"index at $indexDir (e.g. ${overlap.mkString(", ")}) — " +
+          "re-crawled docs must carry fresh ids")
+      val dup = shH.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(5).collect().map(_.getLong(0))
+      require(dup.isEmpty,
+        s"incremental dedup: the history index at $indexDir carries " +
+          s"duplicate doc_ids (e.g. ${dup.mkString(", ")}) — was one " +
+          "batch folded into two segments under different ids?")
+    }
     val bI = bandBuckets(minhashSignatures(shI))
-    segmentedIndexFlavors(s, indexDir).map { case (shH, bH) =>
+    flavors.map { case (shH, bH) =>
       verifyJaccardSplit(crossSideCandidates(bH, bI), shH, shI)
     }.reduce(_ unionByName _)
   }

@@ -794,15 +794,23 @@ object StreamingDedup {
       .withColumn("shs",
         graft.ext.TextAnalysis.shinglesUdf(Dedup.ShingleN)(col("text")))
       .withColumn("n", size(col("shs")))
-    // ONE persist at the all-consumers point (r19 verdict #1): the
-    // single count below materializes the WHOLE gate + exact-dedup +
-    // history-probe pipeline as one action (the lazy probe face), and
-    // every later consumer reads the cache. The populate must run
-    // BEFORE the pair self-join: its two inverted-index sides
-    // otherwise race to compute the same uncached partitions
-    // concurrently — and here each recompute is the whole history
-    // join (measured: folding this count into the pair action cut 3
-    // jobs but cost +14 s of duplicate work across the witness).
+      .persist()
+    // populate BEFORE the probe plan consumes it (r20 review: the
+    // shingled probe face's contract — against a multi-flavor index
+    // the probe references this subplan twice PER FLAVOR plus the
+    // anti-join's left side, and uncached each reference re-runs the
+    // gate + exact-dedup shuffle and the shingle UDF pass)
+    if (complete.nonEmpty)
+      phase("gate + shingle (persist)")(exactSh.count(): Unit)
+    // second persist at the all-consumers point: one action
+    // materializes the whole history-probe pipeline off the cached
+    // shingled frame, and every later consumer (pair self-join, kept
+    // sink, fold) reads THIS cache. The populate must run BEFORE the
+    // pair self-join: its two inverted-index sides otherwise race to
+    // compute the same uncached partitions concurrently — and here
+    // each recompute is the whole history join (measured: folding
+    // this count into the pair action cut 3 jobs but cost +14 s of
+    // duplicate work across the witness).
     val fresh = (
       if (complete.isEmpty) exactSh
       else {
@@ -813,6 +821,10 @@ object StreamingDedup {
         exactSh.join(rejected, Seq("doc_id"), "left_anti")
       }).persist()
     phase("history join + persist")(fresh.count(): Unit)
+    // the shingled pre-probe cache is consumed (fresh is materialized
+    // and carries everything downstream needs); on an empty history
+    // fresh IS exactSh, so releasing it here would drop the one cache
+    if (complete.nonEmpty) exactSh.unpersist(): Unit
     // the verified pair set, persisted ONCE off the cached frame: one
     // count() is the emptiness decision AND materializes the CC's
     // edge input. The common production batch has NO in-batch
