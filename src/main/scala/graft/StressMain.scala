@@ -658,9 +658,15 @@ object StressMain {
       n => repDocs(docs, n))
     pair("clusters_cc")(
       { c =>
-        val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
-        Dedup.connectedComponents(sh.select("doc_id"),
-          Dedup.jaccardPairs(sh).select("a", "b")).count()
+        // growth row measures the DISTRIBUTED fixed point: the r20
+        // bounded-edge driver shortcut would otherwise absorb the small
+        // replica counts and fake the growth curve
+        spark.conf.set("spark.graft.cc.driverEdges", "0")
+        try {
+          val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
+          Dedup.connectedComponents(sh.select("doc_id"),
+            Dedup.jaccardPairs(sh).select("a", "b")).count()
+        } finally spark.conf.unset("spark.graft.cc.driverEdges")
       },
       n => repDocs(docs, n))
     // same CC, per-round state through reliable checkpoint() files —

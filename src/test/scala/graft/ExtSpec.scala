@@ -189,6 +189,9 @@ class ExtSpec extends SparkSpec {
     Work.clean(cpDir)
     sp.sparkContext.setCheckpointDir(cpDir)
     sp.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    // reliable checkpointing is a DISTRIBUTED-path property — disable
+    // the r20 bounded-edge driver shortcut so rounds actually run
+    sp.conf.set("spark.graft.cc.driverEdges", "0")
     try {
       val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
       val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
@@ -200,7 +203,10 @@ class ExtSpec extends SparkSpec {
       val files = new java.io.File(cpDir).listFiles()
       assert(files != null && files.nonEmpty,
         "reliable mode must write checkpoint state")
-    } finally sp.conf.unset("spark.graft.cc.reliableCheckpoint")
+    } finally {
+      sp.conf.unset("spark.graft.cc.reliableCheckpoint")
+      sp.conf.unset("spark.graft.cc.driverEdges")
+    }
   }
 
   test("MinHash band auto-planning: (b, r) derived from a target " +
@@ -300,10 +306,14 @@ class ExtSpec extends SparkSpec {
     import sp.implicits._
     def ccRejects(edges: Seq[(Long, Long)]): Set[Long] = {
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("doc_id")
-      Dedup.connectedComponents(nodes, edges.toDF("a", "b"))
+      // the reference must be the DISTRIBUTED fixed point — with the
+      // r20 driver shortcut on, this would compare union-find to itself
+      sp.conf.set("spark.graft.cc.driverEdges", "0")
+      try Dedup.connectedComponents(nodes, edges.toDF("a", "b"))
         .filter(org.apache.spark.sql.functions.col("doc_id") =!=
           org.apache.spark.sql.functions.col("cluster"))
         .collect().map(_.getLong(0)).toSet
+      finally sp.conf.unset("spark.graft.cc.driverEdges")
     }
     def ufRejects(edges: Seq[(Long, Long)]): Set[Long] =
       Dedup.unionFindRejects(edges.toDF("a", "b")).toSet
@@ -330,13 +340,27 @@ class ExtSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     // a 64-node path has diameter 63: plain min-propagation needs 63
-    // rounds, pointer jumping covers it in <= 8 (reach doubles/round)
+    // rounds, pointer jumping covers it in <= 8 (reach doubles/round).
+    // Distributed-path property: disable the r20 driver shortcut.
     val n = 64
     val nodes = (0 until n).map(_.toLong).toDF("doc_id")
     val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(nodes, edges, maxIter = 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sp.conf.set("spark.graft.cc.driverEdges", "0")
+    val got =
+      try Dedup.connectedComponents(nodes, edges, maxIter = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally sp.conf.unset("spark.graft.cc.driverEdges")
     assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+    // cap-boundary fallback: a cap SMALLER than the edge count must
+    // fall through to the distributed fixed point and still converge
+    // to identical labels (the probe is limit(cap+1), so equality here
+    // witnesses the fallback, not the shortcut)
+    sp.conf.set("spark.graft.cc.driverEdges", "5")
+    val gotFall =
+      try Dedup.connectedComponents(nodes, edges, maxIter = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally sp.conf.unset("spark.graft.cc.driverEdges")
+    assert(gotFall == got)
   }
 
   test("dedup_clusters: planted perturbation pairs share their base cluster") {

@@ -143,12 +143,17 @@ class GuardSpec extends SparkSpec {
     import sp.implicits._
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
-    val e = intercept[IllegalStateException](
-      graft.ext.Dedup.connectedComponents(nodes, edges, maxIter = 1))
-    assert(e.getMessage.contains("not converged"))
-    // non-strict downgrades to the old warn-and-return behavior
-    graft.ext.Dedup.connectedComponents(nodes, edges, maxIter = 1,
-      strict = false).collect()
+    // non-convergence is a DISTRIBUTED-path property; the r20 driver
+    // shortcut (which has no rounds) must be disabled to reach it
+    sp.conf.set("spark.graft.cc.driverEdges", "0")
+    try {
+      val e = intercept[IllegalStateException](
+        graft.ext.Dedup.connectedComponents(nodes, edges, maxIter = 1))
+      assert(e.getMessage.contains("not converged"))
+      // non-strict downgrades to the old warn-and-return behavior
+      graft.ext.Dedup.connectedComponents(nodes, edges, maxIter = 1,
+        strict = false).collect()
+    } finally sp.conf.unset("spark.graft.cc.driverEdges")
     ()
   }
 

@@ -535,8 +535,16 @@ class PropertySpec extends SparkSpec {
       .map(_.filter { case (a, b) => a != b })
     samples(edgeGen, 4).foreach { edges =>
       val nodes = (0L until n.toLong).toDF("doc_id")
+      // BOTH execution paths must agree with the reference: the r20
+      // bounded-edge driver shortcut (the default at this size) and
+      // the distributed min-label fixed point (cap disabled)
       val got = Dedup.connectedComponents(nodes, edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sp.conf.set("spark.graft.cc.driverEdges", "0")
+      val gotDist =
+        try Dedup.connectedComponents(nodes, edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally sp.conf.unset("spark.graft.cc.driverEdges")
       // reference: plain union-find with min-label normalization
       val parent = Array.tabulate(n)(identity)
       def find(x: Int): Int =
@@ -548,6 +556,8 @@ class PropertySpec extends SparkSpec {
       val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
       assert(got == want, s"edges=$edges diff=${
         (want.toSet -- got.toSet).take(5)}")
+      assert(gotDist == want, s"distributed path: edges=$edges diff=${
+        (want.toSet -- gotDist.toSet).take(5)}")
     }
   }
 
