@@ -419,10 +419,22 @@ object Corpus {
   private val bigramsUdf =
     udf { (text: String) =>
       // wsTokens: shared once-compiled trim/split (r14) — occurrence
-      // list, NOT distinct (an LM statistic counts every occurrence)
+      // list, NOT distinct (an LM statistic counts every occurrence).
+      // Hand-rolled window (r20): Iterator.sliding allocates one
+      // ArraySeq per window — identical output, less allocation.
       val w = TextAnalysis.wsTokens(text)
       if (w.length < 2) Array.empty[String]
-      else w.sliding(2).map(_.mkString(" ")).toArray
+      else {
+        val out = new Array[String](w.length - 1)
+        var i = 0
+        while (i < out.length) {
+          out(i) = new java.lang.StringBuilder(
+            w(i).length + w(i + 1).length + 1)
+            .append(w(i)).append(' ').append(w(i + 1)).toString
+          i += 1
+        }
+        out
+      }
     }
 
   private[graft] def bigrams(text: org.apache.spark.sql.Column) =

@@ -98,10 +98,37 @@ object TextAnalysis {
   def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       // wsTokens: null text behaves like empty text, and the trim/split
-      // Patterns are compiled once, not per document
+      // Patterns are compiled once, not per document.
+      // Hand-rolled window loop (r20 optimization round): the previous
+      // `w.sliding(n).map(_.mkString(" ")).toArray.distinct` spends most
+      // of its time in Scala collection machinery — Iterator.sliding
+      // allocates a fresh ArraySeq per window and distinct re-hashes
+      // into a second array. One reused StringBuilder + a
+      // LinkedHashSet produces the IDENTICAL array (space-joined
+      // n-grams, first-occurrence order = sliding+distinct's order)
+      // at a fraction of the allocation. This UDF is the hottest code
+      // in the suite (every shingle-family key runs it per document).
       val w = wsTokens(text)
       if (w.length < n) Array.empty[String]
-      else w.sliding(n).map(_.mkString(" ")).toArray.distinct
+      else {
+        val seen = new java.util.LinkedHashSet[String](
+          math.max(8, (w.length - n + 1) * 2))
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        val last = w.length - n
+        while (i <= last) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(w(i + j))
+            j += 1
+          }
+          seen.add(sb.toString): Unit
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size()))
+      }
     }
 
   val stopwords: Seq[String] =
@@ -385,9 +412,23 @@ object TextAnalysis {
     "text_repetition",
     (s, dir) => {
       val grams2 = udf { (text: String) =>
+        // NOTE: String.trim + split — this key's historical (and
+        // oracle-matched) tokenization; do not swap for wsTokens.
+        // Hand-rolled window (r20): Iterator.sliding allocates one
+        // ArraySeq per window — identical output, less allocation.
         val w = Option(text).getOrElse("").trim.split("\\s+")
         if (w.length < 2) Array.empty[String]
-        else w.sliding(2).map(_.mkString(" ")).toArray
+        else {
+          val out = new Array[String](w.length - 1)
+          var i = 0
+          while (i < out.length) {
+            out(i) = new java.lang.StringBuilder(
+              w(i).length + w(i + 1).length + 1)
+              .append(w(i)).append(' ').append(w(i + 1)).toString
+            i += 1
+          }
+          out
+        }
       }
       Tables(s, dir, "documents")
         .select(col("doc_id"), explode(grams2(col("text"))).as("g"))
