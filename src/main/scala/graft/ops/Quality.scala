@@ -59,7 +59,10 @@ object Quality {
         .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("v_fk_o"))
       val fkL = li
-        .join(o2.select("o_orderkey").distinct(),
+        // no .distinct() on the anti-join's right side (r20): LEFT ANTI
+        // is set-wise on the left regardless of right multiplicity, and
+        // the distinct only added an aggregate exchange
+        .join(o2.select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("v_fk_l"))
       oAgg.crossJoin(broadcast(liAgg)).crossJoin(broadcast(fkO))

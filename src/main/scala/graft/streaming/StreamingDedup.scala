@@ -814,10 +814,14 @@ object StreamingDedup {
     val fresh = (
       if (complete.isEmpty) exactSh
       else {
+        // no .distinct() on the reject side (r20 optimization): LEFT
+        // ANTI join semantics are set-wise on the left regardless of
+        // right-side multiplicity, so deduplicating the (batch-bounded)
+        // pair projection only added one exchange per history batch
         val rejected = Dedup
           .incrementalAgainstSegmentedIndexShingled(s, indexDir,
             exactSh.filter(col("n") > 0).drop("text"))
-          .select(col("b").as("doc_id")).distinct()
+          .select(col("b").as("doc_id"))
         exactSh.join(rejected, Seq("doc_id"), "left_anti")
       }).persist()
     phase("history join + persist")(fresh.count(): Unit)
