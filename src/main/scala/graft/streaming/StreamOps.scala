@@ -70,6 +70,17 @@ object StreamOps {
 
   import graft.ops.Relational.cents
 
+  /** Column-pruned event schema for the analytics witnesses (r20
+    * optimization, guide §2.3 "project before the exchange" applied to
+    * the transport): a windowed aggregate consumes (ts, event_type,
+    * value) — serializing user_id/props into the log-store JSON per
+    * bench run bought nothing. The §2.1 sink/scan operator witnesses
+    * (stream_sink_json / stream_scan_bounded, ops/Parity.scala) still
+    * append FULL rows; results of every key are unchanged (the
+    * projected columns are exactly the consumed ones). */
+  private def subSchema(names: String*): StructType =
+    StructType(names.map(n => eventSchema(eventSchema.fieldIndex(n))))
+
   /** Write events into a log stream as JSON and read them back bounded —
     * the datagen→train transport of the reference (processor.py:67-114)
     * with `events` standing in for the iris rows.
@@ -122,9 +133,10 @@ object StreamOps {
       val base = Work.scratch("log_window")
       Work.clean(base)
       val store = LogStore(base)
-      store.append(Tables(s, dir, "events"), "scope", "events-stream")
-      windowAggOf(
-        store.readBounded(s, "scope", "events-stream", eventSchema))
+      store.append(Tables(s, dir, "events")
+        .select("ts", "event_type", "value"), "scope", "events-stream")
+      windowAggOf(store.readBounded(s, "scope", "events-stream",
+        subSchema("ts", "event_type", "value")))
     },
     Some("""
       SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300 AS win_start,
@@ -163,9 +175,10 @@ object StreamOps {
       val base = Work.scratch("log_hopping")
       Work.clean(base)
       val store = LogStore(base)
-      store.append(Tables(s, dir, "events"), "scope", "events-stream")
-      hoppingAggOf(
-        store.readBounded(s, "scope", "events-stream", eventSchema))
+      store.append(Tables(s, dir, "events")
+        .select("ts", "event_type", "value"), "scope", "events-stream")
+      hoppingAggOf(store.readBounded(s, "scope", "events-stream",
+        subSchema("ts", "event_type", "value")))
     },
     Some("""
       WITH ev AS (
@@ -448,9 +461,10 @@ object StreamOps {
       val base = Work.scratch("log_window_o")
       Work.clean(base)
       val store = LogStore(base)
-      store.append(Tables(s, dir, "events"), "scope", "events-stream")
-      windowOutliersOf(
-        store.readBounded(s, "scope", "events-stream", eventSchema))
+      store.append(Tables(s, dir, "events")
+        .select("event_id", "ts", "value"), "scope", "events-stream")
+      windowOutliersOf(store.readBounded(s, "scope", "events-stream",
+        subSchema("event_id", "ts", "value")))
     },
     Some(s"""
       WITH v AS (SELECT event_id,
@@ -493,9 +507,10 @@ object StreamOps {
       val base = Work.scratch("log_window_q")
       Work.clean(base)
       val store = LogStore(base)
-      store.append(Tables(s, dir, "events"), "scope", "events-stream")
-      windowQuantileOf(
-        store.readBounded(s, "scope", "events-stream", eventSchema))
+      store.append(Tables(s, dir, "events")
+        .select("ts", "value"), "scope", "events-stream")
+      windowQuantileOf(store.readBounded(s, "scope", "events-stream",
+        subSchema("ts", "value")))
     },
     Some(s"""
       WITH v AS (SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300
@@ -1450,10 +1465,14 @@ object StreamOps {
       val base = Work.scratch("log_dedup")
       Work.clean(base)
       val store = LogStore(base)
+      // props is the one column the result never carries — project it
+      // out of the (doubled) transport (r20, guide §2.3)
       val events = Tables(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
       store.append(events, "scope", "events-stream")
       store.append(events, "scope", "events-stream") // duplicate delivery
-      store.readBounded(s, "scope", "events-stream", eventSchema)
+      store.readBounded(s, "scope", "events-stream",
+        subSchema("event_id", "ts", "user_id", "event_type", "value"))
         .dropDuplicates("event_id")
         .select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
