@@ -114,7 +114,16 @@ object Dedup {
       // predicate is cheap wherever pushdown puts it, and the UDF now
       // evaluates exactly once, above the exchange.
       .filter(size(TextAnalysis.tokensWs(col("text"))) >= n)
-      .withColumn("shs", TextAnalysis.shinglesUdf(n)(col("text")))
+      // HASHED shingle ids since r20 (tokenHash of each n-gram — see
+      // [[TextAnalysis.shingleHashesUdf]]): every consumer (inverted
+      // index, prefix ranking, verify intersection, MinHash, published
+      // segments) uses shingles only for equality/ordering/set ops, so
+      // 8-byte ids replace ~25-char strings through every shuffle.
+      // MinHash signatures are bit-identical (they always hashed with
+      // tokenHash first); the prefix filter's exactness proof holds
+      // under ANY corpus-deterministic total order, hash order
+      // included.
+      .withColumn("shs", TextAnalysis.shingleHashesUdf(n)(col("text")))
       .drop("text")
       .withColumn("n", size(col("shs")))
 
@@ -883,12 +892,15 @@ object Dedup {
     * verified and the oracle is brute-force Jaccard, so ANY well-mixed
     * base hash preserves the LSH recall guarantee).
     */
-  private def minhashSigUdfN(n: Int) = udf { (shs: Seq[String]) =>
+  private def minhashSigUdfN(n: Int) = udf { (shs: Seq[Long]) =>
     val mins = Array.fill(n)(Long.MaxValue)
     shs.foreach { sh =>
-      // mix the portable token hash into [0, p): the fold's low bits
-      // alone are not uniform enough for affine permutations
-      var h = TextAnalysis.tokenHash(sh)
+      // `sh` IS tokenHash(shingle) since the r20 hashed-shingle change
+      // (shingleHashesUdf) — signatures are bit-identical to the
+      // string era, which always started from tokenHash here. Mix into
+      // [0, p): the fold's low bits alone are not uniform enough for
+      // affine permutations
+      var h = sh
       h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
       val h0 = java.lang.Math.floorMod(h, MersennePrime)
       var i = 0
@@ -2325,7 +2337,7 @@ object Dedup {
   val incrementalSeg = QueryDef(
     "dedup_incremental_seg",
     (s, dir) => {
-      val path = s"${Work.dir}/inc_hidxseg_v1_${Work.publishTag(dir)}"
+      val path = s"${Work.dir}/inc_hidxseg_v2_${Work.publishTag(dir)}"
       ensureIdx(histIdxSegDone, s, path) {
         // deterministic segment ids: a second session re-running the
         // ensure block hits the _SUCCESS short-circuit instead of
@@ -2361,7 +2373,7 @@ object Dedup {
   val incrementalSegCompacted = QueryDef(
     "dedup_incremental_seg_compacted",
     (s, dir) => {
-      val path = s"${Work.dir}/inc_hidxsegc_v1_${Work.publishTag(dir)}"
+      val path = s"${Work.dir}/inc_hidxsegc_v2_${Work.publishTag(dir)}"
       ensureIdx(histIdxSegCDone, s, path) {
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         publishHistorySegment(s, path, "day0",
@@ -2381,7 +2393,7 @@ object Dedup {
 
   private def histIdxPath(dir: String,
       fingerprint: Option[String]): String =
-    s"${Work.dir}/inc_hist_v1_${Work.publishTag(dir, fingerprint)}"
+    s"${Work.dir}/inc_hist_v2_${Work.publishTag(dir, fingerprint)}"
 
   private val histIdxDone = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -2997,7 +3009,7 @@ object Dedup {
       s.catalog.refreshTable(t)
       t
     }
-    (s.table(declare("sh", "doc_id BIGINT, shs ARRAY<STRING>, n INT",
+    (s.table(declare("sh", "doc_id BIGINT, shs ARRAY<BIGINT>, n INT",
         "doc_id")),
       s.table(declare("bb", "doc_id BIGINT, band INT, bucket BIGINT",
         "band, bucket")))
@@ -3030,9 +3042,12 @@ object Dedup {
     * both flavors shingles and MinHashes the corpus exactly once. */
   def ensureHistoryIndexBucketed(s: SparkSession, dir: String,
       fingerprint: Option[String] = None): String = {
-    // v2: v1 predates the in-artifact layout record — the version bump
-    // guarantees a stale v1 dir in a shared work dir is never read
-    val path = s"${Work.dir}/inc_hidxb_v2_${Work.publishTag(dir, fingerprint)}"
+    // v2: v1 predates the in-artifact layout record; v3 (r20): shingle
+    // ids are tokenHash longs, not strings — each bump guarantees a
+    // stale prior-format dir in a shared work dir is never read (the
+    // plain inc_hist and segmented inc_hidxseg/inc_hidxsegc paths are
+    // bumped for the same r20 reason)
+    val path = s"${Work.dir}/inc_hidxb_v3_${Work.publishTag(dir, fingerprint)}"
     ensureIdx(histIdxBDone, s, path) {
       publishHistoryIndexBucketedFrom(s, path,
         ensureHistoryIndex(s, dir, fingerprint))

@@ -131,6 +131,61 @@ object TextAnalysis {
       }
     }
 
+  /** HASHED word n-gram shingles — `tokenHash` of each space-joined
+    * n-gram (bit-for-bit: the fold runs over the same UTF-16 units the
+    * joined string would contain, separators included), distinct,
+    * first-occurrence order; empty below n words. The r20 pair-family
+    * payload cut (guide §2.3 "shuffle keys, not payloads"): every
+    * inverted-index explode, candidate equi-join, verify-side shuffle
+    * and published index segment carried ~25-char shingle STRINGS whose
+    * only uses are equality joins, distinct-counting and set
+    * intersection — an 8-byte id serves all three at a fraction of the
+    * shuffle bytes and compare cost, and no n-gram string is ever
+    * materialized (the hash folds straight over the token chars).
+    *
+    * Identity: tokenHash, NOT a new family — MinHash signatures
+    * (which already based on tokenHash(shingle)) are unchanged
+    * bit-for-bit, so banding plans and published band-bucket tables
+    * are unaffected. Collision bound: two distinct n-grams colliding
+    * within one comparison universe is p ≈ k²/2⁶⁵ (k = distinct
+    * shingles in scope) — negligible to ~1e8 shingles, the same
+    * documented regime as [[graft.ext.Dedup.repeatedSpans]]' xxhash64
+    * gram ids; a 100 TB corpus pairs this with a 128-bit fold (two
+    * seeds), same plan. PropertySpec pins equality with
+    * tokenHash-of-declarative-shingles on arbitrary text. */
+  def shingleHashesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val w = wsTokens(text)
+      if (w.length < n) Array.empty[Long]
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long](
+          math.max(8, (w.length - n + 1) * 2))
+        var i = 0
+        val last = w.length - n
+        while (i <= last) {
+          var h = -3750763034362895579L // FNV-1a 64 offset (wrapped)
+          var j = 0
+          while (j < n) {
+            if (j > 0) h = h * 1099511628211L + ' '.toLong
+            val t = w(i + j)
+            var c = 0
+            while (c < t.length) {
+              h = h * 1099511628211L + t.charAt(c).toLong
+              c += 1
+            }
+            j += 1
+          }
+          seen.add(h): Unit
+          i += 1
+        }
+        val out = new Array[Long](seen.size())
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        out
+      }
+    }
+
   val stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is")
 

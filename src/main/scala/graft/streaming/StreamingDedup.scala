@@ -791,8 +791,12 @@ object StreamingDedup {
     // kept); the `n > 0` filters below replicate shingleSets' guard
     // exactly where the probe and the published index need it.
     val exactSh = exactKeep
+      // shingleHashesUdf, NOT shinglesUdf: the fold publishes this
+      // frame into the segmented index, so the shingle identity must
+      // be the one every probe face uses (tokenHash ids since r20 —
+      // Dedup.shingleSets documents the change)
       .withColumn("shs",
-        graft.ext.TextAnalysis.shinglesUdf(Dedup.ShingleN)(col("text")))
+        graft.ext.TextAnalysis.shingleHashesUdf(Dedup.ShingleN)(col("text")))
       .withColumn("n", size(col("shs")))
       .persist()
     // populate BEFORE the probe plan consumes it (r20 review: the

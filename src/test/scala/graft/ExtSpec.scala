@@ -2454,7 +2454,7 @@ class ExtSpec extends SparkSpec {
     val rows = Dedup.shingleSets(docs).collect()
     assert(rows.map(_.getLong(0)).toSet == Set(4L, 5L),
       "guard must drop every sub-n doc whatever whitespace borders it")
-    assert(rows.forall(_.getSeq[String](1).nonEmpty),
+    assert(rows.forall(_.getSeq[Long](1).nonEmpty),
       "no empty shingle set may survive the guard")
     val pairs = Dedup.minhashDedup(docs)
       .select("a", "b").collect()

@@ -761,6 +761,20 @@ class PropertySpec extends SparkSpec {
       .collect()
     g.foreach(r => assert(r.getBoolean(1) == r.getSeq[String](2).nonEmpty,
       s"guard mismatch on doc ${r.getLong(0)}"))
+    // r20 hashed-shingle pin: shingleHashesUdf == tokenHash of each
+    // declarative string shingle, same order — the identity every
+    // consumer (inverted index, verify intersect, MinHash base,
+    // published segments) now rides on
+    val h = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.shingleHashesUdf(3)(col("text")).as("h"),
+        graft.ext.TextAnalysis.shinglesUdf(3)(col("text")).as("u"))
+      .collect()
+    h.foreach { r =>
+      val want = r.getSeq[String](2).map(graft.ext.TextAnalysis.tokenHash)
+      assert(r.getSeq[Long](1) == want,
+        s"hashed-shingle mismatch on doc ${r.getLong(0)}: " +
+          s"got=${r.getSeq[Long](1)} want=$want")
+    }
   }
 
   test("DSIR featureBuckets ignores edge whitespace and counts " +
