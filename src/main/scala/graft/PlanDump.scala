@@ -30,11 +30,18 @@ object PlanDump {
       })
     args.foreach { k =>
       GraftSession.applyQueryConfPolicy(spark)
+      // drain the async listener bus around the timed region, exactly
+      // like Bench — an undrained read can under-count the footer or
+      // leak a late job into the next key's baseline (r20 review #4)
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
       val (j0, s0, t0) = (jobs.get(), stages.get(), tasks.get())
       val sec0 = System.nanoTime()
       val df = SparkEntry.queries(k)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - sec0) / 1e9
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
       println(s"===PLAN BEGIN $k===")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

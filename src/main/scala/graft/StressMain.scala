@@ -678,8 +678,13 @@ object StressMain {
         spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
         try {
           val sh = Dedup.shingleSets(Dedup.plantedCorpus(c))
+          // driverEdgeCap = 0 (r20 review #1): the reliable-checkpoint
+          // delta only exists on the DISTRIBUTED rounds — without the
+          // pin the r20 driver shortcut returns before any checkpoint
+          // is written and this row measures the wrong thing
           Dedup.connectedComponents(sh.select("doc_id"),
-            Dedup.jaccardPairs(sh).select("a", "b")).count()
+            Dedup.jaccardPairs(sh).select("a", "b"),
+            driverEdgeCap = 0L).count()
         } finally spark.conf.set("spark.graft.cc.reliableCheckpoint", "false")
       },
       n => repDocs(docs, n))

@@ -418,8 +418,16 @@ object Dedup {
     * silently keep wrong canonical docs downstream) unless
     * `strict = false`.
     */
+  /** @param driverEdgeCap bounded-edge driver-shortcut cap: −1 (the
+    *   default) reads `spark.graft.cc.driverEdges` (default 1M, 0
+    *   disables); an explicit value overrides the conf — callers that
+    *   manage their OWN cap (the curate stream's
+    *   `spark.graft.curate.driverCcEdges`) pass 0 on their
+    *   past-the-cap branch so two confs never gate one collect
+    *   (r20 review #2). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+      maxIter: Int = 20, strict: Boolean = true,
+      driverEdgeCap: Long = -1L): DataFrame = {
     val spark = nodes.sparkSession
     // BOUNDED-EDGE driver shortcut (r20 optimization; the exact pattern
     // the curate stream shipped in r19 verdict #1, hoisted into the
@@ -441,37 +449,17 @@ object Dedup {
     // one early-stopping CollectLimit over cap+1 rows.
     // spark.graft.cc.driverEdges: 0 disables (StressMain's CC growth
     // rows do, so they keep measuring the distributed path).
-    val driverCap = spark.conf
-      .getOption("spark.graft.cc.driverEdges").map(_.toLong)
-      .getOrElse(1000000L)
+    val driverCap =
+      if (driverEdgeCap >= 0) driverEdgeCap
+      else spark.conf
+        .getOption("spark.graft.cc.driverEdges").map(_.toLong)
+        .getOrElse(1000000L)
     if (driverCap > 0 && driverCap < Int.MaxValue) {
       val probe = edges
         .select(col("a").cast("long"), col("b").cast("long"))
         .limit(driverCap.toInt + 1).collect()
       if (probe.length <= driverCap) {
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-          var c = x // path compression
-          while (parent.getOrDefault(c, c) != c) {
-            val n = parent.get(c); parent.put(c, r): Unit; c = n
-          }
-          r
-        }
-        probe.foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (ra != rb) {
-            // union by MIN root: find() then returns the component min,
-            // i.e. the distributed path's convergent label
-            if (ra < rb) parent.put(rb, ra): Unit
-            else parent.put(ra, rb): Unit
-          }
-        }
-        import scala.jdk.CollectionConverters._
-        val rejects = parent.keySet.asScala.iterator
-          .map(x => (x.toLong, find(x)))
-          .filter { case (x, r) => r != x }.toSeq
+        val rejects = unionFindMinRoots(probe)
         // cluster column cast to the edge id type so the output schema
         // is bit-identical to the distributed path's (whose labels
         // carry the edge endpoints' type through the min aggregates)
@@ -1838,7 +1826,24 @@ object Dedup {
     * it; past the cap the caller falls back to the distributed CC —
     * r19 verdict #1). The collect is bounded by the caller's cap,
     * never by data size. */
-  private[graft] def unionFindRejects(pairs: DataFrame): Seq[Long] = {
+  private[graft] def unionFindRejects(pairs: DataFrame): Seq[Long] =
+    unionFindMinRoots(
+      pairs.select(col("a").cast("long"), col("b").cast("long")).collect())
+      .map(_._1).sorted
+
+  /** Min-root union-find over collected (a, b) long-castable rows —
+    * the ONE driver-side core behind [[unionFindRejects]] and the
+    * bounded-edge shortcut in [[connectedComponents]] (r20 review #5:
+    * the pattern had been copied verbatim). Returns (node, component
+    * minimum) for every NON-CANONICAL edge-touched node; canonical
+    * nodes map to themselves and need no row (the isolated-node
+    * coalesce produces self-labels anyway). Rows with a null endpoint
+    * are SKIPPED — the distributed fixed point's behavior for the
+    * same input (a null key matches no label join and min() ignores
+    * it), so the two paths stay label-identical on degenerate edges
+    * (r20 review #3). */
+  private[graft] def unionFindMinRoots(
+      rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -1849,8 +1854,8 @@ object Dedup {
       }
       r
     }
-    pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .collect().foreach { row =>
+    rows.foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) {
           // union by MIN root: the canonical label is the component
@@ -1859,9 +1864,10 @@ object Dedup {
           else parent.put(ra, rb): Unit
         }
       }
+    }
     import scala.jdk.CollectionConverters._
-    parent.keySet.asScala.iterator.map(_.toLong)
-      .filter(x => find(x) != x).toSeq.sorted
+    parent.keySet.asScala.iterator.map(x => (x.toLong, find(x)))
+      .filter { case (x, r) => r != x }.toSeq
   }
 
   private val CompactLease = "_lease_compact"

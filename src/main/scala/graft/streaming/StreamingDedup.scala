@@ -863,8 +863,13 @@ object StreamingDedup {
             "left_anti")
         }
       } else {
+        // driverEdgeCap = 0: THIS branch is the past-the-cap fallback —
+        // the stream's own spark.graft.curate.driverCcEdges already
+        // decided against a driver collect, so the callee's independent
+        // conf-defaulted shortcut must not re-collect the (known-large)
+        // pair set (r20 review #2: two confs gating one mechanism)
         val labels = phase("in-batch CC")(Dedup.connectedComponents(
-          fresh.select("doc_id"), pairs))
+          fresh.select("doc_id"), pairs, driverEdgeCap = 0L))
         fresh.join(
           labels.filter(col("doc_id") === col("cluster"))
             .select("doc_id"),
